@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the query suite.
+  *
+  * Determinism strategy (for DuckDB-oracle hash matching): floating-point
+  * aggregation order differs between engines, so every money/measure
+  * aggregate is computed in exact DECIMAL arithmetic and only cast to DOUBLE
+  * as the final step. A decimal sum is associative and exact, so both engines
+  * produce the identical decimal, and the final decimal->double conversion is
+  * the same IEEE rounding in both. This also matches what a production
+  * pipeline should do with money at 100 TB (no float drift).
+  */
+object QueryHelpers {
+  type Q = (SparkSession, String) => DataFrame
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(spark, dir, name)
+
+  /** Exact money: cast a double measure column to DECIMAL(12,2). */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact rate (discount/tax): cast to DECIMAL(6,4). */
+  def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
+
+  /** Final output form of an exact decimal aggregate. */
+  def asDouble(c: Column): Column = c.cast("double")
+
+  /** Exact decimal sum of a money column, surfaced as double. */
+  def dsum(c: Column): Column = asDouble(sum(dec2(c)))
+
+  /** Exact decimal sum of a product expression, rounded to cents before the
+    * double cast. The rounding matters: DuckDB's DECIMAL(38,10)->DOUBLE cast
+    * is not correctly rounded (can be 1 ULP off), but at scale<=2 the
+    * numerator fits in 2^53 and both engines convert exactly.
+    */
+  def dsumr(c: Column): Column = asDouble(round(sum(c), 2))
+
+  /** Deterministic average: exact decimal sum / count, in doubles. */
+  def davg(c: Column): Column = asDouble(sum(dec2(c))) / count(lit(1)).cast("double")
+
+  /** Deterministic 64-bit-ish hash both engines can compute: first 8 hex
+    * chars of md5 as a BIGINT. Spark: conv(substr(md5(x),1,8),16,10).
+    * DuckDB oracle: ('0x'||substr(md5(x),1,8))::BIGINT. md5 is identical in
+    * both engines, so the value matches bit-for-bit.
+    */
+  def md5i(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB-side rendering of [[md5i]] for oracle SQL strings. */
+  def md5iSql(expr: String): String =
+    s"(('0x'||substr(md5($expr),1,8))::BIGINT)"
+}

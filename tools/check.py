@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet
+output against the DuckDB oracle SQL on the same tables, compare
+row/schema/hash per query. Usage: check.py <sfDir> <verifyOutDir>"""
+import sys, os, json, hashlib
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm_val(v):
+    if isinstance(v, float):
+        # match presumed driver tolerance: repr of float
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_val(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(",".join(norm_val(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode()); h.update(b"\n")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = os.path.join(out_dir, name)
+        if not os.path.isdir(pdir):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM '{pdir}/*.parquet'")
+            gcols = [d[0] for d in got.description]; grows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark parquet read: {e}"); n_fail += 1; continue
+        try:
+            exp = con.execute(sql)
+            ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        if sorted(gcols) != sorted(ecols):
+            print(f"FAIL {name}: cols {sorted(gcols)} vs {sorted(ecols)}"); n_fail += 1; continue
+        if len(grows) != len(erows):
+            print(f"FAIL {name}: rows {len(grows)} vs {len(erows)}"); n_fail += 1; continue
+        gh, eh = table_hash(gcols, grows), table_hash(ecols, erows)
+        if gh != eh:
+            print(f"FAIL {name}: hash mismatch ({len(grows)} rows)")
+            # show first diff
+            order_g = sorted(range(len(gcols)), key=lambda i: gcols[i])
+            order_e = sorted(range(len(ecols)), key=lambda i: ecols[i])
+            gl = sorted(",".join(norm_val(r[i]) for i in order_g) for r in grows)
+            el = sorted(",".join(norm_val(r[i]) for i in order_e) for r in erows)
+            for a, b in zip(gl, el):
+                if a != b:
+                    print(f"  spark : {a[:200]}\n  oracle: {b[:200]}"); break
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(grows)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
