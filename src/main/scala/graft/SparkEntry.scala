@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.QueryHelpers.Q
-import graft.queries.Relational
+import graft.queries.{Relational, RelationalExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.Relational
 object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (Relational.queries, Relational.oracleSql))
+    (Relational.queries, Relational.oracleSql),
+    (RelationalExt.queries, RelationalExt.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -23,8 +23,30 @@ object Tables {
   /** Small dimension tables that should always be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark refuses to read
+    * natively (no nanosecond timestamp type — SURVEY.md §7.3). We read them
+    * as raw nanos longs and truncate to microseconds, the same truncation
+    * DuckDB applies, so oracle comparisons agree.
+    */
+  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    nanosCols.get(name) match {
+      case None => spark.read.parquet(path)
+      case Some(cols) =>
+        val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try {
+          cols.foldLeft(spark.read.parquet(path)) { (df, c) =>
+            df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+          }
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+    }
+  }
 
   /** Register every table as a temp view named after the table. Idempotent. */
   def register(spark: SparkSession, dir: String): Unit =
