@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.QueryHelpers.Q
-import graft.queries.{Relational, RelationalExt}
+import graft.queries.{Dedup, Multimodal, Relational, RelationalExt, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,11 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracleSql),
-    (RelationalExt.queries, RelationalExt.oracleSql))
+    (RelationalExt.queries, RelationalExt.oracleSql),
+    (TextOps.queries, TextOps.oracleSql),
+    (Dedup.queries, Dedup.oracleSql),
+    (Similarity.queries, Similarity.oracleSql),
+    (Multimodal.queries, Multimodal.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryHelpers._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard all-pairs, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - signatures (minhash/simhash/fingerprints) are computed as array folds
+  *    over the tokenized text — map-only, no shuffle, codegen-friendly;
+  *  - candidate generation never does an O(n^2) cross join: pairs come from
+  *    equi-joins on LSH band keys / hash buckets, so the shuffle is keyed on
+  *    the band value and skew is bounded by band-bucket size;
+  *  - frequent-shingle pruning (document frequency cap) bounds the inverted
+  *    index explosion the same way production near-dup pipelines do;
+  *  - only the candidate pairs (tiny vs corpus) are verified exactly.
+  *
+  * Oracle determinism: md5-derived integer hashes are identical in both
+  * engines; jaccard/cosine are double divisions of exactly-determined values.
+  */
+object Dedup {
+
+  // ---- shared shingling (word 3-grams), identical in both dialects ----
+  private val W = "split(text, ' ')"
+  private val shinglesExpr =
+    s"array_distinct(transform(sequence(1, size($W) - 2), i -> " +
+      s"concat(element_at($W, i), ' ', element_at($W, i+1), ' ', element_at($W, i+2))))"
+  private val shinglesSql =
+    "LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+      "FOR i IN RANGE(1, LEN(w) - 1)])"
+  private val docsShSql =
+    s"""SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+       |  WHERE LEN(w) >= 3""".stripMargin
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+
+  /** Exact dedup on normalized text (lower + squeezed whitespace): canonical
+    * representative = min doc_id per content hash. Hash-groupBy — the 100 TB
+    * shape is a single shuffle on the digest. */
+  private val d01: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val norm = regexp_replace(lower(col("text")), " +", " ")
+    d.select(col("doc_id"), md5(norm).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        min(col("canonical_id")).as("first_canonical"))
+  }
+
+  private val d01Sql =
+    """WITH g AS (
+      |  SELECT MD5(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g')) AS h,
+      |         MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |  FROM documents GROUP BY 1)
+      |SELECT COUNT(*) AS n_unique, SUM(n_copies) AS n_docs,
+      |       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+      |       MIN(canonical_id) AS first_canonical
+      |FROM g""".stripMargin
+
+  /** N-gram Jaccard all-pairs near-dup: inverted index on shingles
+    * (doc-frequency capped at 100), pair candidates from the index,
+    * exact jaccard >= 0.5 on the full shingle sets. */
+  private val d02: Q = (s, dir) => {
+    val docs = docsWithShingles(s, dir)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select(col("s"))
+    val exr = ex.join(rare, "s")
+    val cand = exr.as("a").join(exr.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    cand
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("common").cast("double") /
+          (col("s1.n") + col("s2.n") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val d02Sql =
+    s"""WITH docs AS ($docsShSql),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+       |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, LEN(sh) AS n FROM docs)
+       |SELECT d1, d2,
+       |       common::DOUBLE / (s1.n + s2.n - common)::DOUBLE AS jaccard
+       |FROM cand
+       |JOIN sizes s1 ON d1 = s1.doc_id
+       |JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE common::DOUBLE / (s1.n + s2.n - common)::DOUBLE >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---- MinHash: k=8 universal hashes over shingle md5-hashes, 4 bands of 2
+  private val P = 1000000007L
+  private val hashAB: Seq[(Long, Long)] = Seq(
+    (101L, 17L), (211L, 89L), (307L, 251L), (419L, 563L),
+    (523L, 1009L), (617L, 2003L), (727L, 4001L), (839L, 8009L))
+
+  private def md5iExpr(x: String) = s"CAST(conv(substr(md5($x), 1, 8), 16, 10) AS BIGINT)"
+
+  private def minhashCol(i: Int): String = {
+    val (a, b) = hashAB(i)
+    s"array_min(transform(sh, s -> ($a * (${md5iExpr("s")} % $P) + $b) % $P))"
+  }
+
+  private def minhashSql(i: Int): String = {
+    val (a, b) = hashAB(i)
+    s"LIST_MIN([($a * (${md5iSql("s")} % $P) + $b) % $P FOR s IN sh])"
+  }
+
+  /** MinHash + LSH near-dup: 8-hash signature as shuffle-free array folds,
+    * band keys (4 bands x 2 rows) -> equi-join candidate generation ->
+    * exact jaccard >= 0.8 verification on candidates only. */
+  private val d03: Q = (s, dir) => {
+    val docs = docsWithShingles(s, dir)
+    val sig = docs.select(
+      (col("doc_id") +: col("sh") +:
+        (0 until 8).map(i => expr(minhashCol(i)).as(s"m$i"))): _*)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val withSh = cand
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+    withSh.select(col("d1"), col("d2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          (size(col("sh1")) + size(col("sh2"))
+            - size(array_intersect(col("sh1"), col("sh2")))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val d03Sql = {
+    val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(",\n   ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || '_' || m${2 * b + 1} AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS ($docsShSql),
+       |sig AS (SELECT doc_id, sh,
+       |   $sigCols
+       |  FROM docs),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT d1, d2,
+       |    LEN(LIST_INTERSECT(s1.sh, s2.sh))::DOUBLE /
+       |      (LEN(s1.sh) + LEN(s2.sh) - LEN(LIST_INTERSECT(s1.sh, s2.sh)))::DOUBLE AS jaccard
+       |  FROM cand
+       |  JOIN docs s1 ON d1 = s1.doc_id
+       |  JOIN docs s2 ON d2 = s2.doc_id)
+       |SELECT * FROM j WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
+  }
+
+  // ---- SimHash: 32-bit signature over distinct tokens, byte-band LSH ----
+  private def simhashExpr: String = {
+    val uw = s"array_distinct($W)"
+    val bits = (0 until 32).map { j =>
+      s"(CASE WHEN aggregate(transform($uw, w -> (CASE WHEN (${md5iExpr("w")} >> $j) & 1 = 1 THEN 1 ELSE -1 END)), 0, (a, x) -> a + x) > 0 THEN ${1L << j}L ELSE 0L END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  private def simhashSql: String = {
+    val uw = "LIST_DISTINCT(STRING_SPLIT(text, ' '))"
+    val bits = (0 until 32).map { j =>
+      s"(CASE WHEN LIST_SUM([CASE WHEN (${md5iSql("w")} >> $j) & 1 = 1 THEN 1 ELSE -1 END FOR w IN $uw]) > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** SimHash near-dup: 32-bit signatures; pigeonhole byte-banding (hamming
+    * <= 1 over 4 bytes guarantees one identical byte) generates candidates
+    * via equi-join; verify with popcount(xor) <= 1. */
+  private val d04: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), expr(simhashExpr).as("sim"))
+    val bands = d.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map { k =>
+        struct(lit(k).as("k"), shiftright(col("sim"), 8 * k).bitwiseAND(255).as("byte"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.k").as("k"), col("bk.byte").as("byte"))
+    bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 1)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val d04Sql =
+    s"""WITH d AS (SELECT doc_id, $simhashSql AS sim FROM documents),
+       |bands AS (
+       |  SELECT doc_id, sim, k, (sim >> (8 * k)) & 255 AS byte
+       |  FROM d, RANGE(0, 4) r(k)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(BIT_COUNT(XOR(a.sim, b.sim)) AS INTEGER) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id)
+       |SELECT * FROM pairs WHERE hamming <= 1 ORDER BY d1, d2""".stripMargin
+
+  /** Embedding-cosine near-dup: block by label (coarse quantizer), exact
+    * cosine on within-block pairs, threshold 0.4. */
+  private val d05: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("label"), col("embedding").as("e2"))
+    a.join(b, Seq("label")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), col("label"),
+        expr(cosineExpr("e1", "e2")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("v1"), col("v2"), col("label"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  private val d05Sql =
+    s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+       |  ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY v1, v2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "d01_dedup_exact" -> d01,
+    "d02_dedup_jaccard" -> d02,
+    "d03_dedup_minhash_lsh" -> d03,
+    "d04_dedup_simhash" -> d04,
+    "d05_dedup_embedding" -> d05)
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01Sql,
+    "d02_dedup_jaccard" -> d02Sql,
+    "d03_dedup_minhash_lsh" -> d03Sql,
+    "d04_dedup_simhash" -> d04Sql,
+    "d05_dedup_embedding" -> d05Sql)
+}

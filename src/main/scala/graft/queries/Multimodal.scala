@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import QueryHelpers._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque binary
+  * columns with typed metadata. The decode step is STUBBED (no codec
+  * libraries in this container) with a deterministic fake derived from the
+  * bytes; everything around it — binary schema, typed Dataset encoders,
+  * mapPartitions batch shape, partition-parallel execution — is the real
+  * pipeline a decode/resize/frame-sample stage would use at 100 TB.
+  */
+object Multimodal {
+
+  /** Binary column metadata ops: byte length, sha-256 content digest,
+    * base64 transport encoding — pure expressions over a binary column. */
+  private val m01: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") <= 100)
+    val bin = col("text").cast("binary")
+    d.select(
+        col("doc_id"),
+        length(bin).as("n_bytes"),
+        sha2(bin, 256).as("sha256_hex"),
+        base64(substring(col("text"), 1, 12).cast("binary")).as("head_b64"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m01Sql =
+    """SELECT doc_id,
+      | OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+      | SHA256(text) AS sha256_hex,
+      | BASE64(ENCODE(SUBSTR(text, 1, 12))) AS head_b64
+      |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
+
+  /** Record carrying an opaque media payload. */
+  case class MediaRecord(doc_id: Long, data: Array[Byte])
+
+  /** Decoded metadata a real image decoder would emit. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Int, width: Int,
+                          height: Int, mean_byte: Double)
+
+  /** STUB decode: a real implementation would parse the image container
+    * here (JPEG/PNG headers, libjpeg etc. — not in this container). The
+    * fake derives dimensions deterministically from the byte content so the
+    * oracle can validate the plumbing end-to-end.
+    */
+  def decodeStub(r: MediaRecord): DecodedMedia = {
+    val n = r.data.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (r.data(i) & 0xff); i += 1 }
+    DecodedMedia(r.doc_id, n,
+      width = 16 + (sum % 624).toInt,
+      height = 16 + ((sum * 31) % 464).toInt,
+      mean_byte = sum.toDouble / n.toDouble)
+  }
+
+  /** Typed mapPartitions decode stage: binary in, typed metadata out — the
+    * batch-shape equivalent of a pandas-UDF mapInPandas decode stage. Runs
+    * partition-parallel with no shuffle. */
+  private val m02: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    implicit val encOut: Encoder[DecodedMedia] = Encoders.product[DecodedMedia]
+    val ds = t(s, dir, "documents").filter(col("doc_id") <= 100)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaRecord]
+    ds.mapPartitions(_.map(decodeStub)).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // text is ASCII, so per-char UNICODE() equals the utf-8 byte value.
+  private val m02Sql =
+    """SELECT doc_id,
+      | OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+      | CAST(16 + LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) % 624 AS INTEGER) AS width,
+      | CAST(16 + (LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) * 31) % 464 AS INTEGER) AS height,
+      | LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')])::DOUBLE / OCTET_LENGTH(ENCODE(text))::DOUBLE AS mean_byte
+      |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "m01_binary_meta" -> m01,
+    "m02_decode_stub" -> m02)
+
+  val oracleSql: Map[String, String] = Map(
+    "m01_binary_meta" -> m01Sql,
+    "m02_decode_stub" -> m02Sql)
+}

@@ -53,4 +53,24 @@ object QueryHelpers {
   /** DuckDB-side rendering of [[md5i]] for oracle SQL strings. */
   def md5iSql(expr: String): String =
     s"(('0x'||substr(md5($expr),1,8))::BIGINT)"
+
+  /** Cosine similarity over two array columns as a SEQUENTIAL left fold in
+    * double precision. Sequential matters: float addition is not
+    * associative, so a group-sum would be partition-order dependent; a left
+    * fold over the array is bit-identical in Spark and DuckDB, making the
+    * cosine itself oracle-hashable with no tolerance. (Spark side; the
+    * DuckDB rendering below folds in the same order.)
+    */
+  def cosineExpr(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** DuckDB-side rendering of [[cosineExpr]] (identical fold order). */
+  def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, [z[1]::DOUBLE * z[2]::DOUBLE FOR z IN LIST_ZIP($x, $y)]), (acc, v) -> acc + v)"
+    s"(${dot(a, b)} / (SQRT(${dot(a, a)}) * SQRT(${dot(b, b)})))"
+  }
 }

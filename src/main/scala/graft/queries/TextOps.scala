@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryHelpers._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All are embarrassingly parallel column expressions (no shuffle except the
+  * final presentation sort) — at 100 TB they run map-only over the document
+  * scan with full whole-stage codegen.
+  *
+  * Determinism contract with the DuckDB oracle: integer arithmetic, md5
+  * (identical in both engines), and double ratios of exact integers.
+  */
+object TextOps {
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenization
+    * (letter runs / digit runs / single punctuation marks). */
+  private val x01: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    d.select(
+        col("doc_id"),
+        size(split(col("text"), " +")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).as("bpe_ish_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        (length(col("text")) === col("n_chars")).as("n_chars_consistent"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x01Sql =
+    """SELECT doc_id,
+      | LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS ws_tokens,
+      | LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+      | LENGTH(text) AS n_chars_measured,
+      | LENGTH(text) = n_chars AS n_chars_consistent
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is", "it")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length, and a quality bucket — the standard pre-training heuristics. */
+  private val x02: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val words = split(col("text"), " +")
+    val nTok = size(words)
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val nStop = size(filter(words, w => w.isin(stopwords.map(lit(_)): _*)))
+    val meanLen = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x)
+      .cast("double") / nTok.cast("double")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    d.select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        nTok.as("n_tokens"),
+        (nPunct.cast("double") / length(col("text")).cast("double")).as("punct_ratio"),
+        stopRatio.as("stopword_ratio"),
+        meanLen.as("mean_token_len"),
+        when(nTok < 10, "too_short")
+          .when(stopRatio < 0.01, "low_stopword")
+          .otherwise("ok").as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val x02Sql =
+    s"""SELECT doc_id,
+       | LENGTH(text) AS len,
+       | LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS n_tokens,
+       | (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / LENGTH(text)::DOUBLE AS punct_ratio,
+       | LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, ' +'), w -> LIST_CONTAINS($stopListSql, w)))::DOUBLE
+       |   / LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +'))::DOUBLE AS stopword_ratio,
+       | LIST_SUM(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'), w -> LENGTH(w)))::DOUBLE
+       |   / LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +'))::DOUBLE AS mean_token_len,
+       | CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) < 10 THEN 'too_short'
+       |      WHEN LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, ' +'), w -> LIST_CONTAINS($stopListSql, w)))::DOUBLE
+       |           / LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +'))::DOUBLE < 0.01 THEN 'low_stopword'
+       |      ELSE 'ok' END AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language ID by stopword-hit heuristic: score the token set against
+    * per-language function-word lists, argmax with name tiebreak. (N-gram
+    * profiles are the classic method; function words are the 1-gram case.) */
+  private val langStop: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "it", "a"),
+    "es" -> Seq("el", "los", "y", "que", "una", "por", "con"),
+    "fr" -> Seq("le", "les", "et", "que", "une", "pour", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta"))
+
+  private val x03: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val words = array_distinct(split(col("text"), " +"))
+    val scores = langStop.map { case (lang, sw) =>
+      struct(size(filter(words, w => w.isin(sw.map(lit(_)): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: sort (score, lang) structs; ties resolve to the LAST lang name
+    // in ascending struct order, i.e. max score then max lang.
+    val best = array_max(array(scores: _*))
+    d.select(
+        col("doc_id"),
+        best.getField("lang").as("guessed"),
+        best.getField("score").as("hits"),
+        col("lang").as("labelled"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x03Sql = {
+    val structs = langStop.map { case (lang, sw) =>
+      val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
+      s"{'score': LEN(LIST_FILTER(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(text, ' +')), w -> LIST_CONTAINS($lst, w))), 'lang': '$lang'}"
+    }.mkString(",\n   ")
+    s"""SELECT doc_id,
+       | LIST_MAX([$structs])['lang'] AS guessed,
+       | LIST_MAX([$structs])['score'] AS hits,
+       | lang AS labelled
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 over the sorted unique token set (bag
+    * fingerprint, order-insensitive) + a polynomial rolling hash over the
+    * token sequence (order-sensitive), both mod-1e9+7 arithmetic. */
+  private val x04: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val words = split(col("text"), " +")
+    val bagFp = md5(concat_ws(" ", array_sort(array_distinct(words))))
+    val P = 1000000007L
+    val rollFp = aggregate(
+      transform(words, w => pmod(md5i(w), lit(P))),
+      lit(0L),
+      (acc, x) => pmod(acc * 31 + x, lit(P)))
+    d.select(col("doc_id"), bagFp.as("bag_fp"), rollFp.as("roll_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x04Sql =
+    s"""SELECT doc_id,
+       | MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(text, ' +'))), ' ')) AS bag_fp,
+       | LIST_REDUCE(
+       |   LIST_PREPEND(0::BIGINT,
+       |     LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'),
+       |       w -> ${md5iSql("w")} % 1000000007)),
+       |   (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "x01_token_count" -> x01,
+    "x02_quality_score" -> x02,
+    "x03_lang_id" -> x03,
+    "x04_fingerprint" -> x04)
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_token_count" -> x01Sql,
+    "x02_quality_score" -> x02Sql,
+    "x03_lang_id" -> x03Sql,
+    "x04_fingerprint" -> x04Sql)
+}
