@@ -1,0 +1,291 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.schema.{AvroSchemaCompiler, InMemorySchemaRegistry, SchemaRegistry}
+import graft.serde.{AvroValueReader, Serde, WireFormat}
+
+/** Engine lifecycle — the Spark-native equivalent of the reference's
+  * singleton engine (reference: KwackEngine.java:147-224 configure/init/
+  * start/close):
+  *
+  *  - init: per topic, resolve the serde pair, compile the value schema to a
+  *    StructType, decode the record batch via a shuffle-free mapPartitions,
+  *    lay out columns as [rowkey?, value fields..., rowinfo?]
+  *    (reference: KwackEngine.java:607-641), cache, and register temp views
+  *    (raw topic name + a sanitized alias for names with '-'/'.').
+  *  - query: SQL passthrough to Spark SQL; results stream as JSON lines
+  *    (reference: KwackEngine.java:226-263) with union structs flattened to
+  *    the active branch and binary as Base64 (SURVEY.md §7.3).
+  *  - sync: re-read from saved end offsets and union (snapshot advance —
+  *    reference: KwackEngine.java:1052-1060).
+  *
+  * Scale: decoding is map-only over the source partitioning (one Spark task
+  * per Kafka partition); nothing shuffles until the user's query requires
+  * it. Caching uses the in-memory columnar cache, the analogue of the
+  * reference's in-memory DuckDB (KwackConfig.java:448-454).
+  */
+object Engine {
+  val Rowval = "rowval"   // single-column layout name (reference: KwackEngine.java:123)
+  val Rowkey = "rowkey"   // key column (reference: KwackEngine.java:122)
+  val Rowinfo = "rowinfo"
+  /** Default row attributes (reference: KwackConfig.java:90). */
+  val defaultRowAttrs: Set[String] = Set("rowkey", "ksi", "vsi", "par", "off", "ts", "hdr")
+
+  final case class TopicSpec(topic: String,
+                             keySerde: Serde = Serde.BinarySerde,
+                             valueSerde: Serde = Serde.Latest,
+                             rowAttrs: Set[String] = defaultRowAttrs,
+                             skipBytes: Int = 0)
+
+  /** rowinfo struct fields in layout order (reference: KwackEngine.java:703-743). */
+  private val rowinfoFields: Seq[(String, DataType)] = Seq(
+    "ksi" -> IntegerType, "vsi" -> IntegerType, "top" -> StringType,
+    "par" -> IntegerType, "off" -> LongType, "ts" -> LongType,
+    "tst" -> ShortType, "epo" -> IntegerType,
+    "hdr" -> MapType(StringType, StringType, valueContainsNull = true))
+
+  def sanitize(topic: String): String = topic.replaceAll("[^A-Za-z0-9_]", "_")
+}
+
+class Engine(val spark: SparkSession,
+             val registry: SchemaRegistry = new InMemorySchemaRegistry) {
+  import Engine._
+
+  private var tables: Map[String, DataFrame] = Map.empty
+
+  /** Resolve a serde to (schemaType, schemaText) if it is schema-backed. */
+  private def resolveSchema(topic: String, isKey: Boolean, serde: Serde): Option[(String, String, Int)] = {
+    val subject = s"$topic-${if (isKey) "key" else "value"}"
+    serde match {
+      case Serde.Latest =>
+        registry.getLatest(subject).map(r => (r.schemaType, r.schemaText, r.id))
+      case Serde.ById(id) =>
+        registry.getById(id).map(r => (r.schemaType, r.schemaText, r.id))
+      case Serde.External(kind, text, _, _) =>
+        val st = kind match {
+          case "avro" => "AVRO"
+          case "proto" => "PROTOBUF"
+          case "json" => "JSON"
+        }
+        val id = registry.register(subject, st, text)
+        Some((st, text, id))
+      case _ => None
+    }
+  }
+
+  /** Decode closure over (keyBytes, valueBytes) — the key is threaded
+    * through for the JSON `tag:` key->value field copy
+    * (reference: KwackEngine.java:491-499); all other serdes ignore it. */
+  private type Decode = (Array[Byte], Array[Byte]) => Any
+
+  /** Compile a resolved serde to the Spark type of the decoded value and a
+    * decode closure over raw bytes. Schema-compile failures fall back to
+    * binary, like the reference (KwackEngine.java:363-376). */
+  private def decoderFor(topic: String, isKey: Boolean, spec: TopicSpec,
+                         serde: Serde): (DataType, Boolean, Decode) = {
+    val skip = spec.skipBytes
+    def bin: (DataType, Boolean, Decode) = (BinaryType, true, (_, b) => b)
+    serde match {
+      case Serde.BinarySerde => bin
+      case Serde.StringSerde => (StringType, true, (_, b) => if (b == null) null else new String(b, "UTF-8"))
+      case Serde.UuidSerde => (StringType, true, (_, b) => if (b == null) null else new String(b, "UTF-8"))
+      case Serde.ShortSerde => (ShortType, true, (_, b) => if (b == null) null else java.nio.ByteBuffer.wrap(b).getShort)
+      case Serde.IntSerde => (IntegerType, true, (_, b) => if (b == null) null else java.nio.ByteBuffer.wrap(b).getInt)
+      case Serde.LongSerde => (LongType, true, (_, b) => if (b == null) null else java.nio.ByteBuffer.wrap(b).getLong)
+      case Serde.FloatSerde => (FloatType, true, (_, b) => if (b == null) null else java.nio.ByteBuffer.wrap(b).getFloat)
+      case Serde.DoubleSerde => (DoubleType, true, (_, b) => if (b == null) null else java.nio.ByteBuffer.wrap(b).getDouble)
+      case Serde.SchemalessJson =>
+        (StringType, true, (_, b) => if (b == null) null else new String(b, "UTF-8"))
+      case _ =>
+        resolveSchema(topic, isKey, serde) match {
+          case Some(("AVRO", text, _)) =>
+            try {
+              val reader = new Schema.Parser().parse(text)
+              val compiled = AvroSchemaCompiler.compile(reader)
+              val readerText = reader.toString
+              val reg = registry
+              val dt = compiled.dataType
+              val fn = AvroDecoders.make(readerText, dt, reg, skip)
+              (dt, true, (_, b) => fn(b))
+            } catch {
+              case e: IllegalArgumentException => throw e // recursive schema must fail init
+              case _: Exception => bin
+            }
+          case Some(("JSON", text, _)) =>
+            val tags = serde match {
+              case Serde.External(_, _, _, t) => t
+              case _ => Map.empty[String, String]
+            }
+            try {
+              val compiled = graft.schema.JsonSchemaCompiler.compile(text)
+              (compiled.dataType, true,
+                graft.serde.JsonValueReader.make(text, compiled.dataType, skip, tags))
+            } catch {
+              case e: IllegalArgumentException => throw e
+              case _: Exception => bin
+            }
+          case Some(("PROTOBUF", text, _)) =>
+            val msgName = serde match {
+              case Serde.External(_, _, m, _) => m
+              case _ => None
+            }
+            try {
+              val (dt, fn) = graft.serde.ProtoDecoders.make(text, msgName, skip)
+              (dt, true, (_, b) => fn(b))
+            } catch {
+              case e: IllegalArgumentException => throw e
+              case _: Exception => bin
+            }
+          case _ => bin
+        }
+    }
+  }
+
+  /** Decode one topic's record batch into its table layout. */
+  def decodeTopic(spec: TopicSpec, records: DataFrame): DataFrame = {
+    val (keyType, _, keyFn) = decoderFor(spec.topic, isKey = true, spec, spec.keySerde)
+    val (valType, _, valFn) = decoderFor(spec.topic, isKey = false, spec, spec.valueSerde)
+
+    val valueIsStruct = valType.isInstanceOf[StructType]
+    val valueFields: Seq[StructField] = valType match {
+      case st: StructType => st.fields.toSeq
+      case dt => Seq(StructField(Rowval, dt, nullable = true))
+    }
+    val attrs = spec.rowAttrs
+    val withKey = attrs.contains(Rowkey)
+    val infoFields = rowinfoFields.filter { case (n, _) => attrs.contains(n) }
+    val outFields =
+      (if (withKey) Seq(StructField(Rowkey, keyType, nullable = true)) else Nil) ++
+        valueFields ++
+        (if (infoFields.nonEmpty)
+          Seq(StructField(Rowinfo,
+            StructType(infoFields.map { case (n, t) => StructField(n, t, nullable = true) }),
+            nullable = false))
+        else Nil)
+    val outSchema = StructType(outFields)
+    val skip = spec.skipBytes
+    val topic = spec.topic
+    val infoNames = infoFields.map(_._1)
+
+    val out = records.mapPartitions { it =>
+      it.flatMap { r =>
+        val keyBytes = r.getAs[Array[Byte]]("key")
+        val valBytes = r.getAs[Array[Byte]]("value")
+        if (valBytes == null && valueIsStruct) {
+          // tombstone: skip, append-only semantics (reference: KwackEngine.java:820-823)
+          None
+        } else {
+          val keyVal = if (withKey) Seq(if (keyBytes == null) null else keyFn(null, keyBytes)) else Nil
+          val decoded =
+            if (valBytes == null) Seq.fill(valueFields.size)(null)
+            else valFn(keyBytes, valBytes) match {
+              case row: Row if valueIsStruct => row.toSeq
+              case row: Row => Seq(row) // struct packed into rowval
+              case v => Seq(v)
+            }
+          val info =
+            if (infoNames.isEmpty) Nil
+            else {
+              val hdrs = Option(r.getAs[scala.collection.Seq[Row]]("headers"))
+                .getOrElse(Seq.empty)
+                .map(h => h.getString(0) -> (h.get(1) match {
+                  case null => null
+                  case b: Array[Byte] => new String(b, "UTF-8")
+                })).toMap // last value wins (reference: KwackEngine.java:1022-1035)
+              val all = Map[String, Any](
+                "ksi" -> WireFormat.schemaId(keyBytes, skip).map(Int.box).orNull,
+                "vsi" -> WireFormat.schemaId(valBytes, skip).map(Int.box).orNull,
+                "top" -> topic,
+                "par" -> r.getAs[Int]("partition"),
+                "off" -> r.getAs[Long]("offset"),
+                "ts" -> r.getAs[java.sql.Timestamp]("timestamp").getTime,
+                "tst" -> r.getAs[Int]("timestampType").toShort,
+                "epo" -> null,
+                "hdr" -> hdrs)
+              Seq(Row(infoNames.map(all): _*))
+            }
+          Some(Row((keyVal ++ decoded ++ info): _*))
+        }
+      }
+    }(Encoders.row(outSchema))
+    out
+  }
+
+  /** Initialize: decode every topic and register its views (cached). */
+  def init(topics: Seq[TopicSpec], source: TopicSpec => DataFrame): Map[String, DataFrame] = {
+    tables = topics.map { spec =>
+      val df = decodeTopic(spec, source(spec)).cache()
+      df.createOrReplaceTempView(s"`${spec.topic}`")
+      val alias = Engine.sanitize(spec.topic)
+      if (alias != spec.topic) df.createOrReplaceTempView(alias)
+      spec.topic -> df
+    }.toMap
+    tables
+  }
+
+  def table(topic: String): DataFrame = tables(topic)
+
+  def sql(q: String): DataFrame = spark.sql(q)
+
+  /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +
+    * KwackMain.java:157-163 prints one JSON object per row). */
+  def query(q: String): Iterator[String] = JsonOutput.lines(spark.sql(q))
+
+  /** COPY <query> TO <path> (FORMAT ...) equivalent (reference usage:
+    * README.md:119-123). */
+  def copyTo(q: String, path: String, format: String = "parquet"): Unit = {
+    val df = spark.sql(q)
+    format.toLowerCase match {
+      case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
+      case "json" => df.write.mode("overwrite").json(path)
+      case other => throw new IllegalArgumentException(s"unsupported COPY format $other")
+    }
+  }
+
+  def close(): Unit = {
+    tables.values.foreach(_.unpersist())
+    tables = Map.empty
+  }
+}
+
+/** Executor-side Avro decoding with per-JVM memoization of parsed schemas
+  * and datum readers (mirrors the reference's deserializer/schema caches —
+  * KwackEngine.java:137-138,516-519). */
+object AvroDecoders {
+  @transient private lazy val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+  @transient private lazy val readerCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), GenericDatumReader[Any]]()
+
+  private def parsed(text: String): Schema =
+    schemaCache.computeIfAbsent(text, t => new Schema.Parser().parse(t))
+
+  def make(readerText: String, dt: DataType, reg: SchemaRegistry, skip: Int): Array[Byte] => Any = {
+    bytes => {
+      val framed = WireFormat.parse(bytes, skip)
+      val readerSchema = parsed(readerText)
+      val writerText = reg.getById(framed.schemaId)
+        .map(_.schemaText).getOrElse(readerText)
+      val datumReader = readerCache.computeIfAbsent((framed.schemaId, readerText), _ => {
+        new GenericDatumReader[Any](parsed(writerText), readerSchema)
+      })
+      val dec = DecoderFactory.get().binaryDecoder(
+        framed.payload.array(),
+        framed.payload.arrayOffset() + framed.payload.position(),
+        framed.payload.remaining(), null)
+      val datum = datumReader.read(null, dec)
+      dt match {
+        case st: StructType => AvroValueReader.toRow(datum.asInstanceOf[GenericRecord], readerSchema, st)
+        case _ => AvroValueReader.convert(datum, readerSchema, dt)
+      }
+    }
+  }
+}
