@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine similarity over two float/double array columns as a native
+  * codegen'd Catalyst expression.
+  *
+  * The composable form (`aggregate(zip_with(...))`) is an interpreted
+  * higher-order function — it allocates a zipped array per row and evaluates
+  * a lambda per element outside whole-stage codegen. This expression is the
+  * hot-path replacement: one fused loop, no allocation, inside codegen
+  * (the preference order from the build brief: native Expression with
+  * doGenCode > Scala UDF > interpreted lambdas).
+  *
+  * Determinism contract: the three accumulators (dot, |a|^2, |b|^2) are
+  * summed in index order with each element cast to double first — the exact
+  * fold order of the composable form and of the DuckDB oracle rendering
+  * (QueryHelpers.cosineSql), so results are bit-identical.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_similarity requires float/double arrays, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val xIsFloat = elemType(left) == FloatType
+    val yIsFloat = elemType(right) == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val yGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.$xGet($i);
+         |  double $yi = (double) $b.$yGet($i);
+         |  $dot += $xi * $yi;
+         |  $na += $xi * $xi;
+         |  $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  private def lit(e: Expression): Any =
+    e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value
+
+  /** Idempotent registration of the engine's native functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_shingles", exprs => WordShingles(exprs(0)), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_md5i_array", exprs => Md5IntArray(exprs(0)), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashAffine(exprs(0),
+        lit(exprs(1)).asInstanceOf[Number].longValue(),
+        lit(exprs(2)).asInstanceOf[Number].longValue(),
+        lit(exprs(3)).asInstanceOf[Number].longValue()), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_token_stats", exprs => TokenStats(exprs.head,
+        exprs.tail.map(e => lit(e).toString)), "built-in")
+  }
+}

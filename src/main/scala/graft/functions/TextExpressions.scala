@@ -1,0 +1,255 @@
+package graft.functions
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd expressions for the text/dedup hot paths.
+  *
+  * Rationale: Spark's higher-order functions (`transform`, `aggregate`,
+  * `filter`) evaluate their lambda per element in interpreted mode, outside
+  * whole-stage codegen — on a corpus-scale tokenize/hash pipeline that is
+  * the dominant cost. Each expression here fuses one such loop into compiled
+  * code while producing BIT-IDENTICAL values to the composable form it
+  * replaces (asserted in NativeTextExprSpec), so the DuckDB oracle contract
+  * is unchanged.
+  *
+  * Codegen strategy: the loop body lives in a static-reachable helper
+  * (companion object), and doGenCode emits a single call — the expression
+  * stays inside the WSCG stage (no virtual function call per ELEMENT, one
+  * per row), which is the same shape Spark uses for its own complex string
+  * expressions.
+  */
+object NativeHelpers {
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 hex chars of md5 as unsigned 32-bit value in a long —
+    * bit-identical to conv(substr(md5(x),1,8),16,10). */
+  def md5i(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    java.lang.Integer.toUnsignedLong(
+      ((digest(0) & 0xff) << 24) | ((digest(1) & 0xff) << 16) |
+        ((digest(2) & 0xff) << 8) | (digest(3) & 0xff))
+  }
+
+  def md5iArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = md5i(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val singleSpace = Pattern.compile(" ")
+
+  /** Distinct word 3-grams, identical to
+    * array_distinct(transform(sequence(1, size(w)-2), i ->
+    *   concat(w[i],' ',w[i+1],' ',w[i+2]))) over w = split(text, ' '). */
+  def shingles3(text: UTF8String): ArrayData = {
+    val words = singleSpace.split(text.toString, -1)
+    if (words.length < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < words.length) {
+      seen.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** min over hv of (a * (h % p) + b) % p — identical to the array_min /
+    * transform composition (all operands positive, Java % == SQL %). */
+  def minhash(hv: ArrayData, a: Long, b: Long, p: Long): Long = {
+    val n = hv.numElements()
+    var m = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val v = (a * (hv.getLong(i) % p) + b) % p
+      if (v < m) m = v
+      i += 1
+    }
+    m
+  }
+}
+
+/** graft_md5i_array(array<string>) -> array<bigint>. */
+case class Md5IntArray(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires array<string>, got $t")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHelpers.md5iArray(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeHelpers$$.MODULE$$.md5iArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_shingles(text) -> array<string> of distinct word 3-grams. */
+case class WordShingles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires string, got $t")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHelpers.shingles3(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeHelpers$$.MODULE$$.shingles3($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_minhash(hv, a, b, p) -> bigint. a/b/p are literal parameters. */
+case class MinHashAffine(child: Expression, a: Long, b: Long, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires array<bigint>, got $t")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHelpers.minhash(v.asInstanceOf[ArrayData], a, b, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeHelpers$$.MODULE$$.minhash($c, ${a}L, ${b}L, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_dot(a, b) -> double: in-index-order dot product (no normalization);
+  * same fold order as the interpreted aggregate/zip_with composition. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires numeric arrays, got ${left.dataType} / ${right.dataType}")
+
+  private def getter(t: DataType): String = t match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case ArrayType(IntegerType, _) => "getInt"
+    case ArrayType(LongType, _) => "getLong"
+    case other => throw new IllegalStateException(other.toString)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => arr.getDouble(i)
+      case ArrayType(IntegerType, _) => arr.getInt(i).toDouble
+      case _ => arr.getLong(i).toDouble
+    }
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += get(x, left.dataType, i) * get(y, right.dataType, i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xGet = getter(left.dataType)
+    val yGet = getter(right.dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.$xGet($i) * (double) $b.$yGet($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_token_stats(text, stopwords...) ->
+  * struct<n_tokens:int, n_stop:int, sum_len:int> over regex-' +' tokens —
+  * the three interpreted-lambda aggregates of the quality-score pipeline
+  * fused into one split pass. Lengths are codepoint counts (Spark length()
+  * and DuckDB LENGTH() semantics). */
+case class TokenStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("sum_len", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires string, got $t")
+  }
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val words = TokenStats.spacesRe.split(text.toString, -1)
+    var nStop = 0
+    var sumLen = 0
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (stopSet.contains(w)) nStop += 1
+      sumLen += w.codePointCount(0, w.length)
+      i += 1
+    }
+    InternalRow(words.length, nStop, sumLen)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStats", this, classOf[TokenStats].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenStats {
+  val spacesRe: Pattern = Pattern.compile(" +")
+}

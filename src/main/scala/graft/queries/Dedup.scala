@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import QueryHelpers._
 
@@ -9,13 +10,17 @@ import QueryHelpers._
   * Jaccard all-pairs, MinHash+LSH, SimHash, and embedding-cosine near-dup.
   *
   * Scale design (100 TB):
-  *  - signatures (minhash/simhash/fingerprints) are computed as array folds
-  *    over the tokenized text — map-only, no shuffle, codegen-friendly;
-  *  - candidate generation never does an O(n^2) cross join: pairs come from
-  *    equi-joins on LSH band keys / hash buckets, so the shuffle is keyed on
-  *    the band value and skew is bounded by band-bucket size;
-  *  - frequent-shingle pruning (document frequency cap) bounds the inverted
-  *    index explosion the same way production near-dup pipelines do;
+  *  - the shingled corpus (incl. per-shingle hashes) is materialized ONCE
+  *    and persisted; every downstream branch (signatures, inverted index,
+  *    verification) reads the persisted frame instead of recomputing the
+  *    tokenize+md5 pipeline per plan branch — at 100 TB this is the
+  *    checkpoint a production near-dup pipeline writes between stages;
+  *  - each token/shingle is hashed ONCE (`hv`); the k minhash functions are
+  *    cheap affine folds over those longs, not k md5 passes;
+  *  - candidate generation never does an O(n^2) cross join: pairs are
+  *    enumerated from inverted-index postings lists (df-capped), so the
+  *    shuffle is keyed on the shingle/band value and skew is bounded by
+  *    the posting cap;
   *  - only the candidate pairs (tiny vs corpus) are verified exactly.
   *
   * Oracle determinism: md5-derived integer hashes are identical in both
@@ -36,10 +41,28 @@ object Dedup {
        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
        |  WHERE LEN(w) >= 3""".stripMargin
 
+  private def md5iExpr(x: String) = s"CAST(conv(substr(md5($x), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Shingled corpus: doc_id, sh (distinct 3-gram strings), n = |sh|,
+    * hv = md5-derived long per shingle (hashed once). Shingling and hashing
+    * run through the native codegen'd expressions (graft.functions) —
+    * bit-identical to the composable transform/md5 pipeline but fused loops.
+    * Persisted and shared across the dedup queries — the "materialize the
+    * tokenized corpus once" stage of a production pipeline. */
+  private val shCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+    shCache.getOrElseUpdate(dir,
+      t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), expr("graft_shingles(text)").as("sh"))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
+          expr("graft_md5i_array(sh)").as("hv"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Enumerate ordered pairs from a sorted postings list `ds`. */
+  private val pairsFromPostings =
+    "flatten(transform(ds, (x, i) -> " +
+      "transform(slice(ds, i + 2, size(ds)), y -> named_struct('d1', x, 'd2', y))))"
 
   /** Exact dedup on normalized text (lower + squeezed whitespace): canonical
     * representative = min doc_id per content hash. Hash-groupBy — the 100 TB
@@ -68,19 +91,19 @@ object Dedup {
       |FROM g""".stripMargin
 
   /** N-gram Jaccard all-pairs near-dup: inverted index on shingles
-    * (doc-frequency capped at 100), pair candidates from the index,
-    * exact jaccard >= 0.5 on the full shingle sets. */
+    * (doc-frequency capped at 100), candidate pairs enumerated from the
+    * postings lists (one shuffle on the shingle, one on the pair — no
+    * self-join recompute), exact jaccard >= 0.5. */
   private val d02: Q = (s, dir) => {
     val docs = docsWithShingles(s, dir)
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select(col("s"))
-    val exr = ex.join(rare, "s")
-    val cand = exr.as("a").join(exr.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+    val cand = postings
+      .select(explode(expr(pairsFromPostings)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val sizes = docs.select(col("doc_id"), col("n"))
     cand
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
@@ -115,11 +138,10 @@ object Dedup {
     (101L, 17L), (211L, 89L), (307L, 251L), (419L, 563L),
     (523L, 1009L), (617L, 2003L), (727L, 4001L), (839L, 8009L))
 
-  private def md5iExpr(x: String) = s"CAST(conv(substr(md5($x), 1, 8), 16, 10) AS BIGINT)"
-
+  /** Minhash i as a native affine-min fold over the precomputed hashes. */
   private def minhashCol(i: Int): String = {
     val (a, b) = hashAB(i)
-    s"array_min(transform(sh, s -> ($a * (${md5iExpr("s")} % $P) + $b) % $P))"
+    s"graft_minhash(hv, $a, $b, $P)"
   }
 
   private def minhashSql(i: Int): String = {
@@ -127,13 +149,13 @@ object Dedup {
     s"LIST_MIN([($a * (${md5iSql("s")} % $P) + $b) % $P FOR s IN sh])"
   }
 
-  /** MinHash + LSH near-dup: 8-hash signature as shuffle-free array folds,
-    * band keys (4 bands x 2 rows) -> equi-join candidate generation ->
-    * exact jaccard >= 0.8 verification on candidates only. */
+  /** MinHash + LSH near-dup: 8-hash signature as folds over the once-hashed
+    * shingles, band keys (4 bands x 2 rows) -> postings-list candidate
+    * enumeration -> exact jaccard >= 0.8 verification on candidates only. */
   private val d03: Q = (s, dir) => {
     val docs = docsWithShingles(s, dir)
     val sig = docs.select(
-      (col("doc_id") +: col("sh") +:
+      (col("doc_id") +:
         (0 until 8).map(i => expr(minhashCol(i)).as(s"m$i"))): _*)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
@@ -141,10 +163,12 @@ object Dedup {
           concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val cand = bands
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(pairsFromPostings)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     val withSh = cand
       .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
@@ -183,10 +207,10 @@ object Dedup {
   }
 
   // ---- SimHash: 32-bit signature over distinct tokens, byte-band LSH ----
-  private def simhashExpr: String = {
-    val uw = s"array_distinct($W)"
+  /** 32 bit-majority folds over the once-hashed distinct-token array. */
+  private def simhashBitsExpr: String = {
     val bits = (0 until 32).map { j =>
-      s"(CASE WHEN aggregate(transform($uw, w -> (CASE WHEN (${md5iExpr("w")} >> $j) & 1 = 1 THEN 1 ELSE -1 END)), 0, (a, x) -> a + x) > 0 THEN ${1L << j}L ELSE 0L END)"
+      s"(CASE WHEN aggregate(wv, 0, (a, h) -> a + (CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END)"
     }
     bits.mkString("(", " + ", ")")
   }
@@ -201,10 +225,18 @@ object Dedup {
 
   /** SimHash near-dup: 32-bit signatures; pigeonhole byte-banding (hamming
     * <= 1 over 4 bytes guarantees one identical byte) generates candidates
-    * via equi-join; verify with popcount(xor) <= 1. */
+    * via equi-join; verify with popcount(xor) <= 1.
+    *
+    * Each distinct token is md5-hashed once into `wv` (persisted — without
+    * the materialization boundary the projection collapse would inline the
+    * hash into all 32 bit-folds). */
   private val d04: Q = (s, dir) => {
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), expr(simhashExpr).as("sim"))
+    val wv = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"graft_md5i_array(array_distinct($W))").as("wv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = wv.select(col("doc_id"), expr(simhashBitsExpr).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = d.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map { k =>
         struct(lit(k).as("k"), shiftright(col("sim"), 8 * k).bitwiseAND(255).as("byte"))

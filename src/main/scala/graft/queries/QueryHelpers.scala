@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.DecimalType
 object QueryHelpers {
   type Q = (SparkSession, String) => DataFrame
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     graft.Tables.load(spark, dir, name)
+  }
 
   /** Exact money: cast a double measure column to DECIMAL(12,2). */
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
@@ -54,18 +56,15 @@ object QueryHelpers {
   def md5iSql(expr: String): String =
     s"(('0x'||substr(md5($expr),1,8))::BIGINT)"
 
-  /** Cosine similarity over two array columns as a SEQUENTIAL left fold in
+  /** Cosine similarity via the native codegen'd expression
+    * (graft.functions.CosineSimilarity) — a SEQUENTIAL index-order fold in
     * double precision. Sequential matters: float addition is not
-    * associative, so a group-sum would be partition-order dependent; a left
-    * fold over the array is bit-identical in Spark and DuckDB, making the
-    * cosine itself oracle-hashable with no tolerance. (Spark side; the
-    * DuckDB rendering below folds in the same order.)
+    * associative, so a group-sum would be partition-order dependent; an
+    * in-order fold is bit-identical in Spark and DuckDB, making the cosine
+    * itself oracle-hashable with no tolerance. (The DuckDB rendering below
+    * folds in the same order.)
     */
-  def cosineExpr(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
-  }
+  def cosineExpr(a: String, b: String): String = s"graft_cosine($a, $b)"
 
   /** DuckDB-side rendering of [[cosineExpr]] (identical fold order). */
   def cosineSql(a: String, b: String): String = {

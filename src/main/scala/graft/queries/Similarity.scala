@@ -94,7 +94,9 @@ object Similarity {
   private def sigExprSpark(e: String): String = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val arr = p.mkString("array(", ", ", ")")
-      s"(CASE WHEN aggregate(zip_with($e, $arr, (x, h) -> CAST(x AS DOUBLE) * CAST(h AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v) > 0 THEN ${1 << i} ELSE 0 END)"
+      // graft_dot: native in-order fold, bit-identical to the interpreted
+      // aggregate/zip_with composition (the literal array constant-folds)
+      s"(CASE WHEN graft_dot($e, $arr) > 0 THEN ${1 << i} ELSE 0 END)"
     }
     bits.mkString("(", " + ", ")")
   }
@@ -110,8 +112,12 @@ object Similarity {
   /** LSH-bucketed ANN: 8-bit hyperplane signature, bucket equi-join, exact
     * cosine re-rank within bucket, top-3 per query (vec_id < 20). */
   private val s03: Q = (s, dir) => {
+    // signatures are computed once and persisted; both the query side and the
+    // candidate side read the materialized frame (at 100 TB: the signature
+    // index a pipeline writes once and probes many times)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), expr(sigExprSpark("embedding")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig"))

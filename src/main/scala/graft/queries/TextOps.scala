@@ -40,15 +40,18 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is", "it")
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
-    * length, and a quality bucket — the standard pre-training heuristics. */
+    * length, and a quality bucket — the standard pre-training heuristics.
+    * The three token aggregates run as ONE native codegen'd split pass
+    * (graft_token_stats); whole-stage codegen's subexpression elimination
+    * shares the struct across the derived columns. */
   private val x02: Q = (s, dir) => {
     val d = t(s, dir, "documents")
-    val words = split(col("text"), " +")
-    val nTok = size(words)
+    val stopArgs = stopwords.map(w => s"'$w'").mkString(", ")
+    val ts = expr(s"graft_token_stats(text, $stopArgs)")
+    val nTok = ts.getField("n_tokens")
+    val nStop = ts.getField("n_stop")
+    val sumLen = ts.getField("sum_len")
     val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
-    val nStop = size(filter(words, w => w.isin(stopwords.map(lit(_)): _*)))
-    val meanLen = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x)
-      .cast("double") / nTok.cast("double")
     val stopRatio = nStop.cast("double") / nTok.cast("double")
     d.select(
         col("doc_id"),
@@ -56,7 +59,7 @@ object TextOps {
         nTok.as("n_tokens"),
         (nPunct.cast("double") / length(col("text")).cast("double")).as("punct_ratio"),
         stopRatio.as("stopword_ratio"),
-        meanLen.as("mean_token_len"),
+        (sumLen.cast("double") / nTok.cast("double")).as("mean_token_len"),
         when(nTok < 10, "too_short")
           .when(stopRatio < 0.01, "low_stopword")
           .otherwise("ok").as("quality"))

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Every native codegen'd expression must be BIT-IDENTICAL to the
+  * interpreted composable form it replaced — verified over the real
+  * documents corpus so the DuckDB-oracle contract is preserved. */
+class NativeTextExprSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+  }
+
+  private val md5iLambda = "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)"
+
+  test("graft_shingles equals the transform/concat composition") {
+    val w = "split(text, ' ')"
+    val composed = s"array_distinct(transform(sequence(1, size($w) - 2), i -> " +
+      s"concat(element_at($w, i), ' ', element_at($w, i+1), ' ', element_at($w, i+2))))"
+    val diff = docs.filter(expr(s"size($w) >= 3"))
+      .select(expr("graft_shingles(text)").as("a"), expr(composed).as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+  }
+
+  test("graft_md5i_array equals per-element md5 conv") {
+    val diff = docs
+      .select(expr("graft_shingles(text)").as("sh"))
+      .select(expr("graft_md5i_array(sh)").as("a"),
+        expr(s"transform(sh, s -> $md5iLambda)").as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+  }
+
+  test("graft_minhash equals array_min over the affine transform") {
+    val (a, b, p) = (523L, 1009L, 1000000007L)
+    val diff = docs
+      .select(expr("graft_md5i_array(graft_shingles(text))").as("hv"))
+      .filter(expr("size(hv) > 0"))
+      .select(expr(s"graft_minhash(hv, $a, $b, $p)").as("x"),
+        expr(s"array_min(transform(hv, h -> ($a * (h % $p) + $b) % $p))").as("y"))
+      .filter(expr("x != y"))
+    diff.count() shouldBe 0L
+  }
+
+  test("graft_dot equals the aggregate/zip_with fold (incl. int literal arrays)") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val lits = (1 to 64).map(i => if (i % 3 == 0) -1 else 1).mkString("array(", ",", ")")
+    val composed = s"aggregate(zip_with(embedding, $lits, (x, h) -> CAST(x AS DOUBLE) * CAST(h AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val out = e.select(expr(s"graft_dot(embedding, $lits)").as("a"), expr(composed).as("b"))
+      .collect()
+    out.foreach { r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
+  test("graft_token_stats equals the three interpreted aggregates") {
+    val stops = Seq("the", "a", "of", "to", "in", "and", "is", "it")
+    val stopArgs = stops.map(w => s"'$w'").mkString(", ")
+    val stopArr = stops.map(w => s"'$w'").mkString("array(", ",", ")")
+    val w = "split(text, ' +')"
+    val diff = docs.select(
+        expr(s"graft_token_stats(text, $stopArgs)").as("ts"),
+        expr(s"size($w)").as("n_tokens"),
+        expr(s"size(filter($w, x -> array_contains($stopArr, x)))").as("n_stop"),
+        expr(s"aggregate(transform($w, x -> length(x)), 0, (a, x) -> a + x)").as("sum_len"))
+      .filter(expr("ts.n_tokens != n_tokens OR ts.n_stop != n_stop OR ts.sum_len != sum_len"))
+    diff.count() shouldBe 0L
+  }
+}
