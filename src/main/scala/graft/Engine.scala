@@ -59,6 +59,7 @@ class Engine(val spark: SparkSession,
   import Engine._
 
   private var tables: Map[String, DataFrame] = Map.empty
+  private var specs: Seq[TopicSpec] = Nil
 
   /** Resolve a serde to (schemaType, schemaText) if it is schema-backed. */
   private def resolveSchema(topic: String, isKey: Boolean, serde: Serde): Option[(String, String, Int)] = {
@@ -218,13 +219,34 @@ class Engine(val spark: SparkSession,
     out
   }
 
+  private def registerViews(spec: TopicSpec, df: DataFrame): Unit = {
+    df.createOrReplaceTempView(s"`${spec.topic}`")
+    val alias = Engine.sanitize(spec.topic)
+    if (alias != spec.topic) df.createOrReplaceTempView(alias)
+  }
+
   /** Initialize: decode every topic and register its views (cached). */
   def init(topics: Seq[TopicSpec], source: TopicSpec => DataFrame): Map[String, DataFrame] = {
+    specs = topics
     tables = topics.map { spec =>
       val df = decodeTopic(spec, source(spec)).cache()
-      df.createOrReplaceTempView(s"`${spec.topic}`")
-      val alias = Engine.sanitize(spec.topic)
-      if (alias != spec.topic) df.createOrReplaceTempView(alias)
+      registerViews(spec, df)
+      spec.topic -> df
+    }.toMap
+    tables
+  }
+
+  /** Advance the snapshot: decode a fresh batch per topic (the caller's
+    * source function reads from the saved end offsets, the batch analogue of
+    * the reference's cache re-sync — KwackEngine.java:1052-1060) and union
+    * it under the same views. */
+  def sync(source: TopicSpec => DataFrame): Map[String, DataFrame] = {
+    tables = specs.map { spec =>
+      val prev = tables(spec.topic)
+      val add = decodeTopic(spec, source(spec))
+      val df = prev.unionByName(add).cache()
+      prev.unpersist()
+      registerViews(spec, df)
       spec.topic -> df
     }.toMap
     tables
@@ -232,7 +254,46 @@ class Engine(val spark: SparkSession,
 
   def table(topic: String): DataFrame = tables(topic)
 
-  def sql(q: String): DataFrame = spark.sql(q)
+  /** Highest ingested offset per (topic, partition) — feed back into the
+    * next batch's startingOffsets for [[sync]]. Requires the `off`/`par`
+    * row attributes. */
+  def endOffsets(topic: String): Map[Int, Long] = {
+    import org.apache.spark.sql.functions.{col, max}
+    tables(topic)
+      .groupBy(col(s"$Rowinfo.par").as("par"))
+      .agg(max(col(s"$Rowinfo.off")).as("off"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  private val quotedTableRef = "(?i)\\b(FROM|JOIN)\\s+'([^']+)'".r
+  private val copyStmt =
+    "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+'([^']+)'\\s*(?:\\(\\s*FORMAT\\s+'?([A-Za-z]+)'?\\s*\\))?\\s*;?\\s*$".r
+
+  /** DuckDB-flavored sugar accepted by the reference's query surface:
+    *  - `FROM 'topic'` single-quoted table refs (reference tests:
+    *    AbstractSchemaTest.java:60) -> backtick identifiers;
+    *  - `COPY <table|(query)> TO '<path>' (FORMAT f)`
+    *    (reference: README.md:119-123) -> DataFrame write + status row.
+    */
+  private[graft] def rewriteSugar(q: String): String =
+    quotedTableRef.replaceAllIn(q, m => s"${m.group(1)} `${m.group(2)}`")
+
+  def sql(q: String): DataFrame = q match {
+    case copyStmt(src, path, fmt) =>
+      val body = src.trim
+      val query =
+        if (body.startsWith("(") && body.endsWith(")")) body.substring(1, body.length - 1)
+        else s"SELECT * FROM ${rewriteSugar(s"FROM $body").substring(5)}"
+      val df = spark.sql(rewriteSugar(query)).cache()
+      try {
+        val n = df.count()
+        writeTo(df, path, Option(fmt).getOrElse("parquet").toLowerCase)
+        import spark.implicits._
+        Seq(n).toDF("rows_copied")
+      } finally df.unpersist()
+    case _ => spark.sql(rewriteSugar(q))
+  }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +
     * KwackMain.java:157-163 prints one JSON object per row). */
@@ -240,15 +301,16 @@ class Engine(val spark: SparkSession,
 
   /** COPY <query> TO <path> (FORMAT ...) equivalent (reference usage:
     * README.md:119-123). */
-  def copyTo(q: String, path: String, format: String = "parquet"): Unit = {
-    val df = spark.sql(q)
+  def copyTo(q: String, path: String, format: String = "parquet"): Unit =
+    writeTo(spark.sql(rewriteSugar(q)), path, format)
+
+  private def writeTo(df: DataFrame, path: String, format: String): Unit =
     format.toLowerCase match {
       case "parquet" => df.write.mode("overwrite").parquet(path)
       case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
       case "json" => df.write.mode("overwrite").json(path)
       case other => throw new IllegalArgumentException(s"unsupported COPY format $other")
     }
-  }
 
   def close(): Unit = {
     tables.values.foreach(_.unpersist())

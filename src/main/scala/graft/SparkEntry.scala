@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.QueryHelpers.Q
-import graft.queries.{Dedup, Multimodal, Relational, RelationalExt, Similarity, TextOps}
+import graft.queries.{Dedup, Multimodal, Relational, RelationalExt, Similarity, Streaming, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
     (TextOps.queries, TextOps.oracleSql),
     (Dedup.queries, Dedup.oracleSql),
     (Similarity.queries, Similarity.oracleSql),
-    (Multimodal.queries, Multimodal.oracleSql))
+    (Multimodal.queries, Multimodal.oracleSql),
+    (Streaming.queries, Streaming.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -111,5 +111,14 @@ object GraftFunctions {
     r.createOrReplaceTempFunction(
       "graft_token_stats", exprs => TokenStats(exprs.head,
         exprs.tail.map(e => lit(e).toString)), "built-in")
+    // union-type accessors over the engine's tagged-struct convention
+    // (SURVEY §7.3; DuckDB surface: union_tag / union_extract)
+    r.createOrReplaceTempFunction(
+      "union_tag", exprs => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(exprs(0),
+          org.apache.spark.sql.catalyst.expressions.Literal("tag")), "built-in")
+    r.createOrReplaceTempFunction(
+      "union_extract", exprs => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(exprs(0), exprs(1)), "built-in")
   }
 }

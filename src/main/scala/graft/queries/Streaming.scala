@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import QueryHelpers._
+import graft.streaming.StreamingOps
+
+/** Streaming-operator semantics exercised through the batch path (the same
+  * code runs on streaming frames — see graft.streaming.StreamingOps and
+  * StreamingSpec). The DuckDB oracle pins the window/session semantics.
+  */
+object Streaming {
+
+  /** Tumbling 1-hour windows per event_type with decimal-exact totals. */
+  private val q36: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .withColumn("v", col("value").cast(DecimalType(12, 2)))
+    StreamingOps.tumblingAgg(e, "ts", "event_type", "v", "1 hour")
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  private val q36Sql =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      | event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sliding 1-hour windows every 30 minutes: each event lands in two
+    * overlapping windows. */
+  private val q37: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    StreamingOps.slidingAgg(e, "ts", "event_type", "1 hour", "30 minutes")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  private val q37Sql =
+    """WITH starts AS (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type FROM events)
+      |SELECT window_start, event_type, COUNT(*) AS n
+      |FROM starts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based session windows (5 min) per user: session ends 5 min after
+    * its last event; a new event at exactly the gap boundary starts a new
+    * session (Spark session_window semantics, pinned by the lag/cumsum
+    * rendering in the oracle). */
+  private val q38: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    StreamingOps.sessionAgg(e, "ts", "user_id", "5 minutes")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val q38Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+      |       user_id, COUNT(*) AS n
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Recursive CTE (Spark >= 4.0): a 1997 month spine left-joined to order
+    * counts — the SURVEY §7.3 "recursive CTE" gap is closed natively. */
+  private val q39Text =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1997-01-01' AS m
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      |  WHERE m < DATE '1997-12-01')
+      |SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN orders
+      |  ON o_orderdate >= CAST(m AS TIMESTAMP)
+      | AND o_orderdate < CAST(CAST(m + INTERVAL '1' MONTH AS DATE) AS TIMESTAMP)
+      |GROUP BY m ORDER BY m""".stripMargin
+
+  private val q39: Q = (s, dir) => {
+    graft.Tables.register(s, dir)
+    s.sql(q39Text)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q36_stream_tumbling" -> q36,
+    "q37_stream_sliding" -> q37,
+    "q38_stream_session" -> q38,
+    "q39_recursive_cte" -> q39)
+
+  val oracleSql: Map[String, String] = Map(
+    "q36_stream_tumbling" -> q36Sql,
+    "q37_stream_sliding" -> q37Sql,
+    "q38_stream_session" -> q38Sql,
+    "q39_recursive_cte" -> q39Text)
+}

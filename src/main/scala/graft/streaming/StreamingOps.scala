@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming extension.
+  *
+  * The reference engine is a bounded snapshot (consume-to-end, then query —
+  * reference: KwackEngine.java:745-774; SURVEY §1.5/§2.2 "Streaming: none");
+  * these operators are the forward-looking streaming surface on top of the
+  * same tables. Every transform here works identically on a batch frame and
+  * a streaming frame, so the DuckDB-oracle correctness gate exercises the
+  * batch path while StreamingSpec drives the same code through MemoryStream
+  * micro-batches.
+  *
+  * Scale notes: all aggregations are keyed on (window, key) — state is
+  * bounded by the watermark and partitioned by the grouping key, the normal
+  * 1000-executor layout. `Trigger.AvailableNow` reproduces the reference's
+  * snapshot semantics on a live stream.
+  */
+object StreamingOps {
+
+  /** Tumbling-window aggregate with watermark-bounded state. */
+  def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valueCol: String, windowLen: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("total"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(keyCol), col("n"), col("total"))
+
+  /** Sliding-window aggregate. */
+  def slidingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 windowLen: String, slide: String,
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("n"))
+
+  /** Session windows (gap-based) per key. */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col(keyCol), col("n"))
+
+  /** Streaming dedup: first event per key wins within the watermark. */
+  def dedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+            watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  // ---- custom state: running per-key counters via mapGroupsWithState ----
+
+  case class KeyedEvent(user_id: Long, event_type: String, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  implicit private val keyedEnc: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
+  implicit private val statsEnc: Encoder[UserStats] = Encoders.product[UserStats]
+  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+  implicit private val stateEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+
+  /** Running per-user counters with explicit state — the
+    * KeyValueGroupedDataset.mapGroupsWithState shape for custom streaming
+    * state the built-in aggregates can't express. */
+  def runningUserStats(events: Dataset[KeyedEvent]): Dataset[UserStats] =
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserStats](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[KeyedEvent], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          UserStats(user, n, v)
+      }
+
+  /** Run a streaming frame to completion as a snapshot (the reference's
+    * consume-to-end semantics) into an in-memory table; returns the result. */
+  def snapshotToTable(stream: DataFrame, name: String, outputMode: String = "complete"): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.table(name)
+  }
+}

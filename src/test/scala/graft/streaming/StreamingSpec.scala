@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.streaming.StreamingOps.{KeyedEvent, UserStats}
+
+/** Drives the StreamingOps operators through real micro-batches
+  * (MemoryStream), verifying watermarked windows, streaming dedup, and
+  * custom mapGroupsWithState state across batches. */
+class StreamingSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("tumbling window aggregation over a stream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "v")
+    val agg = StreamingOps.tumblingAgg(df, "ts", "event_type", "v", "10 minutes")
+
+    mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 5.0))
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("tumbling").orderBy("window_start", "event_type").collect()
+    rows.length shouldBe 2
+    rows(0).getAs[String]("event_type") shouldBe "click"
+    rows(0).getAs[Long]("n") shouldBe 2L
+    rows(0).getAs[Double]("total") shouldBe 3.0
+    rows(1).getAs[String]("event_type") shouldBe "view"
+  }
+
+  test("streaming dedup keeps the first event per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "event_id", "payload")
+    val out = StreamingOps.dedup(df, "ts", Seq("event_id"))
+
+    mem.addData((ts(1), 1L, "a"), (ts(2), 1L, "dup"), (ts(3), 2L, "b"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("dedup").orderBy("event_id").collect()
+    rows.map(_.getAs[Long]("event_id")).toSeq shouldBe Seq(1L, 2L)
+    rows(0).getAs[String]("payload") shouldBe "a"
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[KeyedEvent]
+    val out = StreamingOps.runningUserStats(mem.toDS())
+
+    val q = out.writeStream.format("memory").queryName("userstats")
+      .outputMode("update").start()
+    mem.addData(KeyedEvent(1L, "click", 2.0), KeyedEvent(1L, "view", 3.0))
+    q.processAllAvailable()
+    mem.addData(KeyedEvent(1L, "click", 5.0), KeyedEvent(2L, "view", 7.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // update mode emits one row per key per batch; the LAST row per key is
+    // the accumulated state
+    val last = spark.table("userstats").as[UserStats].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+    last(1L).n_events shouldBe 3L
+    last(1L).total_value shouldBe 10.0
+    last(2L).n_events shouldBe 1L
+  }
+
+  test("session windows run on a stream (gap merge across one batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val agg = StreamingOps.sessionAgg(df, "ts", "user_id", "5 minutes")
+
+    // two events 2 min apart (one session), one 20 min later (new session)
+    mem.addData((ts(0), 1L), (ts(2), 1L), (ts(22), 1L))
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sessions").orderBy("session_start").collect()
+    rows.length shouldBe 2
+    rows(0).getAs[Long]("n") shouldBe 2L
+    rows(1).getAs[Long]("n") shouldBe 1L
+  }
+}
