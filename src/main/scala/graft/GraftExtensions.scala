@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.GraftFunctions
+
+/** Session-extensions entry point: makes every graft native function
+  * available to ANY session created with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`), the
+  * standard way a Spark library ships custom Catalyst expressions.
+  * The imperative path (GraftFunctions.register) stays for sessions the
+  * engine does not construct itself.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+  }
+}

@@ -92,33 +92,32 @@ object GraftFunctions {
   private def lit(e: Expression): Any =
     e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value
 
+  /** Name -> expression builder for every native function; consumed both by
+    * the imperative [[register]] path and by graft.GraftExtensions. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_shingles" -> (exprs => WordShingles(exprs(0))),
+    "graft_md5i_array" -> (exprs => Md5IntArray(exprs(0))),
+    "graft_minhash" -> (exprs => MinHashAffine(exprs(0),
+      lit(exprs(1)).asInstanceOf[Number].longValue(),
+      lit(exprs(2)).asInstanceOf[Number].longValue(),
+      lit(exprs(3)).asInstanceOf[Number].longValue())),
+    "graft_token_stats" -> (exprs => TokenStats(exprs.head,
+      exprs.tail.map(e => lit(e).toString))),
+    // union-type accessors over the engine's tagged-struct convention
+    // (SURVEY §7.3; DuckDB surface: union_tag / union_extract)
+    "union_tag" -> (exprs => org.apache.spark.sql.catalyst.analysis
+      .UnresolvedExtractValue(exprs(0),
+        org.apache.spark.sql.catalyst.expressions.Literal("tag"))),
+    "union_extract" -> (exprs => org.apache.spark.sql.catalyst.analysis
+      .UnresolvedExtractValue(exprs(0), exprs(1))))
+
   /** Idempotent registration of the engine's native functions on a session. */
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    r.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    r.createOrReplaceTempFunction(
-      "graft_shingles", exprs => WordShingles(exprs(0)), "built-in")
-    r.createOrReplaceTempFunction(
-      "graft_md5i_array", exprs => Md5IntArray(exprs(0)), "built-in")
-    r.createOrReplaceTempFunction(
-      "graft_minhash", exprs => MinHashAffine(exprs(0),
-        lit(exprs(1)).asInstanceOf[Number].longValue(),
-        lit(exprs(2)).asInstanceOf[Number].longValue(),
-        lit(exprs(3)).asInstanceOf[Number].longValue()), "built-in")
-    r.createOrReplaceTempFunction(
-      "graft_token_stats", exprs => TokenStats(exprs.head,
-        exprs.tail.map(e => lit(e).toString)), "built-in")
-    // union-type accessors over the engine's tagged-struct convention
-    // (SURVEY §7.3; DuckDB surface: union_tag / union_extract)
-    r.createOrReplaceTempFunction(
-      "union_tag", exprs => org.apache.spark.sql.catalyst.analysis
-        .UnresolvedExtractValue(exprs(0),
-          org.apache.spark.sql.catalyst.expressions.Literal("tag")), "built-in")
-    r.createOrReplaceTempFunction(
-      "union_extract", exprs => org.apache.spark.sql.catalyst.analysis
-        .UnresolvedExtractValue(exprs(0), exprs(1)), "built-in")
+    builders.foreach { case (name, b) =>
+      r.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

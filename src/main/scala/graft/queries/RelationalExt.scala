@@ -484,7 +484,33 @@ object RelationalExt {
       |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** LATERAL correlated subquery: top-2 orders per customer by price.
+    * Catalyst decorrelates the per-row limit into a ranked window join.
+    * Same text runs in both dialects. */
+  private val q40Sql =
+    """SELECT c_custkey, o.o_orderkey, o.o_price
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_price FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c_custkey <= 100
+      |ORDER BY c_custkey, o_price DESC, o_orderkey""".stripMargin
+  private val q40 = sql(q40Sql)
+
+  /** Explicit GROUPING SETS (beyond ROLLUP/CUBE sugar). */
+  private val q41Text =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(GROUPING(l_returnflag) AS TINYINT) AS g_rf,
+      | CAST(GROUPING(l_linestatus) AS TINYINT) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+  private val q41 = sql(q41Text)
+
   val queries: Map[String, Q] = Map(
+    "q40_lateral" -> q40,
+    "q41_grouping_sets" -> q41,
     "q13_setops" -> q13,
     "q14_distinct_on" -> q14,
     "q15_subquery_scalar" -> q15,
@@ -510,6 +536,8 @@ object RelationalExt {
     "q35_range_join" -> q35)
 
   val oracleSql: Map[String, String] = Map(
+    "q40_lateral" -> q40Sql,
+    "q41_grouping_sets" -> q41Text,
     "q13_setops" -> q13Sql,
     "q14_distinct_on" -> q14Sql,
     "q15_subquery_scalar" -> q15Sql,

