@@ -52,6 +52,14 @@ object Engine {
     "hdr" -> MapType(StringType, StringType, valueContainsNull = true))
 
   def sanitize(topic: String): String = topic.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Row encoder accepting both java.time and java.sql temporal values
+    * (the decoders emit java.time; the strict encoder would reject them
+    * unless the session enables the java8 datetime API). */
+  private[graft] def lenientRowEncoder(schema: StructType) =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema, lenient = true))
 }
 
 class Engine(val spark: SparkSession,
@@ -215,7 +223,7 @@ class Engine(val spark: SparkSession,
           Some(Row((keyVal ++ decoded ++ info): _*))
         }
       }
-    }(Encoders.row(outSchema))
+    }(Engine.lenientRowEncoder(outSchema))
     out
   }
 

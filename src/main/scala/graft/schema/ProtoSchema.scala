@@ -27,16 +27,19 @@ object ProtoSchema {
   final case class PEnum(name: String, fqName: String, values: Seq[(String, Int)])
 
   final case class ProtoFile(pkg: String, messages: Map[String, PMessage],
-                             enums: Map[String, PEnum]) {
+                             enums: Map[String, PEnum],
+                             topLevelOrder: Seq[String] = Nil) {
     def resolveMessage(name: String): Option[PMessage] =
       messages.get(name).orElse(messages.values.find(_.name == name.split('.').last)
         .filter(_ => messages.values.count(_.name == name.split('.').last) == 1))
     def resolveEnum(name: String): Option[PEnum] =
       enums.get(name).orElse(enums.values.find(_.name == name.split('.').last)
         .filter(_ => enums.values.count(_.name == name.split('.').last) == 1))
-    /** First top-level message (default when no ;msg: given, like the
-      * reference's first-message-in-file default). */
-    def firstMessage: PMessage = messages.values.minBy(_.fqName.count(_ == '.'))
+    /** First top-level message IN DECLARATION ORDER (default when no ;msg:
+      * given, like the reference's first-message-in-file default). */
+    def firstMessage: PMessage =
+      topLevelOrder.headOption.flatMap(messages.get)
+        .getOrElse(messages.values.minBy(_.fqName.count(_ == '.')))
   }
 
   val scalarTypes = Set(
@@ -85,6 +88,7 @@ object ProtoSchema {
 
     private val messages = scala.collection.mutable.Map[String, PMessage]()
     private val enums = scala.collection.mutable.Map[String, PEnum]()
+    private val topLevel = Seq.newBuilder[String]
     private var pkg = ""
 
     def parseFile(): ProtoFile = {
@@ -93,13 +97,15 @@ object ProtoSchema {
           case "syntax" | "edition" => skipStatement()
           case "package" => next(); pkg = next(); expect(";")
           case "import" | "option" => skipStatement()
-          case "message" => parseMessage(pkg)
+          case "message" =>
+            val fq = parseMessage(pkg)
+            topLevel += fq
           case "enum" => parseEnum(pkg)
           case "" => pos += 1
           case _ => skipStatement()
         }
       }
-      ProtoFile(pkg, messages.toMap, enums.toMap)
+      ProtoFile(pkg, messages.toMap, enums.toMap, topLevel.result())
     }
 
     private def skipStatement(): Unit = {
@@ -154,7 +160,7 @@ object ProtoSchema {
       sb.toString()
     }
 
-    private def parseMessage(scope: String): Unit = {
+    private def parseMessage(scope: String): String = {
       expect("message")
       val name = next()
       val fq = if (scope.isEmpty) name else s"$scope.$name"
@@ -176,6 +182,7 @@ object ProtoSchema {
       }
       expect("}")
       messages(fq) = PMessage(name, fq, fields.result(), oneofs.result())
+      fq
     }
 
     private def parseField(oneof: Option[String]): PField = {

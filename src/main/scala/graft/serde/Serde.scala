@@ -52,10 +52,16 @@ object Serde {
         val kind = ext.substring(0, colon)
         require(Set("avro", "json", "proto").contains(kind), s"unknown serde kind: $kind")
         val rest = ext.substring(colon + 1)
-        // attributes after ';' — msg: for proto, tag: for json key->value copy
+        // attributes after ';' — msg: for proto, tag: for json key->value
+        // copy. Inline schema text can itself contain ';' (proto statements),
+        // so only TRAILING `msg:`/`tag:` segments are attributes.
         val parts = rest.split(";")
-        val schemaRef = parts.head
-        val attrs = parts.tail.map { a =>
+        var attrStart = parts.length
+        while (attrStart > 1 && parts(attrStart - 1).trim.matches("(?s)(msg|tag):.*"))
+          attrStart -= 1
+        val schemaRef = parts.take(attrStart).mkString(";")
+        val attrs = parts.drop(attrStart).map { a0 =>
+          val a = a0.trim
           val i = a.indexOf(':'); (a.substring(0, i), a.substring(i + 1))
         }
         val schemaText =
