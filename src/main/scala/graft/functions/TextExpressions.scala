@@ -139,6 +139,54 @@ case class MinHashAffine(child: Expression, a: Long, b: Long, p: Long)
     copy(child = newChild)
 }
 
+/** graft_pairs(ds) -> array<struct<d1,d2>>: ordered pairs (i<j) from a
+  * sorted postings list — the inverted-index candidate-generation step of
+  * the dedup pipeline, fused into one loop (replaces a nested
+  * transform/slice lambda). Element type follows the input (long ids). */
+case class PostingPairs(child: Expression) extends UnaryExpression {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d1", elemType, nullable = true),
+    StructField("d2", elemType, nullable = true))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires array<integral>, got $t")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val isLong = elemType == LongType
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) =
+          if (isLong) InternalRow(arr.getLong(i), arr.getLong(j))
+          else InternalRow(arr.getInt(i), arr.getInt(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("postingPairs", this, classOf[PostingPairs].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_dot(a, b) -> double: in-index-order dot product (no normalization);
   * same fold order as the interpreted aggregate/zip_with composition. */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {

@@ -59,10 +59,9 @@ object Dedup {
           expr("graft_md5i_array(sh)").as("hv"))
         .persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** Enumerate ordered pairs from a sorted postings list `ds`. */
-  private val pairsFromPostings =
-    "flatten(transform(ds, (x, i) -> " +
-      "transform(slice(ds, i + 2, size(ds)), y -> named_struct('d1', x, 'd2', y))))"
+  /** Enumerate ordered pairs from a sorted postings list `ds` (native
+    * codegen'd loop — graft.functions.PostingPairs). */
+  private val pairsFromPostings = "graft_pairs(ds)"
 
   /** Exact dedup on normalized text (lower + squeezed whitespace): canonical
     * representative = min doc_id per content hash. Hash-groupBy — the 100 TB

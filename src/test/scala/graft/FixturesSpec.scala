@@ -236,6 +236,55 @@ class FixturesSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("skip.bytes drops a leading payload prefix before parsing") {
+    val engine = new Engine(spark)
+    val topic = "fx-skip"
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"S","fields":[{"name":"x","type":"int"}]}""")
+    val id = engine.registry.register(s"$topic-value", "AVRO", schema.toString)
+    val framed = WireFormat.frame(id, encode(schema, _.put("x", 42)))
+    val prefixed = Array[Byte](9, 9, 9) ++ framed // 3 junk bytes
+    engine.init(Seq(Engine.TopicSpec(topic, rowAttrs = Set.empty, skipBytes = 3)),
+      _ => KafkaRecords.synthetic(spark,
+        Seq(SyntheticRecord(null, prefixed, topic, 0, 0L, 1L))))
+    engine.table(topic).collect()(0).getInt(0) shouldBe 42
+    engine.close()
+  }
+
+  test("numeric serde spec selects a specific registered schema id") {
+    val engine = new Engine(spark)
+    val topic = "fx-byid"
+    val v1 = new Schema.Parser().parse(
+      """{"type":"record","name":"B","fields":[{"name":"a","type":"int"}]}""")
+    val v2 = new Schema.Parser().parse(
+      """{"type":"record","name":"B","fields":[
+        |{"name":"a","type":"int"},{"name":"b","type":"string","default":"x"}]}""".stripMargin)
+    val id1 = engine.registry.register(s"$topic-value", "AVRO", v1.toString)
+    engine.registry.register(s"$topic-value", "AVRO", v2.toString)
+    val payload = WireFormat.frame(id1, encode(v1, _.put("a", 5)))
+    // serde "<id1>" pins the OLD schema: table has only column a
+    engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.parse(id1.toString),
+        rowAttrs = Set.empty)),
+      _ => KafkaRecords.synthetic(spark, Seq(SyntheticRecord(null, payload, topic, 0, 0L, 1L))))
+    engine.table(topic).columns.toSeq shouldBe Seq("a")
+    engine.table(topic).collect()(0).getInt(0) shouldBe 5
+    engine.close()
+  }
+
+  test("proto ;msg: attribute selects a non-first message") {
+    val engine = new Engine(spark)
+    val topic = "fx-proto-msg"
+    val text = "syntax = \"proto3\"; message A { int32 x = 1; } message B { string y = 1; }"
+    val payload = new W().str(1, "picked").bytes
+    engine.init(Seq(Engine.TopicSpec(topic,
+        valueSerde = Serde.parse(s"proto:$text;msg:B"), rowAttrs = Set.empty)),
+      _ => KafkaRecords.synthetic(spark,
+        Seq(SyntheticRecord(null, payload, topic, 0, 0L, 1L))))
+    engine.table(topic).columns.toSeq shouldBe Seq("y")
+    engine.table(topic).collect()(0).getString(0) shouldBe "picked"
+    engine.close()
+  }
+
   // FIXTURES.md #2 — evolved schema with default through the ENGINE path
   test("avro evolution fixture: old records resolve new fields to defaults") {
     val engine = new Engine(spark)

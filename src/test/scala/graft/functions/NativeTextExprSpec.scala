@@ -50,6 +50,18 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     diff.count() shouldBe 0L
   }
 
+  test("graft_pairs equals the transform/slice composition") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq(1L, 5L, 9L, 12L), Seq(3L), Seq.empty[Long], Seq(2L, 4L))
+      .toDF("ds")
+    val composed = "flatten(transform(ds, (x, i) -> " +
+      "transform(slice(ds, i + 2, size(ds)), y -> named_struct('d1', x, 'd2', y))))"
+    val diff = df.select(expr("graft_pairs(ds)").as("a"), expr(composed).as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+  }
+
   test("graft_dot equals the aggregate/zip_with fold (incl. int literal arrays)") {
     GraftFunctions.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
