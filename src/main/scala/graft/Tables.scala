@@ -30,7 +30,16 @@ object Tables {
     */
   private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Memoized per (dir, table): re-listing parquet files and re-deriving
+    * the schema per query is pure overhead (the DataFrame is a lazy plan —
+    * this caches the plan, not data). */
+  private val loaded =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.getOrElseUpdate((dir, name), load0(spark, dir, name))
+
+  private def load0(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     nanosCols.get(name) match {
       case None => spark.read.parquet(path)

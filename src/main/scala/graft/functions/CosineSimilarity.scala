@@ -100,6 +100,7 @@ object GraftFunctions {
     "graft_shingles" -> (exprs => WordShingles(exprs(0))),
     "graft_md5i_array" -> (exprs => Md5IntArray(exprs(0))),
     "graft_pairs" -> (exprs => PostingPairs(exprs(0))),
+    "graft_simhash" -> (exprs => SimHash32(exprs(0))),
     "graft_minhash" -> (exprs => MinHashAffine(exprs(0),
       lit(exprs(1)).asInstanceOf[Number].longValue(),
       lit(exprs(2)).asInstanceOf[Number].longValue(),

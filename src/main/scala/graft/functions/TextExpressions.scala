@@ -75,6 +75,31 @@ object NativeHelpers {
     new GenericArrayData(out)
   }
 
+  /** 32-bit SimHash over the hashed-token array: bit j set when the
+    * majority of tokens have bit j set. One pass; identical to the 32
+    * per-bit aggregate folds it replaces. */
+  def simhash32(hv: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val n = hv.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hv.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
   /** min over hv of (a * (h % p) + b) % p — identical to the array_min /
     * transform composition (all operands positive, Java % == SQL %). */
   def minhash(hv: ArrayData, a: Long, b: Long, p: Long): Long = {
@@ -118,6 +143,22 @@ case class WordShingles(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NativeHelpers$$.MODULE$$.shingles3($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_simhash(hv) -> bigint: 32-bit majority SimHash signature. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires array<bigint>, got $t")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHelpers.simhash32(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeHelpers$$.MODULE$$.simhash32($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

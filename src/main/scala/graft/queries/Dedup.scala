@@ -206,14 +206,6 @@ object Dedup {
   }
 
   // ---- SimHash: 32-bit signature over distinct tokens, byte-band LSH ----
-  /** 32 bit-majority folds over the once-hashed distinct-token array. */
-  private def simhashBitsExpr: String = {
-    val bits = (0 until 32).map { j =>
-      s"(CASE WHEN aggregate(wv, 0, (a, h) -> a + (CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END)"
-    }
-    bits.mkString("(", " + ", ")")
-  }
-
   private def simhashSql: String = {
     val uw = "LIST_DISTINCT(STRING_SPLIT(text, ' '))"
     val bits = (0 until 32).map { j =>
@@ -226,15 +218,13 @@ object Dedup {
     * <= 1 over 4 bytes guarantees one identical byte) generates candidates
     * via equi-join; verify with popcount(xor) <= 1.
     *
-    * Each distinct token is md5-hashed once into `wv` (persisted — without
-    * the materialization boundary the projection collapse would inline the
-    * hash into all 32 bit-folds). */
+    * hash-once + one-pass majority fold run as a single fused native
+    * expression chain (graft_simhash . graft_md5i_array); the signature
+    * frame is persisted because both sides of the band join read it. */
   private val d04: Q = (s, dir) => {
-    val wv = t(s, dir, "documents")
+    val d = t(s, dir, "documents")
       .select(col("doc_id"),
-        expr(s"graft_md5i_array(array_distinct($W))").as("wv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val d = wv.select(col("doc_id"), expr(simhashBitsExpr).as("sim"))
+        expr(s"graft_simhash(graft_md5i_array(array_distinct($W)))").as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = d.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map { k =>

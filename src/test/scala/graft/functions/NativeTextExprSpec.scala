@@ -62,6 +62,17 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     diff.count() shouldBe 0L
   }
 
+  test("graft_simhash equals the 32 per-bit aggregate folds") {
+    val composed = (0 until 32).map { j =>
+      s"(CASE WHEN aggregate(wv, 0, (a, h) -> a + (CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+    val diff = docs
+      .select(expr("graft_md5i_array(array_distinct(split(text, ' ')))").as("wv"))
+      .select(expr("graft_simhash(wv)").as("a"), expr(composed).as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+  }
+
   test("graft_dot equals the aggregate/zip_with fold (incl. int literal arrays)") {
     GraftFunctions.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

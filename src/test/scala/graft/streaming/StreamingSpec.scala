@@ -78,6 +78,29 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     last(2L).n_events shouldBe 1L
   }
 
+  test("engine decode pipeline is source-agnostic: runs on a streaming frame") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.{Engine, TestSpark}
+    import graft.serde.Serde
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(graft.sources.KafkaRecords.schema)
+    val mem = MemoryStream[org.apache.spark.sql.Row]
+    val engine = new Engine(spark)
+    val decoded = engine.decodeTopic(
+      Engine.TopicSpec("stream-topic", valueSerde = Serde.IntSerde, rowAttrs = Set.empty),
+      mem.toDF())
+    mem.addData(
+      org.apache.spark.sql.Row(null, java.nio.ByteBuffer.allocate(4).putInt(7).array(),
+        "stream-topic", 0, 0L, ts(1), 0, Seq.empty),
+      org.apache.spark.sql.Row(null, java.nio.ByteBuffer.allocate(4).putInt(8).array(),
+        "stream-topic", 0, 1L, ts(2), 0, Seq.empty))
+    val q = decoded.writeStream.format("memory").queryName("decoded")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("decoded").orderBy("rowval").collect()
+    rows.map(_.getInt(0)).toSeq shouldBe Seq(7, 8) // decoded mid-stream
+  }
+
   test("session windows run on a stream (gap merge across one batch)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
