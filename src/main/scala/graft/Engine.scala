@@ -190,7 +190,7 @@ class Engine(val spark: SparkSession,
         if (valBytes == null && valueIsStruct) {
           // tombstone: skip, append-only semantics (reference: KwackEngine.java:820-823)
           None
-        } else {
+        } else try {
           val keyVal = if (withKey) Seq(if (keyBytes == null) null else keyFn(null, keyBytes)) else Nil
           val decoded =
             if (valBytes == null) Seq.fill(valueFields.size)(null)
@@ -221,6 +221,15 @@ class Engine(val spark: SparkSession,
               Seq(Row(infoNames.map(all): _*))
             }
           Some(Row((keyVal ++ decoded ++ info): _*))
+        } catch {
+          case e: Exception =>
+            // undecodable record: warn and skip, like the reference's
+            // per-record catch (KwackEngine.java:888-895) — one poison
+            // payload must not fail a 100 TB backfill
+            org.slf4j.LoggerFactory.getLogger(classOf[Engine]).warn(
+              s"skipping undecodable record at $topic/${r.getAs[Int]("partition")}:" +
+                s"${r.getAs[Long]("offset")}: ${e.getMessage}")
+            None
         }
       }
     }(Engine.lenientRowEncoder(outSchema))

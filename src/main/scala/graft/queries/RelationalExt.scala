@@ -112,7 +112,25 @@ object RelationalExt {
       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
-  private val q18 = sql(q18text)
+  /** Spark inlines deterministic CTEs, so the twice-referenced `revenue`
+    * would be computed twice; the DataFrame form materializes it once
+    * (what DuckDB's CTE materialization does for the oracle). */
+  private val q18: Q = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .filter(expr("l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND " +
+        "l_shipdate < TIMESTAMP '1999-01-01 00:00:00'"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(expr("CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)").as("total_revenue"))
+      .persist()
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    t(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
 
   /** ROLLUP with GROUPING() tags. */
   private val q19: Q = (s, dir) => {

@@ -79,6 +79,25 @@ class EngineSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("undecodable records are skipped, not fatal (KwackEngine.java:888-895)") {
+    val engine = new Engine(spark)
+    val topic = "poison"
+    val schema = new Schema.Parser().parse(valueSchemaText)
+    val id = engine.registry.register(s"$topic-value", "AVRO", schema.toString)
+    val good = WireFormat.frame(id, encode(schema,
+      Map("id" -> 1, "name" -> "ok", "u" -> null)))
+    val corrupt = WireFormat.frame(id, Array[Byte](-1, -1, -1)) // truncated avro
+    val records = Seq(
+      SyntheticRecord(null, good, topic, 0, 0L, 1L),
+      SyntheticRecord(null, corrupt, topic, 0, 1L, 2L))
+    val tables = engine.init(Seq(Engine.TopicSpec(topic, rowAttrs = Set.empty)),
+      _ => KafkaRecords.synthetic(spark, records))
+    val rows = tables(topic).collect()
+    rows.length shouldBe 1
+    rows(0).getAs[String]("name") shouldBe "ok"
+    engine.close()
+  }
+
   test("primitive serdes make single-column rowval tables") {
     val engine = new Engine(spark)
     val topic = "nums"
