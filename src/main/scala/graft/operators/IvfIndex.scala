@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor index: a k-means coarse
+  * quantizer partitions the corpus into cells; search probes only the
+  * `nprobe` cells nearest to the query and re-ranks exactly within them.
+  *
+  * This is the honest scale path for ANN on Spark (s02's label-blocking
+  * stands in for it in the oracle suite): at 100 TB the corpus is
+  * hash-partitioned by cell, a query touches nprobe/k of the data, and the
+  * index build is the standard distributed Lloyd's loop — broadcast the k
+  * centroids (tiny), assign map-only, re-average with one shuffle per
+  * iteration.
+  *
+  * Determinism: centroid seeds are the k vectors with the smallest md5-hash
+  * of their id (a deterministic "random" sample); no rand() anywhere, so
+  * re-runs over the same partitioning build the identical index. (The
+  * Lloyd mean combines partial double sums in partition order, so a
+  * different cluster topology can perturb centroids in the last ulps —
+  * inherent to distributed float reduction and harmless for an
+  * approximate index; the search-side re-rank is exact.)
+  */
+object IvfIndex {
+
+  final case class Centroid(cell: Int, vec: Array[Double])
+
+  private def toDouble(v: Seq[Float]): Array[Double] = v.map(_.toDouble).toArray
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearest(v: Array[Double], cs: Array[Centroid]): Int = {
+    var best = 0; var bd = Double.MaxValue; var i = 0
+    while (i < cs.length) {
+      val d = dist2(v, cs(i).vec)
+      if (d < bd) { bd = d; best = i }
+      i += 1
+    }
+    cs(best).cell
+  }
+
+  /** Build the quantizer: k centroids after `iters` Lloyd iterations.
+    * Centroids live on the driver (k × dim doubles — tiny) and are
+    * broadcast into every assignment pass. */
+  def train(e: DataFrame, idCol: String, vecCol: String, k: Int,
+            iters: Int): Array[Centroid] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val seeds = e
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .withColumn("h", conv(substring(md5(col("id")), 1, 8), 16, 10).cast("long"))
+      .orderBy(col("h"), col("id"))
+      .limit(k)
+      .select(col("v")).as[Seq[Float]].collect()
+    var centroids = seeds.zipWithIndex.map { case (v, i) => Centroid(i, toDouble(v)) }
+
+    val vecs = e.select(col(vecCol).as("v")).as[Seq[Float]]
+    (0 until iters).foreach { _ =>
+      val cs = centroids
+      val updated = vecs
+        .map { v => val dv = toDouble(v); (nearest(dv, cs), (dv, 1L)) }
+        .rdd
+        .reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+          val (a, na) = x; val (b, nb) = y
+          val s = new Array[Double](math.max(a.length, b.length))
+          var i = 0
+          while (i < s.length) {
+            s(i) = (if (i < a.length) a(i) else 0.0) + (if (i < b.length) b(i) else 0.0)
+            i += 1
+          }
+          (s, na + nb)
+        }
+        .mapValues { case (s, n) => s.map(_ / n.toDouble) }
+        .collect().toMap
+      centroids = centroids.map(c =>
+        updated.get(c.cell).map(v => Centroid(c.cell, v)).getOrElse(c))
+    }
+    centroids
+  }
+
+  /** Assign every corpus vector to its cell (map-only over a broadcast of
+    * the centroids). The result is the "index": repartition/bucket by cell
+    * for locality at scale. */
+  def assign(e: DataFrame, idCol: String, vecCol: String,
+             centroids: Array[Centroid]): DataFrame = {
+    val spark = e.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellOf = udf { (v: Seq[Float]) => nearest(toDouble(v), bc.value) }
+    e.withColumn("cell", cellOf(col(vecCol)))
+  }
+
+  /** Probe: for each query, the `nprobe` nearest cells; candidates come
+    * from an equi-join on cell; exact cosine re-rank keeps `topk`. */
+  def search(assigned: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, centroids: Array[Centroid], nprobe: Int,
+             topk: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeCells = udf { (v: Seq[Float]) =>
+      val dv = toDouble(v)
+      bc.value.map(c => (dist2(dv, c.vec), c.cell)).sortBy(_._1)
+        .take(nprobe).map(_._2).toSeq
+    }
+    val q = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"))
+      .withColumn("cell", explode(probeCells(col("qe"))))
+    val c = assigned.select(col(idCol).as("cid"), col(vecCol).as("ce"), col("cell"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("graft_cosine(qe, ce)").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -145,10 +145,25 @@ object Similarity {
        |SELECT qid, sig, rank, cid, ROUND(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Trained IVF: deterministic k-means quantizer (operators/IvfIndex),
+    * cell-probe search, exact re-rank. No SQL oracle (k-means is not
+    * SQL-expressible) — correctness is pinned by IvfIndexSpec's recall
+    * check against brute force; the driver records a rows-only check. */
+  private val s04: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val assigned = graft.operators.IvfIndex.assign(e, "vec_id", "embedding", centroids)
+    graft.operators.IvfIndex.search(assigned, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", centroids, nprobe = 3, topk = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01,
     "s02_knn_ivf" -> s02,
-    "s03_knn_lsh" -> s03)
+    "s03_knn_lsh" -> s03,
+    "s04_knn_ivf_trained" -> s04)
 
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
