@@ -271,16 +271,18 @@ class Engine(val spark: SparkSession,
 
   def table(topic: String): DataFrame = tables(topic)
 
-  /** Highest ingested offset per (topic, partition) — feed back into the
-    * next batch's startingOffsets for [[sync]]. Requires the `off`/`par`
-    * row attributes. */
+  /** NEXT offset to read per (topic, partition) — highest ingested + 1,
+    * directly usable as the next batch's startingOffsets for [[sync]]
+    * (Kafka's per-partition startingOffsets is INCLUSIVE; feeding back the
+    * last-read offset would duplicate it). Requires `off`/`par` row
+    * attributes. */
   def endOffsets(topic: String): Map[Int, Long] = {
     import org.apache.spark.sql.functions.{col, max}
     tables(topic)
       .groupBy(col(s"$Rowinfo.par").as("par"))
       .agg(max(col(s"$Rowinfo.off")).as("off"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
   }
 
   private val quotedTableRef = "(?i)\\b(FROM|JOIN)\\s+'([^']+)'".r
@@ -313,8 +315,9 @@ class Engine(val spark: SparkSession,
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +
-    * KwackMain.java:157-163 prints one JSON object per row). */
-  def query(q: String): Iterator[String] = JsonOutput.lines(spark.sql(q))
+    * KwackMain.java:157-163 prints one JSON object per row). Routes through
+    * [[sql]] so the CLI -q path accepts the same sugar as the REPL. */
+  def query(q: String): Iterator[String] = JsonOutput.lines(sql(q))
 
   /** COPY <query> TO <path> (FORMAT ...) equivalent (reference usage:
     * README.md:119-123). */
@@ -349,17 +352,32 @@ object AvroDecoders {
 
   def make(readerText: String, dt: DataType, reg: SchemaRegistry, skip: Int): Array[Byte] => Any = {
     bytes => {
-      val framed = WireFormat.parse(bytes, skip)
       val readerSchema = parsed(readerText)
-      val writerText = reg.getById(framed.schemaId)
-        .map(_.schemaText).getOrElse(readerText)
-      val datumReader = readerCache.computeIfAbsent((framed.schemaId, readerText), _ => {
-        new GenericDatumReader[Any](parsed(writerText), readerSchema)
-      })
-      val dec = DecoderFactory.get().binaryDecoder(
-        framed.payload.array(),
-        framed.payload.arrayOffset() + framed.payload.position(),
-        framed.payload.remaining(), null)
+      // Framed (Confluent wire format) when the magic byte is present AND
+      // the id resolves in the registry; otherwise the payload is raw avro
+      // written with the reader schema (external `avro:` serde without a
+      // registry — the reference prepends the frame itself in that case,
+      // KwackEngine.java:454-477, so both layouts must decode).
+      val framedOpt =
+        if (bytes.length >= skip + 5 && bytes(skip) == WireFormat.Magic) {
+          val f = WireFormat.parse(bytes, skip)
+          if (reg.getById(f.schemaId).isDefined) Some(f) else None
+        } else None
+      val (datumReader, payload, off, len) = framedOpt match {
+        case Some(framed) =>
+          val writerText = reg.getById(framed.schemaId)
+            .map(_.schemaText).getOrElse(readerText)
+          val dr = readerCache.computeIfAbsent((framed.schemaId, readerText), _ =>
+            new GenericDatumReader[Any](parsed(writerText), readerSchema))
+          (dr, framed.payload.array(),
+            framed.payload.arrayOffset() + framed.payload.position(),
+            framed.payload.remaining())
+        case None =>
+          val dr = readerCache.computeIfAbsent((-1, readerText), _ =>
+            new GenericDatumReader[Any](readerSchema, readerSchema))
+          (dr, bytes, skip, bytes.length - skip)
+      }
+      val dec = DecoderFactory.get().binaryDecoder(payload, off, len, null)
       val datum = datumReader.read(null, dec)
       dt match {
         case st: StructType => AvroValueReader.toRow(datum.asInstanceOf[GenericRecord], readerSchema, st)

@@ -55,18 +55,13 @@ object JsonOutput {
     dt match {
       case st: StructType if isUnion(md) || isUnionShape(st) =>
         val row = v.asInstanceOf[Row]
-        val tag = row.getString(0)
-        val idx = st.fieldIndex(tag)
-        appendValue(sb, row.get(idx), st.fields(idx).dataType, st.fields(idx).metadata)
+        val tag = if (row.isNullAt(0)) null else row.getString(0)
+        val idx = if (tag == null) -1
+          else st.fields.indexWhere(_.name == tag)
+        if (idx < 0) appendStruct(sb, row, st) // not actually a union: plain struct
+        else appendValue(sb, row.get(idx), st.fields(idx).dataType, st.fields(idx).metadata)
       case st: StructType =>
-        val row = v.asInstanceOf[Row]
-        sb.append('{')
-        st.fields.zipWithIndex.foreach { case (f, i) =>
-          if (i > 0) sb.append(',')
-          appendString(sb, f.name); sb.append(':')
-          appendValue(sb, row.get(i), f.dataType, f.metadata)
-        }
-        sb.append('}')
+        appendStruct(sb, v.asInstanceOf[Row], st)
       case at: ArrayType =>
         sb.append('[')
         val items = v.asInstanceOf[scala.collection.Seq[Any]]
@@ -95,6 +90,16 @@ object JsonOutput {
       case DateType | TimestampType | TimestampNTZType => appendString(sb, v.toString)
       case _ => appendString(sb, v.toString)
     }
+  }
+
+  private def appendStruct(sb: StringBuilder, row: Row, st: StructType): Unit = {
+    sb.append('{')
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0) sb.append(',')
+      appendString(sb, f.name); sb.append(':')
+      appendValue(sb, row.get(i), f.dataType, f.metadata)
+    }
+    sb.append('}')
   }
 
   private def appendString(sb: StringBuilder, s: String): Unit = {

@@ -22,6 +22,12 @@ object SaltedJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // right/full outer would emit each unmatched RIGHT row once per salt
+    // replica — reject join types with right-preserving semantics
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(!Set("right", "rightouter", "full", "fullouter", "outer")
+        .contains(normalized),
+      s"saltedJoin replicates the right side; '$joinType' would duplicate unmatched right rows")
     val saltCol = "__graft_salt"
     val salted = left.withColumn(saltCol,
       pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(buckets.toLong)))

@@ -62,7 +62,14 @@ object JsonSchemaCompiler {
     val t = n.get("type")
     if (t == null) None
     else if (t.isTextual) Some(t.asText())
-    else None // array-form "type" handled via oneOf-like flattening below
+    else None // array-form "type" handled in toType
+  }
+
+  /** Array-form "type" (["integer","null"] etc.), the standard nullable
+    * shorthand: flattens like a oneOf of bare type schemas. */
+  private def typeArray(n: JsonNode): Option[Seq[String]] = {
+    val t = n.get("type")
+    if (t != null && t.isArray) Some(t.asScala.map(_.asText()).toSeq) else None
   }
 
   private def toType(node: JsonNode, root: JsonNode, anchors: Map[String, JsonNode],
@@ -84,6 +91,30 @@ object JsonSchemaCompiler {
         new MetadataBuilder().putStringArray(AvroSchemaCompiler.EnumSymbols, symbols).build())
     }
     if (node.get("const") != null) return Compiled(StringType, nullable = false)
+
+    // array-form "type": ["integer","null"] etc — flatten like oneOf
+    typeArray(node).foreach { types =>
+      val nonNull = types.filterNot(_ == "null")
+      val hasNull = types.contains("null")
+      if (nonNull.isEmpty) return Compiled(BinaryType, nullable = true)
+      def bare(t: String): Compiled = {
+        val n2 = node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        n2.put("type", t)
+        toType(n2, root, anchors, activeRefs)
+      }
+      if (nonNull.size == 1) {
+        val c = bare(nonNull.head)
+        return c.copy(nullable = c.nullable || hasNull)
+      }
+      val bf = nonNull.zipWithIndex.map { case (t, i) =>
+        val c = bare(t)
+        StructField(s"u$i", c.dataType, nullable = true, c.metadata)
+      }
+      return Compiled(
+        StructType(StructField("tag", StringType, nullable = false) +: bf),
+        nullable = hasNull,
+        new MetadataBuilder().putBoolean(AvroSchemaCompiler.UnionFlag, true).build())
+    }
 
     // oneOf / anyOf
     val branchesNode = Option(node.get("oneOf")).orElse(Option(node.get("anyOf")))
@@ -141,11 +172,13 @@ object JsonSchemaCompiler {
         if (props != null && props.size() > 0) {
           val required = Option(node.get("required"))
             .map(_.asScala.map(_.asText()).toSet).getOrElse(Set.empty)
-          val fields = props.properties().asScala.map { e =>
+          // toSeq BEFORE map: properties() is a Set, and mapping a Set
+          // scrambles declaration order
+          val fields = props.properties().asScala.toSeq.map { e =>
             val c = toType(e.getValue, root, anchors, activeRefs)
             StructField(e.getKey, c.dataType,
               c.nullable || !required.contains(e.getKey), c.metadata)
-          }.toSeq
+          }
           Compiled(StructType(fields), nullable = false)
         } else {
           val ap = node.get("additionalProperties")

@@ -39,9 +39,12 @@ object AvroValueReader {
         val branches = schema.getTypes.asScala.toSeq
         val idx = GenericData.get().resolveUnion(schema, datum)
         val branch = branches(idx)
+        // the union SHAPE decides the decode path (>=2 non-null branches =>
+        // the compiler produced a tagged struct) — never the field names,
+        // which an ordinary record could coincidentally share
+        val isTagged = branches.count(_.getType != NULL) >= 2
         dt match {
-          case st: StructType if st.fieldNames.headOption.contains("tag") &&
-              st.fieldNames.exists(_.startsWith("u")) =>
+          case st: StructType if isTagged =>
             val tag = s"u$idx"
             val vals = st.fields.map {
               case StructField("tag", _, _, _) => tag

@@ -67,10 +67,14 @@ object JsonValueReader {
 
   def convert(node: JsonNode, schema: JsonNode, dt: DataType): Any = {
     if (node == null || node.isNull) return null
+    // union detection is SCHEMA-driven (>=2 non-null oneOf/anyOf branches),
+    // matching the compiler exactly — a plain object whose fields happen to
+    // look like the tagged-struct convention is NOT a union
+    val nonNullBranches =
+      unionBranches(schema).filterNot(b => textOf(b, "type").contains("null"))
     dt match {
-      case st: StructType if isUnionStruct(st) =>
-        val branches = unionBranches(schema)
-        val nonNull = branches.filterNot(b => textOf(b, "type").contains("null"))
+      case st: StructType if nonNullBranches.size >= 2 =>
+        val nonNull = nonNullBranches
         val hit = nonNull.zipWithIndex.find { case (b, _) => validates(node, b) }
         hit match {
           case Some((b, i)) =>
@@ -113,12 +117,18 @@ object JsonValueReader {
 
   private val missing: JsonNode = new ObjectMapper().createObjectNode()
 
-  private def isUnionStruct(st: StructType): Boolean =
-    st.fieldNames.headOption.contains("tag") && st.fieldNames.exists(_.matches("u\\d+"))
-
   private def unionBranches(schema: JsonNode): Seq[JsonNode] =
-    Option(schema).flatMap(s => Option(s.get("oneOf")).orElse(Option(s.get("anyOf"))))
-      .map(_.asScala.toSeq).getOrElse(Nil)
+    Option(schema).flatMap { s =>
+      Option(s.get("oneOf")).orElse(Option(s.get("anyOf"))).map(_.asScala.toSeq)
+        .orElse {
+          // array-form "type" unions (compiler flattens these identically)
+          Option(s.get("type")).filter(_.isArray).map(_.asScala.toSeq.map { t =>
+            val o = mapper.createObjectNode()
+            o.put("type", t.asText())
+            o: JsonNode
+          })
+        }
+    }.getOrElse(Nil)
 
   private def textOf(n: JsonNode, field: String): Option[String] =
     Option(n.get(field)).filter(_.isTextual).map(_.asText())

@@ -120,11 +120,21 @@ object ProtoDecoders {
 
   // ---- message decode ----------------------------------------------------
 
-  /** Decode raw occurrences: field number -> values in wire order. */
-  private def rawFields(bytes: Array[Byte], msg: PMessage, file: ProtoFile): Map[Int, Vector[Any]] = {
+  /** Decoded occurrences: field number -> values in wire order, plus the
+    * ordinal of each field's LAST occurrence (oneof resolution needs
+    * cross-field wire order — proto semantics keep the last field SEEN,
+    * not the last field declared). */
+  private final case class RawMsg(values: Map[Int, Vector[Any]],
+                                  lastSeen: Map[Int, Int]) {
+    def apply(num: Int): Vector[Any] = values.getOrElse(num, Vector.empty)
+  }
+
+  private def rawFields(bytes: Array[Byte], msg: PMessage, file: ProtoFile): RawMsg = {
     val byNumber = msg.fields.map(f => f.number -> f).toMap
     val buf = ByteBuffer.wrap(bytes)
     val acc = scala.collection.mutable.Map[Int, Vector[Any]]().withDefaultValue(Vector.empty)
+    val lastSeen = scala.collection.mutable.Map[Int, Int]()
+    var ord = 0
     while (buf.hasRemaining) {
       val tag = readVarint(buf)
       val num = (tag >>> 3).toInt
@@ -132,6 +142,8 @@ object ProtoDecoders {
       byNumber.get(num) match {
         case None => skipField(buf, wt)
         case Some(f) =>
+          lastSeen(num) = ord
+          ord += 1
           f.tpe match {
             case PScalar(s) if f.repeated && wt == 2 && packable(s) =>
               // packed repeated
@@ -150,7 +162,7 @@ object ProtoDecoders {
           }
       }
     }
-    acc.toMap
+    RawMsg(acc.toMap, lastSeen.toMap)
   }
 
   private def enumName(e: PEnum, number: Int): String =
@@ -173,7 +185,7 @@ object ProtoDecoders {
           }
         case None =>
           val sf = st.fields(sfIdx)
-          values += decodeField(f, file, raw.getOrElse(f.number, Vector.empty), sf.dataType)
+          values += decodeField(f, file, raw(f.number), sf.dataType)
           sfIdx += 1
       }
     }
@@ -181,10 +193,12 @@ object ProtoDecoders {
   }
 
   private def decodeOneof(msg: PMessage, file: ProtoFile, oneof: String,
-                          raw: Map[Int, Vector[Any]], unionType: StructType): Any = {
+                          raw: RawMsg, unionType: StructType): Any = {
     val branches = msg.fields.filter(_.oneofName.contains(oneof))
-    // last field present on the wire wins (proto oneof semantics)
-    val active = branches.reverse.find(b => raw.get(b.number).exists(_.nonEmpty))
+    // last occurrence ON THE WIRE wins (proto oneof semantics — not
+    // declaration order)
+    val present = branches.filter(b => raw(b.number).nonEmpty)
+    val active = present.sortBy(b => raw.lastSeen.getOrElse(b.number, -1)).lastOption
     active match {
       case None => null
       case Some(b) =>
@@ -268,7 +282,7 @@ object ProtoDecoders {
         val wkMsg = ProtoSchemaCompiler.wellKnownMessages(wk)
         val emptyFile = ProtoFile("", Map.empty, Map.empty)
         val raw = rawFields(bytes, wkMsg, emptyFile)
-        def fld(num: Int): Option[Any] = raw.get(num).flatMap(_.lastOption)
+        def fld(num: Int): Option[Any] = raw(num).lastOption
         def longAt(num: Int): Long = fld(num).map {
           case n: java.lang.Number => n.longValue()
           case other => other.toString.toLong

@@ -21,7 +21,10 @@ object WireFormat {
     out.write(v)
   }
 
-  /** Frame a payload (used by tests and the external-schema write path). */
+  /** Frame a payload (used by tests and the external-schema write path).
+    * PROTOBUF payloads must pass messageIndexes (at least Seq(0)): the
+    * proto parse path always reads the index block, so a proto frame
+    * written with the Nil default would be misparsed. */
   def frame(schemaId: Int, payload: Array[Byte], messageIndexes: Seq[Int] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(payload.length + 10)
     out.write(Magic.toInt)

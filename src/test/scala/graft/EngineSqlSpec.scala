@@ -77,9 +77,9 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     val topic = "synced"
     engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.IntSerde)),
       _ => KafkaRecords.synthetic(spark, Seq(intRecord(topic, 0, 1), intRecord(topic, 1, 2))))
-    engine.endOffsets(topic) shouldBe Map(0 -> 1L)
+    engine.endOffsets(topic) shouldBe Map(0 -> 2L) // next offset to read
     engine.sync(_ => KafkaRecords.synthetic(spark, Seq(intRecord(topic, 2, 3))))
-    engine.endOffsets(topic) shouldBe Map(0 -> 2L)
+    engine.endOffsets(topic) shouldBe Map(0 -> 3L)
     engine.sql(s"SELECT count(*) AS n FROM synced").collect()(0).getLong(0) shouldBe 3L
     engine.close()
   }

@@ -122,6 +122,39 @@ class AvroRoundTripSpec extends AnyFunSuite with Matchers {
     row.getString(1) shouldBe "dflt"
   }
 
+  test("raw (unframed) avro payload decodes via the reader schema") {
+    val text = """{"type":"record","name":"R","fields":[{"name":"a","type":"int"}]}"""
+    val schema = new Schema.Parser().parse(text)
+    val st = AvroSchemaCompiler.compile(schema).dataType.asInstanceOf[StructType]
+    val reg = new InMemorySchemaRegistry
+    val rec = new GenericData.Record(schema)
+    rec.put("a", 11)
+    val raw = encode(schema, rec) // NO wire frame
+    val row = AvroDecoders.make(schema.toString, st, reg, 0)(raw).asInstanceOf[Row]
+    row.getInt(0) shouldBe 11
+  }
+
+  test("nullable record branch with a 'tag'-named first field is NOT union-collapsed") {
+    val text =
+      """{"type":"record","name":"Outer","fields":[
+        |{"name":"link","type":["null",{"type":"record","name":"Link","fields":[
+        |  {"name":"tag","type":"string"},{"name":"url","type":"string"}]}],"default":null}
+        |]}""".stripMargin
+    val schema = new Schema.Parser().parse(text)
+    val st = AvroSchemaCompiler.compile(schema).dataType.asInstanceOf[StructType]
+    val reg = new InMemorySchemaRegistry
+    val id = reg.register("t-value", "AVRO", schema.toString)
+    val rec = new GenericData.Record(schema)
+    val link = new GenericData.Record(schema.getField("link").schema().getTypes.get(1))
+    link.put("tag", "sale"); link.put("url", "http://x")
+    rec.put("link", link)
+    val framed = WireFormat.frame(id, encode(schema, rec))
+    val row = AvroDecoders.make(schema.toString, st, reg, 0)(framed).asInstanceOf[Row]
+    val l = row.get(0).asInstanceOf[Row]
+    l.getString(0) shouldBe "sale" // real values survive, not Row("u1", null)
+    l.getString(1) shouldBe "http://x"
+  }
+
   test("recursive record schema is rejected like the reference") {
     val rec = """{"type":"record","name":"Node","fields":[
       |{"name":"next","type":["null","Node"]}]}""".stripMargin

@@ -98,6 +98,39 @@ class JsonRoundTripSpec extends AnyFunSuite with Matchers {
     st("b").nullable shouldBe true
   }
 
+  test("array-form type flattens to nullable scalar; multi-type becomes a union") {
+    val text =
+      """{"type":"object","properties":{
+        |"n":{"type":["integer","null"]},
+        |"mixed":{"type":["string","integer"]}}}""".stripMargin
+    val st = JsonSchemaCompiler.compile(text).dataType.asInstanceOf[StructType]
+    st("n").dataType shouldBe LongType
+    st("n").nullable shouldBe true
+    val u = st("mixed").dataType.asInstanceOf[StructType]
+    u.fieldNames.toSeq shouldBe Seq("tag", "u0", "u1")
+    val decode = JsonValueReader.make(text, JsonSchemaCompiler.compile(text).dataType, 0, Map.empty)
+    val row = decode(null, """{"n":7,"mixed":5}""".getBytes).asInstanceOf[Row]
+    row.getLong(0) shouldBe 7L
+    val mixed = row.get(1).asInstanceOf[Row]
+    mixed.getString(0) shouldBe "u1"
+    mixed.get(2) shouldBe 5L
+  }
+
+  test("a plain object that LOOKS like the union convention is not treated as one") {
+    val text =
+      """{"type":"object","properties":{
+        |"s":{"type":"object","properties":{
+        |  "tag":{"type":"string"},"u1":{"type":"integer"},"u2":{"type":"string"}}}}}""".stripMargin
+    val dt = JsonSchemaCompiler.compile(text).dataType
+    val decode = JsonValueReader.make(text, dt, 0, Map.empty)
+    val row = decode(null, """{"s":{"tag":"sale","u1":3,"u2":"x"}}""".getBytes)
+      .asInstanceOf[Row]
+    val s = row.get(0).asInstanceOf[Row]
+    s.getString(0) shouldBe "sale" // real field values survive
+    s.getLong(1) shouldBe 3L
+    s.getString(2) shouldBe "x"
+  }
+
   test("recursive $ref is rejected like the reference (JsonSchemaTest.java:153-162)") {
     val text =
       """{"type":"object","properties":{

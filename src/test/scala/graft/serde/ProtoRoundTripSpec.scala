@@ -156,6 +156,19 @@ class ProtoRoundTripSpec extends AnyFunSuite with Matchers {
     row.getInt(st.fieldIndex("wrapped")) shouldBe 77
   }
 
+  test("oneof keeps the last occurrence in WIRE order, not declaration order") {
+    val (_, decode) = ProtoDecoders.make(schemaText, Some("Complex"), 0)
+    // write the later-declared field FIRST, then the earlier one: proto
+    // semantics keep the last field seen on the wire (name, field 15)
+    val w = new W()
+    w.int(16, 5) // num
+    w.str(15, "winner") // name — written last, wins
+    val row = decode(w.bytes).asInstanceOf[Row]
+    val oneof = row.get(14).asInstanceOf[Row]
+    oneof.getString(0) shouldBe "name"
+    oneof.getString(1) shouldBe "winner"
+  }
+
   test("framed payload with message indexes decodes") {
     val (_, decode) = ProtoDecoders.make(schemaText, Some("Complex"), 0)
     val body = new W().str(9, "framed").bytes
