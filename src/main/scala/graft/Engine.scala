@@ -94,8 +94,11 @@ class Engine(val spark: SparkSession,
     * (reference: KwackEngine.java:491-499); all other serdes ignore it. */
   private type Decode = (Array[Byte], Array[Byte]) => Any
 
-  /** Compile a resolved serde to the Spark type of the decoded value and a
-    * decode closure over raw bytes. Schema-compile failures fall back to
+  /** Compile a resolved serde to (sparkType, expandToColumns, decode).
+    * expandToColumns is true only for RECORD/message/object schemas, whose
+    * top-level fields become table columns (reference: KwackEngine.java:
+    * 607-617); primitives and top-level UNION schemas stay a single
+    * `rowval` column (618-620). Schema-compile failures fall back to
     * binary, like the reference (KwackEngine.java:363-376). */
   private def decoderFor(topic: String, isKey: Boolean, spec: TopicSpec,
                          serde: Serde): (DataType, Boolean, Decode) = {
@@ -121,8 +124,11 @@ class Engine(val spark: SparkSession,
               val readerText = reader.toString
               val reg = registry
               val dt = compiled.dataType
+              val expand = dt.isInstanceOf[StructType] &&
+                !(compiled.metadata.contains(AvroSchemaCompiler.UnionFlag) &&
+                  compiled.metadata.getBoolean(AvroSchemaCompiler.UnionFlag))
               val fn = AvroDecoders.make(readerText, dt, reg, skip)
-              (dt, true, (_, b) => fn(b))
+              (dt, expand, (_, b) => fn(b))
             } catch {
               case e: IllegalArgumentException => throw e // recursive schema must fail init
               case _: Exception => bin
@@ -134,7 +140,10 @@ class Engine(val spark: SparkSession,
             }
             try {
               val compiled = graft.schema.JsonSchemaCompiler.compile(text)
-              (compiled.dataType, true,
+              val expand = compiled.dataType.isInstanceOf[StructType] &&
+                !(compiled.metadata.contains(AvroSchemaCompiler.UnionFlag) &&
+                  compiled.metadata.getBoolean(AvroSchemaCompiler.UnionFlag))
+              (compiled.dataType, expand,
                 graft.serde.JsonValueReader.make(text, compiled.dataType, skip, tags))
             } catch {
               case e: IllegalArgumentException => throw e
@@ -160,11 +169,10 @@ class Engine(val spark: SparkSession,
   /** Decode one topic's record batch into its table layout. */
   def decodeTopic(spec: TopicSpec, records: DataFrame): DataFrame = {
     val (keyType, _, keyFn) = decoderFor(spec.topic, isKey = true, spec, spec.keySerde)
-    val (valType, _, valFn) = decoderFor(spec.topic, isKey = false, spec, spec.valueSerde)
+    val (valType, valueIsStruct, valFn) = decoderFor(spec.topic, isKey = false, spec, spec.valueSerde)
 
-    val valueIsStruct = valType.isInstanceOf[StructType]
     val valueFields: Seq[StructField] = valType match {
-      case st: StructType => st.fields.toSeq
+      case st: StructType if valueIsStruct => st.fields.toSeq
       case dt => Seq(StructField(Rowval, dt, nullable = true))
     }
     val attrs = spec.rowAttrs
@@ -380,7 +388,10 @@ object AvroDecoders {
       val dec = DecoderFactory.get().binaryDecoder(payload, off, len, null)
       val datum = datumReader.read(null, dec)
       dt match {
-        case st: StructType => AvroValueReader.toRow(datum.asInstanceOf[GenericRecord], readerSchema, st)
+        // toRow only for RECORD schemas — a top-level UNION also compiles
+        // to a StructType (tagged) but its datum is the branch value
+        case st: StructType if readerSchema.getType == Schema.Type.RECORD =>
+          AvroValueReader.toRow(datum.asInstanceOf[GenericRecord], readerSchema, st)
         case _ => AvroValueReader.convert(datum, readerSchema, dt)
       }
     }

@@ -79,11 +79,41 @@ object Multimodal {
       | LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')])::DOUBLE / OCTET_LENGTH(ENCODE(text))::DOUBLE AS mean_byte
       |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling: treat the payload as an opaque media container and
+    * sample a fixed-size "frame" every `stride` bytes (the video
+    * frame-extraction shape: per-row explode into frame rows, map-only,
+    * one output row per sampled frame with its offset + content digest). */
+  private val m03: Q = (s, dir) => {
+    val stride = 1024
+    val frameLen = 256
+    val d = t(s, dir, "documents").filter(col("doc_id") <= 50)
+    d.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, int((length(text) - 1) / $stride)), " +
+            s"i -> substr(text, i * $stride + 1, $frameLen))")).as(Seq("frame_no", "frame")))
+      .select(col("doc_id"), col("frame_no"),
+        length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_digest"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  private val m03Sql =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    UNNEST(RANGE(0, ((LENGTH(text) - 1) // 1024) + 1)) AS i
+      |  FROM documents WHERE doc_id <= 50)
+      |SELECT doc_id, i AS frame_no,
+      | LENGTH(SUBSTR(text, i * 1024 + 1, 256)) AS frame_bytes,
+      | MD5(SUBSTR(text, i * 1024 + 1, 256)) AS frame_digest
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
-    "m02_decode_stub" -> m02)
+    "m02_decode_stub" -> m02,
+    "m03_frame_sample" -> m03)
 
   val oracleSql: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
-    "m02_decode_stub" -> m02Sql)
+    "m02_decode_stub" -> m02Sql,
+    "m03_frame_sample" -> m03Sql)
 }

@@ -129,6 +129,29 @@ class EngineSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("top-level union value schema stays a single rowval column") {
+    val engine = new Engine(spark)
+    val topic = "union-val"
+    val text = """["null","string","int"]"""
+    val schema = new Schema.Parser().parse(text)
+    val id = engine.registry.register(s"$topic-value", "AVRO", schema.toString)
+    def enc(v: AnyRef): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val e = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[AnyRef](schema).write(v, e)
+      e.flush(); out.toByteArray
+    }
+    val records = Seq(
+      SyntheticRecord(null, WireFormat.frame(id, enc("hello")), topic, 0, 0L, 1L),
+      SyntheticRecord(null, WireFormat.frame(id, enc(Int.box(5))), topic, 0, 1L, 2L))
+    engine.init(Seq(Engine.TopicSpec(topic, rowAttrs = Set.empty)),
+      _ => KafkaRecords.synthetic(spark, records))
+    engine.table(topic).columns.toSeq shouldBe Seq("rowval") // NOT tag/u1/u2 columns
+    val lines = engine.query(s"SELECT rowval FROM union_val ORDER BY rowval.tag").toSeq
+    lines shouldBe Seq("""{"rowval":"hello"}""", """{"rowval":5}""")
+    engine.close()
+  }
+
   test("copyTo exports query results as parquet (COPY ... TO)") {
     val engine = new Engine(spark)
     val topic = "cp"
