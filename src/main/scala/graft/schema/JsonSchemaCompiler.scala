@@ -33,8 +33,9 @@ object JsonSchemaCompiler {
     toType(root, root, anchors, Set.empty)
   }
 
-  /** Index of $id values -> nodes for ref resolution. */
-  private def collectAnchors(root: JsonNode): Map[String, JsonNode] = {
+  /** Index of $id values -> nodes for ref resolution (also used by the
+    * value reader for decode-time $ref dereferencing). */
+  def collectAnchors(root: JsonNode): Map[String, JsonNode] = {
     val out = scala.collection.mutable.Map[String, JsonNode]()
     def walk(n: JsonNode): Unit = {
       if (n.isObject) {
@@ -47,7 +48,7 @@ object JsonSchemaCompiler {
     out.toMap
   }
 
-  private def resolveRef(root: JsonNode, anchors: Map[String, JsonNode], ref: String): JsonNode = {
+  def resolveRef(root: JsonNode, anchors: Map[String, JsonNode], ref: String): JsonNode = {
     if (anchors.contains(ref)) anchors(ref)
     else if (ref.startsWith("#/")) {
       ref.substring(2).split("/").foldLeft(root) { (n, seg) =>
