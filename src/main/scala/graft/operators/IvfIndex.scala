@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * iteration.
   *
   * Determinism: centroid seeds are the k vectors with the smallest md5-hash
-  * of their id (a deterministic "random" sample); no rand() anywhere, so
-  * re-runs over the same partitioning build the identical index. (The
-  * Lloyd mean combines partial double sums in partition order, so a
-  * different cluster topology can perturb centroids in the last ulps —
-  * inherent to distributed float reduction and harmless for an
-  * approximate index; the search-side re-rank is exact.)
+  * of their id (a deterministic "random" sample); no rand() anywhere. The
+  * Lloyd mean is accumulated in FIXED-POINT (each component is scaled by
+  * 2^20 — an exact power-of-two shift on the float input — floored to a
+  * long, and summed as integers): integer addition is associative, so the
+  * trained centroids are bit-identical regardless of partitioning or
+  * parallelism, on a laptop or a 1000-executor cluster. That makes the
+  * whole index build reproducible AND lets a SQL oracle (s04) replay the
+  * exact same training — the final division (sum/n/2^20) is one correctly
+  * rounded double division followed by an exact exponent shift.
   */
 object IvfIndex {
 
@@ -59,26 +62,26 @@ object IvfIndex {
       .select(col("v")).as[Seq[Float]].collect()
     var centroids = seeds.zipWithIndex.map { case (v, i) => Centroid(i, toDouble(v)) }
 
-    val vecs = e.select(col(vecCol).as("v")).as[Seq[Float]]
+    // 2^20: float * S is exact (exponent shift), so floor(x*S) loses only
+    // bits below 2^-20 and the per-cell component sums are exact longs.
+    val S = 1048576.0
     (0 until iters).foreach { _ =>
-      val cs = centroids
-      val updated = vecs
-        .map { v => val dv = toDouble(v); (nearest(dv, cs), (dv, 1L)) }
-        .rdd
-        .reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
-          val (a, na) = x; val (b, nb) = y
-          val s = new Array[Double](math.max(a.length, b.length))
-          var i = 0
-          while (i < s.length) {
-            s(i) = (if (i < a.length) a(i) else 0.0) + (if (i < b.length) b(i) else 0.0)
-            i += 1
+      val upd = assign(e, idCol, vecCol, centroids)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(floor(col("x").cast("double") * S).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = upd.groupBy(_.getInt(0))
+      centroids = centroids.map { c =>
+        byCell.get(c.cell).map { rows =>
+          val vec = new Array[Double](c.vec.length)
+          rows.foreach { r =>
+            vec(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3) / S
           }
-          (s, na + nb)
-        }
-        .mapValues { case (s, n) => s.map(_ / n.toDouble) }
-        .collect().toMap
-      centroids = centroids.map(c =>
-        updated.get(c.cell).map(v => Centroid(c.cell, v)).getOrElse(c))
+          Centroid(c.cell, vec)
+        }.getOrElse(c)
+      }
     }
     centroids
   }

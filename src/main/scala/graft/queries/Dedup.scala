@@ -84,8 +84,8 @@ object Dedup {
       |  SELECT MD5(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g')) AS h,
       |         MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
       |  FROM documents GROUP BY 1)
-      |SELECT COUNT(*) AS n_unique, SUM(n_copies) AS n_docs,
-      |       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+      |SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
       |       MIN(canonical_id) AS first_canonical
       |FROM g""".stripMargin
 

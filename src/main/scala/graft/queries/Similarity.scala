@@ -146,17 +146,86 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** Trained IVF: deterministic k-means quantizer (operators/IvfIndex),
-    * cell-probe search, exact re-rank. No SQL oracle (k-means is not
-    * SQL-expressible) — correctness is pinned by IvfIndexSpec's recall
-    * check against brute force; the driver records a rows-only check. */
+    * cell-probe search, exact re-rank. The trainer accumulates Lloyd means
+    * in fixed-point (order-independent integer sums), so the centroids are
+    * bit-reproducible and the ENTIRE pipeline — seeding, three Lloyd
+    * iterations, cell assignment, nprobe=3 probing, cosine re-rank — is
+    * replayed exactly by the SQL oracle below (unrolled CTE per iteration).
+    * Recall vs brute force is additionally pinned by IvfIndexSpec. */
   private val s04: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
     val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
-      k = 8, iters = 3)
+      k = ivfK, iters = ivfIters)
     val assigned = graft.operators.IvfIndex.assign(e, "vec_id", "embedding", centroids)
     graft.operators.IvfIndex.search(assigned, e.filter(col("vec_id") < 20),
         "vec_id", "embedding", centroids, nprobe = 3, topk = 3)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  private val ivfK = 8
+  private val ivfIters = 3
+  private val ivfDim = 64
+
+  /** Squared L2 distance as a sequential index-order fold (bit-identical to
+    * IvfIndex.dist2's accumulation loop). */
+  private def dist2Sql(a: String, b: String): String =
+    s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, [(z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE) FOR z IN LIST_ZIP($a, $b)]), (acc, x) -> acc + x)"
+
+  private val s04Sql: String = {
+    // One Lloyd iteration: argmin assignment against cents{n-1} (ties ->
+    // lowest cell, matching IvfIndex.nearest's strict <), then the
+    // fixed-point mean: sum over floor(x * 2^20) as BIGINT, divided back out
+    // in the same operation order as the trainer (sum -> /n -> /2^20).
+    def iter(n: Int): String = {
+      val prev = s"cents${n - 1}"
+      s"""assign$n AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+         |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
+         |upd$n AS (
+         |  SELECT cell, i,
+         |    CAST(SUM(CAST(FLOOR(v[i]::DOUBLE * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / COUNT(*) / 1048576.0 AS comp
+         |  FROM assign$n, range(1, ${ivfDim + 1}) r(i) GROUP BY cell, i),
+         |cents$n AS (
+         |  SELECT p.cell, COALESCE(u.vec, p.vec) AS vec
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT cell, LIST(comp ORDER BY i) AS vec FROM upd$n GROUP BY cell) u
+         |    ON p.cell = u.cell)""".stripMargin
+    }
+    val fin = s"cents$ivfIters"
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cents0 AS (
+       |  SELECT cell, vec FROM (
+       |    SELECT CAST(ROW_NUMBER() OVER (
+       |        ORDER BY ${md5iSql("CAST(vec_id AS VARCHAR)")}, CAST(vec_id AS VARCHAR)
+       |      ) AS INTEGER) - 1 AS cell,
+       |      [x::DOUBLE FOR x IN embedding] AS vec
+       |    FROM embeddings) WHERE cell < $ivfK),
+       |${(1 to ivfIters).map(iter).mkString(",\n")},
+       |probe AS (
+       |  SELECT qid, qe, cell FROM (
+       |    SELECT e.vec_id AS qid, e.v AS qe, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+       |    FROM e CROSS JOIN $fin c WHERE e.vec_id < 20) WHERE rn <= 3),
+       |assignF AS (
+       |  SELECT vec_id AS cid, v AS ce, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+       |    FROM e CROSS JOIN $fin c) WHERE rn = 1),
+       |scored AS (
+       |  SELECT p.qid, a.cid, ${cosineSql("p.qe", "a.ce")} AS cos
+       |  FROM probe p JOIN assignF a ON p.cell = a.cell AND p.qid <> a.cid),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, cid, ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -168,5 +237,6 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
     "s02_knn_ivf" -> s02Sql,
-    "s03_knn_lsh" -> s03Sql)
+    "s03_knn_lsh" -> s03Sql,
+    "s04_knn_ivf_trained" -> s04Sql)
 }
