@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.QueryHelpers.Q
-import graft.queries.{Dedup, Multimodal, Relational, RelationalExt, Similarity, Streaming, TextOps}
+import graft.queries.{Dedup, Multimodal, Relational, RelationalExt, RelationalMore, Similarity, Streaming, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracleSql),
     (RelationalExt.queries, RelationalExt.oracleSql),
+    (RelationalMore.queries, RelationalMore.oracleSql),
     (TextOps.queries, TextOps.oracleSql),
     (Dedup.queries, Dedup.oracleSql),
     (Similarity.queries, Similarity.oracleSql),

@@ -107,13 +107,60 @@ object Multimodal {
       | MD5(SUBSTR(text, i * 1024 + 1, 256)) AS frame_digest
       |FROM f ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Resized image metadata (stub decode upstream). */
+  case class ResizedMedia(doc_id: Long, in_w: Int, in_h: Int,
+                          out_w: Int, out_h: Int)
+
+  /** STUB resize: a real stage would rescale pixel buffers; the geometry —
+    * fit the longer edge to 64px preserving aspect ratio, integer floor,
+    * minimum 1px — is the real contract a thumbnailing pipeline enforces. */
+  def resizeStub(d: DecodedMedia): ResizedMedia = {
+    val target = 64L
+    val (ow, oh) =
+      if (d.width >= d.height)
+        (target, math.max(1L, d.height.toLong * target / d.width))
+      else (math.max(1L, d.width.toLong * target / d.height), target)
+    ResizedMedia(d.doc_id, d.width, d.height, ow.toInt, oh.toInt)
+  }
+
+  /** Two-stage typed pipeline: decode (stub) -> resize (stub), both as
+    * mapPartitions stages over the opaque binary column — the multi-stage
+    * shape (decode -> transform -> feature) of a real multimodal pipeline,
+    * fused by Spark into one shuffle-free pass. */
+  private val m04: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    implicit val encMid: Encoder[DecodedMedia] = Encoders.product[DecodedMedia]
+    implicit val encOut: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
+    t(s, dir, "documents").filter(col("doc_id") <= 100)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(resizeStub))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // integer geometry replayed over m02's stub dimensions
+  private val m04Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(16 + LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) % 624 AS BIGINT) AS w,
+      |    CAST(16 + (LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) * 31) % 464 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id, CAST(w AS INTEGER) AS in_w, CAST(h AS INTEGER) AS in_h,
+      | CAST(CASE WHEN w >= h THEN 64 ELSE GREATEST(1, w * 64 // h) END AS INTEGER) AS out_w,
+      | CAST(CASE WHEN w >= h THEN GREATEST(1, h * 64 // w) ELSE 64 END AS INTEGER) AS out_h
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
-    "m03_frame_sample" -> m03)
+    "m03_frame_sample" -> m03,
+    "m04_resize_stub" -> m04)
 
   val oracleSql: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_decode_stub" -> m02Sql,
-    "m03_frame_sample" -> m03Sql)
+    "m03_frame_sample" -> m03Sql,
+    "m04_resize_stub" -> m04Sql)
 }

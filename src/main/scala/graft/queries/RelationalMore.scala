@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import QueryHelpers._
+
+/** Second batch of dialect-surface coverage (SURVEY.md §2.2): QUALIFY,
+  * GROUP BY ALL, star EXCLUDE/REPLACE, series generation, the long tail of
+  * window functions, regexp extraction, edit distance, and bit ops.
+  *
+  * Spark-side implementations use the DataFrame API where the SQL sugar is
+  * DuckDB-specific (QUALIFY, EXCLUDE/REPLACE — reference delegates these to
+  * DuckDB's dialect, KwackEngine.java:226-257); where the text is valid in
+  * both dialects the same string runs on both engines.
+  */
+object RelationalMore {
+
+  private def sql(q: String): Q = (s, dir) => {
+    graft.Tables.register(s, dir)
+    s.sql(q)
+  }
+
+  /** QUALIFY semantics: top-3 orders per order status by price. Spark has no
+    * QUALIFY clause — the idiomatic plan is the identical window + filter
+    * (which is also what DuckDB's binder lowers QUALIFY to). */
+  private val q42: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  private val q42Sql =
+    """SELECT o_orderstatus, rn, o_orderkey, price FROM (
+      |  SELECT o_orderstatus, o_orderkey, ROUND(o_totalprice, 2) AS price,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders QUALIFY rn <= 3)
+      |ORDER BY o_orderstatus, rn""".stripMargin
+
+  /** GROUP BY ALL — the same text parses in both dialects (Spark ≥3.4). */
+  private val q43Text =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ALL ORDER BY 1, 2""".stripMargin
+  private val q43 = sql(q43Text)
+
+  /** SELECT * EXCLUDE (...) REPLACE (...) — DuckDB star sugar; the Spark
+    * DataFrame equivalent is drop + withColumn (position-preserving). */
+  private val q44: Q = (s, dir) => {
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 50)
+      .drop("p_retailprice", "p_size")
+      .withColumn("p_brand", upper(col("p_brand")))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q44Sql =
+    """SELECT * EXCLUDE (p_retailprice, p_size) REPLACE (UPPER(p_brand) AS p_brand)
+      |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin
+
+  /** Series generation: sequence/explode vs generate_series/unnest. */
+  private val q45: Q = (s, dir) => {
+    t(s, dir, "region")
+      .select(col("r_regionkey"),
+        explode(sequence(lit(1L), col("r_regionkey") + 2)).as("i"))
+      .select(col("r_regionkey"), col("i"),
+        (col("r_regionkey") * lit(10) + col("i")).as("v"))
+      .orderBy(col("r_regionkey"), col("i"))
+  }
+
+  private val q45Sql =
+    """SELECT r_regionkey, i, r_regionkey * 10 + i AS v
+      |FROM (SELECT r_regionkey,
+      |        UNNEST(GENERATE_SERIES(1, r_regionkey + 2)) AS i
+      |      FROM region)
+      |ORDER BY r_regionkey, i""".stripMargin
+
+  /** Window-function long tail: ntile, percent_rank, cume_dist, nth_value,
+    * lead/lag with defaults — one frame, every ranking family. */
+  private val q46: Q = (s, dir) => {
+    val e = t(s, dir, "events").filter(col("user_id") < 20)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        nth_value(col("event_id"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("second_event"),
+        lag(col("value"), 1, -1.0).over(w).as("prev_value"),
+        lead(col("event_type"), 1, "none").over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q46Sql =
+    """SELECT user_id, event_id,
+      | NTILE(4) OVER w AS quartile,
+      | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      | ROUND(CUME_DIST() OVER w, 6) AS cdist,
+      | NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event,
+      | LAG(value, 1, -1.0) OVER w AS prev_value,
+      | LEAD(event_type, 1, 'none') OVER w AS next_type
+      |FROM events WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** regexp_extract_all over document text (explicit capture group — the
+    * two engines default the group index differently). */
+  private val q47: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") <= 200)
+    val caps = regexp_extract_all(col("text"), lit("\\b([a-z]{7,})\\b"), lit(1))
+    d.select(col("doc_id"), size(caps).as("n_long"),
+        when(size(caps) > 0, element_at(caps, 1)).otherwise("").as("first_long"),
+        when(size(caps) > 0, element_at(caps, -1)).otherwise("").as("last_long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q47Sql =
+    """SELECT doc_id,
+      | LEN(l) AS n_long,
+      | CASE WHEN LEN(l) > 0 THEN l[1] ELSE '' END AS first_long,
+      | CASE WHEN LEN(l) > 0 THEN l[-1] ELSE '' END AS last_long
+      |FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(text, '\b([a-z]{7,})\b', 1) AS l
+      |      FROM documents WHERE doc_id <= 200)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Edit distance (fuzzy join shape): near-matching part names among the
+    * first 30 parts. Quadratic on a bounded slice — the 100 TB shape blocks
+    * on a cheap key (brand) before the quadratic verify, as d02/d05 do. */
+  private val q48: Q = (s, dir) => {
+    val p = t(s, dir, "part").filter(col("p_partkey") <= 30)
+      .select(col("p_partkey").as("k"), col("p_name").as("nm"))
+    p.as("a").join(p.as("b"), col("a.k") < col("b.k"))
+      .select(col("a.k").as("k1"), col("b.k").as("k2"),
+        levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+      .filter(col("dist") <= 15)
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  private val q48Sql =
+    """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+      | LEVENSHTEIN(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      |WHERE a.p_partkey <= 30 AND b.p_partkey <= 30
+      |  AND LEVENSHTEIN(a.p_name, b.p_name) <= 15
+      |ORDER BY k1, k2""".stripMargin
+
+  /** Bitwise ops: and/or/xor/shifts (dialects differ: Spark `^` is xor,
+    * DuckDB `^` is power — DataFrame API on one side, native ops on the
+    * other). */
+  private val q49: Q = (s, dir) => {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+    o.select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("b_or"),
+        col("o_orderkey").bitwiseXOR(lit(170L)).as("b_xor"),
+        shiftleft(col("o_orderkey"), 3).as("b_shl"),
+        shiftright(col("o_orderkey"), 2).as("b_shr"),
+        bitwise_not(col("o_orderkey")).as("b_not"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q49Sql =
+    """SELECT o_orderkey,
+      | o_orderkey & 255 AS b_and,
+      | o_orderkey | 4096 AS b_or,
+      | XOR(o_orderkey, 170) AS b_xor,
+      | o_orderkey << 3 AS b_shl,
+      | o_orderkey >> 2 AS b_shr,
+      | ~o_orderkey AS b_not
+      |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q42_qualify" -> q42,
+    "q43_group_by_all" -> q43,
+    "q44_exclude_replace" -> q44,
+    "q45_generate_series" -> q45,
+    "q46_window_extras" -> q46,
+    "q47_regexp_extract_all" -> q47,
+    "q48_edit_distance" -> q48,
+    "q49_bit_ops" -> q49)
+
+  val oracleSql: Map[String, String] = Map(
+    "q42_qualify" -> q42Sql,
+    "q43_group_by_all" -> q43Text,
+    "q44_exclude_replace" -> q44Sql,
+    "q45_generate_series" -> q45Sql,
+    "q46_window_extras" -> q46Sql,
+    "q47_regexp_extract_all" -> q47Sql,
+    "q48_edit_distance" -> q48Sql,
+    "q49_bit_ops" -> q49Sql)
+}

@@ -228,15 +228,78 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** ANN quality evaluation: recall@3 of the LSH index (s03) against exact
+    * brute force — the acceptance metric a production ANN deployment gates
+    * on. Both the index probe and the ground truth are computed in-engine;
+    * at 100 TB the brute-force side runs over a held-out query sample. */
+  private val s05: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val brute = q.hint("broadcast").crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+    val sig = e.select(col("vec_id"), col("embedding"),
+      expr(sigExprSpark("embedding")).as("sig"))
+    val lsh = sig.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid2"), col("embedding").as("qe"), col("sig"))
+      .join(sig.select(col("vec_id").as("hcid"), col("embedding").as("ce"), col("sig")),
+        Seq("sig"))
+      .filter(col("qid2") =!= col("hcid"))
+      .select(col("qid2").as("lqid"), col("hcid").as("cid2"),
+        expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lqid")).orderBy(col("cos").desc, col("cid2"))))
+      .filter(col("rank") <= 3)
+      .select(col("lqid"), col("cid2"))
+    brute
+      .join(lsh, col("qid") === col("lqid") && col("cid") === col("cid2"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("cid2")).as("hits"),
+        (count(col("cid2")) / lit(3.0)).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  private val s05Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |bruted AS (
+       |  SELECT qid, c.vec_id AS cid, ${cosineSql("qe", "c.embedding")} AS cos
+       |  FROM q CROSS JOIN embeddings c WHERE qid <> c.vec_id),
+       |brute AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |    FROM bruted) WHERE rank <= 3),
+       |sg AS (SELECT vec_id, embedding, ${sigExprSql("embedding")} AS sig FROM embeddings),
+       |lshd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS cos
+       |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 20),
+       |lsh AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |    FROM lshd) WHERE rank <= 3)
+       |SELECT b.qid, COUNT(h.cid) AS hits, COUNT(h.cid) / 3.0 AS recall
+       |FROM brute b LEFT JOIN lsh h ON b.qid = h.qid AND b.cid = h.cid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01,
     "s02_knn_ivf" -> s02,
     "s03_knn_lsh" -> s03,
-    "s04_knn_ivf_trained" -> s04)
+    "s04_knn_ivf_trained" -> s04,
+    "s05_ann_recall" -> s05)
 
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
     "s02_knn_ivf" -> s02Sql,
     "s03_knn_lsh" -> s03Sql,
-    "s04_knn_ivf_trained" -> s04Sql)
+    "s04_knn_ivf_trained" -> s04Sql,
+    "s05_ann_recall" -> s05Sql)
 }
