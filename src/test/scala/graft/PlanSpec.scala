@@ -76,6 +76,34 @@ class PlanSpec extends AnyFunSuite with Matchers {
     s should not include "CartesianProduct"
   }
 
+  test("q42 qualify window shuffles once on the partition key") {
+    val df = SparkEntry.queries("q42_qualify")(spark, sfDir)
+    df.count()
+    val shuffles = planOf(df).collect { case e: ShuffleExchangeLike => e }
+    // one hash partition for the window + one range partition for the sort
+    shuffles.size should be <= 2
+  }
+
+  test("m04 multimodal decode->resize chain is map-only before final sort") {
+    val df = SparkEntry.queries("m04_resize_stub")(spark, sfDir)
+    df.count()
+    val shuffles = planOf(df).collect { case e: ShuffleExchangeLike => e }
+    // only the presentation orderBy may shuffle; the two typed stages fuse
+    shuffles.size should be <= 1
+  }
+
+  test("q48 bounded fuzzy join broadcasts the bounded slice") {
+    val s = planString(SparkEntry.queries("q48_edit_distance")(spark, sfDir))
+    s should include("Broadcast")
+    s should not include "CartesianProduct"
+  }
+
+  test("s05 recall evaluation broadcasts queries, never cartesian on corpus") {
+    val s = planString(SparkEntry.queries("s05_ann_recall")(spark, sfDir))
+    s should include("Broadcast")
+    s should not include "CartesianProduct"
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
