@@ -90,15 +90,42 @@ object Streaming {
     s.sql(q39Text)
   }
 
+  /** Stream-stream interval join (view→click attribution within 10 min):
+    * the watermarked two-stream join whose state Spark bounds to the
+    * interval; here exercised on the batch frames, StreamingSpec drives the
+    * same operator through MemoryStream micro-batches. */
+  private val q50: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    StreamingOps.intervalJoin(views, clicks, "user_id",
+        "view_ts", "click_ts", "10 minutes")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  private val q50Sql =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      | v.ts AS view_ts, c.ts AS click_ts
+      |FROM events v JOIN events c ON v.user_id = c.user_id
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_stream_tumbling" -> q36,
     "q37_stream_sliding" -> q37,
     "q38_stream_session" -> q38,
-    "q39_recursive_cte" -> q39)
+    "q39_recursive_cte" -> q39,
+    "q50_stream_join" -> q50)
 
   val oracleSql: Map[String, String] = Map(
     "q36_stream_tumbling" -> q36Sql,
     "q37_stream_sliding" -> q37Sql,
     "q38_stream_session" -> q38Sql,
-    "q39_recursive_cte" -> q39Text)
+    "q39_recursive_cte" -> q39Text,
+    "q50_stream_join" -> q50Sql)
 }

@@ -53,6 +53,23 @@ object StreamingOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col(keyCol), col("n"))
 
+  /** Stream-stream inner join within a time bound: right events that occur
+    * in [leftTs, leftTs + bound] for the same key. With watermarks on both
+    * sides the join state is bounded (Spark drops buffered rows once the
+    * watermark passes leftTs + bound) — the 1000-executor layout shuffles
+    * both streams on the key, so each task joins co-partitioned slices.
+    * Works identically on batch frames (the oracle path). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, bound: String,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(keyCol) === r(keyCol) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"))
+      .drop(r(keyCol))
+  }
+
   /** Streaming dedup: first event per key wins within the watermark. */
   def dedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
             watermark: String = "10 minutes"): DataFrame =

@@ -101,6 +101,28 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     rows.map(_.getInt(0)).toSeq shouldBe Seq(7, 8) // decoded mid-stream
   }
 
+  test("stream-stream interval join buffers and joins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val v = views.toDF().toDF("view_ts", "user_id", "view_id")
+    val c = clicks.toDF().toDF("click_ts", "user_id", "click_id")
+    val joined = StreamingOps.intervalJoin(v, c, "user_id",
+      "view_ts", "click_ts", "10 minutes")
+
+    // view at t+0; clicks at t+5 (in window), t+15 (out), other user t+1
+    views.addData((ts(0), 1L, 100L))
+    clicks.addData((ts(5), 1L, 200L), (ts(15), 1L, 201L), (ts(1), 2L, 202L))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ssjoin").collect()
+    rows.length shouldBe 1
+    rows(0).getAs[Long]("view_id") shouldBe 100L
+    rows(0).getAs[Long]("click_id") shouldBe 200L
+  }
+
   test("session windows run on a stream (gap merge across one batch)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
