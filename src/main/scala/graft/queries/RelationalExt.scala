@@ -483,6 +483,23 @@ object RelationalExt {
       |ASOF LEFT JOIN dedup d ON e.user_id = d.user_id AND d.o_orderdate <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** AS-OF via the native custom operator (logical node + strategy +
+    * sort-merge AsofJoinExec, operators/AsofJoinNative.scala) — same
+    * semantics as q34's window composition, independently oracle-gated. */
+  private val q51: Q = (s, dir) => {
+    val e = t(s, dir, "events").filter(col("event_id") <= 300)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val dedup = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("o_price"))
+    graft.operators.AsofJoinNative.asofLeft(e, dedup, Seq("user_id"), "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"), col("o_price"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range (inequality) join: lineitems shipped within 30 days of order. */
   private val q35: Q = (s, dir) => {
     val l = t(s, dir, "lineitem")
@@ -553,9 +570,11 @@ object RelationalExt {
     "q32_unpivot" -> q32,
     "q33_sample_hash" -> q33,
     "q34_asof_join" -> q34,
-    "q35_range_join" -> q35)
+    "q35_range_join" -> q35,
+    "q51_asof_native" -> q51)
 
   val oracleSql: Map[String, String] = Map(
+    "q51_asof_native" -> q34Sql,
     "q40_lateral" -> q40Sql,
     "q41_grouping_sets" -> q41Text,
     "q13_setops" -> q13Sql,

@@ -104,6 +104,14 @@ class PlanSpec extends AnyFunSuite with Matchers {
     s should not include "CartesianProduct"
   }
 
+  test("top-k window filters get partial pruning below the shuffle") {
+    // Spark's InferWindowGroupLimit plans a Partial WindowGroupLimit under
+    // the exchange (map-side top-k) — the reason no custom partial-topk
+    // operator is needed; this pins that the pattern keeps qualifying.
+    val s = planString(SparkEntry.queries("q42_qualify")(spark, sfDir))
+    s should include("WindowGroupLimit")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
