@@ -177,7 +177,53 @@ object RelationalMore {
       | ~o_orderkey AS b_not
       |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
 
+  /** Window frame EXCLUDE CURRENT ROW (DuckDB frame clause Spark lacks):
+    * algebraic lowering — a centered rows-frame sum minus the current row,
+    * in exact decimals so both engines agree bit-for-bit. */
+  private val q52: Q = (s, dir) => {
+    val e = t(s, dir, "events").filter(col("user_id") < 50)
+    val v = col("value").cast("decimal(12,2)")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 3)
+    e.select(col("user_id"), col("event_id"),
+        (sum(v).over(w) - v).cast("double").as("neighbor_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q52Sql =
+    """SELECT user_id, event_id,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+      |   PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
+      |  AS DOUBLE) AS neighbor_sum
+      |FROM events WHERE user_id < 50
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Ordered-set aggregates: interpolated percentiles + median per group
+    * (Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    * interpolation definition). */
+  private val q53: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.5)").as("med"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q53Sql =
+    """SELECT event_type,
+      | QUANTILE_CONT(value, 0.25) AS p25,
+      | QUANTILE_CONT(value, 0.5) AS p50,
+      | QUANTILE_CONT(value, 0.9) AS p90,
+      | MEDIAN(value) AS med
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q52_frame_exclude" -> q52,
+    "q53_percentiles" -> q53,
     "q42_qualify" -> q42,
     "q43_group_by_all" -> q43,
     "q44_exclude_replace" -> q44,
@@ -188,6 +234,8 @@ object RelationalMore {
     "q49_bit_ops" -> q49)
 
   val oracleSql: Map[String, String] = Map(
+    "q52_frame_exclude" -> q52Sql,
+    "q53_percentiles" -> q53Sql,
     "q42_qualify" -> q42Sql,
     "q43_group_by_all" -> q43Text,
     "q44_exclude_replace" -> q44Sql,
