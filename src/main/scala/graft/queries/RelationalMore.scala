@@ -221,7 +221,70 @@ object RelationalMore {
       | MEDIAN(value) AS med
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Error-safe casts and conditional scalars: TRY_CAST, GREATEST/LEAST,
+    * NULLIF, COALESCE — identical text parses in both dialects. */
+  private val q54Text =
+    """SELECT o_orderkey,
+      | TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
+      | ROUND(GREATEST(o_totalprice, 150000.0), 2) AS g,
+      | ROUND(LEAST(o_totalprice, 150000.0), 2) AS l,
+      | NULLIF(o_orderstatus, 'O') AS status_nz,
+      | COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_lbl
+      |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
+  private val q54 = sql(q54Text)
+
+  /** Date-function long tail: day arithmetic, month ends, day names,
+    * day-of-week numbering (normalized to DuckDB's Sunday=0). */
+  private val q55: Q = (s, dir) => {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+    val d = to_date(col("o_orderdate"))
+    o.select(col("o_orderkey"),
+        datediff(d, to_date(lit("1995-01-01"))).as("days_since"),
+        last_day(d).as("eom"),
+        date_format(d, "EEEE").as("dname"),
+        (dayofweek(d) - 1).as("dow"),
+        quarter(d).as("qtr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q55Sql =
+    """SELECT o_orderkey,
+      | CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+      | LAST_DAY(CAST(o_orderdate AS DATE)) AS eom,
+      | DAYNAME(CAST(o_orderdate AS DATE)) AS dname,
+      | CAST(DATE_PART('dow', CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
+      | CAST(QUARTER(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr
+      |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
+
+  /** Skew-salted join (operators/SaltedJoin): the hot 5-value event_type key
+    * is spread over 8 salt buckets; the oracle runs the UNSALTED join —
+    * salting must be semantics-neutral. */
+  private val q56: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val dim = e.groupBy(col("event_type"))
+      .agg(expr("CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 2) AS DECIMAL(12,2))").as("avg_v"))
+    graft.operators.SaltedJoin.saltedJoin(e, dim, Seq("event_type"), buckets = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").cast("decimal(12,2)") > col("avg_v"), 1L)
+          .otherwise(0L)).as("n_above"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q56Sql =
+    """WITH dim AS (
+      |  SELECT event_type,
+      |    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 2) AS DECIMAL(12,2)) AS avg_v
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n,
+      | CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) > d.avg_v THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q54_safe_cast" -> q54,
+    "q55_date_extras" -> q55,
+    "q56_salted_join" -> q56,
     "q52_frame_exclude" -> q52,
     "q53_percentiles" -> q53,
     "q42_qualify" -> q42,
@@ -234,6 +297,9 @@ object RelationalMore {
     "q49_bit_ops" -> q49)
 
   val oracleSql: Map[String, String] = Map(
+    "q54_safe_cast" -> q54Text,
+    "q55_date_extras" -> q55Sql,
+    "q56_salted_join" -> q56Sql,
     "q52_frame_exclude" -> q52Sql,
     "q53_percentiles" -> q53Sql,
     "q42_qualify" -> q42Sql,
