@@ -10,88 +10,187 @@ import graft.sources.KafkaRecords
   *
   * {{{
   * graft.Main [-t topic[=records.parquet]]... [-k topic=serde]...
-  *            [-v topic=serde]... [-a attrs] [-q query] [-s skipBytes]
+  *            [-v topic=serde]... [-a attrs] [-q query] [-x|-s skipBytes]
   *            [-b bootstrapServers] [-p topic=0,1,2] [-o topic=offsetSpec]
+  *            [-m metadataTimeoutMs] [-r registryUrl] [-d dbDir]
+  *            [-F propsFile] [-X key=value]...
   * }}}
   *
   * Record source: with `-b`, each topic is a batch Kafka read (consume to
   * current end, the reference's snapshot semantics); with `-t topic=file`,
   * records come from a parquet file in the Kafka record schema (offline /
-  * test mode). With `-q` the query runs once and rows print as JSON lines
-  * (reference: KwackMain.java:157-163); otherwise an interactive REPL reads
-  * SQL statements from stdin (reference: KwackEngine.java:258-272).
+  * test mode); with `-d dir`, topics decoded earlier and saved there are
+  * restored (the reference's file-backed db, KwackConfig.java:92-94 — here
+  * the persistence format is parquet per table). With `-q` the query runs
+  * once and rows print as JSON lines (reference: KwackMain.java:157-163);
+  * otherwise an interactive REPL reads SQL from stdin (KwackEngine.java:258-272).
+  *
+  * `-F` loads the reference's properties-file config surface
+  * (KwackConfig.java: `topics`, `key.serdes`, `value.serdes`, `query`,
+  * `row.attributes`, `skip.bytes`, `schema.registry.url`, `db`,
+  * `bootstrap.servers`); flags given after `-F` override it. `-X key=value`
+  * passes through: `kafka.*` to the Kafka reader, `spark.*` to the session
+  * conf (reference: KwackMain.java:136-138 `-X` passthrough).
   */
 object Main {
-  def main(args: Array[String]): Unit = {
-    var topics = Vector.empty[(String, Option[String])]
-    var keySerdes = Map.empty[String, Serde]
-    var valueSerdes = Map.empty[String, Serde]
-    var rowAttrs: Set[String] = Engine.defaultRowAttrs
-    var query: Option[String] = None
-    var skipBytes = 0
-    var brokers: Option[String] = None
-    var partitions = Map.empty[String, Seq[Int]]
-    var offsets = Map.empty[String, String]
 
-    def splitKv(s: String): (String, String) = {
-      val i = s.indexOf('=')
-      require(i > 0, s"expected key=value, got: $s")
-      (s.substring(0, i), s.substring(i + 1))
-    }
+  private[graft] final case class Cli(
+      topics: Vector[(String, Option[String])] = Vector.empty,
+      keySerdes: Map[String, Serde] = Map.empty,
+      valueSerdes: Map[String, Serde] = Map.empty,
+      rowAttrs: Set[String] = Engine.defaultRowAttrs,
+      query: Option[String] = None,
+      skipBytes: Int = 0,
+      brokers: Option[String] = None,
+      partitions: Map[String, Seq[Int]] = Map.empty,
+      offsets: Map[String, String] = Map.empty,
+      metadataTimeoutMs: Option[Long] = None,
+      registryUrl: Option[String] = None,
+      dbDir: Option[String] = None,
+      passthrough: Map[String, String] = Map.empty)
 
+  private def splitKv(s: String): (String, String) = {
+    val i = s.indexOf('=')
+    require(i > 0, s"expected key=value, got: $s")
+    (s.substring(0, i), s.substring(i + 1))
+  }
+
+  private def addTopics(c: Cli, v: String): Cli = {
+    val eq = v.indexOf('=')
+    val t = if (eq > 0) (v.substring(0, eq), Some(v.substring(eq + 1))) else (v, None)
+    c.copy(topics = c.topics :+ t)
+  }
+
+  /** Properties-file config (reference: KwackConfig key names). */
+  private def applyProps(c0: Cli, path: String): Cli = {
+    val props = new java.util.Properties
+    val in = new java.io.FileInputStream(path)
+    try props.load(in) finally in.close()
+    def get(k: String) = Option(props.getProperty(k)).map(_.trim).filter(_.nonEmpty)
+    var c = c0
+    get("topics").foreach(_.split(",").foreach(t => c = addTopics(c, t.trim)))
+    def serdes(k: String): Map[String, Serde] =
+      get(k).map(_.split(",").map { kv =>
+        val (t, s) = splitKv(kv.trim); t -> Serde.parse(s)
+      }.toMap).getOrElse(Map.empty)
+    c = c.copy(
+      keySerdes = c.keySerdes ++ serdes("key.serdes"),
+      valueSerdes = c.valueSerdes ++ serdes("value.serdes"))
+    get("query").foreach(q => c = c.copy(query = Some(q)))
+    get("row.attributes").foreach(a =>
+      c = c.copy(rowAttrs = a.split(",").filter(_.nonEmpty).toSet))
+    get("skip.bytes").foreach(s => c = c.copy(skipBytes = s.toInt))
+    get("schema.registry.url").foreach(u => c = c.copy(registryUrl = Some(u)))
+    get("db").foreach(d => c = c.copy(dbDir = Some(d)))
+    get("bootstrap.servers").foreach(b => c = c.copy(brokers = Some(b)))
+    c
+  }
+
+  private[graft] def parse(args: Array[String]): Cli = {
+    var c = Cli()
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "-t" =>
-          val v = args(i + 1); i += 2
-          val eq = v.indexOf('=')
-          topics :+= (if (eq > 0) (v.substring(0, eq), Some(v.substring(eq + 1)))
-            else (v, None))
+        case "-t" => c = addTopics(c, args(i + 1)); i += 2
         case "-k" => val (t, s) = splitKv(args(i + 1)); i += 2
-          keySerdes += t -> Serde.parse(s)
+          c = c.copy(keySerdes = c.keySerdes + (t -> Serde.parse(s)))
         case "-v" => val (t, s) = splitKv(args(i + 1)); i += 2
-          valueSerdes += t -> Serde.parse(s)
-        case "-a" => rowAttrs = args(i + 1).split(",").filter(_.nonEmpty).toSet; i += 2
-        case "-q" => query = Some(args(i + 1)); i += 2
-        case "-s" => skipBytes = args(i + 1).toInt; i += 2
-        case "-b" => brokers = Some(args(i + 1)); i += 2
+          c = c.copy(valueSerdes = c.valueSerdes + (t -> Serde.parse(s)))
+        case "-a" => c = c.copy(rowAttrs =
+          args(i + 1).split(",").filter(_.nonEmpty).toSet); i += 2
+        case "-q" => c = c.copy(query = Some(args(i + 1))); i += 2
+        case "-s" | "-x" => c = c.copy(skipBytes = args(i + 1).toInt); i += 2
+        case "-b" => c = c.copy(brokers = Some(args(i + 1))); i += 2
         case "-p" => val (t, p) = splitKv(args(i + 1)); i += 2
-          partitions += t -> p.split(",").map(_.toInt).toSeq
+          c = c.copy(partitions = c.partitions + (t -> p.split(",").map(_.toInt).toSeq))
         case "-o" => val (t, o) = splitKv(args(i + 1)); i += 2
-          offsets += t -> o
+          c = c.copy(offsets = c.offsets + (t -> o))
+        case "-m" => c = c.copy(metadataTimeoutMs = Some(args(i + 1).toLong)); i += 2
+        case "-r" => c = c.copy(registryUrl = Some(args(i + 1))); i += 2
+        case "-d" => c = c.copy(dbDir = Some(args(i + 1))); i += 2
+        case "-F" => c = applyProps(c, args(i + 1)); i += 2
+        case "-X" => val (k, v) = splitKv(args(i + 1)); i += 2
+          c = c.copy(passthrough = c.passthrough + (k -> v))
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
+    c
+  }
 
+  /** Build + run the engine for a parsed CLI on an existing session (does
+    * not stop the session — main() owns that). Returns the engine with all
+    * topic tables registered. */
+  private[graft] def runWith(spark: SparkSession, c: Cli): Engine = {
+    graft.functions.GraftFunctions.register(spark)
+    c.registryUrl.foreach { u =>
+      require(u.startsWith("mock://"),
+        s"only mock:// registries are supported offline (got $u); real HTTP " +
+          "Schema Registry access needs network egress — use external " +
+          "avro:/proto:/json: serde schemas instead")
+    }
+    c.passthrough.collect { case (k, v) if k.startsWith("spark.") =>
+      spark.conf.set(k, v)
+    }
+    val kafkaExtra = c.passthrough.collect {
+      case (k, v) if k.startsWith("kafka.") => k -> v
+    } ++ c.metadataTimeoutMs.map(t => "kafka.default.api.timeout.ms" -> t.toString)
+
+    val engine = new Engine(spark)
+    val specs = c.topics.map { case (topic, _) =>
+      Engine.TopicSpec(topic,
+        keySerde = c.keySerdes.getOrElse(topic, Serde.BinarySerde),
+        valueSerde = c.valueSerdes.getOrElse(topic, Serde.Latest),
+        rowAttrs = c.rowAttrs, skipBytes = c.skipBytes)
+    }
+    val fileByTopic = c.topics.collect { case (t, Some(f)) => t -> f }.toMap
+    def dbTable(topic: String): Option[String] =
+      c.dbDir.map(d => s"$d/${Engine.sanitize(topic)}.parquet")
+        .filter(p => new java.io.File(p).exists())
+
+    def source(spec: Engine.TopicSpec): DataFrame =
+      fileByTopic.get(spec.topic) match {
+        case Some(file) => spark.read.parquet(file)
+        case None => KafkaRecords.read(spark,
+          c.brokers.getOrElse(throw new IllegalArgumentException(
+            s"no -b brokers, no =file source, and no -d db table for topic ${spec.topic}")),
+          spec.topic,
+          c.partitions.getOrElse(spec.topic, Nil),
+          c.offsets.getOrElse(spec.topic, "beginning"),
+          kafkaExtra)
+      }
+
+    // restore-from-db topics bypass decode (they were decoded when saved);
+    // everything else goes through the normal ingest path
+    val (restored, fresh) = specs.partition(s => dbTable(s.topic).isDefined)
+    restored.foreach { s =>
+      val df = spark.read.parquet(dbTable(s.topic).get)
+      df.createOrReplaceTempView(s"`${s.topic}`") // Engine's view convention
+      val alias = Engine.sanitize(s.topic)
+      if (alias != s.topic) df.createOrReplaceTempView(alias)
+    }
+    if (fresh.nonEmpty) engine.init(fresh, source)
+
+    // persist freshly-decoded tables for next run (reference -d semantics)
+    c.dbDir.foreach { d =>
+      new java.io.File(d).mkdirs()
+      fresh.foreach { s =>
+        val view = Engine.sanitize(s.topic)
+        spark.table(view).write.mode("overwrite").parquet(s"$d/$view.parquet")
+      }
+    }
+    engine
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parse(args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.register(spark)
-
-    val engine = new Engine(spark)
-    val specs = topics.map { case (topic, _) =>
-      Engine.TopicSpec(topic,
-        keySerde = keySerdes.getOrElse(topic, Serde.BinarySerde),
-        valueSerde = valueSerdes.getOrElse(topic, Serde.Latest),
-        rowAttrs = rowAttrs, skipBytes = skipBytes)
-    }
-    val fileByTopic = topics.collect { case (t, Some(f)) => t -> f }.toMap
-    def source(spec: Engine.TopicSpec): DataFrame =
-      fileByTopic.get(spec.topic) match {
-        case Some(file) => spark.read.parquet(file)
-        case None => KafkaRecords.read(spark,
-          brokers.getOrElse(throw new IllegalArgumentException(
-            s"no -b brokers and no =file source for topic ${spec.topic}")),
-          spec.topic,
-          partitions.getOrElse(spec.topic, Nil),
-          offsets.getOrElse(spec.topic, "beginning"))
-      }
-    if (specs.nonEmpty) engine.init(specs, source)
-
-    query match {
+    val engine = runWith(spark, c)
+    c.query match {
       case Some(q) => engine.query(q).foreach(println)
       case None => repl(engine)
     }

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.serde.Serde
+import graft.sources.KafkaRecords
+import graft.sources.KafkaRecords.SyntheticRecord
+
+/** CLI surface (reference: KwackMain.java:49-138): flag parsing, the
+  * properties-file config path (-F), -X passthrough split, and the -d
+  * persisted-db round trip (decode once, restore on the next run). */
+class MainSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def intRecords(topic: String, vals: Seq[Int]) =
+    vals.zipWithIndex.map { case (v, i) =>
+      SyntheticRecord(null, java.nio.ByteBuffer.allocate(4).putInt(v).array(),
+        topic, 0, i.toLong, 1000L + i)
+    }
+
+  test("flag parsing covers the reference option surface") {
+    val c = Main.parse(Array(
+      "-t", "a=f.parquet", "-t", "b", "-v", "a=int", "-k", "b=string",
+      "-a", "rowkey,par", "-q", "SELECT 1", "-x", "5", "-b", "broker:9092",
+      "-p", "b=0,2", "-o", "b=-10", "-m", "3000", "-r", "mock://x",
+      "-d", "/tmp/db", "-X", "kafka.fetch.max.bytes=1048576",
+      "-X", "spark.sql.shuffle.partitions=8"))
+    c.topics shouldBe Vector("a" -> Some("f.parquet"), "b" -> None)
+    c.valueSerdes("a") shouldBe Serde.IntSerde
+    c.rowAttrs shouldBe Set("rowkey", "par")
+    c.skipBytes shouldBe 5
+    c.partitions("b") shouldBe Seq(0, 2)
+    c.offsets("b") shouldBe "-10"
+    c.metadataTimeoutMs shouldBe Some(3000L)
+    c.registryUrl shouldBe Some("mock://x")
+    c.dbDir shouldBe Some("/tmp/db")
+    c.passthrough should have size 2
+  }
+
+  test("-F properties file maps the reference config keys; later flags win") {
+    val f = Files.createTempFile("graft", ".properties")
+    Files.writeString(f,
+      """topics=t1,t2
+        |value.serdes=t1=int,t2=string
+        |row.attributes=par,off
+        |skip.bytes=3
+        |query=SELECT * FROM t1
+        |db=/tmp/dbdir
+        |""".stripMargin)
+    val c = Main.parse(Array("-F", f.toString, "-q", "SELECT 2"))
+    c.topics.map(_._1) shouldBe Vector("t1", "t2")
+    c.valueSerdes("t1") shouldBe Serde.IntSerde
+    c.rowAttrs shouldBe Set("par", "off")
+    c.skipBytes shouldBe 3
+    c.dbDir shouldBe Some("/tmp/dbdir")
+    c.query shouldBe Some("SELECT 2") // flag after -F overrides
+  }
+
+  test("-d persists decoded tables and restores them on the next run") {
+    val topic = "cli-db-topic"
+    val recDir = Files.createTempDirectory("graftrec").toString
+    val dbDir = Files.createTempDirectory("graftdb").toString
+    // stage raw records as a parquet file source
+    KafkaRecords.synthetic(spark, intRecords(topic, Seq(7, 8, 9)))
+      .write.mode("overwrite").parquet(s"$recDir/records.parquet")
+
+    // run 1: decode from the file source, persist into -d
+    Main.runWith(spark, Main.parse(Array(
+      "-t", s"$topic=$recDir/records.parquet", "-v", s"$topic=int",
+      "-a", "", "-d", dbDir)))
+    spark.table(Engine.sanitize(topic)).collect().map(_.getInt(0)).sorted shouldBe
+      Array(7, 8, 9)
+    new java.io.File(s"$dbDir/${Engine.sanitize(topic)}.parquet").exists() shouldBe true
+
+    // run 2: no source at all — restored from -d
+    spark.catalog.dropTempView(Engine.sanitize(topic))
+    Main.runWith(spark, Main.parse(Array("-t", topic, "-a", "", "-d", dbDir)))
+    spark.table(Engine.sanitize(topic)).collect().map(_.getInt(0)).sorted shouldBe
+      Array(7, 8, 9)
+  }
+
+  test("non-mock registry URL is rejected with guidance (offline build)") {
+    val e = intercept[IllegalArgumentException] {
+      Main.runWith(spark, Main.parse(Array("-r", "http://sr:8081")))
+    }
+    e.getMessage should include("mock://")
+  }
+}
