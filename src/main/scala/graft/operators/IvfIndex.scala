@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor index: a k-means coarse
@@ -62,28 +63,54 @@ object IvfIndex {
       .select(col("v")).as[Seq[Float]].collect()
     var centroids = seeds.zipWithIndex.map { case (v, i) => Centroid(i, toDouble(v)) }
 
-    // 2^20: float * S is exact (exponent shift), so floor(x*S) loses only
-    // bits below 2^-20 and the per-cell component sums are exact longs.
-    val S = 1048576.0
     (0 until iters).foreach { _ =>
       val upd = assign(e, idCol, vecCol, centroids)
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i"))
-        .agg(sum(floor(col("x").cast("double") * S).cast("long")).as("s"),
+        .groupBy(col("cell"))
+        .agg(FixedPointVectorSum.agg(col(vecCol)).as("acc"),
           count(lit(1)).as("n"))
         .collect()
-      val byCell = upd.groupBy(_.getInt(0))
       centroids = centroids.map { c =>
-        byCell.get(c.cell).map { rows =>
-          val vec = new Array[Double](c.vec.length)
-          rows.foreach { r =>
-            vec(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3) / S
-          }
-          Centroid(c.cell, vec)
+        upd.find(_.getInt(0) == c.cell).map { r =>
+          val acc = r.getSeq[Long](1)
+          val n = r.getLong(2)
+          Centroid(c.cell, acc.map(_.toDouble / n / FixedPointVectorSum.S).toArray)
         }.getOrElse(c)
       }
     }
     centroids
+  }
+
+  /** Typed Aggregator: element-wise fixed-point sum of float vectors.
+    * Each component is scaled by 2^20 (exact for floats — a pure exponent
+    * shift), floored to a long, and summed as integers, so the reduction is
+    * associative/commutative and the result is identical under any
+    * partitioning or merge order — the property that makes the distributed
+    * Lloyd iteration bit-reproducible. One pass, no row expansion (vs
+    * posexplode to dim× rows and a (cell, i) shuffle). */
+  object FixedPointVectorSum extends Aggregator[Seq[Float], Array[Long], Seq[Long]] {
+    val S = 1048576.0
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], v: Seq[Float]): Array[Long] = {
+      val acc = if (b.length >= v.length) b else java.util.Arrays.copyOf(b, v.length)
+      var i = 0
+      while (i < v.length) { acc(i) += math.floor(v(i).toDouble * S).toLong; i += 1 }
+      acc
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+      var i = 0
+      while (i < small.length) { big(i) += small(i); i += 1 }
+      big
+    }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def agg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      udaf(this,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+        .apply(c)
   }
 
   /** Assign every corpus vector to its cell (map-only over a broadcast of
