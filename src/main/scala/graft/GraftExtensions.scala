@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // custom whole-operator strategies (AS-OF join); the imperative path
+    // (experimental.extraStrategies, registered on first use) stays for
+    // sessions the engine does not construct itself
+    ext.injectPlannerStrategy(_ => graft.operators.AsofJoinNative.AsofJoinStrategy)
   }
 }

@@ -101,6 +101,56 @@ object StreamingOps {
           UserStats(user, n, v)
       }
 
+  // ---- flatMapGroupsWithState: sessionization with event-time timeout ----
+
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  implicit private val timedEnc: Encoder[TimedEvent] = Encoders.product[TimedEvent]
+  implicit private val sessStateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit private val closedEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+
+  /** Gap-based sessionization that EMITS each session exactly once, when it
+    * closes — either by a later event past the gap, or by the event-time
+    * timeout once the watermark passes session_end + gap. This is the
+    * flatMapGroupsWithState shape for state the built-in `session_window`
+    * aggregate can't express (emit-on-close with custom payload); state is
+    * per-key and bounded by the watermark, the standard 1000-executor
+    * layout. */
+  def sessionizeOnClose(events: Dataset[TimedEvent], gapMs: Long,
+                        watermark: String = "10 minutes"): Dataset[ClosedSession] =
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          def closed(s: SessionState) = ClosedSession(user,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end + gapMs), s.n)
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator(closed(s))
+          } else {
+            var out = List.empty[ClosedSession]
+            var st = state.getOption
+            rows.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+              st match {
+                case Some(s) if t - s.end >= gapMs =>
+                  out ::= closed(s); st = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  st = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case None => st = Some(SessionState(t, t, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            out.reverse.iterator
+          }
+      }
+
   /** Run a streaming frame to completion as a snapshot (the reference's
     * consume-to-end semantics) into an in-memory table; returns the result. */
   def snapshotToTable(stream: DataFrame, name: String, outputMode: String = "complete"): DataFrame = {

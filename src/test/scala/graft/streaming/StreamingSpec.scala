@@ -101,6 +101,38 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     rows.map(_.getInt(0)).toSeq shouldBe Seq(7, 8) // decoded mid-stream
   }
 
+  test("flatMapGroupsWithState emits sessions exactly once, on close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{ClosedSession, TimedEvent}
+    val mem = MemoryStream[TimedEvent]
+    val out = StreamingOps.sessionizeOnClose(mem.toDS(), gapMs = 5 * 60 * 1000L,
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+
+    // batch 1: one session for user 1 (10:00, 10:02)
+    mem.addData(TimedEvent(1L, ts(0)), TimedEvent(1L, ts(2)))
+    q.processAllAvailable()
+    // batch 2: event at 10:30 — watermark advances to 10:20, past the
+    // session's timeout (10:02 + 5 min) — session 1 closes; new one opens
+    mem.addData(TimedEvent(1L, ts(30)))
+    q.processAllAvailable()
+    // batch 3: other user at 11:00 — watermark 10:50 closes session 2
+    mem.addData(TimedEvent(2L, ts(60, 0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("closed_sessions").as[ClosedSession].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    rows.length shouldBe 2
+    rows(0).n_events shouldBe 2L
+    rows(0).session_start shouldBe ts(0)
+    rows(0).session_end shouldBe ts(7) // last event 10:02 + 5 min gap
+    rows(1).n_events shouldBe 1L
+    rows(1).session_start shouldBe ts(30)
+  }
+
   test("stream-stream interval join buffers and joins across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
