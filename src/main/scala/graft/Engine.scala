@@ -261,6 +261,17 @@ class Engine(val spark: SparkSession,
     tables
   }
 
+  /** Register an already-decoded table (e.g. restored from a persisted db)
+    * under a spec without re-decoding: cached, view-registered, and visible
+    * to table()/endOffsets() like any init'd topic. */
+  def registerDecoded(spec: TopicSpec, df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    registerViews(spec, cached)
+    specs = specs.filterNot(_.topic == spec.topic) :+ spec
+    tables += spec.topic -> cached
+    cached
+  }
+
   /** Advance the snapshot: decode a fresh batch per topic (the caller's
     * source function reads from the saved end offsets, the batch analogue of
     * the reference's cache re-sync — KwackEngine.java:1052-1060) and union

@@ -58,7 +58,13 @@ object Main {
   private def addTopics(c: Cli, v: String): Cli = {
     val eq = v.indexOf('=')
     val t = if (eq > 0) (v.substring(0, eq), Some(v.substring(eq + 1))) else (v, None)
-    c.copy(topics = c.topics :+ t)
+    // same topic via -t and -F must not decode twice; a later file source
+    // refines an earlier bare mention
+    c.topics.indexWhere(_._1 == t._1) match {
+      case -1 => c.copy(topics = c.topics :+ t)
+      case i if t._2.isDefined => c.copy(topics = c.topics.updated(i, t))
+      case _ => c
+    }
   }
 
   /** Properties-file config (reference: KwackConfig key names). */
@@ -160,15 +166,13 @@ object Main {
       }
 
     // restore-from-db topics bypass decode (they were decoded when saved);
-    // everything else goes through the normal ingest path
+    // everything else goes through the normal ingest path. init first —
+    // it replaces the engine's spec/table maps — then merge restores in.
     val (restored, fresh) = specs.partition(s => dbTable(s.topic).isDefined)
-    restored.foreach { s =>
-      val df = spark.read.parquet(dbTable(s.topic).get)
-      df.createOrReplaceTempView(s"`${s.topic}`") // Engine's view convention
-      val alias = Engine.sanitize(s.topic)
-      if (alias != s.topic) df.createOrReplaceTempView(alias)
-    }
     if (fresh.nonEmpty) engine.init(fresh, source)
+    restored.foreach { s =>
+      engine.registerDecoded(s, spark.read.parquet(dbTable(s.topic).get))
+    }
 
     // persist freshly-decoded tables for next run (reference -d semantics)
     c.dbDir.foreach { d =>

@@ -106,7 +106,10 @@ object AsofJoinNative {
               curPayload = payloadProj(r).copy()
             } else advance = false
           }
-          val matched = curKey != null && keyOrd.compare(curKey, lKey) == 0
+          // SQL equality semantics: a NULL key never matches (the natural
+          // ordering would otherwise compare null == null)
+          val matched = curKey != null && !lKey.anyNull && !curKey.anyNull &&
+            keyOrd.compare(curKey, lKey) == 0
           outProj(joined(lRow, if (matched) curPayload else nullPayload))
         }
       }
@@ -120,17 +123,37 @@ object AsofJoinNative {
   def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
+    val registered =
+      spark.sessionState.planner.strategies.contains(AsofJoinStrategy) ||
+        spark.experimental.extraStrategies.contains(AsofJoinStrategy)
+    if (!registered) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
     }
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // self-join lineage: the analyzer's DeduplicateRelations does not know
+    // this node, so re-alias the right side ourselves whenever its exprIds
+    // overlap the left's — Alias always mints fresh ids
+    val rPlan0 = right.queryExecution.analyzed
+    val leftIds = lPlan.output.map(_.exprId).toSet
+    val rPlan: LogicalPlan =
+      if (rPlan0.output.exists(a => leftIds.contains(a.exprId)))
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rPlan0.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+          rPlan0)
+      else rPlan0
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     val lk = keys.map(attr(lPlan, _))
     val rk = keys.map(attr(rPlan, _))
+    lk.zip(rk).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of join key type mismatch: ${l.name} ${l.dataType} vs ${r.dataType} — " +
+          "hash partitioning would diverge and equal keys would never meet; " +
+          "cast the inputs to a common type first")
+    }
     val lts = attr(lPlan, leftTs)
     val rts0 = attr(rPlan, rightTs)
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)

@@ -49,9 +49,8 @@ object Dedup {
     * bit-identical to the composable transform/md5 pipeline but fused loops.
     * Persisted and shared across the dedup queries — the "materialize the
     * tokenized corpus once" stage of a production pipeline. */
-  private val shCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
-    shCache.getOrElseUpdate(dir,
+    memoized(s"shingles:$dir")(
       t(s, dir, "documents")
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), expr("graft_shingles(text)").as("sh"))

@@ -29,8 +29,16 @@ object QueryHelpers {
     * "build the index once, serve many queries" lifecycle of a production
     * pipeline. */
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
-  def memoized(key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(key, build)
+  def memoized(key: String)(build: => DataFrame): DataFrame = {
+    // a frame built by a stopped session must be rebuilt — its plan (and
+    // persisted blocks) died with that session
+    val cached = memo.get(key).filter(!_.sparkSession.sparkContext.isStopped)
+    cached.getOrElse {
+      val built = build
+      memo.put(key, built)
+      built
+    }
+  }
 
   /** Exact money: cast a double measure column to DECIMAL(12,2). */
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))

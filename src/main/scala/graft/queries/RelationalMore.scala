@@ -185,8 +185,11 @@ object RelationalMore {
     val v = col("value").cast("decimal(12,2)")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-3, 3)
+    // SQL's SUM over an empty (all-excluded) frame is NULL, not 0: guard on
+    // the frame holding more than just the current row
     e.select(col("user_id"), col("event_id"),
-        (sum(v).over(w) - v).cast("double").as("neighbor_sum"))
+        when(count(lit(1)).over(w) > 1, (sum(v).over(w) - v).cast("double"))
+          .as("neighbor_sum"))
       .orderBy(col("user_id"), col("event_id"))
   }
 

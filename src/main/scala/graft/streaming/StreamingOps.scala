@@ -118,7 +118,10 @@ object StreamingOps {
     * flatMapGroupsWithState shape for state the built-in `session_window`
     * aggregate can't express (emit-on-close with custom payload); state is
     * per-key and bounded by the watermark, the standard 1000-executor
-    * layout. */
+    * layout. Out-of-order events within the watermark extend the open
+    * session downward; an event detached below it by >= gap closes
+    * immediately as its own session (only later batches could have merged
+    * into it, and those would themselves be late). */
   def sessionizeOnClose(events: Dataset[TimedEvent], gapMs: Long,
                         watermark: String = "10 minutes"): Dataset[ClosedSession] =
     events.withWatermark("ts", watermark)
@@ -138,8 +141,14 @@ object StreamingOps {
               st match {
                 case Some(s) if t - s.end >= gapMs =>
                   out ::= closed(s); st = Some(SessionState(t, t, 1))
+                case Some(s) if s.start - t >= gapMs =>
+                  // late-but-within-watermark event detached BELOW the open
+                  // session: it can only grow downward from even-later
+                  // arrivals, which sort first within a batch — so by now it
+                  // is a complete singleton session of its own
+                  out ::= closed(SessionState(t, t, 1))
                 case Some(s) =>
-                  st = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                  st = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case None => st = Some(SessionState(t, t, 1))
               }
             }

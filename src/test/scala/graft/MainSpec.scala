@@ -59,6 +59,13 @@ class MainSpec extends AnyFunSuite with Matchers {
     c.query shouldBe Some("SELECT 2") // flag after -F overrides
   }
 
+  test("same topic via -t and -F is decoded once; file source refines it") {
+    val f = Files.createTempFile("graft", ".properties")
+    Files.writeString(f, "topics=t1,t2\n")
+    val c = Main.parse(Array("-t", "t1", "-F", f.toString, "-t", "t2=r.parquet"))
+    c.topics shouldBe Vector("t1" -> None, "t2" -> Some("r.parquet"))
+  }
+
   test("-d persists decoded tables and restores them on the next run") {
     val topic = "cli-db-topic"
     val recDir = Files.createTempDirectory("graftrec").toString

@@ -46,6 +46,32 @@ class AsofJoinNativeSpec extends AnyFunSuite with Matchers {
       (1L, null), (1L, 100.0), (1L, 102.0), (1L, 102.0), (2L, 50.0), (3L, null))
   }
 
+  test("self as-of join re-aliases shared lineage instead of mis-binding") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:05:00"), 20.0),
+      (2L, ts("2024-01-01 10:01:00"), 30.0)
+    ).toDF("id", "t", "v")
+    // left and right are the SAME plan: each row's as-of match is itself
+    val out = AsofJoinNative.asofLeft(ev, ev, Seq("id"), "t", "t")
+      .orderBy(col("id"), col("t")).collect()
+    out.length shouldBe 3
+    out.foreach { r =>
+      r.getDouble(3) shouldBe r.getDouble(2) // payload v == own v
+    }
+  }
+
+  test("mismatched key types are rejected, not silently unmatched") {
+    import spark.implicits._
+    val l = Seq((1, ts("2024-01-01 10:00:00"))).toDF("id", "t")        // int key
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 5.0)).toDF("id", "t", "v") // long key
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinNative.asofLeft(l, r, Seq("id"), "t", "t")
+    }
+    e.getMessage should include("type mismatch")
+  }
+
   test("native and composed implementations agree on real data") {
     val e = graft.Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))

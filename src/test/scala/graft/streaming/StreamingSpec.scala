@@ -133,6 +133,35 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     rows(1).session_start shouldBe ts(30)
   }
 
+  test("sessionizeOnClose absorbs out-of-order events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{ClosedSession, TimedEvent}
+    val mem = MemoryStream[TimedEvent]
+    val out = StreamingOps.sessionizeOnClose(mem.toDS(), gapMs = 5 * 60 * 1000L,
+      watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+
+    mem.addData(TimedEvent(1L, ts(10)))
+    q.processAllAvailable()
+    // out-of-order but within the 30-min watermark: 10:08 extends the open
+    // session downward; 10:00 is detached below it (>= 5-min gap) and
+    // closes immediately as a singleton
+    mem.addData(TimedEvent(1L, ts(8)), TimedEvent(1L, ts(0)))
+    q.processAllAvailable()
+    // push the watermark far forward to close the open session
+    mem.addData(TimedEvent(2L, ts(120)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ooo_sessions").as[ClosedSession].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    rows.map(r => (r.session_start, r.n_events)).toSeq shouldBe Seq(
+      (ts(0), 1L),  // detached singleton
+      (ts(8), 2L))  // 10:08 merged below the 10:10 session
+  }
+
   test("stream-stream interval join buffers and joins across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
