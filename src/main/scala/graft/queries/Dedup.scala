@@ -276,17 +276,88 @@ object Dedup {
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY v1, v2""".stripMargin
 
+  /** Sketch-quality evaluation: for every LSH candidate pair, the MinHash
+    * ESTIMATE (fraction of equal signature components) against the exact
+    * jaccard, with per-pair absolute error — the acceptance metric a
+    * pipeline gates its sketch parameters (k, bands) on. Both the estimate
+    * and the truth are computed in-engine and oracle-replayed. */
+  private val d06: Q = (s, dir) => {
+    val docs = docsWithShingles(s, dir)
+    val sig = docs.select(
+      (col("doc_id") +: col("sh") +:
+        (0 until 8).map(i => expr(minhashCol(i)).as(s"m$i"))): _*)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(pairsFromPostings)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    val a = sig.select((col("doc_id").as("d1") +: col("sh").as("sh1") +:
+      (0 until 8).map(i => col(s"m$i").as(s"a$i"))): _*)
+    val b = sig.select((col("doc_id").as("d2") +: col("sh").as("sh2") +:
+      (0 until 8).map(i => col(s"m$i").as(s"b$i"))): _*)
+    val matches = (0 until 8).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val exact = inter /
+      (size(col("sh1")) + size(col("sh2")) - size(array_intersect(col("sh1"), col("sh2")))).cast("double")
+    cand.join(a, Seq("d1")).join(b, Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(matches.cast("double") / 8.0, 6).as("est"),
+        round(exact, 6).as("exact"))
+      .withColumn("abs_err", round(abs(col("est") - col("exact")), 6))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val d06Sql = {
+    val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(",\n   ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || '_' || m${2 * b + 1} AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val eqSum = (0 until 8).map(i =>
+      s"(CASE WHEN s1.m$i = s2.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH docs AS ($docsShSql),
+       |sig AS (SELECT doc_id, sh,
+       |   $sigCols
+       |  FROM docs),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT d1, d2,
+       |    ROUND(($eqSum)::DOUBLE / 8.0, 6) AS est,
+       |    ROUND(LEN(LIST_INTERSECT(s1.sh, s2.sh))::DOUBLE /
+       |      (LEN(s1.sh) + LEN(s2.sh) - LEN(LIST_INTERSECT(s1.sh, s2.sh)))::DOUBLE, 6) AS exact
+       |  FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id
+       |  JOIN sig s2 ON d2 = s2.doc_id)
+       |SELECT d1, d2, est, exact, ROUND(ABS(est - exact), 6) AS abs_err
+       |FROM scored ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01,
     "d02_dedup_jaccard" -> d02,
     "d03_dedup_minhash_lsh" -> d03,
     "d04_dedup_simhash" -> d04,
-    "d05_dedup_embedding" -> d05)
+    "d05_dedup_embedding" -> d05,
+    "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
     "d02_dedup_jaccard" -> d02Sql,
     "d03_dedup_minhash_lsh" -> d03Sql,
     "d04_dedup_simhash" -> d04Sql,
-    "d05_dedup_embedding" -> d05Sql)
+    "d05_dedup_embedding" -> d05Sql,
+    "d06_minhash_quality" -> d06Sql)
 }

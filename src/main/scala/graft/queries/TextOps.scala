@@ -149,15 +149,46 @@ object TextOps {
        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Character n-gram frequency profile: top-3 trigrams per language — the
+    * statistic a real language-ID model trains on (x03's heuristic is its
+    * inference-time counterpart). Heavy explode (≈ one row per character)
+    * followed by a two-level aggregation; partial aggregation absorbs the
+    * blow-up map-side before the (lang, gram) shuffle. */
+  private val x05: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").filter(length(col("text")) >= 3)
+    val grams = d.select(col("lang"),
+      explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+    val counts = grams.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("rn"), col("g"), col("n"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  private val x05Sql =
+    """WITH grams AS (
+      |  SELECT lang, UNNEST([SUBSTR(text, i, 3) FOR i IN RANGE(1, LEN(text) - 1)]) AS g
+      |  FROM documents WHERE LEN(text) >= 3),
+      |counts AS (SELECT lang, g, COUNT(*) AS n FROM grams GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lang, g, n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rn
+      |  FROM counts)
+      |SELECT lang, rn, g, n FROM ranked WHERE rn <= 3 ORDER BY lang, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x01_token_count" -> x01,
     "x02_quality_score" -> x02,
     "x03_lang_id" -> x03,
-    "x04_fingerprint" -> x04)
+    "x04_fingerprint" -> x04,
+    "x05_ngram_profile" -> x05)
 
   val oracleSql: Map[String, String] = Map(
     "x01_token_count" -> x01Sql,
     "x02_quality_score" -> x02Sql,
     "x03_lang_id" -> x03Sql,
-    "x04_fingerprint" -> x04Sql)
+    "x04_fingerprint" -> x04Sql,
+    "x05_ngram_profile" -> x05Sql)
 }
