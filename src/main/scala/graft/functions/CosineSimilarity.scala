@@ -98,6 +98,7 @@ object GraftFunctions {
     "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_shingles" -> (exprs => WordShingles(exprs(0))),
+    "graft_char_ngrams" -> (exprs => CharNgrams(exprs(0))),
     "graft_md5i_array" -> (exprs => Md5IntArray(exprs(0))),
     "graft_pairs" -> (exprs => PostingPairs(exprs(0))),
     "graft_simhash" -> (exprs => SimHash32(exprs(0))),

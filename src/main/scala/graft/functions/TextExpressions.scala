@@ -75,6 +75,21 @@ object NativeHelpers {
     new GenericArrayData(out)
   }
 
+  /** All character trigrams in order (duplicates kept — frequency counting
+    * downstream). One fused loop; replaces the interpreted
+    * transform(sequence(1, len-2), i -> substring(text, i, 3)) pipeline. */
+  def charNgrams3(text: UTF8String): ArrayData = {
+    val s = text.toString
+    if (s.length < 3) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](s.length - 2)
+    var i = 0
+    while (i + 2 < s.length) {
+      out(i) = UTF8String.fromString(s.substring(i, i + 3))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash over the hashed-token array: bit j set when the
     * majority of tokens have bit j set. One pass; identical to the 32
     * per-bit aggregate folds it replaces. */
@@ -143,6 +158,22 @@ case class WordShingles(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NativeHelpers$$.MODULE$$.shingles3($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_char_ngrams(text) -> array<string> of ALL character trigrams. */
+case class CharNgrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires string, got $t")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHelpers.charNgrams3(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeHelpers$$.MODULE$$.charNgrams3($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

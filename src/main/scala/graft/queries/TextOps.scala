@@ -158,7 +158,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents").filter(length(col("text")) >= 3)
     val grams = d.select(col("lang"),
-      explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+      explode(expr("graft_char_ngrams(text)")).as("g"))
     val counts = grams.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
     counts.withColumn("rn", row_number().over(w))

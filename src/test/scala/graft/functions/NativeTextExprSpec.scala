@@ -30,6 +30,14 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     diff.count() shouldBe 0L
   }
 
+  test("graft_char_ngrams equals the transform/substring composition") {
+    val composed = "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+    val diff = docs.filter(expr("length(text) >= 3"))
+      .select(expr("graft_char_ngrams(text)").as("a"), expr(composed).as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+  }
+
   test("graft_md5i_array equals per-element md5 conv") {
     val diff = docs
       .select(expr("graft_shingles(text)").as("sh"))
