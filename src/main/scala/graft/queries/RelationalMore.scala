@@ -284,7 +284,52 @@ object RelationalMore {
       |FROM events e JOIN dim d USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** String-function long tail — every name parses identically in both
+    * dialects, so one text serves both engines. */
+  private val q57Text =
+    """SELECT p_partkey,
+      | SPLIT_PART(p_name, ' ', 2) AS second_word,
+      | REPEAT(p_brand, 2) AS brand2,
+      | REVERSE(p_type) AS type_rev,
+      | TRANSLATE(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+      | LEFT(p_name, 4) AS l4,
+      | RIGHT(p_name, 4) AS r4,
+      | CONTAINS(p_name, 'al') AS has_al,
+      | ASCII(p_brand) AS first_code,
+      | CHR(65 + CAST(p_partkey % 26 AS INTEGER)) AS cyc
+      |FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""".stripMargin
+  private val q57 = sql(q57Text)
+
+  /** Array/map long tail: flatten, array_position, map construction,
+    * map_concat, keys/values, cardinality. */
+  private val q58: Q = (s, dir) => {
+    val p = t(s, dir, "part").filter(col("p_partkey") <= 100)
+    val arr = array(col("p_brand"), col("p_type"), col("p_name"))
+    val m1 = map_from_arrays(array(lit("brand"), lit("type")),
+      array(col("p_brand"), col("p_type")))
+    val m2 = map_from_arrays(array(lit("name")), array(col("p_name")))
+    val mc = map_concat(m1, m2)
+    p.select(col("p_partkey"),
+        flatten(array(arr, arr)).as("doubled"),
+        array_position(arr, col("p_type")).as("pos_type"),
+        map_keys(mc).as("ks"),
+        map_values(mc).as("vs"),
+        size(mc).as("card"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q58Sql =
+    """SELECT p_partkey,
+      | FLATTEN([[p_brand, p_type, p_name], [p_brand, p_type, p_name]]) AS doubled,
+      | CAST(ARRAY_POSITION([p_brand, p_type, p_name], p_type) AS BIGINT) AS pos_type,
+      | MAP_KEYS(MAP_CONCAT(MAP(['brand','type'], [p_brand, p_type]), MAP(['name'], [p_name]))) AS ks,
+      | MAP_VALUES(MAP_CONCAT(MAP(['brand','type'], [p_brand, p_type]), MAP(['name'], [p_name]))) AS vs,
+      | CAST(CARDINALITY(MAP_CONCAT(MAP(['brand','type'], [p_brand, p_type]), MAP(['name'], [p_name]))) AS INTEGER) AS card
+      |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q57_string_extras" -> q57,
+    "q58_collection_extras" -> q58,
     "q54_safe_cast" -> q54,
     "q55_date_extras" -> q55,
     "q56_salted_join" -> q56,
@@ -300,6 +345,8 @@ object RelationalMore {
     "q49_bit_ops" -> q49)
 
   val oracleSql: Map[String, String] = Map(
+    "q57_string_extras" -> q57Text,
+    "q58_collection_extras" -> q58Sql,
     "q54_safe_cast" -> q54Text,
     "q55_date_extras" -> q55Sql,
     "q56_salted_join" -> q56Sql,
