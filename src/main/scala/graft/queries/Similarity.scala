@@ -173,7 +173,10 @@ object Similarity {
   private def dist2Sql(a: String, b: String): String =
     s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, [(z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE) FOR z IN LIST_ZIP($a, $b)]), (acc, x) -> acc + x)"
 
-  private val s04Sql: String = {
+  /** Shared oracle machinery: the WITH-clause body replaying seeding, the
+    * unrolled Lloyd iterations, final assignment, and nprobe=3 probing —
+    * used by both s04 (search results) and s06 (recall sweep). */
+  private val ivfCtePrefix: String = {
     // One Lloyd iteration: argmin assignment against cents{n-1} (ties ->
     // lowest cell, matching IvfIndex.nearest's strict <), then the
     // fixed-point mean: sum over floor(x * 2^20) as BIGINT, divided back out
@@ -208,11 +211,11 @@ object Similarity {
        |    FROM embeddings) WHERE cell < $ivfK),
        |${(1 to ivfIters).map(iter).mkString(",\n")},
        |probe AS (
-       |  SELECT qid, qe, cell FROM (
+       |  SELECT qid, qe, cell, cell_rank FROM (
        |    SELECT e.vec_id AS qid, e.v AS qe, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
-       |    FROM e CROSS JOIN $fin c WHERE e.vec_id < 20) WHERE rn <= 3),
+       |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS cell_rank
+       |    FROM e CROSS JOIN $fin c WHERE e.vec_id < 20) WHERE cell_rank <= 3),
        |assignF AS (
        |  SELECT vec_id AS cid, v AS ce, cell FROM (
        |    SELECT e.vec_id, e.v, c.cell,
@@ -220,15 +223,18 @@ object Similarity {
        |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
        |    FROM e CROSS JOIN $fin c) WHERE rn = 1),
        |scored AS (
-       |  SELECT p.qid, a.cid, ${cosineSql("p.qe", "a.ce")} AS cos
-       |  FROM probe p JOIN assignF a ON p.cell = a.cell AND p.qid <> a.cid),
+       |  SELECT p.qid, a.cid, ${cosineSql("p.qe", "a.ce")} AS cos, p.cell_rank
+       |  FROM probe p JOIN assignF a ON p.cell = a.cell AND p.qid <> a.cid)""".stripMargin
+  }
+
+  private val s04Sql: String =
+    s"""$ivfCtePrefix,
        |ranked AS (
        |  SELECT qid, cid, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
        |  FROM scored)
        |SELECT qid, rank, cid, ROUND(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
-  }
 
   /** ANN quality evaluation: recall@3 of the LSH index (s03) against exact
     * brute force — the acceptance metric a production ANN deployment gates
@@ -294,17 +300,76 @@ object Similarity {
        |FROM brute b LEFT JOIN lsh h ON b.qid = h.qid AND b.cid = h.cid
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 
+  /** Index-tuning sweep: recall@3 of the trained IVF index as a function of
+    * nprobe (1..3) — the accuracy/cost curve an ANN deployment picks its
+    * operating point from. Probing, re-rank, brute-force truth, and the
+    * recall aggregation are all oracle-replayed. */
+  private val s06: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
+      k = ivfK, iters = ivfIters)
+    val assigned = graft.operators.IvfIndex.assign(e, "vec_id", "embedding", centroids)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val truth = q.hint("broadcast").crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+    (1 to 3).map { np =>
+      val ivf = graft.operators.IvfIndex.search(assigned,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding", centroids,
+          nprobe = np, topk = 3)
+        .select(col("qid"), col("cid"))
+      truth.join(ivf, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("nprobe"), col("hits"),
+          round(col("hits") / lit(60.0), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
+  private val s06Sql =
+    s"""$ivfCtePrefix,
+       |bruted AS (
+       |  SELECT qid, c.vec_id AS cid, ${cosineSql("qe", "c.embedding")} AS bcos
+       |  FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20) q
+       |  CROSS JOIN embeddings c WHERE qid <> c.vec_id),
+       |brute AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bcos DESC, cid) AS rnk
+       |    FROM bruted) WHERE rnk <= 3),
+       |sel AS (
+       |  SELECT np, qid, cid FROM (
+       |    SELECT nps.np, s.qid, s.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY nps.np, s.qid
+       |        ORDER BY s.cos DESC, s.cid) AS rnk
+       |    FROM scored s CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS np) nps
+       |    WHERE s.cell_rank <= nps.np) WHERE rnk <= 3),
+       |hitrows AS (
+       |  SELECT s.np, s.qid, s.cid
+       |  FROM sel s JOIN brute b ON s.qid = b.qid AND s.cid = b.cid)
+       |SELECT nps.np AS nprobe, COUNT(h.qid) AS hits,
+       | ROUND(COUNT(h.qid) / 60.0, 6) AS recall
+       |FROM (SELECT UNNEST([1, 2, 3]) AS np) nps
+       |LEFT JOIN hitrows h ON nps.np = h.np
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01,
     "s02_knn_ivf" -> s02,
     "s03_knn_lsh" -> s03,
     "s04_knn_ivf_trained" -> s04,
-    "s05_ann_recall" -> s05)
+    "s05_ann_recall" -> s05,
+    "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
     "s02_knn_ivf" -> s02Sql,
     "s03_knn_lsh" -> s03Sql,
     "s04_knn_ivf_trained" -> s04Sql,
-    "s05_ann_recall" -> s05Sql)
+    "s05_ann_recall" -> s05Sql,
+    "s06_ivf_recall_sweep" -> s06Sql)
 }
