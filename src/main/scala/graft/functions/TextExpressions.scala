@@ -77,14 +77,27 @@ object NativeHelpers {
 
   /** All character trigrams in order (duplicates kept — frequency counting
     * downstream). One fused loop; replaces the interpreted
-    * transform(sequence(1, len-2), i -> substring(text, i, 3)) pipeline. */
+    * transform(sequence(1, len-2), i -> substring(text, i, 3)) pipeline.
+    * Iterates CODE POINTS, not UTF-16 units, to match Spark's substring and
+    * DuckDB's SUBSTR on supplementary-plane characters. */
   def charNgrams3(text: UTF8String): ArrayData = {
     val s = text.toString
-    if (s.length < 3) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](s.length - 2)
+    val cp = s.codePointCount(0, s.length)
+    if (cp < 3) return new GenericArrayData(Array.empty[Any])
+    // char offset of each code-point boundary
+    val offs = new Array[Int](cp + 1)
+    var ci = 0
+    var k = 0
+    while (k < cp) {
+      offs(k) = ci
+      ci += Character.charCount(s.codePointAt(ci))
+      k += 1
+    }
+    offs(cp) = s.length
+    val out = new Array[Any](cp - 2)
     var i = 0
-    while (i + 2 < s.length) {
-      out(i) = UTF8String.fromString(s.substring(i, i + 3))
+    while (i < cp - 2) {
+      out(i) = UTF8String.fromString(s.substring(offs(i), offs(i + 3)))
       i += 1
     }
     new GenericArrayData(out)

@@ -124,21 +124,32 @@ object IvfIndex {
     e.withColumn("cell", cellOf(col(vecCol)))
   }
 
+  /** Every query paired with its `maxProbe` nearest cells, with the cell's
+    * closeness rank (1 = nearest). One broadcast of the (tiny) centroid
+    * table; the sweep/search layers filter on `cell_rank`. */
+  def probeRanked(queries: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Centroid], maxProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeCells = udf { (v: Seq[Float]) =>
+      val dv = toDouble(v)
+      bc.value.map(c => (dist2(dv, c.vec), c.cell)).sortBy(_._1)
+        .take(maxProbe).map(_._2).toSeq
+    }
+    queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"))
+      .select(col("qid"), col("qe"),
+        posexplode(probeCells(col("qe"))).as(Seq("p", "cell")))
+      .select(col("qid"), col("qe"), col("cell"), (col("p") + 1).as("cell_rank"))
+  }
+
   /** Probe: for each query, the `nprobe` nearest cells; candidates come
     * from an equi-join on cell; exact cosine re-rank keeps `topk`. */
   def search(assigned: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, centroids: Array[Centroid], nprobe: Int,
              topk: Int): DataFrame = {
-    val spark = assigned.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probeCells = udf { (v: Seq[Float]) =>
-      val dv = toDouble(v)
-      bc.value.map(c => (dist2(dv, c.vec), c.cell)).sortBy(_._1)
-        .take(nprobe).map(_._2).toSeq
-    }
-    val q = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qe"))
-      .withColumn("cell", explode(probeCells(col("qe"))))
+    val q = probeRanked(queries, idCol, vecCol, centroids, nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
     val c = assigned.select(col(idCol).as("cid"), col(vecCol).as("ce"), col("cell"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))

@@ -147,44 +147,64 @@ object Dedup {
     s"LIST_MIN([($a * (${md5iSql("s")} % $P) + $b) % $P FOR s IN sh])"
   }
 
-  /** MinHash + LSH near-dup: 8-hash signature as folds over the once-hashed
-    * shingles, band keys (4 bands x 2 rows) -> postings-list candidate
-    * enumeration -> exact jaccard >= 0.8 verification on candidates only. */
-  private val d03: Q = (s, dir) => {
+  /** MinHash signature frame (doc_id, m0..m7) over the shingled corpus —
+    * ONE definition of the sketch parameters (8 hashes, 4 bands x 2 rows)
+    * shared by the dedup pass (d03) and the quality evaluation (d06). */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithShingles(s, dir)
-    val sig = docs.select(
-      (col("doc_id") +:
+    docs.select(
+      (col("doc_id") +: col("sh") +:
         (0 until 8).map(i => expr(minhashCol(i)).as(s"m$i"))): _*)
+  }
+
+  /** LSH band-bucket candidate pairs (d1 < d2, distinct) from the signature
+    * frame — the shared candidate generator for d03/d06. */
+  private def minhashCandidates(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands
+    bands
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(pairsFromPostings)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-    val withSh = cand
+  }
+
+  /** Exact jaccard between the pair's shingle sets (both dialects divide
+    * |intersection| by |union| in doubles). */
+  private def jaccardCol = {
+    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    inter.cast("double") /
+      (size(col("sh1")) + size(col("sh2")) - inter).cast("double")
+  }
+
+  /** MinHash + LSH near-dup: 8-hash signature as folds over the once-hashed
+    * shingles, band keys (4 bands x 2 rows) -> postings-list candidate
+    * enumeration -> exact jaccard >= 0.8 verification on candidates only. */
+  private val d03: Q = (s, dir) => {
+    val docs = docsWithShingles(s, dir)
+    val cand = minhashCandidates(minhashSig(s, dir))
+    cand
       .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
       .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-    withSh.select(col("d1"), col("d2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          (size(col("sh1")) + size(col("sh2"))
-            - size(array_intersect(col("sh1"), col("sh2")))).cast("double")).as("jaccard"))
+      .select(col("d1"), col("d2"), jaccardCol.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val d03Sql = {
+  /** Shared oracle CTEs: shingled docs -> signatures -> bands -> distinct
+    * candidate pairs. One definition of the sketch for d03Sql and d06Sql. */
+  private val minhashCandCtes: String = {
     val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(",\n   ")
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band, m${2 * b} || '_' || m${2 * b + 1} AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH docs AS ($docsShSql),
+    s"""docs AS ($docsShSql),
        |sig AS (SELECT doc_id, sh,
        |   $sigCols
        |  FROM docs),
@@ -193,16 +213,22 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val jaccardSql =
+    """LEN(LIST_INTERSECT(s1.sh, s2.sh))::DOUBLE /
+      |      (LEN(s1.sh) + LEN(s2.sh) - LEN(LIST_INTERSECT(s1.sh, s2.sh)))::DOUBLE""".stripMargin
+
+  private val d03Sql =
+    s"""WITH $minhashCandCtes,
        |j AS (
        |  SELECT d1, d2,
-       |    LEN(LIST_INTERSECT(s1.sh, s2.sh))::DOUBLE /
-       |      (LEN(s1.sh) + LEN(s2.sh) - LEN(LIST_INTERSECT(s1.sh, s2.sh)))::DOUBLE AS jaccard
+       |    $jaccardSql AS jaccard
        |  FROM cand
        |  JOIN docs s1 ON d1 = s1.doc_id
        |  JOIN docs s2 ON d2 = s2.doc_id)
        |SELECT * FROM j WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
-  }
 
   // ---- SimHash: 32-bit signature over distinct tokens, byte-band LSH ----
   private def simhashSql: String = {
@@ -282,62 +308,30 @@ object Dedup {
     * pipeline gates its sketch parameters (k, bands) on. Both the estimate
     * and the truth are computed in-engine and oracle-replayed. */
   private val d06: Q = (s, dir) => {
-    val docs = docsWithShingles(s, dir)
-    val sig = docs.select(
-      (col("doc_id") +: col("sh") +:
-        (0 until 8).map(i => expr(minhashCol(i)).as(s"m$i"))): _*)
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(expr(pairsFromPostings)).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .distinct()
+    val sig = minhashSig(s, dir)
+    val cand = minhashCandidates(sig)
     val a = sig.select((col("doc_id").as("d1") +: col("sh").as("sh1") +:
       (0 until 8).map(i => col(s"m$i").as(s"a$i"))): _*)
     val b = sig.select((col("doc_id").as("d2") +: col("sh").as("sh2") +:
       (0 until 8).map(i => col(s"m$i").as(s"b$i"))): _*)
     val matches = (0 until 8).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
-    val exact = inter /
-      (size(col("sh1")) + size(col("sh2")) - size(array_intersect(col("sh1"), col("sh2")))).cast("double")
     cand.join(a, Seq("d1")).join(b, Seq("d2"))
       .select(col("d1"), col("d2"),
         round(matches.cast("double") / 8.0, 6).as("est"),
-        round(exact, 6).as("exact"))
+        round(jaccardCol, 6).as("exact"))
       .withColumn("abs_err", round(abs(col("est") - col("exact")), 6))
       .orderBy(col("d1"), col("d2"))
   }
 
   private val d06Sql = {
-    val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(",\n   ")
-    val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band, m${2 * b} || '_' || m${2 * b + 1} AS key FROM sig"
-    }.mkString("\n  UNION ALL ")
     val eqSum = (0 until 8).map(i =>
       s"(CASE WHEN s1.m$i = s2.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH docs AS ($docsShSql),
-       |sig AS (SELECT doc_id, sh,
-       |   $sigCols
-       |  FROM docs),
-       |bands AS (
-       |  $bandRows),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    s"""WITH $minhashCandCtes,
        |scored AS (
        |  SELECT d1, d2,
        |    ROUND(($eqSum)::DOUBLE / 8.0, 6) AS est,
-       |    ROUND(LEN(LIST_INTERSECT(s1.sh, s2.sh))::DOUBLE /
-       |      (LEN(s1.sh) + LEN(s2.sh) - LEN(LIST_INTERSECT(s1.sh, s2.sh)))::DOUBLE, 6) AS exact
+       |    ROUND($jaccardSql, 6) AS exact
        |  FROM cand
        |  JOIN sig s1 ON d1 = s1.doc_id
        |  JOIN sig s2 ON d2 = s2.doc_id)

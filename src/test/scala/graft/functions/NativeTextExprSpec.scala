@@ -38,6 +38,18 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     diff.count() shouldBe 0L
   }
 
+  test("graft_char_ngrams counts code points, not UTF-16 units") {
+    import spark.implicits._
+    val composed = "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+    // supplementary-plane emoji (surrogate pair), combining marks, CJK
+    val rows = Seq("ab😀cd", "héllo wörld", "日本語テキスト", "😀😁😂😃")
+      .toDF("text")
+    val diff = rows
+      .select(expr("graft_char_ngrams(text)").as("a"), expr(composed).as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+  }
+
   test("graft_md5i_array equals per-element md5 conv") {
     val diff = docs
       .select(expr("graft_shingles(text)").as("sh"))
