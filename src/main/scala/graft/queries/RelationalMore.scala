@@ -327,7 +327,65 @@ object RelationalMore {
       | CAST(CARDINALITY(MAP_CONCAT(MAP(['brand','type'], [p_brand, p_type]), MAP(['name'], [p_name]))) AS INTEGER) AS card
       |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin
 
+  /** IGNORE NULLS window navigation: last/first non-null and null-skipping
+    * lag — the gap-filling idiom for sparse measures. */
+  private val q59: Q = (s, dir) => {
+    val e = t(s, dir, "events").filter(col("user_id") < 30)
+    val v = when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_id"),
+        lag(v, 1, null, ignoreNulls = true).over(w).as("prev_v"),
+        last(v, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("fill_v"),
+        first(v, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("first_v"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q59Sql =
+    """SELECT user_id, event_id,
+      | LAG(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+      | LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_v,
+      | FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |      FROM events WHERE user_id < 30)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Inline constant tables (VALUES) joined against real data — the same
+    * text parses in both dialects. */
+  private val q60Text =
+    """SELECT r.r_name, v.bonus
+      |FROM region r JOIN (VALUES (0, 10), (1, 20), (2, 30), (3, 40), (4, 50))
+      |  AS v(rk, bonus) ON r.r_regionkey = v.rk
+      |ORDER BY r.r_name""".stripMargin
+  private val q60 = sql(q60Text)
+
+  /** Epoch conversions: timestamp -> millis/seconds and the round trip. */
+  private val q61: Q = (s, dir) => {
+    val e = t(s, dir, "events").filter(col("event_id") <= 200)
+    e.select(col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        unix_seconds(col("ts")).as("sec"),
+        timestamp_seconds(unix_seconds(col("ts"))).as("rt"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q61Sql =
+    """SELECT event_id,
+      | EPOCH_MS(ts) AS ms,
+      | CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+      | CAST(TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS TIMESTAMP) AS rt
+      |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q59_ignore_nulls" -> q59,
+    "q60_values_inline" -> q60,
+    "q61_epoch_fns" -> q61,
     "q57_string_extras" -> q57,
     "q58_collection_extras" -> q58,
     "q54_safe_cast" -> q54,
@@ -345,6 +403,9 @@ object RelationalMore {
     "q49_bit_ops" -> q49)
 
   val oracleSql: Map[String, String] = Map(
+    "q59_ignore_nulls" -> q59Sql,
+    "q60_values_inline" -> q60Text,
+    "q61_epoch_fns" -> q61Sql,
     "q57_string_extras" -> q57Text,
     "q58_collection_extras" -> q58Sql,
     "q54_safe_cast" -> q54Text,
