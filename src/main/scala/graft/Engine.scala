@@ -306,27 +306,37 @@ class Engine(val spark: SparkSession,
 
   private val quotedTableRef = "(?i)\\b(FROM|JOIN)\\s+'([^']+)'".r
   private val copyStmt =
-    "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+'([^']+)'\\s*(?:\\(\\s*FORMAT\\s+'?([A-Za-z]+)'?\\s*\\))?\\s*;?\\s*$".r
+    "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+'([^']+)'\\s*(?:\\((.*)\\))?\\s*;?\\s*$".r
+  private val formatOpt = "(?i)FORMAT\\s+'?([A-Za-z]+)'?".r
+  private val partitionOpt = "(?i)PARTITION_BY\\s*\\(?\\s*([A-Za-z0-9_,\\s]+?)\\s*\\)?\\s*(?:,|$)".r
 
   /** DuckDB-flavored sugar accepted by the reference's query surface:
     *  - `FROM 'topic'` single-quoted table refs (reference tests:
     *    AbstractSchemaTest.java:60) -> backtick identifiers;
-    *  - `COPY <table|(query)> TO '<path>' (FORMAT f)`
-    *    (reference: README.md:119-123) -> DataFrame write + status row.
+    *  - `COPY <table|(query)> TO '<path>' (FORMAT f [, PARTITION_BY (c,...)])`
+    *    (reference: README.md:119-123) -> DataFrame write + status row;
+    *    PARTITION_BY maps to a hive-partitioned write — the layout a
+    *    100 TB export needs for downstream partition pruning.
     */
   private[graft] def rewriteSugar(q: String): String =
     quotedTableRef.replaceAllIn(q, m => s"${m.group(1)} `${m.group(2)}`")
 
   def sql(q: String): DataFrame = q match {
-    case copyStmt(src, path, fmt) =>
+    case copyStmt(src, path, opts) =>
       val body = src.trim
       val query =
         if (body.startsWith("(") && body.endsWith(")")) body.substring(1, body.length - 1)
         else s"SELECT * FROM ${rewriteSugar(s"FROM $body").substring(5)}"
+      val optStr = Option(opts).getOrElse("")
+      val fmt = formatOpt.findFirstMatchIn(optStr)
+        .map(_.group(1).toLowerCase).getOrElse("parquet")
+      val partCols = partitionOpt.findFirstMatchIn(optStr)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
       val df = spark.sql(rewriteSugar(query)).cache()
       try {
         val n = df.count()
-        writeTo(df, path, Option(fmt).getOrElse("parquet").toLowerCase)
+        writeTo(df, path, fmt, partCols)
         import spark.implicits._
         Seq(n).toDF("rows_copied")
       } finally df.unpersist()
@@ -340,16 +350,21 @@ class Engine(val spark: SparkSession,
 
   /** COPY <query> TO <path> (FORMAT ...) equivalent (reference usage:
     * README.md:119-123). */
-  def copyTo(q: String, path: String, format: String = "parquet"): Unit =
-    writeTo(spark.sql(rewriteSugar(q)), path, format)
+  def copyTo(q: String, path: String, format: String = "parquet",
+             partitionBy: Seq[String] = Nil): Unit =
+    writeTo(spark.sql(rewriteSugar(q)), path, format, partitionBy)
 
-  private def writeTo(df: DataFrame, path: String, format: String): Unit =
+  private def writeTo(df: DataFrame, path: String, format: String,
+                      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    val pw = if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)
     format.toLowerCase match {
-      case "parquet" => df.write.mode("overwrite").parquet(path)
-      case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
-      case "json" => df.write.mode("overwrite").json(path)
+      case "parquet" => pw.parquet(path)
+      case "csv" => pw.option("header", "true").csv(path)
+      case "json" => pw.json(path)
       case other => throw new IllegalArgumentException(s"unsupported COPY format $other")
     }
+  }
 
   def close(): Unit = {
     tables.values.foreach(_.unpersist())

@@ -382,7 +382,38 @@ object RelationalMore {
       | CAST(TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS TIMESTAMP) AS rt
       |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin
 
+  /** Column-name-aligned union: DataFrame unionByName against DuckDB's
+    * UNION ALL BY NAME (columns deliberately in different orders). */
+  private val q62: Q = (s, dir) => {
+    val a = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), lit("customer").as("src"))
+    val b = t(s, dir, "supplier")
+      .select(lit("supplier").as("src"), col("s_suppkey").as("k"))
+    a.unionByName(b)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .orderBy(col("src"))
+  }
+
+  private val q62Sql =
+    """SELECT src, COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx FROM (
+      |  SELECT c_custkey AS k, 'customer' AS src FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT 'supplier' AS src, s_suppkey AS k FROM supplier)
+      |GROUP BY src ORDER BY src""".stripMargin
+
+  /** NATURAL JOIN — same text in both dialects (shared column name made
+    * explicit via aliased subqueries). */
+  private val q63Text =
+    """SELECT regionkey, n_name, r_name
+      |FROM (SELECT n_regionkey AS regionkey, n_name FROM nation) n
+      |NATURAL JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) r
+      |ORDER BY n_name""".stripMargin
+  private val q63 = sql(q63Text)
+
   val queries: Map[String, Q] = Map(
+    "q62_union_by_name" -> q62,
+    "q63_natural_join" -> q63,
     "q59_ignore_nulls" -> q59,
     "q60_values_inline" -> q60,
     "q61_epoch_fns" -> q61,
@@ -403,6 +434,8 @@ object RelationalMore {
     "q49_bit_ops" -> q49)
 
   val oracleSql: Map[String, String] = Map(
+    "q62_union_by_name" -> q62Sql,
+    "q63_natural_join" -> q63Text,
     "q59_ignore_nulls" -> q59Sql,
     "q60_values_inline" -> q60Text,
     "q61_epoch_fns" -> q61Sql,

@@ -44,6 +44,22 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("COPY ... (FORMAT parquet, PARTITION_BY (...)) writes hive layout") {
+    val engine = new Engine(spark)
+    graft.Tables.register(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy-part").toString + "/r"
+    val status = engine.sql(
+      s"COPY (SELECT r_regionkey, r_name FROM region) TO '$dir' " +
+        "(FORMAT parquet, PARTITION_BY (r_regionkey))").collect()
+    status(0).getLong(0) shouldBe 5L
+    // hive-partitioned directories, partition column recovered on read
+    new java.io.File(dir).listFiles().count(_.getName.startsWith("r_regionkey=")) shouldBe 5
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 5L
+    back.columns.toSet shouldBe Set("r_name", "r_regionkey")
+    engine.close()
+  }
+
   test("union_tag / union_extract over the tagged-struct union convention") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
