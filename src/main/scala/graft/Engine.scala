@@ -308,7 +308,8 @@ class Engine(val spark: SparkSession,
   private val copyStmt =
     "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+'([^']+)'\\s*(?:\\((.*)\\))?\\s*;?\\s*$".r
   private val formatOpt = "(?i)FORMAT\\s+'?([A-Za-z]+)'?".r
-  private val partitionOpt = "(?i)PARTITION_BY\\s*\\(?\\s*([A-Za-z0-9_,\\s]+?)\\s*\\)?\\s*(?:,|$)".r
+  // parenthesized column list, or a single bare column
+  private val partitionOpt = "(?i)PARTITION_BY\\s*(?:\\(([^)]*)\\)|([A-Za-z0-9_]+))".r
 
   /** DuckDB-flavored sugar accepted by the reference's query surface:
     *  - `FROM 'topic'` single-quoted table refs (reference tests:
@@ -331,8 +332,14 @@ class Engine(val spark: SparkSession,
       val fmt = formatOpt.findFirstMatchIn(optStr)
         .map(_.group(1).toLowerCase).getOrElse("parquet")
       val partCols = partitionOpt.findFirstMatchIn(optStr)
-        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .map(m => Option(m.group(1)).getOrElse(m.group(2))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
+      // unknown options must fail loudly, not silently alter the output
+      val leftover = partitionOpt.replaceAllIn(
+        formatOpt.replaceAllIn(optStr, ""), "").replaceAll("[,\\s]+", "")
+      require(leftover.isEmpty,
+        s"unsupported COPY option(s): '$leftover' (supported: FORMAT, PARTITION_BY)")
       val df = spark.sql(rewriteSugar(query)).cache()
       try {
         val n = df.count()

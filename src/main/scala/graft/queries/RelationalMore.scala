@@ -379,7 +379,7 @@ object RelationalMore {
     """SELECT event_id,
       | EPOCH_MS(ts) AS ms,
       | CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
-      | CAST(TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS TIMESTAMP) AS rt
+      | MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 1000000) AS rt
       |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin
 
   /** Column-name-aligned union: DataFrame unionByName against DuckDB's

@@ -57,6 +57,22 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     val back = spark.read.parquet(dir)
     back.count() shouldBe 5L
     back.columns.toSet shouldBe Set("r_name", "r_regionkey")
+
+    // multi-column partitioning nests directories in order
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-copy-part2").toString + "/n"
+    engine.sql(
+      s"COPY (SELECT n_regionkey, n_nationkey, n_name FROM nation) TO '$dir2' " +
+        "(FORMAT parquet, PARTITION_BY (n_regionkey, n_nationkey))").collect()
+    val lvl1 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.startsWith("n_regionkey="))
+    lvl1.length shouldBe 5
+    lvl1.head.listFiles().count(_.getName.startsWith("n_nationkey=")) should be >= 1
+
+    // unknown options fail loudly instead of silently writing wrong output
+    val bad = intercept[IllegalArgumentException] {
+      engine.sql(s"COPY region TO '$dir2' (FORMAT csv, DELIMITER '|')")
+    }
+    bad.getMessage should include("unsupported COPY option")
     engine.close()
   }
 
