@@ -314,13 +314,42 @@ class Engine(val spark: SparkSession,
   /** DuckDB-flavored sugar accepted by the reference's query surface:
     *  - `FROM 'topic'` single-quoted table refs (reference tests:
     *    AbstractSchemaTest.java:60) -> backtick identifiers;
+    *  - `FROM '<path>.parquet|csv|json'` direct file scans (DuckDB's
+    *    read_parquet/read_csv/read_json surface, SURVEY §2.2 "Scans") ->
+    *    the file is registered as a temp view over spark.read.*;
     *  - `COPY <table|(query)> TO '<path>' (FORMAT f [, PARTITION_BY (c,...)])`
     *    (reference: README.md:119-123) -> DataFrame write + status row;
     *    PARTITION_BY maps to a hive-partitioned write — the layout a
     *    100 TB export needs for downstream partition pruning.
     */
   private[graft] def rewriteSugar(q: String): String =
-    quotedTableRef.replaceAllIn(q, m => s"${m.group(1)} `${m.group(2)}`")
+    quotedTableRef.replaceAllIn(q, { m =>
+      val ref = m.group(2)
+      val fileView = fileRefView(ref)
+      s"${m.group(1)} `${fileView.getOrElse(ref)}`"
+    })
+
+  /** If a quoted ref is a readable data file, register a view over it and
+    * return the view name. */
+  private def fileRefView(ref: String): Option[String] = {
+    val lower = ref.toLowerCase
+    val fmt =
+      if (lower.endsWith(".parquet")) Some("parquet")
+      else if (lower.endsWith(".csv")) Some("csv")
+      else if (lower.endsWith(".json")) Some("json")
+      else None
+    fmt.filter(_ => new java.io.File(ref).exists()).map { f =>
+      val view = "file_" + Integer.toHexString(ref.hashCode)
+      val df = f match {
+        case "parquet" => spark.read.parquet(ref)
+        case "csv" => spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(ref)
+        case "json" => spark.read.json(ref)
+      }
+      df.createOrReplaceTempView(view)
+      view
+    }
+  }
 
   def sql(q: String): DataFrame = q match {
     case copyStmt(src, path, opts) =>

@@ -44,6 +44,27 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("FROM '<path>.parquet/csv/json' scans files directly (read_* surface)") {
+    val engine = new Engine(spark)
+    // parquet
+    val rows = engine.sql(
+      "SELECT COUNT(*) AS n FROM '/root/testdata/sf0.001/region.parquet'").collect()
+    rows(0).getLong(0) shouldBe 5L
+    // csv + json written by us, read back through the same sugar
+    val dir = java.nio.file.Files.createTempDirectory("graft-fileref").toString
+    graft.Tables.register(spark, "/root/testdata/sf0.001")
+    engine.sql(s"COPY (SELECT r_regionkey, r_name FROM region) TO '$dir/r.csv' (FORMAT csv)")
+    engine.sql(s"COPY (SELECT r_regionkey, r_name FROM region) TO '$dir/r.json' (FORMAT json)")
+    engine.sql(s"SELECT COUNT(*) AS n FROM '$dir/r.csv'").collect()(0).getLong(0) shouldBe 5L
+    engine.sql(s"SELECT COUNT(*) AS n FROM '$dir/r.json'").collect()(0).getLong(0) shouldBe 5L
+    // a join between a file scan and a topic-style view
+    val j = engine.sql(
+      s"SELECT COUNT(*) AS n FROM '$dir/r.json' f JOIN region r ON f.r_regionkey = r.r_regionkey")
+      .collect()
+    j(0).getLong(0) shouldBe 5L
+    engine.close()
+  }
+
   test("COPY ... (FORMAT parquet, PARTITION_BY (...)) writes hive layout") {
     val engine = new Engine(spark)
     graft.Tables.register(spark, "/root/testdata/sf0.001")
