@@ -184,6 +184,41 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     rows(0).getAs[Long]("click_id") shouldBe 200L
   }
 
+  test("full chain: Kafka-shaped stream -> decode -> tumbling window agg") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.Engine
+    import graft.serde.Serde
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(graft.sources.KafkaRecords.schema)
+    val mem = MemoryStream[org.apache.spark.sql.Row]
+    val engine = new Engine(spark)
+    val topic = "stream-window-topic"
+    val decoded = engine.decodeTopic(
+      Engine.TopicSpec(topic, valueSerde = Serde.IntSerde, rowAttrs = Set("ts")),
+      mem.toDF())
+    // record timestamp (rowinfo.ts, epoch millis) drives the event-time window
+    val events = decoded.selectExpr(
+      "rowval AS v", "timestamp_millis(rowinfo.ts) AS ts",
+      "CAST(rowval % 2 AS STRING) AS parity")
+    val agg = StreamingOps.tumblingAgg(events, "ts", "parity", "v", "10 minutes")
+
+    def rec(v: Int, t: Timestamp) =
+      org.apache.spark.sql.Row(null,
+        java.nio.ByteBuffer.allocate(4).putInt(v).array(),
+        topic, 0, v.toLong, t, 0, Seq.empty)
+    // window 1 (10:00): values 1,2,3; window 2 (10:10): value 4
+    mem.addData(rec(1, ts(1)), rec(2, ts(3)), rec(3, ts(5)), rec(4, ts(11)))
+    val q = agg.writeStream.format("memory").queryName("decoded_windows")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("decoded_windows")
+      .orderBy("window_start", "parity").collect()
+    rows.map(r => (r.getAs[String]("parity"), r.getAs[Long]("n"),
+      r.getAs[Long]("total"))).toSeq shouldBe Seq(
+      ("0", 1L, 2L), ("1", 2L, 4L), // window 1: evens {2}, odds {1,3}
+      ("0", 1L, 4L))                // window 2: evens {4}
+  }
+
   test("session windows run on a stream (gap merge across one batch)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
