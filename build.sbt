@@ -30,4 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-)
+) ++ (if (sys.env.contains("SPARK_GRAFT_GCLOG"))
+  Seq("-Xlog:gc*:file=/tmp/graft_gc.log:time,uptime") else Seq.empty)
