@@ -37,23 +37,26 @@ object Bench {
     System.gc() // settle broadcast/shuffle cleanup before measuring
 
     // Two measurement iterations per query (reference runs 2, JMH
-    // annotations at AvroBenchmark.java:67-68); report the minimum —
-    // the steady-state cost without concurrent-GC noise. A query that
-    // throws is reported by name instead of hiding inside a fast time.
+    // annotations at AvroBenchmark.java:67-68); report the minimum of the
+    // SUCCESSFUL iterations — a failed iteration's near-zero elapsed time
+    // must neither shrink the query's min nor flatter the total. A query
+    // with no successful iteration reports -1 and joins the errors array.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => if (!failed.contains(name)) failed += name }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable =>
+          if (!failed.contains(name)) failed += name
+          None
+        }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -326,12 +326,20 @@ class Engine(val spark: SparkSession,
     quotedTableRef.replaceAllIn(q, { m =>
       val ref = m.group(2)
       val fileView = fileRefView(ref)
-      s"${m.group(1)} `${fileView.getOrElse(ref)}`"
+      scala.util.matching.Regex.quoteReplacement(
+        s"${m.group(1)} `${fileView.getOrElse(ref)}`")
     })
 
-  /** If a quoted ref is a readable data file, register a view over it and
-    * return the view name. */
+  /** Registered file views by path — registration happens once per path
+    * (schema inference on CSV/JSON scans the file), dropped in close(). */
+  private val fileViews = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** If a quoted ref is a readable data file — and does NOT name a
+    * registered topic, which always wins — register a view over it once and
+    * return the view name. CSV reads assume a header row (use the library
+    * API with explicit options for headerless files). */
   private def fileRefView(ref: String): Option[String] = {
+    if (tables.contains(ref)) return None // topic names shadow file paths
     val lower = ref.toLowerCase
     val fmt =
       if (lower.endsWith(".parquet")) Some("parquet")
@@ -339,15 +347,19 @@ class Engine(val spark: SparkSession,
       else if (lower.endsWith(".json")) Some("json")
       else None
     fmt.filter(_ => new java.io.File(ref).exists()).map { f =>
-      val view = "file_" + Integer.toHexString(ref.hashCode)
-      val df = f match {
-        case "parquet" => spark.read.parquet(ref)
-        case "csv" => spark.read.option("header", "true")
-          .option("inferSchema", "true").csv(ref)
-        case "json" => spark.read.json(ref)
-      }
-      df.createOrReplaceTempView(view)
-      view
+      fileViews.getOrElseUpdate(ref, {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(ref.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val view = "file_" + digest.take(16)
+        val df = f match {
+          case "parquet" => spark.read.parquet(ref)
+          case "csv" => spark.read.option("header", "true")
+            .option("inferSchema", "true").csv(ref)
+          case "json" => spark.read.json(ref)
+        }
+        df.createOrReplaceTempView(view)
+        view
+      })
     }
   }
 
@@ -405,6 +417,9 @@ class Engine(val spark: SparkSession,
   def close(): Unit = {
     tables.values.foreach(_.unpersist())
     tables = Map.empty
+    fileViews.values.foreach(v =>
+      try spark.catalog.dropTempView(v) catch { case _: Exception => })
+    fileViews.clear()
   }
 }
 
