@@ -186,7 +186,9 @@ object Dedup {
   /** MinHash + LSH near-dup: 8-hash signature as folds over the once-hashed
     * shingles, band keys (4 bands x 2 rows) -> postings-list candidate
     * enumeration -> exact jaccard >= 0.8 verification on candidates only. */
-  private val d03: Q = (s, dir) => {
+  /** Verified near-duplicate pairs (jaccard >= 0.8 on LSH candidates) —
+    * d03's result frame, also the edge set for d07's clustering. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithShingles(s, dir)
     val cand = minhashCandidates(minhashSig(s, dir))
     cand
@@ -194,8 +196,10 @@ object Dedup {
       .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
       .select(col("d1"), col("d2"), jaccardCol.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("d1"), col("d2"))
   }
+
+  private val d03: Q = (s, dir) =>
+    nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
 
   /** Shared oracle CTEs: shingled docs -> signatures -> bands -> distinct
     * candidate pairs. One definition of the sketch for d03Sql and d06Sql. */
@@ -339,7 +343,59 @@ object Dedup {
        |FROM scored ORDER BY d1, d2""".stripMargin
   }
 
+  /** Near-dup CLUSTER assignment: connected components over the verified
+    * duplicate pairs, cluster id = min doc_id in the component — the step
+    * that turns pairwise matches into dedup groups (keep one representative
+    * per cluster). Spark side: Pregel-style min-label propagation, a driver
+    * loop of joins that converges in <= diameter iterations; each round is
+    * one shuffle on the vertex id. At 100 TB this is the standard
+    * alternating small-star/large-star shape; the driver only ever collects
+    * a single convergence scalar per round. Oracle: recursive CTE
+    * propagating reachable labels to a fixpoint. */
+  private val d07: Q = (s, dir) => {
+    val edges = nearDupPairs(s, dir).select(col("d1"), col("d2"))
+    val bidir = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = bidir.select(col("d1").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var converged = false
+    while (!converged) {
+      val msgs = bidir.join(labels, bidir("d1") === labels("id"))
+        .select(col("d2").as("id"), col("lbl"))
+      val next = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.lbl") =!= col("p.lbl")).count()
+      labels = next
+      converged = changed == 0
+    }
+    bidir.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d07Sql =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |j AS (
+       |  SELECT d1, d2,
+       |    $jaccardSql AS jaccard
+       |  FROM cand
+       |  JOIN docs s1 ON d1 = s1.doc_id
+       |  JOIN docs s2 ON d2 = s2.doc_id),
+       |edges AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.8),
+       |bidir AS (SELECT d1 AS id, d2 AS nb FROM edges
+       |          UNION ALL SELECT d2, d1 FROM edges),
+       |walk(id, lbl) AS (
+       |  SELECT DISTINCT id, id FROM bidir
+       |  UNION
+       |  SELECT b.nb, w.lbl FROM walk w JOIN bidir b ON b.id = w.id)
+       |SELECT id AS doc_id, MIN(lbl) AS cluster
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d07_dedup_clusters" -> d07,
     "d01_dedup_exact" -> d01,
     "d02_dedup_jaccard" -> d02,
     "d03_dedup_minhash_lsh" -> d03,
@@ -348,6 +404,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d07_dedup_clusters" -> d07Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_dedup_jaccard" -> d02Sql,
     "d03_dedup_minhash_lsh" -> d03Sql,
