@@ -411,7 +411,33 @@ object RelationalMore {
       |ORDER BY n_name""".stripMargin
   private val q63 = sql(q63Text)
 
+  /** Time-based RANGE frame (trailing one hour per user): Spark expresses
+    * interval frames as rangeBetween over epoch micros — identical
+    * semantics to DuckDB's RANGE INTERVAL frame when the order key is the
+    * timestamp. */
+  private val q64: Q = (s, dir) => {
+    val e = t(s, dir, "events").filter(col("user_id") < 40)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    e.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_trailing_hour"),
+        sum(col("value").cast("decimal(12,2)")).over(w)
+          .cast("double").as("v_trailing_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q64Sql =
+    """SELECT user_id, event_id,
+      | COUNT(*) OVER w AS n_trailing_hour,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS v_trailing_hour
+      |FROM events WHERE user_id < 40
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q64_time_range_frame" -> q64,
     "q62_union_by_name" -> q62,
     "q63_natural_join" -> q63,
     "q59_ignore_nulls" -> q59,
@@ -434,6 +460,7 @@ object RelationalMore {
     "q49_bit_ops" -> q49)
 
   val oracleSql: Map[String, String] = Map(
+    "q64_time_range_frame" -> q64Sql,
     "q62_union_by_name" -> q62Sql,
     "q63_natural_join" -> q63Text,
     "q59_ignore_nulls" -> q59Sql,
