@@ -22,7 +22,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // default 100-entry codegen cache thrashes at 84 queries x several
+      // default 100-entry codegen cache thrashes at 86 queries x several
       // stages each: evicted classes recompile (janino) inside the TIMED
       // pass, inflating random queries by seconds. Static conf — must be
       // set before the session exists.

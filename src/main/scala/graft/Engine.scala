@@ -330,9 +330,12 @@ class Engine(val spark: SparkSession,
         s"${m.group(1)} `${fileView.getOrElse(ref)}`")
     })
 
-  /** Registered file views by path — registration happens once per path
-    * (schema inference on CSV/JSON scans the file), dropped in close(). */
-  private val fileViews = scala.collection.concurrent.TrieMap[String, String]()
+  /** Registered file views by path with the file's mtime at registration —
+    * re-registration happens only when the file changes (schema inference
+    * on CSV/JSON scans the file), so repeated queries reuse the view while
+    * a rewritten file is picked up fresh. Dropped in close(). */
+  private val fileViews =
+    scala.collection.concurrent.TrieMap[String, (String, Long)]()
 
   /** If a quoted ref is a readable data file — and does NOT name a
     * registered topic, which always wins — register a view over it once and
@@ -346,20 +349,25 @@ class Engine(val spark: SparkSession,
       else if (lower.endsWith(".csv")) Some("csv")
       else if (lower.endsWith(".json")) Some("json")
       else None
-    fmt.filter(_ => new java.io.File(ref).exists()).map { f =>
-      fileViews.getOrElseUpdate(ref, {
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(ref.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val view = "file_" + digest.take(16)
-        val df = f match {
-          case "parquet" => spark.read.parquet(ref)
-          case "csv" => spark.read.option("header", "true")
-            .option("inferSchema", "true").csv(ref)
-          case "json" => spark.read.json(ref)
-        }
-        df.createOrReplaceTempView(view)
-        view
-      })
+    val file = new java.io.File(ref)
+    fmt.filter(_ => file.exists()).map { f =>
+      val mtime = file.lastModified()
+      fileViews.get(ref) match {
+        case Some((view, m)) if m == mtime => view
+        case _ =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(ref.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val view = "file_" + digest.take(16)
+          val df = f match {
+            case "parquet" => spark.read.parquet(ref)
+            case "csv" => spark.read.option("header", "true")
+              .option("inferSchema", "true").csv(ref)
+            case "json" => spark.read.json(ref)
+          }
+          df.createOrReplaceTempView(view)
+          fileViews.put(ref, (view, mtime))
+          view
+      }
     }
   }
 
@@ -417,8 +425,9 @@ class Engine(val spark: SparkSession,
   def close(): Unit = {
     tables.values.foreach(_.unpersist())
     tables = Map.empty
-    fileViews.values.foreach(v =>
-      try spark.catalog.dropTempView(v) catch { case _: Exception => })
+    fileViews.values.foreach { case (v, _) =>
+      try spark.catalog.dropTempView(v) catch { case _: Exception => }
+    }
     fileViews.clear()
   }
 }

@@ -224,15 +224,22 @@ object Dedup {
     """LEN(LIST_INTERSECT(s1.sh, s2.sh))::DOUBLE /
       |      (LEN(s1.sh) + LEN(s2.sh) - LEN(LIST_INTERSECT(s1.sh, s2.sh)))::DOUBLE""".stripMargin
 
-  private val d03Sql =
-    s"""WITH $minhashCandCtes,
-       |j AS (
+  /** Verified-pair CTEs shared by d03Sql and d07Sql: exact jaccard over the
+    * candidates, threshold 0.8 — one definition, like the Spark-side
+    * nearDupPairs. */
+  private val verifiedPairCtes =
+    s"""j AS (
        |  SELECT d1, d2,
        |    $jaccardSql AS jaccard
        |  FROM cand
        |  JOIN docs s1 ON d1 = s1.doc_id
-       |  JOIN docs s2 ON d2 = s2.doc_id)
-       |SELECT * FROM j WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
+       |  JOIN docs s2 ON d2 = s2.doc_id),
+       |edges AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.8)""".stripMargin
+
+  private val d03Sql =
+    s"""WITH $minhashCandCtes,
+       |$verifiedPairCtes
+       |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
 
   // ---- SimHash: 32-bit signature over distinct tokens, byte-band LSH ----
   private def simhashSql: String = {
@@ -353,38 +360,41 @@ object Dedup {
     * a single convergence scalar per round. Oracle: recursive CTE
     * propagating reachable labels to a fixpoint. */
   private val d07: Q = (s, dir) => {
-    val edges = nearDupPairs(s, dir).select(col("d1"), col("d2"))
-    val bidir = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = bidir.select(col("d1").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-    var converged = false
-    while (!converged) {
-      val msgs = bidir.join(labels, bidir("d1") === labels("id"))
-        .select(col("d2").as("id"), col("lbl"))
-      val next = labels.union(msgs)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    // the converged labels are the per-dir "cluster index" — memoized like
+    // the other index frames (loop runs once; superseded rounds unpersist)
+    val labels = memoized(s"d07labels:$dir") {
+      val edges = nearDupPairs(s, dir).select(col("d1"), col("d2"))
+      val bidir = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.lbl") =!= col("p.lbl")).count()
-      labels = next
-      converged = changed == 0
+      var cur = bidir.select(col("d1").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      var prevPersisted: Option[DataFrame] = None
+      var converged = false
+      while (!converged) {
+        val msgs = bidir.join(cur, bidir("d1") === cur("id"))
+          .select(col("d2").as("id"), col("lbl"))
+        val next = cur.union(msgs)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next.as("n")
+          .join(cur.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.lbl") =!= col("p.lbl")).count()
+        prevPersisted.foreach(_.unpersist())
+        prevPersisted = Some(next)
+        cur = next
+        converged = changed == 0
+      }
+      cur.count() // materialize before dropping the edge cache
+      bidir.unpersist()
+      cur
     }
-    bidir.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy(col("doc_id"))
   }
 
   private val d07Sql =
     s"""WITH RECURSIVE $minhashCandCtes,
-       |j AS (
-       |  SELECT d1, d2,
-       |    $jaccardSql AS jaccard
-       |  FROM cand
-       |  JOIN docs s1 ON d1 = s1.doc_id
-       |  JOIN docs s2 ON d2 = s2.doc_id),
-       |edges AS (SELECT d1, d2 FROM j WHERE jaccard >= 0.8),
+       |$verifiedPairCtes,
        |bidir AS (SELECT d1 AS id, d2 AS nb FROM edges
        |          UNION ALL SELECT d2, d1 FROM edges),
        |walk(id, lbl) AS (
