@@ -152,15 +152,54 @@ object Multimodal {
       | CAST(CASE WHEN w >= h THEN GREATEST(1, h * 64 // w) ELSE 64 END AS INTEGER) AS out_h
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Extracted feature vector: 8-bin byte histogram. */
+  case class MediaFeatures(doc_id: Long, features: Array[Long])
+
+  /** Feature-extraction stage (the embedding-model stand-in): an 8-bin
+    * byte-value histogram per payload, computed in one typed mapPartitions
+    * pass over the opaque binary column. The vector shape (fixed-length
+    * numeric array per row) is exactly what a real encoder stage emits. */
+  def featureStub(r: MediaRecord): MediaFeatures = {
+    val h = new Array[Long](8)
+    var i = 0
+    while (i < r.data.length) {
+      h((r.data(i) & 0xff) / 32) += 1L
+      i += 1
+    }
+    MediaFeatures(r.doc_id, h)
+  }
+
+  private val m05: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    implicit val encOut: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+    t(s, dir, "documents").filter(col("doc_id") <= 100)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(featureStub))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // ASCII text: per-char UNICODE() equals the byte value, bucket = byte/32
+  private val m05Sql = {
+    val bins = (0 until 8).map { b =>
+      s"CAST(LIST_SUM([CASE WHEN UNICODE(c) // 32 = $b THEN 1 ELSE 0 END FOR c IN SPLIT(text, '')]) AS BIGINT)"
+    }.mkString(", ")
+    s"""SELECT doc_id, [$bins] AS features
+       |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
     "m03_frame_sample" -> m03,
-    "m04_resize_stub" -> m04)
+    "m04_resize_stub" -> m04,
+    "m05_feature_stub" -> m05)
 
   val oracleSql: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_decode_stub" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
-    "m04_resize_stub" -> m04Sql)
+    "m04_resize_stub" -> m04Sql,
+    "m05_feature_stub" -> m05Sql)
 }
