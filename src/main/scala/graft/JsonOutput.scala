@@ -84,8 +84,14 @@ object JsonOutput {
       case BinaryType =>
         appendString(sb, Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
       case StringType => appendString(sb, v.toString)
-      case BooleanType | IntegerType | LongType | ShortType | ByteType |
-           FloatType | DoubleType => sb.append(v.toString)
+      case FloatType | DoubleType =>
+        val d = v match { case f: java.lang.Float => f.toDouble; case x => x.asInstanceOf[Double] }
+        // bare NaN/Infinity is invalid JSON; quote like Jackson's default
+        // (reference output mapper: util/Jackson.java)
+        if (java.lang.Double.isFinite(d)) sb.append(v.toString)
+        else appendString(sb, v.toString)
+      case BooleanType | IntegerType | LongType | ShortType | ByteType =>
+        sb.append(v.toString)
       case _: DecimalType => sb.append(v.asInstanceOf[java.math.BigDecimal].toPlainString)
       case DateType | TimestampType | TimestampNTZType => appendString(sb, v.toString)
       case _ => appendString(sb, v.toString)
