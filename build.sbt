@@ -14,6 +14,11 @@ run / fork := true
 // Pass the forked process's stdout straight through (no "[info] " prefix)
 // so harnesses that parse Bench/Verify JSON lines from stdout see raw JSON.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop sbt's trailing "[success] Total time: ..." line: harnesses that keep
+// a bounded tail of stdout and parse the last JSON line must see Bench's
+// output line last (both prior rounds' bench JSON failed to parse because
+// the line start fell outside the tail window).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -330,12 +330,31 @@ class Engine(val spark: SparkSession,
         s"${m.group(1)} `${fileView.getOrElse(ref)}`")
     })
 
-  /** Registered file views by path with the file's mtime at registration —
-    * re-registration happens only when the file changes (schema inference
-    * on CSV/JSON scans the file), so repeated queries reuse the view while
-    * a rewritten file is picked up fresh. Dropped in close(). */
+  /** Registered file views by path with a content fingerprint taken at
+    * registration — re-registration happens only when the file changes
+    * (schema inference on CSV/JSON scans the file), so repeated queries
+    * reuse the view while a rewritten file is picked up fresh. Dropped in
+    * close(). The fingerprint folds in size and child entries, not just
+    * mtime: mtime alone has 1 s granularity on some filesystems, and for
+    * directory-shaped datasets (Spark writes its outputs as directories)
+    * replacing a part file's CONTENTS does not bump the directory mtime. */
   private val fileViews =
-    scala.collection.concurrent.TrieMap[String, (String, Long)]()
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Recursive (mtime, length, name-count) fingerprint of a file or
+    * directory tree. Cheap (pure metadata walk; data dirs have few files)
+    * and changes whenever any part file is rewritten, added, or removed. */
+  private def fileFingerprint(f: java.io.File): String = {
+    def walk(x: java.io.File): (Long, Long, Long) =
+      if (x.isDirectory) {
+        val kids = Option(x.listFiles()).getOrElse(Array.empty)
+        kids.map(walk).foldLeft((x.lastModified(), 0L, kids.length.toLong)) {
+          case ((m, l, c), (m2, l2, c2)) => (math.max(m, m2), l + l2, c + c2)
+        }
+      } else (x.lastModified(), x.length(), 1L)
+    val (m, l, c) = walk(f)
+    s"$m:$l:$c"
+  }
 
   /** If a quoted ref is a readable data file — and does NOT name a
     * registered topic, which always wins — register a view over it once and
@@ -351,9 +370,9 @@ class Engine(val spark: SparkSession,
       else None
     val file = new java.io.File(ref)
     fmt.filter(_ => file.exists()).map { f =>
-      val mtime = file.lastModified()
+      val print = fileFingerprint(file)
       fileViews.get(ref) match {
-        case Some((view, m)) if m == mtime => view
+        case Some((view, p)) if p == print => view
         case _ =>
           val digest = java.security.MessageDigest.getInstance("MD5")
             .digest(ref.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -365,7 +384,7 @@ class Engine(val spark: SparkSession,
             case "json" => spark.read.json(ref)
           }
           df.createOrReplaceTempView(view)
-          fileViews.put(ref, (view, mtime))
+          fileViews.put(ref, (view, print))
           view
       }
     }

@@ -64,7 +64,13 @@ object AsofJoinNative {
 
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
       leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
-      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+      // payload columns join the right ordering as a tiebreak: Spark's sort
+      // is not stable, so without one, duplicate (key, ts) rows would make
+      // "last consumed wins" depend on partitioning. With it, the winner is
+      // deterministically the lexicographically-greatest orderable payload.
+      rightKeys.map(SortOrder(_, Ascending)) ++ (SortOrder(rightTs, Ascending) +:
+        payload.filter(a => RowOrdering.isOrderable(a.dataType))
+          .map(SortOrder(_, Ascending))))
 
     override protected def withNewChildrenInternal(
         newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
@@ -102,14 +108,20 @@ object AsofJoinNative {
             val c = keyOrd.compare(rKeyProj(head), lKey)
             if (c < 0 || (c == 0 && tsOrd.compare(rTsProj(head), lTsRow) <= 0)) {
               val r = rBuf.next()
-              curKey = rKeyProj(r).copy()
-              curPayload = payloadProj(r).copy()
+              // SQL ASOF semantics: r.ts <= l.ts is never true for a NULL
+              // r.ts — consume the row (nulls sort first) but don't let it
+              // become the match
+              if (!rTsProj(r).isNullAt(0)) {
+                curKey = rKeyProj(r).copy()
+                curPayload = payloadProj(r).copy()
+              }
             } else advance = false
           }
           // SQL equality semantics: a NULL key never matches (the natural
-          // ordering would otherwise compare null == null)
+          // ordering would otherwise compare null == null); likewise a NULL
+          // left ts satisfies no r.ts <= l.ts predicate
           val matched = curKey != null && !lKey.anyNull && !curKey.anyNull &&
-            keyOrd.compare(curKey, lKey) == 0
+            !lTsRow.isNullAt(0) && keyOrd.compare(curKey, lKey) == 0
           outProj(joined(lRow, if (matched) curPayload else nullPayload))
         }
       }

@@ -177,6 +177,11 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions(_.map(featureStub))
       .toDF()
+      // the vector leaves the engine as a scalar CSV cell: verification
+      // harnesses row-sort/hash cells, and collection cells are unhashable
+      .select(col("doc_id"),
+        expr("array_join(transform(features, x -> cast(x as string)), ',')")
+          .as("features_csv"))
       .orderBy(col("doc_id"))
   }
 
@@ -185,7 +190,7 @@ object Multimodal {
     val bins = (0 until 8).map { b =>
       s"CAST(LIST_SUM([CASE WHEN UNICODE(c) // 32 = $b THEN 1 ELSE 0 END FOR c IN SPLIT(text, '')]) AS BIGINT)"
     }.mkString(", ")
-    s"""SELECT doc_id, [$bins] AS features
+    s"""SELECT doc_id, ARRAY_TO_STRING([$bins], ',') AS features_csv
        |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
   }
 

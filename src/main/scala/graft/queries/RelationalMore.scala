@@ -309,21 +309,24 @@ object RelationalMore {
       array(col("p_brand"), col("p_type")))
     val m2 = map_from_arrays(array(lit("name")), array(col("p_name")))
     val mc = map_concat(m1, m2)
+    // collection results leave the query as scalar delimited strings:
+    // verification harnesses row-sort/hash cells, and collection cells
+    // are unhashable there (same contract as m05)
     p.select(col("p_partkey"),
-        flatten(array(arr, arr)).as("doubled"),
+        array_join(flatten(array(arr, arr)), "|").as("doubled"),
         array_position(arr, col("p_type")).as("pos_type"),
-        map_keys(mc).as("ks"),
-        map_values(mc).as("vs"),
+        array_join(map_keys(mc), "|").as("ks"),
+        array_join(map_values(mc), "|").as("vs"),
         size(mc).as("card"))
       .orderBy(col("p_partkey"))
   }
 
   private val q58Sql =
     """SELECT p_partkey,
-      | FLATTEN([[p_brand, p_type, p_name], [p_brand, p_type, p_name]]) AS doubled,
+      | ARRAY_TO_STRING(FLATTEN([[p_brand, p_type, p_name], [p_brand, p_type, p_name]]), '|') AS doubled,
       | CAST(ARRAY_POSITION([p_brand, p_type, p_name], p_type) AS BIGINT) AS pos_type,
-      | MAP_KEYS(MAP_CONCAT(MAP(['brand','type'], [p_brand, p_type]), MAP(['name'], [p_name]))) AS ks,
-      | MAP_VALUES(MAP_CONCAT(MAP(['brand','type'], [p_brand, p_type]), MAP(['name'], [p_name]))) AS vs,
+      | ARRAY_TO_STRING(MAP_KEYS(MAP_CONCAT(MAP(['brand','type'], [p_brand, p_type]), MAP(['name'], [p_name]))), '|') AS ks,
+      | ARRAY_TO_STRING(MAP_VALUES(MAP_CONCAT(MAP(['brand','type'], [p_brand, p_type]), MAP(['name'], [p_name]))), '|') AS vs,
       | CAST(CARDINALITY(MAP_CONCAT(MAP(['brand','type'], [p_brand, p_type]), MAP(['name'], [p_name]))) AS INTEGER) AS card
       |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin
 

@@ -24,7 +24,8 @@ class AsofJoinNativeSpec extends AnyFunSuite with Matchers {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100.0),
       (1L, ts("2024-01-01 10:05:00"), 101.0),
-      (1L, ts("2024-01-01 10:05:00"), 102.0), // tie: later row wins
+      (1L, ts("2024-01-01 10:05:00"), 102.0), // tie: greatest payload wins
+      // (deterministic: payload columns join the right sort as a tiebreak)
       (2L, ts("2024-01-01 09:00:00"), 50.0)
       // key 3: no quotes at all
     ).toDF("id", "qts", "px")
@@ -44,6 +45,24 @@ class AsofJoinNativeSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getDouble(2)))
     out.toSeq shouldBe Seq(
       (1L, null), (1L, 100.0), (1L, 102.0), (1L, 102.0), (2L, 50.0), (3L, null))
+  }
+
+  test("NULL timestamps never match: right skipped, left unmatched") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, None: Option[Timestamp], 999.0), // null right ts: r.ts <= l.ts is never true
+      (1L, Some(ts("2024-01-01 10:00:00")), 100.0)
+    ).toDF("id", "qts", "px")
+    val trades = Seq(
+      (1L, Some(ts("2024-01-01 09:00:00"))), // only the null-ts quote sorts before -> null
+      (1L, Some(ts("2024-01-01 10:30:00"))), // -> 100.0
+      (1L, None: Option[Timestamp])          // null left ts -> null
+    ).toDF("id", "tts")
+    val out = AsofJoinNative.asofLeft(trades, quotes, Seq("id"), "tts", "qts")
+      .orderBy(col("tts")) // Spark asc = nulls first
+      .select(col("px")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    out.toSeq shouldBe Seq(null, null, 100.0)
   }
 
   test("self as-of join re-aliases shared lineage instead of mis-binding") {
