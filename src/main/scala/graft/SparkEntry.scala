@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.QueryHelpers.Q
-import graft.queries.{Dedup, Multimodal, Relational, RelationalExt, RelationalMore, Similarity, Streaming, TextOps}
+import graft.queries.{Dedup, Multimodal, Relational, RelationalExt, RelationalMore, RelationalStats, Similarity, Streaming, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,7 @@ object SparkEntry {
     (Relational.queries, Relational.oracleSql),
     (RelationalExt.queries, RelationalExt.oracleSql),
     (RelationalMore.queries, RelationalMore.oracleSql),
+    (RelationalStats.queries, RelationalStats.oracleSql),
     (TextOps.queries, TextOps.oracleSql),
     (Dedup.queries, Dedup.oracleSql),
     (Similarity.queries, Similarity.oracleSql),

@@ -404,7 +404,38 @@ object Dedup {
        |SELECT id AS doc_id, MIN(lbl) AS cluster
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Passage-level exact dedup (the Common-Crawl paragraph/line dedup
+    * shape): documents are chunked into non-overlapping 10-word passages,
+    * each passage is content-hashed, and passages appearing in more than one
+    * document are reported with occurrence counts. Map-only chunking, one
+    * shuffle on the passage hash; at 100 TB the HAVING clause prunes the
+    * (huge) unique tail during the aggregation, so only cross-doc repeats
+    * survive to the sort. */
+  private val d08: Q = (s, dir) => {
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, ((size(ws) + 9) div 10) - 1)")).as("i"),
+        col("ws"))
+      .select(col("doc_id"),
+        md5(array_join(expr("slice(ws, i * 10 + 1, 10)"), " ")).as("h"))
+    chunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .orderBy(col("n").desc, col("h"))
+  }
+
+  private val d08Sql =
+    """WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, MD5(ARRAY_TO_STRING(ws[(i*10+1):(i*10+10)], ' ')) AS h
+      |  FROM w, UNNEST(RANGE(0, (LEN(ws) + 9) // 10)) t(i))
+      |SELECT h, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS nd
+      |FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+      |ORDER BY n DESC, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d08_passage_dedup" -> d08,
     "d07_dedup_clusters" -> d07,
     "d01_dedup_exact" -> d01,
     "d02_dedup_jaccard" -> d02,
@@ -414,6 +445,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d08_passage_dedup" -> d08Sql,
     "d07_dedup_clusters" -> d07Sql,
     "d01_dedup_exact" -> d01Sql,
     "d02_dedup_jaccard" -> d02Sql,

@@ -194,17 +194,77 @@ object Multimodal {
        |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
   }
 
+  /** Payload with its catalog metadata (the media row a lakehouse keeps:
+    * opaque bytes + typed attributes). */
+  case class SourcedMedia(doc_id: Long, source: String, data: Array[Byte])
+
+  /** Per-payload byte statistics from the typed decode pass. */
+  case class SourcedBytes(doc_id: Long, source: String, n_bytes: Int,
+                          byte_sum: Long)
+
+  def byteStatsStub(r: SourcedMedia): SourcedBytes = {
+    var sum = 0L
+    var i = 0
+    while (i < r.data.length) { sum += (r.data(i) & 0xff); i += 1 }
+    SourcedBytes(r.doc_id, r.source, r.data.length, sum)
+  }
+
+  /** Corpus statistics per source: the typed mapPartitions decode stage
+    * feeding a relational rollup — the "profile the media corpus by
+    * modality/source" report a multimodal pipeline runs before training.
+    * All aggregates are exact integers; the mean is a double ratio of two
+    * exact integers (identical IEEE division in both engines). */
+  private val m06: Q = (s, dir) => {
+    implicit val encIn: Encoder[SourcedMedia] = Encoders.product[SourcedMedia]
+    implicit val encOut: Encoder[SourcedBytes] = Encoders.product[SourcedBytes]
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("data"))
+      .as[SourcedMedia]
+      .mapPartitions(_.map(byteStatsStub))
+      .toDF()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("byte_sum")).as("sum_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .select(col("source"), col("n_docs"), col("total_bytes"),
+        col("sum_bytes"), col("min_bytes"), col("max_bytes"),
+        (col("sum_bytes").cast("double") / col("total_bytes").cast("double"))
+          .as("mean_byte"))
+      .orderBy(col("source"))
+  }
+
+  private val m06Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+      |    CAST(LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) AS BIGINT) AS byte_sum
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |    CAST(SUM(byte_sum) AS BIGINT) AS sum_bytes,
+      |    CAST(MIN(n_bytes) AS INTEGER) AS min_bytes,
+      |    CAST(MAX(n_bytes) AS INTEGER) AS max_bytes
+      |  FROM d GROUP BY source)
+      |SELECT source, n_docs, total_bytes, sum_bytes, min_bytes, max_bytes,
+      |  CAST(sum_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE) AS mean_byte
+      |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_decode_stub" -> m02,
     "m03_frame_sample" -> m03,
     "m04_resize_stub" -> m04,
-    "m05_feature_stub" -> m05)
+    "m05_feature_stub" -> m05,
+    "m06_source_profile" -> m06)
 
   val oracleSql: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_decode_stub" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "m04_resize_stub" -> m04Sql,
-    "m05_feature_stub" -> m05Sql)
+    "m05_feature_stub" -> m05Sql,
+    "m06_source_profile" -> m06Sql)
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import QueryHelpers._
+
+/** Statistical aggregates, higher-order collection functions, and interval
+  * arithmetic — the analytics long tail of the reference's delegated DuckDB
+  * surface (SURVEY §2.2 "Aggregation" / "nested: list" / "date/time"; the
+  * reference passes SQL through verbatim, KwackEngine.java:232).
+  *
+  * Determinism: every floating-point statistic is derived from EXACT decimal
+  * moments (n, Σx, Σy, Σx², Σy², Σxy) with the final double-precision
+  * formula written as the IDENTICAL expression text in both dialects — the
+  * same IEEE operations over bit-identical inputs produce bit-identical
+  * doubles, so corr/covar/stddev hash-match with no tolerance. (The builtin
+  * corr/stddev aggregates use merge-order-dependent streaming updates that
+  * can never hash-match across engines; the moment form is also the
+  * map-side-combinable shape a 100 TB aggregation wants.)
+  */
+object RelationalStats {
+
+  private def sql(q: String): Q = (s, dir) => {
+    graft.Tables.register(s, dir)
+    s.sql(q)
+  }
+
+  /** Correlation / covariance / variance / linear regression per group from
+    * exact decimal moments; identical text in both dialects. */
+  private val q65Text =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_rows,
+      |  sx / n AS mean_qty,
+      |  sy / n AS mean_disc,
+      |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      |  SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+      |  (sxy - sx * sy / n) / (n - 1) AS covar_qd,
+      |  (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qd,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
+      |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS regr_intercept
+      |FROM m ORDER BY l_returnflag""".stripMargin
+  private val q65 = sql(q65Text)
+
+  /** Higher-order collection functions: transform/filter/aggregate (fold) /
+    * exists/forall/zip_with over row-derived arrays, all reduced to scalar
+    * outputs. Spark's lambdas run inside whole-stage codegen — no UDFs. */
+  private val q66: Q = (s, dir) => {
+    import org.apache.spark.sql.functions.{col, expr}
+    t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        expr("cast(aggregate(transform(sequence(1, 1 + cast(p_partkey % 5 as int)), i -> i * i), " +
+          "cast(0 as bigint), (acc, x) -> acc + x) as bigint)").as("ssq"),
+        expr("size(filter(sequence(1, 6), x -> x % 2 = 0))").as("n_even"),
+        expr("exists(array(p_size, p_size * 2), x -> x > 10)").as("has_big"),
+        expr("forall(array(p_size - 5, p_size), x -> x > 0)").as("all_pos"),
+        expr("cast(aggregate(zip_with(array(p_size, p_size + 1, p_size + 2), array(3, 2, 1), " +
+          "(x, y) -> x * y), 0, (acc, v) -> acc + v) as bigint)").as("dot3"),
+        expr("array_join(array_sort(array(p_size % 7, p_size % 3, p_size % 5)), ',')").as("sorted_csv"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q66Sql =
+    """SELECT p_partkey,
+      | CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 2 + CAST(p_partkey % 5 AS INTEGER)), i -> i * i)) AS BIGINT) AS ssq,
+      | CAST(LEN(LIST_FILTER(RANGE(1, 7), x -> x % 2 = 0)) AS INTEGER) AS n_even,
+      | LEN(LIST_FILTER([p_size, p_size * 2], x -> x > 10)) > 0 AS has_big,
+      | LEN(LIST_FILTER([p_size - 5, p_size], x -> NOT (x > 0))) = 0 AS all_pos,
+      | CAST(LIST_SUM([z[1] * z[2] FOR z IN LIST_ZIP([p_size, p_size + 1, p_size + 2], [3, 2, 1])]) AS BIGINT) AS dot3,
+      | ARRAY_TO_STRING(LIST_SORT([p_size % 7, p_size % 3, p_size % 5]), ',') AS sorted_csv
+      |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
+
+  /** Interval arithmetic: timestamp/date ± HOUR/MINUTE/DAY/MONTH intervals
+    * (month addition clamps at month end in both engines), plus an interval
+    * comparison in the predicate; identical text in both dialects (UTC
+    * sessions, so no DST divergence). */
+  private val q67Text =
+    """SELECT o_orderkey,
+      | o_orderdate + INTERVAL 3 HOUR AS plus3h,
+      | o_orderdate + INTERVAL 90 MINUTE AS plus90m,
+      | CAST(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS DATE) AS plus7d,
+      | CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE) AS minus1m,
+      | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+      |FROM orders
+      |WHERE o_orderkey <= 300 AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00' - INTERVAL 30 DAY
+      |ORDER BY o_orderkey""".stripMargin
+  private val q67 = sql(q67Text)
+
+  val queries: Map[String, Q] = Map(
+    "q65_stats_moments" -> q65,
+    "q66_higher_order" -> q66,
+    "q67_interval_arith" -> q67)
+
+  val oracleSql: Map[String, String] = Map(
+    "q65_stats_moments" -> q65Text,
+    "q66_higher_order" -> q66Sql,
+    "q67_interval_arith" -> q67Text)
+}

@@ -178,17 +178,38 @@ object TextOps {
       |  FROM counts)
       |SELECT lang, rn, g, n FROM ranked WHERE rn <= 3 ORDER BY lang, rn""".stripMargin
 
+  /** Vocabulary building: corpus-wide term frequencies, top-100 by count
+    * (term asc as the deterministic tiebreak) — the tokenizer-training /
+    * vocab-pruning primitive of an LLM data pipeline. Map-side partial
+    * aggregation combines per-partition counts before the single shuffle on
+    * term; the top-k limit prunes through the sort. */
+  private val x06: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(100)
+  }
+
+  private val x06Sql =
+    """SELECT w AS term, COUNT(*) AS n
+      |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      |WHERE w <> '' GROUP BY 1 ORDER BY n DESC, term LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x01_token_count" -> x01,
     "x02_quality_score" -> x02,
     "x03_lang_id" -> x03,
     "x04_fingerprint" -> x04,
-    "x05_ngram_profile" -> x05)
+    "x05_ngram_profile" -> x05,
+    "x06_vocab_topk" -> x06)
 
   val oracleSql: Map[String, String] = Map(
     "x01_token_count" -> x01Sql,
     "x02_quality_score" -> x02Sql,
     "x03_lang_id" -> x03Sql,
     "x04_fingerprint" -> x04Sql,
-    "x05_ngram_profile" -> x05Sql)
+    "x05_ngram_profile" -> x05Sql,
+    "x06_vocab_topk" -> x06Sql)
 }
