@@ -411,11 +411,13 @@ object Similarity {
     val q = qz.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("qv").as("qa"))
     val c = qz.select(col("vec_id").as("cid"), col("qv").as("qb"))
+    // native codegen'd dot (interpreted zip_with/aggregate lambdas are the
+    // slow path): int8 products summed in double are exact below 2^53, and
+    // the final bigint cast restores the integer the oracle computes
     val scored = q.hint("broadcast").crossJoin(c)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)")
-          .as("qdot"))
+        expr("cast(graft_dot(qa, qb) as bigint)").as("qdot"))
     val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
