@@ -92,13 +92,119 @@ object RelationalStats {
       |ORDER BY o_orderkey""".stripMargin
   private val q67 = sql(q67Text)
 
+  /** Window frame EXCLUDE GROUP / EXCLUDE TIES (the rest of the frame
+    * exclusion clause; q52 covers EXCLUDE CURRENT ROW): algebraically
+    * lowered onto Spark as range-frame sum minus the peer-group sum (GROUP)
+    * and plus the current row back (TIES), in exact decimals. An empty
+    * excluded frame must be NULL, not 0 — guarded by the matching counts. */
+  private val q68: Q = (s, dir) => {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = t(s, dir, "events").filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"),
+        date_trunc("day", col("ts")).cast("date").as("d"))
+    val wRange = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeers = Window.partitionBy(col("user_id"), col("d"))
+    val sAll: Column = sum(col("v")).over(wRange)
+    val cAll: Column = count(lit(1)).over(wRange)
+    val sPeer: Column = sum(col("v")).over(wPeers)
+    val cPeer: Column = count(lit(1)).over(wPeers)
+    e.select(col("user_id"), col("event_id"),
+        when(cAll > cPeer, (sAll - sPeer).cast("double")).as("excl_group"),
+        ((sAll - sPeer) + col("v")).cast("double").as("excl_ties"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q68Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(value AS DECIMAL(12,2)) AS v,
+      |    CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+      |  FROM events WHERE user_id < 50)
+      |SELECT user_id, event_id,
+      | CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY d
+      |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+      |  AS DOUBLE) AS excl_group,
+      | CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY d
+      |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)
+      |  AS DOUBLE) AS excl_ties
+      |FROM e ORDER BY user_id, event_id""".stripMargin
+
+  /** Positional join (operators/PositionalJoin): rank-paired rows with NULL
+    * padding for the shorter side. The oracle replays the rank pairing with
+    * ROW_NUMBER + FULL JOIN — the semantics DuckDB's POSITIONAL JOIN gives
+    * when each side is explicitly ordered. */
+  private val q69: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val l = t(s, dir, "customer").filter(col("c_custkey") <= 120)
+      .select(col("c_custkey"))
+    val r = t(s, dir, "orders").filter(col("o_orderkey") <= 100)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").cast("double").as("price"))
+    graft.operators.PositionalJoin
+      .byOrder(l, Seq(col("c_custkey")), r, Seq(col("o_orderkey")))
+      .orderBy(col("pos"))
+  }
+
+  private val q69Sql =
+    """WITH l AS (
+      |  SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS pos
+      |  FROM customer WHERE c_custkey <= 120),
+      |r AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders WHERE o_orderkey <= 100)
+      |SELECT COALESCE(l.pos, r.pos) AS pos, c_custkey, o_orderkey, price
+      |FROM l FULL JOIN r ON l.pos = r.pos ORDER BY pos""".stripMargin
+
+  /** Table profiling (DuckDB `SUMMARIZE` shape): per-column min/max/null/
+    * distinct statistics as one row per column — exact aggregates only
+    * (approx_unique sketches differ across engines), values stringified
+    * through types both dialects render identically (bigint, decimal(12,2),
+    * date, varchar). */
+  private val q70Text =
+    """SELECT 'l_orderkey' AS col_name,
+      |  CAST(MIN(l_orderkey) AS STRING) AS min_v,
+      |  CAST(MAX(l_orderkey) AS STRING) AS max_v,
+      |  COUNT(l_orderkey) AS n_nonnull,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag',
+      |  CAST(MIN(l_returnflag) AS STRING), CAST(MAX(l_returnflag) AS STRING),
+      |  COUNT(l_returnflag), CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_quantity',
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS STRING),
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS STRING),
+      |  COUNT(l_quantity), CAST(COUNT(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_shipdate',
+      |  CAST(MIN(CAST(l_shipdate AS DATE)) AS STRING),
+      |  CAST(MAX(CAST(l_shipdate AS DATE)) AS STRING),
+      |  COUNT(l_shipdate), CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+      |FROM lineitem
+      |ORDER BY col_name""".stripMargin
+  private val q70 = sql(q70Text)
+
   val queries: Map[String, Q] = Map(
     "q65_stats_moments" -> q65,
     "q66_higher_order" -> q66,
-    "q67_interval_arith" -> q67)
+    "q67_interval_arith" -> q67,
+    "q68_frame_exclude_more" -> q68,
+    "q69_positional_join" -> q69,
+    "q70_summarize" -> q70)
 
   val oracleSql: Map[String, String] = Map(
     "q65_stats_moments" -> q65Text,
     "q66_higher_order" -> q66Sql,
-    "q67_interval_arith" -> q67Text)
+    "q67_interval_arith" -> q67Text,
+    "q68_frame_exclude_more" -> q68Sql,
+    "q69_positional_join" -> q69Sql,
+    "q70_summarize" -> q70Text)
 }

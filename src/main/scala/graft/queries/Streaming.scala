@@ -115,17 +115,57 @@ object Streaming {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  /** Typed per-key custom state (the Dataset.groupByKey.mapGroups shape —
+    * the batch twin of mapGroupsWithState, which StreamingSpec drives
+    * through MemoryStream): per-user event count, money total in exact
+    * integer cents, and latest event id, folded imperatively per group.
+    * Values are positive, so Scala's math.round (half toward +inf) and SQL
+    * ROUND (half away from zero) agree. */
+  case class UEvent(user_id: Long, value: Double, event_id: Long)
+  case class UState(user_id: Long, n_events: Long, total_cents: Long,
+                    max_event: Long)
+
+  private val q71: Q = (s, dir) => {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val encIn: Encoder[UEvent] = Encoders.product[UEvent]
+    implicit val encOut: Encoder[UState] = Encoders.product[UState]
+    implicit val encKey: Encoder[Long] = Encoders.scalaLong
+    t(s, dir, "events")
+      .select(col("user_id"), col("value"), col("event_id"))
+      .as[UEvent]
+      .groupByKey(_.user_id)
+      .mapGroups { (k, it) =>
+        var n = 0L; var cents = 0L; var maxEv = Long.MinValue
+        it.foreach { e =>
+          n += 1
+          cents += math.round(e.value * 100.0)
+          if (e.event_id > maxEv) maxEv = e.event_id
+        }
+        UState(k, n, cents, maxEv)
+      }
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
+  private val q71Sql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
+      | MAX(event_id) AS max_event
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_stream_tumbling" -> q36,
     "q37_stream_sliding" -> q37,
     "q38_stream_session" -> q38,
     "q39_recursive_cte" -> q39,
-    "q50_stream_join" -> q50)
+    "q50_stream_join" -> q50,
+    "q71_stateful_typed" -> q71)
 
   val oracleSql: Map[String, String] = Map(
     "q36_stream_tumbling" -> q36Sql,
     "q37_stream_sliding" -> q37Sql,
     "q38_stream_session" -> q38Sql,
     "q39_recursive_cte" -> q39Text,
-    "q50_stream_join" -> q50Sql)
+    "q50_stream_join" -> q50Sql,
+    "q71_stateful_typed" -> q71Sql)
 }

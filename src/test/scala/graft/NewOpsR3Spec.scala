@@ -109,6 +109,42 @@ class NewOpsR3Spec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("positional join pairs by rank and NULL-pads the shorter side") {
+    import spark.implicits._
+    val l = Seq("a", "b", "c").toDF("lv")
+    val r = Seq(10, 20).toDF("rv")
+    val out = graft.operators.PositionalJoin
+      .byOrder(l, Seq(col("lv")), r, Seq(col("rv")))
+      .orderBy(col("pos")).collect()
+    out.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getInt(2))).toSeq shouldBe
+      Seq((0L, "a", 10), (1L, "b", 20), (2L, "c", null))
+  }
+
+  test("q68 EXCLUDE GROUP is NULL when only peers precede; TIES keeps self") {
+    val rows = SparkEntry.queries("q68_frame_exclude_more")(spark, sfDir).collect()
+    rows.length should be > 0
+    // each user's earliest-day rows have excl_group NULL (nothing outside
+    // the peer group precedes), so every user shows at least one NULL
+    rows.groupBy(_.getLong(0)).values.foreach { userRows =>
+      userRows.exists(_.isNullAt(userRows.head.fieldIndex("excl_group"))) shouldBe true
+    }
+    // excl_ties is never NULL: the current row always stays in frame
+    rows.foreach(r => r.isNullAt(r.fieldIndex("excl_ties")) shouldBe false)
+  }
+
+  test("q71 typed fold matches the declarative aggregation") {
+    val typed = SparkEntry.queries("q71_stateful_typed")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val decl = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100.0) as bigint)")).as("cents"),
+        max(col("event_id")).as("mx"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    typed shouldBe decl
+  }
+
   test("q67 interval arithmetic: day offsets and month-end clamping") {
     val rows = SparkEntry.queries("q67_interval_arith")(spark, sfDir)
     rows.select(datediff(col("plus7d"), col("minus1m"))).collect()
