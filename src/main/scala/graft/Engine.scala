@@ -307,6 +307,89 @@ class Engine(val spark: SparkSession,
   private val quotedTableRef = "(?i)\\b(FROM|JOIN)\\s+'([^']+)'".r
   private val copyStmt =
     "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+'([^']+)'\\s*(?:\\((.*)\\))?\\s*;?\\s*$".r
+  private val macroStmt =
+    "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?MACRO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^)]*)\\)\\s+AS\\s+(.+?)\\s*;?\\s*$".r
+  private val dropMacroStmt =
+    "(?is)^\\s*DROP\\s+MACRO\\s+(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+
+  /** SQL macros by lowercase name -> (parameter names, body text). DuckDB's
+    * `CREATE MACRO` scalar-macro surface (SURVEY §2.2 "UDF surface" — the
+    * reference's embedded DuckDB accepts macros through the verbatim query
+    * path, KwackEngine.java:232), realized as pre-parse textual expansion:
+    * each call site is replaced by the parenthesized body with arguments
+    * substituted for parameters, then Catalyst compiles the expanded
+    * expression like any other (codegen included — this is why expansion
+    * beats a Scala UDF here). */
+  private val macros =
+    scala.collection.concurrent.TrieMap[String, (Seq[String], String)]()
+
+  /** Expand macro calls textually (innermost-out, bounded rounds so a
+    * recursive macro fails loudly instead of looping). */
+  private[graft] def expandMacros(q: String): String = {
+    def matchParen(s: String, open: Int): Int = {
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+    }
+    def splitTop(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var depth = 0
+      var start = 0
+      for (i <- 0 until s.length) s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      out += s.substring(start)
+      out.map(_.trim).toSeq
+    }
+    var cur = q
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 16) {
+      changed = false
+      rounds += 1
+      macros.foreach { case (name, (params, body)) =>
+        val callRe = s"(?i)(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(name)}\\s*\\(".r
+        // left-to-right single pass: the search resumes AFTER each inserted
+        // replacement, so calls introduced by the expansion itself are
+        // deferred to the NEXT round — that makes the rounds cap an actual
+        // recursion guard (an inner re-scan from 0 would loop forever on
+        // `CREATE MACRO f(x) AS f(x) + 1`)
+        var searchFrom = 0
+        var m = callRe.findFirstMatchIn(cur.substring(searchFrom))
+        while (m.isDefined) {
+          val start = searchFrom + m.get.start
+          val open = cur.indexOf('(', start)
+          val close = matchParen(cur, open)
+          val rawArgs = splitTop(cur.substring(open + 1, close))
+          val args = if (params.isEmpty && rawArgs == Seq("")) Nil else rawArgs
+          require(args.length == params.length,
+            s"macro $name expects ${params.length} argument(s), got ${args.length}")
+          val substituted = params.zip(args).foldLeft(body) { case (b, (p, a)) =>
+            s"(?i)(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(p)}(?![A-Za-z0-9_])".r
+              .replaceAllIn(b, scala.util.matching.Regex.quoteReplacement(s"($a)"))
+          }
+          val repl = "(" + substituted + ")"
+          cur = cur.substring(0, start) + repl + cur.substring(close + 1)
+          changed = true
+          searchFrom = start + repl.length
+          m = callRe.findFirstMatchIn(cur.substring(searchFrom))
+        }
+      }
+    }
+    require(!changed, "macro expansion did not terminate — recursive macro?")
+    cur
+  }
   private val formatOpt = "(?i)FORMAT\\s+'?([A-Za-z]+)'?".r
   // parenthesized column list, or a single bare column
   private val partitionOpt = "(?i)PARTITION_BY\\s*(?:\\(([^)]*)\\)|([A-Za-z0-9_]+))".r
@@ -391,6 +474,22 @@ class Engine(val spark: SparkSession,
   }
 
   def sql(q: String): DataFrame = q match {
+    case macroStmt(orReplace, name, params, body) =>
+      val key = name.toLowerCase
+      require(orReplace != null || !macros.contains(key),
+        s"macro $name already exists (use CREATE OR REPLACE MACRO)")
+      val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      macros.put(key, (ps, body.trim))
+      import spark.implicits._
+      Seq(name).toDF("macro_created")
+    case dropMacroStmt(name) =>
+      macros.remove(name.toLowerCase)
+      import spark.implicits._
+      Seq(name).toDF("macro_dropped")
+    case _ => expandedSql(expandMacros(q))
+  }
+
+  private def expandedSql(q: String): DataFrame = q match {
     case copyStmt(src, path, opts) =>
       val body = src.trim
       val query =
@@ -444,6 +543,7 @@ class Engine(val spark: SparkSession,
   def close(): Unit = {
     tables.values.foreach(_.unpersist())
     tables = Map.empty
+    macros.clear()
     fileViews.values.foreach { case (v, _) =>
       try spark.catalog.dropTempView(v) catch { case _: Exception => }
     }

@@ -197,13 +197,71 @@ object TextOps {
       |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
       |WHERE w <> '' GROUP BY 1 ORDER BY n DESC, term LIMIT 100""".stripMargin
 
+  /** TF-IDF top terms per document (doc_id <= 50): the classic sparse
+    * feature-extraction pipeline — per-doc term frequencies, corpus document
+    * frequencies, tf * ln(N/df) scoring, per-doc top-3. Scale shape: one
+    * shuffle for tf (doc_id, term), one for df (term), a broadcast of the
+    * tiny df/N side back onto tf, and a windowed top-k. The score is a
+    * double product of exact integers through ln — bit-identical in both
+    * engines (same IEEE ops, same order). */
+  private val x07: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(col("doc_id") <= 50)
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    // ln is not correctly rounded in either engine (Math.log vs libm differ
+    // by 1 ulp on some inputs): ranking on the raw value is stable (1-ulp
+    // noise only reorders scores closer than 2 ulp), but the OUTPUT must be
+    // rounded so the hash comparison doesn't see the ulp
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val x07Sql =
+    """WITH terms AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> ''
+      |  GROUP BY doc_id, term),
+      |dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, term FROM terms WHERE term <> '') GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(tf.tf AS DOUBLE) * LN(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n WHERE tf.doc_id <= 50),
+      |ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, term, ROUND(tfidf, 6) AS tfidf
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x01_token_count" -> x01,
     "x02_quality_score" -> x02,
     "x03_lang_id" -> x03,
     "x04_fingerprint" -> x04,
     "x05_ngram_profile" -> x05,
-    "x06_vocab_topk" -> x06)
+    "x06_vocab_topk" -> x06,
+    "x07_tfidf" -> x07)
 
   val oracleSql: Map[String, String] = Map(
     "x01_token_count" -> x01Sql,
@@ -211,5 +269,6 @@ object TextOps {
     "x03_lang_id" -> x03Sql,
     "x04_fingerprint" -> x04Sql,
     "x05_ngram_profile" -> x05Sql,
-    "x06_vocab_topk" -> x06Sql)
+    "x06_vocab_topk" -> x06Sql,
+    "x07_tfidf" -> x07Sql)
 }

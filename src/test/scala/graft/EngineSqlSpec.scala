@@ -125,6 +125,45 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
         "graft_minhash", "graft_token_stats", "union_tag", "union_extract")
   }
 
+  test("CREATE MACRO: definition, expansion, nesting, replace, drop, recursion guard") {
+    val engine = new Engine(spark)
+    graft.Tables.register(spark, "/root/testdata/sf0.001")
+    engine.sql("CREATE MACRO with_tax(p, t) AS p * (1 + t)")
+      .collect()(0).getString(0) shouldBe "with_tax"
+    // expansion with argument precedence preserved: 2+1 parenthesized
+    engine.sql("SELECT with_tax(100.0, 2 + 1) AS v").collect()(0)
+      .getDecimal(0).doubleValue() shouldBe 400.0
+    // macro over a real table column
+    val n = engine.sql(
+      "SELECT COUNT(*) AS n FROM lineitem WHERE with_tax(l_extendedprice, l_tax) > l_extendedprice")
+      .collect()(0).getLong(0)
+    n should be > 0L
+    // nested macros expand through
+    engine.sql("CREATE MACRO twice_taxed(p, t) AS with_tax(with_tax(p, t), t)")
+    engine.sql("SELECT twice_taxed(100.0, 1.0) AS v").collect()(0)
+      .getDecimal(0).doubleValue() shouldBe 400.0
+    // duplicate rejected; OR REPLACE allowed
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("CREATE MACRO with_tax(p) AS p")
+    engine.sql("CREATE OR REPLACE MACRO with_tax(p, t) AS p * (1 + t) + 1")
+    engine.sql("SELECT with_tax(100.0, 0.0) AS v").collect()(0)
+      .getDecimal(0).doubleValue() shouldBe 101.0
+    // zero-arg macro
+    engine.sql("CREATE MACRO the_answer() AS 42")
+    engine.sql("SELECT the_answer() AS v").collect()(0).getInt(0) shouldBe 42
+    // arity mismatch fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("SELECT with_tax(1.0) AS v")
+    // recursion fails loudly instead of hanging
+    engine.sql("CREATE MACRO loopy(x) AS loopy(x) + 1")
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("SELECT loopy(1) AS v")
+    // drop removes expansion (the raw name then fails in Catalyst)
+    engine.sql("DROP MACRO the_answer").collect()(0).getString(0) shouldBe "the_answer"
+    an[Exception] should be thrownBy engine.sql("SELECT the_answer() AS v").collect()
+    engine.close()
+  }
+
   test("sync() advances the snapshot from saved end offsets") {
     val engine = new Engine(spark)
     val topic = "synced"
