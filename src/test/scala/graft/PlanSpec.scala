@@ -112,6 +112,53 @@ class PlanSpec extends AnyFunSuite with Matchers {
     s should include("WindowGroupLimit")
   }
 
+  test("s07 quantized knn broadcasts the query side, native dot in codegen") {
+    val df = SparkEntry.queries("s07_knn_quantized")(spark, sfDir)
+    val s = planString(df)
+    s should include("Broadcast")
+    s should not include "CartesianProduct"
+    // the integer dot runs as the native expression, not interpreted lambdas
+    s.toLowerCase should include("dotproduct")
+  }
+
+  test("d08 passage dedup is one aggregation shuffle (no join, no cartesian)") {
+    val df = SparkEntry.queries("d08_passage_dedup")(spark, sfDir)
+    df.count()
+    val s = planString(df)
+    s should not include "CartesianProduct"
+    s should not include "Join"
+    // chunk explode (map-only) + exact COUNT(DISTINCT doc_id), which
+    // Catalyst plans as two aggregation levels — (h, doc_id) pre-agg then
+    // h agg, both with map-side partials — + the presentation range sort
+    val shuffles = planOf(df).collect { case e: ShuffleExchangeLike => e }
+    shuffles.size should be <= 3
+  }
+
+  test("x06 vocab top-k partially aggregates map-side before the shuffle") {
+    val df = SparkEntry.queries("x06_vocab_topk")(spark, sfDir)
+    val s = planString(df)
+    // partial_count under the exchange = map-side combine on term
+    s should include("partial_count")
+  }
+
+  test("x07 tf-idf broadcasts the df/N sides onto tf (no shuffle join)") {
+    val s = planString(SparkEntry.queries("x07_tfidf")(spark, sfDir))
+    s should include("BroadcastHashJoin")
+    s should not include "CartesianProduct"
+  }
+
+  test("q65 decimal moments aggregate with map-side partials") {
+    val s = planString(SparkEntry.queries("q65_stats_moments")(spark, sfDir))
+    s should include("partial_sum")
+  }
+
+  test("q69 positional join plans an equi-join on pos, not a global window") {
+    val s = planString(SparkEntry.queries("q69_positional_join")(spark, sfDir))
+    // rank assignment must NOT serialize through a single-partition Window
+    s should not include "Window"
+    s should not include "CartesianProduct"
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
