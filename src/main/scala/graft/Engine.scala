@@ -324,13 +324,29 @@ class Engine(val spark: SparkSession,
     scala.collection.concurrent.TrieMap[String, (Seq[String], String)]()
 
   /** Expand macro calls textually (innermost-out, bounded rounds so a
-    * recursive macro fails loudly instead of looping). */
+    * recursive macro fails loudly instead of looping). All scanning is
+    * single-quote aware: literals like `'f('` or `'a,b'` are never treated
+    * as code (`''` is SQL's escaped quote and keeps the state flipping
+    * correctly: close + reopen). */
   private[graft] def expandMacros(q: String): String = {
-    def matchParen(s: String, open: Int): Int = {
+    // per-character "inside a single-quoted literal" mask (quote chars
+    // themselves count as quoted)
+    def quoteMask(s: String): Array[Boolean] = {
+      val in = new Array[Boolean](s.length)
+      var quoted = false
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\'') { quoted = !quoted; in(i) = true }
+        else in(i) = quoted
+        i += 1
+      }
+      in
+    }
+    def matchParen(s: String, mask: Array[Boolean], open: Int): Int = {
       var depth = 0
       var i = open
       while (i < s.length) {
-        s.charAt(i) match {
+        if (!mask(i)) s.charAt(i) match {
           case '(' => depth += 1
           case ')' => depth -= 1; if (depth == 0) return i
           case _ =>
@@ -340,10 +356,11 @@ class Engine(val spark: SparkSession,
       throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
     }
     def splitTop(s: String): Seq[String] = {
+      val mask = quoteMask(s)
       val out = scala.collection.mutable.ListBuffer.empty[String]
       var depth = 0
       var start = 0
-      for (i <- 0 until s.length) s.charAt(i) match {
+      for (i <- 0 until s.length) if (!mask(i)) s.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
@@ -351,6 +368,31 @@ class Engine(val spark: SparkSession,
       }
       out += s.substring(start)
       out.map(_.trim).toSeq
+    }
+    // Two-phase parameter substitution (params -> NUL-fenced placeholders ->
+    // arguments) so an argument whose text contains another parameter's
+    // name is never re-substituted; literals inside the body are skipped.
+    def substParams(body: String, params: Seq[String], args: Seq[String]): String = {
+      val tokens = params.indices.map(k => "\u0000P" + k + "\u0000")
+      def inUnquoted(seg: String): String =
+        params.zip(tokens).foldLeft(seg) { case (b, (p, tok)) =>
+          s"(?i)(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(p)}(?![A-Za-z0-9_])".r
+            .replaceAllIn(b, scala.util.matching.Regex.quoteReplacement(tok))
+        }
+      val mask = quoteMask(body)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        val quoted = mask(i)
+        var j = i
+        while (j < body.length && mask(j) == quoted) j += 1
+        val seg = body.substring(i, j)
+        sb.append(if (quoted) seg else inUnquoted(seg))
+        i = j
+      }
+      tokens.zip(args).foldLeft(sb.toString) { case (b, (tok, a)) =>
+        b.replace(tok, s"($a)")
+      }
     }
     var cur = q
     var rounds = 0
@@ -369,20 +411,22 @@ class Engine(val spark: SparkSession,
         var m = callRe.findFirstMatchIn(cur.substring(searchFrom))
         while (m.isDefined) {
           val start = searchFrom + m.get.start
-          val open = cur.indexOf('(', start)
-          val close = matchParen(cur, open)
-          val rawArgs = splitTop(cur.substring(open + 1, close))
-          val args = if (params.isEmpty && rawArgs == Seq("")) Nil else rawArgs
-          require(args.length == params.length,
-            s"macro $name expects ${params.length} argument(s), got ${args.length}")
-          val substituted = params.zip(args).foldLeft(body) { case (b, (p, a)) =>
-            s"(?i)(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(p)}(?![A-Za-z0-9_])".r
-              .replaceAllIn(b, scala.util.matching.Regex.quoteReplacement(s"($a)"))
+          val mask = quoteMask(cur)
+          if (mask(start)) {
+            // macro-name text inside a string literal is not a call site
+            searchFrom = start + 1
+          } else {
+            val open = cur.indexOf('(', start)
+            val close = matchParen(cur, mask, open)
+            val rawArgs = splitTop(cur.substring(open + 1, close))
+            val args = if (params.isEmpty && rawArgs == Seq("")) Nil else rawArgs
+            require(args.length == params.length,
+              s"macro $name expects ${params.length} argument(s), got ${args.length}")
+            val repl = "(" + substParams(body, params, args) + ")"
+            cur = cur.substring(0, start) + repl + cur.substring(close + 1)
+            changed = true
+            searchFrom = start + repl.length
           }
-          val repl = "(" + substituted + ")"
-          cur = cur.substring(0, start) + repl + cur.substring(close + 1)
-          changed = true
-          searchFrom = start + repl.length
           m = callRe.findFirstMatchIn(cur.substring(searchFrom))
         }
       }

@@ -22,20 +22,30 @@ import org.apache.spark.sql.types.LongType
   */
 object PositionalJoin {
 
-  /** Number rows by rank under `order` without a global single partition. */
+  /** Number rows by rank under `order` without a global single partition.
+    * The sorted RDD is persisted before zipWithIndex: zipWithIndex runs an
+    * eager job to compute per-partition offsets, and without the persist
+    * the full range-partition sort would execute a second time when the
+    * join consumes the numbered rows. The cached partitions are released
+    * by the ContextCleaner once the result frame is no longer referenced. */
   private def withPos(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema.add("pos", LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    val sorted = df.orderBy(order: _*).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schema = df.schema.add("pos", LongType, nullable = false)
+    val rdd = sorted.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Pair the i-th row of `left` (under `leftOrder`) with the i-th row of
     * `right` (under `rightOrder`); unmatched positions keep the longer
     * side's row with NULLs for the other (DuckDB's padding semantics).
-    * Column sets must be disjoint (rename upstream as needed). */
+    * Column sets must be disjoint and neither side may already have a
+    * `pos` column (it carries the assigned position in the output). */
   def byOrder(left: DataFrame, leftOrder: Seq[Column],
-              right: DataFrame, rightOrder: Seq[Column]): DataFrame =
+              right: DataFrame, rightOrder: Seq[Column]): DataFrame = {
+    require(!left.columns.contains("pos") && !right.columns.contains("pos"),
+      "positional join reserves the column name 'pos'; rename it upstream")
     withPos(left, leftOrder)
       .join(withPos(right, rightOrder), Seq("pos"), "full_outer")
+  }
 }

@@ -198,14 +198,23 @@ object Multimodal {
     * opaque bytes + typed attributes). */
   case class SourcedMedia(doc_id: Long, source: String, data: Array[Byte])
 
-  /** Per-payload byte statistics from the typed decode pass. */
+  /** Per-payload statistics from the typed decode pass: payload size in
+    * bytes plus the code-point sum of the UTF-8-decoded content — decoding
+    * first (rather than summing raw byte values) keeps the stage equivalent
+    * to the oracle's per-character UNICODE() sum on any input, ASCII or
+    * not. */
   case class SourcedBytes(doc_id: Long, source: String, n_bytes: Int,
-                          byte_sum: Long)
+                          cp_sum: Long)
 
   def byteStatsStub(r: SourcedMedia): SourcedBytes = {
+    val s = new String(r.data, java.nio.charset.StandardCharsets.UTF_8)
     var sum = 0L
     var i = 0
-    while (i < r.data.length) { sum += (r.data(i) & 0xff); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sum += cp
+      i += Character.charCount(cp)
+    }
     SourcedBytes(r.doc_id, r.source, r.data.length, sum)
   }
 
@@ -225,13 +234,13 @@ object Multimodal {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),
-        sum(col("byte_sum")).as("sum_bytes"),
+        sum(col("cp_sum")).as("cp_sum"),
         min(col("n_bytes")).as("min_bytes"),
         max(col("n_bytes")).as("max_bytes"))
       .select(col("source"), col("n_docs"), col("total_bytes"),
-        col("sum_bytes"), col("min_bytes"), col("max_bytes"),
-        (col("sum_bytes").cast("double") / col("total_bytes").cast("double"))
-          .as("mean_byte"))
+        col("cp_sum"), col("min_bytes"), col("max_bytes"),
+        (col("cp_sum").cast("double") / col("total_bytes").cast("double"))
+          .as("mean_cp"))
       .orderBy(col("source"))
   }
 
@@ -239,17 +248,17 @@ object Multimodal {
     """WITH d AS (
       |  SELECT doc_id, source,
       |    OCTET_LENGTH(ENCODE(text)) AS n_bytes,
-      |    CAST(LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) AS BIGINT) AS byte_sum
+      |    CAST(LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) AS BIGINT) AS cp_sum
       |  FROM documents),
       |g AS (
       |  SELECT source, COUNT(*) AS n_docs,
       |    CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-      |    CAST(SUM(byte_sum) AS BIGINT) AS sum_bytes,
+      |    CAST(SUM(cp_sum) AS BIGINT) AS cp_sum,
       |    CAST(MIN(n_bytes) AS INTEGER) AS min_bytes,
       |    CAST(MAX(n_bytes) AS INTEGER) AS max_bytes
       |  FROM d GROUP BY source)
-      |SELECT source, n_docs, total_bytes, sum_bytes, min_bytes, max_bytes,
-      |  CAST(sum_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE) AS mean_byte
+      |SELECT source, n_docs, total_bytes, cp_sum, min_bytes, max_bytes,
+      |  CAST(cp_sum AS DOUBLE) / CAST(total_bytes AS DOUBLE) AS mean_cp
       |FROM g ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(

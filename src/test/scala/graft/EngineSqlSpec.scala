@@ -164,6 +164,25 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("macro expansion: argument capture and quoted literals") {
+    val engine = new Engine(spark)
+    // an argument whose TEXT is another parameter's name must not be
+    // re-substituted (two-phase placeholder substitution)
+    engine.sql("CREATE MACRO wt(p, t) AS p * (1 + t)")
+    engine.sql("SELECT wt(t, 0.5) AS v FROM (SELECT 10.0 AS t)").collect()(0)
+      .getDecimal(0).doubleValue() shouldBe 15.0
+    // commas and parens inside string literals are not argument separators
+    engine.sql("CREATE MACRO up(x) AS upper(x)")
+    engine.sql("SELECT up('a,b') AS v").collect()(0).getString(0) shouldBe "A,B"
+    engine.sql("SELECT up('(') AS v, 'up(' AS s").collect()(0).getString(0) shouldBe "("
+    // a parameter name inside a body string literal stays literal
+    engine.sql("CREATE MACRO lbl(t) AS concat('t=', t)")
+    engine.sql("SELECT lbl(7) AS v").collect()(0).getString(0) shouldBe "t=7"
+    // macro-name text inside a literal is not a call site
+    engine.sql("SELECT 'up(z)' AS v").collect()(0).getString(0) shouldBe "up(z)"
+    engine.close()
+  }
+
   test("sync() advances the snapshot from saved end offsets") {
     val engine = new Engine(spark)
     val topic = "synced"

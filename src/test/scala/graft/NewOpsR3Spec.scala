@@ -103,9 +103,9 @@ class NewOpsR3Spec extends AnyFunSuite with Matchers {
       .collect().head.getLong(0)
     totalBytes shouldBe direct
     prof.foreach { r =>
-      val mean = r.getDouble(r.fieldIndex("mean_byte"))
+      val mean = r.getDouble(r.fieldIndex("mean_cp"))
       mean should be > 0.0
-      mean should be < 256.0
+      mean should be < 256.0 // ASCII corpus: mean code point per byte < 256
     }
   }
 
