@@ -192,13 +192,70 @@ object RelationalStats {
       |ORDER BY col_name""".stripMargin
   private val q70 = sql(q70Text)
 
+  /** GROUPS-mode window frames (DuckDB `GROUPS BETWEEN n PRECEDING AND
+    * CURRENT ROW`; Spark has only ROWS/RANGE): lowered as a ROWS frame over
+    * the distinct-peer-groups relation — aggregate per (partition, order
+    * value), run the rows-frame window THERE (one row per group, so rows ==
+    * groups), then join the group-level result back onto the detail rows.
+    * Exact decimals; an empty group frame stays NULL through the join. */
+  private val q72: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = t(s, dir, "events").filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"),
+        date_trunc("day", col("ts")).cast("date").as("d"))
+    val g = e.groupBy(col("user_id"), col("d")).agg(sum(col("v")).as("gs"))
+    val wg = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val gwin = g.select(col("user_id"), col("d"),
+      sum(col("gs")).over(wg.rowsBetween(-1, 0)).as("g10"),
+      sum(col("gs")).over(wg.rowsBetween(-2, -1)).as("g21"))
+    e.join(gwin, Seq("user_id", "d"))
+      .select(col("user_id"), col("event_id"),
+        col("g10").cast("double").as("groups_1p_cur"),
+        col("g21").cast("double").as("groups_2p_1p"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // DuckDB 1.x does not implement GROUPS mode either ("not implemented
+  // yet") — this operator EXCEEDS the embedded baseline. The oracle
+  // therefore replays the semantics through an independent formulation:
+  // LAG over the per-group sums (not a rows-frame window), with explicit
+  // NULL handling for short frames.
+  private val q72Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(value AS DECIMAL(12,2)) AS v,
+      |    CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+      |  FROM events WHERE user_id < 40),
+      |g AS (
+      |  SELECT user_id, d, SUM(v) AS gs FROM e GROUP BY user_id, d),
+      |gw AS (
+      |  SELECT user_id, d,
+      |    gs + COALESCE(LAG(gs, 1) OVER w, 0) AS g10,
+      |    CASE WHEN LAG(gs, 1) OVER w IS NULL THEN NULL
+      |         ELSE LAG(gs, 1) OVER w + COALESCE(LAG(gs, 2) OVER w, 0) END AS g21
+      |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY d))
+      |SELECT e.user_id, e.event_id,
+      | CAST(gw.g10 AS DOUBLE) AS groups_1p_cur,
+      | CAST(gw.g21 AS DOUBLE) AS groups_2p_1p
+      |FROM e JOIN gw ON e.user_id = gw.user_id AND e.d = gw.d
+      |ORDER BY e.user_id, e.event_id""".stripMargin
+
+  /** ORDER BY ALL (DuckDB sugar adopted by Spark 4): identical text. */
+  private val q73Text =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
+  private val q73 = sql(q73Text)
+
   val queries: Map[String, Q] = Map(
     "q65_stats_moments" -> q65,
     "q66_higher_order" -> q66,
     "q67_interval_arith" -> q67,
     "q68_frame_exclude_more" -> q68,
     "q69_positional_join" -> q69,
-    "q70_summarize" -> q70)
+    "q70_summarize" -> q70,
+    "q72_groups_frame" -> q72,
+    "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
     "q65_stats_moments" -> q65Text,
@@ -206,5 +263,7 @@ object RelationalStats {
     "q67_interval_arith" -> q67Text,
     "q68_frame_exclude_more" -> q68Sql,
     "q69_positional_join" -> q69Sql,
-    "q70_summarize" -> q70Text)
+    "q70_summarize" -> q70Text,
+    "q72_groups_frame" -> q72Sql,
+    "q73_order_by_all" -> q73Text)
 }
