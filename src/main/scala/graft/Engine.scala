@@ -533,7 +533,41 @@ class Engine(val spark: SparkSession,
     case _ => expandedSql(expandMacros(q))
   }
 
+  private val summarizeStmt = "(?is)^\\s*SUMMARIZE\\s+(.+?)\\s*;?\\s*$".r
+
+  /** DuckDB's `SUMMARIZE <table|'file'>` statement: one profiling row per
+    * column (min/max/non-null/distinct/null counts; min/max stringified,
+    * NULL for non-orderable types). Computed as ONE wide aggregation pass
+    * over the relation followed by a `stack` pivot — a single scan no
+    * matter how many columns, which is the shape a 100 TB profile needs.
+    * Exact aggregates only (cross-engine-stable, unlike approx sketches). */
+  private def summarize(ref: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+    val df = spark.sql(rewriteSugar(s"SELECT * FROM ${ref.trim}"))
+    val fields = df.schema.fields
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType) && !f.dataType.isInstanceOf[StructType] &&
+        !f.dataType.isInstanceOf[ArrayType]
+      Seq(
+        (if (orderable) min(col(f.name)).cast("string")
+         else lit(null).cast("string")).as(s"mn_$i"),
+        (if (orderable) max(col(f.name)).cast("string")
+         else lit(null).cast("string")).as(s"mx_$i"),
+        count(col(f.name)).as(s"nn_$i"),
+        countDistinct(col(f.name)).as(s"nd_$i"),
+        (count(lit(1)) - count(col(f.name))).as(s"nu_$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val stackArgs = fields.zipWithIndex.map { case (f, i) =>
+      s"'${f.name}', mn_$i, mx_$i, nn_$i, nd_$i, nu_$i"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${fields.length}, $stackArgs) AS " +
+      "(column_name, min_v, max_v, n_nonnull, n_distinct, n_nulls)")
+  }
+
   private def expandedSql(q: String): DataFrame = q match {
+    case summarizeStmt(ref) => summarize(ref)
     case copyStmt(src, path, opts) =>
       val body = src.trim
       val query =

@@ -183,6 +183,25 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("SUMMARIZE profiles every column in one pass (table and file refs)") {
+    val engine = new Engine(spark)
+    graft.Tables.register(spark, "/root/testdata/sf0.001")
+    val rows = engine.sql("SUMMARIZE region").collect()
+    val cols = spark.table("region").columns
+    rows.length shouldBe cols.length
+    rows.map(_.getString(0)).toSeq shouldBe cols.toSeq
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    byName("r_regionkey").getString(1) shouldBe "0"  // min
+    byName("r_regionkey").getString(2) shouldBe "4"  // max
+    byName("r_regionkey").getLong(3) shouldBe 5L     // non-null
+    byName("r_regionkey").getLong(4) shouldBe 5L     // distinct
+    byName("r_regionkey").getLong(5) shouldBe 0L     // nulls
+    // file-ref form goes through the same sugar
+    engine.sql("SUMMARIZE '/root/testdata/sf0.001/nation.parquet'")
+      .collect().length should be > 0
+    engine.close()
+  }
+
   test("sync() advances the snapshot from saved end offsets") {
     val engine = new Engine(spark)
     val topic = "synced"
