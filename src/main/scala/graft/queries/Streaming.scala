@@ -121,6 +121,48 @@ object Streaming {
     * integer cents, and latest event id, folded imperatively per group.
     * Values are positive, so Scala's math.round (half toward +inf) and SQL
     * ROUND (half away from zero) agree. */
+  /** End-to-end STREAMING execution through the correctness gate: the
+    * events table replays through a MemoryStream source, the tumbling
+    * aggregation runs as an actual Structured Streaming query
+    * (micro-batches, Trigger.AvailableNow — the reference's consume-to-end
+    * snapshot semantics) into a memory sink, and the sink table is what the
+    * DuckDB oracle hashes. Unlike q36 (same transform on the batch path),
+    * this gates the streaming RUNTIME: source -> watermark -> stateful agg
+    * -> sink. Complete output mode + exact decimal sums make the result
+    * independent of micro-batch boundaries. */
+  private val q74Counter = new java.util.concurrent.atomic.AtomicInteger()
+  private val q74: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val rows = t(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    // two chunks -> at least two micro-batches worth of source data
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a)
+    ms.addData(b)
+    val stream = ms.toDF().toDF("ts", "event_type", "value")
+      .withColumn("v", col("value").cast(DecimalType(12, 2)))
+    val agged = StreamingOps.tumblingAgg(stream, "ts", "event_type", "v", "1 hour")
+    val sink = "q74_sink_" + q74Counter.incrementAndGet()
+    StreamingOps.snapshotToTable(agged, sink, "complete")
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // same aggregation contract as q36 — the oracle pins that the streaming
+  // runtime computes exactly what the batch path does
+  private val q74Sql =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      | event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   case class UEvent(user_id: Long, value: Double, event_id: Long)
   case class UState(user_id: Long, n_events: Long, total_cents: Long,
                     max_event: Long)
@@ -159,7 +201,8 @@ object Streaming {
     "q38_stream_session" -> q38,
     "q39_recursive_cte" -> q39,
     "q50_stream_join" -> q50,
-    "q71_stateful_typed" -> q71)
+    "q71_stateful_typed" -> q71,
+    "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
     "q36_stream_tumbling" -> q36Sql,
@@ -167,5 +210,6 @@ object Streaming {
     "q38_stream_session" -> q38Sql,
     "q39_recursive_cte" -> q39Text,
     "q50_stream_join" -> q50Sql,
-    "q71_stateful_typed" -> q71Sql)
+    "q71_stateful_typed" -> q71Sql,
+    "q74_stream_e2e" -> q74Sql)
 }
