@@ -537,30 +537,39 @@ class Engine(val spark: SparkSession,
 
   /** DuckDB's `SUMMARIZE <table|'file'>` statement: one profiling row per
     * column (min/max/non-null/distinct/null counts; min/max stringified,
-    * NULL for non-orderable types). Computed as ONE wide aggregation pass
-    * over the relation followed by a `stack` pivot — a single scan no
-    * matter how many columns, which is the shape a 100 TB profile needs.
-    * Exact aggregates only (cross-engine-stable, unlike approx sketches). */
+    * NULL for non-orderable types). Computed as one aggregation job over
+    * the relation followed by a `stack` pivot. Exact aggregates only
+    * (cross-engine-stable, unlike approx sketches) — note the cost that
+    * buys: Catalyst plans multiple COUNT(DISTINCT) via Expand, replicating
+    * each input row once per column before the exchange, so shuffle volume
+    * grows with column count. For very wide tables at extreme scale,
+    * switch n_distinct to approx_count_distinct (what DuckDB's own
+    * SUMMARIZE does via approx_unique) to get a true single pass. */
   private def summarize(ref: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
     val df = spark.sql(rewriteSugar(s"SELECT * FROM ${ref.trim}"))
     val fields = df.schema.fields
+    // backtick-quote: a column name containing '.' must not parse as a
+    // nested-field path (escape embedded backticks by doubling)
+    def q(n: String) = "`" + n.replace("`", "``") + "`"
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
       val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(f.dataType) && !f.dataType.isInstanceOf[StructType] &&
         !f.dataType.isInstanceOf[ArrayType]
+      val c = col(q(f.name))
       Seq(
-        (if (orderable) min(col(f.name)).cast("string")
+        (if (orderable) min(c).cast("string")
          else lit(null).cast("string")).as(s"mn_$i"),
-        (if (orderable) max(col(f.name)).cast("string")
+        (if (orderable) max(c).cast("string")
          else lit(null).cast("string")).as(s"mx_$i"),
-        count(col(f.name)).as(s"nn_$i"),
-        countDistinct(col(f.name)).as(s"nd_$i"),
-        (count(lit(1)) - count(col(f.name))).as(s"nu_$i"))
+        count(c).as(s"nn_$i"),
+        countDistinct(c).as(s"nd_$i"),
+        (count(lit(1)) - count(c)).as(s"nu_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val stackArgs = fields.zipWithIndex.map { case (f, i) =>
-      s"'${f.name}', mn_$i, mx_$i, nn_$i, nd_$i, nu_$i"
+      // single quotes in the name literal escape by doubling
+      s"'${f.name.replace("'", "''")}', mn_$i, mx_$i, nn_$i, nd_$i, nu_$i"
     }.mkString(", ")
     wide.selectExpr(s"stack(${fields.length}, $stackArgs) AS " +
       "(column_name, min_v, max_v, n_nonnull, n_distinct, n_nulls)")

@@ -199,6 +199,12 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     // file-ref form goes through the same sugar
     engine.sql("SUMMARIZE '/root/testdata/sf0.001/nation.parquet'")
       .collect().length should be > 0
+    // column names with dots must not parse as nested-field paths
+    spark.sql("SELECT 1 AS `user.id`, 'x' AS plain")
+      .createOrReplaceTempView("dotted")
+    val dr = engine.sql("SUMMARIZE dotted").collect()
+    dr.map(_.getString(0)).toSeq shouldBe Seq("user.id", "plain")
+    dr(0).getString(1) shouldBe "1"
     engine.close()
   }
 
