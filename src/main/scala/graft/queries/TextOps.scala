@@ -254,6 +254,44 @@ object TextOps {
       |SELECT doc_id, rnk, term, ROUND(tfidf, 6) AS tfidf
       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Data-mixture sampling: each source gets a target sampling rate and
+    * rows are kept by a DETERMINISTIC content-hash threshold (md5 of
+    * doc_id) — the reproducible mixture-weighting step of corpus
+    * construction (same row set on every run, any cluster, any partition
+    * count; a random() sample is neither reproducible nor oracle-checkable).
+    * Map-only filter, then one aggregation shuffle for the per-source
+    * audit. Rates derive from the source name so the query is self-
+    * contained: 20/45/70% cycling by the source's trailing digits. */
+  private val x08: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val rate = (expr("cast(substr(source, 4) as int) % 3") * 25 + 20)
+      .cast("long").as("rate_pct")
+    val keep = md5i(col("doc_id").cast("string")) % 100 < col("rate_pct")
+    d.select(col("doc_id"), col("source"), rate)
+      .withColumn("kept", when(keep, 1L).otherwise(0L))
+      .groupBy(col("source"), col("rate_pct"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .select(col("source"), col("rate_pct"), col("n_total"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_total").cast("double"))
+          .as("realized_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val x08Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(CAST(SUBSTR(source, 4) AS INTEGER) % 3 * 25 + 20 AS BIGINT) AS rate_pct
+       |  FROM documents),
+       |k AS (
+       |  SELECT source, rate_pct,
+       |    CASE WHEN ${md5iSql("CAST(doc_id AS VARCHAR)")} % 100 < rate_pct
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM d)
+       |SELECT source, rate_pct, COUNT(*) AS n_total,
+       | CAST(SUM(kept) AS BIGINT) AS n_kept,
+       | CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS realized_rate
+       |FROM k GROUP BY source, rate_pct ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x01_token_count" -> x01,
     "x02_quality_score" -> x02,
@@ -261,7 +299,8 @@ object TextOps {
     "x04_fingerprint" -> x04,
     "x05_ngram_profile" -> x05,
     "x06_vocab_topk" -> x06,
-    "x07_tfidf" -> x07)
+    "x07_tfidf" -> x07,
+    "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
     "x01_token_count" -> x01Sql,
@@ -270,5 +309,6 @@ object TextOps {
     "x04_fingerprint" -> x04Sql,
     "x05_ngram_profile" -> x05Sql,
     "x06_vocab_topk" -> x06Sql,
-    "x07_tfidf" -> x07Sql)
+    "x07_tfidf" -> x07Sql,
+    "x08_mixture_sample" -> x08Sql)
 }
