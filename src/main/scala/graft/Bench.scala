@@ -41,6 +41,13 @@ object Bench {
     // SUCCESSFUL iterations — a failed iteration's near-zero elapsed time
     // must neither shrink the query's min nor flatter the total. A query
     // with no successful iteration reports -1 and joins the errors array.
+    // Each iteration rebuilds the DataFrame and replays the FULL query —
+    // parse/analyze/optimize/plan/execute — exactly what the DuckDB
+    // baseline loop does per execution, so the totals compare like for
+    // like. (A build-once/execute-twice variant measures ~10% faster via
+    // plan reuse, but re-running a shared Dataset can also silently reuse
+    // completed shuffle map stages between iterations — a result-cache
+    // effect the baseline never gets, so it is not used here.)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
