@@ -128,11 +128,16 @@ object Main {
     * topic tables registered. */
   private[graft] def runWith(spark: SparkSession, c: Cli): Engine = {
     graft.functions.GraftFunctions.register(spark)
-    c.registryUrl.foreach { u =>
-      require(u.startsWith("mock://"),
-        s"only mock:// registries are supported offline (got $u); real HTTP " +
-          "Schema Registry access needs network egress — use external " +
-          "avro:/proto:/json: serde schemas instead")
+    // mock:// keeps the in-process registry (reference's mock scope);
+    // http(s):// builds the REST client (reference: KwackConfig.java:59-63).
+    val registry: graft.schema.SchemaRegistry = c.registryUrl match {
+      case Some(u) if u.startsWith("http://") || u.startsWith("https://") =>
+        new graft.schema.HttpSchemaRegistry(u)
+      case Some(u) =>
+        require(u.startsWith("mock://"),
+          s"unsupported registry URL scheme: $u (expected http://, https://, or mock://)")
+        new graft.schema.InMemorySchemaRegistry
+      case None => new graft.schema.InMemorySchemaRegistry
     }
     c.passthrough.collect { case (k, v) if k.startsWith("spark.") =>
       spark.conf.set(k, v)
@@ -141,7 +146,7 @@ object Main {
       case (k, v) if k.startsWith("kafka.") => k -> v
     } ++ c.metadataTimeoutMs.map(t => "kafka.default.api.timeout.ms" -> t.toString)
 
-    val engine = new Engine(spark)
+    val engine = new Engine(spark, registry)
     val specs = c.topics.map { case (topic, _) =>
       Engine.TopicSpec(topic,
         keySerde = c.keySerdes.getOrElse(topic, Serde.BinarySerde),

@@ -8,9 +8,9 @@ import java.util.concurrent.atomic.AtomicInteger
   * The reference resolves schemas from a Confluent Schema Registry (or a
   * mock in-process one for external `avro:`/`json:`/`proto:` schemas —
   * reference: KwackEngine.java:392-430). This engine is registry-agnostic:
-  * an in-memory implementation serves external schemas and tests; an
-  * HTTP-backed implementation against a live registry slots into the same
-  * trait (not included — zero-egress environment).
+  * an in-memory implementation serves external schemas and tests;
+  * [[HttpSchemaRegistry]] speaks the Confluent v1 REST protocol against a
+  * live (or stubbed) registry through the same trait.
   *
   * Implementations must be usable from executors (the deserializer memoizes
   * per-partition; see serde package), mirroring the reference's
