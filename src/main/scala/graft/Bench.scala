@@ -60,16 +60,47 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    // Millisecond precision keeps the whole line ~2.5 KB: harnesses that
-    // keep only a bounded stdout tail must still see the line START (a
-    // truncated JSON line parses as nothing). build.sbt also suppresses
-    // sbt's trailing "[success]" line so this stays the LAST stdout line.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Harnesses that keep only a bounded stdout tail must still see the
+    // summary line's START (a truncated JSON line parses as nothing), so the
+    // full-name 3-dp detail goes to a FILE and an earlier stdout line, and
+    // the LAST stdout line is a compact (<2 KB, spec-enforced) summary with
+    // prefix-shortened query keys. build.sbt also suppresses sbt's trailing
+    // "[success]" line so the summary stays the LAST stdout line.
+    val (detailJson, summaryLine) = renderLines(results, failed.toList, sfDir)
+    val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    java.nio.file.Files.write(detailPath, detailJson.getBytes("UTF-8"))
+    println(s"bench detail (full query names, 3 dp): $detailPath")
+    println(detailJson)
+    println(summaryLine)
     spark.stop()
+  }
+
+  /** Render (detailJson, summaryLine). The summary line is the machine
+    * contract: `total` first, per-query seconds keyed by the unique
+    * underscore-prefix of each query name (falls back to the full name on
+    * prefix collision), guaranteed parseable from a bounded stdout tail. */
+  private[graft] def renderLines(results: Seq[(String, Double)],
+                                 failed: Seq[String],
+                                 sfDir: String): (String, String) = {
+    def f(v: Double, dp: Int): String =
+      s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    val detailQs = results.map { case (k, v) => "\"" + k + "\":" + f(v, 3) }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$detailQs,"errors":$errs,"sf":"$sfDir"}"""
+
+    val prefixes = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
+    def shortKey(name: String): String = {
+      val p = name.takeWhile(_ != '_')
+      if (prefixes(p).size == 1) p else name
+    }
+    val shortQs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v, 2) }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$shortQs,"errors":$errs,"sf":"$sfDir"}"""
+    (detail, summary)
   }
 }
