@@ -44,11 +44,14 @@ object Engine {
                              rowAttrs: Set[String] = defaultRowAttrs,
                              skipBytes: Int = 0)
 
-  /** rowinfo struct fields in layout order (reference: KwackEngine.java:703-743). */
+  /** rowinfo struct fields in layout order (reference: KwackEngine.java:
+    * 703-743). The reference additionally emits `epo` (leader epoch);
+    * Spark's Kafka source does not expose it, so requesting `epo` is
+    * rejected at init (see decodeTopic) rather than emitted as null. */
   private val rowinfoFields: Seq[(String, DataType)] = Seq(
     "ksi" -> IntegerType, "vsi" -> IntegerType, "top" -> StringType,
     "par" -> IntegerType, "off" -> LongType, "ts" -> LongType,
-    "tst" -> ShortType, "epo" -> IntegerType,
+    "tst" -> ShortType,
     "hdr" -> MapType(StringType, StringType, valueContainsNull = true))
 
   def sanitize(topic: String): String = topic.replaceAll("[^A-Za-z0-9_]", "_")
@@ -176,6 +179,15 @@ class Engine(val spark: SparkSession,
       case dt => Seq(StructField(Rowval, dt, nullable = true))
     }
     val attrs = spec.rowAttrs
+    // Documented delta from the reference: KwackEngine.java:703-743 emits
+    // the record's leader epoch, but Spark's Kafka source does not surface
+    // leaderEpoch, and an admin-client lookup at ingest time could only see
+    // the CURRENT epoch, not the per-record one — a silently-null or wrong
+    // column is worse than an upfront refusal.
+    require(!attrs.contains("epo"),
+      "row attribute 'epo' (leader epoch) is not available: Spark's Kafka " +
+        "source does not expose per-record leader epoch; remove 'epo' from " +
+        "row.attributes")
     val withKey = attrs.contains(Rowkey)
     val infoFields = rowinfoFields.filter { case (n, _) => attrs.contains(n) }
     val outFields =
@@ -224,7 +236,6 @@ class Engine(val spark: SparkSession,
                 "off" -> r.getAs[Long]("offset"),
                 "ts" -> r.getAs[java.sql.Timestamp]("timestamp").getTime,
                 "tst" -> r.getAs[Int]("timestampType").toShort,
-                "epo" -> null,
                 "hdr" -> hdrs)
               Seq(Row(infoNames.map(all): _*))
             }

@@ -351,22 +351,22 @@ object Similarity {
       .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"),
         col("cell_rank"))
     val nps = s.range(1, 4).select(col("id").cast("int").as("nprobe"))
-    val sel = pairs.crossJoin(nps)
+    val sel = pairs.crossJoin(broadcast(nps))
       .filter(col("cell_rank") <= col("nprobe"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("nprobe"), col("qid"))
           .orderBy(col("cos").desc, col("cid"))))
       .filter(col("rnk") <= 3)
-      .select(col("nprobe"), col("qid"), col("cid"))
-    val hits = sel.join(truth, Seq("qid", "cid"))
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
-    // denominator derived from the truth itself, not a hardcoded constant
-    val denom = truth.agg(count(lit(1)).cast("double").as("n_truth"))
-    nps.join(hits, Seq("nprobe"), "left")
-      .na.fill(0L, Seq("hits"))
-      .crossJoin(broadcast(denom))
-      .select(col("nprobe"), col("hits"),
-        round(col("hits") / col("n_truth"), 6).as("recall"))
+      .select(col("nprobe"), col("qid"), col("cid"), lit(1).as("hit"))
+    // the expensive brute-truth subtree appears exactly ONCE: replicate the
+    // 60 truth rows per sweep point, left-join the selected candidates, and
+    // read hits and the denominator out of the same aggregation (count(hit)
+    // vs count(*)) — no second truth scan, no separate denominator subtree
+    truth.crossJoin(broadcast(nps))
+      .join(sel, Seq("nprobe", "qid", "cid"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("hit")).as("hits"),
+        round(count(col("hit")) / count(lit(1)).cast("double"), 6).as("recall"))
       .orderBy(col("nprobe"))
   }
 

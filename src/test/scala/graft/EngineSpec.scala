@@ -152,6 +152,19 @@ class EngineSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("requesting the 'epo' row attribute is refused upfront (documented delta)") {
+    val engine = new Engine(spark)
+    val topic = "epo-topic"
+    val records = Seq(SyntheticRecord(null,
+      java.nio.ByteBuffer.allocate(4).putInt(1).array(), topic, 0, 0L, 1L))
+    val ex = intercept[IllegalArgumentException] {
+      engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.IntSerde,
+        rowAttrs = Set("par", "epo"))), _ => KafkaRecords.synthetic(spark, records))
+    }
+    ex.getMessage should include("leader epoch")
+    engine.close()
+  }
+
   test("copyTo exports query results as parquet (COPY ... TO)") {
     val engine = new Engine(spark)
     val topic = "cp"

@@ -89,9 +89,9 @@ class MainSpec extends AnyFunSuite with Matchers {
       Array(7, 8, 9)
   }
 
-  test("non-mock registry URL is rejected with guidance (offline build)") {
+  test("unsupported registry URL scheme is rejected with guidance") {
     val e = intercept[IllegalArgumentException] {
-      Main.runWith(spark, Main.parse(Array("-r", "http://sr:8081")))
+      Main.runWith(spark, Main.parse(Array("-r", "ftp://sr:8081")))
     }
     e.getMessage should include("mock://")
   }
