@@ -1,0 +1,112 @@
+package graft.queries
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Engine
+import graft.serde.WireFormat
+import graft.sources.KafkaRecords
+import graft.sources.KafkaRecords.SyntheticRecord
+import QueryHelpers.Q
+
+/** Oracle-gated queries that exercise the ENGINE surface itself (ingest,
+  * COPY sink, union accessors) rather than the delegated relational layer —
+  * the two categories VERDICT r3 flagged as spec-only.
+  *
+  * q75: COPY round-trip — the engine's `COPY (SELECT …) TO … (FORMAT
+  * parquet, PARTITION_BY …)` writes a hive layout, the query re-reads it,
+  * and the oracle runs the equivalent SELECT directly in DuckDB: any loss
+  * or corruption introduced by the sink (types, partition-column encoding,
+  * nulls) breaks the hash match. (reference sink: README.md:119-123)
+  *
+  * q76: Avro multi-branch union e2e — deterministic records with a
+  * `["null","string","int"]` union field are Avro-encoded, wire-framed,
+  * ingested through the engine (registry + decode + tagged-struct
+  * convention, SURVEY §7.3), then read back via `union_tag` /
+  * `union_extract`; the oracle builds the same unions with DuckDB's native
+  * UNION type and its own union_tag/union_extract.
+  * (reference: KwackEngine.java union handling + DuckDB union functions)
+  */
+object EngineSurface {
+
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_copy_rt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val engine = new Engine(s)
+    engine.sql(
+      s"""COPY (SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+         |      FROM '$dir/orders.parquet' WHERE o_orderkey <= 1000)
+         |TO '$out' (FORMAT parquet, PARTITION_BY (o_orderpriority))""".stripMargin)
+    engine.close()
+    // re-read the hive layout; partition column comes back from dir names
+    s.read.parquet(out)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+  }
+
+  private val unionSchemaText =
+    """{"type":"record","name":"U","fields":[
+      |{"name":"id","type":"int"},
+      |{"name":"u","type":["null","string","int"]}]}""".stripMargin
+
+  private def avroEncode(schema: Schema, id: Int, u: Any): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    rec.put("id", id)
+    rec.put("u", u)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericData.Record](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val engine = new Engine(s)
+    val topic = "union-fixture"
+    val schema = new Schema.Parser().parse(unionSchemaText)
+    val sid = engine.registry.register(s"$topic-value", "AVRO", schema.toString)
+    val fixture: Seq[(Int, Any)] = Seq(
+      (1, "alpha"), (2, Int.box(7)), (3, null),
+      (4, "beta"), (5, Int.box(-42)), (6, ""))
+    val records = fixture.zipWithIndex.map { case ((id, u), i) =>
+      SyntheticRecord(null, WireFormat.frame(sid, avroEncode(schema, id, u)),
+        topic, 0, i.toLong, 1700000000000L + i)
+    }
+    val tables = engine.init(
+      Seq(Engine.TopicSpec(topic, rowAttrs = Set.empty)),
+      _ => KafkaRecords.synthetic(s, records))
+    val df = tables(topic).selectExpr(
+      "id",
+      "union_tag(u) AS tag",
+      "union_extract(u, 'u1') AS sval",
+      "union_extract(u, 'u2') AS ival")
+    engine.close()
+    df
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q75_copy_roundtrip" -> (q75 _),
+    "q76_union_avro" -> (q76 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q75_copy_roundtrip" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin,
+    "q76_union_avro" ->
+      """WITH t(id, u) AS (
+        |  SELECT 1, union_value(u1 := 'alpha')::UNION(u1 VARCHAR, u2 INTEGER)
+        |  UNION ALL SELECT 2, union_value(u2 := 7)::UNION(u1 VARCHAR, u2 INTEGER)
+        |  UNION ALL SELECT 3, NULL::UNION(u1 VARCHAR, u2 INTEGER)
+        |  UNION ALL SELECT 4, union_value(u1 := 'beta')::UNION(u1 VARCHAR, u2 INTEGER)
+        |  UNION ALL SELECT 5, union_value(u2 := -42)::UNION(u1 VARCHAR, u2 INTEGER)
+        |  UNION ALL SELECT 6, union_value(u1 := '')::UNION(u1 VARCHAR, u2 INTEGER)
+        |)
+        |SELECT id, union_tag(u)::STRING AS tag,
+        |       union_extract(u, 'u1') AS sval,
+        |       union_extract(u, 'u2') AS ival
+        |FROM t""".stripMargin)
+}
