@@ -36,4 +36,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 ) ++ (if (sys.env.contains("SPARK_GRAFT_GCLOG"))
-  Seq("-Xlog:gc*:file=/tmp/graft_gc.log:time,uptime") else Seq.empty)
+  Seq("-Xlog:gc*:file=/tmp/graft_gc.log:time,uptime") else Seq.empty) ++
+  // ad-hoc conf experiments: SPARK_GRAFT_XOPTS="-Dspark.foo=bar -Dspark.baz=qux"
+  sys.env.getOrElse("SPARK_GRAFT_XOPTS", "").split(" ").filter(_.nonEmpty).toSeq

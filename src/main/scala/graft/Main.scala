@@ -207,7 +207,15 @@ object Main {
     spark.stop()
   }
 
-  /** Minimal SQL REPL: one statement per line, `quit`/`exit` to leave. */
+  /** Minimal SQL REPL: one statement per line, `quit`/`exit` to leave.
+    *
+    * The reference ships sqlline over JDBC instead (KwackEngine.java:
+    * 258-272). The Spark-native equivalent of that remote-client surface is
+    * Spark Connect / the Thrift JDBC server: because the engine registers
+    * every decoded topic as a view on the shared SparkSession, starting
+    * `sbin/start-thriftserver.sh` (or a Connect endpoint) against the same
+    * session serves these views to any JDBC/BI client with zero engine
+    * changes — the stdin loop here is the dependency-free CLI path only. */
   private def repl(engine: Engine): Unit = {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     print("graft> "); Console.flush()

@@ -52,6 +52,9 @@ object Dedup {
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     memoized(s"shingles:$dir")(
       t(s, dir, "documents")
+        // documents.parquet is one small file -> a 1-partition scan; spread
+        // the persisted index so every consumer stage starts parallel
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), expr("graft_shingles(text)").as("sh"))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
@@ -94,7 +97,15 @@ object Dedup {
     * self-join recompute), exact jaccard >= 0.5. */
   private val d02: Q = (s, dir) => {
     val docs = docsWithShingles(s, dir)
+    // The postings rows are BYTE-small but each carries up to C(100,2)
+    // pair fan-out and a sort_array(collect_list) — AQE's size-based
+    // coalescing would funnel both the reduce and the pair-explode into one
+    // task. Pinning the shuffle with an explicit user partition count (AQE
+    // leaves user-numbered repartitions alone) keeps the CPU-bound reduce
+    // AND the downstream explode at cluster parallelism; the same reasoning
+    // holds at 100 TB where per-row cost, not byte size, is the bottleneck.
     val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .repartition(s.sparkContext.defaultParallelism, col("s"))
       .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, 100))
     val cand = postings
