@@ -23,7 +23,10 @@ object MakeSf1 {
     "part" -> Seq("p_partkey"),
     "orders" -> Seq("o_orderkey", "o_custkey"),
     "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-    "events" -> Seq("event_id", "user_id"),
+    // events is handled by tools/make_sf1_events.py: its ts column is
+    // parquet TIMESTAMP(NANOS), which Spark can neither read natively nor
+    // write back — DuckDB replicates it with the physical type preserved
+    // so the oracle replay sees the same schema at every sf
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 

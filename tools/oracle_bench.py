@@ -18,9 +18,12 @@ def main():
     oracle = json.load(open(sql_path))
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):  # Spark writes datasets as directories
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     # warmup
     for name, q in sorted(oracle.items()):
         try:
