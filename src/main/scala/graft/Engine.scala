@@ -541,7 +541,99 @@ class Engine(val spark: SparkSession,
       macros.remove(name.toLowerCase)
       import spark.implicits._
       Seq(name).toDF("macro_dropped")
-    case _ => expandedSql(expandMacros(q))
+    case _ => expandedSql(rewriteFromFirst(expandMacros(q)))
+  }
+
+  /** Index of the first top-level (paren-depth 0, outside quoted strings /
+    * backtick identifiers) occurrence of any of `kws` as a whole word at or
+    * after `from`, with the matched keyword. Comments are not handled — the
+    * reference's query surface (CLI -q / REPL lines) does not carry them. */
+  private def findTopLevelKeyword(s: String, from: Int,
+                                  kws: Seq[String]): Option[(Int, String)] = {
+    val upper = s.toUpperCase
+    var i = from
+    var depth = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')) {
+            val hit = kws.find { kw =>
+              upper.startsWith(kw, i) && {
+                val e = i + kw.length
+                e >= s.length || (!Character.isLetterOrDigit(s.charAt(e)) && s.charAt(e) != '_')
+              }
+            }
+            if (hit.isDefined) return Some((i, hit.get))
+          }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val trailingClauseKws =
+    Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
+      "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+
+  /** DuckDB's FROM-first syntax (SURVEY §2.2 — the reference's embedded
+    * DuckDB accepts `FROM t`, `FROM t SELECT a, b`, and
+    * `FROM t WHERE p SELECT a` through its verbatim query path,
+    * KwackEngine.java:232). Rewritten to clause-ordered SQL before Spark
+    * parsing: the text before the first top-level SELECT is the FROM
+    * segment (which may carry WHERE etc.), the SELECT list runs until the
+    * next top-level clause keyword, and everything splices back into
+    * `SELECT <list> <from-segment> <rest>`. A bare FROM query becomes
+    * `SELECT * <query>`. */
+  private[graft] def rewriteFromFirst(q: String): String = {
+    val body = q.trim.replaceAll(";\\s*$", "")
+    if (!body.toUpperCase.startsWith("FROM") ||
+        (body.length > 4 && Character.isLetterOrDigit(body.charAt(4)))) return q
+    findTopLevelKeyword(body, 4, Seq("SELECT")) match {
+      case None => s"SELECT * $body"
+      case Some((si, _)) =>
+        val fromSeg = body.substring(0, si).trim
+        val afterSelect = body.substring(si + "SELECT".length)
+        findTopLevelKeyword(afterSelect, 0, trailingClauseKws) match {
+          case None => s"SELECT ${afterSelect.trim} $fromSeg"
+          case Some((ci, _)) =>
+            s"SELECT ${afterSelect.substring(0, ci).trim} $fromSeg ${afterSelect.substring(ci)}"
+        }
+    }
+  }
+
+  private val columnsRe = "(?i)\\bCOLUMNS\\s*\\(\\s*'([^']*)'\\s*\\)".r
+
+  /** DuckDB's `COLUMNS('regex')` star expansion (SURVEY §2.2 projection
+    * sugar). Supported for queries whose first top-level FROM names a
+    * single table/view (or quoted file ref — call after [[rewriteSugar]]
+    * so the ref has become a registered view): each COLUMNS('pat') expands
+    * to the backtick-quoted matching columns, with DuckDB's search (not
+    * full-match) regex semantics. */
+  private[graft] def expandColumnsRegex(q: String): String = {
+    if (columnsRe.findFirstIn(q).isEmpty) return q
+    val fromIdx = findTopLevelKeyword(q, 0, Seq("FROM")).map(_._1).getOrElse(
+      throw new IllegalArgumentException("COLUMNS(...) requires a FROM clause"))
+    val afterFrom = q.substring(fromIdx + 4).trim
+    val rel =
+      if (afterFrom.startsWith("`")) afterFrom.substring(1, afterFrom.indexOf('`', 1))
+      else afterFrom.takeWhile(c => Character.isLetterOrDigit(c) || c == '_' || c == '.')
+    require(rel.nonEmpty && !afterFrom.startsWith("("),
+      "COLUMNS(...) is supported only over a single named table/view FROM clause")
+    val schema = spark.table(rel).schema
+    columnsRe.replaceAllIn(q, m => {
+      val pat = m.group(1).r
+      val cols = schema.fields.map(_.name).filter(n => pat.findFirstIn(n).isDefined)
+      require(cols.nonEmpty, s"COLUMNS('${m.group(1)}') matched no columns of $rel")
+      scala.util.matching.Regex.quoteReplacement(
+        cols.map(c => "`" + c.replace("`", "``") + "`").mkString(", "))
+    })
   }
 
   private val summarizeStmt = "(?is)^\\s*SUMMARIZE\\s+(.+?)\\s*;?\\s*$".r
@@ -612,7 +704,7 @@ class Engine(val spark: SparkSession,
         import spark.implicits._
         Seq(n).toDF("rows_copied")
       } finally df.unpersist()
-    case _ => spark.sql(rewriteSugar(q))
+    case _ => spark.sql(expandColumnsRegex(rewriteSugar(q)))
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +

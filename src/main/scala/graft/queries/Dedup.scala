@@ -451,7 +451,51 @@ object Dedup {
       |FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
       |ORDER BY n DESC, h""".stripMargin
 
+  /** d09: canonicalization (fuzzy-exact) dedup. The corpus has no
+    * case/whitespace/word-order variants, so the query PLANTS them on both
+    * sides (every doc_id % 5 == 0 gets an uppercased, double-spaced,
+    * word-reversed twin at doc_id + 1,000,000) and the canonical form —
+    * md5 of the sorted word bag after lower/trim/space-collapse — must
+    * collapse exactly those twin pairs (plus any organic bag collisions,
+    * identically on both engines).
+    *
+    * Scale: map-only canonicalization, ONE shuffle on the canonical hash
+    * (the same single-shuffle shape as d01 exact dedup); the variant union
+    * is a second scan branch, not a join. */
+  private val d09: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val variants = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(array_join(reverse(split(col("text"), " ")), "  ")), lit("  ")).as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionAll(variants)
+    val canon = corpus.select(col("doc_id"),
+      md5(array_join(array_sort(split(regexp_replace(lower(trim(col("text"))), " +", " "), " ")), " ")).as("ch"))
+    canon.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("n_members"),
+        min(col("doc_id")).as("canonical_id"), max(col("doc_id")).as("dup_id"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("canonical_id"))
+  }
+
+  private val d09Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    UPPER(ARRAY_TO_STRING(LIST_REVERSE(STRING_SPLIT(text, ' ')), '  ')) || '  '
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |canon AS (
+      |  SELECT doc_id,
+      |    MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(
+      |      REGEXP_REPLACE(LOWER(TRIM(text)), ' +', ' ', 'g'), ' ')), ' ')) AS ch
+      |  FROM corpus)
+      |SELECT ch, COUNT(DISTINCT doc_id) AS n_members,
+      | MIN(doc_id) AS canonical_id, MAX(doc_id) AS dup_id
+      |FROM canon GROUP BY ch HAVING COUNT(DISTINCT doc_id) > 1
+      |ORDER BY canonical_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d09_canonical_dedup" -> d09,
     "d08_passage_dedup" -> d08,
     "d07_dedup_clusters" -> d07,
     "d01_dedup_exact" -> d01,
@@ -462,6 +506,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d09_canonical_dedup" -> d09Sql,
     "d08_passage_dedup" -> d08Sql,
     "d07_dedup_clusters" -> d07Sql,
     "d01_dedup_exact" -> d01Sql,

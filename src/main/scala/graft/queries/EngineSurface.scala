@@ -88,11 +88,55 @@ object EngineSurface {
     df
   }
 
+  /** q77: DuckDB FROM-first syntax through the engine's rewrite
+    * (Engine.rewriteFromFirst); the oracle runs the IDENTICAL query text —
+    * DuckDB parses FROM-first natively, so any rewrite drift (clause
+    * reordering, lost WHERE) breaks the hash. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(
+      s"""FROM '$dir/lineitem.parquet'
+         |SELECT l_returnflag, count(*) AS n,
+         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+         |WHERE l_orderkey <= 1000
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    finally engine.close()
+  }
+
+  private val q77Sql =
+    """FROM lineitem
+      |SELECT l_returnflag, count(*) AS n,
+      |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+      |WHERE l_orderkey <= 1000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q78: DuckDB COLUMNS('regex') projection expansion
+    * (Engine.expandColumnsRegex) — again the oracle runs the same text via
+    * DuckDB's native COLUMNS, pinning the search-semantics regex match and
+    * the expansion order (schema order, both engines). */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(
+      s"""SELECT l_orderkey, l_linenumber, COLUMNS('^l_(quantity|extendedprice|discount)$$')
+         |FROM '$dir/lineitem.parquet' WHERE l_orderkey <= 100
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    finally engine.close()
+  }
+
+  private val q78Sql =
+    """SELECT l_orderkey, l_linenumber, COLUMNS('^l_(quantity|extendedprice|discount)$')
+      |FROM lineitem WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q75_copy_roundtrip" -> (q75 _),
-    "q76_union_avro" -> (q76 _))
+    "q76_union_avro" -> (q76 _),
+    "q77_from_first" -> (q77 _),
+    "q78_columns_regex" -> (q78 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q77_from_first" -> q77Sql,
+    "q78_columns_regex" -> q78Sql,
     "q75_copy_roundtrip" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey <= 1000""".stripMargin,

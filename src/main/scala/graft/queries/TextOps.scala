@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryHelpers._
@@ -292,7 +293,123 @@ object TextOps {
        | CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS realized_rate
        |FROM k GROUP BY source, rate_pct ORDER BY source""".stripMargin
 
+  // ---- x09: PII scrubbing ------------------------------------------------
+  // The synthetic corpus contains no PII, so the query PLANTS deterministic
+  // emails / phone numbers / IPv4 addresses (keyed on doc_id) on BOTH the
+  // Spark and oracle sides, then scrubs them — the redaction regexes and the
+  // per-type hit counts are what is actually under test. Patterns stay in
+  // the Java-regex ∩ RE2 common dialect so both engines match identically.
+  // Map-only (no shuffle except the presentation sort) — at 100 TB this is
+  // a pure scan-transform pass with full whole-stage codegen.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private val x09: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val planted = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 3) % 256).cast("string"))).otherwise(lit("")))
+    val p = d.select(col("doc_id"), planted.as("text"))
+    // scrub emails first: their dotted domains would otherwise feed the IP
+    // pattern's digit-dot runs on adversarial inputs
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(emailPat), lit("<EMAIL>")),
+        lit(phonePat), lit("<PHONE>")),
+      lit(ipPat), lit("<IP>"))
+    p.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailPat)).as("n_emails"),
+        regexp_count(col("text"), lit(phonePat)).as("n_phones"),
+        regexp_count(col("text"), lit(ipPat)).as("n_ips"),
+        md5(red).as("redacted_md5"),
+        (length(red) - length(col("text"))).as("len_delta"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x09Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN ' call 555-' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |              || '-' || LPAD(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0
+      |         THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |              || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END AS text
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, text,
+      |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+      |  FROM p)
+      |SELECT doc_id,
+      | CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+      | CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+      | CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+      | MD5(red) AS redacted_md5,
+      | CAST(LENGTH(red) - LENGTH(text) AS INTEGER) AS len_delta
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---- x10: sequence packing ---------------------------------------------
+  // GPT-style concat-and-chunk packing: within each (source, shard) stream,
+  // documents are laid end-to-end in doc_id order and a document is assigned
+  // to the context-window bin its first token lands in (budget = 256
+  // tokens). The shard key is how this distributes: at 100 TB you pack per
+  // shard in parallel — each shard's running sum is an independent window
+  // over its own partition, so the only shuffle is the hash partition on
+  // (source, shard) and no global ordering is ever needed.
+  private val packBudget = 256
+
+  private val x10: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), col("source"),
+      pmod(col("doc_id"), lit(4)).as("shard"),
+      size(split(col("text"), " +")).cast("long").as("tok"))
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = toks
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("tok")) / lit(packBudget.toDouble)).cast("long"))
+    binned.groupBy(col("source"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard"), col("bin"))
+  }
+
+  private val x10Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, doc_id % 4 AS shard,
+       |    CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS BIGINT) AS tok
+       |  FROM documents),
+       |binned AS (
+       |  SELECT source, shard, doc_id, tok,
+       |    (SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) - tok) // $packBudget AS bin
+       |  FROM toks)
+       |SELECT source, shard, bin,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+       | MIN(doc_id) AS first_doc,
+       | MAX(doc_id) AS last_doc
+       |FROM binned GROUP BY source, shard, bin
+       |ORDER BY source, shard, bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x09_pii_scrub" -> x09,
+    "x10_seq_packing" -> x10,
     "x01_token_count" -> x01,
     "x02_quality_score" -> x02,
     "x03_lang_id" -> x03,
@@ -303,6 +420,8 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x09_pii_scrub" -> x09Sql,
+    "x10_seq_packing" -> x10Sql,
     "x01_token_count" -> x01Sql,
     "x02_quality_score" -> x02Sql,
     "x03_lang_id" -> x03Sql,

@@ -219,4 +219,42 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.sql(s"SELECT count(*) AS n FROM synced").collect()(0).getLong(0) shouldBe 3L
     engine.close()
   }
+
+  test("FROM-first syntax: bare, SELECT-list, and clause-carrying forms rewrite correctly") {
+    val engine = new Engine(spark)
+    val topic = "fromfirst"
+    engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.IntSerde, rowAttrs = Set.empty)),
+      _ => KafkaRecords.synthetic(spark,
+        Seq(intRecord(topic, 0, 5), intRecord(topic, 1, 2), intRecord(topic, 2, 9))))
+    // bare FROM == SELECT *
+    engine.sql("FROM fromfirst").count() shouldBe 3L
+    // bare FROM + WHERE
+    engine.sql("FROM fromfirst WHERE rowval > 4").count() shouldBe 2L
+    // DuckDB clause order: FROM t SELECT list WHERE ... ORDER BY ...
+    engine.sql("FROM fromfirst SELECT rowval * 10 AS v WHERE rowval >= 5 ORDER BY v")
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(50, 90)
+    // a SELECT inside a subquery expression must not be mistaken for the clause
+    engine.sql("FROM fromfirst WHERE rowval = (SELECT max(rowval) FROM fromfirst)")
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(9)
+    // not FROM-first: untouched
+    engine.sql("SELECT count(*) AS n FROM fromfirst").collect()(0).getLong(0) shouldBe 3L
+    engine.close()
+  }
+
+  test("COLUMNS('regex') expands against the FROM relation's schema, search semantics") {
+    val engine = new Engine(spark)
+    val dir = "/root/testdata/sf0.001"
+    val df = engine.sql(
+      s"SELECT COLUMNS('^l_(orderkey|linenumber|quantity)$$') FROM '$dir/lineitem.parquet' " +
+        "WHERE l_orderkey = 1 ORDER BY l_linenumber")
+    df.columns.toSeq shouldBe Seq("l_orderkey", "l_linenumber", "l_quantity")
+    df.count() should be > 0L
+    // search (unanchored) semantics: 'linenumber' matches l_linenumber only
+    engine.sql(s"SELECT COLUMNS('linenumber') FROM '$dir/lineitem.parquet' LIMIT 1")
+      .columns.toSeq shouldBe Seq("l_linenumber")
+    // no match must fail loudly
+    an[Exception] should be thrownBy
+      engine.sql(s"SELECT COLUMNS('nope_.*') FROM '$dir/lineitem.parquet'")
+    engine.close()
+  }
 }
