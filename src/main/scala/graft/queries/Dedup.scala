@@ -120,7 +120,7 @@ object Dedup {
         (col("common").cast("double") /
           (col("s1.n") + col("s2.n") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("d1"), col("d2"))
+      .psort(col("d1"), col("d2"))
   }
 
   private val d02Sql =
@@ -293,7 +293,7 @@ object Dedup {
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 1)
-      .orderBy(col("d1"), col("d2"))
+      .psort(col("d1"), col("d2"))
   }
 
   private val d04Sql =
@@ -319,7 +319,7 @@ object Dedup {
         expr(cosineExpr("e1", "e2")).as("cos"))
       .filter(col("cos") >= 0.4)
       .select(col("v1"), col("v2"), col("label"), round(col("cos"), 6).as("cosine"))
-      .orderBy(col("v1"), col("v2"))
+      .psort(col("v1"), col("v2"))
   }
 
   private val d05Sql =
@@ -349,7 +349,7 @@ object Dedup {
         round(matches.cast("double") / 8.0, 6).as("est"),
         round(jaccardCol, 6).as("exact"))
       .withColumn("abs_err", round(abs(col("est") - col("exact")), 6))
-      .orderBy(col("d1"), col("d2"))
+      .psort(col("d1"), col("d2"))
   }
 
   private val d06Sql = {
@@ -406,7 +406,7 @@ object Dedup {
       cur
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   private val d07Sql =
@@ -439,7 +439,7 @@ object Dedup {
     chunks.groupBy(col("h"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
-      .orderBy(col("n").desc, col("h"))
+      .psort(col("n").desc, col("h"))
   }
 
   private val d08Sql =
@@ -474,7 +474,7 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("n_members"),
         min(col("doc_id")).as("canonical_id"), max(col("doc_id")).as("dup_id"))
       .filter(col("n_members") > 1)
-      .orderBy(col("canonical_id"))
+      .psort(col("canonical_id"))
   }
 
   private val d09Sql =

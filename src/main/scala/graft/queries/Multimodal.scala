@@ -24,7 +24,7 @@ object Multimodal {
         length(bin).as("n_bytes"),
         sha2(bin, 256).as("sha256_hex"),
         base64(substring(col("text"), 1, 12).cast("binary")).as("head_b64"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   private val m01Sql =
@@ -67,7 +67,7 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("data"))
       .as[MediaRecord]
     ds.mapPartitions(_.map(decodeStub)).toDF()
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   // text is ASCII, so per-char UNICODE() equals the utf-8 byte value.
@@ -94,7 +94,7 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no"),
         length(col("frame")).as("frame_bytes"),
         md5(col("frame")).as("frame_digest"))
-      .orderBy(col("doc_id"), col("frame_no"))
+      .psort(col("doc_id"), col("frame_no"))
   }
 
   private val m03Sql =
@@ -137,7 +137,7 @@ object Multimodal {
       .mapPartitions(_.map(decodeStub))
       .mapPartitions(_.map(resizeStub))
       .toDF()
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   // integer geometry replayed over m02's stub dimensions
@@ -182,7 +182,7 @@ object Multimodal {
       .select(col("doc_id"),
         expr("array_join(transform(features, x -> cast(x as string)), ',')")
           .as("features_csv"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   // ASCII text: per-char UNICODE() equals the byte value, bucket = byte/32
@@ -241,7 +241,7 @@ object Multimodal {
         col("cp_sum"), col("min_bytes"), col("max_bytes"),
         (col("cp_sum").cast("double") / col("total_bytes").cast("double"))
           .as("mean_cp"))
-      .orderBy(col("source"))
+      .psort(col("source"))
   }
 
   private val m06Sql =

@@ -40,6 +40,27 @@ object QueryHelpers {
     }
   }
 
+  /** Presentation sort — the FINAL ordering of a query's bounded answer set
+    * before emission (Verify's parquet dump, the CLI's JSON stream, the
+    * oracle hash). Spelled as a plain 1-partition exchange + in-partition
+    * sort instead of `orderBy`: a global `orderBy` plans a range exchange
+    * whose boundary sampling is an EXTRA Spark job that re-executes the
+    * whole child plan — pure constant overhead on every query of the suite
+    * (~25 ms each at sf0.1). The answer set at this point is merged into a
+    * single ordered output stream anyway (exactly what DuckDB's top-level
+    * ORDER BY does), so one merge task is the right physical shape.
+    *
+    * NOT for intermediate or scale-unbounded data: inside a pipeline, a
+    * range-partitioned `orderBy` (parallel sort) is the 100 TB path — at
+    * that scale you would drop the presentation sort entirely and let the
+    * consumer read unordered shards. */
+  implicit class PresentationSort(private val df: DataFrame) {
+    def psort(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    def psort(col0: String, cols: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(col0, cols: _*)
+  }
+
   /** Exact money: cast a double measure column to DECIMAL(12,2). */
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
 

@@ -36,7 +36,7 @@ object Relational {
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .psort(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val q01Sql =
@@ -88,7 +88,7 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(dsumr(dec2(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
         .as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .psort(col("revenue").desc, col("n_name"))
   }
 
   private val q03Sql =
@@ -129,7 +129,7 @@ object Relational {
     o.join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("o_orderstatus"))
+      .psort(col("o_orderstatus"))
   }
 
   private val q05Sql =
@@ -146,7 +146,7 @@ object Relational {
     c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
-      .orderBy(col("c_mktsegment"))
+      .psort(col("c_mktsegment"))
   }
 
   private val q06Sql =
@@ -166,7 +166,7 @@ object Relational {
       .select(col("nationkey"),
         coalesce(col("n_customers"), lit(0L)).as("n_customers"),
         coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
-      .orderBy(col("nationkey"))
+      .psort(col("nationkey"))
   }
 
   private val q07Sql =
@@ -183,7 +183,7 @@ object Relational {
     val r = t(s, dir, "region").select(col("r_name"))
     val st = t(s, dir, "orders").select(col("o_orderstatus")).distinct()
     r.crossJoin(st)
-      .orderBy(col("r_name"), col("o_orderstatus"))
+      .psort(col("r_name"), col("o_orderstatus"))
   }
 
   private val q08Sql =
@@ -200,7 +200,7 @@ object Relational {
         asDouble(dec2(col("o_totalprice"))).as("price"),
         row_number().over(w).as("rn"))
       .filter(col("rn") <= 3)
-      .orderBy(col("o_custkey"), col("rn"))
+      .psort(col("o_custkey"), col("rn"))
   }
 
   private val q09Sql =
@@ -221,7 +221,7 @@ object Relational {
           .as("running_spend"),
         lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
         lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
+      .psort(col("o_custkey"), col("o_orderkey"))
   }
 
   private val q10Sql =
@@ -242,7 +242,7 @@ object Relational {
       .rangeBetween(-7L * 86400, 0)
     o.select(col("o_custkey"), col("o_orderkey"),
         count(lit(1)).over(w).as("orders_7d"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
+      .psort(col("o_custkey"), col("o_orderkey"))
   }
 
   private val q11Sql =

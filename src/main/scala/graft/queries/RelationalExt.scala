@@ -31,7 +31,7 @@ object RelationalExt {
       .select(col("nationkey"), lit("intersect").as("op"), lit(1L).as("n"))
     val exc = c.except(sup)
       .select(col("nationkey"), lit("except").as("op"), lit(1L).as("n"))
-    all.union(inter).union(exc).orderBy(col("op"), col("nationkey"))
+    all.union(inter).union(exc).psort(col("op"), col("nationkey"))
   }
 
   private val q13Sql =
@@ -54,7 +54,7 @@ object RelationalExt {
     e.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"))
-      .orderBy(col("user_id"))
+      .psort(col("user_id"))
   }
 
   private val q14Sql =
@@ -131,7 +131,7 @@ object RelationalExt {
       .join(broadcast(mx))
       .filter(col("total_revenue") === col("mx"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-      .orderBy(col("s_suppkey"))
+      .psort(col("s_suppkey"))
   }
 
   /** ROLLUP with GROUPING() tags. */
@@ -141,7 +141,7 @@ object RelationalExt {
       .agg(dsum(col("l_quantity")).as("sum_qty"),
         grouping(col("l_returnflag")).as("g_rf"),
         grouping(col("l_linestatus")).as("g_ls"))
-      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+      .psort(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
   }
 
   private val q19Sql =
@@ -159,7 +159,7 @@ object RelationalExt {
       .agg(count(lit(1)).as("n"),
         grouping(col("o_orderstatus")).as("g_st"),
         grouping(col("o_orderpriority")).as("g_pr"))
-      .orderBy(col("g_st"), col("g_pr"), col("o_orderstatus"), col("o_orderpriority"))
+      .psort(col("g_st"), col("g_pr"), col("o_orderstatus"), col("o_orderpriority"))
   }
 
   private val q20Sql =
@@ -181,7 +181,7 @@ object RelationalExt {
         max_by(col("o_orderkey"), sortKey).as("top_order"),
         min_by(col("o_orderkey"), sortKey).as("bottom_order"),
         countDistinct(col("o_custkey")).as("n_custs"))
-      .orderBy(col("o_orderstatus"))
+      .psort(col("o_orderstatus"))
   }
 
   private val q21Sql =
@@ -199,7 +199,7 @@ object RelationalExt {
       .agg(
         concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
         count(lit(1)).as("n"))
-      .orderBy(col("n_regionkey"))
+      .psort(col("n_regionkey"))
   }
 
   private val q22Sql =
@@ -238,7 +238,7 @@ object RelationalExt {
         lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
         col("p_name").like("%le%").as("has_le"),
         levenshtein(col("p_brand"), lit("Brand#1")).as("lev"))
-      .orderBy(col("p_partkey"))
+      .psort(col("p_partkey"))
   }
 
   private val q24Sql =
@@ -267,7 +267,7 @@ object RelationalExt {
         unix_timestamp(col("o_orderdate")).as("epoch_s"),
         datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
         (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("plus90"))
-      .orderBy(col("o_orderkey"))
+      .psort(col("o_orderkey"))
   }
 
   private val q25Sql =
@@ -300,7 +300,7 @@ object RelationalExt {
         (col("l_orderkey").bitwiseOR(8)).as("bor"),
         shiftleft(col("l_linenumber"), 2).as("shl"),
         signum(col("l_discount") - 0.05).as("sgn"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .psort(col("l_orderkey"), col("l_linenumber"))
   }
 
   private val q26Sql =
@@ -330,7 +330,7 @@ object RelationalExt {
         coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_alias"),
         greatest(col("o_custkey"), col("o_orderkey") % 100).as("g"),
         least(col("o_custkey"), col("o_orderkey") % 100).as("lst"))
-      .orderBy(col("o_orderkey"))
+      .psort(col("o_orderkey"))
   }
 
   private val q27Sql =
@@ -354,7 +354,7 @@ object RelationalExt {
         concat_ws("|", slice(sort_array(array_distinct(words)), 1, 3)).as("first3"),
         aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x).as("sum_len"),
         size(filter(words, w => length(w) > 4)).as("n_long"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   private val q28Sql =
@@ -378,7 +378,7 @@ object RelationalExt {
         round(st.getField("v").cast("double"), 2).as("value_via_struct"),
         map_keys(m).getItem(0).as("mkey"),
         element_at(m, col("event_type")).as("mval"))
-      .orderBy(col("event_id"))
+      .psort(col("event_id"))
   }
 
   private val q29Sql =
@@ -397,7 +397,7 @@ object RelationalExt {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"),
         get_json_object(col("props"), "$.missing").isNull.as("missing_is_null"))
-      .orderBy(col("event_id"))
+      .psort(col("event_id"))
   }
 
   private val q30Sql =
@@ -414,7 +414,7 @@ object RelationalExt {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .count()
       .na.fill(0L)
-      .orderBy(col("bucket"))
+      .psort(col("bucket"))
   }
 
   private val q31Sql =
@@ -434,7 +434,7 @@ object RelationalExt {
         round(col("p_retailprice"), 2).as("retailprice"))
     p.unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
         "measure", "val")
-      .orderBy(col("p_partkey"), col("measure"))
+      .psort(col("p_partkey"), col("measure"))
   }
 
   private val q32Sql =
@@ -450,7 +450,7 @@ object RelationalExt {
     val o = t(s, dir, "orders")
     o.filter(pmod(md5i(col("o_orderkey").cast("string")), lit(10)) === 0)
       .select(col("o_orderkey"), col("o_orderstatus"))
-      .orderBy(col("o_orderkey"))
+      .psort(col("o_orderkey"))
   }
 
   private val q33Sql =
@@ -471,7 +471,7 @@ object RelationalExt {
       .select(col("o_custkey").as("user_id"), col("o_orderdate"),
         col("o_orderkey"), round(col("o_totalprice"), 2).as("o_price"))
     graft.operators.AsofJoin.asofLeft(e, dedup, Seq("user_id"), "ts", "o_orderdate")
-      .orderBy(col("event_id"))
+      .psort(col("event_id"))
   }
 
   private val q34Sql =
@@ -497,7 +497,7 @@ object RelationalExt {
         col("o_orderkey"), round(col("o_totalprice"), 2).as("o_price"))
     graft.operators.AsofJoinNative.asofLeft(e, dedup, Seq("user_id"), "ts", "o_orderdate")
       .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"), col("o_price"))
-      .orderBy(col("event_id"))
+      .psort(col("event_id"))
   }
 
   /** Range (inequality) join: lineitems shipped within 30 days of order. */
@@ -510,7 +510,7 @@ object RelationalExt {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_fast_ship"),
         dsum(col("l_extendedprice")).as("fast_revenue"))
-      .orderBy(col("o_orderstatus"))
+      .psort(col("o_orderstatus"))
   }
 
   private val q35Sql =

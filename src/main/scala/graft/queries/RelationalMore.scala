@@ -32,7 +32,7 @@ object RelationalMore {
       .filter(col("rn") <= 3)
       .select(col("o_orderstatus"), col("rn"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"))
-      .orderBy(col("o_orderstatus"), col("rn"))
+      .psort(col("o_orderstatus"), col("rn"))
   }
 
   private val q42Sql =
@@ -57,7 +57,7 @@ object RelationalMore {
       .filter(col("p_partkey") <= 50)
       .drop("p_retailprice", "p_size")
       .withColumn("p_brand", upper(col("p_brand")))
-      .orderBy(col("p_partkey"))
+      .psort(col("p_partkey"))
   }
 
   private val q44Sql =
@@ -71,7 +71,7 @@ object RelationalMore {
         explode(sequence(lit(1L), col("r_regionkey") + 2)).as("i"))
       .select(col("r_regionkey"), col("i"),
         (col("r_regionkey") * lit(10) + col("i")).as("v"))
-      .orderBy(col("r_regionkey"), col("i"))
+      .psort(col("r_regionkey"), col("i"))
   }
 
   private val q45Sql =
@@ -95,7 +95,7 @@ object RelationalMore {
           .as("second_event"),
         lag(col("value"), 1, -1.0).over(w).as("prev_value"),
         lead(col("event_type"), 1, "none").over(w).as("next_type"))
-      .orderBy(col("user_id"), col("event_id"))
+      .psort(col("user_id"), col("event_id"))
   }
 
   private val q46Sql =
@@ -119,7 +119,7 @@ object RelationalMore {
     d.select(col("doc_id"), size(caps).as("n_long"),
         when(size(caps) > 0, element_at(caps, 1)).otherwise("").as("first_long"),
         when(size(caps) > 0, element_at(caps, -1)).otherwise("").as("last_long"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   private val q47Sql =
@@ -141,7 +141,7 @@ object RelationalMore {
       .select(col("a.k").as("k1"), col("b.k").as("k2"),
         levenshtein(col("a.nm"), col("b.nm")).as("dist"))
       .filter(col("dist") <= 15)
-      .orderBy(col("k1"), col("k2"))
+      .psort(col("k1"), col("k2"))
   }
 
   private val q48Sql =
@@ -164,7 +164,7 @@ object RelationalMore {
         shiftleft(col("o_orderkey"), 3).as("b_shl"),
         shiftright(col("o_orderkey"), 2).as("b_shr"),
         bitwise_not(col("o_orderkey")).as("b_not"))
-      .orderBy(col("o_orderkey"))
+      .psort(col("o_orderkey"))
   }
 
   private val q49Sql =
@@ -190,7 +190,7 @@ object RelationalMore {
     e.select(col("user_id"), col("event_id"),
         when(count(lit(1)).over(w) > 1, (sum(v).over(w) - v).cast("double"))
           .as("neighbor_sum"))
-      .orderBy(col("user_id"), col("event_id"))
+      .psort(col("user_id"), col("event_id"))
   }
 
   private val q52Sql =
@@ -213,7 +213,7 @@ object RelationalMore {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.9)").as("p90"),
         expr("percentile(value, 0.5)").as("med"))
-      .orderBy(col("event_type"))
+      .psort(col("event_type"))
   }
 
   private val q53Sql =
@@ -247,7 +247,7 @@ object RelationalMore {
         date_format(d, "EEEE").as("dname"),
         (dayofweek(d) - 1).as("dow"),
         quarter(d).as("qtr"))
-      .orderBy(col("o_orderkey"))
+      .psort(col("o_orderkey"))
   }
 
   private val q55Sql =
@@ -271,7 +271,7 @@ object RelationalMore {
       .agg(count(lit(1)).as("n"),
         sum(when(col("value").cast("decimal(12,2)") > col("avg_v"), 1L)
           .otherwise(0L)).as("n_above"))
-      .orderBy(col("event_type"))
+      .psort(col("event_type"))
   }
 
   private val q56Sql =
@@ -318,7 +318,7 @@ object RelationalMore {
         array_join(map_keys(mc), "|").as("ks"),
         array_join(map_values(mc), "|").as("vs"),
         size(mc).as("card"))
-      .orderBy(col("p_partkey"))
+      .psort(col("p_partkey"))
   }
 
   private val q58Sql =
@@ -344,7 +344,7 @@ object RelationalMore {
         first(v, ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
           .as("first_v"))
-      .orderBy(col("user_id"), col("event_id"))
+      .psort(col("user_id"), col("event_id"))
   }
 
   private val q59Sql =
@@ -375,7 +375,7 @@ object RelationalMore {
         unix_millis(col("ts")).as("ms"),
         unix_seconds(col("ts")).as("sec"),
         timestamp_seconds(unix_seconds(col("ts"))).as("rt"))
-      .orderBy(col("event_id"))
+      .psort(col("event_id"))
   }
 
   private val q61Sql =
@@ -395,7 +395,7 @@ object RelationalMore {
     a.unionByName(b)
       .groupBy(col("src"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("mn"), max(col("k")).as("mx"))
-      .orderBy(col("src"))
+      .psort(col("src"))
   }
 
   private val q62Sql =
@@ -427,7 +427,7 @@ object RelationalMore {
         count(lit(1)).over(w).as("n_trailing_hour"),
         sum(col("value").cast("decimal(12,2)")).over(w)
           .cast("double").as("v_trailing_hour"))
-      .orderBy(col("user_id"), col("event_id"))
+      .psort(col("user_id"), col("event_id"))
   }
 
   private val q64Sql =

@@ -63,7 +63,7 @@ object RelationalStats {
         expr("cast(aggregate(zip_with(array(p_size, p_size + 1, p_size + 2), array(3, 2, 1), " +
           "(x, y) -> x * y), 0, (acc, v) -> acc + v) as bigint)").as("dot3"),
         expr("array_join(array_sort(array(p_size % 7, p_size % 3, p_size % 5)), ',')").as("sorted_csv"))
-      .orderBy(col("p_partkey"))
+      .psort(col("p_partkey"))
   }
 
   private val q66Sql =
@@ -115,7 +115,7 @@ object RelationalStats {
     e.select(col("user_id"), col("event_id"),
         when(cAll > cPeer, (sAll - sPeer).cast("double")).as("excl_group"),
         ((sAll - sPeer) + col("v")).cast("double").as("excl_ties"))
-      .orderBy(col("user_id"), col("event_id"))
+      .psort(col("user_id"), col("event_id"))
   }
 
   private val q68Sql =
@@ -145,7 +145,7 @@ object RelationalStats {
         col("o_totalprice").cast("decimal(12,2)").cast("double").as("price"))
     graft.operators.PositionalJoin
       .byOrder(l, Seq(col("c_custkey")), r, Seq(col("o_orderkey")))
-      .orderBy(col("pos"))
+      .psort(col("pos"))
   }
 
   private val q69Sql =
@@ -214,7 +214,7 @@ object RelationalStats {
       .select(col("user_id"), col("event_id"),
         col("g10").cast("double").as("groups_1p_cur"),
         col("g21").cast("double").as("groups_2p_1p"))
-      .orderBy(col("user_id"), col("event_id"))
+      .psort(col("user_id"), col("event_id"))
   }
 
   // DuckDB 1.x does not implement GROUPS mode either ("not implemented

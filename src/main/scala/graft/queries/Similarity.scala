@@ -37,7 +37,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cosine"))
-      .orderBy(col("qid"), col("rank"))
+      .psort(col("qid"), col("rank"))
   }
 
   private val s01Sql =
@@ -65,7 +65,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("label"), col("rank"), col("cid"), round(col("cos"), 6).as("cosine"))
-      .orderBy(col("qid"), col("rank"))
+      .psort(col("qid"), col("rank"))
   }
 
   private val s02Sql =
@@ -131,7 +131,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("sig"), col("rank"), col("cid"), round(col("cos"), 6).as("cosine"))
-      .orderBy(col("qid"), col("rank"))
+      .psort(col("qid"), col("rank"))
   }
 
   private val s03Sql =
@@ -180,7 +180,7 @@ object Similarity {
     val (centroids, assigned) = trainedIvf(s, dir)
     graft.operators.IvfIndex.search(assigned, e.filter(col("vec_id") < 20),
         "vec_id", "embedding", centroids, nprobe = 3, topk = 3)
-      .orderBy(col("qid"), col("rank"))
+      .psort(col("qid"), col("rank"))
   }
 
   private val ivfK = 8
@@ -291,7 +291,7 @@ object Similarity {
       .groupBy(col("qid"))
       .agg(count(col("cid2")).as("hits"),
         (count(col("cid2")) / lit(3.0)).as("recall"))
-      .orderBy(col("qid"))
+      .psort(col("qid"))
   }
 
   /** Shared oracle CTEs: exact top-3 ground truth for the vec_id<20 query
@@ -367,7 +367,7 @@ object Similarity {
       .groupBy(col("nprobe"))
       .agg(count(col("hit")).as("hits"),
         round(count(col("hit")) / count(lit(1)).cast("double"), 6).as("recall"))
-      .orderBy(col("nprobe"))
+      .psort(col("nprobe"))
   }
 
   private val s06Sql =
@@ -422,7 +422,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("cid"), col("qdot"))
-      .orderBy(col("qid"), col("rank"))
+      .psort(col("qid"), col("rank"))
   }
 
   private val s07Sql =

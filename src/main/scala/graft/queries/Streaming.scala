@@ -19,7 +19,7 @@ object Streaming {
     StreamingOps.tumblingAgg(e, "ts", "event_type", "v", "1 hour")
       .select(col("window_start"), col("event_type"), col("n"),
         col("total").cast("double").as("total"))
-      .orderBy(col("window_start"), col("event_type"))
+      .psort(col("window_start"), col("event_type"))
   }
 
   private val q36Sql =
@@ -33,7 +33,7 @@ object Streaming {
   private val q37: Q = (s, dir) => {
     val e = t(s, dir, "events")
     StreamingOps.slidingAgg(e, "ts", "event_type", "1 hour", "30 minutes")
-      .orderBy(col("window_start"), col("event_type"))
+      .psort(col("window_start"), col("event_type"))
   }
 
   private val q37Sql =
@@ -51,7 +51,7 @@ object Streaming {
   private val q38: Q = (s, dir) => {
     val e = t(s, dir, "events")
     StreamingOps.sessionAgg(e, "ts", "user_id", "5 minutes")
-      .orderBy(col("user_id"), col("session_start"))
+      .psort(col("user_id"), col("session_start"))
   }
 
   private val q38Sql =
@@ -104,7 +104,7 @@ object Streaming {
         "view_ts", "click_ts", "10 minutes")
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
-      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+      .psort(col("user_id"), col("view_id"), col("click_id"))
   }
 
   private val q50Sql =
@@ -170,7 +170,7 @@ object Streaming {
     // its version map on-heap) grows monotonically across warmup + timed
     // runs and the memory pressure evicts OTHER queries' persisted frames
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    local.orderBy(col("window_start"), col("event_type"))
+    local.psort(col("window_start"), col("event_type"))
   }
 
   // identical aggregation contract, restricted to the streamed slice — the
@@ -211,7 +211,7 @@ object Streaming {
         UState(k, n, cents, maxEv)
       }
       .toDF()
-      .orderBy(col("user_id"))
+      .psort(col("user_id"))
   }
 
   private val q71Sql =

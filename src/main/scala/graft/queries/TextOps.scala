@@ -27,7 +27,7 @@ object TextOps {
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).as("bpe_ish_tokens"),
         length(col("text")).as("n_chars_measured"),
         (length(col("text")) === col("n_chars")).as("n_chars_consistent"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   private val x01Sql =
@@ -64,7 +64,7 @@ object TextOps {
         when(nTok < 10, "too_short")
           .when(stopRatio < 0.01, "low_stopword")
           .otherwise("ok").as("quality"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   private val stopListSql = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -109,7 +109,7 @@ object TextOps {
         best.getField("lang").as("guessed"),
         best.getField("score").as("hits"),
         col("lang").as("labelled"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   private val x03Sql = {
@@ -137,7 +137,7 @@ object TextOps {
       lit(0L),
       (acc, x) => pmod(acc * 31 + x, lit(P)))
     d.select(col("doc_id"), bagFp.as("bag_fp"), rollFp.as("roll_fp"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   private val x04Sql =
@@ -165,7 +165,7 @@ object TextOps {
     counts.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("lang"), col("rn"), col("g"), col("n"))
-      .orderBy(col("lang"), col("rn"))
+      .psort(col("lang"), col("rn"))
   }
 
   private val x05Sql =
@@ -231,7 +231,7 @@ object TextOps {
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("term"),
         round(col("tfidf"), 6).as("tfidf"))
-      .orderBy(col("doc_id"), col("rnk"))
+      .psort(col("doc_id"), col("rnk"))
   }
 
   private val x07Sql =
@@ -275,7 +275,7 @@ object TextOps {
       .select(col("source"), col("rate_pct"), col("n_total"), col("n_kept"),
         (col("n_kept").cast("double") / col("n_total").cast("double"))
           .as("realized_rate"))
-      .orderBy(col("source"))
+      .psort(col("source"))
   }
 
   private val x08Sql =
@@ -332,7 +332,7 @@ object TextOps {
         regexp_count(col("text"), lit(ipPat)).as("n_ips"),
         md5(red).as("redacted_md5"),
         (length(red) - length(col("text"))).as("len_delta"))
-      .orderBy(col("doc_id"))
+      .psort(col("doc_id"))
   }
 
   private val x09Sql =
@@ -386,7 +386,7 @@ object TextOps {
     binned.groupBy(col("source"), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("source"), col("shard"), col("bin"))
+      .psort(col("source"), col("shard"), col("bin"))
   }
 
   private val x10Sql =
