@@ -443,7 +443,54 @@ object Similarity {
       |SELECT qid, rank, cid, qdot
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Filtered ANN: top-k under a metadata predicate (label % 3 = 1 — the
+    * lang/license/split filter of a RAG or curation query), served from the
+    * SAME trained IVF index as s04. The predicate is applied to the
+    * candidate stream BEFORE the cosine computation — at 100 TB the filter
+    * prunes the probed cells' rows ahead of the expensive distance math and
+    * rides the cell-partitioned index layout (filter + equi-join on cell,
+    * no extra shuffle; see PLANS.md s08). Over-fetching is the textbook
+    * filtered-search failure mode this avoids: post-filtering a top-k
+    * computed on the UNfiltered corpus can return < k (or worse, nothing)
+    * for selective predicates. */
+  private val s08: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val q = graft.operators.IvfIndex
+      .probeRanked(e.filter(col("vec_id") < 20), "vec_id", "embedding", centroids, 3)
+      .select(col("qid"), col("qe"), col("cell"))
+    val c = assigned
+      .filter(pmod(col("label"), lit(3)) === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("label"),
+        expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("label"),
+        round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private val s08Sql =
+    s"""$ivfCtePrefix,
+       |fscored AS (
+       |  SELECT p.qid, a.cid, emb.label, ${cosineSql("p.qe", "a.ce")} AS cos
+       |  FROM probe p JOIN assignF a ON p.cell = a.cell AND p.qid <> a.cid
+       |  JOIN embeddings emb ON emb.vec_id = a.cid
+       |  WHERE ((emb.label % 3) + 3) % 3 = 1),
+       |ranked AS (
+       |  SELECT qid, cid, label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM fscored)
+       |SELECT qid, rank, cid, label, ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s08_knn_filtered" -> s08,
     "s07_knn_quantized" -> s07,
     "s01_knn_brute" -> s01,
     "s02_knn_ivf" -> s02,
@@ -453,6 +500,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s08_knn_filtered" -> s08Sql,
     "s07_knn_quantized" -> s07Sql,
     "s01_knn_brute" -> s01Sql,
     "s02_knn_ivf" -> s02Sql,

@@ -407,7 +407,56 @@ object TextOps {
        |FROM binned GROUP BY source, shard, bin
        |ORDER BY source, shard, bin""".stripMargin
 
+  // ---- x11: benchmark decontamination -------------------------------------
+  // Eval-set contamination check — the step a training pipeline runs before
+  // any data ships: does a training document share word n-grams with the
+  // benchmark suite? Benchmark = the doc_id % 97 == 0 slice (standing in for
+  // MMLU/GSM8K/...); grams are the same distinct word 3-grams the dedup
+  // family shingles with (one tokenization convention across the pipeline).
+  // Scale shape: the benchmark gram set is BOUNDED (eval suites are a few
+  // thousand docs no matter how big the corpus is) -> distinct + broadcast;
+  // the training side is a map-only explode semi-joined against the
+  // broadcast, then ONE shuffle on doc_id for the overlap count. No
+  // corpus-vs-corpus join anywhere — cost is linear in corpus size at 100 TB.
+  private val x11: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr("graft_shingles(text)").as("sh"))
+    val bench = d.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val ratio = col("n_overlap").cast("double") / col("n_grams").cast("double")
+    d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("sh")).as("n_grams"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        round(ratio, 6).as("overlap_ratio"),
+        (ratio >= 0.08).as("contaminated"))
+      .psort(col("doc_id"))
+  }
+
+  private val x11Sql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |      FOR i IN RANGE(1, LEN(w) - 1)]) AS sh
+      |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+      |  WHERE LEN(w) >= 3),
+      |bench AS (SELECT DISTINCT UNNEST(sh) AS s FROM docs WHERE doc_id % 97 = 0),
+      |train AS (
+      |  SELECT doc_id, LEN(sh) AS n_grams, UNNEST(sh) AS s
+      |  FROM docs WHERE doc_id % 97 <> 0),
+      |ov AS (
+      |  SELECT doc_id, n_grams, COUNT(*) AS n_overlap
+      |  FROM train JOIN bench USING (s) GROUP BY 1, 2)
+      |SELECT doc_id, n_grams, n_overlap,
+      | ROUND(n_overlap::DOUBLE / n_grams::DOUBLE, 6) AS overlap_ratio,
+      | n_overlap::DOUBLE / n_grams::DOUBLE >= 0.08 AS contaminated
+      |FROM ov ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x11_decontaminate" -> x11,
     "x09_pii_scrub" -> x09,
     "x10_seq_packing" -> x10,
     "x01_token_count" -> x01,
@@ -420,6 +469,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x11_decontaminate" -> x11Sql,
     "x09_pii_scrub" -> x09Sql,
     "x10_seq_packing" -> x10Sql,
     "x01_token_count" -> x01Sql,

@@ -159,6 +159,24 @@ class PlanSpec extends AnyFunSuite with Matchers {
     s should not include "CartesianProduct"
   }
 
+  test("x11 decontamination broadcasts the benchmark gram set (no cartesian)") {
+    val s = planString(SparkEntry.queries("x11_decontaminate")(spark, sfDir))
+    s should include("BroadcastHashJoin")
+    s should not include "CartesianProduct"
+    s should not include "SortMergeJoin"
+  }
+
+  test("s08 filtered ANN prunes candidates before the cosine (filter below join)") {
+    val df = SparkEntry.queries("s08_knn_filtered")(spark, sfDir)
+    val s = planString(df)
+    s should not include "CartesianProduct"
+    // the predicate must sit on the candidate side BELOW the cell join, not
+    // above the scored result: optimized plan has Filter under Join, and the
+    // join condition is the cell equi-key
+    val opt = df.queryExecution.optimizedPlan.toString
+    opt.indexOf("pmod") should be > opt.indexOf("Join")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
