@@ -494,7 +494,112 @@ object Dedup {
       |FROM canon GROUP BY ch HAVING COUNT(DISTINCT doc_id) > 1
       |ORDER BY canonical_id""".stripMargin
 
+  /** d10: incremental dedup — the production shape at 100 TB: a NEW crawl
+    * shard (doc_id % 10 == 7 stands in for "today's batch") is deduplicated
+    * AGAINST the already-ingested corpus without ever re-deduplicating the
+    * corpus itself. Two tiers, both keyed off persisted build-once indexes:
+    *   - exact: canonical content hash (d01's normalization) — the corpus
+    *     hash index is the big side, the incoming batch BROADCASTS onto it;
+    *   - near: minhash band keys from the SAME persisted signature index
+    *     d03 serves from; incoming band keys broadcast, candidates verified
+    *     by exact jaccard >= 0.8, best match per new doc (highest jaccard,
+    *     lowest old id).
+    * No corpus-vs-corpus join anywhere: every join is bounded-batch vs
+    * corpus, so the incremental cost is O(batch + touched postings), not
+    * O(corpus). */
+  private val d10: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 7
+    val norm = md5(regexp_replace(lower(col("text")), " +", " "))
+    val newH = d.filter(isNew).select(col("doc_id").as("nid"), norm.as("h"))
+    val oldH = d.filter(!isNew).select(col("doc_id").as("oid"), norm.as("h"))
+    val exact = oldH.join(broadcast(newH), Seq("h"))
+      .groupBy(col("nid")).agg(min(col("oid")).as("exact_match"))
+    val sig = minhashSig(s, dir)
+    def bands(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
+        }: _*)).as("bk"))
+      .select(col(idAs), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands(sig.filter(!isNew), "oid")
+      .join(broadcast(bands(sig.filter(isNew), "nid")), Seq("band", "key"))
+      .select(col("nid"), col("oid")).distinct()
+    val sh = docsWithShingles(s, dir)
+    val near = cand
+      .join(sh.select(col("doc_id").as("nid"), col("sh").as("sh1")), Seq("nid"))
+      .join(sh.select(col("doc_id").as("oid"), col("sh").as("sh2")), Seq("oid"))
+      .select(col("nid"), col("oid"), jaccardCol.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    val wN = Window.partitionBy(col("nid")).orderBy(col("jaccard").desc, col("oid"))
+    val nearBest = near.withColumn("rn", row_number().over(wN))
+      .filter(col("rn") === 1)
+      .select(col("nid"), col("oid").as("near_match"), col("jaccard"))
+    d.filter(isNew).select(col("doc_id").as("nid"))
+      .join(exact, Seq("nid"), "left")
+      .join(nearBest, Seq("nid"), "left")
+      .select(col("nid").as("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("matched_id"),
+        when(col("exact_match").isNull && col("near_match").isNotNull,
+          round(col("jaccard"), 6)).as("jaccard"))
+      .psort(col("doc_id"))
+  }
+
+  private val d10Sql = {
+    val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i").mkString(",\n   ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || '_' || m${2 * b + 1} AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS ($docsShSql),
+       |sig AS (SELECT doc_id, sh,
+       |   $sigCols
+       |  FROM docs),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+       |  FROM bands o JOIN bands n ON o.band = n.band AND o.key = n.key
+       |  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7),
+       |near AS (
+       |  SELECT nid, oid,
+       |    $jaccardSql AS jaccard
+       |  FROM cand
+       |  JOIN docs s1 ON nid = s1.doc_id
+       |  JOIN docs s2 ON oid = s2.doc_id),
+       |nearbest AS (
+       |  SELECT nid, oid AS near_match, jaccard FROM (
+       |    SELECT nid, oid, jaccard,
+       |      ROW_NUMBER() OVER (PARTITION BY nid ORDER BY jaccard DESC, oid) AS rn
+       |    FROM near WHERE jaccard >= 0.8) WHERE rn = 1),
+       |newh AS (
+       |  SELECT doc_id AS nid, MD5(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g')) AS h
+       |  FROM documents WHERE doc_id % 10 = 7),
+       |oldh AS (
+       |  SELECT doc_id AS oid, MD5(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g')) AS h
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       |exact AS (
+       |  SELECT nid, MIN(oid) AS exact_match FROM newh JOIN oldh USING (h)
+       |  GROUP BY nid)
+       |SELECT n.doc_id,
+       | CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+       |      WHEN b.near_match IS NOT NULL THEN 'near_dup'
+       |      ELSE 'unique' END AS verdict,
+       | COALESCE(e.exact_match, b.near_match) AS matched_id,
+       | CASE WHEN e.exact_match IS NULL AND b.near_match IS NOT NULL
+       |      THEN ROUND(b.jaccard, 6) END AS jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) n
+       |LEFT JOIN exact e ON n.doc_id = e.nid
+       |LEFT JOIN nearbest b ON n.doc_id = b.nid
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d10_incremental_dedup" -> d10,
     "d09_canonical_dedup" -> d09,
     "d08_passage_dedup" -> d08,
     "d07_dedup_clusters" -> d07,
@@ -506,6 +611,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d10_incremental_dedup" -> d10Sql,
     "d09_canonical_dedup" -> d09Sql,
     "d08_passage_dedup" -> d08Sql,
     "d07_dedup_clusters" -> d07Sql,

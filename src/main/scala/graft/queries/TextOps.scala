@@ -455,7 +455,128 @@ object TextOps {
       | n_overlap::DOUBLE / n_grams::DOUBLE >= 0.08 AS contaminated
       |FROM ov ORDER BY doc_id""".stripMargin
 
+  // ---- x12: repetition metrics (Gopher-style quality rules) ---------------
+  // Rae et al.'s Gopher filters flag documents dominated by repetition: the
+  // fraction of all word bigrams taken by the single most frequent bigram,
+  // and the fraction of 5-gram occurrences that are repeats. Scale shape:
+  // the 5-gram dup fraction is computed INSIDE the row (array ops, map-only);
+  // only the bigram mode needs a (doc_id, bigram) shuffle, and its partial
+  // aggregation combines map-side. At 100 TB: one shuffle keyed by document,
+  // no corpus-wide state.
+  private val x12: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams5 = expr(
+      "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")
+    val stats = base.select(col("doc_id"), size(col("w")).as("n_words"),
+      size(grams5).as("n5"), size(array_distinct(grams5)).as("n5d"))
+    val bi = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("bg"))
+    val top = bi.withColumn("rn", row_number().over(wd))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        max(when(col("rn") === 1, col("bg"))).as("top_bigram"),
+        max(when(col("rn") === 1, col("n"))).as("top_n"))
+    val topFrac = col("top_n").cast("double") / col("n_bigrams").cast("double")
+    val dupFrac = lit(1.0) - col("n5d").cast("double") / col("n5").cast("double")
+    stats.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("top_bigram"),
+        col("top_n").as("top_bigram_n"),
+        round(topFrac, 6).as("top_bigram_frac"),
+        round(dupFrac, 6).as("dup_5gram_frac"),
+        (topFrac > 0.18 || dupFrac > 0.30).as("flagged"))
+      .psort(col("doc_id"))
+  }
+
+  private val x12Sql =
+    """WITH base AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+      |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 5),
+      |stats AS (
+      |  SELECT doc_id, LEN(w) AS n_words,
+      |    LEN([ARRAY_TO_STRING(w[i:i+4], ' ') FOR i IN RANGE(1, LEN(w) - 3)]) AS n5,
+      |    LEN(LIST_DISTINCT([ARRAY_TO_STRING(w[i:i+4], ' ') FOR i IN RANGE(1, LEN(w) - 3)])) AS n5d
+      |  FROM base),
+      |bi AS (
+      |  SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1] FOR i IN RANGE(1, LEN(w))]) AS bg
+      |  FROM base),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, bg, n,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rn
+      |  FROM bc),
+      |top AS (
+      |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |    MAX(CASE WHEN rn = 1 THEN bg END) AS top_bigram,
+      |    MAX(CASE WHEN rn = 1 THEN n END) AS top_n
+      |  FROM ranked GROUP BY doc_id)
+      |SELECT s.doc_id, s.n_words, t.top_bigram, t.top_n AS top_bigram_n,
+      | ROUND(t.top_n::DOUBLE / t.n_bigrams::DOUBLE, 6) AS top_bigram_frac,
+      | ROUND(1.0 - s.n5d::DOUBLE / s.n5::DOUBLE, 6) AS dup_5gram_frac,
+      | (t.top_n::DOUBLE / t.n_bigrams::DOUBLE > 0.18
+      |   OR 1.0 - s.n5d::DOUBLE / s.n5::DOUBLE > 0.30) AS flagged
+      |FROM stats s JOIN top t ON s.doc_id = t.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ---- x13: n-gram LM scoring (perplexity-style quality signal) -----------
+  // A corpus-level character-bigram model scores every document by mean
+  // negative log-likelihood — the cheap statistical stand-in for the
+  // model-based quality filters of a production pipeline. Two passes:
+  // (1) corpus bigram counts (bounded table: |charset|^2 rows) with the
+  // grand total — broadcast; (2) per-doc (doc_id, bigram) counts joined
+  // against the broadcast model, ONE shuffle keyed by document.
+  // Determinism: each bigram's -ln(p) is quantized ONCE to integer
+  // micro-nats (round to 0 digits is midpoint-free on doubles, so both
+  // engines agree; contrast round(x, 6), whose multiply-based DuckDB
+  // implementation disagrees with Spark's exact-BigDecimal rounding at 6-dp
+  // boundaries); all per-doc arithmetic after that is exact integer
+  // sums/divisions — partition-order independent and bit-replayable, the
+  // same fixed-point pattern as the IVF trainer (operators/IvfIndex).
+  private val x13: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(length(col("text")) >= 2)
+    val bgArr = expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+    val ex = d.select(col("doc_id"), explode(bgArr).as("bg"))
+    val model = ex.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(ex.agg(count(lit(1)).as("total"))))
+      .select(col("bg"),
+        round(-log(col("cnt").cast("double") / col("total").cast("double"))
+          * 1000000.0).cast("long").as("nll_micro"))
+    val docBg = ex.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+    docBg.join(broadcast(model), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("nll_micro")).as("tot"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("tot").as("total_nll_micronats"),
+        expr("tot div n_bigrams").as("avg_nll_micronats"))
+      .psort(col("doc_id"))
+  }
+
+  private val x13Sql =
+    """WITH ex AS (
+      |  SELECT doc_id, UNNEST([SUBSTR(text, i, 2) FOR i IN RANGE(1, LEN(text))]) AS bg
+      |  FROM documents WHERE LEN(text) >= 2),
+      |model AS (
+      |  SELECT bg,
+      |    CAST(ROUND(-LN(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM ex)::DOUBLE)
+      |      * 1000000.0) AS BIGINT) AS nll_micro
+      |  FROM ex GROUP BY bg),
+      |docbg AS (SELECT doc_id, bg, COUNT(*) AS k FROM ex GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT d.doc_id, CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(d.k * m.nll_micro) AS BIGINT) AS tot
+      |  FROM docbg d JOIN model m ON d.bg = m.bg GROUP BY d.doc_id)
+      |SELECT doc_id, n_bigrams, tot AS total_nll_micronats,
+      | tot // n_bigrams AS avg_nll_micronats
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x12_repetition" -> x12,
+    "x13_lm_score" -> x13,
     "x11_decontaminate" -> x11,
     "x09_pii_scrub" -> x09,
     "x10_seq_packing" -> x10,
@@ -469,6 +590,8 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x12_repetition" -> x12Sql,
+    "x13_lm_score" -> x13Sql,
     "x11_decontaminate" -> x11Sql,
     "x09_pii_scrub" -> x09Sql,
     "x10_seq_packing" -> x10Sql,

@@ -61,6 +61,74 @@ class NewOpsR4Spec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("x12 repetition: fractions recompute from raw text") {
+    val rows = SparkEntry.queries("x12_repetition")(spark, sfDir).collect()
+    rows.length should be > 0
+    val texts = Tables.load(spark, sfDir, "documents")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    rows.take(50).foreach { r =>
+      val words = texts(r.getLong(r.fieldIndex("doc_id"))).split(" ", -1)
+      val bigrams = words.sliding(2).map(_.mkString(" ")).toSeq
+      val five = words.sliding(5).map(_.mkString(" ")).toSeq
+      val topN = bigrams.groupBy(identity).values.map(_.length).max
+      r.getInt(r.fieldIndex("n_words")) shouldBe words.length
+      r.getLong(r.fieldIndex("top_bigram_n")) shouldBe topN.toLong
+      r.getDouble(r.fieldIndex("top_bigram_frac")) shouldBe
+        (topN.toDouble / bigrams.length) +- 1e-6
+      r.getDouble(r.fieldIndex("dup_5gram_frac")) shouldBe
+        (1.0 - five.distinct.length.toDouble / five.length) +- 1e-6
+    }
+  }
+
+  test("x13 LM score: per-doc totals recompute from the corpus bigram model") {
+    val texts = Tables.load(spark, sfDir, "documents")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text"))).filter(_._2.length >= 2)
+    val all = texts.flatMap(_._2.sliding(2))
+    val counts = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = all.length.toDouble
+    val nllMicro = counts.map { case (bg, c) =>
+      bg -> math.round(-math.log(c / total) * 1e6) }
+    val expected = texts.map { case (id, txt) =>
+      val tot = txt.sliding(2).map(nllMicro).sum
+      id -> (txt.length - 1L, tot, tot / (txt.length - 1L))
+    }.toMap
+    val got = SparkEntry.queries("x13_lm_score")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got shouldBe expected
+  }
+
+  test("d10 incremental dedup: every new-shard doc gets one consistent verdict") {
+    val rows = SparkEntry.queries("d10_incremental_dedup")(spark, sfDir).collect()
+    val d = Tables.load(spark, sfDir, "documents").collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("text"))).toMap
+    val newIds = d.keySet.filter(_ % 10 == 7)
+    rows.map(_.getLong(0)).toSet shouldBe newIds
+    rows.map(_.getLong(0)).length shouldBe newIds.size // exactly once
+    def canon(t: String) = t.toLowerCase.replaceAll(" +", " ")
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      r.getString(r.fieldIndex("verdict")) match {
+        case "exact_dup" =>
+          val m = r.getLong(r.fieldIndex("matched_id"))
+          m % 10 should not be 7L
+          canon(d(m)) shouldBe canon(d(id))
+          r.isNullAt(r.fieldIndex("jaccard")) shouldBe true
+        case "near_dup" =>
+          val m = r.getLong(r.fieldIndex("matched_id"))
+          m % 10 should not be 7L
+          canon(d(m)) should not be canon(d(id))
+          r.getDouble(r.fieldIndex("jaccard")) should be >= 0.8
+        case "unique" =>
+          r.isNullAt(r.fieldIndex("matched_id")) shouldBe true
+          // no non-shard doc may share its canonical form
+          d.filter(_._1 % 10 != 7).values.count(t => canon(t) == canon(d(id))) shouldBe 0
+        case v => fail(s"unexpected verdict $v")
+      }
+    }
+  }
+
   test("s08 filtered ANN: filtering before scoring beats post-filtering s04") {
     // post-filtering the unfiltered top-3 keeps only hits that HAPPEN to
     // satisfy the predicate — strictly fewer than the filtered search's k
