@@ -128,6 +128,62 @@ object NativeHelpers {
     sim
   }
 
+  // Per-thread hash-indexed copy of the (row-invariant broadcast) LM model,
+  // revalidated per row against element count and boundary entries — see
+  // LmBigramFold's contract.
+  private val lmCache =
+    new ThreadLocal[(Long, java.util.HashMap[String, java.lang.Long])]()
+
+  private def lmModelOf(model: org.apache.spark.sql.catalyst.util.MapData)
+      : java.util.HashMap[String, java.lang.Long] = {
+    val n = model.numElements()
+    val keys = model.keyArray()
+    val vals = model.valueArray()
+    val fingerprint =
+      n.toLong ^ (if (n == 0) 0L
+        else keys.getUTF8String(0).hashCode.toLong * 31 +
+          keys.getUTF8String(n - 1).hashCode.toLong * 17 +
+          vals.getLong(0) * 13 + vals.getLong(n - 1))
+    val cached = lmCache.get()
+    if (cached != null && cached._1 == fingerprint) return cached._2
+    val hm = new java.util.HashMap[String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      hm.put(keys.getUTF8String(i).toString, vals.getLong(i))
+      i += 1
+    }
+    lmCache.set((fingerprint, hm))
+    hm
+  }
+
+  /** Boxed fold: Σ model[bigram] over the text's code-point bigrams, null
+    * when a bigram is missing (null-poisoning, like the composable form).
+    * Code-point iteration matches substring/SUBSTR semantics. */
+  def lmFoldBoxed(text: UTF8String,
+                  model: org.apache.spark.sql.catalyst.util.MapData)
+      : java.lang.Long = {
+    val hm = lmModelOf(model)
+    val s = text.toString
+    val cp = s.codePointCount(0, s.length)
+    if (cp < 2) return 0L
+    var sum = 0L
+    var ci = 0
+    var prev = 0
+    var k = 0
+    while (k < cp) {
+      val next = ci + Character.charCount(s.codePointAt(ci))
+      if (k >= 1) {
+        val v = hm.get(s.substring(prev, next))
+        if (v == null) return null
+        sum += v.longValue()
+      }
+      prev = ci
+      ci = next
+      k += 1
+    }
+    sum
+  }
+
   /** min over hv of (a * (h % p) + b) % p — identical to the array_min /
     * transform composition (all operands positive, Java % == SQL %). */
   def minhash(hv: ArrayData, a: Long, b: Long, p: Long): Long = {
@@ -385,4 +441,45 @@ case class TokenStats(child: Expression, stopwords: Seq[String]) extends UnaryEx
 
 object TokenStats {
   val spacesRe: Pattern = Pattern.compile(" +")
+}
+
+/** graft_lm_fold(text, model) -> bigint: Σ over the text's consecutive
+  * character bigrams g of model[g] (model: map<string,bigint>). Returns
+  * null if any bigram is absent from the model — the same null-poisoning
+  * the composable `aggregate(..., acc + element_at(m, g))` form produces.
+  *
+  * Why native: Spark's `element_at` on MapData is a LINEAR scan (maps have
+  * no hash index inside a row), so the composable fold costs
+  * O(|doc| · |model|) string comparisons per document. This expression
+  * hash-indexes the model ONCE per thread and folds each document in one
+  * compiled call. The model operand must be row-invariant (the broadcast
+  * one-row model the LM-scoring pipeline produces) — the per-thread cache
+  * is validated against element count and boundary entries, which is sound
+  * for the engine's own plans and documented as the usage contract.
+  */
+case class LmBigramFold(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, MapType(StringType, LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"requires (string, map<string,bigint>), got ($l, $r)")
+    }
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    NativeHelpers.lmFoldBoxed(t.asInstanceOf[UTF8String],
+      m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("lmFold")
+      s"""
+         |java.lang.Long $tmp = graft.functions.NativeHelpers$$.MODULE$$.lmFoldBoxed($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

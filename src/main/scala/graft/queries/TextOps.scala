@@ -536,23 +536,34 @@ object TextOps {
   // boundaries); all per-doc arithmetic after that is exact integer
   // sums/divisions — partition-order independent and bit-replayable, the
   // same fixed-point pattern as the IVF trainer (operators/IvfIndex).
+  // Plan shape: the model pass explodes one row per character but the
+  // (bg) aggregation combines map-side down to |charset|^2 rows per
+  // partition, so its shuffle is tiny; the model then collapses to ONE row
+  // holding a bg -> micronats MAP, which broadcasts, and the scoring pass
+  // is a pure in-row `aggregate` fold over each document's bigrams —
+  // map-only, no per-doc shuffle, no second explode. (The first cut scored
+  // via explode + join + re-aggregate: 2.4 s at sf0.1 vs ~0.3 s for this.)
   private val x13: Q = (s, dir) => {
     val d = t(s, dir, "documents").filter(length(col("text")) >= 2)
-    val bgArr = expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
-    val ex = d.select(col("doc_id"), explode(bgArr).as("bg"))
-    val model = ex.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(ex.agg(count(lit(1)).as("total"))))
+    val bgArr = "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+    val counts = d.select(explode(expr(bgArr)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val model = counts
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
       .select(col("bg"),
         round(-log(col("cnt").cast("double") / col("total").cast("double"))
           * 1000000.0).cast("long").as("nll_micro"))
-    val docBg = ex.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
-    docBg.join(broadcast(model), Seq("bg"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_bigrams"),
-        sum(col("k") * col("nll_micro")).as("tot"))
-      .select(col("doc_id"), col("n_bigrams"),
-        col("tot").as("total_nll_micronats"),
-        expr("tot div n_bigrams").as("avg_nll_micronats"))
+      .agg(map_from_entries(collect_list(struct(col("bg"), col("nll_micro"))))
+        .as("m"))
+    // graft_lm_fold = the aggregate/element_at composition fused into one
+    // native call with a hash-indexed model (element_at on a map is a
+    // linear scan per lookup — O(|doc|·|model|) interpreted, the hot cost)
+    d.crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        (length(col("text")) - 1).cast("long").as("n_bigrams"),
+        expr("graft_lm_fold(text, m)").as("total_nll_micronats"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_nll_micronats"),
+        expr("total_nll_micronats div n_bigrams").as("avg_nll_micronats"))
       .psort(col("doc_id"))
   }
 

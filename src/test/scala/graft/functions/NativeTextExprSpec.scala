@@ -119,4 +119,26 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
       .filter(expr("ts.n_tokens != n_tokens OR ts.n_stop != n_stop OR ts.sum_len != sum_len"))
     diff.count() shouldBe 0L
   }
+
+  test("graft_lm_fold equals the aggregate/element_at composition") {
+    import spark.implicits._
+    val bgArr = "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+    // model over the corpus + a unicode stress row; plus a doc with a
+    // bigram MISSING from the model must null-poison in both forms
+    val base = docs.select(col("text"))
+      .unionAll(Seq("héllo wörld 😀😁 日本語", "ab").toDF("text"))
+      .filter(expr("length(text) >= 2"))
+    val model = base.select(explode(expr(bgArr)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .select(col("bg"), expr("cast(cnt * 1000 + length(bg) as bigint)").as("v"))
+      .agg(map_from_entries(collect_list(struct(col("bg"), col("v")))).as("m"))
+    val scored = base.unionAll(Seq("ZZ@@##unseen").toDF("text"))
+      .crossJoin(broadcast(model))
+      .select(
+        expr("graft_lm_fold(text, m)").as("a"),
+        expr(s"aggregate($bgArr, 0L, (acc, g) -> acc + element_at(m, g))").as("b"))
+    scored.filter(expr("a IS DISTINCT FROM b")).count() shouldBe 0L
+    // the unseen-bigram row really exercised the null branch
+    scored.filter(expr("a IS NULL")).count() should be >= 1L
+  }
 }
