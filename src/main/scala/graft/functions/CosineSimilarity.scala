@@ -99,6 +99,8 @@ object GraftFunctions {
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_shingles" -> (exprs => WordShingles(exprs(0))),
     "graft_char_ngrams" -> (exprs => CharNgrams(exprs(0))),
+    "graft_char_grams" -> (exprs => CharNgramsK(exprs(0),
+      lit(exprs(1)).asInstanceOf[Number].intValue())),
     "graft_md5i_array" -> (exprs => Md5IntArray(exprs(0))),
     "graft_pairs" -> (exprs => PostingPairs(exprs(0))),
     "graft_simhash" -> (exprs => SimHash32(exprs(0))),

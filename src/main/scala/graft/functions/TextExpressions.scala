@@ -80,10 +80,16 @@ object NativeHelpers {
     * transform(sequence(1, len-2), i -> substring(text, i, 3)) pipeline.
     * Iterates CODE POINTS, not UTF-16 units, to match Spark's substring and
     * DuckDB's SUBSTR on supplementary-plane characters. */
-  def charNgrams3(text: UTF8String): ArrayData = {
+  def charNgrams3(text: UTF8String): ArrayData = charNgramsN(text, 3)
+
+  /** All consecutive code-point n-grams in ONE scan. The composable
+    * `transform(sequence(1, len-n+1), i -> substring(text, i, n))` form is
+    * O(len^2): Spark's substring re-walks the UTF8 bytes from position 0 on
+    * every call. This is the linear replacement (bit-identical output). */
+  def charNgramsN(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
     val cp = s.codePointCount(0, s.length)
-    if (cp < 3) return new GenericArrayData(Array.empty[Any])
+    if (cp < n) return new GenericArrayData(Array.empty[Any])
     // char offset of each code-point boundary
     val offs = new Array[Int](cp + 1)
     var ci = 0
@@ -94,10 +100,10 @@ object NativeHelpers {
       k += 1
     }
     offs(cp) = s.length
-    val out = new Array[Any](cp - 2)
+    val out = new Array[Any](cp - n + 1)
     var i = 0
-    while (i < cp - 2) {
-      out(i) = UTF8String.fromString(s.substring(offs(i), offs(i + 3)))
+    while (i < cp - n + 1) {
+      out(i) = UTF8String.fromString(s.substring(offs(i), offs(i + n)))
       i += 1
     }
     new GenericArrayData(out)
@@ -243,6 +249,25 @@ case class CharNgrams(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NativeHelpers$$.MODULE$$.charNgrams3($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_char_grams(text, n) -> array<string> of ALL code-point n-grams in
+  * one linear scan (the transform/sequence/substring composition is
+  * quadratic — see NativeHelpers.charNgramsN). n is a literal. */
+case class CharNgramsK(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"n must be >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(s"requires string, got $t")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHelpers.charNgramsN(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeHelpers$$.MODULE$$.charNgramsN($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

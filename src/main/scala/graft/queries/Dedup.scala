@@ -598,7 +598,50 @@ object Dedup {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** d11: SemDeDup — semantic (embedding-space) near-duplicate removal:
+    * k-means-cluster the corpus embeddings, then compare pairs ONLY within
+    * a cluster and drop every vector whose cosine to an earlier (lower-id)
+    * cluster-mate exceeds the threshold, keeping that earliest vector as
+    * the representative.
+    *
+    * Reuses the SAME trained IVF quantizer s04/s08 serve from (build-once
+    * index lifecycle; bit-reproducible fixed-point Lloyd, so the DuckDB
+    * oracle replays the identical clustering). Scale: cluster count grows
+    * ∝ N keeping cell size bounded, so the within-cell pair count is
+    * Σ|cell|² ≪ N² and the plan is a cell equi-join (no cartesian) — the
+    * published SemDeDup recipe, which this mirrors independently in Spark
+    * terms. Output: one row per DROPPED vector with its kept anchor. */
+  private val d11: Q = (s, dir) => {
+    val (_, assigned) = graft.queries.Similarity.trainedIvf(s, dir)
+    val a = assigned.select(col("cell"), col("vec_id").as("anchor"),
+      col("embedding").as("ae"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_id"),
+      col("embedding").as("be"))
+    a.join(b, Seq("cell"))
+      .filter(col("anchor") < col("vec_id"))
+      .select(col("cell"), col("anchor"), col("vec_id"),
+        expr(cosineExpr("ae", "be")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(min(col("anchor")).as("kept_anchor"),
+        count(lit(1)).as("n_anchors"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .psort(col("vec_id"))
+  }
+
+  private val d11Sql =
+    s"""${graft.queries.Similarity.ivfCtePrefix},
+       |pairs AS (
+       |  SELECT a.cell, a.cid AS anchor, b.cid AS vec_id,
+       |    ${cosineSql("a.ce", "b.ce")} AS cos
+       |  FROM assignF a JOIN assignF b ON a.cell = b.cell AND a.cid < b.cid)
+       |SELECT cell, vec_id, MIN(anchor) AS kept_anchor,
+       | COUNT(*) AS n_anchors, ROUND(MAX(cos), 6) AS max_cos
+       |FROM pairs WHERE cos >= 0.35
+       |GROUP BY cell, vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d11_semdedup" -> d11,
     "d10_incremental_dedup" -> d10,
     "d09_canonical_dedup" -> d09,
     "d08_passage_dedup" -> d08,
@@ -611,6 +654,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d11_semdedup" -> d11Sql,
     "d10_incremental_dedup" -> d10Sql,
     "d09_canonical_dedup" -> d09Sql,
     "d08_passage_dedup" -> d08Sql,

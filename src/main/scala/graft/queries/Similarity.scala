@@ -160,7 +160,7 @@ object Similarity {
     * assignment frame is persisted; centroids live with it. */
   private val ivfModel = scala.collection.concurrent.TrieMap[
     String, (Array[graft.operators.IvfIndex.Centroid], org.apache.spark.sql.DataFrame)]()
-  private def trainedIvf(s: SparkSession, dir: String) = {
+  private[queries] def trainedIvf(s: SparkSession, dir: String) = {
     val cached = ivfModel.get(dir)
       .filter(!_._2.sparkSession.sparkContext.isStopped)
     cached.getOrElse {
@@ -195,7 +195,7 @@ object Similarity {
   /** Shared oracle machinery: the WITH-clause body replaying seeding, the
     * unrolled Lloyd iterations, final assignment, and nprobe=3 probing —
     * used by both s04 (search results) and s06 (recall sweep). */
-  private val ivfCtePrefix: String = {
+  private[queries] val ivfCtePrefix: String = {
     // One Lloyd iteration: argmin assignment against cents{n-1} (ties ->
     // lowest cell, matching IvfIndex.nearest's strict <), then the
     // fixed-point mean: sum over floor(x * 2^20) as BIGINT, divided back out
@@ -489,7 +489,47 @@ object Similarity {
        |SELECT qid, rank, cid, label, ROUND(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** kNN-graph construction: every corpus vector's top-3 cosine neighbors
+    * WITHIN its trained IVF cell — the corpus-vs-corpus shape (vs s04's
+    * bounded query set) that feeds SemDeDup-style clustering, diversity
+    * analysis, and graph-based label propagation over training corpora.
+    *
+    * Scale: the self-join is equi-keyed on cell, so with k chosen ∝ N
+    * (bounded cell size) the pair count is Σ|cell|² ≪ N² and the plan is
+    * one shuffle on cell (or ZERO extra shuffles when the index is already
+    * cell-partitioned, the layout IvfIndex.assign documents). The top-k
+    * ranking prunes below the shuffle via WindowGroupLimit. No all-pairs
+    * cartesian anywhere. */
+  private val s09: Q = (s, dir) => {
+    val (_, assigned) = trainedIvf(s, dir)
+    val a = assigned.select(col("cell"), col("vec_id").as("qid"),
+      col("embedding").as("qe"))
+    val b = assigned.select(col("cell"), col("vec_id").as("cid"),
+      col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    a.join(b, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private val s09Sql =
+    s"""$ivfCtePrefix,
+       |gscored AS (
+       |  SELECT a.cid AS qid, b.cid, ${cosineSql("a.ce", "b.ce")} AS cos
+       |  FROM assignF a JOIN assignF b ON a.cell = b.cell AND a.cid <> b.cid),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM gscored)
+       |SELECT qid, rank, cid, ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s09_knn_graph" -> s09,
     "s08_knn_filtered" -> s08,
     "s07_knn_quantized" -> s07,
     "s01_knn_brute" -> s01,
@@ -500,6 +540,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s09_knn_graph" -> s09Sql,
     "s08_knn_filtered" -> s08Sql,
     "s07_knn_quantized" -> s07Sql,
     "s01_knn_brute" -> s01Sql,

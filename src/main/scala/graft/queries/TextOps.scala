@@ -536,20 +536,22 @@ object TextOps {
   // boundaries); all per-doc arithmetic after that is exact integer
   // sums/divisions — partition-order independent and bit-replayable, the
   // same fixed-point pattern as the IVF trainer (operators/IvfIndex).
-  // Plan shape: the model pass explodes one row per character but the
-  // (bg) aggregation combines map-side down to |charset|^2 rows per
-  // partition, so its shuffle is tiny; the model then collapses to ONE row
+  // Plan shape: the model pass explodes one row per character
+  // (graft_char_grams — ONE linear scan per doc; the substring/transform
+  // composition is quadratic per doc) but the (bg) aggregation combines
+  // map-side down to |charset|^2 rows per partition, so its shuffle is
+  // tiny; the grand total comes from a window over that bounded counts
+  // frame (NOT a second corpus scan); the model then collapses to ONE row
   // holding a bg -> micronats MAP, which broadcasts, and the scoring pass
-  // is a pure in-row `aggregate` fold over each document's bigrams —
+  // is a pure in-row native fold over each document's bigrams —
   // map-only, no per-doc shuffle, no second explode. (The first cut scored
   // via explode + join + re-aggregate: 2.4 s at sf0.1 vs ~0.3 s for this.)
   private val x13: Q = (s, dir) => {
     val d = t(s, dir, "documents").filter(length(col("text")) >= 2)
-    val bgArr = "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
-    val counts = d.select(explode(expr(bgArr)).as("bg"))
+    val counts = d.select(explode(expr("graft_char_grams(text, 2)")).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     val model = counts
-      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
       .select(col("bg"),
         round(-log(col("cnt").cast("double") / col("total").cast("double"))
           * 1000000.0).cast("long").as("nll_micro"))
@@ -585,7 +587,41 @@ object TextOps {
       | tot // n_bigrams AS avg_nll_micronats
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---- x14: exact-quota stratified sampling --------------------------------
+  // Complements x08's rate-based (Bernoulli-by-hash) mixture sampling with
+  // the other sampler every curation pipeline needs: an EXACT quota per
+  // stratum — "3 documents from every (lang, source)" — selected by
+  // deterministic hash rank, so the sample is reproducible across runs,
+  // partitionings, and engines.
+  //
+  // Scale: one shuffle on the stratum key; the rank-3 cut is pushed BELOW
+  // the shuffle by Spark's WindowGroupLimit (each map task pre-prunes to
+  // its local top-3 per stratum), so the shuffle carries
+  // O(strata × quota × tasks) rows, not the corpus — the same plan shape
+  // PLANS.md documents for q09/x07.
+  private val x14: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val h = md5i(concat(lit("strat:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    d.select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= 3)
+      .select(col("lang"), col("source"), col("pick"), col("doc_id"), col("h"))
+      .psort(col("lang"), col("source"), col("pick"))
+  }
+
+  private val x14Sql =
+    s"""SELECT lang, source, pick, doc_id, h FROM (
+       |  SELECT lang, source, doc_id,
+       |    ${md5iSql("'strat:' || CAST(doc_id AS VARCHAR)")} AS h,
+       |    ROW_NUMBER() OVER (PARTITION BY lang, source
+       |      ORDER BY ${md5iSql("'strat:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS pick
+       |  FROM documents)
+       |WHERE pick <= 3 ORDER BY lang, source, pick""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x14_stratified_sample" -> x14,
     "x12_repetition" -> x12,
     "x13_lm_score" -> x13,
     "x11_decontaminate" -> x11,
@@ -601,6 +637,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x14_stratified_sample" -> x14Sql,
     "x12_repetition" -> x12Sql,
     "x13_lm_score" -> x13Sql,
     "x11_decontaminate" -> x11Sql,

@@ -141,4 +141,22 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     // the unseen-bigram row really exercised the null branch
     scored.filter(expr("a IS NULL")).count() should be >= 1L
   }
+
+  test("graft_char_grams equals the transform/substring composition") {
+    import spark.implicits._
+    val base = docs.select(col("text"))
+      .unionAll(Seq("héllo wörld 😀😁 日本語", "ab", "x", "").toDF("text"))
+    Seq(2, 3, 5).foreach { n =>
+      // guard: sequence(1, stop) runs DESCENDING when stop < 1, so the
+      // composition needs an explicit empty case for short strings
+      val composed =
+        s"""CASE WHEN length(text) >= $n
+           | THEN transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))
+           | ELSE CAST(array() AS array<string>) END""".stripMargin
+      val diff = base.select(
+          expr(s"graft_char_grams(text, $n)").as("a"), expr(composed).as("b"))
+        .filter(expr("a IS DISTINCT FROM b"))
+      withClue(s"n=$n: ") { diff.count() shouldBe 0L }
+    }
+  }
 }
