@@ -220,7 +220,58 @@ object Streaming {
       | MAX(event_id) AS max_event
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q79: streaming DEDUP through the real runtime — the incremental twin
+    * of d01/d10: the event stream deduplicated on (user_id, event_type) by
+    * Spark's state-backed dropDuplicatesWithinWatermark
+    * (StreamingOps.dedup), run as an actual Structured Streaming query
+    * (MemoryStream micro-batches, Trigger.AvailableNow, append sink); the
+    * sink is then aggregated in batch and THAT is what the oracle hashes.
+    *
+    * Determinism: the watermark delay (365 days) exceeds the events table's
+    * time span, so no dedup state is ever evicted and the streaming result
+    * equals global DISTINCT regardless of micro-batch boundaries — the
+    * property the oracle (COUNT(DISTINCT user_id) per type) pins. At scale
+    * the delay is tuned to the real out-of-orderness and state stays
+    * bounded per key-partition. Same driver hygiene as q74 (bounded slice,
+    * sink dropped, state stores unloaded). */
+  private val q79Counter = new java.util.concurrent.atomic.AtomicInteger()
+  private val q79: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val rows = t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .limit(20000) // hard cap on the driver copy (slice is ~600 rows at sf0.1)
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0), r.getLong(1), r.getString(2)))
+      .toSeq
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a)
+    ms.addData(b)
+    val stream = ms.toDF().toDF("ts", "user_id", "event_type")
+    val deduped = graft.streaming.StreamingOps.dedup(
+      stream, "ts", Seq("user_id", "event_type"), watermark = "365 days")
+    val sink = "q79_sink_" + q79Counter.incrementAndGet()
+    val first = graft.streaming.StreamingOps.snapshotToTable(deduped, sink, "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(first.collect(): _*)),
+      first.schema)
+    s.catalog.dropTempView(sink)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    local.psort(col("event_type"))
+  }
+
+  private val q79Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+      |FROM events WHERE user_id < 10
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q79_stream_dedup" -> q79,
     "q36_stream_tumbling" -> q36,
     "q37_stream_sliding" -> q37,
     "q38_stream_session" -> q38,
@@ -230,6 +281,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q79_stream_dedup" -> q79Sql,
     "q36_stream_tumbling" -> q36Sql,
     "q37_stream_sliding" -> q37Sql,
     "q38_stream_session" -> q38Sql,

@@ -620,7 +620,133 @@ object TextOps {
        |  FROM documents)
        |WHERE pick <= 3 ORDER BY lang, source, pick""".stripMargin
 
+  // ---- x15: trained quality classifier (in-engine learned filter) ---------
+  // A linear quality classifier TRAINED INSIDE THE ENGINE — the FineWeb /
+  // CCNet-style model-based filter, reduced to its distributed-training
+  // essentials: batch perceptron over exact heuristic features (token
+  // count, punctuation ratio, stopword ratio, mean token length + bias),
+  // labels from a stopword-density rule, three full-batch iterations.
+  //
+  // Bit-reproducibility (the IvfIndex trick, applied to SGD): each row's
+  // per-feature gradient contribution err*f_j is FLOORed to fixed-point
+  // (x 2^20) and summed as INTEGERS — associative, so the learned weights
+  // are identical under any partitioning/parallelism, and the DuckDB
+  // oracle replays the whole training as three unrolled CTE iterations.
+  // The driver only ever sees 5 weight scalars per iteration (the k x dim
+  // centroid pattern); features stay distributed.
+  //
+  // Scale: each iteration is one map-only feature pass + one scalar
+  // aggregation (map-side partials) over the persisted feature frame —
+  // no shuffle wider than 5 longs per partition. 100 TB cost = 3 corpus
+  // scans (or 1, checkpointing features), which is what production
+  // quality-classifier training pays.
+  private val pIters = 8 // full-batch passes; plateau by ~6 on this corpus
+
+  private val x15: Q = (s, dir) => {
+    val S = 1048576.0
+    val stopArgs = stopwords.map(w => s"'$w'").mkString(", ")
+    val ts = expr(s"graft_token_stats(text, $stopArgs)")
+    val nTok = ts.getField("n_tokens").cast("long")
+    val nStop = ts.getField("n_stop").cast("long")
+    val sumLen = ts.getField("sum_len").cast("long")
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val sr = nStop.cast("double") / nTok.cast("double")
+    val feats = t(s, dir, "documents").select(
+        (nTok.cast("double") / lit(100.0)).as("f1"),
+        (nPunct.cast("double") / length(col("text")).cast("double")).as("f2"),
+        (sr * lit(10.0)).as("f3"), // x10: comparable scale to f1/f4, else
+        // the weak features dominate every update and training stalls
+        (sumLen.cast("double") / nTok.cast("double") / lit(10.0)).as("f4"),
+        when(sr >= 0.06, 1L).otherwise(0L).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+      val hist = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Double, Double, Double, Double, Double, Long)]
+      (0 to pIters).foreach { it =>
+        val score = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+          lit(w(3)) * col("f3") + lit(w(4)) * col("f4")
+        val r = feats
+          .select(col("f1"), col("f2"), col("f3"), col("f4"),
+            (col("y") - when(score > 0.0, 1L).otherwise(0L)).as("err"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("err") =!= 0, 1L).otherwise(0L)).as("nerr"),
+            sum(floor(col("err").cast("double") * lit(S))).as("gb"),
+            sum(floor(col("err").cast("double") * col("f1") * lit(S))).as("g1"),
+            sum(floor(col("err").cast("double") * col("f2") * lit(S))).as("g2"),
+            sum(floor(col("err").cast("double") * col("f3") * lit(S))).as("g3"),
+            sum(floor(col("err").cast("double") * col("f4") * lit(S))).as("g4"))
+          .collect()(0)
+        hist += ((it, w(0), w(1), w(2), w(3), w(4), r.getLong(1)))
+        if (it < pIters) {
+          val n = r.getLong(0)
+          val gs = Array(r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6))
+          // decaying step (0.5/(t+1)) — plain lr=0.5 oscillates on this
+          // non-separable corpus (259 -> 241 -> 259 misclassified)
+          w = w.zip(gs).map { case (wj, g) =>
+            wj + (0.5 / (it + 1)) * (g.toDouble / n / S)
+          }
+        }
+      }
+      import s.implicits._
+      hist.toSeq.toDF("iter", "w_bias", "w_tokens", "w_punct",
+          "w_stopword", "w_meanlen", "n_misclassified")
+        .psort(col("iter"))
+    } finally feats.unpersist(false)
+  }
+
+  private val x15Sql = {
+    val S = "1048576.0"
+    def iter(t: Int): String =
+      s"""e$t AS (
+         |  SELECT f.*, f.y - (CASE WHEN w$t.wb + w$t.w1 * f.f1 + w$t.w2 * f.f2
+         |      + w$t.w3 * f.f3 + w$t.w4 * f.f4 > 0.0 THEN 1 ELSE 0 END) AS err
+         |  FROM f, w$t),
+         |g$t AS (
+         |  SELECT COUNT(*)::BIGINT AS n,
+         |    CAST(SUM(CASE WHEN err <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nerr,
+         |    CAST(SUM(CAST(FLOOR(err::DOUBLE * $S) AS BIGINT)) AS BIGINT) AS gb,
+         |    CAST(SUM(CAST(FLOOR(err::DOUBLE * f1 * $S) AS BIGINT)) AS BIGINT) AS g1,
+         |    CAST(SUM(CAST(FLOOR(err::DOUBLE * f2 * $S) AS BIGINT)) AS BIGINT) AS g2,
+         |    CAST(SUM(CAST(FLOOR(err::DOUBLE * f3 * $S) AS BIGINT)) AS BIGINT) AS g3,
+         |    CAST(SUM(CAST(FLOOR(err::DOUBLE * f4 * $S) AS BIGINT)) AS BIGINT) AS g4
+         |  FROM e$t),
+         |w${t + 1} AS (
+         |  SELECT wb + (0.5 / ${t + 1}.0) * (CAST(gb AS DOUBLE) / n / $S) AS wb,
+         |    w1 + (0.5 / ${t + 1}.0) * (CAST(g1 AS DOUBLE) / n / $S) AS w1,
+         |    w2 + (0.5 / ${t + 1}.0) * (CAST(g2 AS DOUBLE) / n / $S) AS w2,
+         |    w3 + (0.5 / ${t + 1}.0) * (CAST(g3 AS DOUBLE) / n / $S) AS w3,
+         |    w4 + (0.5 / ${t + 1}.0) * (CAST(g4 AS DOUBLE) / n / $S) AS w4
+         |  FROM w$t, g$t)""".stripMargin
+    def outRow(t: Int): String =
+      s"""SELECT $t AS iter, w$t.wb AS w_bias, w$t.w1 AS w_tokens,
+         | w$t.w2 AS w_punct, w$t.w3 AS w_stopword, w$t.w4 AS w_meanlen,
+         | g$t.nerr AS n_misclassified FROM w$t, g$t""".stripMargin
+    s"""WITH base AS (
+       |  SELECT LENGTH(text) AS len,
+       |    LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS nt,
+       |    LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, ' +'),
+       |      w -> LIST_CONTAINS($stopListSql, w))) AS ns,
+       |    LIST_SUM(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'),
+       |      w -> LENGTH(w))) AS sl,
+       |    LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')) AS np
+       |  FROM documents),
+       |f AS (
+       |  SELECT nt::DOUBLE / 100.0 AS f1, np::DOUBLE / len::DOUBLE AS f2,
+       |    ns::DOUBLE / nt::DOUBLE * 10.0 AS f3, sl::DOUBLE / nt::DOUBLE / 10.0 AS f4,
+       |    CASE WHEN ns::DOUBLE / nt::DOUBLE >= 0.06 THEN 1 ELSE 0 END AS y
+       |  FROM base),
+       |w0 AS (SELECT 0.0::DOUBLE AS wb, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2,
+       |  0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4),
+       |${(0 to pIters).map(iter).mkString(",\n")}
+       |${(0 to pIters).map(outRow).mkString("\nUNION ALL\n")}
+       |ORDER BY iter""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "x15_quality_classifier" -> x15,
     "x14_stratified_sample" -> x14,
     "x12_repetition" -> x12,
     "x13_lm_score" -> x13,
@@ -637,6 +763,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x15_quality_classifier" -> x15Sql,
     "x14_stratified_sample" -> x14Sql,
     "x12_repetition" -> x12Sql,
     "x13_lm_score" -> x13Sql,

@@ -177,6 +177,28 @@ class PlanSpec extends AnyFunSuite with Matchers {
     opt.indexOf("pmod") should be > opt.indexOf("Join")
   }
 
+  test("d11/s09 cell-blocked pairs plan as equi-joins, never cartesian") {
+    Seq("d11_semdedup", "s09_knn_graph").foreach { q =>
+      val s = planString(SparkEntry.queries(q)(spark, sfDir))
+      withClue(q) {
+        s should not include "CartesianProduct"
+        s should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
+
+  test("x14 stratified sample prunes per-stratum top-k below the shuffle") {
+    val s = planString(SparkEntry.queries("x14_stratified_sample")(spark, sfDir))
+    s should include("WindowGroupLimit")
+  }
+
+  test("x13 lm scoring pass is join-free map-only over documents") {
+    val s = planString(SparkEntry.queries("x13_lm_score")(spark, sfDir))
+    // one broadcast of the one-row model map; no shuffle join, no cartesian
+    s should not include "SortMergeJoin"
+    s should not include "CartesianProduct"
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
