@@ -101,6 +101,7 @@ object GraftFunctions {
     "graft_char_ngrams" -> (exprs => CharNgrams(exprs(0))),
     "graft_char_grams" -> (exprs => CharNgramsK(exprs(0),
       lit(exprs(1)).asInstanceOf[Number].intValue())),
+    "graft_cdc_chunks" -> (exprs => CdcChunks(exprs(0))),
     "graft_md5i_array" -> (exprs => Md5IntArray(exprs(0))),
     "graft_pairs" -> (exprs => PostingPairs(exprs(0))),
     "graft_simhash" -> (exprs => SimHash32(exprs(0))),

@@ -162,6 +162,49 @@ object NativeHelpers {
     hm
   }
 
+  private val cdcC = Array(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+
+  /** Content-defined chunking in one scan: boundary after code point i
+    * (1-based, i >= 8) when Σ_{k=0..7} cp(i-k)*C(k) ≡ 0 (mod 64); chunks
+    * are the code-point substrings between consecutive cuts (0 and n are
+    * always cuts). Simplified CDC — fixed 8-point window, no min/max chunk
+    * bound — chosen to be exactly replayable as a DuckDB list
+    * comprehension over UNICODE(char) values. */
+  def cdcChunks(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1) // char offset of each code-point boundary
+    val cps = new Array[Int](n + 1) // 1-based code points
+    var ci = 0
+    var k = 0
+    while (k < n) {
+      offs(k) = ci
+      val cp = s.codePointAt(ci)
+      cps(k + 1) = cp
+      ci += Character.charCount(cp)
+      k += 1
+    }
+    offs(n) = s.length
+    val cuts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 8
+    while (i <= n) {
+      var h = 0L
+      var j = 0
+      while (j < 8) { h += cps(i - j) * cdcC(j); j += 1 }
+      if (h % 64 == 0) cuts += i
+      i += 1
+    }
+    if (cuts.last != n) cuts += n
+    val out = new Array[Any](cuts.length - 1)
+    var c = 0
+    while (c < out.length) {
+      out(c) = UTF8String.fromString(s.substring(offs(cuts(c)), offs(cuts(c + 1))))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Boxed fold: Σ model[bigram] over the text's code-point bigrams, null
     * when a bigram is missing (null-poisoning, like the composable form).
     * Code-point iteration matches substring/SUBSTR semantics. */
@@ -249,6 +292,23 @@ case class CharNgrams(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NativeHelpers$$.MODULE$$.charNgrams3($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_cdc_chunks(text) -> array<string>: content-defined chunks (see
+  * NativeHelpers.cdcChunks). */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires string, got $t")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHelpers.cdcChunks(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeHelpers$$.MODULE$$.cdcChunks($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -640,7 +640,70 @@ object Dedup {
        |FROM pairs WHERE cos >= 0.35
        |GROUP BY cell, vec_id ORDER BY vec_id""".stripMargin
 
+  /** d12: content-defined chunking (CDC) dedup — the rsync/CAS-store shape:
+    * chunk boundaries come from a rolling hash over the CONTENT (8-point
+    * window, cut when hash % 64 == 0), so an insertion near the start of a
+    * document shifts only the chunks it touches and the chunker
+    * re-synchronizes — unlike d08's fixed 10-word chunks, where one
+    * inserted word shifts every downstream chunk. Per doc: total chunks
+    * and how many are shared with at least one other document.
+    *
+    * Scale: chunking is map-only (one native scan per doc); chunk
+    * doc-frequency is one shuffle on the chunk hash; the join back is
+    * hash-partitioned on the same key. The 100 TB deployment stores
+    * (chunk_hash -> refcount) as the content-addressed index and this
+    * query is its build. */
+  private val d12: Q = (s, dir) => {
+    val ch = t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("graft_cdc_chunks(text)")).as("c"))
+      .select(col("doc_id"), md5(col("c")).as("h"))
+    val byHash = ch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    ch.join(byHash, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+          .as("dup_frac"))
+      .psort(col("doc_id"))
+  }
+
+  private val d12Sql = {
+    val win = "cps[i]*31 + cps[i-1]*37 + cps[i-2]*41 + cps[i-3]*43 " +
+      "+ cps[i-4]*47 + cps[i-5]*53 + cps[i-6]*59 + cps[i-7]*61"
+    s"""WITH cp AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    [UNICODE(x) FOR x IN REGEXP_EXTRACT_ALL(text, '.')] AS cps
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, text, LEN(cps) AS n,
+       |    [i FOR i IN RANGE(8, LEN(cps) + 1) IF ($win) % 64 = 0] AS bounds
+       |  FROM cp),
+       |cut AS (
+       |  SELECT doc_id, text, LIST_PREPEND(0,
+       |    CASE WHEN LEN(bounds) = 0 OR bounds[-1] <> n
+       |         THEN LIST_APPEND(bounds, n) ELSE bounds END) AS cuts
+       |  FROM b),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id, MD5(c) AS h FROM (
+       |    SELECT doc_id,
+       |      UNNEST([SUBSTR(text, cuts[j] + 1, cuts[j + 1] - cuts[j])
+       |        FOR j IN RANGE(1, LEN(cuts))]) AS c
+       |    FROM cut)),
+       |byh AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY h),
+       |agg AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |    CAST(SUM(CASE WHEN byh.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_chunks
+       |  FROM chunks c JOIN byh USING (h) GROUP BY c.doc_id)
+       |SELECT doc_id, n_chunks, n_dup_chunks,
+       | n_dup_chunks::DOUBLE / n_chunks::DOUBLE AS dup_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d12_cdc_dedup" -> d12,
     "d11_semdedup" -> d11,
     "d10_incremental_dedup" -> d10,
     "d09_canonical_dedup" -> d09,
@@ -654,6 +717,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d12_cdc_dedup" -> d12Sql,
     "d11_semdedup" -> d11Sql,
     "d10_incremental_dedup" -> d10Sql,
     "d09_canonical_dedup" -> d09Sql,

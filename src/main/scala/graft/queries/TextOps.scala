@@ -700,11 +700,11 @@ object TextOps {
   private val x15Sql = {
     val S = "1048576.0"
     def iter(t: Int): String =
-      s"""e$t AS (
+      s"""e$t AS MATERIALIZED (
          |  SELECT f.*, f.y - (CASE WHEN w$t.wb + w$t.w1 * f.f1 + w$t.w2 * f.f2
          |      + w$t.w3 * f.f3 + w$t.w4 * f.f4 > 0.0 THEN 1 ELSE 0 END) AS err
          |  FROM f, w$t),
-         |g$t AS (
+         |g$t AS MATERIALIZED (
          |  SELECT COUNT(*)::BIGINT AS n,
          |    CAST(SUM(CASE WHEN err <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nerr,
          |    CAST(SUM(CAST(FLOOR(err::DOUBLE * $S) AS BIGINT)) AS BIGINT) AS gb,
@@ -713,7 +713,7 @@ object TextOps {
          |    CAST(SUM(CAST(FLOOR(err::DOUBLE * f3 * $S) AS BIGINT)) AS BIGINT) AS g3,
          |    CAST(SUM(CAST(FLOOR(err::DOUBLE * f4 * $S) AS BIGINT)) AS BIGINT) AS g4
          |  FROM e$t),
-         |w${t + 1} AS (
+         |w${t + 1} AS MATERIALIZED (
          |  SELECT wb + (0.5 / ${t + 1}.0) * (CAST(gb AS DOUBLE) / n / $S) AS wb,
          |    w1 + (0.5 / ${t + 1}.0) * (CAST(g1 AS DOUBLE) / n / $S) AS w1,
          |    w2 + (0.5 / ${t + 1}.0) * (CAST(g2 AS DOUBLE) / n / $S) AS w2,
@@ -724,7 +724,7 @@ object TextOps {
       s"""SELECT $t AS iter, w$t.wb AS w_bias, w$t.w1 AS w_tokens,
          | w$t.w2 AS w_punct, w$t.w3 AS w_stopword, w$t.w4 AS w_meanlen,
          | g$t.nerr AS n_misclassified FROM w$t, g$t""".stripMargin
-    s"""WITH base AS (
+    s"""WITH base AS MATERIALIZED (
        |  SELECT LENGTH(text) AS len,
        |    LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS nt,
        |    LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, ' +'),
@@ -733,7 +733,7 @@ object TextOps {
        |      w -> LENGTH(w))) AS sl,
        |    LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')) AS np
        |  FROM documents),
-       |f AS (
+       |f AS MATERIALIZED (
        |  SELECT nt::DOUBLE / 100.0 AS f1, np::DOUBLE / len::DOUBLE AS f2,
        |    ns::DOUBLE / nt::DOUBLE * 10.0 AS f3, sl::DOUBLE / nt::DOUBLE / 10.0 AS f4,
        |    CASE WHEN ns::DOUBLE / nt::DOUBLE >= 0.06 THEN 1 ELSE 0 END AS y

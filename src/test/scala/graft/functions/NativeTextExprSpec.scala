@@ -142,6 +142,34 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     scored.filter(expr("a IS NULL")).count() should be >= 1L
   }
 
+  test("graft_cdc_chunks: lossless partition, short-text identity, resync") {
+    import spark.implicits._
+    // lossless: chunks concatenate back to the text; every chunk non-empty
+    val base = docs.select(col("text"))
+      .unionAll(Seq("héllo wörld 😀😁 日本語 and some more text here", "short").toDF("text"))
+      .select(col("text"), expr("graft_cdc_chunks(text)").as("ch"))
+    base.filter(expr("array_join(ch, '') <> text OR exists(ch, c -> length(c) = 0)"))
+      .count() shouldBe 0L
+    // < 8 code points -> single whole-text chunk
+    base.filter(expr("length(text) < 8 AND (size(ch) <> 1 OR ch[0] <> text)"))
+      .count() shouldBe 0L
+    // the CDC property: an insertion near the start only disturbs a
+    // bounded prefix — the chunker re-synchronizes, so the tail chunk
+    // multiset of the edited doc overlaps the original's (fixed-width
+    // chunking shifts EVERY downstream chunk instead)
+    val doc = docs.select(col("text")).as[String].collect()
+      .find(_.length > 200).get
+    val edited = doc.substring(0, 10) + "XYZ" + doc.substring(10)
+    val Seq(a, b) = Seq(doc, edited).toDF("text")
+      .select(expr("graft_cdc_chunks(text)").as("ch")).as[Seq[String]].collect().toSeq
+    val shared = a.toSet.intersect(b.toSet)
+    withClue(s"orig ${a.size} chunks, edited ${b.size}, shared ${shared.size}: ") {
+      shared.nonEmpty shouldBe true
+      // the final chunk (far from the edit) must be identical
+      a.last shouldBe b.last
+    }
+  }
+
   test("graft_char_grams equals the transform/substring composition") {
     import spark.implicits._
     val base = docs.select(col("text"))
