@@ -745,7 +745,157 @@ object TextOps {
        |ORDER BY iter""".stripMargin
   }
 
+  // ---- x16: BPE tokenizer training (in-engine merge loop) ------------------
+  // The tokenizer-training primitive itself: byte-pair-encoding merges
+  // learned FROM the corpus, inside the engine. Word counting is the only
+  // corpus-scale stage (one shuffle); each merge round then runs on the
+  // bounded (word, count) vocabulary — count adjacent symbol pairs
+  // weighted by word frequency, pick the argmax (count desc, pair asc —
+  // deterministic), apply the merge map-only. The driver holds ONE pair
+  // string per round (the k-scalars pattern); at a real scale the vocab
+  // table is millions of rows, still vocabulary- not corpus-sized.
+  //
+  // Greedy-merge encoding: symbols are joined with DOUBLE separators
+  // ("••a••b••" for [a,b]) and a merge of (a,b) replaces "•a••b•" with
+  // "•ab•". Each match consumes ONE separator from each boundary, so
+  // back-to-back occurrences ("a b a b") all merge in one left-to-right
+  // REPLACE pass — the exact greedy semantics of BPE — and no pattern can
+  // match inside a multi-char symbol. REPLACE scans left-to-right and
+  // resumes AFTER each replacement in both engines, so the oracle replays
+  // the merge bit-for-bit as unrolled CTE rounds.
+  private val bpeRounds = 5
+  private val x16: Q = (s, dir) => {
+    val SEP = "\u0001"
+    val symsE = s"filter(split(enc, '$SEP'), x -> x <> '')"
+    val pairsE = s"transform(sequence(1, size($symsE) - 1), " +
+      s"i -> concat(element_at($symsE, i), '$SEP', element_at($symsE, i + 1)))"
+    val base = t(s, dir, "documents")
+      .select(explode(split(col("text"), " +")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(SEP + SEP),
+          concat_ws(SEP + SEP, expr("graft_char_grams(w, 1)")),
+          lit(SEP + SEP)).as("enc"),
+        col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var words = base
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      (1 to bpeRounds).foreach { r =>
+        val best = words
+          .filter(expr(s"size($symsE) >= 2"))
+          .select(col("cnt"), explode(expr(pairsE)).as("p"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("p").asc)
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val p = best(0).getString(0)
+          val n = best(0).getLong(1)
+          val Array(a, b) = p.split(SEP, 2)
+          out += ((r, a, b, a + b, n))
+          words = words.select(
+            regexp_replace(col("enc"),
+              lit(java.util.regex.Pattern.quote(SEP + a + SEP + SEP + b + SEP)),
+              lit(java.util.regex.Matcher.quoteReplacement(SEP + a + b + SEP)))
+              .as("enc"),
+            col("cnt"))
+        }
+      }
+      import s.implicits._
+      out.toSeq
+        .toDF("round", "left_sym", "right_sym", "merged", "n_occurrences")
+        .psort(col("round"))
+    } finally base.unpersist(false)
+  }
+
+  private val x16Sql = {
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, UNNEST([s[i] || CHR(1) || s[i+1] FOR i IN RANGE(1, LEN(s))]) AS p
+         |    FROM (SELECT LIST_FILTER(STRING_SPLIT(enc, CHR(1)), x -> x <> '') AS s, cnt
+         |          FROM w${r - 1})
+         |    WHERE LEN(s) >= 2) GROUP BY p),
+         |b$r AS (SELECT p, n FROM p$r ORDER BY n DESC, p ASC LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT REPLACE(enc,
+         |      CHR(1) || REPLACE(b$r.p, CHR(1), CHR(1) || CHR(1)) || CHR(1),
+         |      CHR(1) || REPLACE(b$r.p, CHR(1), '') || CHR(1)) AS enc, cnt
+         |  FROM w${r - 1}, b$r)""".stripMargin
+    def outRow(r: Int): String =
+      s"""SELECT $r AS round, SPLIT_PART(p, CHR(1), 1) AS left_sym,
+         | SPLIT_PART(p, CHR(1), 2) AS right_sym,
+         | REPLACE(p, CHR(1), '') AS merged, n AS n_occurrences FROM b$r""".stripMargin
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT CHR(1) || CHR(1) ||
+       |      ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(w, '.'), CHR(1) || CHR(1)) ||
+       |      CHR(1) || CHR(1) AS enc,
+       |    cnt
+       |  FROM (SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w FROM documents)
+       |    GROUP BY w)),
+       |${(1 to bpeRounds).map(round).mkString(",\n")}
+       |${(1 to bpeRounds).map(outRow).mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
+  // ---- x17: train/eval split with contamination (leakage) detection --------
+  // Deterministic hash split (80/20 on a salted doc hash) plus the check
+  // every eval set needs: no document may have a CANONICAL duplicate on
+  // the other side of the boundary. The corpus has no organic exact dups,
+  // so the query plants d09's case/space/word-order twins (same planting
+  // convention, identical on both engines) and the detector must surface
+  // exactly the twin pairs the hash split separated.
+  //
+  // Scale: split assignment is a map-only hash; leakage detection is ONE
+  // shuffle on the canonical hash (d01/d09 shape) with the two split
+  // counters folded in the same aggregation — no join, no second pass.
+  private val x17: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val variants = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(array_join(reverse(split(col("text"), " ")), "  ")), lit("  ")).as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionAll(variants)
+    val isTrain = md5i(concat(lit("split:"), col("doc_id").cast("string"))) % 10 < 8
+    val canon = corpus.select(col("doc_id"),
+      when(isTrain, "train").otherwise("eval").as("part"),
+      md5(array_join(array_sort(split(regexp_replace(lower(trim(col("text"))), " +", " "), " ")), " ")).as("ch"))
+    canon.groupBy(col("ch"))
+      .agg(sum(when(col("part") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("part") === "eval", 1L).otherwise(0L)).as("n_eval"),
+        min(when(col("part") === "train", col("doc_id"))).as("train_doc"),
+        min(when(col("part") === "eval", col("doc_id"))).as("eval_doc"))
+      .filter(col("n_train") > 0 && col("n_eval") > 0)
+      .psort(col("ch"))
+  }
+
+  private val x17Sql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    UPPER(ARRAY_TO_STRING(LIST_REVERSE(STRING_SPLIT(text, ' ')), '  ')) || '  '
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |canon AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${md5iSql("'split:' || CAST(doc_id AS VARCHAR)")} % 10 < 8
+       |         THEN 'train' ELSE 'eval' END AS part,
+       |    MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(
+       |      REGEXP_REPLACE(LOWER(TRIM(text)), ' +', ' ', 'g'), ' ')), ' ')) AS ch
+       |  FROM corpus)
+       |SELECT ch,
+       | CAST(SUM(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       | CAST(SUM(CASE WHEN part = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       | MIN(CASE WHEN part = 'train' THEN doc_id END) AS train_doc,
+       | MIN(CASE WHEN part = 'eval' THEN doc_id END) AS eval_doc
+       |FROM canon GROUP BY ch
+       |HAVING SUM(CASE WHEN part = 'train' THEN 1 ELSE 0 END) > 0
+       |   AND SUM(CASE WHEN part = 'eval' THEN 1 ELSE 0 END) > 0
+       |ORDER BY ch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x17_split_leakage" -> x17,
+    "x16_bpe_train" -> x16,
     "x15_quality_classifier" -> x15,
     "x14_stratified_sample" -> x14,
     "x12_repetition" -> x12,
@@ -763,6 +913,8 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x17_split_leakage" -> x17Sql,
+    "x16_bpe_train" -> x16Sql,
     "x15_quality_classifier" -> x15Sql,
     "x14_stratified_sample" -> x14Sql,
     "x12_repetition" -> x12Sql,
