@@ -49,7 +49,7 @@ object Dedup {
     * bit-identical to the composable transform/md5 pipeline but fused loops.
     * Persisted and shared across the dedup queries — the "materialize the
     * tokenized corpus once" stage of a production pipeline. */
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     memoized(s"shingles:$dir")(
       t(s, dir, "documents")
         // documents.parquet is one small file -> a 1-partition scan; spread

@@ -419,9 +419,10 @@ object TextOps {
   // broadcast, then ONE shuffle on doc_id for the overlap count. No
   // corpus-vs-corpus join anywhere — cost is linear in corpus size at 100 TB.
   private val x11: Q = (s, dir) => {
-    val d = t(s, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), expr("graft_shingles(text)").as("sh"))
+    // served from the SAME persisted shingle index the dedup family builds
+    // once (Dedup.docsWithShingles) — the first cut re-shingled the corpus
+    // on both the benchmark and candidate branches (two extra scans)
+    val d = Dedup.docsWithShingles(s, dir).select(col("doc_id"), col("sh"))
     val bench = d.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("s")).distinct()
     val ratio = col("n_overlap").cast("double") / col("n_grams").cast("double")
