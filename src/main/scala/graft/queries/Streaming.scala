@@ -270,7 +270,69 @@ object Streaming {
       |FROM events WHERE user_id < 10
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q80: CUSTOM STATE through the real streaming runtime — q71's typed
+    * per-user fold (event count, exact integer cents, latest event id)
+    * executed as an actual mapGroupsWithState streaming query over
+    * MemoryStream micro-batches in Update mode. Each batch re-emits the
+    * touched users' cumulative stats; n_events is strictly monotone per
+    * user, so the LAST emission per user (max n_events) equals the batch
+    * totals regardless of micro-batch boundaries — the property the
+    * oracle pins. Integer-cents state keeps the fold order-independent
+    * (the q71 determinism contract). Same driver hygiene as q74/q79. */
+  private val q80Counter = new java.util.concurrent.atomic.AtomicInteger()
+  private val q80: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val rows = t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("value"), col("event_id"))
+      .limit(20000) // hard cap on the driver copy (slice is ~600 rows at sf0.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val ms = MemoryStream[(Long, Double, Long)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a)
+    ms.addData(b)
+    // s.implicits._ supplies the key/state/product encoders
+    val stream = ms.toDF().toDF("user_id", "value", "event_id").as[UEvent]
+    val updated = stream.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), UState](GroupStateTimeout.NoTimeout()) {
+        (u: Long, it: Iterator[UEvent], st: GroupState[(Long, Long, Long)]) =>
+          var (n, c, m) = st.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { e =>
+            n += 1
+            c += math.round(e.value * 100.0)
+            m = math.max(m, e.event_id)
+          }
+          st.update((n, c, m))
+          UState(u, n, c, m)
+      }
+    val sink = "q80_sink_" + q80Counter.incrementAndGet()
+    val snap = graft.streaming.StreamingOps
+      .snapshotToTable(updated.toDF(), sink, "update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val fin = snap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("total_cents"), col("max_event"))
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(fin.collect(): _*)),
+      fin.schema)
+    s.catalog.dropTempView(sink)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    local.psort(col("user_id"))
+  }
+
+  private val q80Sql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
+      | MAX(event_id) AS max_event
+      |FROM events WHERE user_id < 10
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q80_stream_custom_state" -> q80,
     "q79_stream_dedup" -> q79,
     "q36_stream_tumbling" -> q36,
     "q37_stream_sliding" -> q37,
@@ -281,6 +343,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q80_stream_custom_state" -> q80Sql,
     "q79_stream_dedup" -> q79Sql,
     "q36_stream_tumbling" -> q36Sql,
     "q37_stream_sliding" -> q37Sql,
