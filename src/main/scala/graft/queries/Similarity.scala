@@ -528,7 +528,155 @@ object Similarity {
        |SELECT qid, rank, cid, ROUND(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---- s10: product-quantized ANN (PQ + asymmetric distance) --------------
+  private val pqM = 8      // subspaces
+  private val pqSubDim = 8 // dims per subspace (8 x 8 = 64)
+  private val pqK = 8      // codes per subspace
+  private val pqIters = 2
+
+  /** Per-dir memoized PQ model: m codebooks (trained with the SAME
+    * bit-reproducible fixed-point Lloyd as the IVF quantizer, on each
+    * 8-dim slice) and the encoded corpus (8 int codes per vector = 8
+    * bytes in place of 256 — the memory story that makes billion-vector
+    * ANN fit a cluster's RAM). */
+  private val pqModel = scala.collection.concurrent.TrieMap[
+    String, (Seq[Array[graft.operators.IvfIndex.Centroid]], DataFrame)]()
+  private def trainedPq(s: SparkSession, dir: String) = {
+    val cached = pqModel.get(dir)
+      .filter(!_._2.sparkSession.sparkContext.isStopped)
+    cached.getOrElse {
+      val e = t(s, dir, "embeddings")
+      val books = (0 until pqM).map { j =>
+        val sub = e.select(col("vec_id"),
+          expr(s"slice(embedding, ${j * pqSubDim + 1}, $pqSubDim)").as("sub"))
+        graft.operators.IvfIndex.train(sub, "vec_id", "sub", k = pqK,
+          iters = pqIters)
+      }
+      val codes = books.zipWithIndex.foldLeft(
+          e.select(col("vec_id"), col("embedding"))) { case (df, (cb, j)) =>
+          graft.operators.IvfIndex.assign(
+              df.withColumn("subv",
+                expr(s"slice(embedding, ${j * pqSubDim + 1}, $pqSubDim)")),
+              "vec_id", "subv", cb)
+            .withColumnRenamed("cell", s"c$j").drop("subv")
+        }
+        .select(col("vec_id") +: (0 until pqM).map(j => col(s"c$j")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pqModel.put(dir, (books, codes))
+      (books, codes)
+    }
+  }
+
+  /** PQ search: queries scan only the 8-byte codes plus a per-query
+    * m x k distance table against the broadcast codebooks (asymmetric
+    * distance computation) — never the raw corpus vectors. The per-pair
+    * cost is m table lookups; the scan is the compressed-index shape that
+    * serves billion-vector corpora from memory. Distance accumulation is
+    * the same sequential (a-b)^2 fold per subspace, subspaces summed in
+    * order, so the unrolled per-subspace SQL training + scoring replays
+    * it exactly. */
+  private val s10: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (books, codes) = trainedPq(s, dir)
+    val bc = s.sparkContext.broadcast(books.map(_.map(_.vec)).toArray)
+    val adc = udf { (qe: Seq[Float], cs: Seq[Int]) =>
+      val bks = bc.value
+      var t = 0.0
+      var j = 0
+      while (j < bks.length) {
+        val cent = bks(j)(cs(j))
+        var d = 0.0
+        var i = 0
+        while (i < cent.length) {
+          val diff = qe(j * cent.length + i).toDouble - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        t += d
+        j += 1
+      }
+      t
+    }
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = codes.select(col("vec_id").as("cid"),
+      array((0 until pqM).map(j => col(s"c$j")): _*).as("cs"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("cid"))
+    q.hint("broadcast").crossJoin(cands)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adc(col("qe"), col("cs")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"),
+        round(col("adc"), 6).as("adc_dist"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  /** Oracle: per-subspace replay of the fixed-point Lloyd training (the
+    * s04 pattern at dim=8/k=8/iters=2), final code assignment, and the
+    * summed per-subspace distances. */
+  private val s10Sql: String = {
+    def sub(j: Int): String = {
+      val off = j * pqSubDim + 1
+      def iter(n: Int): String = {
+        val prev = s"cents${j}_${n - 1}"
+        s"""assign${j}_$n AS MATERIALIZED (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT e.vec_id, e.v, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+           |    FROM e$j e CROSS JOIN $prev c) WHERE rn = 1),
+           |upd${j}_$n AS (
+           |  SELECT cell, i,
+           |    CAST(SUM(CAST(FLOOR(v[i]::DOUBLE * 1048576.0) AS BIGINT)) AS DOUBLE)
+           |      / COUNT(*) / 1048576.0 AS comp
+           |  FROM assign${j}_$n, range(1, ${pqSubDim + 1}) r(i) GROUP BY cell, i),
+           |cents${j}_$n AS MATERIALIZED (
+           |  SELECT p.cell, COALESCE(u.vec, p.vec) AS vec
+           |  FROM $prev p LEFT JOIN
+           |    (SELECT cell, LIST(comp ORDER BY i) AS vec FROM upd${j}_$n GROUP BY cell) u
+           |    ON p.cell = u.cell)""".stripMargin
+      }
+      s"""e$j AS MATERIALIZED (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN embedding[$off:${off + pqSubDim - 1}]] AS v
+         |  FROM embeddings),
+         |cents${j}_0 AS (
+         |  SELECT cell, vec FROM (
+         |    SELECT CAST(ROW_NUMBER() OVER (
+         |        ORDER BY ${md5iSql("CAST(vec_id AS VARCHAR)")}, CAST(vec_id AS VARCHAR)
+         |      ) AS INTEGER) - 1 AS cell,
+         |      [x::DOUBLE FOR x IN embedding[$off:${off + pqSubDim - 1}]] AS vec
+         |    FROM embeddings) WHERE cell < $pqK),
+         |${(1 to pqIters).map(iter).mkString(",\n")},
+         |code$j AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+         |    FROM e$j e CROSS JOIN cents${j}_$pqIters c) WHERE rn = 1),
+         |sc$j AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, a.vec_id AS cid,
+         |    ${dist2Sql("q.v", "c.vec")} AS d$j
+         |  FROM e$j q, code$j a JOIN cents${j}_$pqIters c ON a.cell = c.cell
+         |  WHERE q.vec_id < 20 AND q.vec_id <> a.vec_id)""".stripMargin
+    }
+    val joins = (1 until pqM)
+      .map(j => s"JOIN sc$j USING (qid, cid)").mkString("\n  ")
+    val adcSum = (0 until pqM).map(j => s"d$j").mkString(" + ")
+    s"""WITH ${(0 until pqM).map(sub).mkString(",\n")},
+       |scored AS (
+       |  SELECT qid, cid, $adcSum AS adc FROM sc0
+       |  $joins),
+       |ranked AS (
+       |  SELECT qid, cid, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, cid, ROUND(adc, 6) AS adc_dist
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s10_knn_pq" -> s10,
     "s09_knn_graph" -> s09,
     "s08_knn_filtered" -> s08,
     "s07_knn_quantized" -> s07,
@@ -540,6 +688,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s10_knn_pq" -> s10Sql,
     "s09_knn_graph" -> s09Sql,
     "s08_knn_filtered" -> s08Sql,
     "s07_knn_quantized" -> s07Sql,
