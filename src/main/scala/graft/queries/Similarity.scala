@@ -531,7 +531,7 @@ object Similarity {
   // ---- s10: product-quantized ANN (PQ + asymmetric distance) --------------
   private val pqM = 8      // subspaces
   private val pqSubDim = 8 // dims per subspace (8 x 8 = 64)
-  private val pqK = 8      // codes per subspace
+  private val pqK = 16     // codes per subspace
   private val pqIters = 2
 
   /** Per-dir memoized PQ model: m codebooks (trained with the SAME
@@ -615,7 +615,18 @@ object Similarity {
   /** Oracle: per-subspace replay of the fixed-point Lloyd training (the
     * s04 pattern at dim=8/k=8/iters=2), final code assignment, and the
     * summed per-subspace distances. */
-  private val s10Sql: String = {
+  private lazy val s10Sql: String =
+    s"""$pqCtes,
+       |ranked AS (
+       |  SELECT qid, cid, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS rank
+       |  FROM pqscored)
+       |SELECT qid, rank, cid, ROUND(adc, 6) AS adc_dist
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Shared PQ oracle machinery: per-subspace training/coding CTEs plus
+    * `pqscored(qid, cid, adc)` — serves s10 (search) and s11 (recall). */
+  private lazy val pqCtes: String = {
     def sub(j: Int): String = {
       val off = j * pqSubDim + 1
       def iter(n: Int): String = {
@@ -664,18 +675,98 @@ object Similarity {
       .map(j => s"JOIN sc$j USING (qid, cid)").mkString("\n  ")
     val adcSum = (0 until pqM).map(j => s"d$j").mkString(" + ")
     s"""WITH ${(0 until pqM).map(sub).mkString(",\n")},
-       |scored AS (
+       |pqscored AS MATERIALIZED (
        |  SELECT qid, cid, $adcSum AS adc FROM sc0
-       |  $joins),
-       |ranked AS (
-       |  SELECT qid, cid, adc,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS rank
-       |  FROM scored)
-       |SELECT qid, rank, cid, ROUND(adc, 6) AS adc_dist
-       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+       |  $joins)""".stripMargin
   }
 
+  /** s11: PQ recall evaluation — recall@3 of the s10 PQ index against the
+    * exact L2 ground truth (the acceptance metric for the compression
+    * tier: how much accuracy do 8 bytes/vector give up). Both sides run
+    * in-engine; same bounded query sample as s05's LSH recall. */
+  private val s11: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (books, codes) = trainedPq(s, dir)
+    val bc = s.sparkContext.broadcast(books.map(_.map(_.vec)).toArray)
+    val adc = udf { (qe: Seq[Float], cs: Seq[Int]) =>
+      val bks = bc.value
+      var t = 0.0
+      var j = 0
+      while (j < bks.length) {
+        val cent = bks(j)(cs(j))
+        var d = 0.0
+        var i = 0
+        while (i < cent.length) {
+          val diff = qe(j * cent.length + i).toDouble - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        t += d
+        j += 1
+      }
+      t
+    }
+    val dist2 = udf { (qe: Seq[Float], ce: Seq[Float]) =>
+      var d = 0.0
+      var i = 0
+      while (i < qe.length && i < ce.length) {
+        val diff = qe(i).toDouble - ce(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = q.hint("broadcast")
+      .crossJoin(e.select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dist2(col("qe"), col("ce")).as("d"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d").asc, col("cid"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+    val pq = q.hint("broadcast")
+      .crossJoin(codes.select(col("vec_id").as("pcid"),
+        array((0 until pqM).map(j => col(s"c$j")): _*).as("cs")))
+      .filter(col("qid") =!= col("pcid"))
+      .select(col("qid"), col("pcid"), adc(col("qe"), col("cs")).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("pcid"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("pqid"), col("pcid"))
+    exact
+      .join(pq, col("qid") === col("pqid") && col("cid") === col("pcid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("pcid")).as("hits"),
+        (count(col("pcid")) / lit(3.0)).as("recall"))
+      .psort(col("qid"))
+  }
+
+  private lazy val s11Sql =
+    s"""$pqCtes,
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dist2Sql("q.v64", "c.v64")}, c.vec_id) AS rank
+       |    FROM (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v64
+       |          FROM embeddings WHERE vec_id < 20) q
+       |    CROSS JOIN (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v64
+       |                FROM embeddings) c
+       |    WHERE q.vec_id <> c.vec_id) WHERE rank <= 3),
+       |pqtop AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS rank
+       |    FROM pqscored) WHERE rank <= 3)
+       |SELECT e.qid, COUNT(p.cid) AS hits,
+       | COUNT(p.cid) / 3.0 AS recall
+       |FROM exact e LEFT JOIN pqtop p ON e.qid = p.qid AND e.cid = p.cid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s11_pq_recall" -> s11,
     "s10_knn_pq" -> s10,
     "s09_knn_graph" -> s09,
     "s08_knn_filtered" -> s08,
@@ -688,6 +779,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s11_pq_recall" -> s11Sql,
     "s10_knn_pq" -> s10Sql,
     "s09_knn_graph" -> s09Sql,
     "s08_knn_filtered" -> s08Sql,
