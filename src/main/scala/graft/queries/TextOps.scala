@@ -894,7 +894,48 @@ object TextOps {
        |   AND SUM(CASE WHEN part = 'eval' THEN 1 ELSE 0 END) > 0
        |ORDER BY ch""".stripMargin
 
+  // ---- x18: dataset card (per-stratum corpus profile) ----------------------
+  // The summary artifact a curation pipeline publishes with a dataset:
+  // per (lang, source) document/char/token totals, quality-flag rate, and
+  // mean document length. One aggregation pass with map-side partials —
+  // at 100 TB this is a single shuffle of O(strata) partial rows per task.
+  // Determinism: integer sums and single divisions of exact integers.
+  private val x18: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val stopArgs = stopwords.map(w => s"'$w'").mkString(", ")
+    val ts = expr(s"graft_token_stats(text, $stopArgs)")
+    val nTok = ts.getField("n_tokens").cast("long")
+    val nStop = ts.getField("n_stop").cast("long")
+    val flagged = nTok < 10 ||
+      nStop.cast("double") / nTok.cast("double") < 0.01
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(nTok).as("total_tokens"),
+        sum(when(flagged, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_doc_chars"),
+        (col("n_flagged").cast("double") / col("n_docs").cast("double"))
+          .as("flagged_rate"))
+      .psort(col("lang"), col("source"))
+  }
+
+  private val x18Sql =
+    s"""SELECT lang, source, COUNT(*) AS n_docs,
+       | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       | CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +'))) AS BIGINT) AS total_tokens,
+       | CAST(SUM(n_chars) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS mean_doc_chars,
+       | CAST(SUM(CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) < 10
+       |     OR LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, ' +'),
+       |          w -> LIST_CONTAINS($stopListSql, w)))::DOUBLE
+       |        / LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +'))::DOUBLE < 0.01
+       |   THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS flagged_rate
+       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x18_dataset_card" -> x18,
     "x17_split_leakage" -> x17,
     "x16_bpe_train" -> x16,
     "x15_quality_classifier" -> x15,
@@ -914,6 +955,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x18_dataset_card" -> x18Sql,
     "x17_split_leakage" -> x17Sql,
     "x16_bpe_train" -> x16Sql,
     "x15_quality_classifier" -> x15Sql,
