@@ -396,8 +396,12 @@ object TextOps {
        |  FROM documents),
        |binned AS (
        |  SELECT source, shard, doc_id, tok,
-       |    (SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
-       |       ROWS UNBOUNDED PRECEDING) - tok) // $packBudget AS bin
+       |    -- DuckDB widens window SUM(BIGINT) to HUGEINT and // keeps it;
+       |    -- cast back so the result column is BIGINT like Spark's (the
+       |    -- r4 hash mismatch was exactly this: HUGEINT renders as float64
+       |    -- through pandas-style fetches, "265.0" vs "265")
+       |    CAST((SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) - tok) // $packBudget AS BIGINT) AS bin
        |  FROM toks)
        |SELECT source, shard, bin,
        | COUNT(*) AS n_docs,

@@ -44,6 +44,18 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: spark parquet read: {e}"); n_fail += 1; continue
         try:
+            # type lint first: HUGEINT/DECIMAL/unsigned oracle columns render
+            # differently through pandas-style fetches (the driver's hasher)
+            # than through fetchall() — x10's r4 hash mismatch was an uncast
+            # window SUM(BIGINT) -> HUGEINT. Force explicit casts in the SQL.
+            rel = con.sql(sql)
+            exotic = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                      if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT",
+                                    "UINTEGER", "USMALLINT", "UTINYINT")
+                      or str(t).startswith("DECIMAL")]
+            if exotic:
+                print(f"FAIL {name}: oracle emits driver-unsafe types {exotic} "
+                      f"- add explicit CASTs"); n_fail += 1; continue
             exp = con.execute(sql)
             ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
         except Exception as e:
