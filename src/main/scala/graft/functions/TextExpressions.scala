@@ -134,32 +134,51 @@ object NativeHelpers {
     sim
   }
 
-  // Per-thread hash-indexed copy of the (row-invariant broadcast) LM model,
-  // revalidated per row against element count and boundary entries — see
-  // LmBigramFold's contract.
+  // Per-thread hash-indexed copy of the LM model. Cache validation is
+  // CONTENT-COMPLETE: for UnsafeMapData (what a broadcast-joined model
+  // column arrives as) the incoming map's raw backing bytes are memcmp'd
+  // against a copy taken when the index was built — a changed model can
+  // never silently reuse a stale index (the earlier boundary-fingerprint
+  // scheme could). Any other MapData implementation rebuilds per row,
+  // trading speed for unconditional correctness on row-variant models.
   private val lmCache =
-    new ThreadLocal[(Long, java.util.HashMap[String, java.lang.Long])]()
+    new ThreadLocal[(Array[Byte], java.util.HashMap[String, java.lang.Long])]()
 
-  private def lmModelOf(model: org.apache.spark.sql.catalyst.util.MapData)
+  private def lmBuild(model: org.apache.spark.sql.catalyst.util.MapData)
       : java.util.HashMap[String, java.lang.Long] = {
     val n = model.numElements()
     val keys = model.keyArray()
     val vals = model.valueArray()
-    val fingerprint =
-      n.toLong ^ (if (n == 0) 0L
-        else keys.getUTF8String(0).hashCode.toLong * 31 +
-          keys.getUTF8String(n - 1).hashCode.toLong * 17 +
-          vals.getLong(0) * 13 + vals.getLong(n - 1))
-    val cached = lmCache.get()
-    if (cached != null && cached._1 == fingerprint) return cached._2
     val hm = new java.util.HashMap[String, java.lang.Long](n * 2)
     var i = 0
     while (i < n) {
       hm.put(keys.getUTF8String(i).toString, vals.getLong(i))
       i += 1
     }
-    lmCache.set((fingerprint, hm))
     hm
+  }
+
+  private def lmModelOf(model: org.apache.spark.sql.catalyst.util.MapData)
+      : java.util.HashMap[String, java.lang.Long] = model match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeMapData =>
+      val sz = u.getSizeInBytes
+      val cached = lmCache.get()
+      if (cached != null && cached._1.length == sz &&
+          org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+            u.getBaseObject, u.getBaseOffset,
+            cached._1, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            sz.toLong)) {
+        cached._2
+      } else {
+        val bytes = new Array[Byte](sz)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          u.getBaseObject, u.getBaseOffset,
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, sz.toLong)
+        val hm = lmBuild(u)
+        lmCache.set((bytes, hm))
+        hm
+      }
+    case other => lmBuild(other)
   }
 
   private val cdcC = Array(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
@@ -537,10 +556,10 @@ object TokenStats {
   * no hash index inside a row), so the composable fold costs
   * O(|doc| · |model|) string comparisons per document. This expression
   * hash-indexes the model ONCE per thread and folds each document in one
-  * compiled call. The model operand must be row-invariant (the broadcast
-  * one-row model the LM-scoring pipeline produces) — the per-thread cache
-  * is validated against element count and boundary entries, which is sound
-  * for the engine's own plans and documented as the usage contract.
+  * compiled call. The per-thread index is revalidated per row by memcmp of
+  * the map's raw UnsafeMapData bytes (content-complete — a different model
+  * can never hit a stale index); non-Unsafe MapData inputs rebuild the
+  * index per row, so row-variant models are slow but always correct.
   */
 case class LmBigramFold(left: Expression, right: Expression)
     extends BinaryExpression {

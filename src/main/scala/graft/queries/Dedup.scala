@@ -674,7 +674,9 @@ object Dedup {
       "+ cps[i-4]*47 + cps[i-5]*53 + cps[i-6]*59 + cps[i-7]*61"
     s"""WITH cp AS MATERIALIZED (
        |  SELECT doc_id, text,
-       |    [UNICODE(x) FOR x IN REGEXP_EXTRACT_ALL(text, '.')] AS cps
+       |    -- (?s): RE2 '.' stops at newlines; the Scala side scans raw code
+       |    -- points, so an unguarded '.' drops newline-containing docs
+       |    [UNICODE(x) FOR x IN REGEXP_EXTRACT_ALL(text, '(?s).')] AS cps
        |  FROM documents),
        |b AS (
        |  SELECT doc_id, text, LEN(cps) AS n,
@@ -688,8 +690,10 @@ object Dedup {
        |chunks AS MATERIALIZED (
        |  SELECT doc_id, MD5(c) AS h FROM (
        |    SELECT doc_id,
+       |      -- guard zero-length cuts: an empty document yields cuts=[0,0]
+       |      -- and would emit one empty chunk where Spark emits none
        |      UNNEST([SUBSTR(text, cuts[j] + 1, cuts[j + 1] - cuts[j])
-       |        FOR j IN RANGE(1, LEN(cuts))]) AS c
+       |        FOR j IN RANGE(1, LEN(cuts)) IF cuts[j + 1] > cuts[j]]) AS c
        |    FROM cut)),
        |byh AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY h),
        |agg AS (

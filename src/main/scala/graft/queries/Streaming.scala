@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -234,16 +235,29 @@ object Streaming {
     * the delay is tuned to the real out-of-orderness and state stays
     * bounded per key-partition. Same driver hygiene as q74 (bounded slice,
     * sink dropped, state stores unloaded). */
+  /** Driver copy of a bounded gate slice. A bare `.limit(cap)` on an
+    * unordered frame silently feeds an arbitrary, run-dependent subset to
+    * the stream when the slice outgrows the cap while the oracle keeps
+    * aggregating the full slice — so overflow must be an error, not a
+    * truncation. (~600 rows at sf0.1; the cap exists only as a driver-memory
+    * guard.) */
+  private val driverSliceCap = 20000
+  private def cappedSlice(df: DataFrame): Array[Row] = {
+    val rows = df.limit(driverSliceCap + 1).collect()
+    require(rows.length <= driverSliceCap,
+      s"streaming gate slice exceeds driver cap $driverSliceCap; " +
+        "tighten the slice predicate instead of truncating nondeterministically")
+    rows
+  }
+
   private val q79Counter = new java.util.concurrent.atomic.AtomicInteger()
   private val q79: Q = (s, dir) => {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
-    val rows = t(s, dir, "events")
+    val rows = cappedSlice(t(s, dir, "events")
       .filter(col("user_id") < 10)
-      .select(col("ts"), col("user_id"), col("event_type"))
-      .limit(20000) // hard cap on the driver copy (slice is ~600 rows at sf0.1)
-      .collect()
+      .select(col("ts"), col("user_id"), col("event_type")))
       .map(r => (r.getAs[java.sql.Timestamp](0), r.getLong(1), r.getString(2)))
       .toSeq
     val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
@@ -285,11 +299,9 @@ object Streaming {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
-    val rows = t(s, dir, "events")
+    val rows = cappedSlice(t(s, dir, "events")
       .filter(col("user_id") < 10)
-      .select(col("user_id"), col("value"), col("event_id"))
-      .limit(20000) // hard cap on the driver copy (slice is ~600 rows at sf0.1)
-      .collect()
+      .select(col("user_id"), col("value"), col("event_id")))
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     val ms = MemoryStream[(Long, Double, Long)]
     val (a, b) = rows.splitAt(rows.length / 2)

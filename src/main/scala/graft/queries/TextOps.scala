@@ -833,7 +833,7 @@ object TextOps {
          | REPLACE(p, CHR(1), '') AS merged, n AS n_occurrences FROM b$r""".stripMargin
     s"""WITH w0 AS MATERIALIZED (
        |  SELECT CHR(1) || CHR(1) ||
-       |      ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(w, '.'), CHR(1) || CHR(1)) ||
+       |      ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(w, '(?s).'), CHR(1) || CHR(1)) ||
        |      CHR(1) || CHR(1) AS enc,
        |    cnt
        |  FROM (SELECT w, COUNT(*) AS cnt FROM (

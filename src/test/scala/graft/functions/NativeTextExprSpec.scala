@@ -142,6 +142,22 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     scored.filter(expr("a IS NULL")).count() should be >= 1L
   }
 
+  test("graft_lm_fold: row-variant models never hit a stale thread cache") {
+    import spark.implicits._
+    // Two models with IDENTICAL size, boundary keys and boundary values —
+    // only an interior entry differs. The old boundary-fingerprint cache
+    // validation reused model A's index for model B; content-complete
+    // validation must score each row against its own model. One partition
+    // forces both rows through the same executor thread (same cache slot).
+    val rows = Seq(
+      ("abc", Map("ab" -> 1L, "bc" -> 10L, "zz" -> 7L)),
+      ("abc", Map("ab" -> 1L, "bc" -> 20L, "zz" -> 7L))).toDF("text", "m")
+      .repartition(1)
+    val got = rows.select(expr("graft_lm_fold(text, m)").as("v"))
+      .as[Long].collect().sorted
+    got shouldBe Array(11L, 21L)
+  }
+
   test("graft_cdc_chunks: lossless partition, short-text identity, resync") {
     import spark.implicits._
     // lossless: chunks concatenate back to the text; every chunk non-empty
