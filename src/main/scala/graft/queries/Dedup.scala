@@ -120,7 +120,7 @@ object Dedup {
         (col("common").cast("double") /
           (col("s1.n") + col("s2.n") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .psort(col("d1"), col("d2"))
+      .psortScaled(col("d1"), col("d2"))
   }
 
   private val d02Sql =

@@ -59,6 +59,19 @@ object QueryHelpers {
       df.repartition(1).sortWithinPartitions(cols: _*)
     def psort(col0: String, cols: String*): DataFrame =
       df.repartition(1).sortWithinPartitions(col0, cols: _*)
+
+    /** Final ordering for CORPUS-PROPORTIONAL outputs (near-dup pairs, kNN
+      * graph edges, packing bins, leaked-dup lists): these grow with the
+      * input, so the 1-partition merge psort is only acceptable on the
+      * bounded oracle-gate path. In production mode
+      * (`spark.graft.output.merged=false`) this plans a range-partitioned
+      * parallel sort instead — ordered output across many shards, no
+      * single-task funnel at 100 TB. Default stays merged so the driver's
+      * single-file hash gate is unchanged. */
+    def psortScaled(cols: Column*): DataFrame =
+      if (df.sparkSession.conf.get("spark.graft.output.merged", "true").toBoolean)
+        df.repartition(1).sortWithinPartitions(cols: _*)
+      else df.orderBy(cols: _*)
   }
 
   /** Exact money: cast a double measure column to DECIMAL(12,2). */

@@ -513,7 +513,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cosine"))
-      .psort(col("qid"), col("rank"))
+      .psortScaled(col("qid"), col("rank"))
   }
 
   private val s09Sql =

@@ -386,7 +386,7 @@ object TextOps {
     binned.groupBy(col("source"), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .psort(col("source"), col("shard"), col("bin"))
+      .psortScaled(col("source"), col("shard"), col("bin"))
   }
 
   private val x10Sql =
@@ -871,7 +871,7 @@ object TextOps {
         min(when(col("part") === "train", col("doc_id"))).as("train_doc"),
         min(when(col("part") === "eval", col("doc_id"))).as("eval_doc"))
       .filter(col("n_train") > 0 && col("n_eval") > 0)
-      .psort(col("ch"))
+      .psortScaled(col("ch"))
   }
 
   private val x17Sql =

@@ -199,6 +199,28 @@ class PlanSpec extends AnyFunSuite with Matchers {
     s should not include "CartesianProduct"
   }
 
+  test("production output mode drops the 1-partition merge on corpus-proportional outputs") {
+    // d02 (near-dup pairs), s09 (kNN graph edges), x10 (packing bins) and
+    // x17 (leaked dups) emit outputs that GROW with the corpus; their final
+    // sort must become a range-partitioned parallel sort when the engine is
+    // switched out of oracle-gate presentation mode.
+    val grow = Seq("d02_dedup_jaccard", "s09_knn_graph",
+      "x10_seq_packing", "x17_split_leakage")
+    spark.conf.set("spark.graft.output.merged", "false")
+    try {
+      grow.foreach { q =>
+        val s = planString(SparkEntry.queries(q)(spark, sfDir)).toLowerCase
+        withClue(q) {
+          s should not include "singlepartition"
+          s should include("rangepartitioning")
+        }
+      }
+    } finally spark.conf.unset("spark.graft.output.merged")
+    // default (gate) mode keeps the single ordered merge for the hash gate
+    val gate = planString(SparkEntry.queries("x10_seq_packing")(spark, sfDir))
+    gate.toLowerCase should include("singlepartition")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
