@@ -97,6 +97,8 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_l2" -> (exprs => L2Distance(exprs(0), exprs(1))),
+    "graft_pq_adc" -> (exprs => PqAdc(exprs(0), exprs(1), exprs(2))),
     "graft_shingles" -> (exprs => WordShingles(exprs(0))),
     "graft_char_ngrams" -> (exprs => CharNgrams(exprs(0))),
     "graft_char_grams" -> (exprs => CharNgramsK(exprs(0),

@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -493,6 +493,150 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** graft_l2(a, b) -> double: SQUARED L2 distance over two numeric array
+  * columns, folded in index order over min(|a|,|b|) elements — the same
+  * loop the ANN ground-truth UDFs ran, now codegen'd (companion to
+  * graft_dot/graft_cosine so the whole similarity family stays inside
+  * whole-stage codegen). Squared on purpose: rank-equivalent to L2 and
+  * exactly replayable by the oracle's (a-b)*(a-b) sums without a sqrt
+  * rounding step. */
+case class L2Distance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires numeric arrays, got ${left.dataType} / ${right.dataType}")
+
+  private def getter(t: DataType): String = t match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case ArrayType(IntegerType, _) => "getInt"
+    case ArrayType(LongType, _) => "getLong"
+    case other => throw new IllegalStateException(other.toString)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => arr.getDouble(i)
+      case ArrayType(IntegerType, _) => arr.getInt(i).toDouble
+      case _ => arr.getLong(i).toDouble
+    }
+    var d2 = 0.0
+    var i = 0
+    while (i < n) {
+      val diff = get(x, left.dataType, i) - get(y, right.dataType, i)
+      d2 += diff * diff
+      i += 1
+    }
+    d2
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xGet = getter(left.dataType)
+    val yGet = getter(right.dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d2 = ctx.freshName("d2")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d2 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $diff = (double) $a.$xGet($i) - (double) $b.$yGet($i);
+         |  $d2 += $diff * $diff;
+         |}
+         |${ev.value} = $d2;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_pq_adc(query, codes, books) -> double: product-quantization
+  * asymmetric distance — Σ over subspace j of the squared L2 between the
+  * query's j-th slice and codebook centroid books[j][codes[j]].
+  *
+  * `books` is a constant nested array (array<array<array<double>>>,
+  * m subspaces × k centroids × subdim) — constant-folded to one Literal
+  * reference in generated code, so per row the work is m direct ArrayData
+  * index hops + the fused diff² loop. Fold order (elements in index order,
+  * subspaces in ascending j) is identical to the Scala UDF it replaces and
+  * to the oracle's unrolled per-subspace sums, keeping results
+  * bit-identical. */
+case class PqAdc(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(IntegerType | LongType, _),
+            ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"requires (array<float|double>, array<int|long>, " +
+          s"array<array<array<double>>>), got ($a, $b, $c)")
+    }
+
+  private val qIsFloat = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private val codeIsLong = second.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  def compute(q: ArrayData, codes: ArrayData, books: ArrayData): Double = {
+    val m = books.numElements()
+    var total = 0.0
+    var j = 0
+    var qOff = 0
+    while (j < m) {
+      val code = if (codeIsLong) codes.getLong(j).toInt else codes.getInt(j)
+      val cent = books.getArray(j).getArray(code)
+      val sub = cent.numElements()
+      var d = 0.0
+      var i = 0
+      while (i < sub) {
+        val qv = if (qIsFloat) q.getFloat(qOff + i).toDouble else q.getDouble(qOff + i)
+        val diff = qv - cent.getDouble(i)
+        d += diff * diff
+        i += 1
+      }
+      total += d
+      qOff += sub
+      j += 1
+    }
+    total
+  }
+
+  override protected def nullSafeEval(q: Any, codes: Any, books: Any): Any =
+    compute(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      books.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    defineCodeGen(ctx, ev, (a, b, c) => s"$ref.compute($a, $b, $c)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** graft_token_stats(text, stopwords...) ->

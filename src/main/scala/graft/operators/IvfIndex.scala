@@ -32,22 +32,6 @@ object IvfIndex {
 
   private def toDouble(v: Seq[Float]): Array[Double] = v.map(_.toDouble).toArray
 
-  private def dist2(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length && i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-    s
-  }
-
-  private def nearest(v: Array[Double], cs: Array[Centroid]): Int = {
-    var best = 0; var bd = Double.MaxValue; var i = 0
-    while (i < cs.length) {
-      val d = dist2(v, cs(i).vec)
-      if (d < bd) { bd = d; best = i }
-      i += 1
-    }
-    cs(best).cell
-  }
-
   /** Build the quantizer: k centroids after `iters` Lloyd iterations.
     * Centroids live on the driver (k × dim doubles — tiny) and are
     * broadcast into every assignment pass. */
@@ -113,15 +97,28 @@ object IvfIndex {
         .apply(c)
   }
 
-  /** Assign every corpus vector to its cell (map-only over a broadcast of
-    * the centroids). The result is the "index": repartition/bucket by cell
+  /** Per-centroid (distance, cell) structs against the vector column; the
+    * centroids ride as constant-folded array<double> literals (k × dim
+    * doubles — tiny), so the whole scoring stays native codegen — no Scala
+    * UDF boxing on the corpus-scale assignment pass. Struct comparison is
+    * lexicographic, and cells ascend in array order, so min/sort reproduce
+    * nearest()'s first-wins tie-break exactly. */
+  private def scoredCells(vecCol: String, centroids: Array[Centroid])
+      : org.apache.spark.sql.Column =
+    array(centroids.map { c =>
+      struct(
+        call_function("graft_l2", col(vecCol), typedlit(c.vec.toSeq)).as("d"),
+        lit(c.cell).as("cell"))
+    }: _*)
+
+  /** Assign every corpus vector to its cell (map-only; centroids inlined
+    * as literals). The result is the "index": repartition/bucket by cell
     * for locality at scale. */
   def assign(e: DataFrame, idCol: String, vecCol: String,
              centroids: Array[Centroid]): DataFrame = {
-    val spark = e.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellOf = udf { (v: Seq[Float]) => nearest(toDouble(v), bc.value) }
-    e.withColumn("cell", cellOf(col(vecCol)))
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    e.withColumn("cell",
+      array_min(scoredCells(vecCol, centroids)).getField("cell"))
   }
 
   /** Every query paired with its `maxProbe` nearest cells, with the cell's
@@ -129,17 +126,16 @@ object IvfIndex {
     * table; the sweep/search layers filter on `cell_rank`. */
   def probeRanked(queries: DataFrame, idCol: String, vecCol: String,
                   centroids: Array[Centroid], maxProbe: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probeCells = udf { (v: Seq[Float]) =>
-      val dv = toDouble(v)
-      bc.value.map(c => (dist2(dv, c.vec), c.cell)).sortBy(_._1)
-        .take(maxProbe).map(_._2).toSeq
-    }
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    // array_sort on (d, cell) structs == stable sort by distance with the
+    // array-order (ascending-cell) tie-break of the driver-side sortBy
+    val probes = transform(
+      slice(array_sort(scoredCells("qe", centroids)), 1, maxProbe),
+      x => x.getField("cell"))
     queries
       .select(col(idCol).as("qid"), col(vecCol).as("qe"))
       .select(col("qid"), col("qe"),
-        posexplode(probeCells(col("qe"))).as(Seq("p", "cell")))
+        posexplode(probes).as(Seq("p", "cell")))
       .select(col("qid"), col("qe"), col("cell"), (col("p") + 1).as("cell_rank"))
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -188,7 +188,7 @@ object Similarity {
   private val ivfDim = 64
 
   /** Squared L2 distance as a sequential index-order fold (bit-identical to
-    * IvfIndex.dist2's accumulation loop). */
+    * the engine's native graft_l2 accumulation loop). */
   private def dist2Sql(a: String, b: String): String =
     s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, [(z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE) FOR z IN LIST_ZIP($a, $b)]), (acc, x) -> acc + x)"
 
@@ -197,7 +197,7 @@ object Similarity {
     * used by both s04 (search results) and s06 (recall sweep). */
   private[queries] val ivfCtePrefix: String = {
     // One Lloyd iteration: argmin assignment against cents{n-1} (ties ->
-    // lowest cell, matching IvfIndex.nearest's strict <), then the
+    // lowest cell, matching IvfIndex.assign's struct-min tie-break), then the
     // fixed-point mean: sum over floor(x * 2^20) as BIGINT, divided back out
     // in the same operation order as the trainer (sum -> /n -> /2^20).
     def iter(n: Int): String = {
@@ -575,28 +575,18 @@ object Similarity {
     * the same sequential (a-b)^2 fold per subspace, subspaces summed in
     * order, so the unrolled per-subspace SQL training + scoring replays
     * it exactly. */
+  /** ADC as the native codegen'd graft_pq_adc expression — the codebooks
+    * (m×k×subdim doubles, ~8 KB) ride along as one constant-folded nested
+    * array literal instead of a broadcast + per-row Scala UDF. */
+  private def adcCol(books: Seq[Array[graft.operators.IvfIndex.Centroid]],
+                     qe: Column, cs: Column): Column = {
+    val booksLit = typedlit(books.map(_.map(_.vec.toSeq).toSeq).toSeq)
+    call_function("graft_pq_adc", qe, cs, booksLit)
+  }
+
   private val s10: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
     val (books, codes) = trainedPq(s, dir)
-    val bc = s.sparkContext.broadcast(books.map(_.map(_.vec)).toArray)
-    val adc = udf { (qe: Seq[Float], cs: Seq[Int]) =>
-      val bks = bc.value
-      var t = 0.0
-      var j = 0
-      while (j < bks.length) {
-        val cent = bks(j)(cs(j))
-        var d = 0.0
-        var i = 0
-        while (i < cent.length) {
-          val diff = qe(j * cent.length + i).toDouble - cent(i)
-          d += diff * diff
-          i += 1
-        }
-        t += d
-        j += 1
-      }
-      t
-    }
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cands = codes.select(col("vec_id").as("cid"),
@@ -604,7 +594,8 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("cid"))
     q.hint("broadcast").crossJoin(cands)
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), adc(col("qe"), col("cs")).as("adc"))
+      .select(col("qid"), col("cid"),
+        adcCol(books, col("qe"), col("cs")).as("adc"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("cid"),
@@ -687,41 +678,13 @@ object Similarity {
   private val s11: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
     val (books, codes) = trainedPq(s, dir)
-    val bc = s.sparkContext.broadcast(books.map(_.map(_.vec)).toArray)
-    val adc = udf { (qe: Seq[Float], cs: Seq[Int]) =>
-      val bks = bc.value
-      var t = 0.0
-      var j = 0
-      while (j < bks.length) {
-        val cent = bks(j)(cs(j))
-        var d = 0.0
-        var i = 0
-        while (i < cent.length) {
-          val diff = qe(j * cent.length + i).toDouble - cent(i)
-          d += diff * diff
-          i += 1
-        }
-        t += d
-        j += 1
-      }
-      t
-    }
-    val dist2 = udf { (qe: Seq[Float], ce: Seq[Float]) =>
-      var d = 0.0
-      var i = 0
-      while (i < qe.length && i < ce.length) {
-        val diff = qe(i).toDouble - ce(i).toDouble
-        d += diff * diff
-        i += 1
-      }
-      d
-    }
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val exact = q.hint("broadcast")
       .crossJoin(e.select(col("vec_id").as("cid"), col("embedding").as("ce")))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), dist2(col("qe"), col("ce")).as("d"))
+      .select(col("qid"), col("cid"),
+        expr("graft_l2(qe, ce)").as("d"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d").asc, col("cid"))))
       .filter(col("rank") <= 3)
@@ -730,7 +693,8 @@ object Similarity {
       .crossJoin(codes.select(col("vec_id").as("pcid"),
         array((0 until pqM).map(j => col(s"c$j")): _*).as("cs")))
       .filter(col("qid") =!= col("pcid"))
-      .select(col("qid"), col("pcid"), adc(col("qe"), col("cs")).as("adc"))
+      .select(col("qid"), col("pcid"),
+        adcCol(books, col("qe"), col("cs")).as("adc"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("pcid"))))
       .filter(col("rank") <= 3)

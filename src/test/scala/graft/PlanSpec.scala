@@ -221,6 +221,16 @@ class PlanSpec extends AnyFunSuite with Matchers {
     gate.toLowerCase should include("singlepartition")
   }
 
+  test("PQ scoring and ground truth run native (no Scala UDF in the plan)") {
+    Seq("s10_knn_pq", "s11_pq_recall").foreach { q =>
+      val s = planString(SparkEntry.queries(q)(spark, sfDir))
+      withClue(q) {
+        s should not include "UDF"
+        s should (include("pqadc") or include("PqAdc"))
+      }
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -142,6 +142,43 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     scored.filter(expr("a IS NULL")).count() should be >= 1L
   }
 
+  test("graft_l2 equals the aggregate/zip_with composition on real embeddings") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b")).limit(500)
+    val composed =
+      "aggregate(zip_with(va, vb, (x, y) -> (cast(x as double) - cast(y as double)) " +
+        "* (cast(x as double) - cast(y as double))), 0.0D, (acc, v) -> acc + v)"
+    pairs.select(expr("graft_l2(va, vb)").as("n"), expr(composed).as("c"))
+      .filter(expr("n IS DISTINCT FROM c")).count() shouldBe 0L
+  }
+
+  test("graft_pq_adc equals the per-subspace graft_l2 slice sum") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dim = e.selectExpr("size(embedding)").head().getInt(0)
+    val m = 4
+    val sub = dim / m
+    val k = 3
+    // synthetic codebooks: deterministic doubles, m x k x sub
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      (0 until k).map(c => (0 until sub).map(i =>
+        ((j + 1) * 0.25 + c * 0.125 + i * 0.0625))))
+    val booksLit = typedlit(books)
+    val codes = array((0 until m).map(j => lit((j * 7 + 3) % k)): _*)
+    val sliceSum = (0 until m).map { j =>
+      val cent = typedlit(books(j)((j * 7 + 3) % k))
+      call_function("graft_l2",
+        expr(s"slice(embedding, ${j * sub + 1}, $sub)"), cent)
+    }.reduce(_ + _)
+    e.limit(200).select(
+        call_function("graft_pq_adc", col("embedding"), codes, booksLit).as("n"),
+        sliceSum.as("c"))
+      .filter(expr("n IS DISTINCT FROM c")).count() shouldBe 0L
+  }
+
   test("graft_lm_fold: row-variant models never hit a stale thread cache") {
     import spark.implicits._
     // Two models with IDENTICAL size, boundary keys and boundary values —
