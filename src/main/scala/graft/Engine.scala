@@ -6,6 +6,7 @@ import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.io.DecoderFactory
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 import graft.schema.{AvroSchemaCompiler, InMemorySchemaRegistry, SchemaRegistry}
@@ -636,6 +637,146 @@ class Engine(val spark: SparkSession,
     })
   }
 
+  private val asofViewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** DuckDB's `ASOF [LEFT] JOIN` SQL spelling (the reference delegates it
+    * verbatim to DuckDB — KwackEngine.java:232), lowered onto the native
+    * sort-merge operator (operators/AsofJoinNative: one shuffle + sort per
+    * side, O(|L|+|R|) merge). Supported form:
+    *
+    *   ... FROM <ltab> [AS] [la] ASOF [LEFT] JOIN <rtab> [AS] [ra]
+    *       ON <key equalities...> AND <left.ts >= right.ts> [clauses...]
+    *
+    * Both sides must be resolvable tables/views (quoted file refs work —
+    * rewriteSugar has already turned them into views). The single
+    * inequality must be the backward form (left.ts >= right.ts, or its
+    * right.ts <= left.ts mirror) — DuckDB's default ASOF direction. The
+    * joined frame is registered as a temp view and spliced into the
+    * statement; alias-qualified column references elsewhere in the
+    * statement are rewritten to bare names (the view carries the left
+    * columns plus the right payload, minus the right key/ts duplicates). */
+  private[graft] def rewriteAsofJoin(q: String): String = {
+    val asofIdx = findTopLevelKeyword(q, 0, Seq("ASOF")).map(_._1)
+      .getOrElse(return q)
+    val fromIdx = findTopLevelKeyword(q, 0, Seq("FROM")).map(_._1).getOrElse(
+      throw new IllegalArgumentException("ASOF JOIN requires a FROM clause"))
+    require(fromIdx < asofIdx, "ASOF JOIN must follow the FROM clause")
+    val joinIdx = findTopLevelKeyword(q, asofIdx + 4, Seq("JOIN")).map(_._1)
+      .getOrElse(throw new IllegalArgumentException("ASOF must be followed by JOIN"))
+    val joinKind = q.substring(asofIdx + 4, joinIdx).trim
+    val isLeft = joinKind.equalsIgnoreCase("LEFT")
+    require(isLeft || joinKind.isEmpty,
+      s"unsupported ASOF join kind '$joinKind' (supported: inner, LEFT)")
+    val onIdx = findTopLevelKeyword(q, joinIdx + 4, Seq("ON")).map(_._1)
+      .getOrElse(throw new IllegalArgumentException("ASOF JOIN requires ON"))
+    val condEnd = findTopLevelKeyword(q, onIdx + 2, trailingClauseKws)
+      .map(_._1).getOrElse(q.length)
+
+    val relRe = "(?is)^\\s*(`[^`]+`|[\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$".r
+    def parseRel(seg: String): (DataFrame, Set[String]) = seg match {
+      case relRe(tab, alias) =>
+        val name = tab.stripPrefix("`").stripSuffix("`")
+        (spark.table(name),
+          Set(name.toLowerCase) ++ Option(alias).map(_.toLowerCase))
+      case other => throw new IllegalArgumentException(
+        s"ASOF JOIN side must be a named table/view, got: '${other.trim}'")
+    }
+    val (ldf, lQuals) = parseRel(q.substring(fromIdx + 4, asofIdx))
+    val (rdf, rQuals) = parseRel(q.substring(joinIdx + 4, onIdx))
+
+    // conjuncts of the ON condition, split at top-level ANDs
+    val condSeg = q.substring(onIdx + 2, condEnd)
+    val conjuncts = {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      var start = 0
+      var search = 0
+      var more = true
+      while (more) findTopLevelKeyword(condSeg, search, Seq("AND")) match {
+        case Some((i, _)) => parts += condSeg.substring(start, i); start = i + 3; search = i + 3
+        case None => parts += condSeg.substring(start); more = false
+      }
+      parts.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val condRe = "(?s)^([`\\w.]+)\\s*(>=|<=|=)\\s*([`\\w.]+)$".r
+    // resolve a (possibly alias-qualified) column ref to (side, bare name)
+    def side(ref: String): (Char, String) = {
+      val clean = ref.replace("`", "")
+      clean.split("\\.") match {
+        case Array(qual, c) if lQuals.contains(qual.toLowerCase) => ('L', c)
+        case Array(qual, c) if rQuals.contains(qual.toLowerCase) => ('R', c)
+        case Array(qual, _) => throw new IllegalArgumentException(
+          s"unknown ASOF JOIN qualifier '$qual'")
+        case Array(c) =>
+          (ldf.columns.contains(c), rdf.columns.contains(c)) match {
+            case (true, false) => ('L', c)
+            case (false, true) => ('R', c)
+            case (true, true) => throw new IllegalArgumentException(
+              s"ambiguous ASOF JOIN column '$c' — qualify it")
+            case _ => throw new IllegalArgumentException(
+              s"ASOF JOIN column '$c' not found on either side")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"unsupported ASOF JOIN column reference '$ref'")
+      }
+    }
+    var keys = Seq.empty[(String, String)] // (left name, right name)
+    var ts: Option[(String, String)] = None
+    conjuncts.foreach {
+      case condRe(a, op, b) =>
+        val (sa, sb) = (side(a), side(b))
+        require(sa._1 != sb._1,
+          s"ASOF JOIN condition '$a $op $b' must compare the two sides")
+        val (lc, rc) = if (sa._1 == 'L') (sa._2, sb._2) else (sb._2, sa._2)
+        op match {
+          case "=" => keys :+= ((lc, rc))
+          case ">=" if sa._1 == 'L' => // left.ts >= right.ts
+            require(ts.isEmpty, "ASOF JOIN allows exactly one inequality")
+            ts = Some((lc, rc))
+          case "<=" if sa._1 == 'R' => // right.ts <= left.ts
+            require(ts.isEmpty, "ASOF JOIN allows exactly one inequality")
+            ts = Some((lc, rc))
+          case _ => throw new IllegalArgumentException(
+            "only the backward ASOF direction is supported " +
+              "(left.ts >= right.ts or right.ts <= left.ts)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported ASOF JOIN condition '$other'")
+    }
+    require(keys.nonEmpty, "ASOF JOIN requires at least one equality key")
+    val (lts, rts) = ts.getOrElse(throw new IllegalArgumentException(
+      "ASOF JOIN requires one left.ts >= right.ts inequality"))
+
+    // the operator keys on shared names: align the right side to the left's
+    val rAligned = keys.foldLeft(rdf) { case (df, (lc, rc)) =>
+      if (lc == rc) df
+      else {
+        require(!df.columns.contains(lc),
+          s"cannot align ASOF key '$rc' to '$lc': right side already has '$lc'")
+        df.withColumnRenamed(rc, lc)
+      }
+    }
+    // constant match marker: rides the (nullable) payload, so inner-ASOF is
+    // a null filter on it; constant, so the payload sort tiebreak ignores it
+    val marked = rAligned.withColumn("__asof_m", lit(true))
+    val joined0 = graft.operators.AsofJoinNative.asofLeft(
+      ldf, marked, keys.map(_._1), lts, rts)
+    val joined = (if (isLeft) joined0
+                  else joined0.filter(col("__asof_m").isNotNull))
+      .drop("__asof_m")
+    val view = "__asof_" + asofViewCounter.incrementAndGet()
+    joined.createOrReplaceTempView(view)
+
+    // splice the view back; alias-qualified refs become bare names
+    val quals = lQuals ++ rQuals
+    def strip(s: String): String = quals.foldLeft(s) { (acc, al) =>
+      acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.", "")
+    }
+    val tail = q.substring(condEnd).trim
+    // recurse: a chained second ASOF JOIN now starts FROM the new view
+    rewriteAsofJoin(strip(q.substring(0, fromIdx)) + s"FROM $view" +
+      (if (tail.isEmpty) "" else " " + strip(tail)))
+  }
+
   private val summarizeStmt = "(?is)^\\s*SUMMARIZE\\s+(.+?)\\s*;?\\s*$".r
 
   /** DuckDB's `SUMMARIZE <table|'file'>` statement: one profiling row per
@@ -704,7 +845,7 @@ class Engine(val spark: SparkSession,
         import spark.implicits._
         Seq(n).toDF("rows_copied")
       } finally df.unpersist()
-    case _ => spark.sql(expandColumnsRegex(rewriteSugar(q)))
+    case _ => spark.sql(expandColumnsRegex(rewriteAsofJoin(rewriteSugar(q))))
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +

@@ -7,7 +7,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter}
 import org.apache.avro.io.EncoderFactory
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.Engine
+import graft.{Engine, Tables}
 import graft.serde.WireFormat
 import graft.sources.KafkaRecords
 import graft.sources.KafkaRecords.SyntheticRecord
@@ -128,15 +128,58 @@ object EngineSurface {
       |FROM lineitem WHERE l_orderkey <= 100
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q81: DuckDB `ASOF JOIN` SQL syntax through the engine's rewrite
+    * (Engine.rewriteAsofJoin → the native sort-merge AsofJoinExec);
+    * the oracle runs a native DuckDB ASOF JOIN of the same shape. Inner
+    * form on purpose — q34/q51 already gate the LEFT semantics through the
+    * Scala API, so this pins both the SQL spelling and the
+    * unmatched-row-dropping inner variant. Right side deduped per
+    * (key, ts) for determinism (the q34 convention). */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    Tables.load(s, dir, "events")
+      .filter(col("event_id") <= 300)
+      .select("event_id", "user_id", "ts")
+      .createOrReplaceTempView("q81_events")
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    Tables.load(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("o_price"))
+      .createOrReplaceTempView("q81_orders")
+    val engine = new Engine(s)
+    try engine.sql(
+      """SELECT e.event_id, e.user_id, e.ts, d.o_orderkey, d.o_price
+        |FROM q81_events e ASOF JOIN q81_orders d
+        |ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
+        |ORDER BY e.event_id""".stripMargin)
+    finally engine.close()
+  }
+
+  private val q81Sql =
+    """WITH dedup AS (
+      |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+      |         ROUND(o_totalprice, 2) AS o_price
+      |  FROM orders QUALIFY ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+      |SELECT e.event_id, e.user_id, e.ts, d.o_orderkey, d.o_price
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_id <= 300) e
+      |ASOF JOIN dedup d ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q75_copy_roundtrip" -> (q75 _),
     "q76_union_avro" -> (q76 _),
     "q77_from_first" -> (q77 _),
-    "q78_columns_regex" -> (q78 _))
+    "q78_columns_regex" -> (q78 _),
+    "q81_asof_sql" -> (q81 _))
 
   val oracleSql: Map[String, String] = Map(
     "q77_from_first" -> q77Sql,
     "q78_columns_regex" -> q78Sql,
+    "q81_asof_sql" -> q81Sql,
     "q75_copy_roundtrip" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey <= 1000""".stripMargin,

@@ -257,4 +257,37 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       engine.sql(s"SELECT COLUMNS('nope_.*') FROM '$dir/lineitem.parquet'")
     engine.close()
   }
+
+  test("ASOF [LEFT] JOIN SQL lowers to the native operator with DuckDB semantics") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"), (3L, 50L, "d"))
+      .toDF("k", "t", "ev").createOrReplaceTempView("asof_l")
+    Seq((1L, 8L, 100.0), (1L, 20L, 200.0), (2L, 9L, 300.0))
+      .toDF("k", "rt", "price").createOrReplaceTempView("asof_r")
+    // inner: unmatched left rows (k=2 t=5 before any right ts; k=3 no key)
+    // are dropped; each match takes the latest right row with rt <= t
+    val inner = engine.sql(
+      """SELECT l.ev, r.price FROM asof_l l ASOF JOIN asof_r r
+        |ON l.k = r.k AND l.t >= r.rt ORDER BY l.ev""".stripMargin).collect()
+    inner.map(r => (r.getString(0), r.getDouble(1))).toSeq shouldBe
+      Seq(("a", 100.0), ("b", 200.0))
+    // LEFT: unmatched rows survive with null payload
+    val left = engine.sql(
+      """SELECT ev, price FROM asof_l ASOF LEFT JOIN asof_r r
+        |ON asof_l.k = r.k AND t >= rt ORDER BY ev""".stripMargin).collect()
+    left.map(r => (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+      .toSeq shouldBe Seq(("a", 100.0), ("b", 200.0), ("c", -1.0), ("d", -1.0))
+    // the mirror spelling r.ts <= l.ts works; forward direction is rejected
+    engine.sql(
+      """SELECT count(*) AS n FROM asof_l l ASOF JOIN asof_r r
+        |ON l.k = r.k AND r.rt <= l.t""".stripMargin)
+      .collect()(0).getLong(0) shouldBe 2L
+    an[Exception] should be thrownBy engine.sql(
+      "SELECT * FROM asof_l l ASOF JOIN asof_r r ON l.k = r.k AND l.t <= r.rt")
+    // no equality key must fail loudly (hash partitioning needs one)
+    an[Exception] should be thrownBy engine.sql(
+      "SELECT * FROM asof_l l ASOF JOIN asof_r r ON l.t >= r.rt")
+    engine.close()
+  }
 }
