@@ -1,0 +1,316 @@
+package graft.media
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM image container codecs for the multimodal pipeline: 24-bit
+  * uncompressed BMP and 8-bit truecolor PNG (zlib via `java.util.zip`, all
+  * five scanline filters). No native codec libraries are involved — the
+  * containers are parsed byte-for-byte from their public specifications, so
+  * the decode stage of the multimodal queries (m02/m04/m05) operates on real
+  * image payloads, not a stand-in.
+  *
+  * Both decoders validate the container (magic, header invariants, PNG chunk
+  * CRCs) and return row-major RGB pixel bytes, which for BMP means undoing
+  * the on-disk bottom-up row order, BGR channel order and 4-byte row padding,
+  * and for PNG means inflating the IDAT zlib stream and reconstructing the
+  * per-row filter (None/Sub/Up/Average/Paeth). The encoders deliberately
+  * rotate PNG filter types per row so every reconstruction path is exercised
+  * by the round-trip specs and the oracle-gated queries.
+  *
+  * Reference behavior mirrored: kwack ships media bytes as opaque BYTEA
+  * columns and derives typed columns from real payload headers
+  * (transformer/ package); this module is the Spark-side equivalent.
+  */
+object ImageCodecs {
+
+  /** An image decoded to its dimensions plus row-major RGB bytes. */
+  final case class Image(width: Int, height: Int, rgb: Array[Byte])
+
+  // ---------------------------------------------------------------- BMP ----
+
+  /** Encode row-major RGB bytes as a 24bpp uncompressed BMP (BITMAPFILEHEADER
+    * + BITMAPINFOHEADER, bottom-up rows, BGR order, rows padded to 4 bytes). */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length must be w*h*3")
+    val stride = (width * 3 + 3) / 4 * 4
+    val imageSize = stride * height
+    val fileSize = 54 + imageSize
+    val out = new Array[Byte](fileSize)
+    out(0) = 'B'; out(1) = 'M'
+    putIntLE(out, 2, fileSize)
+    putIntLE(out, 10, 54) // pixel data offset
+    putIntLE(out, 14, 40) // BITMAPINFOHEADER size
+    putIntLE(out, 18, width)
+    putIntLE(out, 22, height) // positive => bottom-up
+    putShortLE(out, 26, 1) // planes
+    putShortLE(out, 28, 24) // bits per pixel
+    putIntLE(out, 34, imageSize)
+    putIntLE(out, 38, 2835) // 72 DPI in pixels/metre
+    putIntLE(out, 42, 2835)
+    var y = 0
+    while (y < height) {
+      val dstRow = 54 + (height - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < width) {
+        val src = (y * width + x) * 3
+        out(dstRow + x * 3) = rgb(src + 2) // B
+        out(dstRow + x * 3 + 1) = rgb(src + 1) // G
+        out(dstRow + x * 3 + 2) = rgb(src) // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a 24bpp uncompressed BMP back to row-major RGB. */
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    val dataOffset = getIntLE(bytes, 10)
+    val headerSize = getIntLE(bytes, 14)
+    require(headerSize >= 40, s"unsupported BMP header size $headerSize")
+    val width = getIntLE(bytes, 18)
+    val height = getIntLE(bytes, 22)
+    require(width > 0 && height > 0, "top-down or empty BMP not supported")
+    val bpp = getShortLE(bytes, 28)
+    require(bpp == 24, s"unsupported BMP bit depth $bpp (need 24)")
+    require(getIntLE(bytes, 30) == 0, "compressed BMP not supported")
+    val stride = (width * 3 + 3) / 4 * 4
+    require(bytes.length >= dataOffset + stride * height, "truncated BMP")
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOffset + (height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        val dst = (y * width + x) * 3
+        rgb(dst) = bytes(srcRow + x * 3 + 2) // R
+        rgb(dst + 1) = bytes(srcRow + x * 3 + 1) // G
+        rgb(dst + 2) = bytes(srcRow + x * 3) // B
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, rgb)
+  }
+
+  // ---------------------------------------------------------------- PNG ----
+
+  private val PngSignature =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Encode row-major RGB bytes as an 8-bit truecolor PNG. The per-row
+    * filter type rotates through all five (`y % 5`) so decoders must
+    * implement the full filter set, and the IDAT payload is a real zlib
+    * stream (java.util.zip.Deflater). */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length must be w*h*3")
+    val bpp = 3
+    val rowLen = width * bpp
+    // filtered scanlines: 1 filter-type byte + filtered row bytes
+    val raw = new Array[Byte]((rowLen + 1) * height)
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      raw(y * (rowLen + 1)) = ft.toByte
+      var i = 0
+      while (i < rowLen) {
+        val cur = rgb(y * rowLen + i) & 0xff
+        val left = if (i >= bpp) rgb(y * rowLen + i - bpp) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * rowLen + i) & 0xff else 0
+        val upLeft =
+          if (y > 0 && i >= bpp) rgb((y - 1) * rowLen + i - bpp) & 0xff else 0
+        val filtered = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, upLeft)
+        }
+        raw(y * (rowLen + 1) + 1 + i) = filtered.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val idat = deflate(raw)
+    val out = new ByteArrayOutputStream(idat.length + 64)
+    out.write(PngSignature, 0, PngSignature.length)
+    val ihdr = new Array[Byte](13)
+    putIntBE(ihdr, 0, width)
+    putIntBE(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse an 8-bit truecolor PNG back to row-major RGB, validating the
+    * signature and every chunk CRC, inflating IDAT, and reconstructing all
+    * five scanline filter types. */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(bytes.length > 8 && PngSignature.indices.forall(i =>
+      bytes(i) == PngSignature(i)), "not a PNG payload")
+    var pos = 8
+    var width = 0
+    var height = 0
+    val idat = new ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      require(pos + 8 <= bytes.length, "truncated PNG chunk header")
+      val len = getIntBE(bytes, pos)
+      val chunkType = new String(bytes, pos + 4, 4, StandardCharsets.US_ASCII)
+      require(pos + 12 + len <= bytes.length, s"truncated $chunkType chunk")
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == getIntBE(bytes, pos + 8 + len),
+        s"CRC mismatch in $chunkType chunk")
+      chunkType match {
+        case "IHDR" =>
+          width = getIntBE(bytes, pos + 8)
+          height = getIntBE(bytes, pos + 12)
+          require(bytes(pos + 16) == 8 && bytes(pos + 17) == 2,
+            "unsupported PNG format (need 8-bit truecolor)")
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0 &&
+            bytes(pos + 20) == 0, "unsupported PNG compression/filter/interlace")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    require(width > 0 && height > 0, "PNG missing IHDR")
+    val bpp = 3
+    val rowLen = width * bpp
+    val raw = inflate(idat.toByteArray, (rowLen + 1) * height)
+    val rgb = new Array[Byte](rowLen * height)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (rowLen + 1)) & 0xff
+      var i = 0
+      while (i < rowLen) {
+        val filtered = raw(y * (rowLen + 1) + 1 + i) & 0xff
+        val left = if (i >= bpp) rgb(y * rowLen + i - bpp) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * rowLen + i) & 0xff else 0
+        val upLeft =
+          if (y > 0 && i >= bpp) rgb((y - 1) * rowLen + i - bpp) & 0xff else 0
+        val cur = ft match {
+          case 0 => filtered
+          case 1 => filtered + left
+          case 2 => filtered + up
+          case 3 => filtered + (left + up) / 2
+          case 4 => filtered + paeth(left, up, upLeft)
+          case other =>
+            throw new IllegalArgumentException(s"bad PNG filter type $other")
+        }
+        rgb(y * rowLen + i) = cur.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Image(width, height, rgb)
+  }
+
+  /** Detect the container from its magic bytes and decode. */
+  def decode(bytes: Array[Byte]): Image =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else decodePng(bytes)
+
+  /** Nearest-neighbor resample to (outW, outH) — the floor-index mapping
+    * `src = dst * srcDim / dstDim`, layout-sensitive so any decoder row/
+    * channel-order mistake changes the result. */
+  def resizeNearest(img: Image, outW: Int, outH: Int): Image = {
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        val src = (sy * img.width + sx) * 3
+        val dst = (y * outW + x) * 3
+        out(dst) = img.rgb(src)
+        out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(outW, outH, out)
+  }
+
+  // ------------------------------------------------------------ helpers ----
+
+  /** PNG Paeth predictor (spec §9, Filtering). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(data); d.finish()
+      val out = new ByteArrayOutputStream(data.length / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](expected)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        require(n > 0 || inf.finished(), "truncated PNG IDAT stream")
+        off += n
+      }
+      require(off == expected, s"PNG IDAT inflated to $off bytes, want $expected")
+      out
+    } finally inf.end()
+  }
+
+  private def writeChunk(out: ByteArrayOutputStream, chunkType: String,
+                         data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    putIntBE(len, 0, data.length)
+    out.write(len, 0, 4)
+    val t = chunkType.getBytes(StandardCharsets.US_ASCII)
+    out.write(t, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new CRC32()
+    crc.update(t); crc.update(data)
+    val c = new Array[Byte](4)
+    putIntBE(c, 0, crc.getValue.toInt)
+    out.write(c, 0, 4)
+  }
+
+  private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
+    a(off + 2) = (v >>> 16).toByte; a(off + 3) = (v >>> 24).toByte
+  }
+  private def putShortLE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = v.toByte; a(off + 1) = (v >>> 8).toByte
+  }
+  private def getIntLE(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8) |
+      ((a(off + 2) & 0xff) << 16) | ((a(off + 3) & 0xff) << 24)
+  private def getShortLE(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8)
+  private def putIntBE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+    a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+  }
+  private def getIntBE(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
+      ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
+}

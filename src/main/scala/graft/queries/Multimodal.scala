@@ -6,13 +6,65 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import QueryHelpers._
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque binary
-  * columns with typed metadata. The decode step is STUBBED (no codec
-  * libraries in this container) with a deterministic fake derived from the
-  * bytes; everything around it — binary schema, typed Dataset encoders,
-  * mapPartitions batch shape, partition-parallel execution — is the real
-  * pipeline a decode/resize/frame-sample stage would use at 100 TB.
+  * columns with typed metadata. The decode stage is REAL: a fixture table of
+  * genuine BMP and PNG payloads (media.ImageCodecs — pure-JVM container
+  * codecs, zlib IDAT, all five PNG filters) is materialized as parquet and
+  * scanned back as a binary column, and m02/m04/m05 parse the actual
+  * containers. Pixel content is deterministic (`(i*7 + doc_id) % 251` at
+  * row-major RGB byte index i), so the DuckDB oracle can replay the expected
+  * dimensions / means / histograms in closed form — any mis-parse of a
+  * header field, row stride, bottom-up order, BGR swap or PNG filter
+  * reconstruction diverges from the oracle. Everything around the decode —
+  * binary schema, typed Dataset encoders, mapPartitions batch shape,
+  * partition-parallel shuffle-free execution — is the pipeline shape a
+  * decode/resize/feature stage runs at 100 TB.
   */
 object Multimodal {
+  import graft.media.ImageCodecs
+
+  /** Fixture geometry/content contract, shared verbatim with the oracles:
+    * width 8..63, height 8..47, pixel byte i = (i*7 + doc_id) % 251; even
+    * doc_id encodes as BMP, odd as PNG. */
+  private def fixtureDims(docId: Long): (Int, Int) =
+    (8 + (docId % 56).toInt, 8 + ((docId * 7) % 40).toInt)
+
+  private def fixturePixels(docId: Long, n: Int): Array[Byte] = {
+    val px = new Array[Byte](n)
+    var i = 0
+    while (i < n) { px(i) = ((i.toLong * 7 + docId) % 251).toByte; i += 1 }
+    px
+  }
+
+  private def fixturePayload(docId: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(docId)
+    val px = fixturePixels(docId, w * h * 3)
+    if (docId % 2 == 0) ImageCodecs.encodeBmp(w, h, px)
+    else ImageCodecs.encodePng(w, h, px)
+  }
+
+  /** One media payload row as stored in the fixture table. */
+  case class MediaPayload(doc_id: Long, data: Array[Byte])
+
+  // Memoized per testdata dir: the fixture is encoded once (map-only, on
+  // executors), written as parquet, and every media query scans it back as
+  // a binary column — the lakehouse shape for opaque media payloads.
+  private val fixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def mediaTable(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val path = fixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_media_fixture").toString
+      t(s, dir, "documents").filter(col("doc_id") <= 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaPayload(id, fixturePayload(id))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
 
   /** Binary column metadata ops: byte length, sha-256 content digest,
     * base64 transport encoding — pure expressions over a binary column. */
@@ -34,50 +86,50 @@ object Multimodal {
       | BASE64(ENCODE(SUBSTR(text, 1, 12))) AS head_b64
       |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
 
-  /** Record carrying an opaque media payload. */
-  case class MediaRecord(doc_id: Long, data: Array[Byte])
+  /** Decoded metadata the image decoder emits: detected container, parsed
+    * header dimensions, decoded pixel-byte count and mean. */
+  case class DecodedImage(doc_id: Long, format: String, width: Int,
+                          height: Int, n_px: Int, mean_px: Double)
 
-  /** Decoded metadata a real image decoder would emit. */
-  case class DecodedMedia(doc_id: Long, n_bytes: Int, width: Int,
-                          height: Int, mean_byte: Double)
-
-  /** STUB decode: a real implementation would parse the image container
-    * here (JPEG/PNG headers, libjpeg etc. — not in this container). The
-    * fake derives dimensions deterministically from the byte content so the
-    * oracle can validate the plumbing end-to-end.
-    */
-  def decodeStub(r: MediaRecord): DecodedMedia = {
-    val n = r.data.length
+  private def decodeOne(r: MediaPayload): DecodedImage = {
+    val fmt = if (r.data.length >= 2 && r.data(0) == 'B' && r.data(1) == 'M')
+      "bmp" else "png"
+    val img = ImageCodecs.decode(r.data)
+    val n = img.rgb.length
     var sum = 0L
     var i = 0
-    while (i < n) { sum += (r.data(i) & 0xff); i += 1 }
-    DecodedMedia(r.doc_id, n,
-      width = 16 + (sum % 624).toInt,
-      height = 16 + ((sum * 31) % 464).toInt,
-      mean_byte = sum.toDouble / n.toDouble)
+    while (i < n) { sum += (img.rgb(i) & 0xff); i += 1 }
+    DecodedImage(r.doc_id, fmt, img.width, img.height, n,
+      sum.toDouble / n.toDouble)
   }
 
-  /** Typed mapPartitions decode stage: binary in, typed metadata out — the
-    * batch-shape equivalent of a pandas-UDF mapInPandas decode stage. Runs
-    * partition-parallel with no shuffle. */
+  /** Typed mapPartitions decode stage over real containers: binary in,
+    * parsed header fields + pixel statistics out — the batch-shape
+    * equivalent of a pandas-UDF mapInPandas decode stage. Runs
+    * partition-parallel with no shuffle; the oracle replays the pixel
+    * contract in closed form, so header/stride/filter mis-parses diverge. */
   private val m02: Q = (s, dir) => {
-    implicit val encIn: Encoder[MediaRecord] = Encoders.product[MediaRecord]
-    implicit val encOut: Encoder[DecodedMedia] = Encoders.product[DecodedMedia]
-    val ds = t(s, dir, "documents").filter(col("doc_id") <= 100)
-      .select(col("doc_id"), col("text").cast("binary").as("data"))
-      .as[MediaRecord]
-    ds.mapPartitions(_.map(decodeStub)).toDF()
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[DecodedImage] = Encoders.product[DecodedImage]
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(decodeOne)).toDF()
       .psort(col("doc_id"))
   }
 
-  // text is ASCII, so per-char UNICODE() equals the utf-8 byte value.
+  // expected values replayed from the fixture contract (see fixtureDims /
+  // fixturePixels): the engine side parsed them out of real containers
   private val m02Sql =
-    """SELECT doc_id,
-      | OCTET_LENGTH(ENCODE(text)) AS n_bytes,
-      | CAST(16 + LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) % 624 AS INTEGER) AS width,
-      | CAST(16 + (LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) * 31) % 464 AS INTEGER) AS height,
-      | LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')])::DOUBLE / OCTET_LENGTH(ENCODE(text))::DOUBLE AS mean_byte
-      |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id * 7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      | CAST(w AS INTEGER) AS width,
+      | CAST(h AS INTEGER) AS height,
+      | CAST(w * h * 3 AS INTEGER) AS n_px,
+      | CAST(LIST_SUM([(i * 7 + doc_id) % 251 FOR i IN RANGE(w * h * 3)]) AS DOUBLE)
+      |   / CAST(w * h * 3 AS DOUBLE) AS mean_px
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** Frame sampling: treat the payload as an opaque media container and
     * sample a fixed-size "frame" every `stride` bytes (the video
@@ -107,75 +159,89 @@ object Multimodal {
       | MD5(SUBSTR(text, i * 1024 + 1, 256)) AS frame_digest
       |FROM f ORDER BY doc_id, frame_no""".stripMargin
 
-  /** Resized image metadata (stub decode upstream). */
-  case class ResizedMedia(doc_id: Long, in_w: Int, in_h: Int,
-                          out_w: Int, out_h: Int)
+  /** Resized image: input/output geometry plus the resampled pixel mean —
+    * the mean is over actually-resampled bytes, so it pins the decoder's
+    * row order and channel order, not just the header fields. */
+  case class ResizedImage(doc_id: Long, in_w: Int, in_h: Int,
+                          out_w: Int, out_h: Int, mean_out: Double)
 
-  /** STUB resize: a real stage would rescale pixel buffers; the geometry —
-    * fit the longer edge to 64px preserving aspect ratio, integer floor,
-    * minimum 1px — is the real contract a thumbnailing pipeline enforces. */
-  def resizeStub(d: DecodedMedia): ResizedMedia = {
+  /** Thumbnail geometry: fit the longer edge to 64px preserving aspect
+    * ratio, integer floor, minimum 1px. */
+  private def thumbDims(w: Int, h: Int): (Int, Int) = {
     val target = 64L
-    val (ow, oh) =
-      if (d.width >= d.height)
-        (target, math.max(1L, d.height.toLong * target / d.width))
-      else (math.max(1L, d.width.toLong * target / d.height), target)
-    ResizedMedia(d.doc_id, d.width, d.height, ow.toInt, oh.toInt)
+    if (w >= h) (target.toInt, math.max(1L, h.toLong * target / w).toInt)
+    else (math.max(1L, w.toLong * target / h).toInt, target.toInt)
   }
 
-  /** Two-stage typed pipeline: decode (stub) -> resize (stub), both as
-    * mapPartitions stages over the opaque binary column — the multi-stage
-    * shape (decode -> transform -> feature) of a real multimodal pipeline,
-    * fused by Spark into one shuffle-free pass. */
+  private def resizeOne(r: MediaPayload): ResizedImage = {
+    val img = ImageCodecs.decode(r.data)
+    val (ow, oh) = thumbDims(img.width, img.height)
+    val out = ImageCodecs.resizeNearest(img, ow, oh)
+    var sum = 0L
+    var i = 0
+    while (i < out.rgb.length) { sum += (out.rgb(i) & 0xff); i += 1 }
+    ResizedImage(r.doc_id, img.width, img.height, ow, oh,
+      sum.toDouble / out.rgb.length.toDouble)
+  }
+
+  /** Two-stage typed pipeline: real container decode -> real
+    * nearest-neighbor resample, as mapPartitions stages over the binary
+    * column — the multi-stage shape (decode -> transform) of a multimodal
+    * pipeline, fused by Spark into one shuffle-free pass. */
   private val m04: Q = (s, dir) => {
-    implicit val encIn: Encoder[MediaRecord] = Encoders.product[MediaRecord]
-    implicit val encMid: Encoder[DecodedMedia] = Encoders.product[DecodedMedia]
-    implicit val encOut: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
-    t(s, dir, "documents").filter(col("doc_id") <= 100)
-      .select(col("doc_id"), col("text").cast("binary").as("data"))
-      .as[MediaRecord]
-      .mapPartitions(_.map(decodeStub))
-      .mapPartitions(_.map(resizeStub))
-      .toDF()
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[ResizedImage] = Encoders.product[ResizedImage]
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(resizeOne)).toDF()
       .psort(col("doc_id"))
   }
 
-  // integer geometry replayed over m02's stub dimensions
+  // geometry + the nearest-neighbor source-index mapping replayed in closed
+  // form: out byte k maps to source pixel (sy, sx, channel) with
+  // sy = (k // (ow*3)) * h // oh, sx = ((k % (ow*3)) // 3) * w // ow
   private val m04Sql =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |    CAST(16 + LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) % 624 AS BIGINT) AS w,
-      |    CAST(16 + (LIST_SUM([UNICODE(c) FOR c IN SPLIT(text, '')]) * 31) % 464 AS BIGINT) AS h
-      |  FROM documents WHERE doc_id <= 100)
-      |SELECT doc_id, CAST(w AS INTEGER) AS in_w, CAST(h AS INTEGER) AS in_h,
-      | CAST(CASE WHEN w >= h THEN 64 ELSE GREATEST(1, w * 64 // h) END AS INTEGER) AS out_w,
-      | CAST(CASE WHEN w >= h THEN GREATEST(1, h * 64 // w) ELSE 64 END AS INTEGER) AS out_h
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id * 7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 100),
+      |d AS (
+      |  SELECT doc_id, w, h,
+      |    CASE WHEN w >= h THEN 64 ELSE GREATEST(1, w * 64 // h) END AS ow,
+      |    CASE WHEN w >= h THEN GREATEST(1, h * 64 // w) ELSE 64 END AS oh
+      |  FROM g)
+      |SELECT doc_id,
+      | CAST(w AS INTEGER) AS in_w, CAST(h AS INTEGER) AS in_h,
+      | CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+      | CAST(LIST_SUM([
+      |     (((((k // (ow * 3)) * h // oh) * w + ((k % (ow * 3)) // 3) * w // ow) * 3
+      |       + k % 3) * 7 + doc_id) % 251
+      |     FOR k IN RANGE(ow * oh * 3)]) AS DOUBLE)
+      |   / CAST(ow * oh * 3 AS DOUBLE) AS mean_out
       |FROM d ORDER BY doc_id""".stripMargin
 
-  /** Extracted feature vector: 8-bin byte histogram. */
+  /** Extracted feature vector: 8-bin histogram over decoded pixel bytes. */
   case class MediaFeatures(doc_id: Long, features: Array[Long])
 
   /** Feature-extraction stage (the embedding-model stand-in): an 8-bin
-    * byte-value histogram per payload, computed in one typed mapPartitions
-    * pass over the opaque binary column. The vector shape (fixed-length
-    * numeric array per row) is exactly what a real encoder stage emits. */
-  def featureStub(r: MediaRecord): MediaFeatures = {
+    * pixel-value histogram per decoded image, computed in one typed
+    * mapPartitions pass over the binary column. The vector shape
+    * (fixed-length numeric array per row) is exactly what a real encoder
+    * stage emits. */
+  private def featuresOne(r: MediaPayload): MediaFeatures = {
+    val img = ImageCodecs.decode(r.data)
     val h = new Array[Long](8)
     var i = 0
-    while (i < r.data.length) {
-      h((r.data(i) & 0xff) / 32) += 1L
+    while (i < img.rgb.length) {
+      h((img.rgb(i) & 0xff) / 32) += 1L
       i += 1
     }
     MediaFeatures(r.doc_id, h)
   }
 
   private val m05: Q = (s, dir) => {
-    implicit val encIn: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
     implicit val encOut: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
-    t(s, dir, "documents").filter(col("doc_id") <= 100)
-      .select(col("doc_id"), col("text").cast("binary").as("data"))
-      .as[MediaRecord]
-      .mapPartitions(_.map(featureStub))
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(featuresOne))
       .toDF()
       // the vector leaves the engine as a scalar CSV cell: verification
       // harnesses row-sort/hash cells, and collection cells are unhashable
@@ -185,13 +251,16 @@ object Multimodal {
       .psort(col("doc_id"))
   }
 
-  // ASCII text: per-char UNICODE() equals the byte value, bucket = byte/32
+  // histogram of the fixture pixel contract, bucket = pixel byte // 32
   private val m05Sql = {
     val bins = (0 until 8).map { b =>
-      s"CAST(LIST_SUM([CASE WHEN UNICODE(c) // 32 = $b THEN 1 ELSE 0 END FOR c IN SPLIT(text, '')]) AS BIGINT)"
+      s"CAST(LIST_SUM([CASE WHEN ((i * 7 + doc_id) % 251) // 32 = $b THEN 1 ELSE 0 END FOR i IN RANGE(w * h * 3)]) AS BIGINT)"
     }.mkString(", ")
-    s"""SELECT doc_id, ARRAY_TO_STRING([$bins], ',') AS features_csv
-       |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id * 7) % 40 AS h
+       |  FROM documents WHERE doc_id <= 100)
+       |SELECT doc_id, ARRAY_TO_STRING([$bins], ',') AS features_csv
+       |FROM g ORDER BY doc_id""".stripMargin
   }
 
   /** Payload with its catalog metadata (the media row a lakehouse keeps:
@@ -263,17 +332,17 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
-    "m02_decode_stub" -> m02,
+    "m02_image_decode" -> m02,
     "m03_frame_sample" -> m03,
-    "m04_resize_stub" -> m04,
-    "m05_feature_stub" -> m05,
+    "m04_image_resize" -> m04,
+    "m05_image_features" -> m05,
     "m06_source_profile" -> m06)
 
   val oracleSql: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
-    "m02_decode_stub" -> m02Sql,
+    "m02_image_decode" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
-    "m04_resize_stub" -> m04Sql,
-    "m05_feature_stub" -> m05Sql,
+    "m04_image_resize" -> m04Sql,
+    "m05_image_features" -> m05Sql,
     "m06_source_profile" -> m06Sql)
 }

@@ -85,7 +85,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
   }
 
   test("m04 multimodal decode->resize chain is map-only before final sort") {
-    val df = SparkEntry.queries("m04_resize_stub")(spark, sfDir)
+    val df = SparkEntry.queries("m04_image_resize")(spark, sfDir)
     df.count()
     val shuffles = planOf(df).collect { case e: ShuffleExchangeLike => e }
     // only the presentation orderBy may shuffle; the two typed stages fuse
