@@ -72,6 +72,7 @@ object Bench {
     println(s"bench detail (full query names, 3 dp): $detailPath")
     println(detailJson)
     println(summaryLine)
+    graft.streaming.StreamingOps.shutdownGates() // amortized suite-end teardown
     spark.stop()
   }
 

@@ -156,21 +156,20 @@ object Streaming {
       .withColumn("v", col("value").cast(DecimalType(12, 2)))
     val agged = StreamingOps.tumblingAgg(stream, "ts", "event_type", "v", "1 hour")
     val sink = "q74_sink_" + q74Counter.incrementAndGet()
-    val result = StreamingOps.snapshotToTable(agged, sink, "complete")
+    val result = StreamingOps
+      .snapshotToTable(agged, sink, "complete", statePartitions = 4)
       .select(col("window_start"), col("event_type"), col("n"),
         col("total").cast("double").as("total"))
     // eager local copy (the aggregate is window x type — tiny), then drop
-    // the sink so repeated invocations don't pin dead views on the driver
+    // the sink so repeated invocations don't pin dead views on the driver.
+    // State-store teardown is amortized: the gates cap state partitions at
+    // 4, so the dead providers left per run are a few near-empty maps —
+    // StreamingOps.shutdownGates() unloads them once at suite end instead
+    // of paying a maintenance-pool stop/restart inside every gate.
     val local = s.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
       result.schema)
     s.catalog.dropTempView(sink)
-    // unload the terminated query's state-store providers and stop the
-    // maintenance pool: each invocation uses a fresh checkpoint dir, so
-    // without this the provider cache (one per operator partition, holding
-    // its version map on-heap) grows monotonically across warmup + timed
-    // runs and the memory pressure evicts OTHER queries' persisted frames
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     local.psort(col("window_start"), col("event_type"))
   }
 
@@ -268,14 +267,14 @@ object Streaming {
     val deduped = graft.streaming.StreamingOps.dedup(
       stream, "ts", Seq("user_id", "event_type"), watermark = "365 days")
     val sink = "q79_sink_" + q79Counter.incrementAndGet()
-    val first = graft.streaming.StreamingOps.snapshotToTable(deduped, sink, "append")
+    val first = graft.streaming.StreamingOps
+      .snapshotToTable(deduped, sink, "append", statePartitions = 4)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
     val local = s.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(first.collect(): _*)),
       first.schema)
     s.catalog.dropTempView(sink)
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     local.psort(col("event_type"))
   }
 
@@ -323,7 +322,7 @@ object Streaming {
       }
     val sink = "q80_sink_" + q80Counter.incrementAndGet()
     val snap = graft.streaming.StreamingOps
-      .snapshotToTable(updated.toDF(), sink, "update")
+      .snapshotToTable(updated.toDF(), sink, "update", statePartitions = 4)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
     val fin = snap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -332,7 +331,6 @@ object Streaming {
       new java.util.ArrayList(java.util.Arrays.asList(fin.collect(): _*)),
       fin.schema)
     s.catalog.dropTempView(sink)
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     local.psort(col("user_id"))
   }
 
