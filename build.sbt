@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward sbt's stdin to the forked process so the Main REPL is usable
+// through `sbt run` (it reads lines via JLine over System.in).
+run / connectInput := true
 // Pass the forked process's stdout straight through (no "[info] " prefix)
 // so harnesses that parse Bench/Verify JSON lines from stdout see raw JSON.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -207,27 +207,114 @@ object Main {
     spark.stop()
   }
 
-  /** Minimal SQL REPL: one statement per line, `quit`/`exit` to leave.
+  /** SQL REPL with line editing, persistent history, column-aligned output
+    * and sqlline-style `!` commands — the reference's interactive surface
+    * (sqlline over JDBC, KwackApplication.java:16-35; KwackEngine.java:
+    * 258-272) re-expressed on the JLine that ships with Spark.
     *
-    * The reference ships sqlline over JDBC instead (KwackEngine.java:
-    * 258-272). The Spark-native equivalent of that remote-client surface is
+    * Commands: `!help`, `!tables`, `!describe <t>`, `!history`,
+    * `!rows <n>` (display row cap), `quit`/`exit`/`!quit`. SQL statements
+    * run through the full engine dialect (one per line, `;` optional) and
+    * print as an aligned table with a `N rows selected (T seconds)` footer.
+    *
+    * The Spark-native equivalent of the reference's remote-JDBC surface is
     * Spark Connect / the Thrift JDBC server: because the engine registers
     * every decoded topic as a view on the shared SparkSession, starting
     * `sbin/start-thriftserver.sh` (or a Connect endpoint) against the same
     * session serves these views to any JDBC/BI client with zero engine
-    * changes — the stdin loop here is the dependency-free CLI path only. */
+    * changes. */
   private def repl(engine: Engine): Unit = {
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
-    print("graft> "); Console.flush()
-    var line = in.readLine()
-    while (line != null && !Set("quit", "exit", "\\q").contains(line.trim.toLowerCase)) {
-      val stmt = line.trim
-      if (stmt.nonEmpty) {
-        try engine.sql(stmt).show(100, truncate = false)
-        catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
+    import org.jline.reader.{EndOfFileException, LineReader, LineReaderBuilder, UserInterruptException}
+    import org.jline.terminal.TerminalBuilder
+    val terminal = TerminalBuilder.builder().system(true).dumb(true).build()
+    val histFile = java.nio.file.Path.of(
+      System.getProperty("user.home", "."), ".graft_history")
+    val reader = LineReaderBuilder.builder()
+      .terminal(terminal)
+      .variable(LineReader.HISTORY_FILE, histFile)
+      .build()
+    var maxRows = 100
+    var done = false
+    while (!done) {
+      val line =
+        try reader.readLine("graft> ")
+        catch {
+          case _: EndOfFileException => null
+          case _: UserInterruptException => "" // Ctrl-C clears the line
+        }
+      if (line == null) done = true
+      else {
+        val stmt = line.trim.stripSuffix(";").trim
+        stmt.toLowerCase match {
+          case "" =>
+          case "quit" | "exit" | "!quit" | "\\q" => done = true
+          case "!help" =>
+            println("""!tables            list registered tables/views
+                      |!describe <table>  show a table's schema
+                      |!history           show command history
+                      |!rows <n>          set the display row cap (default 100)
+                      |quit | exit        leave""".stripMargin)
+          case "!tables" =>
+            engine.spark.catalog.listTables().collect()
+              .map(_.name).sorted.foreach(println)
+          case "!history" =>
+            reader.getHistory.iterator().forEachRemaining(e =>
+              println(f"${e.index() + 1}%5d  ${e.line()}"))
+          case cmd if cmd.startsWith("!describe") =>
+            try engine.spark.table(stmt.split("\\s+")(1)).printSchema()
+            catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
+          case cmd if cmd.startsWith("!rows") =>
+            try { maxRows = stmt.split("\\s+")(1).toInt; println(s"display cap: $maxRows") }
+            catch { case _: Exception => System.err.println("usage: !rows <n>") }
+          case cmd if cmd.startsWith("!") =>
+            System.err.println(s"unknown command $stmt (try !help)")
+          case _ =>
+            try {
+              val t0 = System.nanoTime()
+              val df = engine.sql(stmt)
+              // one execution: fetch cap+1 rows to detect truncation
+              val fetched = df.limit(maxRows + 1).collect()
+              val truncated = fetched.length > maxRows
+              val rows = fetched.take(maxRows)
+              renderTable(df.columns, rows)
+              val secs = (System.nanoTime() - t0) / 1e9
+              val n = rows.length
+              val count = if (truncated) s"first $n" else n.toString
+              println(f"$count row${if (n == 1) "" else "s"} selected ($secs%.3f seconds)")
+            } catch {
+              case e: Exception => System.err.println(s"error: ${e.getMessage}")
+            }
+        }
       }
-      print("graft> "); Console.flush()
-      line = in.readLine()
     }
+    terminal.close()
+  }
+
+  /** sqlline-style column-aligned rendering: `+---+` borders, headers,
+    * cells stringified with SQL NULL, no truncation (the row cap bounds
+    * output instead). */
+  private[graft] def renderTable(cols: Array[String],
+                                 rows: Array[org.apache.spark.sql.Row]): Unit = {
+    def cell(v: Any): String = v match {
+      case null => "NULL"
+      case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
+      case s: Seq[_] => s.map(cell).mkString("[", ", ", "]")
+      case m: Map[_, _] =>
+        m.map { case (k, v) => s"${cell(k)} -> ${cell(v)}" }.mkString("{", ", ", "}")
+      case other => String.valueOf(other)
+    }
+    val table = rows.map(r => cols.indices.map(i => cell(r.get(i))))
+    val widths = cols.indices.map { i =>
+      (cols(i).length +: table.map(_(i).length)).max
+    }
+    val border = widths.map("-" * _).mkString("+-", "-+-", "-+")
+    def fmtRow(vals: Seq[String]): String =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    println(border)
+    println(fmtRow(cols.toSeq))
+    println(border)
+    table.foreach(r => println(fmtRow(r)))
+    println(border)
   }
 }
