@@ -777,6 +777,86 @@ class Engine(val spark: SparkSession,
       (if (tail.isEmpty) "" else " " + strip(tail)))
   }
 
+  /** DuckDB's `USING SAMPLE` clause, rewritten in place to Spark's
+    * `TABLESAMPLE`. Supported specs (the reference's embedded DuckDB passes
+    * them through verbatim — KwackEngine.java:232): `N%`, `N PERCENT`,
+    * `N ROWS`, bare `N` (DuckDB's row-count default), each optionally
+    * followed by a `(bernoulli)`/`(system)` method tag (dropped — Spark's
+    * sampler IS per-row Bernoulli) and/or `REPEATABLE (seed)` (passed
+    * through). The clause must sit where Spark accepts TABLESAMPLE:
+    * directly after a FROM item — the same position DuckDB documents for
+    * its table-sample form; other placements fail loudly in the parser. */
+  private[graft] def rewriteUsingSample(q: String): String =
+    findTopLevelKeyword(q, 0, Seq("USING")) match {
+      case Some((i, _)) =>
+        val specRe = ("(?is)^USING\\s+SAMPLE\\s+(\\d+(?:\\.\\d+)?)\\s*" +
+          "(%|PERCENT|ROWS)?\\s*(?:\\((?:bernoulli|system)\\))?" +
+          "(\\s*REPEATABLE\\s*\\(\\s*\\d+\\s*\\))?").r
+        val rest = q.substring(i)
+        if (!rest.toUpperCase.startsWith("USING") ||
+            !"(?is)^USING\\s+SAMPLE\\b".r.findFirstIn(rest).isDefined)
+          // a JOIN ... USING (cols): keep scanning past this keyword
+          q.substring(0, i + 5) + rewriteUsingSample(q.substring(i + 5))
+        else specRe.findFirstMatchIn(rest) match {
+          case Some(m) =>
+            val n = m.group(1)
+            val unit = Option(m.group(2)).map(_.toUpperCase) match {
+              case Some("%") | Some("PERCENT") => "PERCENT"
+              case _ =>
+                require(!n.contains('.'),
+                  s"USING SAMPLE row count must be an integer, got $n")
+                "ROWS"
+            }
+            val rep = Option(m.group(3)).map(_.trim).map(" " + _).getOrElse("")
+            q.substring(0, i) + s"TABLESAMPLE ($n $unit)$rep" +
+              rewriteUsingSample(rest.substring(m.end))
+          case None => throw new IllegalArgumentException(
+            "unsupported USING SAMPLE spec (supported: N%, N PERCENT, " +
+              "N ROWS, N, with optional (bernoulli)/(system) and " +
+              "REPEATABLE (seed)): " + rest.linesIterator.next())
+        }
+      case None => q
+    }
+
+  private val pivotStmt =
+    ("(?is)^\\s*PIVOT\\s+(.+?)\\s+ON\\s+([\\w.]+)" +
+      "(?:\\s+IN\\s*\\(([^)]*)\\))?\\s+USING\\s+(.+?)" +
+      "(?:\\s+GROUP\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
+
+  /** DuckDB's statement-form `PIVOT <rel> ON <col> [IN (v, ...)] USING
+    * <agg(expr)> [GROUP BY cols]`, lowered to the DataFrame pivot (which
+    * plans the same two-pass shape DuckDB documents: distinct-value
+    * discovery, then a pivoting aggregation). Without IN, values are
+    * discovered and sorted (both engines do); without GROUP BY, the group
+    * is every column not consumed by ON or the aggregate — DuckDB's
+    * documented default. */
+  private def pivot(ref: String, onCol: String, inList: Option[String],
+                    agg: String, groupBy: Option[String]): DataFrame = {
+    val df = spark.sql(rewriteSugar(s"SELECT * FROM ${ref.trim}"))
+    val groupCols: Seq[String] = groupBy match {
+      case Some(g) => g.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None =>
+        val used = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(agg).toSet
+        df.columns.filter(c => c != onCol && !used.contains(c)).toSeq
+    }
+    require(groupCols.nonEmpty,
+      "PIVOT: no grouping columns remain (add GROUP BY)")
+    val grouped = df.groupBy(groupCols.map(c => col(c)): _*)
+    val pivoted = inList match {
+      case Some(vals) =>
+        val values = vals.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(v => if (v.startsWith("'") && v.endsWith("'"))
+            v.substring(1, v.length - 1).replace("''", "'") else v)
+        grouped.pivot(onCol, values.toSeq)
+      case None => grouped.pivot(onCol)
+    }
+    pivoted.agg(org.apache.spark.sql.functions.expr(agg))
+  }
+
+  private val unpivotStmt =
+    ("(?is)^\\s*UNPIVOT\\s+(.+?)\\s+ON\\s+(.+?)\\s+INTO\\s+NAME\\s+(\\w+)" +
+      "\\s+VALUE\\s+(\\w+)\\s*;?\\s*$").r
+
   private val summarizeStmt = "(?is)^\\s*SUMMARIZE\\s+(.+?)\\s*;?\\s*$".r
 
   /** DuckDB's `SUMMARIZE <table|'file'>` statement: one profiling row per
@@ -821,6 +901,13 @@ class Engine(val spark: SparkSession,
 
   private def expandedSql(q: String): DataFrame = q match {
     case summarizeStmt(ref) => summarize(ref)
+    case pivotStmt(ref, onCol, inList, agg, groupBy) =>
+      pivot(ref, onCol, Option(inList), agg, Option(groupBy))
+    case unpivotStmt(ref, onCols, nameCol, valueCol) =>
+      // DuckDB's statement-form UNPIVOT, lowered to Spark's UNPIVOT clause
+      // (both exclude NULL measure values by default)
+      spark.sql(rewriteSugar(
+        s"SELECT * FROM ${ref.trim} UNPIVOT ($valueCol FOR $nameCol IN ($onCols))"))
     case copyStmt(src, path, opts) =>
       val body = src.trim
       val query =
@@ -845,7 +932,8 @@ class Engine(val spark: SparkSession,
         import spark.implicits._
         Seq(n).toDF("rows_copied")
       } finally df.unpersist()
-    case _ => spark.sql(expandColumnsRegex(rewriteAsofJoin(rewriteSugar(q))))
+    case _ => spark.sql(expandColumnsRegex(rewriteAsofJoin(
+      rewriteUsingSample(rewriteSugar(q)))))
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +

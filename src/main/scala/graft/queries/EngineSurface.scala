@@ -6,6 +6,7 @@ import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericDatumWriter}
 import org.apache.avro.io.EncoderFactory
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.{Engine, Tables}
 import graft.serde.WireFormat
@@ -169,17 +170,81 @@ object EngineSurface {
       |ASOF JOIN dedup d ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** q82: DuckDB `USING SAMPLE N ROWS` through the engine's rewrite
+    * (Engine.rewriteUsingSample -> Spark TABLESAMPLE). The sampled rows
+    * differ per engine by construction, so the gate pins the one
+    * cross-engine invariant of row-count sampling: the exact sample size.
+    * The oracle runs DuckDB's native USING SAMPLE of the same shape. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(
+      s"SELECT count(*) AS n FROM '$dir/orders.parquet' USING SAMPLE 200 ROWS")
+    finally engine.close()
+  }
+
+  private val q82Sql =
+    "SELECT count(*) AS n FROM (SELECT * FROM orders USING SAMPLE 200 ROWS)"
+
+  /** q83: DuckDB statement-form `PIVOT ... ON ... USING ... GROUP BY`
+    * through Engine.pivot (DataFrame two-pass pivot); the oracle runs
+    * DuckDB's native PIVOT statement — discovered ON values, implicit
+    * column naming, and cell values must all line up. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    val engine = new Engine(s)
+    try engine.sql(
+        "PIVOT orders ON o_orderpriority USING count(*) GROUP BY o_orderstatus")
+      .orderBy(col("o_orderstatus"))
+    finally engine.close()
+  }
+
+  private val q83Sql =
+    """PIVOT orders ON o_orderpriority USING count(*) GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** q84: DuckDB statement-form `UNPIVOT ... ON ... INTO NAME ... VALUE`
+    * through the engine's lowering to Spark's UNPIVOT clause; the oracle
+    * runs DuckDB's native UNPIVOT statement (both drop NULL measures). */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.round
+    Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).cast("double").as("total"),
+        (col("o_orderkey") * 2).cast("double").as("dblkey"))
+      .createOrReplaceTempView("q84_orders")
+    val engine = new Engine(s)
+    try engine.sql(
+        "UNPIVOT q84_orders ON total, dblkey INTO NAME metric VALUE v")
+      .orderBy(col("o_orderkey"), col("metric"))
+    finally engine.close()
+  }
+
+  private val q84Sql =
+    """WITH q84_orders AS (
+      |  SELECT o_orderkey,
+      |         CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS total,
+      |         CAST(o_orderkey * 2 AS DOUBLE) AS dblkey
+      |  FROM orders WHERE o_orderkey <= 500)
+      |UNPIVOT q84_orders ON total, dblkey INTO NAME metric VALUE v
+      |ORDER BY o_orderkey, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q75_copy_roundtrip" -> (q75 _),
     "q76_union_avro" -> (q76 _),
     "q77_from_first" -> (q77 _),
     "q78_columns_regex" -> (q78 _),
-    "q81_asof_sql" -> (q81 _))
+    "q81_asof_sql" -> (q81 _),
+    "q82_using_sample" -> (q82 _),
+    "q83_pivot_stmt" -> (q83 _),
+    "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
     "q77_from_first" -> q77Sql,
     "q78_columns_regex" -> q78Sql,
     "q81_asof_sql" -> q81Sql,
+    "q82_using_sample" -> q82Sql,
+    "q83_pivot_stmt" -> q83Sql,
+    "q84_unpivot_stmt" -> q84Sql,
     "q75_copy_roundtrip" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey <= 1000""".stripMargin,

@@ -290,4 +290,65 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       "SELECT * FROM asof_l l ASOF JOIN asof_r r ON l.t >= r.rt")
     engine.close()
   }
+
+  test("USING SAMPLE rewrites to TABLESAMPLE: rows, percent, repeatable, join-USING untouched") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "grp")
+      .createOrReplaceTempView("samp_t")
+    engine.sql("SELECT count(*) AS n FROM samp_t USING SAMPLE 10 ROWS")
+      .collect()(0).getLong(0) shouldBe 10L
+    engine.sql("SELECT count(*) AS n FROM samp_t USING SAMPLE 25")
+      .collect()(0).getLong(0) shouldBe 25L
+    // percent sampling is Bernoulli — row count varies, bound it loosely
+    val pct = engine.sql(
+      "SELECT count(*) AS n FROM samp_t USING SAMPLE 50% (bernoulli) REPEATABLE (42)")
+      .collect()(0).getLong(0)
+    pct should be > 15L
+    pct should be < 85L
+    // REPEATABLE pins the draw
+    engine.sql(
+      "SELECT count(*) AS n FROM samp_t USING SAMPLE 50 PERCENT REPEATABLE (42)")
+      .collect()(0).getLong(0) shouldBe pct
+    // JOIN ... USING (cols) must pass through untouched
+    engine.sql(
+      """SELECT count(*) AS n FROM samp_t a JOIN samp_t b USING (id)""")
+      .collect()(0).getLong(0) shouldBe 100L
+    // unsupported spec fails loudly
+    an[Exception] should be thrownBy engine.sql(
+      "SELECT * FROM samp_t USING SAMPLE reservoir(10 ROWS)")
+    engine.close()
+  }
+
+  test("PIVOT statement lowers to the DataFrame pivot (IN list, discovery, implicit groups)") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L), ("a", "x", 5L))
+      .toDF("k", "p", "v").createOrReplaceTempView("piv_t")
+    // explicit IN list + explicit GROUP BY
+    val r1 = engine.sql(
+      "PIVOT piv_t ON p IN ('x', 'y') USING sum(v) GROUP BY k")
+      .orderBy("k").collect()
+    r1.map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq shouldBe
+      Seq(("a", 6L, 2L), ("b", 3L, -1L))
+    // discovered values + implicit group (all columns not in ON/USING)
+    val r2 = engine.sql("PIVOT piv_t ON p USING sum(v)").orderBy("k").collect()
+    r2.map(_.getString(0)).toSeq shouldBe Seq("a", "b")
+    r2(0).schema.fieldNames.toSeq shouldBe Seq("k", "x", "y")
+    engine.close()
+  }
+
+  test("UNPIVOT statement lowers to Spark's UNPIVOT clause, dropping NULL measures") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, Some(10.0), Some(20.0)), (2L, Some(30.0), None))
+      .toDF("id", "m1", "m2").createOrReplaceTempView("unp_t")
+    val rows = engine.sql(
+      "UNPIVOT unp_t ON m1, m2 INTO NAME metric VALUE val")
+      .orderBy("id", "metric").collect()
+    rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq shouldBe
+      Seq((1L, "m1", 10.0), (1L, "m2", 20.0), (2L, "m1", 30.0))
+    engine.close()
+  }
 }
