@@ -20,7 +20,7 @@ import QueryHelpers._
   * decode/resize/feature stage runs at 100 TB.
   */
 object Multimodal {
-  import graft.media.ImageCodecs
+  import graft.media.{AudioCodecs, ImageCodecs}
 
   /** Fixture geometry/content contract, shared verbatim with the oracles:
     * width 8..63, height 8..47, pixel byte i = (i*7 + doc_id) % 251; even
@@ -330,13 +330,98 @@ object Multimodal {
       |  CAST(cp_sum AS DOUBLE) / CAST(total_bytes AS DOUBLE) AS mean_cp
       |FROM g ORDER BY source""".stripMargin
 
+  /** Audio fixture contract (mirrors the image one): sample rate
+    * 8/12/16 kHz by doc_id%3, 1-2 channels by doc_id%2, 500-749 frames,
+    * interleaved sample i = (i*13 + doc_id) % 2001 - 1000. */
+  private def audioPayload(docId: Long): Array[Byte] = {
+    val rate = 8000 + (docId % 3).toInt * 4000
+    val ch = 1 + (docId % 2).toInt
+    val nFrames = 500 + (docId % 250).toInt
+    val samples = new Array[Short](nFrames * ch)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((i.toLong * 13 + docId) % 2001 - 1000).toShort
+      i += 1
+    }
+    AudioCodecs.encodeWav(rate, ch, samples)
+  }
+
+  private val audioFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def audioTable(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val path = audioFixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_audio_fixture").toString
+      t(s, dir, "documents").filter(col("doc_id") <= 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaPayload(id, audioPayload(id))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Decoded audio metadata: format fields parsed from the RIFF header,
+    * exact-integer sample statistics from the decoded PCM. */
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
+                          n_frames: Int, duration_ms: Long, amp_sum: Long,
+                          peak: Int)
+
+  private def decodeAudioOne(r: MediaPayload): DecodedAudio = {
+    val a = AudioCodecs.decodeWav(r.data)
+    var sum = 0L
+    var peak = 0
+    var i = 0
+    while (i < a.samples.length) {
+      val v = a.samples(i).toInt
+      sum += v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      i += 1
+    }
+    val nFrames = a.samples.length / a.channels
+    DecodedAudio(r.doc_id, a.sampleRate, a.channels, nFrames,
+      nFrames.toLong * 1000L / a.sampleRate, sum, peak)
+  }
+
+  /** m07: real WAV container decode (media.AudioCodecs) over the audio
+    * fixture — the audio twin of m02. All emitted statistics are exact
+    * integers, replayed closed-form by the oracle, so any RIFF chunk-walk,
+    * fmt-field, or PCM little-endian mis-parse diverges. */
+  private val m07: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
+    audioTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(decodeAudioOne)).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m07Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    8000 + (doc_id % 3) * 4000 AS rate,
+      |    1 + doc_id % 2 AS ch,
+      |    500 + doc_id % 250 AS nf
+      |  FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id,
+      | CAST(rate AS INTEGER) AS sample_rate,
+      | CAST(ch AS INTEGER) AS channels,
+      | CAST(nf AS INTEGER) AS n_frames,
+      | CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+      | CAST(LIST_SUM([(i * 13 + doc_id) % 2001 - 1000 FOR i IN RANGE(nf * ch)]) AS BIGINT) AS amp_sum,
+      | CAST(LIST_MAX([ABS((i * 13 + doc_id) % 2001 - 1000) FOR i IN RANGE(nf * ch)]) AS INTEGER) AS peak
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_image_decode" -> m02,
     "m03_frame_sample" -> m03,
     "m04_image_resize" -> m04,
     "m05_image_features" -> m05,
-    "m06_source_profile" -> m06)
+    "m06_source_profile" -> m06,
+    "m07_audio_decode" -> m07)
 
   val oracleSql: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -344,5 +429,6 @@ object Multimodal {
     "m03_frame_sample" -> m03Sql,
     "m04_image_resize" -> m04Sql,
     "m05_image_features" -> m05Sql,
-    "m06_source_profile" -> m06Sql)
+    "m06_source_profile" -> m06Sql,
+    "m07_audio_decode" -> m07Sql)
 }
