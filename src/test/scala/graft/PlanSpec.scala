@@ -231,6 +231,24 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q81 textual ASOF JOIN lowers to the native sort-merge exec") {
+    val df = SparkEntry.queries("q81_asof_sql")(spark, sfDir)
+    df.count()
+    val s = planString(df)
+    s should include("AsofJoin")
+    s should not include "CartesianProduct"
+    s should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("m02/m07 media decode stages are map-only before the final sort") {
+    Seq("m02_image_decode", "m07_audio_decode").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.count()
+      val shuffles = planOf(df).collect { case e: ShuffleExchangeLike => e }
+      withClue(q) { shuffles.size should be <= 1 } // only the presentation sort
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
