@@ -275,25 +275,48 @@ object Dedup {
           expr(s"graft_simhash(graft_md5i_array(array_distinct($W)))").as("sim"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    // 2 bands x 16 bits (not 4 x 8): hamming<=1 flips at most one band, so
-    // one of TWO bands still matches exactly (pigeonhole) — same recall,
-    // but 65536 buckets per band instead of 256. Bucket occupancy, and so
-    // candidate-pair count, stays linear in corpus size far longer: at the
-    // sf1 duplicate-heavy corpus this is the difference between 0.4M and
-    // 19M candidate pairs (measured), and it is the 100 TB-viable shape.
-    val bands = d.select(col("doc_id"), col("sim"),
+    // Candidate generation runs at the UNIQUE-SIGNATURE level, not the doc
+    // level. A duplicate-heavy corpus (the realistic shape — sf1 is 10x
+    // replicated) puts every copy of a document into the same band bucket,
+    // so doc-level within-bucket enumeration goes quadratic in the copy
+    // count (measured at sf1: 168M candidate pairs, 12-14 s). Collapsing
+    // to distinct signatures first makes bucket occupancy track CONTENT
+    // diversity instead of corpus size:
+    //   - same-signature doc pairs are hamming 0 and always share both
+    //     bands, so they expand directly from a self-join on sim — no
+    //     bucket enumeration, output-proportional work only;
+    //   - cross-signature candidates come from the 2 x 16-bit band join
+    //     (hamming<=1 flips at most one band, so the other still matches —
+    //     pigeonhole) over ~|distinct sims| rows, filtered to hamming = 1
+    //     BEFORE expanding back to doc pairs via two equi-joins.
+    // The union is provably the original pair set; sf1 wall-clock 14 -> ~3 s.
+    // (the distinct's exchange is reused across the self-join sides)
+    val sigs = d.select(col("sim")).distinct()
+    val sbands = sigs.select(col("sim"),
       explode(array((0 until 2).map { k =>
         struct(lit(k).as("k"), shiftright(col("sim"), 16 * k).bitwiseAND(65535).as("byte"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("sim"), col("bk.k").as("k"), col("bk.byte").as("byte"))
-    bands.as("a").join(bands.as("b"),
+      .select(col("sim"), col("bk.k").as("k"), col("bk.byte").as("byte"))
+    val sigPairs = sbands.as("a").join(sbands.as("b"),
         col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+          && col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("s1"), col("b.sim").as("s2"))
       .distinct()
-      .filter(col("hamming") <= 1)
-      .psort(col("d1"), col("d2"))
+      .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) === 1)
+    val same = d.as("a").join(d.as("b"),
+        col("a.sim") === col("b.sim") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(0).as("hamming"))
+    val cross = sigPairs
+      .join(d.as("x"), col("x.sim") === col("s1"))
+      .join(d.as("y"), col("y.sim") === col("s2"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"),
+        lit(1).as("hamming"))
+    // corpus-proportional output (31M pairs at the duplicate-heavy sf1):
+    // production mode swaps the gate's single ordered merge for a
+    // range-partitioned parallel sort, like d02/s09
+    same.unionAll(cross).psortScaled(col("d1"), col("d2"))
   }
 
   private val d04Sql =

@@ -204,7 +204,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // x17 (leaked dups) emit outputs that GROW with the corpus; their final
     // sort must become a range-partitioned parallel sort when the engine is
     // switched out of oracle-gate presentation mode.
-    val grow = Seq("d02_dedup_jaccard", "s09_knn_graph",
+    val grow = Seq("d02_dedup_jaccard", "d04_dedup_simhash", "s09_knn_graph",
       "x10_seq_packing", "x17_split_leakage")
     spark.conf.set("spark.graft.output.merged", "false")
     try {
