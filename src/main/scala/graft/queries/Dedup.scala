@@ -729,7 +729,150 @@ object Dedup {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** d13: containment (asymmetric Jaccard) dedup — catches doc-in-doc
+    * duplication that symmetric Jaccard misses: a short document fully
+    * embedded in a long one has jaccard |A∩B|/|A∪B| ≈ |A|/|B| (small) but
+    * containment |A∩B|/min(|A|,|B|) = 1. The quote-inclusion / boilerplate
+    * -wrapper case in a training corpus. Reference semantics: the same
+    * shingle space as d02; reported per ordered pair (d1 < d2) with BOTH
+    * directed containments so the policy layer can pick which side to drop.
+    *
+    * Scale: identical shape to d02 — the SAME persisted shingle index and
+    * df-capped inverted postings feed candidate pairs (no self-join), one
+    * shuffle on the shingle, one on the pair. Containment needs no new
+    * per-pair state beyond the common count d02 already aggregates, so at
+    * 100 TB this rides the d02 pipeline for free (one pipeline, two
+    * policies). */
+  private val d13: Q = (s, dir) => {
+    val docs = docsWithShingles(s, dir)
+    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .repartition(s.sparkContext.defaultParallelism, col("s"))
+      .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+    val cand = postings
+      .select(explode(expr(pairsFromPostings)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = docs.select(col("doc_id"), col("n"))
+    cand
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("common"),
+        (col("common").cast("double") / col("s1.n").cast("double")).as("c1"),
+        (col("common").cast("double") / col("s2.n").cast("double")).as("c2"))
+      .filter(greatest(col("c1"), col("c2")) >= 0.9)
+      .select(col("d1"), col("d2"), col("common"),
+        round(col("c1"), 6).as("contain_1in2"),
+        round(col("c2"), 6).as("contain_2in1"))
+      .psortScaled(col("d1"), col("d2"))
+  }
+
+  private val d13Sql =
+    s"""WITH docs AS ($docsShSql),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+       |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, LEN(sh) AS n FROM docs),
+       |scored AS (
+       |  SELECT d1, d2, common,
+       |         common::DOUBLE / s1.n::DOUBLE AS c1,
+       |         common::DOUBLE / s2.n::DOUBLE AS c2
+       |  FROM cand
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id)
+       |SELECT d1, d2, common,
+       |       ROUND(c1, 6) AS contain_1in2, ROUND(c2, 6) AS contain_2in1
+       |FROM scored WHERE GREATEST(c1, c2) >= 0.9
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---- d14: winnowing substring fingerprints (k=8 char grams, window w=4)
+  // Guarantee (Schleimer/Wilkerson/Aiken local fingerprinting): any shared
+  // substring of length >= w + k - 1 = 11 chars produces at least one shared
+  // selected fingerprint, and no substring shorter than k can collide —
+  // substring-level dup detection with a bounded fingerprint density of
+  // ~2/(w+1) per character, independent of document length.
+  private val winK = 8
+  private val winW = 4
+
+  /** d14: winnowing substring-fingerprint dedup — MOSS-style local
+    * fingerprinting for partial-overlap detection (shared paragraphs,
+    * quoted spans) below d02's whole-document shingle granularity. Each
+    * doc's char-8-gram hashes are reduced to window-minima fingerprints;
+    * docs sharing fingerprints are candidates, scored by the shared
+    * fraction of the smaller fingerprint set.
+    *
+    * Scale: fingerprinting is map-only (fused per-doc scan); the selected
+    * set is ~2/(w+1) of positions, so the exploded index is ~0.4x corpus
+    * characters; candidates come from the df-capped inverted postings
+    * exactly like d02/d13 — one shuffle on the fingerprint, one on the
+    * pair, never an O(n²) self-join. */
+  private val d14: Q = (s, dir) => {
+    val hvExpr =
+      s"transform(sequence(1, length(text) - ${winK - 1}), i -> " +
+        s"${md5iExpr(s"substr(text, i, $winK)")} % $P)"
+    val fpExpr =
+      s"array_distinct(transform(sequence(1, size(hv) - ${winW - 1}), t -> " +
+        s"array_min(slice(hv, t, $winW))))"
+    val docs = t(s, dir, "documents")
+      .filter(length(col("text")) >= winK + winW - 1)
+      .select(col("doc_id"), expr(hvExpr).as("hv"))
+      .select(col("doc_id"), expr(fpExpr).as("fps"))
+      .select(col("doc_id"), col("fps"), size(col("fps")).as("nf"))
+    val postings = docs.select(col("doc_id"), explode(col("fps")).as("f"))
+      .repartition(s.sparkContext.defaultParallelism, col("f"))
+      .groupBy(col("f")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+    val cand = postings
+      .select(explode(expr(pairsFromPostings)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = docs.select(col("doc_id"), col("nf"))
+    cand
+      .join(sizes.as("f1"), col("d1") === col("f1.doc_id"))
+      .join(sizes.as("f2"), col("d2") === col("f2.doc_id"))
+      .select(col("d1"), col("d2"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("f1.nf"), col("f2.nf")).cast("double"), 6).as("overlap"))
+      .filter(col("overlap") >= 0.5)
+      .psortScaled(col("d1"), col("d2"))
+  }
+
+  private val d14Sql = {
+    val hvSql =
+      s"[${md5iSql(s"SUBSTR(text, i, $winK)")} % $P FOR i IN RANGE(1, LEN(text) - ${winK - 2})]"
+    s"""WITH hv AS MATERIALIZED (
+       |  SELECT doc_id, $hvSql AS hv
+       |  FROM documents WHERE LEN(text) >= ${winK + winW - 1}),
+       |fps AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    LIST_DISTINCT([LIST_MIN(hv[t:t + ${winW - 1}])
+       |      FOR t IN RANGE(1, LEN(hv) - ${winW - 2})]) AS fps
+       |  FROM hv),
+       |ex AS (SELECT doc_id, UNNEST(fps) AS f FROM fps),
+       |rare AS (SELECT f FROM ex GROUP BY f HAVING COUNT(*) <= 100),
+       |exr AS (SELECT ex.doc_id, ex.f FROM ex JOIN rare USING (f)),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+       |  FROM exr a JOIN exr b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, LEN(fps) AS nf FROM fps),
+       |scored AS (
+       |  SELECT d1, d2, shared,
+       |    ROUND(shared::DOUBLE / LEAST(s1.nf, s2.nf)::DOUBLE, 6) AS overlap
+       |  FROM cand
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id)
+       |SELECT d1, d2, shared, overlap FROM scored
+       |WHERE overlap >= 0.5 ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d14_winnow_dedup" -> d14,
+    "d13_containment_dedup" -> d13,
     "d12_cdc_dedup" -> d12,
     "d11_semdedup" -> d11,
     "d10_incremental_dedup" -> d10,
@@ -744,6 +887,8 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d14_winnow_dedup" -> d14Sql,
+    "d13_containment_dedup" -> d13Sql,
     "d12_cdc_dedup" -> d12Sql,
     "d11_semdedup" -> d11Sql,
     "d10_incremental_dedup" -> d10Sql,
