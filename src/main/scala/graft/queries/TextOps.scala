@@ -938,7 +938,158 @@ object TextOps {
        |   THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS flagged_rate
        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---- x19: weighted reservoir (priority) sampling -------------------------
+  // Weighted sampling without replacement as a PRIORITY sample: item i with
+  // integer weight w_i draws w_i independent uniforms and its priority is
+  // the MINIMUM draw; the k smallest priorities per group are the sample.
+  // P(min of w uniforms <= t) = 1-(1-t)^w, so selection probability rises
+  // with weight exactly like the A-Res u^(1/w) key (Efraimidis/Spirakis) —
+  // but the draws here are md5-derived INTEGERS, so both engines order
+  // identically with zero float-comparison risk, and the whole sample is
+  // reproducible from the data alone (re-runs and backfills pick the same
+  // rows — what a training-data pipeline needs from its samplers).
+  //
+  // Scale: map-only priority computation (bounded <=8 hashes/doc), then a
+  // per-group top-k window — the rank<=k predicate pushes into the sort as
+  // a WindowGroupLimit, so each map task keeps only k rows per group before
+  // the shuffle. No global sort, no collect.
+  private val x19: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val wgt = (lit(1L) + least((col("n_chars") / lit(100)).cast("long"), lit(7L)))
+      .as("weight")
+    val pri = array_min(transform(
+      sequence(lit(1L), col("weight")),
+      j => md5i(concat(col("doc_id").cast("string"), lit(":"), j.cast("string")))))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    d.select(col("doc_id"), col("source"), wgt)
+      .withColumn("priority", pri)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("doc_id"), col("weight"),
+        col("priority"))
+      .psort(col("source"), col("rank"))
+  }
+
+  private val x19Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    1 + LEAST(n_chars // 100, 7) AS weight
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, weight,
+       |    LIST_MIN([${md5iSql("doc_id || ':' || j")}
+       |      FOR j IN RANGE(1, weight + 1)]) AS priority
+       |  FROM w),
+       |r AS (
+       |  SELECT source, doc_id, weight, priority,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY priority, doc_id) AS rank
+       |  FROM p)
+       |SELECT source, rank, doc_id, weight, priority
+       |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
+  // ---- x20: RAG chunking (sliding window with overlap) ---------------------
+  // Retrieval-corpus preparation: fixed 200-char windows at stride 150
+  // (50-char overlap so no boundary-spanning passage is lost), each chunk
+  // addressed by (doc_id, chunk_id, pos) and content-hashed for the
+  // downstream embedding/dedup stages. Map-only explode — at 100 TB this is
+  // a scan-transform pass whose output feeds the ANN index build; the
+  // overlap factor (4/3 here) is the only data inflation.
+  private val chunkLen = 200
+  private val chunkStride = 150
+
+  private val x20: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("n_chars") >= 1)
+    d.select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text), $chunkStride)")).as("pos"),
+        col("text"))
+      .select(col("doc_id"),
+        (((col("pos") - 1) / lit(chunkStride)).cast("long") + 1).as("chunk_id"),
+        col("pos").cast("long").as("pos"),
+        expr(s"substr(text, pos, $chunkLen)").as("c"))
+      .select(col("doc_id"), col("chunk_id"), col("pos"),
+        length(col("c")).cast("long").as("chunk_chars"), md5(col("c")).as("chunk_md5"))
+      .psortScaled(col("doc_id"), col("chunk_id"))
+  }
+
+  private val x20Sql =
+    s"""SELECT doc_id, (pos - 1) // $chunkStride + 1 AS chunk_id, pos,
+       | CAST(LENGTH(SUBSTR(text, CAST(pos AS INTEGER), $chunkLen)) AS BIGINT) AS chunk_chars,
+       | MD5(SUBSTR(text, CAST(pos AS INTEGER), $chunkLen)) AS chunk_md5
+       |FROM (SELECT doc_id, text, UNNEST(RANGE(1, LEN(text) + 1, $chunkStride)) AS pos
+       |      FROM documents WHERE n_chars >= 1)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- x21: count-min sketch heavy hitters + error eval --------------------
+  // Frequency estimation under sublinear memory: a 4x512 count-min sketch
+  // (fixed md5-derived row hashes, so both engines build the identical
+  // sketch) estimates term counts as the min over its 4 cells; the gate
+  // compares the estimate against exact counts for the top-20 terms —
+  // the overestimate column IS the sketch-quality metric (CMS never
+  // underestimates; collisions only inflate).
+  //
+  // Scale: the sketch build is ONE shuffle of at most d*width = 2048
+  // partial rows per map task (map-side partial aggregation absorbs the
+  // corpus-sized explode), and the sketch itself is broadcast-sized by
+  // construction — the mergeable-summary pattern that replaces exact
+  // counting when the vocabulary outgrows memory at 100 TB.
+  private val cmsDepth = 4
+  private val cmsWidth = 512
+
+  private def cmsBucket(j: org.apache.spark.sql.Column,
+      term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(md5i(concat(j.cast("string"), lit(":"), term)), lit(cmsWidth.toLong))
+
+  private val x21: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cells = words
+      .select(col("term"),
+        explode(sequence(lit(0L), lit(cmsDepth - 1L))).as("j"))
+      .select(col("j"), cmsBucket(col("j"), col("term")).as("b"))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("cnt"))
+    val top = words.groupBy(col("term")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("term")).limit(20)
+    top
+      .select(col("term"), col("true_n"),
+        explode(sequence(lit(0L), lit(cmsDepth - 1L))).as("j"))
+      .select(col("term"), col("true_n"), col("j"),
+        cmsBucket(col("j"), col("term")).as("b"))
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("term"), col("true_n"))
+      .agg(min(col("cnt")).as("est_n"))
+      .select(col("term"), col("true_n"), col("est_n"),
+        (col("est_n") - col("true_n")).as("overest"))
+      .psort(col("true_n").desc, col("term"))
+  }
+
+  private val x21Sql = {
+    val bucket = (j: String, t: String) =>
+      s"(${md5iSql(s"$j || ':' || $t")} % $cmsWidth)"
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w AS term FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |cells AS (
+       |  SELECT j, ${bucket("j", "term")} AS b, COUNT(*) AS cnt
+       |  FROM words, RANGE(0, $cmsDepth) r(j) GROUP BY 1, 2),
+       |top AS (
+       |  SELECT term, COUNT(*) AS true_n FROM words GROUP BY term
+       |  ORDER BY true_n DESC, term LIMIT 20),
+       |est AS (
+       |  SELECT t.term, t.true_n, MIN(c.cnt) AS est_n
+       |  FROM top t, RANGE(0, $cmsDepth) r(j)
+       |  JOIN cells c ON c.j = r.j AND c.b = ${bucket("r.j", "t.term")}
+       |  GROUP BY t.term, t.true_n)
+       |SELECT term, true_n, est_n, est_n - true_n AS overest
+       |FROM est ORDER BY true_n DESC, term""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "x21_cms_heavy_hitters" -> x21,
+    "x20_chunk_overlap" -> x20,
+    "x19_reservoir_sample" -> x19,
     "x18_dataset_card" -> x18,
     "x17_split_leakage" -> x17,
     "x16_bpe_train" -> x16,
@@ -959,6 +1110,9 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x21_cms_heavy_hitters" -> x21Sql,
+    "x20_chunk_overlap" -> x20Sql,
+    "x19_reservoir_sample" -> x19Sql,
     "x18_dataset_card" -> x18Sql,
     "x17_split_leakage" -> x17Sql,
     "x16_bpe_train" -> x16Sql,
