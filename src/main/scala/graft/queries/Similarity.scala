@@ -729,7 +729,64 @@ object Similarity {
        |FROM exact e LEFT JOIN pqtop p ON e.qid = p.qid AND e.cid = p.cid
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  /** s12: two-stage retrieval — PQ/ADC candidate generation (the s10
+    * compressed-index scan) followed by EXACT L2 re-ranking of only the
+    * top-10 candidates per query against the raw vectors. This is the
+    * production ANN serving shape: the cheap 8-byte-code scan bounds how
+    * many full vectors are ever touched, the exact stage repairs the
+    * quantization error ordering, and the re-rank join fetches raw
+    * vectors by id (hash equi-join, candidate-sized — 10 rows/query, not
+    * corpus-sized) no matter how big the corpus is. Output ranks by exact
+    * distance; adc_rank is kept to show the reordering the re-rank did. */
+  private val s12: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (books, codes) = trainedPq(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = codes.select(col("vec_id").as("cid"),
+      array((0 until pqM).map(j => col(s"c$j")): _*).as("cs"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("cid"))
+    val shortlist = q.hint("broadcast").crossJoin(cands)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qe"), col("cid"),
+        adcCol(books, col("qe"), col("cs")).as("adc"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= 10)
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("cid"))
+    shortlist
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), Seq("cid"))
+      .select(col("qid"), col("cid"), col("adc_rank"),
+        expr("graft_l2(qe, ce)").as("d"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("adc_rank"),
+        round(col("d"), 6).as("l2_dist"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private lazy val s12Sql =
+    s"""$pqCtes,
+       |shortlist AS (
+       |  SELECT qid, cid, adc_rank FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS adc_rank
+       |    FROM pqscored) WHERE adc_rank <= 10),
+       |reranked AS (
+       |  SELECT s.qid, s.cid, s.adc_rank,
+       |    ${dist2Sql("q.v64", "c.v64")} AS d
+       |  FROM shortlist s
+       |  JOIN (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v64
+       |        FROM embeddings) q ON s.qid = q.vec_id
+       |  JOIN (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v64
+       |        FROM embeddings) c ON s.cid = c.vec_id)
+       |SELECT qid, rank, cid, adc_rank, ROUND(d, 6) AS l2_dist FROM (
+       |  SELECT qid, cid, adc_rank, d,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, cid) AS rank
+       |  FROM reranked) WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s12_pq_rerank" -> s12,
     "s11_pq_recall" -> s11,
     "s10_knn_pq" -> s10,
     "s09_knn_graph" -> s09,
@@ -743,6 +800,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s12_pq_rerank" -> s12Sql,
     "s11_pq_recall" -> s11Sql,
     "s10_knn_pq" -> s10Sql,
     "s09_knn_graph" -> s09Sql,
