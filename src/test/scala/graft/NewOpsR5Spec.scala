@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Semantic properties of the round-5 operators, beyond the DuckDB-oracle
+  * hash gate: the guarantees a user relies on (winnowing detects every
+  * shared run ≥ w+k-1, CMS never underestimates, chunks tile the document,
+  * re-ranking orders by exact distance, containment bounds hold). */
+class NewOpsR5Spec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("d13 containment: directed ratios in (0,1], gate threshold enforced") {
+    val rows = SparkEntry.queries("d13_containment_dedup")(spark, sfDir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val c1 = r.getAs[Double]("contain_1in2")
+      val c2 = r.getAs[Double]("contain_2in1")
+      c1 should (be > 0.0 and be <= 1.0)
+      c2 should (be > 0.0 and be <= 1.0)
+      math.max(c1, c2) should be >= 0.9
+      r.getAs[Long]("d1") should be < r.getAs[Long]("d2")
+    }
+  }
+
+  test("d14 winnowing: any shared run of w+k-1 chars shares a fingerprint") {
+    // The Schleimer/Wilkerson/Aiken guarantee, exercised directly on the
+    // same fingerprint pipeline (k=8, w=4): two otherwise-different texts
+    // embedding one common 40-char span must select >= 1 common window-min.
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy" // 39 chars
+    val docs = Seq(
+      (1L, s"aaaa bbbb cccc $shared dddd eeee"),
+      (2L, s"zzzz yyyy $shared xxxx wwww vvvv uuuu")).toDF("doc_id", "text")
+    val fps = docs.selectExpr("doc_id",
+      "transform(sequence(1, length(text) - 7), i -> " +
+        "CAST(conv(substr(md5(substr(text, i, 8)), 1, 8), 16, 10) AS BIGINT)" +
+        " % 1000000007) AS hv")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, size(hv) - 3), t -> " +
+          "array_min(slice(hv, t, 4)))) AS fps")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    fps(1L).intersect(fps(2L)) should not be empty
+  }
+
+  test("d14 winnowing: overlap scores within gate bounds") {
+    val rows = SparkEntry.queries("d14_winnow_dedup")(spark, sfDir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getAs[Double]("overlap") should (be >= 0.5 and be <= 1.0)
+      r.getAs[Long]("shared") should be > 0L
+    }
+  }
+
+  test("s12 re-rank: exact distances ordered per query, shortlist respected") {
+    val rows = SparkEntry.queries("s12_pq_rerank")(spark, sfDir)
+      .orderBy(col("qid"), col("rank")).collect()
+    rows.length should be > 0
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("l2_dist"))
+      ds.zip(ds.tail).foreach { case (a, b) => a should be <= b }
+    }
+    rows.foreach { r =>
+      r.getAs[Int]("adc_rank") should (be >= 1 and be <= 10)
+      r.getAs[Int]("rank") should (be >= 1 and be <= 3)
+    }
+  }
+
+  test("s12 re-rank: top-1 exact distance never worse than ADC-rank-1's") {
+    // Re-ranking the shortlist can only improve (or keep) the exact
+    // distance of the returned best neighbor vs trusting ADC order.
+    val out = SparkEntry.queries("s12_pq_rerank")(spark, sfDir)
+    val best = out.filter(col("rank") === 1)
+      .select(col("qid"), col("l2_dist").as("rerank_d"))
+    val adcFirst = out.filter(col("adc_rank") === 1)
+      .select(col("qid"), col("l2_dist").as("adc_d"))
+    // adc-rank-1 may have fallen out of the exact top-3; only compare where
+    // both survive — where it did, re-rank's pick is <=.
+    best.join(adcFirst, Seq("qid"))
+      .filter(col("rerank_d") > col("adc_d")).count() shouldBe 0L
+  }
+
+  test("x19 reservoir: ranks bounded, priorities are true draw minima") {
+    val rows = SparkEntry.queries("x19_reservoir_sample")(spark, sfDir).collect()
+    rows.length should be > 0
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      rs.map(_.getAs[Int]("rank")).sorted shouldBe (1 to rs.length)
+      rs.length should be <= 5
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val w = r.getAs[Long]("weight")
+      w should (be >= 1L and be <= 8L)
+      val pri = (1L to w).map { j =>
+        val hex = md.digest(s"${r.getAs[Long]("doc_id")}:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16)
+      }.min
+      r.getAs[Long]("priority") shouldBe pri
+    }
+  }
+
+  test("x20 chunking: chunks tile each document at stride 150 with len <= 200") {
+    val out = SparkEntry.queries("x20_chunk_overlap")(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val j = out.join(docs, Seq("doc_id"))
+    // position arithmetic: chunk c starts at 1 + (c-1)*150
+    j.filter(col("pos") =!= (col("chunk_id") - 1) * 150 + 1)
+      .count() shouldBe 0L
+    // length is exactly min(200, n_chars - pos + 1)
+    j.filter(col("chunk_chars") =!=
+        least(lit(200L), col("n_chars") - col("pos") + 1))
+      .count() shouldBe 0L
+    // every character position is covered: last chunk reaches the end
+    j.groupBy(col("doc_id"), col("n_chars"))
+      .agg(max(col("pos") + col("chunk_chars") - 1).as("covered"))
+      .filter(col("covered") =!= col("n_chars")).count() shouldBe 0L
+  }
+
+  test("x21 CMS: estimates never underestimate; exact for unique buckets") {
+    val rows = SparkEntry.queries("x21_cms_heavy_hitters")(spark, sfDir).collect()
+    rows.length shouldBe 20
+    rows.foreach { r =>
+      r.getAs[Long]("est_n") should be >= r.getAs[Long]("true_n")
+      r.getAs[Long]("overest") shouldBe
+        r.getAs[Long]("est_n") - r.getAs[Long]("true_n")
+    }
+  }
+}
