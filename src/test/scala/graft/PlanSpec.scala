@@ -249,6 +249,36 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("round-5 ops: no cartesian products; pruning where claimed") {
+    // d14/x21: candidate/build joins are hash or broadcast equi-joins;
+    // x19: per-source top-k prunes map-side via WindowGroupLimit;
+    // s12: only the documented bounded broadcast crossJoin (s10 shape) may
+    // appear — never a CartesianProduct.
+    Seq("d14_winnow_dedup", "x21_cms_heavy_hitters", "x19_reservoir_sample",
+      "s12_pq_rerank", "d13_containment_dedup").foreach { q =>
+      val s = planString(SparkEntry.queries(q)(spark, sfDir))
+      withClue(q) { s should not include "CartesianProduct" }
+    }
+    planString(SparkEntry.queries("x19_reservoir_sample")(spark, sfDir))
+      .should(include("WindowGroupLimit"))
+    val s12 = planString(SparkEntry.queries("s12_pq_rerank")(spark, sfDir))
+    s12 should include("WindowGroupLimit")
+    s12 should not include "UDF" // ADC + L2 both native
+  }
+
+  test("round-5 growing outputs honor production output mode") {
+    spark.conf.set("spark.graft.output.merged", "false")
+    try {
+      Seq("d14_winnow_dedup", "x20_chunk_overlap").foreach { q =>
+        val s = planString(SparkEntry.queries(q)(spark, sfDir)).toLowerCase
+        withClue(q) {
+          s should not include "singlepartition"
+          s should include("rangepartitioning")
+        }
+      }
+    } finally spark.conf.unset("spark.graft.output.merged")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
