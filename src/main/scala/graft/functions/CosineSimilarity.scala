@@ -104,6 +104,10 @@ object GraftFunctions {
     "graft_char_grams" -> (exprs => CharNgramsK(exprs(0),
       lit(exprs(1)).asInstanceOf[Number].intValue())),
     "graft_cdc_chunks" -> (exprs => CdcChunks(exprs(0))),
+    "graft_winnow" -> (exprs => WinnowFingerprints(exprs(0),
+      lit(exprs(1)).asInstanceOf[Number].intValue(),
+      lit(exprs(2)).asInstanceOf[Number].intValue(),
+      lit(exprs(3)).asInstanceOf[Number].longValue())),
     "graft_md5i_array" -> (exprs => Md5IntArray(exprs(0))),
     "graft_pairs" -> (exprs => PostingPairs(exprs(0))),
     "graft_simhash" -> (exprs => SimHash32(exprs(0))),

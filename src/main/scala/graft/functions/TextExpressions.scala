@@ -54,6 +54,57 @@ object NativeHelpers {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): md5-derived hash
+    * per code-point k-gram (mod p), window-of-w minima, distinct values in
+    * first-occurrence order. Bit-identical to the composable
+    *   array_distinct(transform(sequence(1, size(hv)-w+1), t ->
+    *     array_min(slice(hv, t, w))))
+    * over hv = transform(sequence(1, length(text)-k+1), i ->
+    *     md5i(substr(text, i, k)) % p)
+    * but one fused linear scan: the composition is O(L²) (interpreted
+    * substring-from-position rescans the string per position) and
+    * re-evaluates under pushed-down filters; this is O(L·k) with a
+    * monotonic-deque window min. md5 per gram is the cross-engine
+    * determinism contract — a production deployment free of the oracle
+    * could swap in a rolling polynomial hash here without changing shape. */
+  def winnow(text: UTF8String, k: Int, w: Int, p: Long): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val nh = n - k + 1
+    val hv = new Array[Long](nh)
+    val d = md5Local.get()
+    val sb = new java.lang.StringBuilder(k * 2)
+    var i = 0
+    while (i < nh) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { sb.appendCodePoint(cps(i + j)); j += 1 }
+      d.reset()
+      val digest = d.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hv(i) = java.lang.Integer.toUnsignedLong(
+        ((digest(0) & 0xff) << 24) | ((digest(1) & 0xff) << 16) |
+          ((digest(2) & 0xff) << 8) | (digest(3) & 0xff)) % p
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new java.util.ArrayDeque[Int]()
+    var t = 0
+    while (t < nh) {
+      while (!dq.isEmpty && hv(dq.peekLast()) >= hv(t)) dq.pollLast()
+      dq.addLast(t)
+      if (dq.peekFirst() <= t - w) dq.pollFirst()
+      if (t >= w - 1) seen.add(hv(dq.peekFirst()))
+      t += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   private val singleSpace = Pattern.compile(" ")
 
   /** Distinct word 3-grams, identical to
@@ -347,6 +398,28 @@ case class CharNgramsK(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NativeHelpers$$.MODULE$$.charNgramsN($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_winnow(text, k, w, p) -> array<bigint>: winnowing fingerprints
+  * (window-of-w minima over md5-derived k-gram hashes mod p) in one fused
+  * linear scan — see NativeHelpers.winnow. k/w/p are literals. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 && w >= 1 && p >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      TypeCheckResult.TypeCheckFailure(s"k/w/p must be >= 1, got $k/$w/$p")
+    case t => TypeCheckResult.TypeCheckFailure(s"requires string, got $t")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    NativeHelpers.winnow(v.asInstanceOf[UTF8String], k, w, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeHelpers$$.MODULE$$.winnow($c, $k, $w, ${p}L)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -810,18 +810,26 @@ object Dedup {
     * characters; candidates come from the df-capped inverted postings
     * exactly like d02/d13 — one shuffle on the fingerprint, one on the
     * pair, never an O(n²) self-join. */
+  /** Winnowed corpus: doc_id, fps (distinct window-min fingerprints), nf.
+    * Same lifecycle as [[docsWithShingles]]: spread the 1-file scan to full
+    * parallelism BEFORE the per-character fingerprint scan, compute the
+    * fingerprints ONCE through the fused native expression, persist. (The
+    * composable transform/slice spelling of the same contract is quadratic
+    * in doc length under interpreted eval and gets re-evaluated beneath
+    * pushed-down filters — first cut cost ~10 CPU-minutes/pass at sf0.1,
+    * the native fused scan costs milliseconds.) */
+  private def docsWithWinnow(s: SparkSession, dir: String): DataFrame =
+    memoized(s"winnow:$dir")(
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(length(col("text")) >= winK + winW - 1)
+        .select(col("doc_id"),
+          expr(s"graft_winnow(text, $winK, $winW, $P)").as("fps"))
+        .select(col("doc_id"), col("fps"), size(col("fps")).as("nf"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
   private val d14: Q = (s, dir) => {
-    val hvExpr =
-      s"transform(sequence(1, length(text) - ${winK - 1}), i -> " +
-        s"${md5iExpr(s"substr(text, i, $winK)")} % $P)"
-    val fpExpr =
-      s"array_distinct(transform(sequence(1, size(hv) - ${winW - 1}), t -> " +
-        s"array_min(slice(hv, t, $winW))))"
-    val docs = t(s, dir, "documents")
-      .filter(length(col("text")) >= winK + winW - 1)
-      .select(col("doc_id"), expr(hvExpr).as("hv"))
-      .select(col("doc_id"), expr(fpExpr).as("fps"))
-      .select(col("doc_id"), col("fps"), size(col("fps")).as("nf"))
+    val docs = docsWithWinnow(s, dir)
     val postings = docs.select(col("doc_id"), explode(col("fps")).as("f"))
       .repartition(s.sparkContext.defaultParallelism, col("f"))
       .groupBy(col("f")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))

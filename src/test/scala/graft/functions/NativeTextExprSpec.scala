@@ -50,6 +50,40 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     diff.count() shouldBe 0L
   }
 
+  test("graft_winnow equals the transform/slice window-min composition") {
+    val hv = "transform(sequence(1, length(text) - 7), i -> " +
+      "CAST(conv(substr(md5(substr(text, i, 8)), 1, 8), 16, 10) AS BIGINT)" +
+      " % 1000000007)"
+    val composed = s"array_distinct(transform(sequence(1, size($hv) - 3), " +
+      s"t -> array_min(slice($hv, t, 4))))"
+    val diff = docs.filter(expr("length(text) >= 11"))
+      .select(expr("graft_winnow(text, 8, 4, 1000000007)").as("a"),
+        expr(composed).as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+  }
+
+  test("graft_winnow is code-point (not UTF-16) indexed and guards short text") {
+    import spark.implicits._
+    val hv = "transform(sequence(1, length(text) - 7), i -> " +
+      "CAST(conv(substr(md5(substr(text, i, 8)), 1, 8), 16, 10) AS BIGINT)" +
+      " % 1000000007)"
+    val composed = s"array_distinct(transform(sequence(1, size($hv) - 3), " +
+      s"t -> array_min(slice($hv, t, 4))))"
+    GraftFunctions.register(spark)
+    val rows = Seq("ab😀cd😁ef😂gh😃ij kl", "héllo wörld hellö wõrld",
+      "日本語テキストの重複検出テスト", "short", "exactly11ch").toDF("text")
+    val diff = rows.filter(expr("length(text) >= 11"))
+      .select(expr("graft_winnow(text, 8, 4, 1000000007)").as("a"),
+        expr(composed).as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+    // below k+w-1 code points -> empty, no exception
+    rows.filter(expr("length(text) < 11"))
+      .select(expr("graft_winnow(text, 8, 4, 1000000007)").as("a"))
+      .collect().foreach(_.getSeq[Long](0) shouldBe empty)
+  }
+
   test("graft_md5i_array equals per-element md5 conv") {
     val diff = docs
       .select(expr("graft_shingles(text)").as("sh"))
