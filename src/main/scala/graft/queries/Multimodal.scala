@@ -330,6 +330,88 @@ object Multimodal {
       |  CAST(cp_sum AS DOUBLE) / CAST(total_bytes AS DOUBLE) AS mean_cp
       |FROM g ORDER BY source""".stripMargin
 
+  /** Perceptual-hash row: the four 16-bit bands of the 64-bit average-hash
+    * (band equality is the d04-style LSH candidate key for near-dup images)
+    * plus the set-bit count. */
+  case class ImagePHash(doc_id: Long, format: String, band0: Long,
+                        band1: Long, band2: Long, band3: Long, n_ones: Long)
+
+  private def phashOne(r: MediaPayload): ImagePHash = {
+    val fmt = if (r.data.length >= 2 && r.data(0) == 'B' && r.data(1) == 'M')
+      "bmp" else "png"
+    val img = ImageCodecs.decode(r.data)
+    // 8x8 nearest-neighbor downsample on gray3 = r+g+b (exact ints 0..765)
+    val g = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      val yy = y * img.height / 8
+      var x = 0
+      while (x < 8) {
+        val xx = x * img.width / 8
+        val base = (yy * img.width + xx) * 3
+        val v = (img.rgb(base) & 0xff).toLong + (img.rgb(base + 1) & 0xff) +
+          (img.rgb(base + 2) & 0xff)
+        g(y * 8 + x) = v
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    // bit i set iff 64*g(i) >= total — the mean threshold without division
+    val bands = new Array[Long](4)
+    var ones = 0L
+    var i = 0
+    while (i < 64) {
+      if (64L * g(i) >= total) {
+        bands(i / 16) |= 1L << (i % 16)
+        ones += 1
+      }
+      i += 1
+    }
+    ImagePHash(r.doc_id, fmt, bands(0), bands(1), bands(2), bands(3), ones)
+  }
+
+  /** m08: perceptual (average) hash over REAL decoded pixels — the image
+    * near-dup primitive: an 8x8 nearest-neighbor gray downsample thresholded
+    * at its own mean, emitted as four 16-bit bands whose equality join is
+    * the pigeonhole candidate step (hamming ≤ 3 across 4 bands guarantees a
+    * shared band — exactly d04's scheme, over images instead of text).
+    * Integer-exact end to end, so the oracle replays the hash closed-form
+    * from the pixel contract; any decode mis-parse (stride, bottom-up rows,
+    * PNG filter reconstruction) flips hash bits and diverges. Map-only. */
+  private val m08: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[ImagePHash] = Encoders.product[ImagePHash]
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(phashOne)).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m08Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id * 7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 100),
+      |cells AS (
+      |  SELECT doc_id, y * 8 + x AS i,
+      |    CAST(LIST_SUM([((((y * h) // 8 * w + (x * w) // 8) * 3 + c) * 7 + doc_id) % 251
+      |      FOR c IN RANGE(3)]) AS BIGINT) AS v
+      |  FROM g, RANGE(8) ry(y), RANGE(8) rx(x)),
+      |tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+      |        FROM cells GROUP BY doc_id),
+      |bits AS (
+      |  SELECT c.doc_id, c.i,
+      |    CASE WHEN 64 * c.v >= t.total THEN 1 ELSE 0 END AS bit
+      |  FROM cells c JOIN tot t USING (doc_id))
+      |SELECT doc_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      | CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band0,
+      | CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band1,
+      | CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band2,
+      | CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS band3,
+      | CAST(SUM(bit) AS BIGINT) AS n_ones
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Audio fixture contract (mirrors the image one): sample rate
     * 8/12/16 kHz by doc_id%3, 1-2 channels by doc_id%2, 500-749 frames,
     * interleaved sample i = (i*13 + doc_id) % 2001 - 1000. */
@@ -421,7 +503,8 @@ object Multimodal {
     "m04_image_resize" -> m04,
     "m05_image_features" -> m05,
     "m06_source_profile" -> m06,
-    "m07_audio_decode" -> m07)
+    "m07_audio_decode" -> m07,
+    "m08_image_phash" -> m08)
 
   val oracleSql: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -430,5 +513,6 @@ object Multimodal {
     "m04_image_resize" -> m04Sql,
     "m05_image_features" -> m05Sql,
     "m06_source_profile" -> m06Sql,
-    "m07_audio_decode" -> m07Sql)
+    "m07_audio_decode" -> m07Sql,
+    "m08_image_phash" -> m08Sql)
 }

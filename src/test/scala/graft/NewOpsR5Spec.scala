@@ -120,6 +120,21 @@ class NewOpsR5Spec extends AnyFunSuite with Matchers {
       .filter(col("covered") =!= col("n_chars")).count() shouldBe 0L
   }
 
+  test("m08 phash: bands are 16-bit, popcount consistent, both formats hashed") {
+    val rows = SparkEntry.queries("m08_image_phash")(spark, sfDir).collect()
+    rows.length shouldBe 101
+    rows.foreach { r =>
+      val bands = Seq("band0", "band1", "band2", "band3").map(r.getAs[Long])
+      bands.foreach(b => b should (be >= 0L and be <= 0xffffL))
+      val pop = bands.map(java.lang.Long.bitCount(_).toLong).sum
+      r.getAs[Long]("n_ones") shouldBe pop
+      // mean-threshold hash is never all-ones (a strict-majority-above-mean
+      // image would need a constant image; the fixture ramp is not constant)
+      pop should be < 64L
+    }
+    rows.map(_.getAs[String]("format")).toSet shouldBe Set("bmp", "png")
+  }
+
   test("x21 CMS: estimates never underestimate; exact for unique buckets") {
     val rows = SparkEntry.queries("x21_cms_heavy_hitters")(spark, sfDir).collect()
     rows.length shouldBe 20
