@@ -769,51 +769,67 @@ object TextOps {
   // resumes AFTER each replacement in both engines, so the oracle replays
   // the merge bit-for-bit as unrolled CTE rounds.
   private val bpeRounds = 5
-  private val x16: Q = (s, dir) => {
-    val SEP = "\u0001"
-    val symsE = s"filter(split(enc, '$SEP'), x -> x <> '')"
-    val pairsE = s"transform(sequence(1, size($symsE) - 1), " +
-      s"i -> concat(element_at($symsE, i), '$SEP', element_at($symsE, i + 1)))"
-    val base = t(s, dir, "documents")
-      .select(explode(split(col("text"), " +")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(SEP + SEP),
-          concat_ws(SEP + SEP, expr("graft_char_grams(w, 1)")),
-          lit(SEP + SEP)).as("enc"),
-        col("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var words = base
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, String, Long)]
-      (1 to bpeRounds).foreach { r =>
-        val best = words
-          .filter(expr(s"size($symsE) >= 2"))
-          .select(col("cnt"), explode(expr(pairsE)).as("p"))
-          .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
-          .orderBy(col("n").desc, col("p").asc)
-          .limit(1).collect()
-        if (best.nonEmpty) {
-          val p = best(0).getString(0)
-          val n = best(0).getLong(1)
-          val Array(a, b) = p.split(SEP, 2)
-          out += ((r, a, b, a + b, n))
-          words = words.select(
-            regexp_replace(col("enc"),
-              lit(java.util.regex.Pattern.quote(SEP + a + SEP + SEP + b + SEP)),
-              lit(java.util.regex.Matcher.quoteReplacement(SEP + a + b + SEP)))
-              .as("enc"),
-            col("cnt"))
+
+  // Trained merge tables are bounded driver data (one (pair, count) row per
+  // round); memoized per sf dir so x16 (the training gate) and x22 (the
+  // encode gate) train ONCE -- the build-once tokenizer lifecycle.
+  private val bpeMerges = scala.collection.concurrent.TrieMap[
+    String, Seq[(Int, String, String, String, Long)]]()
+
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] =
+    bpeMerges.getOrElseUpdate(dir, {
+      val SEP = "\u0001"
+      val symsE = s"filter(split(enc, '$SEP'), x -> x <> '')"
+      val pairsE = s"transform(sequence(1, size($symsE) - 1), " +
+        s"i -> concat(element_at($symsE, i), '$SEP', element_at($symsE, i + 1)))"
+      val base = t(s, dir, "documents")
+        .select(explode(split(col("text"), " +")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(concat(lit(SEP + SEP),
+            concat_ws(SEP + SEP, expr("graft_char_grams(w, 1)")),
+            lit(SEP + SEP)).as("enc"),
+          col("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var words = base
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, String, Long)]
+        (1 to bpeRounds).foreach { r =>
+          val best = words
+            .filter(expr(s"size($symsE) >= 2"))
+            .select(col("cnt"), explode(expr(pairsE)).as("p"))
+            .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+            .orderBy(col("n").desc, col("p").asc)
+            .limit(1).collect()
+          if (best.nonEmpty) {
+            val p = best(0).getString(0)
+            val n = best(0).getLong(1)
+            val Array(a, b) = p.split(SEP, 2)
+            out += ((r, a, b, a + b, n))
+            words = words.select(
+              regexp_replace(col("enc"),
+                lit(java.util.regex.Pattern.quote(SEP + a + SEP + SEP + b + SEP)),
+                lit(java.util.regex.Matcher.quoteReplacement(SEP + a + b + SEP)))
+                .as("enc"),
+              col("cnt"))
+          }
         }
-      }
-      import s.implicits._
-      out.toSeq
-        .toDF("round", "left_sym", "right_sym", "merged", "n_occurrences")
-        .psort(col("round"))
-    } finally base.unpersist(false)
+        out.toSeq
+      } finally base.unpersist(false)
+    })
+
+  private val x16: Q = (s, dir) => {
+    import s.implicits._
+    bpeTrain(s, dir)
+      .toDF("round", "left_sym", "right_sym", "merged", "n_occurrences")
+      .psort(col("round"))
   }
 
-  private val x16Sql = {
+  /** Shared oracle machinery for the BPE family: w0 (separator-encoded
+    * distinct-word counts) and per-round pair-count/argmax/merge CTEs —
+    * b1..bN hold the learned merges; w1..wN the re-encoded vocab. */
+  private def bpeCtePrefix: String = {
     def round(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
@@ -827,11 +843,7 @@ object TextOps {
          |      CHR(1) || REPLACE(b$r.p, CHR(1), CHR(1) || CHR(1)) || CHR(1),
          |      CHR(1) || REPLACE(b$r.p, CHR(1), '') || CHR(1)) AS enc, cnt
          |  FROM w${r - 1}, b$r)""".stripMargin
-    def outRow(r: Int): String =
-      s"""SELECT $r AS round, SPLIT_PART(p, CHR(1), 1) AS left_sym,
-         | SPLIT_PART(p, CHR(1), 2) AS right_sym,
-         | REPLACE(p, CHR(1), '') AS merged, n AS n_occurrences FROM b$r""".stripMargin
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT CHR(1) || CHR(1) ||
        |      ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(w, '(?s).'), CHR(1) || CHR(1)) ||
        |      CHR(1) || CHR(1) AS enc,
@@ -839,9 +851,93 @@ object TextOps {
        |  FROM (SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w FROM documents)
        |    GROUP BY w)),
-       |${(1 to bpeRounds).map(round).mkString(",\n")}
+       |${(1 to bpeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val x16Sql = {
+    def outRow(r: Int): String =
+      s"""SELECT $r AS round, SPLIT_PART(p, CHR(1), 1) AS left_sym,
+         | SPLIT_PART(p, CHR(1), 2) AS right_sym,
+         | REPLACE(p, CHR(1), '') AS merged, n AS n_occurrences FROM b$r""".stripMargin
+    s"""WITH $bpeCtePrefix
        |${(1 to bpeRounds).map(outRow).mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
+  }
+
+  // ---- x22: BPE encode (apply the trained merges) -------------------------
+  // The inference half of the tokenizer lifecycle: x16 learns the merge
+  // table, x22 encodes the corpus with it and reports per-document token
+  // counts and compression (chars/token) -- the number a data pipeline
+  // budgets context windows and training cost with.
+  //
+  // Scale: merges apply to the DISTINCT-word dictionary (bounded, like the
+  // vocab x16 trains on), never to corpus occurrences; the corpus pass is
+  // one explode + a broadcast join of the (word -> n_tokens) dictionary +
+  // one doc_id shuffle. Same round-order REPLACE semantics as training
+  // (leftmost non-overlapping, resuming after each replacement -- identical
+  // in both engines), so the oracle replays training AND encoding exactly.
+  private val x22: Q = (s, dir) => {
+    val SEP = "\u0001"
+    val merges = bpeTrain(s, dir)
+    val enc0 = concat(lit(SEP + SEP),
+      concat_ws(SEP + SEP, expr("graft_char_grams(w, 1)")), lit(SEP + SEP))
+    val dict0 = t(s, dir, "documents")
+      .select(explode(split(col("text"), " +")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .select(col("w"), enc0.as("enc"))
+    val dictN = merges.foldLeft(dict0) { case (df, (_, a, b, _, _)) =>
+      df.select(col("w"), regexp_replace(col("enc"),
+        lit(java.util.regex.Pattern.quote(SEP + a + SEP + SEP + b + SEP)),
+        lit(java.util.regex.Matcher.quoteReplacement(SEP + a + b + SEP)))
+        .as("enc"))
+    }
+    val dictF = dictN.select(col("w"),
+      size(expr(s"filter(split(enc, '$SEP'), x -> x <> '')"))
+        .cast("long").as("n_sym"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " +")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(dictF), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+      .psort(col("doc_id"))
+  }
+
+  private val x22Sql = {
+    def dictRound(r: Int): String =
+      s"""dict$r AS MATERIALIZED (
+         |  SELECT w, REPLACE(enc,
+         |      CHR(1) || REPLACE(b$r.p, CHR(1), CHR(1) || CHR(1)) || CHR(1),
+         |      CHR(1) || REPLACE(b$r.p, CHR(1), '') || CHR(1)) AS enc
+         |  FROM dict${r - 1}, b$r)""".stripMargin
+    s"""WITH $bpeCtePrefix,
+       |dict0 AS MATERIALIZED (
+       |  SELECT w, CHR(1) || CHR(1) ||
+       |      ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(w, '(?s).'), CHR(1) || CHR(1)) ||
+       |      CHR(1) || CHR(1) AS enc
+       |  FROM (SELECT DISTINCT w FROM (
+       |    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w FROM documents))
+       |  WHERE w <> ''),
+       |${(1 to bpeRounds).map(dictRound).mkString(",\n")},
+       |dictF AS (
+       |  SELECT w, CAST(LEN(LIST_FILTER(STRING_SPLIT(enc, CHR(1)),
+       |    x -> x <> '')) AS BIGINT) AS n_sym
+       |  FROM dict$bpeRounds),
+       |docw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w
+       |    FROM documents) WHERE w <> '')
+       |SELECT doc_id, COUNT(*) AS n_words,
+       | CAST(SUM(LEN(w)) AS BIGINT) AS n_chars,
+       | CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       | CAST(SUM(LEN(w)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE) AS chars_per_token
+       |FROM docw JOIN dictF USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---- x17: train/eval split with contamination (leakage) detection --------
@@ -1097,6 +1193,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "x22_bpe_encode" -> x22,
     "x21_cms_heavy_hitters" -> x21,
     "x20_chunk_overlap" -> x20,
     "x19_reservoir_sample" -> x19,
@@ -1120,6 +1217,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x22_bpe_encode" -> x22Sql,
     "x21_cms_heavy_hitters" -> x21Sql,
     "x20_chunk_overlap" -> x20Sql,
     "x19_reservoir_sample" -> x19Sql,

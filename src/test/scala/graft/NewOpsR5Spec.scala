@@ -120,6 +120,23 @@ class NewOpsR5Spec extends AnyFunSuite with Matchers {
       .filter(col("covered") =!= col("n_chars")).count() shouldBe 0L
   }
 
+  test("x22 BPE encode: token counts bounded by chars and words; merges help") {
+    val rows = SparkEntry.queries("x22_bpe_encode")(spark, sfDir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"))
+      t should be >= w // every word is >= 1 symbol
+      t should be <= c // merges only shrink the char-level encoding
+      r.getAs[Double]("chars_per_token") shouldBe
+        (c.toDouble / t.toDouble) +- 1e-12
+    }
+    // across the corpus the learned merges must actually compress somewhere
+    val totC = rows.map(_.getAs[Long]("n_chars")).sum
+    val totT = rows.map(_.getAs[Long]("n_tokens")).sum
+    totT should be < totC
+  }
+
   test("m08 phash: bands are 16-bit, popcount consistent, both formats hashed") {
     val rows = SparkEntry.queries("m08_image_phash")(spark, sfDir).collect()
     rows.length shouldBe 101
