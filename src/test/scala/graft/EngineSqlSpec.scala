@@ -28,6 +28,21 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("DESCRIBE and SHOW TABLES pass through to the catalog (DuckDB REPL surface)") {
+    val engine = new Engine(spark)
+    val topic = "desc-topic"
+    engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.IntSerde)),
+      _ => KafkaRecords.synthetic(spark, Seq(intRecord(topic, 0, 1))))
+    // temp views register under sanitized names; DESCRIBE surfaces columns
+    val cols = engine.sql("DESCRIBE desc_topic").collect()
+      .map(_.getString(0)).toSet
+    cols should contain("rowval")
+    val tables = engine.sql("SHOW TABLES").collect()
+      .map(_.getAs[String]("tableName")).toSet
+    tables should contain("desc_topic")
+    engine.close()
+  }
+
   test("COPY <table> TO '<path>' (FORMAT 'parquet') writes and reports rows") {
     val engine = new Engine(spark)
     val topic = "copysrc"
