@@ -785,7 +785,68 @@ object Similarity {
        |  FROM reranked) WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
+  /** s13: incremental ANN ingest — append a new vector batch to the SERVED
+    * IVF index without retraining: the batch is assigned to the existing
+    * trained centroids (one broadcast of the 8-centroid table, O(batch)
+    * work — the corpus index is never touched, the d10 contract for
+    * vectors), and queries immediately see old + new vectors through the
+    * same cell-probe search. The batch is a deterministic 1.01-scaled clone
+    * of the vec_id % 37 slice (ids +1,000,000): cosine is scale-invariant,
+    * so each clone should surface at the top of its source's neighborhood —
+    * the observable proof the appended vectors are actually being served.
+    * Output marks which hits are newly ingested. */
+  private val s13: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val toDouble = (c: String) => expr(s"transform($c, x -> cast(x as double))")
+    val batch = e.filter(col("vec_id") % 37 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) * 1.01d)")
+          .as("embedding"))
+    val batchAssigned = graft.operators.IvfIndex
+      .assign(batch, "vec_id", "embedding", centroids)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val augmented = assigned
+      .select(col("vec_id"), toDouble("embedding").as("embedding"), col("cell"))
+      .unionAll(batchAssigned)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), toDouble("embedding").as("embedding"))
+    graft.operators.IvfIndex
+      .search(augmented, queries, "vec_id", "embedding", centroids,
+        nprobe = 3, topk = 3)
+      .select(col("qid"), col("rank"), col("cid"),
+        (col("cid") >= 1000000L).as("is_new"), col("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private lazy val s13Sql =
+    s"""$ivfCtePrefix,
+       |batch AS (
+       |  SELECT vec_id + 1000000 AS cid,
+       |    [x::DOUBLE * 1.01 FOR x IN embedding] AS ce
+       |  FROM embeddings WHERE vec_id % 37 = 0),
+       |bassign AS (
+       |  SELECT cid, ce, cell FROM (
+       |    SELECT b.cid, b.ce, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.cid
+       |        ORDER BY ${dist2Sql("b.ce", "c.vec")}, c.cell) AS rn
+       |    FROM batch b CROSS JOIN cents$ivfIters c) WHERE rn = 1),
+       |aug AS (
+       |  SELECT cid, ce, cell FROM assignF
+       |  UNION ALL SELECT cid, ce, cell FROM bassign),
+       |augscored AS (
+       |  SELECT p.qid, a.cid, ${cosineSql("p.qe", "a.ce")} AS cos
+       |  FROM probe p JOIN aug a ON p.cell = a.cell AND p.qid <> a.cid),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM augscored)
+       |SELECT qid, rank, cid, cid >= 1000000 AS is_new,
+       | ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s13_ivf_incremental" -> s13,
     "s12_pq_rerank" -> s12,
     "s11_pq_recall" -> s11,
     "s10_knn_pq" -> s10,
@@ -800,6 +861,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s13_ivf_incremental" -> s13Sql,
     "s12_pq_rerank" -> s12Sql,
     "s11_pq_recall" -> s11Sql,
     "s10_knn_pq" -> s10Sql,

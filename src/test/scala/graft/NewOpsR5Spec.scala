@@ -120,6 +120,21 @@ class NewOpsR5Spec extends AnyFunSuite with Matchers {
       .filter(col("covered") =!= col("n_chars")).count() shouldBe 0L
   }
 
+  test("s13 incremental ANN: appended clones are served, at the top, cos=1") {
+    val rows = SparkEntry.queries("s13_ivf_incremental")(spark, sfDir).collect()
+    rows.length should be > 0
+    // the batch is actually being served
+    rows.count(_.getAs[Boolean]("is_new")) should be > 0
+    rows.foreach { r =>
+      r.getAs[Boolean]("is_new") shouldBe (r.getAs[Long]("cid") >= 1000000L)
+      // a query's own scaled clone is cosine-identical -> must be rank 1
+      if (r.getAs[Long]("cid") == r.getAs[Long]("qid") + 1000000L) {
+        r.getAs[Double]("cosine") shouldBe 1.0 +- 1e-9
+        r.getAs[Int]("rank") shouldBe 1
+      }
+    }
+  }
+
   test("x22 BPE encode: token counts bounded by chars and words; merges help") {
     val rows = SparkEntry.queries("x22_bpe_encode")(spark, sfDir).collect()
     rows.length should be > 0
