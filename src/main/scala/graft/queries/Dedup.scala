@@ -95,23 +95,36 @@ object Dedup {
     * (doc-frequency capped at 100), candidate pairs enumerated from the
     * postings lists (one shuffle on the shingle, one on the pair — no
     * self-join recompute), exact jaccard >= 0.5. */
+  /** Shared candidate pairs with common-shingle counts — the single
+    * candidate-generation pass both shingle-space policies (d02 jaccard,
+    * d13 containment) score from. Persisted like the shingle index: at
+    * 100 TB this is the expensive stage (two shuffles over the exploded
+    * corpus), and sharing it means adding a policy costs one cheap
+    * pair-scoring pass, not a re-run of candidate generation.
+    *
+    * The postings rows are BYTE-small but each carries up to C(100,2)
+    * pair fan-out and a sort_array(collect_list) — AQE's size-based
+    * coalescing would funnel both the reduce and the pair-explode into one
+    * task. Pinning the shuffle with an explicit user partition count (AQE
+    * leaves user-numbered repartitions alone) keeps the CPU-bound reduce
+    * AND the downstream explode at cluster parallelism; the same reasoning
+    * holds at 100 TB where per-row cost, not byte size, is the bottleneck. */
+  private def shinglePairCounts(s: SparkSession, dir: String): DataFrame =
+    memoized(s"shinglepairs:$dir") {
+      val docs = docsWithShingles(s, dir)
+      docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .repartition(s.sparkContext.defaultParallelism, col("s"))
+        .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 100))
+        .select(explode(expr(pairsFromPostings)).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("common"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   private val d02: Q = (s, dir) => {
     val docs = docsWithShingles(s, dir)
-    // The postings rows are BYTE-small but each carries up to C(100,2)
-    // pair fan-out and a sort_array(collect_list) — AQE's size-based
-    // coalescing would funnel both the reduce and the pair-explode into one
-    // task. Pinning the shuffle with an explicit user partition count (AQE
-    // leaves user-numbered repartitions alone) keeps the CPU-bound reduce
-    // AND the downstream explode at cluster parallelism; the same reasoning
-    // holds at 100 TB where per-row cost, not byte size, is the bottleneck.
-    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .repartition(s.sparkContext.defaultParallelism, col("s"))
-      .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, 100))
-    val cand = postings
-      .select(explode(expr(pairsFromPostings)).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("common"))
+    val cand = shinglePairCounts(s, dir)
     val sizes = docs.select(col("doc_id"), col("n"))
     cand
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
@@ -745,14 +758,7 @@ object Dedup {
     * policies). */
   private val d13: Q = (s, dir) => {
     val docs = docsWithShingles(s, dir)
-    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .repartition(s.sparkContext.defaultParallelism, col("s"))
-      .groupBy(col("s")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, 100))
-    val cand = postings
-      .select(explode(expr(pairsFromPostings)).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("common"))
+    val cand = shinglePairCounts(s, dir)
     val sizes = docs.select(col("doc_id"), col("n"))
     cand
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
