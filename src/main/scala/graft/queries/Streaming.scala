@@ -341,7 +341,63 @@ object Streaming {
       |FROM events WHERE user_id < 10
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q85: stream-STREAM interval join through the real runtime — two
+    * MemoryStream sources (views, clicks), watermarks on both sides, the
+    * time-bounded join condition, run as an actual Structured Streaming
+    * query into an append sink (q50 gates the same TRANSFORM on the batch
+    * path, where watermarks are no-ops; this gates the streaming JOIN
+    * STATE machinery itself). Watermark delay (365 days) exceeds the data
+    * span so no row is evicted before matching, making the streamed result
+    * equal the batch interval join the oracle pins — at scale the delay is
+    * the real out-of-orderness bound and join state stays bounded per
+    * key-partition. Same driver hygiene as q74/q79 (capped slice, sink
+    * dropped, suite-end state teardown). */
+  private val q85Counter = new java.util.concurrent.atomic.AtomicInteger()
+  private val q85: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def slice(tpe: String) = cappedSlice(t(s, dir, "events")
+      .filter(col("user_id") < 100 && col("event_type") === tpe)
+      .select(col("ts"), col("user_id"), col("event_id")))
+      .map(r => (r.getAs[java.sql.Timestamp](0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    def stream(rows: Seq[(java.sql.Timestamp, Long, Long)],
+               tsName: String, idName: String) = {
+      val ms = MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val (a, b) = rows.splitAt(rows.length / 2)
+      ms.addData(a)
+      ms.addData(b)
+      ms.toDF().toDF(tsName, "user_id", idName)
+    }
+    val views = stream(slice("view"), "view_ts", "view_id")
+    val clicks = stream(slice("click"), "click_ts", "click_id")
+    val joined = graft.streaming.StreamingOps.intervalJoin(
+        views, clicks, "user_id", "view_ts", "click_ts", "30 minutes",
+        watermark = "365 days")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+    val sink = "q85_sink_" + q85Counter.incrementAndGet()
+    val result = graft.streaming.StreamingOps
+      .snapshotToTable(joined, sink, "append", statePartitions = 4)
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
+      result.schema)
+    s.catalog.dropTempView(sink)
+    local.psort(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  private val q85Sql =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      | v.ts AS view_ts, c.ts AS click_ts
+      |FROM events v JOIN events c ON v.user_id = c.user_id
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |  AND v.user_id < 100
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q85_stream_stream_join" -> q85,
     "q80_stream_custom_state" -> q80,
     "q79_stream_dedup" -> q79,
     "q36_stream_tumbling" -> q36,
@@ -353,6 +409,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q85_stream_stream_join" -> q85Sql,
     "q80_stream_custom_state" -> q80Sql,
     "q79_stream_dedup" -> q79Sql,
     "q36_stream_tumbling" -> q36Sql,
