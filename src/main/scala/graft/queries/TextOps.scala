@@ -1192,7 +1192,80 @@ object TextOps {
        |FROM est ORDER BY true_n DESC, term""".stripMargin
   }
 
+  // ---- x23: composed quality FILTER (per-source funnel report) -------------
+  // x02 scores documents; this runs the actual GATE a C4/Gopher-style
+  // pipeline applies — every rule evaluated per doc (a doc can fail several),
+  // keep = no rule fired — and emits the per-source filter funnel: how many
+  // docs each rule rejected and the kept rate. The report a curation run
+  // publishes alongside its output shards. Map-only rule evaluation with one
+  // O(sources) aggregation; all counters exact integers.
+  private val x23: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val stopArgs = stopwords.map(w => s"'$w'").mkString(", ")
+    val ts = expr(s"graft_token_stats(text, $stopArgs)")
+    val nTok = ts.getField("n_tokens")
+    val nStop = ts.getField("n_stop")
+    val sumLen = ts.getField("sum_len")
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val meanTokLen = sumLen.cast("double") / nTok.cast("double")
+    val fShort = length(col("text")) < 50
+    val fTokens = nTok < 10
+    val fStop = nStop.cast("double") / nTok.cast("double") < 0.01
+    val fPunct = nPunct.cast("double") / length(col("text")).cast("double") > 0.3
+    val fTokLen = meanTokLen > 12.0 || meanTokLen < 2.0
+    def b(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    d.select(col("source"), b(fShort).as("r1"), b(fTokens).as("r2"),
+        b(fStop).as("r3"), b(fPunct).as("r4"), b(fTokLen).as("r5"))
+      .withColumn("kept",
+        when(col("r1") + col("r2") + col("r3") + col("r4") + col("r5") === 0, 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        sum(col("r1")).as("n_too_short"), sum(col("r2")).as("n_few_tokens"),
+        sum(col("r3")).as("n_low_stopword"), sum(col("r4")).as("n_high_punct"),
+        sum(col("r5")).as("n_bad_token_len"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("kept_rate"),
+        col("n_too_short"), col("n_few_tokens"), col("n_low_stopword"),
+        col("n_high_punct"), col("n_bad_token_len"))
+      .psort(col("source"))
+  }
+
+  private val x23Sql = {
+    val toks = "REGEXP_SPLIT_TO_ARRAY(text, ' +')"
+    val nTok = s"LEN($toks)"
+    val nStop = s"LEN(LIST_FILTER($toks, w -> LIST_CONTAINS($stopListSql, w)))"
+    val nPunct =
+      "(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')))"
+    val meanTokLen =
+      s"(LIST_SUM(LIST_TRANSFORM($toks, w -> LENGTH(w)))::DOUBLE / $nTok::DOUBLE)"
+    val r1 = "CASE WHEN LENGTH(text) < 50 THEN 1 ELSE 0 END"
+    val r2 = s"CASE WHEN $nTok < 10 THEN 1 ELSE 0 END"
+    val r3 = s"CASE WHEN $nStop::DOUBLE / $nTok::DOUBLE < 0.01 THEN 1 ELSE 0 END"
+    val r4 = s"CASE WHEN $nPunct::DOUBLE / LENGTH(text)::DOUBLE > 0.3 THEN 1 ELSE 0 END"
+    val r5 = s"CASE WHEN $meanTokLen > 12.0 OR $meanTokLen < 2.0 THEN 1 ELSE 0 END"
+    s"""WITH r AS (
+       |  SELECT source, $r1 AS r1, $r2 AS r2, $r3 AS r3, $r4 AS r4, $r5 AS r5
+       |  FROM documents),
+       |k AS (
+       |  SELECT source, r1, r2, r3, r4, r5,
+       |    CASE WHEN r1 + r2 + r3 + r4 + r5 = 0 THEN 1 ELSE 0 END AS kept
+       |  FROM r)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(kept) AS BIGINT) AS n_kept,
+       | CAST(SUM(kept) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS kept_rate,
+       | CAST(SUM(r1) AS BIGINT) AS n_too_short,
+       | CAST(SUM(r2) AS BIGINT) AS n_few_tokens,
+       | CAST(SUM(r3) AS BIGINT) AS n_low_stopword,
+       | CAST(SUM(r4) AS BIGINT) AS n_high_punct,
+       | CAST(SUM(r5) AS BIGINT) AS n_bad_token_len
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "x23_quality_filter" -> x23,
     "x22_bpe_encode" -> x22,
     "x21_cms_heavy_hitters" -> x21,
     "x20_chunk_overlap" -> x20,
@@ -1217,6 +1290,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x23_quality_filter" -> x23Sql,
     "x22_bpe_encode" -> x22Sql,
     "x21_cms_heavy_hitters" -> x21Sql,
     "x20_chunk_overlap" -> x20Sql,
