@@ -152,6 +152,23 @@ class NewOpsR5Spec extends AnyFunSuite with Matchers {
     totT should be < totC
   }
 
+  test("x23 quality filter: funnel counters consistent per source") {
+    val rows = SparkEntry.queries("x23_quality_filter")(spark, sfDir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("n_kept")
+      kept should be <= n
+      r.getAs[Double]("kept_rate") shouldBe (kept.toDouble / n) +- 1e-12
+      val fails = Seq("n_too_short", "n_few_tokens", "n_low_stopword",
+        "n_high_punct", "n_bad_token_len").map(r.getAs[Long])
+      fails.foreach(f => f should (be >= 0L and be <= n))
+      // every non-kept doc fired at least one rule, so the fail counters
+      // must cover the rejected mass (multi-fail makes the sum >=)
+      fails.sum should be >= (n - kept)
+    }
+  }
+
   test("m08 phash: bands are 16-bit, popcount consistent, both formats hashed") {
     val rows = SparkEntry.queries("m08_image_phash")(spark, sfDir).collect()
     rows.length shouldBe 101
