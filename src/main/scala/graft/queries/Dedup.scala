@@ -412,10 +412,12 @@ object Dedup {
     * alternating small-star/large-star shape; the driver only ever collects
     * a single convergence scalar per round. Oracle: recursive CTE
     * propagating reachable labels to a fixpoint. */
-  private val d07: Q = (s, dir) => {
-    // the converged labels are the per-dir "cluster index" — memoized like
-    // the other index frames (loop runs once; superseded rounds unpersist)
-    val labels = memoized(s"d07labels:$dir") {
+  /** Converged min-label components over the verified near-dup edges — the
+    * per-dir "cluster index" (memoized; the loop runs once). Min-label
+    * propagation converges to the smallest doc_id per component, so the
+    * label IS the survivor a keep-first policy selects. */
+  private def d07Labels(s: SparkSession, dir: String): DataFrame =
+    memoized(s"d07labels:$dir") {
       val edges = nearDupPairs(s, dir).select(col("d1"), col("d2"))
       val bidir = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -441,9 +443,11 @@ object Dedup {
       bidir.unpersist()
       cur
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+
+  private val d07: Q = (s, dir) =>
+    d07Labels(s, dir)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .psort(col("doc_id"))
-  }
 
   private val d07Sql =
     s"""WITH RECURSIVE $minhashCandCtes,
@@ -456,6 +460,63 @@ object Dedup {
        |  SELECT b.nb, w.lbl FROM walk w JOIN bidir b ON b.id = w.id)
        |SELECT id AS doc_id, MIN(lbl) AS cluster
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** d15: end-to-end dedup pass REPORT — the closing artifact of the
+    * detect → verify → cluster → keep-first pipeline: d03's band candidates
+    * verified at jaccard ≥ 0.8 feed d07's connected components, the
+    * min-label survivor keeps each cluster's earliest doc, and this query
+    * publishes the per-source reduction accounting (docs/chars dropped,
+    * dedup ratios) a curation run ships with its output shards.
+    *
+    * Scale: everything upstream is the already-persisted cluster index
+    * (built once, shared with d07); the report itself is one broadcast-
+    * joinable label lookup (cluster membership ≪ corpus) onto the corpus
+    * scan plus an O(sources) aggregation. */
+  private val d15: Q = (s, dir) => {
+    val labels = d07Labels(s, dir)
+      .select(col("id").as("doc_id"), col("lbl"))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val dropped = col("lbl").isNotNull && col("lbl") =!= col("doc_id")
+    d.join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("source"), col("n_chars"),
+        when(dropped, 1L).otherwise(0L).as("drop"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("drop")).as("n_dropped"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("n_chars") * col("drop")).as("chars_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"),
+        col("chars_total"), col("chars_dropped"),
+        (col("chars_dropped").cast("double") / col("chars_total").cast("double"))
+          .as("char_dedup_ratio"))
+      .psort(col("source"))
+  }
+
+  private val d15Sql =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |$verifiedPairCtes,
+       |bidir AS (SELECT d1 AS id, d2 AS nb FROM edges
+       |          UNION ALL SELECT d2, d1 FROM edges),
+       |walk(id, lbl) AS (
+       |  SELECT DISTINCT id, id FROM bidir
+       |  UNION
+       |  SELECT b.nb, w.lbl FROM walk w JOIN bidir b ON b.id = w.id),
+       |labels AS (SELECT id, MIN(lbl) AS lbl FROM walk GROUP BY id),
+       |marked AS (
+       |  SELECT d.source, d.n_chars,
+       |    CASE WHEN l.lbl IS NOT NULL AND l.lbl <> d.doc_id
+       |         THEN 1 ELSE 0 END AS drop
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(drop) AS BIGINT) AS n_dropped,
+       | CAST(COUNT(*) - SUM(drop) AS BIGINT) AS n_kept,
+       | CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       | CAST(SUM(n_chars * drop) AS BIGINT) AS chars_dropped,
+       | CAST(SUM(n_chars * drop) AS BIGINT)::DOUBLE
+       |   / CAST(SUM(n_chars) AS BIGINT)::DOUBLE AS char_dedup_ratio
+       |FROM marked GROUP BY source ORDER BY source""".stripMargin
 
   /** Passage-level exact dedup (the Common-Crawl paragraph/line dedup
     * shape): documents are chunked into non-overlapping 10-word passages,
@@ -885,6 +946,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d15_dedup_report" -> d15,
     "d14_winnow_dedup" -> d14,
     "d13_containment_dedup" -> d13,
     "d12_cdc_dedup" -> d12,
@@ -901,6 +963,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d15_dedup_report" -> d15Sql,
     "d14_winnow_dedup" -> d14Sql,
     "d13_containment_dedup" -> d13Sql,
     "d12_cdc_dedup" -> d12Sql,

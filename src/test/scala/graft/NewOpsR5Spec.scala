@@ -152,6 +152,20 @@ class NewOpsR5Spec extends AnyFunSuite with Matchers {
     totT should be < totC
   }
 
+  test("d15 dedup report: accounting consistent with the d07 cluster index") {
+    val rep = SparkEntry.queries("d15_dedup_report")(spark, sfDir).collect()
+    rep.length should be > 0
+    rep.foreach { r =>
+      r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") shouldBe
+        r.getAs[Long]("n_docs")
+      r.getAs[Long]("chars_dropped") should be <= r.getAs[Long]("chars_total")
+    }
+    val totalDropped = rep.map(_.getAs[Long]("n_dropped")).sum
+    val clusters = SparkEntry.queries("d07_dedup_clusters")(spark, sfDir)
+    val expected = clusters.filter(col("doc_id") =!= col("cluster")).count()
+    totalDropped shouldBe expected
+  }
+
   test("x23 quality filter: funnel counters consistent per source") {
     val rows = SparkEntry.queries("x23_quality_filter")(spark, sfDir).collect()
     rows.length should be > 0
