@@ -116,6 +116,7 @@ object GraftFunctions {
       lit(exprs(2)).asInstanceOf[Number].longValue(),
       lit(exprs(3)).asInstanceOf[Number].longValue())),
     "graft_lm_fold" -> (exprs => LmBigramFold(exprs(0), exprs(1))),
+    "graft_bloom_contains" -> (exprs => BloomMightContain(exprs(0), exprs(1))),
     "graft_token_stats" -> (exprs => TokenStats(exprs.head,
       exprs.tail.map(e => lit(e).toString))),
     // union-type accessors over the engine's tagged-struct convention

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -945,7 +945,80 @@ object Dedup {
        |WHERE overlap >= 0.5 ORDER BY d1, d2""".stripMargin
   }
 
+  /** d16: bloom-prefilter incremental dedup — d10's batch-vs-corpus shape
+    * with the other broadcast direction: instead of broadcasting the batch's
+    * HASH SET into a join against every corpus row, the driver builds a
+    * Bloom filter over the batch's canonical-hash keys (kilobytes,
+    * independent of corpus size; `df.stat.bloomFilter` tree-aggregates it
+    * without collecting keys) and the corpus scan probes it through the
+    * native `graft_bloom_contains` expression BEFORE any join. Surviving
+    * rows (true matches + ~fpp false positives) feed the exact
+    * broadcast-join confirm, so the output is exact — the bloom can only
+    * admit extra candidates, never drop one.
+    *
+    * Scale: at 100 TB the corpus side never shuffles — the filter is a
+    * plan literal riding the broadcast of the tiny batch, the scan drops
+    * ~99% of rows at the source, and the confirm join touches only
+    * candidates. This is the standard "yesterday's index too big to join,
+    * bloom it" crawl-ingest pattern.
+    *
+    * The raw corpus has no exact cross-partition twins, so the query PLANTS
+    * them (d09's convention): every batch doc with doc_id % 20 == 3 gets a
+    * corpus twin at doc_id + 2,000,000 that differs only by case/whitespace
+    * — the canonicalization must collapse exactly those pairs. */
+  private val d16: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val isNew = col("doc_id") % 10 === 3
+    def canon(c: Column) =
+      md5(regexp_replace(lower(trim(c)), " +", " "))
+    val batch = d.filter(isNew)
+      .select(col("doc_id").as("nid"), canon(col("text")).as("h"))
+      .withColumn("hl", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+    val planted = d.filter(col("doc_id") % 20 === 3)
+      .select((col("doc_id") + 2000000L).as("oid"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+    val corpus = d.filter(!isNew).select(col("doc_id").as("oid"), col("text"))
+      .unionAll(planted)
+      .select(col("oid"), canon(col("text")).as("h"))
+      .withColumn("hl", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+    // driver-held filter over the bounded batch; ~1.2 KB per 1k keys at 1% fpp
+    val bf = batch.stat.bloomFilter("hl", math.max(batch.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    val candidates = corpus
+      .filter(expr(s"graft_bloom_contains(unbase64('$b64'), hl)"))
+    // candidates ~ true matches + fpp·corpus — small, so the confirm join
+    // broadcasts THEM back onto the batch (the left side of a left-outer
+    // join cannot be the broadcast side)
+    batch.select(col("nid"), col("h"))
+      .join(broadcast(candidates.select(col("oid"), col("h"))), Seq("h"), "left")
+      .groupBy(col("nid"))
+      .agg(min(col("oid")).as("first_dup_of"), count(col("oid")).as("n_dups"))
+      .psort(col("nid"))
+  }
+
+  private val d16Sql =
+    """WITH batch AS (
+      |  SELECT doc_id AS nid,
+      |    MD5(REGEXP_REPLACE(LOWER(TRIM(text)), ' +', ' ', 'g')) AS h
+      |  FROM documents WHERE doc_id % 10 = 3),
+      |corpus AS (
+      |  SELECT doc_id AS oid, text FROM documents WHERE doc_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, UPPER(text) || '  '
+      |  FROM documents WHERE doc_id % 20 = 3),
+      |ch AS (
+      |  SELECT oid,
+      |    MD5(REGEXP_REPLACE(LOWER(TRIM(text)), ' +', ' ', 'g')) AS h
+      |  FROM corpus)
+      |SELECT nid, MIN(oid) AS first_dup_of,
+      |  COUNT(oid) AS n_dups
+      |FROM batch LEFT JOIN ch USING (h)
+      |GROUP BY nid ORDER BY nid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d16_bloom_prefilter" -> d16,
     "d15_dedup_report" -> d15,
     "d14_winnow_dedup" -> d14,
     "d13_containment_dedup" -> d13,
@@ -963,6 +1036,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d16_bloom_prefilter" -> d16Sql,
     "d15_dedup_report" -> d15Sql,
     "d14_winnow_dedup" -> d14Sql,
     "d13_containment_dedup" -> d13Sql,
