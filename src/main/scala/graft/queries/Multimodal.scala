@@ -496,6 +496,70 @@ object Multimodal {
       | CAST(LIST_MAX([ABS((i * 13 + doc_id) % 2001 - 1000) FOR i IN RANGE(nf * ch)]) AS INTEGER) AS peak
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Framewise audio feature row: fixed 100-frame windows over channel 0 of
+    * the decoded PCM — the feature-extract stage of an audio pipeline
+    * (VAD/energy gating, silence trimming run on exactly these stats). */
+  case class AudioFrameStats(doc_id: Long, n_windows: Long,
+                             zero_crossings: Long, energy_total: Long,
+                             peak_win_energy: Long)
+
+  private def audioFramesOne(r: MediaPayload): AudioFrameStats = {
+    val a = AudioCodecs.decodeWav(r.data)
+    val ch = a.channels
+    val nf = a.samples.length / ch
+    var zc = 0L; var tot = 0L; var peak = 0L; var win = 0L
+    var prev = 0
+    var j = 0
+    while (j < nf) {
+      val v = a.samples(j * ch).toInt // channel 0 of the interleaved PCM
+      if (j > 0 && prev * v < 0) zc += 1
+      val e = v.toLong * v
+      tot += e
+      win += e
+      if (j % 100 == 99 || j == nf - 1) { if (win > peak) peak = win; win = 0L }
+      prev = v
+      j += 1
+    }
+    AudioFrameStats(r.doc_id, (nf + 99) / 100, zc, tot, peak)
+  }
+
+  /** m09: framewise audio features (zero-crossing count, total and peak
+    * 100-frame-window energy) computed from the REAL AudioCodecs PCM decode
+    * of the WAV fixture — the feature-extraction stage downstream of m07's
+    * container parse. Integer-exact end to end; the oracle replays the
+    * fixture's closed-form sample series, so any decode, interleave-stride,
+    * or windowing mis-step diverges. Map-only: the shape that fans out to
+    * billions of clips with zero shuffle. */
+  private val m09: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[AudioFrameStats] = Encoders.product[AudioFrameStats]
+    audioTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(audioFramesOne)).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m09Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch, 500 + doc_id % 250 AS nf
+      |  FROM documents WHERE doc_id <= 100),
+      |s AS (
+      |  SELECT doc_id, j, (j * ch * 13 + doc_id) % 2001 - 1000 AS v
+      |  FROM g, UNNEST(RANGE(nf)) t(j)),
+      |zc AS (
+      |  SELECT doc_id, COUNT(*) FILTER (WHERE pv * v < 0) AS z
+      |  FROM (SELECT doc_id, v,
+      |          LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv FROM s)
+      |  GROUP BY doc_id),
+      |wins AS (SELECT doc_id, j // 100 AS w, SUM(v * v) AS we
+      |         FROM s GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, COUNT(*) AS nw, SUM(we) AS tot, MAX(we) AS pk
+      |        FROM wins GROUP BY doc_id)
+      |SELECT a.doc_id, CAST(nw AS BIGINT) AS n_windows,
+      | CAST(z AS BIGINT) AS zero_crossings,
+      | CAST(tot AS BIGINT) AS energy_total,
+      | CAST(pk AS BIGINT) AS peak_win_energy
+      |FROM agg a JOIN zc z USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01,
     "m02_image_decode" -> m02,
@@ -504,7 +568,8 @@ object Multimodal {
     "m05_image_features" -> m05,
     "m06_source_profile" -> m06,
     "m07_audio_decode" -> m07,
-    "m08_image_phash" -> m08)
+    "m08_image_phash" -> m08,
+    "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
@@ -514,5 +579,6 @@ object Multimodal {
     "m05_image_features" -> m05Sql,
     "m06_source_profile" -> m06Sql,
     "m07_audio_decode" -> m07Sql,
-    "m08_image_phash" -> m08Sql)
+    "m08_image_phash" -> m08Sql,
+    "m09_audio_frames" -> m09Sql)
 }

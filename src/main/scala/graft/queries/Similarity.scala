@@ -845,7 +845,40 @@ object Similarity {
        | ROUND(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** s14: RANGE (radius) search — the dual of top-k retrieval: ALL
+    * same-label candidates within a cosine threshold of each query vector,
+    * the primitive behind "find every near-duplicate of this example" and
+    * similarity-threshold joins. Same label-blocked candidate generation as
+    * s02 (block equi-join, never all-pairs); the threshold filter replaces
+    * the top-k window, so beyond the block join the plan is shuffle-free —
+    * at 100 TB results stream straight out of the join, and the per-query
+    * result size is data-determined, not k-capped. Threshold applies to the
+    * UNROUNDED cosine (bit-identical across engines — graft_cosine's
+    * in-order fold), so the boundary cut is exact. */
+  private val s14: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("label"), col("embedding").as("ce"))
+    q.join(c, Seq("label"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"), col("cid"))
+  }
+
+  private val s14Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, label, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT qid, c.vec_id AS cid, ${cosineSql("qe", "c.embedding")} AS cos
+       |  FROM q JOIN embeddings c ON q.label = c.label AND qid <> c.vec_id)
+       |SELECT qid, cid, ROUND(cos, 6) AS cosine
+       |FROM scored WHERE cos >= 0.25 ORDER BY qid, cid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s14_range_search" -> s14,
     "s13_ivf_incremental" -> s13,
     "s12_pq_rerank" -> s12,
     "s11_pq_recall" -> s11,
@@ -861,6 +894,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s14_range_search" -> s14Sql,
     "s13_ivf_incremental" -> s13Sql,
     "s12_pq_rerank" -> s12Sql,
     "s11_pq_recall" -> s11Sql,
