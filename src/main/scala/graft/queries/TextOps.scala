@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import QueryHelpers._
 
@@ -551,28 +553,36 @@ object TextOps {
   // is a pure in-row native fold over each document's bigrams —
   // map-only, no per-doc shuffle, no second explode. (The first cut scored
   // via explode + join + re-aggregate: 2.4 s at sf0.1 vs ~0.3 s for this.)
-  private val x13: Q = (s, dir) => {
-    val d = t(s, dir, "documents").filter(length(col("text")) >= 2)
-    val counts = d.select(explode(expr("graft_char_grams(text, 2)")).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-    val model = counts
-      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
-      .select(col("bg"),
-        round(-log(col("cnt").cast("double") / col("total").cast("double"))
-          * 1000000.0).cast("long").as("nll_micro"))
-      .agg(map_from_entries(collect_list(struct(col("bg"), col("nll_micro"))))
-        .as("m"))
-    // graft_lm_fold = the aggregate/element_at composition fused into one
-    // native call with a hash-indexed model (element_at on a map is a
-    // linear scan per lookup — O(|doc|·|model|) interpreted, the hot cost)
-    d.crossJoin(broadcast(model))
-      .select(col("doc_id"),
-        (length(col("text")) - 1).cast("long").as("n_bigrams"),
-        expr("graft_lm_fold(text, m)").as("total_nll_micronats"))
-      .select(col("doc_id"), col("n_bigrams"), col("total_nll_micronats"),
-        expr("total_nll_micronats div n_bigrams").as("avg_nll_micronats"))
-      .psort(col("doc_id"))
-  }
+  /** Shared LM-scoring pass (x13 emits it verbatim; x24 buckets and samples
+    * on it) — one model build + one scoring scan per sf dir, persisted:
+    * the d02/d13 shared-candidate-pass lifecycle applied to quality
+    * scoring. */
+  private def lmScored(s: SparkSession, dir: String): DataFrame =
+    memoized(s"lmscore:$dir") {
+      val d = t(s, dir, "documents").filter(length(col("text")) >= 2)
+      val counts = d.select(explode(expr("graft_char_grams(text, 2)")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      val model = counts
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .select(col("bg"),
+          round(-log(col("cnt").cast("double") / col("total").cast("double"))
+            * 1000000.0).cast("long").as("nll_micro"))
+        .agg(map_from_entries(collect_list(struct(col("bg"), col("nll_micro"))))
+          .as("m"))
+      // graft_lm_fold = the aggregate/element_at composition fused into one
+      // native call with a hash-indexed model (element_at on a map is a
+      // linear scan per lookup — O(|doc|·|model|) interpreted, the hot cost)
+      d.crossJoin(broadcast(model))
+        .select(col("doc_id"),
+          (length(col("text")) - 1).cast("long").as("n_bigrams"),
+          expr("graft_lm_fold(text, m)").as("total_nll_micronats"))
+        .select(col("doc_id"), col("n_bigrams"), col("total_nll_micronats"),
+          expr("total_nll_micronats div n_bigrams").as("avg_nll_micronats"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val x13: Q = (s, dir) =>
+    lmScored(s, dir).psort(col("doc_id"))
 
   private val x13Sql =
     """WITH ex AS (
@@ -1264,7 +1274,67 @@ object TextOps {
        |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- x24: perplexity-bucketed sampling ----------------------------------
+  /** x24: perplexity-bucketed quality sampling — the curation step that sits
+    * on top of x13's LM scores: documents are quartile-bucketed by mean NLL
+    * (bucket 1 = most natural text) and down-sampled with per-bucket keep
+    * rates (1000/500/250/125 permille) by deterministic md5 hash, so the
+    * output mixture keeps proportionally more of the high-quality tail.
+    * Reuses the persisted x13 scoring pass (shared-pass lifecycle).
+    *
+    * NTILE here runs over one global window of (doc_id, score) scalars —
+    * fine for the gate; the 100 TB spelling swaps it for approx-quantile
+    * cutpoints computed in one pass and broadcast as a CASE expression (the
+    * bucketing then stays map-only), trading exact quartile boundaries for
+    * no global sort. Documented, not silently assumed. */
+  private val x24: Q = (s, dir) => {
+    val w = Window.orderBy(col("avg_nll_micronats"), col("doc_id"))
+    val rate = expr(
+      "CASE bucket WHEN 1 THEN 1000 WHEN 2 THEN 500 WHEN 3 THEN 250 ELSE 125 END")
+    lmScored(s, dir)
+      .withColumn("bucket", ntile(4).over(w).cast("long"))
+      .withColumn("keep",
+        (md5i(concat(lit("ppl:"), col("doc_id"))) % 1000 < rate)
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+        min(col("avg_nll_micronats")).as("nll_lo"),
+        max(col("avg_nll_micronats")).as("nll_hi"))
+      .psort(col("bucket"))
+  }
+
+  private val x24Sql =
+    s"""WITH ex AS (
+       |  SELECT doc_id, UNNEST([SUBSTR(text, i, 2) FOR i IN RANGE(1, LEN(text))]) AS bg
+       |  FROM documents WHERE LEN(text) >= 2),
+       |model AS (
+       |  SELECT bg,
+       |    CAST(ROUND(-LN(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM ex)::DOUBLE)
+       |      * 1000000.0) AS BIGINT) AS nll_micro
+       |  FROM ex GROUP BY bg),
+       |docbg AS (SELECT doc_id, bg, COUNT(*) AS k FROM ex GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.doc_id,
+       |    CAST(SUM(d.k * m.nll_micro) AS BIGINT) // CAST(SUM(d.k) AS BIGINT)
+       |      AS avg_nll
+       |  FROM docbg d JOIN model m ON d.bg = m.bg GROUP BY d.doc_id),
+       |b AS (
+       |  SELECT doc_id, avg_nll,
+       |    CAST(NTILE(4) OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
+       |  FROM scored),
+       |k AS (
+       |  SELECT bucket, avg_nll,
+       |    CASE WHEN ${md5iSql("'ppl:' || doc_id")} % 1000 <
+       |      CASE bucket WHEN 1 THEN 1000 WHEN 2 THEN 500
+       |                  WHEN 3 THEN 250 ELSE 125 END
+       |    THEN 1 ELSE 0 END AS keep
+       |  FROM b)
+       |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+       | MIN(avg_nll) AS nll_lo, MAX(avg_nll) AS nll_hi
+       |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x24_ppl_bucket_sample" -> x24,
     "x23_quality_filter" -> x23,
     "x22_bpe_encode" -> x22,
     "x21_cms_heavy_hitters" -> x21,
@@ -1290,6 +1360,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x24_ppl_bucket_sample" -> x24Sql,
     "x23_quality_filter" -> x23Sql,
     "x22_bpe_encode" -> x22Sql,
     "x21_cms_heavy_hitters" -> x21Sql,
