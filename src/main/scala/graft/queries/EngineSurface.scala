@@ -228,7 +228,62 @@ object EngineSurface {
       |UNPIVOT q84_orders ON total, dblkey INTO NAME metric VALUE v
       |ORDER BY o_orderkey, metric""".stripMargin
 
+  /** q86: CSV sink round-trip — q75's contract for the engine's
+    * `COPY … TO … (FORMAT csv)` path (Engine.writeTo): values survive the
+    * text serialization (header row, decimal rendering, ISO dates) and cast
+    * back to their exact originals. Read-back casts are explicit — CSV
+    * carries no types, so the round-trip pins the TEXT form each type
+    * writes. The oracle runs the inner SELECT directly. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_copy_csv_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val engine = new Engine(s)
+    engine.sql(
+      s"""COPY (SELECT o_orderkey, o_orderpriority,
+         |      CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2)) AS price,
+         |      o_orderdate
+         |      FROM '$dir/orders.parquet' WHERE o_orderkey <= 1000)
+         |TO '$out' (FORMAT csv)""".stripMargin)
+    engine.close()
+    s.read.option("header", "true").csv(out)
+      .select(col("o_orderkey").cast("long"),
+        col("o_orderpriority"),
+        col("price").cast("decimal(12,2)").cast("double").as("price"),
+        col("o_orderdate").cast("timestamp"))
+  }
+
+  private val q86Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |       CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price, o_orderdate
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
+  /** q87: JSON sink round-trip — the same contract for `FORMAT json`
+    * (line-delimited JSON, the reference's primary output format:
+    * README.md:119-123). Schema is pinned on read (no inference pass), so
+    * the gate covers the writer's field naming, number rendering, and date
+    * encoding. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_copy_json_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val engine = new Engine(s)
+    engine.sql(
+      s"""COPY (SELECT o_orderkey, o_orderpriority,
+         |      CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2)) AS price,
+         |      o_orderdate
+         |      FROM '$dir/orders.parquet' WHERE o_orderkey <= 1000)
+         |TO '$out' (FORMAT json)""".stripMargin)
+    engine.close()
+    s.read.schema("o_orderkey BIGINT, o_orderpriority STRING, " +
+        "price DECIMAL(12,2), o_orderdate TIMESTAMP").json(out)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("price").cast("double").as("price"), col("o_orderdate"))
+  }
+
+  private val q87Sql = q86Sql
+
   val queries: Map[String, Q] = Map(
+    "q86_copy_csv" -> (q86 _),
+    "q87_copy_json" -> (q87 _),
     "q75_copy_roundtrip" -> (q75 _),
     "q76_union_avro" -> (q76 _),
     "q77_from_first" -> (q77 _),
@@ -239,6 +294,8 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q86_copy_csv" -> q86Sql,
+    "q87_copy_json" -> q87Sql,
     "q77_from_first" -> q77Sql,
     "q78_columns_regex" -> q78Sql,
     "q81_asof_sql" -> q81Sql,
