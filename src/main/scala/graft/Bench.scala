@@ -105,10 +105,23 @@ object Bench {
       val p = name.takeWhile(_ != '_')
       if (prefixes(p).size == 1) p else name
     }
-    val shortQs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v, 2) }
-      .mkString("{", ",", "}")
-    val summary =
+    // Trailing zeros carry no information at summary precision — "0.50"
+    // renders "0.5", "1.00" renders "1" (still strict JSON numbers). If the
+    // suite grows the line past the 2 KB window anyway, degrade to 1 dp
+    // rather than risk the driver's bounded-tail parse (detail keeps 3 dp).
+    def trim(s: String): String =
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    def render(dp: Int): String = {
+      val shortQs = results
+        .map { case (k, v) => "\"" + shortKey(k) + "\":" + trim(f(v, dp)) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$shortQs,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    val summary2 = render(2)
+    val summary = if (summary2.length < 2048) summary2 else render(1)
     (detail, summary)
   }
 }

@@ -39,7 +39,11 @@ object PlanDump {
     "x21_cms_heavy_hitters" -> "CMS build is one bounded shuffle (map-side partials absorb the explode); the 2048-cell sketch broadcasts",
     "x22_bpe_encode" -> "merges apply to the bounded distinct-word dictionary; the (word -> n_tokens) dictionary broadcasts back onto the corpus explode",
     "s13_ivf_incremental" -> "batch assigns against the broadcast centroid table (O(batch), corpus index untouched); augmented search stays a cell equi-join",
-    "d13_containment_dedup" -> "scores the SAME persisted candidate-pair frame d02 builds (InMemoryTableScan) — one candidate pass, two policies")
+    "d13_containment_dedup" -> "scores the SAME persisted candidate-pair frame d02 builds (InMemoryTableScan) — one candidate pass, two policies",
+    "d16_bloom_prefilter" -> "batch Bloom filter rides the plan as one binary literal and is pushed into the corpus scan's DataFilters — rows drop at the source; confirm join broadcasts the surviving candidates",
+    "m09_audio_frames" -> "framewise features over the real PCM decode: typed map-only stage, only the presentation sort shuffles",
+    "s14_range_search" -> "radius search is the s02 block equi-join with the threshold filter replacing the top-k window — shuffle-free past the join",
+    "x24_ppl_bucket_sample" -> "reuses the persisted x13 scoring pass (InMemoryTableScan); one bounded scalar window for NTILE, then a 4-row aggregation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
