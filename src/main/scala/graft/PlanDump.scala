@@ -43,7 +43,9 @@ object PlanDump {
     "d16_bloom_prefilter" -> "batch Bloom filter rides the plan as one binary literal and is pushed into the corpus scan's DataFilters — rows drop at the source; confirm join broadcasts the surviving candidates",
     "m09_audio_frames" -> "framewise features over the real PCM decode: typed map-only stage, only the presentation sort shuffles",
     "s14_range_search" -> "radius search is the s02 block equi-join with the threshold filter replacing the top-k window — shuffle-free past the join",
-    "x24_ppl_bucket_sample" -> "reuses the persisted x13 scoring pass (InMemoryTableScan); one bounded scalar window for NTILE, then a 4-row aggregation")
+    "x24_ppl_bucket_sample" -> "reuses the persisted x13 scoring pass (InMemoryTableScan); one bounded scalar window for NTILE, then a 4-row aggregation",
+    "s15_mmr_diversify" -> "greedy MMR unrolled over the bounded persisted shortlist: block top-k once, 8x8 pairwise-sim self-join, three argmax windows — corpus is touched exactly once",
+    "x25_packing_curve" -> "one shard-partitioned cumulative-sum window over the corpus; the three context sizes fan out map-only from the persisted cum frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

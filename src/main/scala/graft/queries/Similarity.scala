@@ -877,7 +877,122 @@ object Similarity {
        |SELECT qid, cid, ROUND(cos, 6) AS cosine
        |FROM scored WHERE cos >= 0.25 ORDER BY qid, cid""".stripMargin
 
+  /** s15: MMR-diversified retrieval (maximal marginal relevance, λ=0.7) —
+    * the re-rank RAG retrieval runs so the returned set isn't three copies
+    * of the same near-duplicate: greedy picks maximize
+    * λ·rel(q,c) − (1−λ)·max sim(c, picked). Three picks from an 8-candidate
+    * block shortlist, unrolled as three deterministic argmax rounds
+    * (score desc, cid asc) — the greedy loop runs over the BOUNDED
+    * shortlist (8 rows/query after the block top-k), never the corpus, so
+    * at 100 TB the added cost over plain top-k is the 8×8 pairwise-sim
+    * join per query. All scores derive from the bit-identical native
+    * cosine, so the oracle replays the greedy exactly. */
+  private val s15: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("label"), col("embedding").as("ce"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val shortl = memoized(s"s15shortl:$dir")(
+      q.join(c, Seq("label"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), col("ce"),
+          expr(cosineExpr("qe", "ce")).as("cos"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 8)
+        .select(col("qid"), col("cid"), col("ce"), col("cos").as("rel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pair = shortl.as("a").join(shortl.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.qid").as("qid"), col("a.cid").as("cid"),
+        col("b.cid").as("oc"), expr(cosineExpr("a.ce", "b.ce")).as("sim"))
+    def pairTo(pick: String) = pair
+      .select(col("qid"), col("cid"), col("oc").as(pick),
+        col("sim").as(s"sim_$pick"))
+    def argmax(df: DataFrame, score: Column): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(score.desc, col("cid"))
+      df.withColumn("mmr", score)
+        .withColumn("arn", row_number().over(w)).filter(col("arn") === 1)
+    }
+    val p1 = argmax(shortl, col("rel"))
+      .select(col("qid"), col("cid").as("c1"), col("mmr").as("score1"))
+    val p2 = argmax(
+      shortl.join(p1.select(col("qid"), col("c1")), Seq("qid"))
+        .filter(col("cid") =!= col("c1"))
+        .join(pairTo("c1"), Seq("qid", "cid", "c1")),
+      lit(0.7) * col("rel") - lit(0.3) * col("sim_c1"))
+      .select(col("qid"), col("cid").as("c2"), col("mmr").as("score2"))
+    val p3 = argmax(
+      shortl.join(p1.select(col("qid"), col("c1")), Seq("qid"))
+        .join(p2.select(col("qid"), col("c2")), Seq("qid"))
+        .filter(col("cid") =!= col("c1") && col("cid") =!= col("c2"))
+        .join(pairTo("c1"), Seq("qid", "cid", "c1"))
+        .join(pairTo("c2"), Seq("qid", "cid", "c2")),
+      lit(0.7) * col("rel") - lit(0.3) * greatest(col("sim_c1"), col("sim_c2")))
+      .select(col("qid"), col("cid").as("c3"), col("mmr").as("score3"))
+    p1.select(col("qid"), lit(1L).as("pick"), col("c1").as("cid"),
+        round(col("score1"), 6).as("score"))
+      .unionAll(p2.select(col("qid"), lit(2L).as("pick"), col("c2").as("cid"),
+        round(col("score2"), 6).as("score")))
+      .unionAll(p3.select(col("qid"), lit(3L).as("pick"), col("c3").as("cid"),
+        round(col("score3"), 6).as("score")))
+      .psort(col("qid"), col("pick"))
+  }
+
+  private val s15Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, label, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 5),
+       |sc AS (
+       |  SELECT qid, c.vec_id AS cid, ${cosineSql("qe", "c.embedding")} AS cos
+       |  FROM q JOIN embeddings c ON q.label = c.label AND qid <> c.vec_id),
+       |shortl AS (
+       |  SELECT qid, cid, cos AS rel FROM (
+       |    SELECT qid, cid, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |    FROM sc) WHERE rn <= 8),
+       |pair AS (
+       |  SELECT a.qid, a.cid, b.cid AS oc,
+       |    ${cosineSql("ea.embedding", "eb.embedding")} AS sim
+       |  FROM shortl a JOIN shortl b ON a.qid = b.qid AND a.cid <> b.cid
+       |  JOIN embeddings ea ON ea.vec_id = a.cid
+       |  JOIN embeddings eb ON eb.vec_id = b.cid),
+       |p1 AS (
+       |  SELECT qid, cid AS c1, rel AS score1 FROM (
+       |    SELECT qid, cid, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |    FROM shortl) WHERE rn = 1),
+       |s2 AS (
+       |  SELECT r.qid, r.cid,
+       |    0.7::DOUBLE * r.rel - 0.3::DOUBLE * p.sim AS score
+       |  FROM shortl r JOIN p1 ON r.qid = p1.qid AND r.cid <> p1.c1
+       |  JOIN pair p ON p.qid = r.qid AND p.cid = r.cid AND p.oc = p1.c1),
+       |p2 AS (
+       |  SELECT qid, cid AS c2, score AS score2 FROM (
+       |    SELECT qid, cid, score,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |    FROM s2) WHERE rn = 1),
+       |s3 AS (
+       |  SELECT r.qid, r.cid,
+       |    0.7::DOUBLE * r.rel
+       |      - 0.3::DOUBLE * GREATEST(pa.sim, pb.sim) AS score
+       |  FROM shortl r
+       |  JOIN p1 ON r.qid = p1.qid
+       |  JOIN p2 ON r.qid = p2.qid
+       |  JOIN pair pa ON pa.qid = r.qid AND pa.cid = r.cid AND pa.oc = p1.c1
+       |  JOIN pair pb ON pb.qid = r.qid AND pb.cid = r.cid AND pb.oc = p2.c2
+       |  WHERE r.cid <> p1.c1 AND r.cid <> p2.c2),
+       |p3 AS (
+       |  SELECT qid, cid AS c3, score AS score3 FROM (
+       |    SELECT qid, cid, score,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |    FROM s3) WHERE rn = 1)
+       |SELECT qid, CAST(1 AS BIGINT) AS pick, c1 AS cid,
+       |       ROUND(score1, 6) AS score FROM p1
+       |UNION ALL SELECT qid, 2, c2, ROUND(score2, 6) FROM p2
+       |UNION ALL SELECT qid, 3, c3, ROUND(score3, 6) FROM p3
+       |ORDER BY qid, pick""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s15_mmr_diversify" -> s15,
     "s14_range_search" -> s14,
     "s13_ivf_incremental" -> s13,
     "s12_pq_rerank" -> s12,
@@ -894,6 +1009,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s15_mmr_diversify" -> s15Sql,
     "s14_range_search" -> s14Sql,
     "s13_ivf_incremental" -> s13Sql,
     "s12_pq_rerank" -> s12Sql,

@@ -396,7 +396,56 @@ object Streaming {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  /** q88: stream-STATIC enrichment join through the real runtime — the
+    * third join topology after batch (q50) and stream-stream (q85): an
+    * event stream joined per micro-batch against a STATIC dimension table
+    * (customer), the canonical "enrich the firehose with reference data"
+    * shape. Stateless by construction (no join state, no watermark — the
+    * static side is re-broadcast into each micro-batch), so the streamed
+    * result provably equals the batch join, which the oracle pins. At
+    * scale the static side is the broadcast dimension and the stream never
+    * shuffles for the join. Same driver hygiene as q74/q85 (capped slice,
+    * sink dropped, suite-end state teardown). */
+  private val q88Counter = new java.util.concurrent.atomic.AtomicInteger()
+  private val q88: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val rows = cappedSlice(t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .select(col("event_id"), col("user_id"), col("value")))
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.lang.Double](2)))
+      .toSeq
+    val ms = MemoryStream[(Long, Long, java.lang.Double)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a)
+    ms.addData(b)
+    val stream = ms.toDF().toDF("event_id", "user_id", "value")
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val joined = stream.join(broadcast(dim),
+        stream("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"), col("value"))
+    val sink = "q88_sink_" + q88Counter.incrementAndGet()
+    val result = graft.streaming.StreamingOps
+      .snapshotToTable(joined, sink, "append", statePartitions = 4)
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
+      result.schema)
+    s.catalog.dropTempView(sink)
+    local.psort(col("event_id"))
+  }
+
+  private val q88Sql =
+    """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.user_id < 10
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q88_stream_static_join" -> q88,
     "q85_stream_stream_join" -> q85,
     "q80_stream_custom_state" -> q80,
     "q79_stream_dedup" -> q79,
@@ -409,6 +458,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q88_stream_static_join" -> q88Sql,
     "q85_stream_stream_join" -> q85Sql,
     "q80_stream_custom_state" -> q80Sql,
     "q79_stream_dedup" -> q79Sql,

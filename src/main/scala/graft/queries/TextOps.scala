@@ -1333,7 +1333,69 @@ object TextOps {
        | MIN(avg_nll) AS nll_lo, MAX(avg_nll) AS nll_hi
        |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---- x25: context-length packing-efficiency curve ------------------------
+  /** x25: the sizing study run before committing to a context length — x10's
+    * greedy start-offset packing evaluated at 128/256/512-token contexts in
+    * ONE pass: per (context, source, shard) the bin count is max(bin)+1, the
+    * curve reports total bins, capacity (bins × context) and utilization
+    * (docs straddling a boundary stay in their start bin, so per-bin tokens
+    * may exceed the context and utilization may top 1 — the same convention
+    * the oracle replays). The cumulative-sum window runs ONCE over the
+    * corpus (shard-partitioned, no global order) and the three context
+    * sizes fan out map-only from it. */
+  private val x25: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), col("source"),
+      pmod(col("doc_id"), lit(4)).as("shard"),
+      size(split(col("text"), " +")).cast("long").as("tok"))
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = toks.withColumn("cum", sum(col("tok")).over(w))
+    cum.withColumn("ctx", explode(array(lit(128L), lit(256L), lit(512L))))
+      .withColumn("bin",
+        floor((col("cum") - col("tok")) / col("ctx").cast("double")).cast("long"))
+      .groupBy(col("ctx"), col("source"), col("shard"))
+      .agg((max(col("bin")) + 1L).as("n_bins"), sum(col("tok")).as("toks"),
+        count(lit(1)).as("nd"))
+      .groupBy(col("ctx"))
+      .agg(sum(col("n_bins")).as("total_bins"), sum(col("toks")).as("total_tokens"),
+        sum(col("nd")).as("n_docs"))
+      .select(col("ctx"), col("total_bins"), col("total_tokens"), col("n_docs"),
+        (col("total_bins") * col("ctx")).as("capacity"),
+        (col("total_tokens").cast("double") /
+          (col("total_bins") * col("ctx")).cast("double")).as("utilization"))
+      .psort(col("ctx"))
+  }
+
+  private val x25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, doc_id % 4 AS shard,
+      |    LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS tok
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, source, shard, tok,
+      |    SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+      |                   ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM toks),
+      |binned AS (
+      |  SELECT ctx, source, shard, tok,
+      |    CAST(FLOOR((cum - tok) / ctx::DOUBLE) AS BIGINT) AS bin
+      |  FROM cum, UNNEST([128, 256, 512]) t(ctx)),
+      |per AS (
+      |  SELECT ctx, source, shard, MAX(bin) + 1 AS n_bins,
+      |    CAST(SUM(tok) AS BIGINT) AS toks, COUNT(*) AS nd
+      |  FROM binned GROUP BY 1, 2, 3)
+      |SELECT CAST(ctx AS BIGINT) AS ctx,
+      | CAST(SUM(n_bins) AS BIGINT) AS total_bins,
+      | CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      | CAST(SUM(nd) AS BIGINT) AS n_docs,
+      | CAST(SUM(n_bins) * ctx AS BIGINT) AS capacity,
+      | CAST(SUM(toks) AS BIGINT)::DOUBLE
+      |   / CAST(SUM(n_bins) * ctx AS BIGINT)::DOUBLE AS utilization
+      |FROM per GROUP BY ctx ORDER BY ctx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x25_packing_curve" -> x25,
     "x24_ppl_bucket_sample" -> x24,
     "x23_quality_filter" -> x23,
     "x22_bpe_encode" -> x22,
@@ -1360,6 +1422,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x25_packing_curve" -> x25Sql,
     "x24_ppl_bucket_sample" -> x24Sql,
     "x23_quality_filter" -> x23Sql,
     "x22_bpe_encode" -> x22Sql,
