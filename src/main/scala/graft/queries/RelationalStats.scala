@@ -247,7 +247,98 @@ object RelationalStats {
       |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
   private val q73 = sql(q73Text)
 
+  /** q89: time-series gap filling + last-observation-carried-forward — the
+    * densification every monitoring/feature pipeline runs before a model
+    * sees the series: per user, the hourly grid from first to last event is
+    * generated (`sequence`/`GENERATE_SERIES`), present hours aggregate
+    * exactly (decimal sums), missing hours fill with n=0 and the value
+    * carried forward by an IGNORE NULLS running last. One shuffle on
+    * (user, hour) for the aggregate, one partition-local window for the
+    * fill — the grid explode is map-only from the per-user bounds, so at
+    * scale the plan stays linear in (users × grid length). */
+  private val q89: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").filter(col("user_id") < 5)
+      .withColumn("h", date_trunc("hour", col("ts")))
+    val agg = e.groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(round(sum(dec2(col("value"))), 2)).as("v"))
+    val bounds = e.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val series = bounds.select(col("user_id"),
+      explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.join(agg, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
+      .psort(col("user_id"), col("h"))
+  }
+
+  private val q89Sql =
+    """WITH e AS (
+      |  SELECT user_id, DATE_TRUNC('hour', ts) AS h, value
+      |  FROM events WHERE user_id < 5),
+      |agg AS (
+      |  SELECT user_id, h, COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS v
+      |  FROM e GROUP BY 1, 2),
+      |b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY user_id),
+      |series AS (
+      |  SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM b)
+      |SELECT s.user_id, s.h,
+      |  COALESCE(a.n, 0) AS n_events,
+      |  LAST_VALUE(a.v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.h
+      |    ROWS UNBOUNDED PRECEDING) AS v_locf
+      |FROM series s LEFT JOIN agg a ON s.user_id = a.user_id AND s.h = a.h
+      |ORDER BY s.user_id, s.h""".stripMargin
+
+  /** q90: SCD type-2 dimension build — consecutive-duplicate collapse plus
+    * validity intervals, the warehouse pattern for "what was this entity's
+    * state at time t": per user, runs of the same event_type collapse to
+    * one versioned row with valid_from/valid_to = [first ts, next change)
+    * and an is_current flag on the open interval. Two windows over the
+    * same (user) partitioning — one shuffle total; ties broken by event_id
+    * so the versioning is deterministic under duplicate timestamps. */
+  private val q90: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").filter(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = e.withColumn("prev", lag(col("event_type"), 1).over(wo))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes.select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(wo).as("valid_to"),
+        row_number().over(wo).cast("long").as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .psort(col("user_id"), col("version"))
+  }
+
+  private val q90Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type
+      |  FROM events WHERE user_id < 50),
+      |c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM e),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, event_type FROM c
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM ch ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q89_gap_fill" -> q89,
+    "q90_scd2" -> q90,
     "q65_stats_moments" -> q65,
     "q66_higher_order" -> q66,
     "q67_interval_arith" -> q67,
@@ -258,6 +349,8 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q89_gap_fill" -> q89Sql,
+    "q90_scd2" -> q90Sql,
     "q65_stats_moments" -> q65Text,
     "q66_higher_order" -> q66Sql,
     "q67_interval_arith" -> q67Text,

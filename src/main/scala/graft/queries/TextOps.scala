@@ -1394,7 +1394,52 @@ object TextOps {
       |   / CAST(SUM(n_bins) * ctx AS BIGINT)::DOUBLE AS utilization
       |FROM per GROUP BY ctx ORDER BY ctx""".stripMargin
 
+  // ---- x26: curriculum ordering (length tiers, source-interleaved) --------
+  /** x26: deterministic curriculum ordering — the data-ORDER op of a
+    * training pipeline: documents are terciled by length (short-to-long
+    * curriculum), and within each tier the sources are round-robin
+    * interleaved (pos-major) so no contiguous run comes from one source.
+    * The full ordering is reproducible from the data alone; the gate emits
+    * the first 200 positions. Tier/rank windows run over bounded scalar
+    * rows for the gate — the 100 TB spelling replaces the global NTILE
+    * with broadcast quantile cutpoints (x24's note) and the final rank
+    * with a range-partitioned sort key, both documented, neither changing
+    * the order. */
+  private val x26: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val wt = Window.orderBy(col("n_chars"), col("doc_id"))
+    val tiered = d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("tier", ntile(3).over(wt).cast("long"))
+    val wrr = Window.partitionBy(col("tier"), col("source")).orderBy(col("doc_id"))
+    val ranked = tiered.withColumn("pos", row_number().over(wrr).cast("long"))
+    val wg = Window.orderBy(col("tier"), col("pos"), col("source"), col("doc_id"))
+    ranked.withColumn("rank", row_number().over(wg).cast("long"))
+      .filter(col("rank") <= 200)
+      .select(col("rank"), col("doc_id"), col("tier"), col("source"), col("pos"))
+      .psort(col("rank"))
+  }
+
+  private val x26Sql =
+    """WITH tiered AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(NTILE(3) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tier
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, tier,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tier, source ORDER BY doc_id)
+      |      AS BIGINT) AS pos
+      |  FROM tiered),
+      |ordered AS (
+      |  SELECT rank, doc_id, tier, source, pos FROM (
+      |    SELECT doc_id, source, tier, pos,
+      |      CAST(ROW_NUMBER() OVER (ORDER BY tier, pos, source, doc_id)
+      |        AS BIGINT) AS rank
+      |    FROM ranked))
+      |SELECT rank, doc_id, tier, source, pos FROM ordered
+      |WHERE rank <= 200 ORDER BY rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x26_curriculum_order" -> x26,
     "x25_packing_curve" -> x25,
     "x24_ppl_bucket_sample" -> x24,
     "x23_quality_filter" -> x23,
@@ -1422,6 +1467,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x26_curriculum_order" -> x26Sql,
     "x25_packing_curve" -> x25Sql,
     "x24_ppl_bucket_sample" -> x24Sql,
     "x23_quality_filter" -> x23Sql,

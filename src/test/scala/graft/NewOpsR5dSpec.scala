@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Semantic properties of the round-5 fourth batch: q89 gap-fill/LOCF
+  * (dense hourly grid, conserved counts, carry-forward), q90 SCD2
+  * (tiling validity intervals, one open row per key), x26 curriculum
+  * ordering (dense ranks, tier monotonicity, interleave shape). */
+class NewOpsR5dSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("q89 grid is dense hourly per user; counts conserved; LOCF carries") {
+    val rows = SparkEntry.queries("q89_gap_fill")(spark, sfDir)
+      .orderBy(col("user_id"), col("h")).collect()
+    rows.length should be > 0
+    val src = Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") < 5)
+    rows.map(_.getAs[Long]("n_events")).sum shouldBe src.count()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val hs = rs.map(_.getAs[java.sql.Timestamp]("h").getTime).sorted
+      withClue(s"user $u") {
+        // dense hourly grid: every step is exactly one hour
+        hs.zip(hs.tail).foreach { case (a, b) => b - a shouldBe 3600000L }
+        // once a value appears it is never null again (carry-forward)
+        val vs = rs.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+          .map(r => Option(r.getAs[java.lang.Double]("v_locf")))
+        val firstDefined = vs.indexWhere(_.isDefined)
+        if (firstDefined >= 0)
+          vs.drop(firstDefined).forall(_.isDefined) shouldBe true
+      }
+    }
+  }
+
+  test("q90 SCD2 intervals tile; exactly one open row per user; no no-op versions") {
+    val rows = SparkEntry.queries("q90_scd2")(spark, sfDir)
+      .orderBy(col("user_id"), col("version")).collect()
+    rows.length should be > 0
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      withClue(s"user $u") {
+        sorted.map(_.getAs[Long]("version")).toSeq shouldBe
+          (1L to sorted.length).toSeq
+        sorted.count(_.getAs[Boolean]("is_current")) shouldBe 1
+        sorted.last.getAs[Boolean]("is_current") shouldBe true
+        sorted.zip(sorted.tail).foreach { case (a, b) =>
+          // interval end = next interval start (half-open tiling)
+          a.getAs[java.sql.Timestamp]("valid_to") shouldBe
+            b.getAs[java.sql.Timestamp]("valid_from")
+          // consecutive versions always change state
+          a.getAs[String]("event_type") should not be
+            b.getAs[String]("event_type")
+        }
+      }
+    }
+  }
+
+  test("x26 curriculum: dense ranks, tiers ascend, interleave is pos-major") {
+    val rows = SparkEntry.queries("x26_curriculum_order")(spark, sfDir)
+      .orderBy(col("rank")).collect()
+    rows.map(_.getAs[Long]("rank")).toSeq shouldBe (1L to 200L).toSeq
+    val tiers = rows.map(_.getAs[Long]("tier"))
+    tiers.zip(tiers.tail).foreach { case (a, b) => a should be <= b }
+    rows.groupBy(_.getAs[Long]("tier")).foreach { case (_, rs) =>
+      val keys = rs.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("pos"), r.getAs[String]("source")))
+      // pos-major interleave: (pos, source) strictly increases within a tier
+      keys.zip(keys.tail).foreach { case (a, b) =>
+        (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) shouldBe true
+      }
+    }
+  }
+}
