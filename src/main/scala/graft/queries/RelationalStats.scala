@@ -336,7 +336,84 @@ object RelationalStats {
       |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       |FROM ch ORDER BY user_id, version""".stripMargin
 
+  /** q91: Z-order layout clustering — the data-layout op a 100 TB lakehouse
+    * runs so multi-dimensional range predicates prune files: the low 16
+    * bits of (customer, order-day) are bit-interleaved into a Morton key,
+    * rows are range-bucketed by that key, and the report shows each
+    * bucket's span in BOTH dimensions — the evidence that co-sorting by
+    * zkey keeps both dimensions locally narrow (a single-column sort makes
+    * one span tiny and leaves the other full-width; NewOpsR5dSpec asserts
+    * the span-product win). Each dimension is quantile-normalized to an
+    * 8-bit cell rank BEFORE interleaving — production z-ordering does the
+    * same, because interleaving raw values degenerates toward a
+    * single-column sort when ranges differ. The interleave is a
+    * constant-folded bit expression (shiftleft/&, inside codegen); at scale
+    * the rank comes from approx-quantile cutpoints, the bucket assignment
+    * is `repartitionByRange(zkey)`, and this query is its audit. */
+  private def zTermsSpark(c: String, d: String): String =
+    (0 until 8).map(i =>
+      s"shiftleft(shiftright($c, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($d, $i) & 1, ${2 * i + 1})").mkString(" + ")
+
+  private def zTermsSql(c: String, d: String): String =
+    (0 until 8).map(i =>
+      s"((($c >> $i) & 1) << ${2 * i}) + ((($d >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  private val q91: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_custkey").as("cust"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)")
+          .as("day"))
+    // quantile-normalize each dimension to an 8-bit cell rank first (what
+    // production z-ordering does): interleaving RAW values loses when the
+    // dimensions span different ranges — the wider dimension owns all the
+    // significant bits and the key degenerates toward a single-column sort
+    val ranked = o
+      .withColumn("c8", (ntile(256).over(
+        Window.orderBy(col("cust"), col("o_orderkey"))) - 1).cast("long"))
+      .withColumn("d8", (ntile(256).over(
+        Window.orderBy(col("day"), col("o_orderkey"))) - 1).cast("long"))
+    val keyed = ranked.withColumn("zkey", expr(zTermsSpark("c8", "d8")))
+    val w = Window.orderBy(col("zkey"), col("o_orderkey"))
+    keyed.withColumn("bucket", ntile(16).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        (max(col("cust")) - min(col("cust"))).as("cust_span"),
+        (max(col("day")) - min(col("day"))).as("day_span"),
+        min(col("zkey")).as("zkey_lo"), max(col("zkey")).as("zkey_hi"))
+      .psort(col("bucket"))
+  }
+
+  private val q91Sql = {
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey AS cust,
+       |    CAST(DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS BIGINT) AS day
+       |  FROM orders WHERE o_orderkey <= 2000),
+       |ranked AS (
+       |  SELECT o_orderkey, cust, day,
+       |    CAST(NTILE(256) OVER (ORDER BY cust, o_orderkey) - 1 AS BIGINT) AS c8,
+       |    CAST(NTILE(256) OVER (ORDER BY day, o_orderkey) - 1 AS BIGINT) AS d8
+       |  FROM o),
+       |keyed AS (
+       |  SELECT o_orderkey, cust, day, ${zTermsSql("c8", "d8")} AS zkey
+       |  FROM ranked),
+       |b AS (
+       |  SELECT cust, day, zkey,
+       |    CAST(NTILE(16) OVER (ORDER BY zkey, o_orderkey) AS BIGINT) AS bucket
+       |  FROM keyed)
+       |SELECT bucket, COUNT(*) AS n_rows,
+       | MAX(cust) - MIN(cust) AS cust_span,
+       | MAX(day) - MIN(day) AS day_span,
+       | MIN(zkey) AS zkey_lo, MAX(zkey) AS zkey_hi
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q91_zorder_layout" -> q91,
     "q89_gap_fill" -> q89,
     "q90_scd2" -> q90,
     "q65_stats_moments" -> q65,
@@ -349,6 +426,7 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q91_zorder_layout" -> q91Sql,
     "q89_gap_fill" -> q89Sql,
     "q90_scd2" -> q90Sql,
     "q65_stats_moments" -> q65Text,

@@ -57,6 +57,33 @@ class NewOpsR5dSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q91 z-order buckets balance spans across BOTH dimensions") {
+    // At a fixed bucket count the span PRODUCT equalizes between z-order
+    // and a single-column sort (k buckets -> 1/k of the area either way);
+    // the z-order win is BALANCE: the mean normalized span over both
+    // dimensions drops, because a single-column sort leaves the unsorted
+    // dimension at ~full width — so predicates on EITHER dimension prune.
+    val rows = SparkEntry.queries("q91_zorder_layout")(spark, sfDir).collect()
+    rows.length shouldBe 16
+    val raw = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .selectExpr("o_custkey AS cust",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT) AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rc = (raw.map(_._1).max - raw.map(_._1).min).toDouble
+    val rd = (raw.map(_._2).max - raw.map(_._2).min).toDouble
+    def meanNorm(spans: Seq[(Double, Double)]): Double =
+      spans.map { case (c, d) => (c / rc + d / rd) / 2 }.sum / spans.length
+    val z = meanNorm(rows.toSeq.map(r =>
+      (r.getAs[Long]("cust_span").toDouble, r.getAs[Long]("day_span").toDouble)))
+    val naive = meanNorm(
+      raw.sortBy(_._1).grouped(math.ceil(raw.length / 16.0).toInt).map { g =>
+        ((g.map(_._1).max - g.map(_._1).min).toDouble,
+          (g.map(_._2).max - g.map(_._2).min).toDouble)
+      }.toSeq)
+    withClue(s"zorder=$z naive=$naive: ") { z should be < naive }
+  }
+
   test("x26 curriculum: dense ranks, tiers ascend, interleave is pos-major") {
     val rows = SparkEntry.queries("x26_curriculum_order")(spark, sfDir)
       .orderBy(col("rank")).collect()
