@@ -412,7 +412,67 @@ object RelationalStats {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** q92: ordered-sequence funnel (view → click → purchase within 7 days of
+    * the first view) — the product-analytics query event warehouses live
+    * on: each stage is the per-user MIN timestamp that respects the
+    * previous stage's ordering, built as three (user)-keyed aggregations
+    * chained by joins. Every join is keyed on user_id, so at scale the
+    * three stages co-partition on one key (a single shuffle ancestry, AQE
+    * broadcasts the shrinking stage frames); no window over the full event
+    * stream is needed. Conversion ratios are exact-integer divisions. */
+  private val q92: Q = (s, dir) => {
+    import org.apache.spark.sql.functions._
+    val e = t(s, dir, "events")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("v_ts") &&
+        col("ts") <= col("v_ts") + expr("interval 7 days"))
+      .groupBy(col("user_id"), col("v_ts")).agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("c_ts") &&
+        col("ts") <= col("v_ts") + expr("interval 7 days"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val nv = v.agg(count(lit(1)).as("n_view"))
+    val nc = c.agg(count(lit(1)).as("n_click"))
+    val np = p.agg(count(lit(1)).as("n_purchase"))
+    nv.crossJoin(nc).crossJoin(np)
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        (col("n_click").cast("double") / col("n_view").cast("double"))
+          .as("view_to_click"),
+        (col("n_purchase").cast("double") / col("n_click").cast("double"))
+          .as("click_to_purchase"))
+  }
+
+  private val q92Sql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, v.v_ts, MIN(e.ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |    AND e.ts <= v.v_ts + INTERVAL 7 DAY
+      |  GROUP BY e.user_id, v.v_ts),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |    AND e.ts <= c.v_ts + INTERVAL 7 DAY
+      |  GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase,
+      |  (SELECT COUNT(*) FROM c)::DOUBLE / (SELECT COUNT(*) FROM v)::DOUBLE
+      |    AS view_to_click,
+      |  (SELECT COUNT(*) FROM p)::DOUBLE / (SELECT COUNT(*) FROM c)::DOUBLE
+      |    AS click_to_purchase""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q92_funnel" -> q92,
     "q91_zorder_layout" -> q91,
     "q89_gap_fill" -> q89,
     "q90_scd2" -> q90,
@@ -426,6 +486,7 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q92_funnel" -> q92Sql,
     "q91_zorder_layout" -> q91Sql,
     "q89_gap_fill" -> q89Sql,
     "q90_scd2" -> q90Sql,

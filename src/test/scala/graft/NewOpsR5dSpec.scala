@@ -84,6 +84,36 @@ class NewOpsR5dSpec extends AnyFunSuite with Matchers {
     withClue(s"zorder=$z naive=$naive: ") { z should be < naive }
   }
 
+  test("q92 funnel counts equal an independent per-user recomputation") {
+    val r = SparkEntry.queries("q92_funnel")(spark, sfDir).collect().head
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getAs[java.sql.Timestamp](2)))
+      .groupBy(_._1)
+    val week = 7L * 24 * 3600 * 1000
+    var nv = 0L; var nc = 0L; var np = 0L
+    ev.values.foreach { rows =>
+      val ts = rows.map(r => (r._2, r._3.getTime))
+      val vts = ts.filter(_._1 == "view").map(_._2)
+      if (vts.nonEmpty) {
+        nv += 1
+        val v = vts.min
+        val cts = ts.filter(t => t._1 == "click" && t._2 > v && t._2 <= v + week)
+          .map(_._2)
+        if (cts.nonEmpty) {
+          nc += 1
+          val c = cts.min
+          if (ts.exists(t =>
+            t._1 == "purchase" && t._2 > c && t._2 <= v + week)) np += 1
+        }
+      }
+    }
+    (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_purchase")) shouldBe ((nv, nc, np))
+    r.getAs[Double]("view_to_click") should (be > 0.0 and be <= 1.0)
+  }
+
   test("x26 curriculum: dense ranks, tiers ascend, interleave is pos-major") {
     val rows = SparkEntry.queries("x26_curriculum_order")(spark, sfDir)
       .orderBy(col("rank")).collect()
