@@ -45,7 +45,10 @@ object PlanDump {
     "s14_range_search" -> "radius search is the s02 block equi-join with the threshold filter replacing the top-k window — shuffle-free past the join",
     "x24_ppl_bucket_sample" -> "reuses the persisted x13 scoring pass (InMemoryTableScan); one bounded scalar window for NTILE, then a 4-row aggregation",
     "s15_mmr_diversify" -> "greedy MMR unrolled over the bounded persisted shortlist: block top-k once, 8x8 pairwise-sim self-join, three argmax windows — corpus is touched exactly once",
-    "x25_packing_curve" -> "one shard-partitioned cumulative-sum window over the corpus; the three context sizes fan out map-only from the persisted cum frame")
+    "x25_packing_curve" -> "one shard-partitioned cumulative-sum window over the corpus; the three context sizes fan out map-only from the persisted cum frame",
+    "q89_gap_fill" -> "grid generated map-only from per-user bounds; one (user, hour) aggregation shuffle + one partition-local IGNORE-NULLS window for the fill",
+    "q91_zorder_layout" -> "rank-normalize, constant-folded Morton bit-interleave in codegen, range buckets — the repartitionByRange layout audit",
+    "q92_funnel" -> "three user-keyed stage aggregations chained by co-partitioned joins; the shrinking stage frames broadcast under AQE")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
