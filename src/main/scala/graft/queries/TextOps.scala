@@ -1438,7 +1438,87 @@ object TextOps {
       |SELECT rank, doc_id, tier, source, pos FROM ordered
       |WHERE rank <= 200 ORDER BY rank""".stripMargin
 
+  // ---- x27: held-out perplexity (train/eval split LM evaluation) ----------
+  /** x27: the EVAL half of LM-based quality scoring — x13 scores every doc
+    * with a model trained on the whole corpus (fine for filtering, useless
+    * as a generalization metric); x27 trains the bigram model ONLY on the
+    * 80% hash split (x17's split convention) and scores the held-out 20%,
+    * reporting per-source held-out cross-entropy plus the OOV count.
+    * Held-out bigrams unseen in training get the standard "count-1" penalty
+    * −ln(1/total) quantized to micro-nats, so the score is total and exact.
+    * Scoring goes through the explode + broadcast-model join (not
+    * graft_lm_fold, which by contract rejects OOV): the model side is
+    * |charset|² rows broadcast, the eval side aggregates (doc, bigram)
+    * with map-side partials — one shuffle keyed by document. */
+  private val x27: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(length(col("text")) >= 2)
+      .withColumn("part",
+        when(md5i(concat(lit("split:"), col("doc_id").cast("string"))) % 10 < 8,
+          "train").otherwise("eval"))
+    val ex = d.select(col("doc_id"), col("source"), col("part"),
+      explode(expr("graft_char_grams(text, 2)")).as("bg"))
+    val model = ex.filter(col("part") === "train")
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("bg"),
+        round(-log(col("cnt").cast("double") / col("total").cast("double"))
+          * 1000000.0).cast("long").as("nll_micro"),
+        round(log(col("total").cast("double")) * 1000000.0).cast("long")
+          .as("oov_micro"))
+    val scored = ex.filter(col("part") === "eval")
+      .groupBy(col("doc_id"), col("source"), col("bg"))
+      .agg(count(lit(1)).as("k"))
+      .join(broadcast(model.drop("oov_micro")), Seq("bg"), "left")
+    val oov = model.agg(max(col("oov_micro")).as("oov_micro"))
+    scored.crossJoin(broadcast(oov))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("k")).as("n_bigrams"),
+        sum(when(col("nll_micro").isNull, col("k")).otherwise(0L)).as("n_oov"),
+        sum(col("k") * coalesce(col("nll_micro"), col("oov_micro")))
+          .as("total_nll"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"), col("n_oov"),
+        expr("total_nll div n_bigrams").as("avg_nll_micronats"))
+      .psort(col("source"))
+  }
+
+  private val x27Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN ${md5iSql("'split:' || doc_id")} % 10 < 8
+       |         THEN 'train' ELSE 'eval' END AS part
+       |  FROM documents WHERE LEN(text) >= 2),
+       |ex AS (
+       |  SELECT doc_id, source, part,
+       |    UNNEST([SUBSTR(text, i, 2) FOR i IN RANGE(1, LEN(text))]) AS bg
+       |  FROM d),
+       |model AS (
+       |  SELECT bg,
+       |    CAST(ROUND(-LN(COUNT(*)::DOUBLE /
+       |      (SELECT COUNT(*) FROM ex WHERE part = 'train')::DOUBLE)
+       |      * 1000000.0) AS BIGINT) AS nll_micro
+       |  FROM ex WHERE part = 'train' GROUP BY bg),
+       |oov AS (
+       |  SELECT CAST(ROUND(LN(
+       |    (SELECT COUNT(*) FROM ex WHERE part = 'train')::DOUBLE)
+       |    * 1000000.0) AS BIGINT) AS oov_micro),
+       |docbg AS (
+       |  SELECT doc_id, source, bg, COUNT(*) AS k
+       |  FROM ex WHERE part = 'eval' GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT d.doc_id, d.source, d.k, m.nll_micro, o.oov_micro
+       |  FROM docbg d LEFT JOIN model m ON d.bg = m.bg CROSS JOIN oov o)
+       |SELECT source,
+       | CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       | CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       | CAST(SUM(CASE WHEN nll_micro IS NULL THEN k ELSE 0 END) AS BIGINT)
+       |   AS n_oov,
+       | CAST(SUM(k * COALESCE(nll_micro, oov_micro)) AS BIGINT)
+       |   // CAST(SUM(k) AS BIGINT) AS avg_nll_micronats
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x27_heldout_ppl" -> x27,
     "x26_curriculum_order" -> x26,
     "x25_packing_curve" -> x25,
     "x24_ppl_bucket_sample" -> x24,
@@ -1467,6 +1547,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x27_heldout_ppl" -> x27Sql,
     "x26_curriculum_order" -> x26Sql,
     "x25_packing_curve" -> x25Sql,
     "x24_ppl_bucket_sample" -> x24Sql,

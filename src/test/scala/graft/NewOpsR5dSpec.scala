@@ -114,6 +114,47 @@ class NewOpsR5dSpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("view_to_click") should (be > 0.0 and be <= 1.0)
   }
 
+  test("x27 held-out perplexity equals an independent Scala recomputation") {
+    val got = SparkEntry.queries("x27_heldout_ppl")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.length >= 2)
+    def md5i(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def grams(t: String): Seq[String] =
+      (0 until t.length - 1).map(i => t.substring(i, i + 2))
+    val (train, eval) = docs.partition(d => md5i(s"split:${d._1}") % 10 < 8)
+    val counts = train.flatMap(d => grams(d._3))
+      .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val total = counts.values.sum
+    val nll = counts.map { case (g, c) =>
+      g -> math.round(-math.log(c.toDouble / total.toDouble) * 1e6)
+    }
+    val oov = math.round(math.log(total.toDouble) * 1e6)
+    val want = eval.groupBy(_._2).map { case (src, ds) =>
+      val gs = ds.flatMap(d => grams(d._3))
+      val nOov = gs.count(g => !nll.contains(g)).toLong
+      val tot = gs.map(g => nll.getOrElse(g, oov)).sum
+      src -> (ds.length.toLong, gs.length.toLong, nOov,
+        Math.floorDiv(tot, gs.length.toLong))
+    }
+    got shouldBe want
+    // held-out OOV exists only if a bigram never appears in training —
+    // either way the score is total (no nulls)
+    got.values.foreach { case (_, nb, nOov, avg) =>
+      nOov should be >= 0L
+      nOov should be <= nb
+      avg should be > 0L
+    }
+  }
+
   test("x26 curriculum: dense ranks, tiers ascend, interleave is pos-major") {
     val rows = SparkEntry.queries("x26_curriculum_order")(spark, sfDir)
       .orderBy(col("rank")).collect()
