@@ -766,10 +766,37 @@ class Engine(val spark: SparkSession,
     val view = "__asof_" + asofViewCounter.incrementAndGet()
     joined.createOrReplaceTempView(view)
 
-    // splice the view back; alias-qualified refs become bare names
+    // splice the view back; alias-qualified refs become bare names. The
+    // scan is quote-aware (the findTopLevelKeyword discipline): an alias
+    // pattern inside a string literal ('e.g.') or a dotted name that merely
+    // ENDS in the alias (db.e.col) must survive untouched, so a match
+    // requires being outside quotes with no identifier char OR dot before it.
     val quals = lQuals ++ rQuals
-    def strip(s: String): String = quals.foldLeft(s) { (acc, al) =>
-      acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\.", "")
+    def strip(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      var quote: Char = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (quote != 0) { sb.append(c); if (c == quote) quote = 0; i += 1 }
+        else c match {
+          case '\'' | '"' | '`' => quote = c; sb.append(c); i += 1
+          case _ =>
+            val boundary = i == 0 || {
+              val p = s.charAt(i - 1)
+              !Character.isLetterOrDigit(p) && p != '_' && p != '.'
+            }
+            val hit = if (boundary) quals.find { al =>
+              s.regionMatches(true, i, al, 0, al.length) &&
+                i + al.length < s.length && s.charAt(i + al.length) == '.'
+            } else None
+            hit match {
+              case Some(al) => i += al.length + 1 // drop "alias."
+              case None => sb.append(c); i += 1
+            }
+        }
+      }
+      sb.toString
     }
     val tail = q.substring(condEnd).trim
     // recurse: a chained second ASOF JOIN now starts FROM the new view
@@ -785,7 +812,18 @@ class Engine(val spark: SparkSession,
     * sampler IS per-row Bernoulli) and/or `REPEATABLE (seed)` (passed
     * through). The clause must sit where Spark accepts TABLESAMPLE:
     * directly after a FROM item — the same position DuckDB documents for
-    * its table-sample form; other placements fail loudly in the parser. */
+    * its table-sample form; other placements fail loudly in the parser.
+    *
+    * KNOWN SEMANTIC DIVERGENCE (documented, deliberate): Spark's
+    * `TABLESAMPLE (N ROWS)` is a deterministic first-N limit, while
+    * DuckDB's `USING SAMPLE N [ROWS]` draws a RANDOM reservoir sample of N
+    * rows. Percentage forms (`N%`/`N PERCENT`) are genuinely random in
+    * both engines and carry `REPEATABLE (seed)` through; only the
+    * row-count form diverges. Callers needing random row samples should
+    * use the x19 reservoir-sample operator (exact, deterministic,
+    * distributed) or a percentage spec; rewriting the FROM item into
+    * `ORDER BY rand(seed) LIMIT N` would silently add a corpus-wide sort,
+    * which is the wrong default at scale. Also recorded in SURVEY §2.2. */
   private[graft] def rewriteUsingSample(q: String): String =
     findTopLevelKeyword(q, 0, Seq("USING")) match {
       case Some((i, _)) =>

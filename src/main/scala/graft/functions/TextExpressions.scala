@@ -665,11 +665,13 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
           s"array<array<array<double>>>), got ($a, $b, $c)")
     }
 
-  private val qIsFloat = first.dataType match {
+  // lazy: dataType on an unresolved child throws UnresolvedException, and
+  // analysis may construct copies of this node before resolution completes
+  private lazy val qIsFloat = first.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  private val codeIsLong = second.dataType match {
+  private lazy val codeIsLong = second.dataType match {
     case ArrayType(LongType, _) => true
     case _ => false
   }
@@ -681,7 +683,10 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
     var qOff = 0
     while (j < m) {
       val code = if (codeIsLong) codes.getLong(j).toInt else codes.getInt(j)
-      val cent = books.getArray(j).getArray(code)
+      val book = books.getArray(j)
+      if (code < 0 || code >= book.numElements()) throw new IllegalArgumentException(
+        s"graft_pq_adc: code $code out of range [0, ${book.numElements()}) in subspace $j")
+      val cent = book.getArray(code)
       val sub = cent.numElements()
       var d = 0.0
       var i = 0

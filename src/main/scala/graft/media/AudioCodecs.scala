@@ -61,6 +61,10 @@ object AudioCodecs {
         s"truncated WAV chunk $id")
       id match {
         case "fmt " =>
+          // the canonical PCM fmt chunk is 16 bytes; a shorter declared
+          // length would make the field reads below silently consume the
+          // NEXT chunk's bytes — fail loudly instead
+          require(len >= 16, s"short fmt chunk (len $len < 16)")
           require(getShortLE(bytes, pos + 8) == 1, "non-PCM WAV not supported")
           channels = getShortLE(bytes, pos + 10)
           sampleRate = getIntLE(bytes, pos + 12)

@@ -28,6 +28,21 @@ import QueryHelpers._
   */
 object Dedup {
 
+  /** Base64-encode a serialized Bloom filter destined to ride a query plan
+    * as ONE string literal (the d16 incremental-dedup direction). Only sane
+    * while it stays kilobytes: a caller feeding a huge batch through this
+    * path would otherwise silently build a multi-MB plan string, so fail
+    * BEFORE planning and name the limit (the fix is raising fpp, shrinking
+    * the batch, or switching to the d10 broadcast hash-set direction). */
+  private[graft] def bloomPlanLiteral(bytes: Array[Byte],
+      capBytes: Int = 4 << 20): String = {
+    require(bytes.length <= capBytes,
+      s"bloom filter serializes to ${bytes.length} bytes (> $capBytes-byte " +
+        "plan-literal cap): shrink the batch, raise fpp, or use the d10 " +
+        "broadcast hash-set direction instead")
+    java.util.Base64.getEncoder.encodeToString(bytes)
+  }
+
   // ---- shared shingling (word 3-grams), identical in both dialects ----
   private val W = "split(text, ' ')"
   private val shinglesExpr =
@@ -985,7 +1000,7 @@ object Dedup {
     val bf = batch.stat.bloomFilter("hl", math.max(batch.count(), 1L), 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    val b64 = Dedup.bloomPlanLiteral(bos.toByteArray)
     val candidates = corpus
       .filter(expr(s"graft_bloom_contains(unbase64('$b64'), hl)"))
     // candidates ~ true matches + fpp·corpus — small, so the confirm join
@@ -1017,7 +1032,140 @@ object Dedup {
       |FROM batch LEFT JOIN ch USING (h)
       |GROUP BY nid ORDER BY nid""".stripMargin
 
+  // ---- d17: exact repeated-span dedup (suffix-span removal) ---------------
+  // Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+  // Better") removes exact substrings >= k tokens repeated across documents.
+  // The suffix-array construction is single-machine; the distributed
+  // spelling here goes candidate-pairs -> seed k-grams -> diagonal runs:
+  private val spanK = 40 // chars: minimum exact span worth removing
+  private val spanMinShared = 8 // winnow fps a pair must share to qualify
+
+  /** d17: exact repeated-span detection + removal accounting. Pipeline:
+    *
+    *  1. CANDIDATE PAIRS ride d14's persisted winnowing pass
+    *     ([[docsWithWinnow]] — no new corpus-scale pass): a span of S chars
+    *     shares >= floor((S-k_w+1)/w) window-min fingerprints, so pairs
+    *     sharing >= 8 distinct fps cover every span >= ~40 chars (modulo
+    *     repeated-text min collisions, identically in both engines); the
+    *     planted twins (below) winnow only their own bounded frame.
+    *  2. SEEDS: exact 40-char grams (graft_char_grams, one linear scan) at
+    *     every position of CANDIDATE docs only — the explode is bounded by
+    *     the candidate set, never the corpus. Seeds join on the literal
+    *     gram text, so spans are EXACT (no hash false positives).
+    *  3. SPANS: seeds merge along diagonals (p1 - p2): consecutive
+    *     positions on one diagonal are one maximal span of run + k - 1
+    *     chars — the standard seed-and-extend, as GROUP BY arithmetic.
+    *     The run window partitions by (pair, diagonal) — bounded, never
+    *     global.
+    *
+    * The corpus has no natural 40-char cross-doc spans, so the query PLANTS
+    * them (d09/d16's convention): every doc with doc_id % 25 == 7 and
+    * >= 130 chars gets a twin at doc_id + 3,000,000 embedding chars
+    * [5, 124] of the original between twin-only guard text — the reported
+    * spans must recover exactly those 120-char slices. Accounting per pair:
+    * span count, longest span, removable chars (sum of maximal span
+    * lengths, the chars Lee et al. would cut). */
+  private val d17: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val planted = d.filter(col("doc_id") % 25 === 7 && length(col("text")) >= 130)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("planted span guard <<"), substring(col("text"), 5, 120),
+          lit(">> end guard")).as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionAll(planted)
+    // 1. candidates: persisted base winnow + bounded planted winnow
+    val fps = docsWithWinnow(s, dir).select(col("doc_id"), col("fps"))
+      .unionAll(planted
+        .filter(length(col("text")) >= winK + winW - 1)
+        .select(col("doc_id"),
+          expr(s"graft_winnow(text, $winK, $winW, $P)").as("fps")))
+    val pairs = fps.select(col("doc_id"), explode(col("fps")).as("f"))
+      .repartition(s.sparkContext.defaultParallelism, col("f"))
+      .groupBy(col("f")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+      .select(explode(expr(pairsFromPostings)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= spanMinShared)
+      .select(col("d1"), col("d2"))
+    // 2. exact-gram seeds over candidate docs only
+    val candDocs = pairs.select(col("d1").as("doc_id"))
+      .unionAll(pairs.select(col("d2").as("doc_id"))).distinct()
+    val grams = corpus.join(candDocs, Seq("doc_id"), "left_semi")
+      .filter(length(col("text")) >= spanK)
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_char_grams(text, $spanK)")).as(Seq("p", "g")))
+    val seeds = pairs
+      .join(grams.select(col("doc_id").as("d1"), col("p").as("p1"), col("g")),
+        Seq("d1"))
+      .join(grams.select(col("doc_id").as("d2"), col("p").as("p2"), col("g")),
+        Seq("d2", "g"))
+    // 3. diagonal runs -> maximal spans -> per-pair accounting
+    val wRun = Window.partitionBy(col("d1"), col("d2"), col("diag"))
+      .orderBy(col("p1"))
+    seeds
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("rid", col("p1") - row_number().over(wRun))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("rid"))
+      .agg((count(lit(1)) + spanK - 1).as("span_len"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("max_span"),
+        sum(col("span_len")).as("removed_chars"))
+      .psortScaled(col("d1"), col("d2"))
+  }
+
+  private val d17Sql = {
+    val hvSql =
+      s"[${md5iSql(s"SUBSTR(text, i, $winK)")} % $P FOR i IN RANGE(1, LEN(text) - ${winK - 2})]"
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    'planted span guard <<' || SUBSTR(text, 5, 120) || '>> end guard'
+       |  FROM documents WHERE doc_id % 25 = 7 AND LEN(text) >= 130),
+       |hv AS MATERIALIZED (
+       |  SELECT doc_id, $hvSql AS hv
+       |  FROM corpus WHERE LEN(text) >= ${winK + winW - 1}),
+       |fps AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    LIST_DISTINCT([LIST_MIN(hv[t:t + ${winW - 1}])
+       |      FOR t IN RANGE(1, LEN(hv) - ${winW - 2})]) AS fps
+       |  FROM hv),
+       |ex AS (SELECT doc_id, UNNEST(fps) AS f FROM fps),
+       |rare AS (SELECT f FROM ex GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 100),
+       |exr AS (SELECT ex.doc_id, ex.f FROM ex JOIN rare USING (f)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM exr a JOIN exr b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $spanMinShared),
+       |cd AS (SELECT d1 AS doc_id FROM pairs
+       |       UNION SELECT d2 FROM pairs),
+       |grams AS MATERIALIZED (
+       |  SELECT c.doc_id, UNNEST(RANGE(1, LEN(text) - $spanK + 2)) AS p,
+       |    UNNEST([SUBSTR(text, i, $spanK)
+       |      FOR i IN RANGE(1, LEN(text) - $spanK + 2)]) AS g
+       |  FROM corpus c JOIN cd USING (doc_id) WHERE LEN(text) >= $spanK),
+       |seeds AS (
+       |  SELECT pr.d1, pr.d2, g1.p AS p1, g2.p AS p2
+       |  FROM pairs pr
+       |  JOIN grams g1 ON g1.doc_id = pr.d1
+       |  JOIN grams g2 ON g2.doc_id = pr.d2 AND g2.g = g1.g),
+       |runs AS (
+       |  SELECT d1, d2, p1 - p2 AS diag,
+       |    p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1)
+       |      AS rid
+       |  FROM seeds),
+       |spans AS (
+       |  SELECT d1, d2, COUNT(*) + $spanK - 1 AS span_len
+       |  FROM runs GROUP BY d1, d2, diag, rid)
+       |SELECT d1, d2, COUNT(*) AS n_spans, MAX(span_len) AS max_span,
+       |  CAST(SUM(span_len) AS BIGINT) AS removed_chars
+       |FROM spans GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d17_span_dedup" -> d17,
     "d16_bloom_prefilter" -> d16,
     "d15_dedup_report" -> d15,
     "d14_winnow_dedup" -> d14,
@@ -1036,6 +1184,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d17_span_dedup" -> d17Sql,
     "d16_bloom_prefilter" -> d16Sql,
     "d15_dedup_report" -> d15Sql,
     "d14_winnow_dedup" -> d14Sql,

@@ -1,5 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import QueryHelpers._
 
 /** Statistical aggregates, higher-order collection functions, and interval
@@ -370,15 +373,26 @@ object RelationalStats {
     // quantile-normalize each dimension to an 8-bit cell rank first (what
     // production z-ordering does): interleaving RAW values loses when the
     // dimensions span different ranges — the wider dimension owns all the
-    // significant bits and the key degenerates toward a single-column sort
-    val ranked = o
-      .withColumn("c8", (ntile(256).over(
-        Window.orderBy(col("cust"), col("o_orderkey"))) - 1).cast("long"))
-      .withColumn("d8", (ntile(256).over(
-        Window.orderBy(col("day"), col("o_orderkey"))) - 1).cast("long"))
+    // significant bits and the key degenerates toward a single-column sort.
+    // All three NTILEs run through DistributedRank (bucket-partitioned
+    // exact ranks; no single-partition window), so the same plan shape
+    // z-orders a 100 TB table — exactly how table formats compute z-cells
+    // at scale. At that scale the `o` frame would be persisted between the
+    // helper's passes; the gate slice makes that unnecessary here.
+    import graft.operators.DistributedRank.{ntileFromRank, withGlobalRank}
+    val (rc, nRows) = withGlobalRank(o, col("cust"),
+      Seq(col("cust"), col("o_orderkey")), "__rc")
+    val (rd, _) = withGlobalRank(rc, col("day"),
+      Seq(col("day"), col("o_orderkey")), "__rd")
+    val ranked = rd
+      .withColumn("c8", (ntileFromRank(col("__rc"), 256, nRows) - 1).cast("long"))
+      .withColumn("d8", (ntileFromRank(col("__rd"), 256, nRows) - 1).cast("long"))
+      .drop("__rc", "__rd")
     val keyed = ranked.withColumn("zkey", expr(zTermsSpark("c8", "d8")))
-    val w = Window.orderBy(col("zkey"), col("o_orderkey"))
-    keyed.withColumn("bucket", ntile(16).over(w).cast("long"))
+    val (rz, _) = withGlobalRank(keyed, col("zkey"),
+      Seq(col("zkey"), col("o_orderkey")), "__rz")
+    rz.withColumn("bucket", ntileFromRank(col("__rz"), 16, nRows).cast("long"))
+      .drop("__rz")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         (max(col("cust")) - min(col("cust"))).as("cust_span"),
@@ -471,7 +485,61 @@ object RelationalStats {
       |  (SELECT COUNT(*) FROM p)::DOUBLE / (SELECT COUNT(*) FROM c)::DOUBLE
       |    AS click_to_purchase""".stripMargin
 
+  /** Materialize a source table bucketed + sorted on its join key (Spark-
+    * native bucketing: `DataFrameWriter.bucketBy(...).sortBy(...)` into an
+    * external parquet table). The pre-shuffle that makes repeated joins on
+    * the key shuffle-free: each side reports the bucket HashPartitioning,
+    * so the sort-merge join needs NO Exchange on either side — at 100 TB
+    * this replaces a per-query corpus shuffle with a one-time layout cost
+    * shared by every subsequent join on that key (SURVEY §9's bucketed-
+    * table claim, exercised; reference anchor: the multi-topic join of
+    * README.md:112-117). The `repartition(buckets, key)` before the write
+    * aligns task partitioning with bucket ids so each bucket is ONE file
+    * and the per-bucket sortBy order is usable as-is. Recreated only when
+    * absent from the session catalog (the build-once lifecycle). */
+  private def bucketedView(s: SparkSession, dir: String, src: String,
+      key: String, cols: Seq[String], buckets: Int): DataFrame = {
+    val tbl = s"graft_bkt_${src}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(tbl)) {
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_bucketed/$tbl")
+      t(s, dir, src).select(cols.map(col): _*)
+        .repartition(buckets, col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", path.getAbsolutePath)
+        .saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+
+  /** q93: co-located join over bucketed layouts — both orders and customer
+    * are materialized bucketed+sorted on the customer key, and the revenue
+    * join runs with zero Exchange under the join (PlanSpec-asserted): the
+    * one aggregate shuffle left is over |mktsegment| = 5 groups. The
+    * `merge` hint pins the sort-merge strategy so the plan shape under
+    * test is deterministic (a broadcast would also be shuffle-free, but
+    * only while one side stays small — bucketing is the shape that holds
+    * when BOTH sides are 100 TB). */
+  private val q93: Q = (s, dir) => {
+    val o = bucketedView(s, dir, "orders", "o_custkey",
+      Seq("o_custkey", "o_totalprice"), 16)
+    val c = bucketedView(s, dir, "customer", "c_custkey",
+      Seq("c_custkey", "c_mktsegment"), 16)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .psort(col("c_mktsegment"))
+  }
+
+  private val q93Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q93_bucketed_join" -> q93,
     "q92_funnel" -> q92,
     "q91_zorder_layout" -> q91,
     "q89_gap_fill" -> q89,
@@ -486,6 +554,7 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q93_bucketed_join" -> q93Sql,
     "q92_funnel" -> q92Sql,
     "q91_zorder_layout" -> q91Sql,
     "q89_gap_fill" -> q89Sql,

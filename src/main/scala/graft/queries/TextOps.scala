@@ -547,8 +547,10 @@ object TextOps {
   // (graft_char_grams — ONE linear scan per doc; the substring/transform
   // composition is quadratic per doc) but the (bg) aggregation combines
   // map-side down to |charset|^2 rows per partition, so its shuffle is
-  // tiny; the grand total comes from a window over that bounded counts
-  // frame (NOT a second corpus scan); the model then collapses to ONE row
+  // tiny; the grand total is a 1-row aggregate of that bounded counts
+  // frame broadcast back onto it (the counts shuffle is planned once and
+  // reused across both sides — NOT a second corpus scan, and NOT a
+  // single-partition window); the model then collapses to ONE row
   // holding a bg -> micronats MAP, which broadcasts, and the scoring pass
   // is a pure in-row native fold over each document's bigrams —
   // map-only, no per-doc shuffle, no second explode. (The first cut scored
@@ -563,7 +565,7 @@ object TextOps {
       val counts = d.select(explode(expr("graft_char_grams(text, 2)")).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
       val model = counts
-        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
         .select(col("bg"),
           round(-log(col("cnt").cast("double") / col("total").cast("double"))
             * 1000000.0).cast("long").as("nll_micro"))
@@ -1282,17 +1284,23 @@ object TextOps {
     * output mixture keeps proportionally more of the high-quality tail.
     * Reuses the persisted x13 scoring pass (shared-pass lifecycle).
     *
-    * NTILE here runs over one global window of (doc_id, score) scalars —
-    * fine for the gate; the 100 TB spelling swaps it for approx-quantile
-    * cutpoints computed in one pass and broadcast as a CASE expression (the
-    * bucketing then stays map-only), trading exact quartile boundaries for
-    * no global sort. Documented, not silently assumed. */
+    * The quartile bucket comes from [[graft.operators.DistributedRank]]
+    * (approx-quantile cuts -> bucket-partitioned ranks -> exact NTILE
+    * arithmetic), NOT a global NTILE window: the committed plan has no
+    * single-partition window, sorts ~1/32 of the scores per task, and is
+    * bit-identical to the oracle's NTILE — the 100 TB spelling IS the gated
+    * spelling. The persisted lmScored frame absorbs the helper's extra
+    * cut/count passes. */
   private val x24: Q = (s, dir) => {
-    val w = Window.orderBy(col("avg_nll_micronats"), col("doc_id"))
     val rate = expr(
       "CASE bucket WHEN 1 THEN 1000 WHEN 2 THEN 500 WHEN 3 THEN 250 ELSE 125 END")
-    lmScored(s, dir)
-      .withColumn("bucket", ntile(4).over(w).cast("long"))
+    val (ranked, total) = graft.operators.DistributedRank.withGlobalRank(
+      lmScored(s, dir), col("avg_nll_micronats"),
+      Seq(col("avg_nll_micronats"), col("doc_id")), "__rk")
+    ranked
+      .withColumn("bucket",
+        graft.operators.DistributedRank.ntileFromRank(col("__rk"), 4, total)
+          .cast("long"))
       .withColumn("keep",
         (md5i(concat(lit("ppl:"), col("doc_id"))) % 1000 < rate)
           .cast("long"))
@@ -1400,20 +1408,29 @@ object TextOps {
     * curriculum), and within each tier the sources are round-robin
     * interleaved (pos-major) so no contiguous run comes from one source.
     * The full ordering is reproducible from the data alone; the gate emits
-    * the first 200 positions. Tier/rank windows run over bounded scalar
-    * rows for the gate — the 100 TB spelling replaces the global NTILE
-    * with broadcast quantile cutpoints (x24's note) and the final rank
-    * with a range-partitioned sort key, both documented, neither changing
-    * the order. */
+    * the first 200 positions. Both corpus-cardinality orderings (the length
+    * tercile and the final interleave rank) run through
+    * [[graft.operators.DistributedRank]] — bucket-partitioned exact ranks,
+    * no single-partition window anywhere in the committed plan. The
+    * interleave rank's order surrogate packs (tier, pos) into one long
+    * (tier*2^44 + pos — pos is bounded by the corpus row count, far under
+    * 2^44), a prefix-coarsening of the full (tier, pos, source, doc_id)
+    * sort key as the helper requires. */
   private val x26: Q = (s, dir) => {
+    import graft.operators.DistributedRank.{ntileFromRank, withGlobalRank}
     val d = t(s, dir, "documents")
-    val wt = Window.orderBy(col("n_chars"), col("doc_id"))
-    val tiered = d.select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("tier", ntile(3).over(wt).cast("long"))
+    val (lenRanked, nDocs) = withGlobalRank(
+      d.select(col("doc_id"), col("source"), col("n_chars")),
+      col("n_chars"), Seq(col("n_chars"), col("doc_id")), "__lr")
+    val tiered = lenRanked
+      .withColumn("tier", ntileFromRank(col("__lr"), 3, nDocs).cast("long"))
+      .drop("__lr")
     val wrr = Window.partitionBy(col("tier"), col("source")).orderBy(col("doc_id"))
     val ranked = tiered.withColumn("pos", row_number().over(wrr).cast("long"))
-    val wg = Window.orderBy(col("tier"), col("pos"), col("source"), col("doc_id"))
-    ranked.withColumn("rank", row_number().over(wg).cast("long"))
+    val (interleaved, _) = withGlobalRank(ranked,
+      col("tier") * lit(1L << 44) + col("pos"),
+      Seq(col("tier"), col("pos"), col("source"), col("doc_id")), "rank")
+    interleaved
       .filter(col("rank") <= 200)
       .select(col("rank"), col("doc_id"), col("tier"), col("source"), col("pos"))
       .psort(col("rank"))
@@ -1457,9 +1474,12 @@ object TextOps {
           "train").otherwise("eval"))
     val ex = d.select(col("doc_id"), col("source"), col("part"),
       explode(expr("graft_char_grams(text, 2)")).as("bg"))
-    val model = ex.filter(col("part") === "train")
+    val trainCounts = ex.filter(col("part") === "train")
       .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+    // grand total via a broadcast 1-row aggregate (shuffle reuse), not a
+    // single-partition window over the bounded counts frame
+    val model = trainCounts
+      .crossJoin(broadcast(trainCounts.agg(sum(col("cnt")).as("total"))))
       .select(col("bg"),
         round(-log(col("cnt").cast("double") / col("total").cast("double"))
           * 1000000.0).cast("long").as("nll_micro"),
@@ -1517,7 +1537,91 @@ object TextOps {
        |   // CAST(SUM(k) AS BIGINT) AS avg_nll_micronats
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- x28: URL/domain curation (canonicalized dedup + per-domain caps) ---
+  /** x28: the CommonCrawl-pipeline curation staple — collapse URL variants
+    * to a canonical form and cap documents per domain so no single host
+    * dominates the mixture. Canonicalization (all MAP-ONLY regex steps, in
+    * both dialects the identical patterns): strip `#fragment`, strip
+    * `?utm_*` tracking query, lowercase scheme+host ONLY (paths stay
+    * case-sensitive), strip one trailing slash. The per-domain cap keeps
+    * the first 100 docs by deterministic md5 priority via a window
+    * PARTITIONED by domain — one shuffle keyed on domain, bounded per-
+    * partition state, no global ordering anywhere; at 100 TB domain skew
+    * is the only hazard and the cap itself bounds it (a hot domain's
+    * window partition still scans its rows but emits 100).
+    *
+    * The corpus has no URL column, so the query SYNTHESIZES five
+    * deterministic variants per canonical page (scheme case, host case,
+    * trailing slash, utm params, http-vs-https + fragment) from
+    * doc_id/source — the planted-twin convention (d09/d16/d17) applied to
+    * URLs: canonicalization must collapse exactly the four https variants
+    * and keep the http one distinct. */
+  private val x28: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val urlCase =
+      """CASE CAST(doc_id % 5 AS INT)
+        | WHEN 0 THEN concat('https://www.', source, '.com/page/', CAST(doc_id div 5 AS STRING))
+        | WHEN 1 THEN concat('HTTPS://WWW.', upper(source), '.COM/page/', CAST(doc_id div 5 AS STRING))
+        | WHEN 2 THEN concat('https://www.', source, '.com/page/', CAST(doc_id div 5 AS STRING), '/')
+        | WHEN 3 THEN concat('https://www.', source, '.com/page/', CAST(doc_id div 5 AS STRING), '?utm_source=feed&utm_campaign=x')
+        | ELSE concat('http://www.', source, '.com/page/', CAST(doc_id div 5 AS STRING), '#frag')
+        |END""".stripMargin
+    val noFrag = regexp_replace(expr(urlCase), "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "\\?utm_.*$", "")
+    val lowerHost = concat(
+      lower(regexp_extract(noUtm, "^([^/]*//[^/]+)", 1)),
+      regexp_replace(noUtm, "^[^/]*//[^/]+", ""))
+    val canon = regexp_replace(lowerHost, "/$", "")
+    val keyed = d.select(col("doc_id"), canon.as("canon"))
+      .withColumn("domain", regexp_extract(col("canon"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("pri",
+        md5i(concat(lit("urlcap:"), col("doc_id").cast("string"))))
+    val capped = keyed.withColumn("rn",
+      row_number().over(Window.partitionBy(col("domain"))
+        .orderBy(col("pri"), col("doc_id"))))
+    capped.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_canon"),
+        (count(lit(1)) - countDistinct(col("canon"))).as("n_dup_docs"),
+        sum(when(col("rn") <= 100, 1L).otherwise(0L)).as("n_kept"))
+      .psort(col("domain"))
+  }
+
+  private val x28Sql =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 5 AS INT)
+       |     WHEN 0 THEN 'https://www.' || source || '.com/page/' || (doc_id // 5)
+       |     WHEN 1 THEN 'HTTPS://WWW.' || UPPER(source) || '.COM/page/' || (doc_id // 5)
+       |     WHEN 2 THEN 'https://www.' || source || '.com/page/' || (doc_id // 5) || '/'
+       |     WHEN 3 THEN 'https://www.' || source || '.com/page/' || (doc_id // 5) || '?utm_source=feed&utm_campaign=x'
+       |     ELSE 'http://www.' || source || '.com/page/' || (doc_id // 5) || '#frag'
+       |    END AS url
+       |  FROM documents),
+       |c0 AS (SELECT doc_id, REGEXP_REPLACE(url, '#.*$$', '') AS a FROM u),
+       |c1 AS (SELECT doc_id, REGEXP_REPLACE(a, '\\?utm_.*$$', '') AS a FROM c0),
+       |c2 AS (SELECT doc_id,
+       |  LOWER(REGEXP_EXTRACT(a, '^([^/]*//[^/]+)', 1)) ||
+       |    REGEXP_REPLACE(a, '^[^/]*//[^/]+', '') AS a FROM c1),
+       |c AS (SELECT doc_id, REGEXP_REPLACE(a, '/$$', '') AS canon FROM c2),
+       |k AS (
+       |  SELECT doc_id, canon,
+       |    REGEXP_EXTRACT(canon, '^[a-z]+://([^/]+)', 1) AS domain,
+       |    ${md5iSql("'urlcap:' || doc_id")} AS pri
+       |  FROM c),
+       |r AS (
+       |  SELECT domain, canon,
+       |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY pri, doc_id) AS rn
+       |  FROM k)
+       |SELECT domain, COUNT(*) AS n_docs,
+       | COUNT(DISTINCT canon) AS n_canon,
+       | COUNT(*) - COUNT(DISTINCT canon) AS n_dup_docs,
+       | CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x28_url_curation" -> x28,
     "x27_heldout_ppl" -> x27,
     "x26_curriculum_order" -> x26,
     "x25_packing_curve" -> x25,
@@ -1547,6 +1651,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x28_url_curation" -> x28Sql,
     "x27_heldout_ppl" -> x27Sql,
     "x26_curriculum_order" -> x26Sql,
     "x25_packing_curve" -> x25Sql,

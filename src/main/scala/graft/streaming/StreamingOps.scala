@@ -169,39 +169,49 @@ object StreamingOps {
     *  - checkpoints go to tmpfs (/dev/shm) when available — the offset/
     *    commit logs are many small fsync-ed files, and the gate's
     *    checkpoint is throwaway by design;
-    *  - `statePartitions` caps `spark.sql.shuffle.partitions` for the
-    *    duration of the query (restored after termination): state-store
-    *    count equals shuffle partitions, and a bounded driver-slice gate
-    *    has no business opening/committing 32 stores per micro-batch.
-    *    Production streams keep the session default — partition count
-    *    should match key cardinality and throughput, which for the gates
-    *    is a few hundred rows. */
+    *  - `statePartitions` caps `spark.sql.shuffle.partitions` for THIS
+    *    query only, via an isolated `newSession` clone of the SQL conf
+    *    (same SparkContext, separate SQLConf): state-store count equals
+    *    shuffle partitions, and a bounded driver-slice gate has no
+    *    business opening/committing 32 stores per micro-batch. The clone
+    *    matters — mutate-and-restore on the shared session would leak the
+    *    4-partition setting into any query another thread plans during
+    *    the stream's run (parallel test suites do exactly that). The
+    *    stream's ANALYZED plan is rebound to the clone (functions/views
+    *    already resolved, so the clone's empty registries are moot), and
+    *    the snapshot is rebound back to the caller's session before
+    *    return. Production streams keep the session default — partition
+    *    count should match key cardinality and throughput, which for the
+    *    gates is a few hundred rows. */
   def snapshotToTable(stream: DataFrame, name: String,
                       outputMode: String = "complete",
                       statePartitions: Int = 0): DataFrame = {
-    val spark = stream.sparkSession
-    val shufKey = "spark.sql.shuffle.partitions"
-    val prev = if (statePartitions > 0) {
-      val p = spark.conf.get(shufKey)
-      spark.conf.set(shufKey, statePartitions.toString)
-      Some(p)
-    } else None
-    try {
-      val shm = new java.io.File("/dev/shm")
-      val ckBase = if (shm.isDirectory && shm.canWrite) shm.toPath
-        else java.nio.file.Path.of(System.getProperty("java.io.tmpdir"))
-      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ck_")
-      ck.toFile.deleteOnExit()
-      val q = stream.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(outputMode)
-        .option("checkpointLocation", ck.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally prev.foreach(spark.conf.set(shufKey, _))
-    spark.table(name)
+    import org.apache.spark.sql.GraftPlanBridge
+    val parent = stream.sparkSession
+    val sess = if (statePartitions > 0) {
+      val s2 = parent.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      s2
+    } else parent
+    val bound =
+      if (sess eq parent) stream
+      else GraftPlanBridge.ofRows(sess, stream.queryExecution.analyzed)
+    val shm = new java.io.File("/dev/shm")
+    val ckBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Path.of(System.getProperty("java.io.tmpdir"))
+    val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ck_")
+    ck.toFile.deleteOnExit()
+    val q = bound.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val snap = sess.table(name)
+    if (sess eq parent) snap
+    else GraftPlanBridge.ofRows(parent, snap.queryExecution.analyzed)
   }
 
   /** Suite-end teardown for the streaming gates: unloads the state-store

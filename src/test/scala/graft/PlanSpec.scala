@@ -279,6 +279,41 @@ class PlanSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.output.merged")
   }
 
+  test("q93 bucketed join runs with zero exchanges under the join") {
+    val df = SparkEntry.queries("q93_bucketed_join")(spark, sfDir)
+    df.count()
+    val p = planOf(df)
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    joins should not be empty
+    // both sides read the bucketed layout's HashPartitioning directly —
+    // a shuffle under the join means the one-time layout stopped paying
+    joins.foreach { j =>
+      val ex = j.collect { case e: ShuffleExchangeLike => e }
+      ex shouldBe empty
+    }
+  }
+
+  test("no gated query plans a window over a single global partition") {
+    // The one shape that cannot survive 100x data: a Window (or
+    // WindowGroupLimit) with an empty partition spec funnels every row
+    // through one task. Global ranks/NTILEs run through
+    // operators.DistributedRank instead (bucket-partitioned exact ranks),
+    // and grand totals through broadcast 1-row aggregates — so this holds
+    // for EVERY gated query, with no allowlist.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def offenders(p: SparkPlan): Seq[String] =
+      p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      } ++ p.subqueries.flatMap(offenders)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val bad = offenders(planOf(q(spark, sfDir)))
+      withClue(name) { bad shouldBe empty }
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
