@@ -57,7 +57,7 @@ object Bench {
     // effect the baseline never gets, so it is not used here.)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable =>
@@ -65,6 +65,12 @@ object Bench {
           None
         }
       }
+      var times = (1 to 2).flatMap(_ => once())
+      // Floor-dominated shapes (sub-second totals are mostly fixed harness
+      // cost) are the ones a loaded host inflates 5-15x; a third iteration
+      // is nearly free for them and the min sheds one-off scheduling noise
+      // (round-5 adjudication: driver-run q05 read 2.66 s vs 0.17 s quiet).
+      if (times.nonEmpty && times.min < 0.75) times ++= once()
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // Harnesses that keep only a bounded stdout tail must still see the
@@ -120,8 +126,11 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$shortQs,"errors":$errs,"sf":"$sfDir"}"""
     }
-    val summary2 = render(2)
-    val summary = if (summary2.length < 2048) summary2 else render(1)
+    // degrade ladder: 2 dp -> 1 dp -> integer seconds. The last rung keeps
+    // the line parseable at any plausible suite size (163 queries of 100+ s
+    // each fit); the FILE detail always keeps full names at 3 dp.
+    val summary = Seq(render(2), render(1), render(0))
+      .find(_.length < 2048).getOrElse(render(0))
     (detail, summary)
   }
 }

@@ -324,6 +324,15 @@ class Engine(val spark: SparkSession,
   private val dropMacroStmt =
     "(?is)^\\s*DROP\\s+MACRO\\s+(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
 
+  private val explainStmt =
+    "(?is)^\\s*EXPLAIN(\\s+ANALYZE)?\\s+(.+?)\\s*;?\\s*$".r
+  private val setStmt =
+    "(?is)^\\s*SET\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:=|\\s+TO\\s+)\\s*(.+?)\\s*;?\\s*$".r
+  private val resetStmt =
+    "(?is)^\\s*RESET\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
+  private val pragmaStmt =
+    "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(\\s*'?([^')]*?)'?\\s*\\))?\\s*;?\\s*$".r
+
   /** SQL macros by lowercase name -> (parameter names, body text). DuckDB's
     * `CREATE MACRO` scalar-macro surface (SURVEY §2.2 "UDF surface" — the
     * reference's embedded DuckDB accepts macros through the verbatim query
@@ -542,8 +551,76 @@ class Engine(val spark: SparkSession,
       macros.remove(name.toLowerCase)
       import spark.implicits._
       Seq(name).toDF("macro_dropped")
+    case explainStmt(analyze, body) => explainSql(analyze != null, body)
+    case setStmt(key, value) => setSetting(key, value.trim.stripPrefix("'")
+      .stripSuffix("'"))
+    case resetStmt(key) =>
+      spark.conf.unset(translateSetting(key))
+      import spark.implicits._
+      Seq(key).toDF("reset")
+    case pragmaStmt(name, arg) => pragma(name.toLowerCase, Option(arg))
     case _ => expandedSql(rewriteFromFirst(expandMacros(q)))
   }
+
+  /** DuckDB's `EXPLAIN [ANALYZE] <stmt>` (the reference passes it through
+    * verbatim, KwackEngine.java:232): the inner statement runs through the
+    * FULL engine dialect (sugar, macros, ASOF, statement forms), and the
+    * result is one row per plan line so the REPL/JSON sink renders it like
+    * any relation. ANALYZE executes the query first (DuckDB's run-and-
+    * profile semantics) and reports the post-execution plan — under AQE
+    * that is the final adaptively re-planned physical plan, the honest
+    * Spark analogue of DuckDB's profiled plan. */
+  private def explainSql(analyze: Boolean, body: String): DataFrame = {
+    val df = sql(body)
+    if (analyze) df.count()
+    val text = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    import spark.implicits._
+    text.linesIterator.toSeq.toDF("explain_plan")
+  }
+
+  /** DuckDB setting names with a faithful Spark equivalent; everything else
+    * must be a `spark.*` conf or fail loudly — silently accepting a DuckDB
+    * knob (threads, memory_limit) that does NOT take effect here would be
+    * worse than an error naming the Spark-side control. */
+  private def translateSetting(key: String): String = key.toLowerCase match {
+    case "timezone" => "spark.sql.session.timeZone"
+    case k if k.startsWith("spark.") => key
+    case k => throw new IllegalArgumentException(
+      s"unsupported setting '$key' (supported: TimeZone, spark.* confs; " +
+        "threads/memory_limit are fixed by the Spark master/executor config)")
+  }
+
+  private def setSetting(key: String, value: String): DataFrame = {
+    spark.conf.set(translateSetting(key), value)
+    import spark.implicits._
+    Seq((key, value)).toDF("set_key", "set_value")
+  }
+
+  /** The PRAGMA subset the reference's embedded DuckDB serves interactively:
+    * `table_info('t')`, `show_tables`, `version`, `database_size`. */
+  private def pragma(name: String, arg: Option[String]): DataFrame =
+    name match {
+      case "table_info" =>
+        val t = arg.filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException("PRAGMA table_info needs a table"))
+        spark.sql(s"DESCRIBE TABLE $t")
+      case "show_tables" => spark.sql("SHOW TABLES")
+      case "version" =>
+        import spark.implicits._
+        Seq(s"graft on Spark ${spark.version}").toDF("library_version")
+      case "database_size" =>
+        import spark.implicits._
+        val bytes = spark.catalog.listTables().collect().map { t =>
+          try spark.table(t.name).queryExecution.optimizedPlan.stats
+            .sizeInBytes.toLong
+          catch { case _: Exception => 0L }
+        }.sum
+        Seq(bytes).toDF("estimated_bytes")
+      case other => throw new IllegalArgumentException(
+        s"unsupported PRAGMA '$other' (supported: table_info, show_tables, " +
+          "version, database_size)")
+    }
 
   /** Index of the first top-level (paren-depth 0, outside quoted strings /
     * backtick identifiers) occurrence of any of `kws` as a whole word at or

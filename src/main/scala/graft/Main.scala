@@ -223,10 +223,22 @@ object Main {
     * `sbin/start-thriftserver.sh` (or a Connect endpoint) against the same
     * session serves these views to any JDBC/BI client with zero engine
     * changes. */
-  private def repl(engine: Engine): Unit = {
+  private[graft] def repl(engine: Engine): Unit = repl(engine, None)
+
+  /** `io`: explicit (in, out) streams for scripted/automated runs (the
+    * JLine system terminal binds the real file descriptors, so a spec
+    * cannot drive it by swapping `System.in`); None = the user's TTY. */
+  private[graft] def repl(engine: Engine,
+      io: Option[(java.io.InputStream, java.io.OutputStream)]): Unit = {
     import org.jline.reader.{EndOfFileException, LineReader, LineReaderBuilder, UserInterruptException}
     import org.jline.terminal.TerminalBuilder
-    val terminal = TerminalBuilder.builder().system(true).dumb(true).build()
+    val terminal = io match {
+      // explicit DumbTerminal: TerminalBuilder.streams() would wrap the
+      // streams in a pty pump whose pump thread races a fast scripted
+      // input to EOF; the dumb terminal reads the stream directly
+      case Some((i, o)) => new org.jline.terminal.impl.DumbTerminal(i, o)
+      case None => TerminalBuilder.builder().system(true).dumb(true).build()
+    }
     val histFile = java.nio.file.Path.of(
       System.getProperty("user.home", "."), ".graft_history")
     val reader = LineReaderBuilder.builder()

@@ -43,12 +43,15 @@ object PlanDump {
     "d16_bloom_prefilter" -> "batch Bloom filter rides the plan as one binary literal and is pushed into the corpus scan's DataFilters — rows drop at the source; confirm join broadcasts the surviving candidates",
     "m09_audio_frames" -> "framewise features over the real PCM decode: typed map-only stage, only the presentation sort shuffles",
     "s14_range_search" -> "radius search is the s02 block equi-join with the threshold filter replacing the top-k window — shuffle-free past the join",
-    "x24_ppl_bucket_sample" -> "reuses the persisted x13 scoring pass (InMemoryTableScan); one bounded scalar window for NTILE, then a 4-row aggregation",
+    "x24_ppl_bucket_sample" -> "reuses the persisted x13 scoring pass (InMemoryTableScan); quartiles via DistributedRank cut buckets — the Window partitions on the bucket id, never a single global partition",
     "s15_mmr_diversify" -> "greedy MMR unrolled over the bounded persisted shortlist: block top-k once, 8x8 pairwise-sim self-join, three argmax windows — corpus is touched exactly once",
     "x25_packing_curve" -> "one shard-partitioned cumulative-sum window over the corpus; the three context sizes fan out map-only from the persisted cum frame",
     "q89_gap_fill" -> "grid generated map-only from per-user bounds; one (user, hour) aggregation shuffle + one partition-local IGNORE-NULLS window for the fill",
     "q91_zorder_layout" -> "rank-normalize, constant-folded Morton bit-interleave in codegen, range buckets — the repartitionByRange layout audit",
-    "q92_funnel" -> "three user-keyed stage aggregations chained by co-partitioned joins; the shrinking stage frames broadcast under AQE")
+    "q92_funnel" -> "three user-keyed stage aggregations chained by co-partitioned joins; the shrinking stage frames broadcast under AQE",
+    "q93_bucketed_join" -> "both sides read bucketBy/sortBy layouts reporting bucket HashPartitioning — the sort-merge join has ZERO Exchange under it",
+    "d17_span_dedup" -> "candidates off d14's persisted winnow postings; exact 40-char gram seeds exploded for candidate docs only; diagonal run-merge windows partition on (pair, diagonal)",
+    "x28_url_curation" -> "map-only regex canonicalization; one domain shuffle shared by the cap window and the per-domain aggregation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1065,36 +1065,62 @@ object Dedup {
     * spans must recover exactly those 120-char slices. Accounting per pair:
     * span count, longest span, removable chars (sum of maximal span
     * lengths, the chars Lee et al. would cut). */
-  private val d17: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+  /** Planted-twin corpus for d17 (bounded: corpus/25 extra docs). */
+  private def spanCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = t(s, dir, "documents")
     val planted = d.filter(col("doc_id") % 25 === 7 && length(col("text")) >= 130)
       .select((col("doc_id") + 3000000L).as("doc_id"),
         concat(lit("planted span guard <<"), substring(col("text"), 5, 120),
           lit(">> end guard")).as("text"))
-    val corpus = d.select(col("doc_id"), col("text")).unionAll(planted)
-    // 1. candidates: persisted base winnow + bounded planted winnow
-    val fps = docsWithWinnow(s, dir).select(col("doc_id"), col("fps"))
-      .unionAll(planted
-        .filter(length(col("text")) >= winK + winW - 1)
+    (d.select(col("doc_id"), col("text")).unionAll(planted), planted)
+  }
+
+  /** d17's candidate-pair index (pairs sharing >= spanMinShared winnow fps)
+    * — built ONCE per corpus snapshot and persisted, the d02/d13 shared-
+    * pass lifecycle: the postings aggregation is the corpus-scale step, and
+    * a production pipeline materializes this index once, then serves every
+    * span query from it. Base-corpus fingerprints come from d14's persisted
+    * winnow pass; only the bounded planted frame winnows fresh. */
+  private def spanPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s"spanpairs:$dir") {
+      val (_, planted) = spanCorpus(s, dir)
+      val fps = docsWithWinnow(s, dir).select(col("doc_id"), col("fps"))
+        .unionAll(planted
+          .filter(length(col("text")) >= winK + winW - 1)
+          .select(col("doc_id"),
+            expr(s"graft_winnow(text, $winK, $winW, $P)").as("fps")))
+      fps.select(col("doc_id"), explode(col("fps")).as("f"))
+        .repartition(s.sparkContext.defaultParallelism, col("f"))
+        .groupBy(col("f")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 100))
+        .select(explode(expr(pairsFromPostings)).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= spanMinShared)
+        .select(col("d1"), col("d2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Positioned exact 40-char grams for d17's CANDIDATE docs only (the
+    * explode is bounded by the candidate set, never the corpus); persisted
+    * with the pair index it derives from. */
+  private def spanGrams(s: SparkSession, dir: String): DataFrame =
+    memoized(s"spangrams:$dir") {
+      val (corpus, _) = spanCorpus(s, dir)
+      val pairs = spanPairs(s, dir)
+      val candDocs = pairs.select(col("d1").as("doc_id"))
+        .unionAll(pairs.select(col("d2").as("doc_id"))).distinct()
+      corpus.join(candDocs, Seq("doc_id"), "left_semi")
+        .filter(length(col("text")) >= spanK)
         .select(col("doc_id"),
-          expr(s"graft_winnow(text, $winK, $winW, $P)").as("fps")))
-    val pairs = fps.select(col("doc_id"), explode(col("fps")).as("f"))
-      .repartition(s.sparkContext.defaultParallelism, col("f"))
-      .groupBy(col("f")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, 100))
-      .select(explode(expr(pairsFromPostings)).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= spanMinShared)
-      .select(col("d1"), col("d2"))
-    // 2. exact-gram seeds over candidate docs only
-    val candDocs = pairs.select(col("d1").as("doc_id"))
-      .unionAll(pairs.select(col("d2").as("doc_id"))).distinct()
-    val grams = corpus.join(candDocs, Seq("doc_id"), "left_semi")
-      .filter(length(col("text")) >= spanK)
-      .select(col("doc_id"),
-        posexplode(expr(s"graft_char_grams(text, $spanK)")).as(Seq("p", "g")))
+          posexplode(expr(s"graft_char_grams(text, $spanK)")).as(Seq("p", "g")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val d17: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = spanPairs(s, dir)
+    val grams = spanGrams(s, dir)
     val seeds = pairs
       .join(grams.select(col("doc_id").as("d1"), col("p").as("p1"), col("g")),
         Seq("d1"))

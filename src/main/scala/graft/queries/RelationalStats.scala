@@ -366,10 +366,17 @@ object RelationalStats {
   private val q91: Q = (s, dir) => {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
-      .select(col("o_orderkey"), col("o_custkey").as("cust"),
-        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)")
-          .as("day"))
+    // persisted via the shared-pass lifecycle: DistributedRank's cut/count
+    // passes (x3 dimensions) re-execute their input, so the slice is
+    // materialized once instead of re-scanning parquet per pass — exactly
+    // what the 100 TB pipeline does before a multi-pass layout job
+    val o = memoized(s"q91slice:$dir") {
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_custkey").as("cust"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)")
+            .as("day"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     // quantile-normalize each dimension to an 8-bit cell rank first (what
     // production z-ordering does): interleaving RAW values loses when the
     // dimensions span different ranges — the wider dimension owns all the

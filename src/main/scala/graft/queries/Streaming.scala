@@ -444,7 +444,78 @@ object Streaming {
       |WHERE e.user_id < 10
       |ORDER BY e.event_id""".stripMargin
 
+  /** q94: dropDuplicatesWithinWatermark with REAL state eviction — the gate
+    * that distinguishes it from q79's dropDuplicates: q79's 365-day delay
+    * never evicts, so it proves dedup but not the watermark lifecycle; q94
+    * plants a stream where the SECOND occurrence of each key arrives after
+    * the key's dedup state may have expired, and the emission count per key
+    * (1 = still deduped, 2 = state evicted, re-emitted) is decided by the
+    * watermark arithmetic alone.
+    *
+    * Determinism (batch boundaries and processing order both neutralized):
+    * batch 1 carries two IDENTICAL rows per key at ts0(u) = base + 3u min
+    * (identical ts ⇒ the first-processed row fixes the same expiry
+    * whichever one wins), batch 2 one row at ts0(u) + 500 min. After batch
+    * 1 the watermark is W1 = max(ts0) - 31 min; in batch 2 key u re-emits
+    * iff its expiry ts0(u) + 31 min < W1 ⟺ u <= maxU - 21 (constants
+    * chosen so no key lands exactly ON a boundary — the > vs >= eviction
+    * detail can never flip a row). The oracle replays exactly this
+    * arithmetic in SQL over the same distinct-user set. At scale the
+    * shape is the production one: state bounded by keys-per-delay-window,
+    * evicted as the watermark passes, shuffle keyed on the dedup key. */
+  private val q94Counter = new java.util.concurrent.atomic.AtomicInteger()
+  private val q94: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val users = cappedSlice(
+      t(s, dir, "events").filter(col("user_id") < 100)
+        .select(col("user_id")).distinct())
+      .map(_.getLong(0)).sorted
+    def ts(u: Long, offMin: Long) =
+      new java.sql.Timestamp(base.getTime + (3 * u + offMin) * 60000L)
+    val b1 = users.flatMap(u => Seq((ts(u, 0), u), (ts(u, 0), u)))
+    val b2 = users.map(u => (ts(u, 500), u))
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = ms.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "31 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val sink = "q94_sink_" + q94Counter.incrementAndGet()
+    // staged feeding: each wave must commit as its OWN micro-batch so the
+    // watermark advances between them (AvailableNow would drain all
+    // pre-added blocks in one batch and never evict). The middle wave is
+    // ONE guaranteed-late dummy row (base < W1 ⇒ dropped by the late
+    // filter, never emitted, watermark unchanged): it commits a batch
+    // between the occurrence waves so expired state is gone before wave 3
+    // whether eviction runs on read or at end-of-batch — the result is
+    // identical under both.
+    val emitted = graft.streaming.StreamingOps
+      .snapshotToTableStaged(deduped, sink, "append", statePartitions = 4)(Seq(
+        () => ms.addData(b1.toSeq),
+        () => ms.addData(Seq((base, 999999L))),
+        () => ms.addData(b2.toSeq)))
+      .filter(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_emitted"))
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(emitted.collect(): _*)),
+      emitted.schema)
+    s.catalog.dropTempView(sink)
+    local.psort(col("user_id"))
+  }
+
+  private val q94Sql =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id < 100),
+      |w AS (SELECT MAX(3 * user_id) - 31 AS w1 FROM u)
+      |SELECT user_id,
+      |  CASE WHEN 3 * user_id + 31 < (SELECT w1 FROM w)
+      |       THEN 2 ELSE 1 END AS n_emitted
+      |FROM u ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q94_stream_dedup_within" -> q94,
     "q88_stream_static_join" -> q88,
     "q85_stream_stream_join" -> q85,
     "q80_stream_custom_state" -> q80,
@@ -458,6 +529,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q94_stream_dedup_within" -> q94Sql,
     "q88_stream_static_join" -> q88Sql,
     "q85_stream_stream_join" -> q85Sql,
     "q80_stream_custom_state" -> q80Sql,

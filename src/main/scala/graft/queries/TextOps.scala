@@ -1418,10 +1418,16 @@ object TextOps {
     * sort key as the helper requires. */
   private val x26: Q = (s, dir) => {
     import graft.operators.DistributedRank.{ntileFromRank, withGlobalRank}
-    val d = t(s, dir, "documents")
+    // persisted input slice (shared-pass lifecycle): DistributedRank's
+    // cut/count passes re-execute their input, so the 3-column projection
+    // materializes once instead of re-scanning parquet per pass
+    val base = memoized(s"x26base:$dir") {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val (lenRanked, nDocs) = withGlobalRank(
-      d.select(col("doc_id"), col("source"), col("n_chars")),
-      col("n_chars"), Seq(col("n_chars"), col("doc_id")), "__lr")
+      base, col("n_chars"), Seq(col("n_chars"), col("doc_id")), "__lr")
     val tiered = lenRanked
       .withColumn("tier", ntileFromRank(col("__lr"), 3, nDocs).cast("long"))
       .drop("__lr")
@@ -1552,21 +1558,25 @@ object TextOps {
     *
     * The corpus has no URL column, so the query SYNTHESIZES five
     * deterministic variants per canonical page (scheme case, host case,
-    * trailing slash, utm params, http-vs-https + fragment) from
-    * doc_id/source — the planted-twin convention (d09/d16/d17) applied to
-    * URLs: canonicalization must collapse exactly the four https variants
-    * and keep the http one distinct. */
+    * trailing slash, utm params, http-vs-https + fragment) from doc_id —
+    * the planted-twin convention (d09/d16/d17) applied to URLs. The host
+    * derives from the page GROUP (doc_id div 5, spread over 20 domains),
+    * so every complete group's four https variants MUST collapse to one
+    * canonical URL while the http one stays distinct — guaranteed at
+    * every scale factor. */
   private val x28: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
+    val h = "concat('www.d', CAST((doc_id div 5) % 20 AS STRING), '.com')"
+    val g = "CAST(doc_id div 5 AS STRING)"
     val urlCase =
-      """CASE CAST(doc_id % 5 AS INT)
-        | WHEN 0 THEN concat('https://www.', source, '.com/page/', CAST(doc_id div 5 AS STRING))
-        | WHEN 1 THEN concat('HTTPS://WWW.', upper(source), '.COM/page/', CAST(doc_id div 5 AS STRING))
-        | WHEN 2 THEN concat('https://www.', source, '.com/page/', CAST(doc_id div 5 AS STRING), '/')
-        | WHEN 3 THEN concat('https://www.', source, '.com/page/', CAST(doc_id div 5 AS STRING), '?utm_source=feed&utm_campaign=x')
-        | ELSE concat('http://www.', source, '.com/page/', CAST(doc_id div 5 AS STRING), '#frag')
-        |END""".stripMargin
+      s"""CASE CAST(doc_id % 5 AS INT)
+         | WHEN 0 THEN concat('https://', $h, '/page/', $g)
+         | WHEN 1 THEN concat('HTTPS://', upper($h), '/page/', $g)
+         | WHEN 2 THEN concat('https://', $h, '/page/', $g, '/')
+         | WHEN 3 THEN concat('https://', $h, '/page/', $g, '?utm_source=feed&utm_campaign=x')
+         | ELSE concat('http://', $h, '/page/', $g, '#frag')
+         |END""".stripMargin
     val noFrag = regexp_replace(expr(urlCase), "#.*$", "")
     val noUtm = regexp_replace(noFrag, "\\?utm_.*$", "")
     val lowerHost = concat(
@@ -1592,11 +1602,11 @@ object TextOps {
     s"""WITH u AS (
        |  SELECT doc_id,
        |    CASE CAST(doc_id % 5 AS INT)
-       |     WHEN 0 THEN 'https://www.' || source || '.com/page/' || (doc_id // 5)
-       |     WHEN 1 THEN 'HTTPS://WWW.' || UPPER(source) || '.COM/page/' || (doc_id // 5)
-       |     WHEN 2 THEN 'https://www.' || source || '.com/page/' || (doc_id // 5) || '/'
-       |     WHEN 3 THEN 'https://www.' || source || '.com/page/' || (doc_id // 5) || '?utm_source=feed&utm_campaign=x'
-       |     ELSE 'http://www.' || source || '.com/page/' || (doc_id // 5) || '#frag'
+       |     WHEN 0 THEN 'https://www.d' || ((doc_id // 5) % 20) || '.com/page/' || (doc_id // 5)
+       |     WHEN 1 THEN 'HTTPS://WWW.D' || ((doc_id // 5) % 20) || '.COM/page/' || (doc_id // 5)
+       |     WHEN 2 THEN 'https://www.d' || ((doc_id // 5) % 20) || '.com/page/' || (doc_id // 5) || '/'
+       |     WHEN 3 THEN 'https://www.d' || ((doc_id // 5) % 20) || '.com/page/' || (doc_id // 5) || '?utm_source=feed&utm_campaign=x'
+       |     ELSE 'http://www.d' || ((doc_id // 5) % 20) || '.com/page/' || (doc_id // 5) || '#frag'
        |    END AS url
        |  FROM documents),
        |c0 AS (SELECT doc_id, REGEXP_REPLACE(url, '#.*$$', '') AS a FROM u),

@@ -214,6 +214,46 @@ object StreamingOps {
     else GraftPlanBridge.ofRows(parent, snap.queryExecution.analyzed)
   }
 
+  /** [[snapshotToTable]] with EXPLICIT batch boundaries: Trigger.AvailableNow
+    * drains every pre-added MemoryStream block in ONE micro-batch, so a gate
+    * that needs the watermark to ADVANCE between waves (state eviction,
+    * late-row drops) must feed data while the query runs. Each `stage`
+    * callback adds one wave; `processAllAvailable()` after it commits that
+    * wave as its own micro-batch (advancing the watermark) before the next
+    * stage fires. Same session-clone conf isolation as [[snapshotToTable]]. */
+  def snapshotToTableStaged(stream: DataFrame, name: String,
+                            outputMode: String,
+                            statePartitions: Int)
+                           (stages: Seq[() => Unit]): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    val parent = stream.sparkSession
+    val sess = if (statePartitions > 0) {
+      val s2 = parent.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      s2
+    } else parent
+    val bound =
+      if (sess eq parent) stream
+      else GraftPlanBridge.ofRows(sess, stream.queryExecution.analyzed)
+    val shm = new java.io.File("/dev/shm")
+    val ckBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Path.of(System.getProperty("java.io.tmpdir"))
+    val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ck_")
+    ck.toFile.deleteOnExit()
+    val q = bound.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    try stages.foreach { st => st(); q.processAllAvailable() }
+    finally q.stop()
+    q.awaitTermination()
+    val snap = sess.table(name)
+    if (sess eq parent) snap
+    else GraftPlanBridge.ofRows(parent, snap.queryExecution.analyzed)
+  }
+
   /** Suite-end teardown for the streaming gates: unloads the state-store
     * provider cache and stops the maintenance pool ONCE, instead of per
     * gate. Each gate uses a fresh throwaway checkpoint, so its providers

@@ -366,4 +366,53 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       Seq((1L, "m1", 10.0), (1L, "m2", 20.0), (2L, "m1", 30.0))
     engine.close()
   }
+
+  test("EXPLAIN [ANALYZE] returns the formatted plan as rows through the dialect") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("exp_t")
+    val plan = engine.sql("EXPLAIN SELECT v, count(*) AS n FROM exp_t GROUP BY v")
+      .collect().map(_.getString(0)).mkString("\n")
+    plan should include("Physical Plan")
+    plan should include("HashAggregate")
+    // the inner statement goes through the full dialect (FROM-first here)
+    val sugar = engine.sql("EXPLAIN FROM exp_t SELECT id WHERE id = 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    sugar should include("Physical Plan")
+    val analyzed = engine.sql("EXPLAIN ANALYZE SELECT count(*) AS n FROM exp_t")
+      .collect().map(_.getString(0)).mkString("\n")
+    analyzed should include("Physical Plan")
+    engine.close()
+  }
+
+  test("SET/RESET map TimeZone and spark.* confs; foreign knobs fail loudly") {
+    val engine = new Engine(spark)
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      engine.sql("SET TimeZone = 'America/New_York'").collect()
+      spark.conf.get("spark.sql.session.timeZone") shouldBe "America/New_York"
+      engine.sql("SET spark.sql.session.timeZone TO 'UTC'").collect()
+      spark.conf.get("spark.sql.session.timeZone") shouldBe "UTC"
+      val e = intercept[IllegalArgumentException] {
+        engine.sql("SET threads = 4")
+      }
+      e.getMessage should include("spark.* confs")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+    engine.close()
+  }
+
+  test("PRAGMA table_info/show_tables/version serve the interactive surface") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("prag_t")
+    val info = engine.sql("PRAGMA table_info('prag_t')").collect()
+    info.map(_.getString(0)) should contain allOf ("k", "v")
+    engine.sql("PRAGMA show_tables").collect()
+      .map(_.getString(1)) should contain("prag_t")
+    engine.sql("PRAGMA version").collect()(0).getString(0) should
+      include("Spark")
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("PRAGMA nope_setting")
+    engine.close()
+  }
 }

@@ -95,4 +95,38 @@ class MainSpec extends AnyFunSuite with Matchers {
     }
     e.getMessage should include("mock://")
   }
+
+  test("REPL (A16) runs sqlline-style commands over scripted stdin") {
+    // the reference's interactive surface (sqlline over JDBC,
+    // KwackApplication.java:16-35) — driven end-to-end through the real
+    // JLine reader on a dumb terminal: list tables, describe, a query with
+    // row-cap truncation, an unknown command, quit
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, PrintStream}
+    val engine = new Engine(spark)
+    spark.range(3).toDF("n").createOrReplaceTempView("repl_demo")
+    val script = Seq(
+      "!help",
+      "!tables",
+      "!describe repl_demo",
+      "!rows 2",
+      "SELECT n FROM repl_demo ORDER BY n;",
+      "!nosuch",
+      "quit").mkString("\n") + "\n"
+    val outBuf = new ByteArrayOutputStream()
+    val errBuf = new ByteArrayOutputStream()
+    val termOut = new ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new PrintStream(errBuf, true, "UTF-8"))
+    try Console.withOut(new PrintStream(outBuf, true, "UTF-8")) {
+      Main.repl(engine,
+        Some((new ByteArrayInputStream(script.getBytes("UTF-8")), termOut)))
+    } finally System.setErr(oldErr)
+    val out = outBuf.toString("UTF-8")
+    out should include("!describe <table>") // !help text
+    out should include("repl_demo") // !tables listing
+    out should include("n: long") // !describe schema
+    out should include("display cap: 2") // !rows ack
+    out should include("first 2 rows selected") // truncated query footer
+    errBuf.toString("UTF-8") should include("unknown command")
+  }
 }

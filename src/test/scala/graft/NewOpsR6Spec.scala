@@ -102,6 +102,56 @@ class NewOpsR6Spec extends AnyFunSuite with Matchers {
     messages(ex).mkString("\n") should include("out of range")
   }
 
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("d17 recovers the planted 120-char cross-doc spans exactly") {
+    val rows = SparkEntry.queries("d17_span_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    rows should not be empty
+    val plantedPairs = rows.filter { case (d1, d2, _, _, _) =>
+      d2 == d1 + 3000000L
+    }
+    plantedPairs should not be empty
+    // every planted twin shares exactly the embedded slice with its origin:
+    // the longest span covers the full 120 chars (guard text blocks
+    // extension), and the removable accounting includes it
+    plantedPairs.foreach { case (_, _, nSpans, maxSpan, removed) =>
+      maxSpan should be >= 120L
+      nSpans should be >= 1L
+      removed should be >= maxSpan
+    }
+  }
+
+  test("x28 collapses URL variants and enforces the domain cap") {
+    val rows = SparkEntry.queries("x28_url_curation")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    rows should not be empty
+    rows.foreach { case (domain, nDocs, nCanon, nDup, nKept) =>
+      domain should fullyMatch regex "www\\.[a-z0-9_]+\\.com"
+      nCanon + nDup shouldBe nDocs // accounting closes
+      nKept should be <= math.min(nDocs, 100L)
+    }
+    // canonicalization must actually collapse something: the four https
+    // variants of each full group share one canonical URL
+    rows.map(_._4).sum should be > 0L
+  }
+
+  test("q93 bucketed join result equals the plain shuffled join") {
+    import graft.queries.QueryHelpers._
+    val got = SparkEntry.queries("q93_bucketed_join")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    val want = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      .orderBy(col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    got shouldBe want
+  }
+
   test("streaming snapshot with statePartitions never mutates the shared conf") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
