@@ -560,7 +560,114 @@ object Multimodal {
       | CAST(pk AS BIGINT) AS peak_win_energy
       |FROM agg a JOIN zc z USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- m10: video container decode + scene-cut segmentation --------------
+  /** Video fixture: a GVID container (media/VideoCodecs — "GVID" magic,
+    * u16 frame count, length-prefixed REAL BMP frames) of 4..8 frames per
+    * doc. The content plants exactly one scene cut: frames before
+    * cut = 1 + doc_id % (n_frames - 1) repeat pixel formula seed
+    * doc_id*31, frames at/after it seed doc_id*31 + 999 — two static
+    * scenes with a provable boundary. */
+  private def videoFixture(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 8).toInt
+    val h = 8 + ((docId * 3) % 8).toInt
+    val nf = 4 + (docId % 5).toInt
+    val cut = 1 + (docId % (nf - 1)).toInt
+    val frames = (0 until nf).map { f =>
+      val seed = docId * 31 + (if (f >= cut) 999L else 0L)
+      val n = w * h * 3
+      val px = new Array[Byte](n)
+      var i = 0
+      while (i < n) { px(i) = ((i.toLong * 7 + seed) % 251).toByte; i += 1 }
+      (w, h, px)
+    }
+    graft.media.VideoCodecs.encodeGvid(frames)
+  }
+
+  private val videoFixtures = scala.collection.concurrent.TrieMap[String, String]()
+  private def videoTable(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val path = videoFixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_video_fixture").toString
+      t(s, dir, "documents").filter(col("doc_id") <= 40)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaPayload(id, videoFixture(id))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** One decoded video frame: positional index and a position-weighted
+    * pixel checksum (Σ px[i]·(i+1) — discriminates scenes where a plain
+    * mean would not, and replays in closed form in the oracle). */
+  case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+                        height: Int, checksum: Long)
+
+  /** m10: the video half of the multimodal pipeline — container decode,
+    * per-frame REAL BMP decode, and scene segmentation. The typed
+    * mapPartitions stage explodes each payload into frame rows (map-only,
+    * partition-parallel — the mapInPandas batch shape); the scene cut is
+    * then pure DataFrame logic: a frame starts a new scene iff its decoded
+    * checksum differs from the previous frame's (LAG over a window
+    * PARTITIONED by doc — bounded frames per doc, never global). At 100 TB
+    * frame explode multiplies rows by frames-per-video, so the stage runs
+    * before any wide column is attached and the shuffle key is doc_id. */
+  private val m10: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[VideoFrame] = Encoders.product[VideoFrame]
+    val frames = videoTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.flatMap { r =>
+        graft.media.VideoCodecs.decodeGvid(r.data).frames.zipWithIndex.map {
+          case (img, f) =>
+            var sum = 0L
+            var i = 0
+            while (i < img.rgb.length) {
+              sum += (img.rgb(i) & 0xff).toLong * (i + 1); i += 1
+            }
+            VideoFrame(r.doc_id, f, img.width, img.height, sum)
+        }
+      }).toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("is_cut",
+        (coalesce(lag(col("checksum"), 1).over(w), col("checksum"))
+          =!= col("checksum")).cast("long"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("checksum"), col("is_cut"))
+      .psort(col("doc_id"), col("frame_idx"))
+  }
+
+  // closed-form replay of the fixture contract: checksum(f) =
+  // Σ_{i<w·h·3} ((i·7 + seed(f)) % 251) · (i+1), cut at 1 + doc % (nf-1)
+  private val m10Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h,
+      |    4 + doc_id % 5 AS nf
+      |  FROM documents WHERE doc_id <= 40),
+      |f AS (
+      |  SELECT doc_id, w, h, nf, 1 + doc_id % (nf - 1) AS cut,
+      |    UNNEST(RANGE(nf)) AS frame_idx
+      |  FROM g),
+      |s AS (
+      |  SELECT doc_id, w, h, frame_idx,
+      |    doc_id * 31 + CASE WHEN frame_idx >= cut THEN 999 ELSE 0 END AS seed,
+      |    CASE WHEN frame_idx = cut THEN 1 ELSE 0 END AS is_cut
+      |  FROM f)
+      |SELECT doc_id, frame_idx, w AS width, h AS height,
+      | CAST(LIST_SUM([((i * 7 + seed) % 251) * (i + 1)
+      |   FOR i IN RANGE(w * h * 3)]) AS BIGINT) AS checksum,
+      | CAST(is_cut AS BIGINT) AS is_cut
+      |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m10_video_scenes" -> m10,
     "m01_binary_meta" -> m01,
     "m02_image_decode" -> m02,
     "m03_frame_sample" -> m03,
@@ -572,6 +679,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m10_video_scenes" -> m10Sql,
     "m01_binary_meta" -> m01Sql,
     "m02_image_decode" -> m02Sql,
     "m03_frame_sample" -> m03Sql,

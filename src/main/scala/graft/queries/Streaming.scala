@@ -514,7 +514,84 @@ object Streaming {
       |       THEN 2 ELSE 1 END AS n_emitted
       |FROM u ORDER BY user_id""".stripMargin
 
+  /** Accumulator state for q95's StatefulProcessor (count, exact integer
+    * cents, max event id — all order-independent folds, so batch and
+    * within-batch processing order cannot change the result). */
+  case class UAcc(n: Long, cents: Long, max_id: Long)
+
+  /** q95's processor: the transformWithState (Spark 4 arbitrary-state v2)
+    * spelling of q80's mapGroupsWithState fold — ValueState instead of
+    * GroupState, explicit init with a typed state handle, emission of the
+    * cumulative row per touched key per batch. Runs on the RocksDB state
+    * store provider (required by the API), which is also the provider a
+    * 100 TB deployment runs: state lives off-heap/on-disk per partition,
+    * not in executor heap. */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UEvent, UState] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[UAcc] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UAcc]("acc",
+        org.apache.spark.sql.Encoders.product[UAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UState] = {
+      var acc = if (state.exists()) state.get() else UAcc(0L, 0L, 0L)
+      rows.foreach { e =>
+        acc = UAcc(acc.n + 1, acc.cents + math.round(e.value * 100.0),
+          math.max(acc.max_id, e.event_id))
+      }
+      state.update(acc)
+      Iterator.single(UState(key, acc.n, acc.cents, acc.max_id))
+    }
+  }
+
+  /** q95: q80's per-user running stats through transformWithState — the
+    * arbitrary-stateful-processing v2 API — with the SAME oracle as q80:
+    * the cumulative emissions are batch-boundary dependent, but the MAX
+    * row per user equals the full-slice aggregate regardless of batching,
+    * which is what the gate pins. Differentially, q80 (mapGroupsWithState,
+    * HDFS-backed store) and q95 (StatefulProcessor, RocksDB store) must
+    * agree row-for-row. */
+  private val q95Counter = new java.util.concurrent.atomic.AtomicInteger()
+  private val q95: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val rows = cappedSlice(t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("value"), col("event_id")))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val ms = MemoryStream[(Long, Double, Long)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a)
+    ms.addData(b)
+    val stream = ms.toDF().toDF("user_id", "value", "event_id").as[UEvent]
+    val updated = stream.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[UState]])
+    val sink = "q95_sink_" + q95Counter.incrementAndGet()
+    val snap = graft.streaming.StreamingOps
+      .snapshotToTable(updated.toDF(), sink, "update", statePartitions = 4,
+        extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val fin = snap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("total_cents"), col("max_event"))
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(fin.collect(): _*)),
+      fin.schema)
+    s.catalog.dropTempView(sink)
+    local.psort(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q95_transform_with_state" -> q95,
     "q94_stream_dedup_within" -> q94,
     "q88_stream_static_join" -> q88,
     "q85_stream_stream_join" -> q85,
@@ -529,6 +606,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q95_transform_with_state" -> q80Sql,
     "q94_stream_dedup_within" -> q94Sql,
     "q88_stream_static_join" -> q88Sql,
     "q85_stream_stream_join" -> q85Sql,

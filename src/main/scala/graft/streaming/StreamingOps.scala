@@ -185,12 +185,15 @@ object StreamingOps {
     *    gates is a few hundred rows. */
   def snapshotToTable(stream: DataFrame, name: String,
                       outputMode: String = "complete",
-                      statePartitions: Int = 0): DataFrame = {
+                      statePartitions: Int = 0,
+                      extraConfs: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.GraftPlanBridge
     val parent = stream.sparkSession
-    val sess = if (statePartitions > 0) {
+    val sess = if (statePartitions > 0 || extraConfs.nonEmpty) {
       val s2 = parent.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      if (statePartitions > 0)
+        s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      extraConfs.foreach { case (k, v) => s2.conf.set(k, v) }
       s2
     } else parent
     val bound =
@@ -223,13 +226,16 @@ object StreamingOps {
     * stage fires. Same session-clone conf isolation as [[snapshotToTable]]. */
   def snapshotToTableStaged(stream: DataFrame, name: String,
                             outputMode: String,
-                            statePartitions: Int)
+                            statePartitions: Int,
+                            extraConfs: Map[String, String] = Map.empty)
                            (stages: Seq[() => Unit]): DataFrame = {
     import org.apache.spark.sql.GraftPlanBridge
     val parent = stream.sparkSession
-    val sess = if (statePartitions > 0) {
+    val sess = if (statePartitions > 0 || extraConfs.nonEmpty) {
       val s2 = parent.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      if (statePartitions > 0)
+        s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      extraConfs.foreach { case (k, v) => s2.conf.set(k, v) }
       s2
     } else parent
     val bound =

@@ -152,6 +152,34 @@ class NewOpsR6Spec extends AnyFunSuite with Matchers {
     got shouldBe want
   }
 
+  test("m10 scene cuts land exactly where the fixture plants them") {
+    val rows = SparkEntry.queries("m10_video_scenes")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    rows.length should be > 0
+    rows.groupBy(_._1).foreach { case (doc, frames) =>
+      val nf = 4 + (doc % 5).toInt
+      val cut = 1 + (doc % (nf - 1)).toInt
+      withClue(s"doc=$doc") {
+        frames.length shouldBe nf
+        // exactly one scene boundary, at the planted frame index
+        frames.filter(_._4 == 1L).map(_._2).toSeq shouldBe Seq(cut.toLong)
+        // the two scenes are internally static: one checksum value each
+        frames.filter(_._2 < cut).map(_._3).distinct.length shouldBe 1
+        frames.filter(_._2 >= cut).map(_._3).distinct.length shouldBe 1
+      }
+    }
+  }
+
+  test("q95 transformWithState agrees row-for-row with q80 mapGroupsWithState") {
+    val a = SparkEntry.queries("q95_transform_with_state")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q80_stream_custom_state")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    a.length should be > 0
+    a shouldBe b
+  }
+
   test("streaming snapshot with statePartitions never mutates the shared conf") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
