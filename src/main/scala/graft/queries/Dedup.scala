@@ -1190,7 +1190,59 @@ object Dedup {
        |FROM spans GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
   }
 
+  /** d18: prototypicality pruning — the "D4" curation step (Tirumala et
+    * al. 2023 granularity: SemDeDup first, then prune cluster prototypes):
+    * after near-duplicate removal (d11), the remaining redundancy is the
+    * dense CORE of each semantic cluster — vectors closest to their
+    * centroid carry the least marginal information — so the most
+    * prototypical 30% of every k-means cell is dropped. Reuses the SAME
+    * trained fixed-point IVF quantizer d11/s04/s08 serve from (build-once
+    * index lifecycle; bit-reproducible Lloyd, so the DuckDB oracle replays
+    * the identical clustering).
+    *
+    * Scale: cosine-to-centroid is map-only (the k centroids broadcast);
+    * ranking runs in CELL-partitioned windows (k grows ∝ corpus so cell
+    * size stays bounded — the d11 argument; never a global window); the
+    * drop count is exact integer arithmetic ((n*3) div 10 — no float
+    * threshold to diverge on). Output: one row per DROPPED vector with its
+    * rank and cell occupancy. */
+  private val d18: Q = (s, dir) => {
+    val (centroids, assigned) = Similarity.trainedIvf(s, dir)
+    import s.implicits._
+    val cdf = broadcast(centroids.toSeq.map(c => (c.cell, c.vec.toSeq))
+      .toDF("cell", "cvec"))
+    val scored = assigned.join(cdf, Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        expr(cosineExpr("embedding", "cvec")).as("pc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("pc").desc, col("vec_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    scored.withColumn("proto_rank", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(cw))
+      .filter(col("proto_rank") <= expr("(n_members * 3) div 10"))
+      .select(col("cell"), col("vec_id"), col("proto_rank"),
+        round(col("pc"), 6).as("cos_centroid"), col("n_members"),
+        expr("(n_members * 3) div 10").as("n_drop"))
+      .psort(col("vec_id"))
+  }
+
+  private val d18Sql =
+    s"""${Similarity.ivfCtePrefix},
+       |pc AS (
+       |  SELECT a.cell, a.cid AS vec_id, ${cosineSql("a.ce", "c.vec")} AS pc
+       |  FROM assignF a JOIN ${Similarity.ivfFinalCentsCte} c ON a.cell = c.cell),
+       |ranked AS (
+       |  SELECT cell, vec_id, pc,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY pc DESC, vec_id) AS proto_rank,
+       |    COUNT(*) OVER (PARTITION BY cell) AS n_members
+       |  FROM pc)
+       |SELECT cell, vec_id, proto_rank, ROUND(pc, 6) AS cos_centroid,
+       | n_members, (n_members * 3) // 10 AS n_drop
+       |FROM ranked WHERE proto_rank <= (n_members * 3) // 10
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d18_proto_prune" -> d18,
     "d17_span_dedup" -> d17,
     "d16_bloom_prefilter" -> d16,
     "d15_dedup_report" -> d15,
@@ -1210,6 +1262,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d18_proto_prune" -> d18Sql,
     "d17_span_dedup" -> d17Sql,
     "d16_bloom_prefilter" -> d16Sql,
     "d15_dedup_report" -> d15Sql,

@@ -187,6 +187,10 @@ object Similarity {
   private val ivfIters = 3
   private val ivfDim = 64
 
+  /** Name of the final-centroids CTE inside [[ivfCtePrefix]] (tracks
+    * ivfIters so downstream oracles never hardcode the iteration count). */
+  private[queries] val ivfFinalCentsCte = s"cents$ivfIters"
+
   /** Squared L2 distance as a sequential index-order fold (bit-identical to
     * the engine's native graft_l2 accumulation loop). */
   private def dist2Sql(a: String, b: String): String =
@@ -991,7 +995,90 @@ object Similarity {
        |UNION ALL SELECT qid, 3, c3, ROUND(score3, 6) FROM p3
        |ORDER BY qid, pick""".stripMargin
 
+  /** s16: binary (sign-bit) quantization + Hamming-distance shortlist +
+    * exact cosine re-rank — the 1-bit compression tier below s07's int8
+    * and s10's PQ: 64 dims pack into EIGHT bytes (two 32-bit words), a
+    * 32x shrink over float32, and candidate scoring is two XOR+popcount
+    * instructions per pair — the binary-quantization tier production
+    * vector stores serve as their cheapest filter.
+    *
+    * Two-stage search: Hamming over the packed codes prunes the corpus to
+    * a top-8 shortlist per query; ONLY the shortlist joins back to full
+    * float vectors for the exact cosine re-rank (8 full-vector touches
+    * per query, same bounded-rerank discipline as s12).
+    *
+    * Scale: packing is map-only and the 8 B/vector code index is built
+    * once and persisted; the Hamming pass broadcasts the tiny query side
+    * and streams corpus codes (no shuffle of the corpus); the re-rank
+    * join broadcasts the bounded shortlist onto the vector table.
+    * Determinism: sign bits, integer Hamming, and the sequential-fold
+    * cosine are all exact, so the oracle replays the search bit-for-bit.
+    * Two 32-bit words (not one 64-bit) keep every packed value positive
+    * in both engines — no sign-bit/overflow divergence at bit 63. */
+  private val s16: Q = (s, dir) => {
+    val codes = memoized(s"s16codes:$dir") {
+      t(s, dir, "embeddings").select(col("vec_id"),
+        expr("aggregate(sequence(0,31), 0L, (acc, i) -> " +
+          "acc + IF(element_at(embedding, i+1) >= 0.0, shiftleft(1L, i), 0L))").as("w0"),
+        expr("aggregate(sequence(32,63), 0L, (acc, i) -> " +
+          "acc + IF(element_at(embedding, i+1) >= 0.0, shiftleft(1L, i-32), 0L))").as("w1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val q = codes.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1"))
+    val ham = q.hint("broadcast").crossJoin(
+        codes.select(col("vec_id").as("cid"), col("w0"), col("w1")))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("cast(bit_count(q0 ^ w0) + bit_count(q1 ^ w1) as bigint)").as("hamming"))
+    val hw = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("cid"))
+    val shortlist = ham.withColumn("rn", row_number().over(hw))
+      .filter(col("rn") <= 8).drop("rn")
+    val e = t(s, dir, "embeddings")
+    val qv = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cv = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val rw = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    broadcast(shortlist.join(qv.hint("broadcast"), Seq("qid")))
+      .join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"), col("hamming"),
+        expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(rw)).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("hamming"),
+        round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private val s16Sql =
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    CAST(LIST_SUM([CASE WHEN embedding[i+1] >= 0 THEN (1::BIGINT << i)
+       |                   ELSE 0 END FOR i IN RANGE(0,32)]) AS BIGINT) AS w0,
+       |    CAST(LIST_SUM([CASE WHEN embedding[i+33] >= 0 THEN (1::BIGINT << i)
+       |                   ELSE 0 END FOR i IN RANGE(0,32)]) AS BIGINT) AS w1
+       |  FROM embeddings),
+       |ham AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+       |  FROM codes q JOIN codes c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |short AS (
+       |  SELECT qid, cid, hamming FROM (
+       |    SELECT qid, cid, hamming,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
+       |    FROM ham) WHERE rn <= 8),
+       |rer AS (
+       |  SELECT s.qid, s.cid, s.hamming,
+       |    ${cosineSql("qe.embedding", "ce.embedding")} AS cos
+       |  FROM short s JOIN embeddings qe ON s.qid = qe.vec_id
+       |               JOIN embeddings ce ON s.cid = ce.vec_id)
+       |SELECT qid, rank, cid, hamming, ROUND(cos, 6) AS cosine FROM (
+       |  SELECT qid, cid, hamming, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM rer) WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s16_binary_quant" -> s16,
     "s15_mmr_diversify" -> s15,
     "s14_range_search" -> s14,
     "s13_ivf_incremental" -> s13,
@@ -1009,6 +1096,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s16_binary_quant" -> s16Sql,
     "s15_mmr_diversify" -> s15Sql,
     "s14_range_search" -> s14Sql,
     "s13_ivf_incremental" -> s13Sql,

@@ -1630,7 +1630,85 @@ object TextOps {
        | CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM r GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** x29: DSIR-style importance resampling (data selection via importance
+    * reweighting over hashed n-gram features, Xie et al. 2023 granularity):
+    * pick raw-corpus documents whose hashed-unigram distribution looks most
+    * like a TARGET distribution (here: the English subset, standing in for
+    * the curated target domain of the published recipe).
+    *
+    * Model: tokens hash into B=64 buckets (md5-based so both engines agree
+    * bit-for-bit); bucket unigram models for target and raw are Laplace
+    * smoothed (p(b) = (c_b + 1) / (total + B)); a document's importance
+    * weight is sum over its tokens of log p_target(bucket) − log p_raw
+    * (bucket). Each bucket's log-likelihood ratio is quantized ONCE to
+    * integer micronats (the x13 determinism pattern — ln differs by ulps
+    * between engines, but round-to-1e-6 collapses that), so every per-doc
+    * score is an exact integer sum and the top-100 selection is
+    * hash-stable.
+    *
+    * Scale: ONE token-bucket shuffle builds both distributions (raw count
+    * + target count in the same aggregation); the 64-row LLR table
+    * broadcasts into the map-side scoring pass; top-100 is
+    * TakeOrderedAndProject (per-partition heads, no global sort). At
+    * 100 TB the feature space grows to 10k buckets and the target counts
+    * come from a small curated corpus — the shapes are unchanged. */
+  private val x29: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", pmod(md5i(col("tok")), lit(64L)))
+    val counts = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val full = s.range(0, 64).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = full.agg(sum(col("cr")).as("rr"), sum(col("ct")).as("tt"))
+    val llr = full.crossJoin(broadcast(tot)).select(col("b"),
+      round((log((col("ct") + 1).cast("double") / (col("tt") + 64).cast("double")) -
+             log((col("cr") + 1).cast("double") / (col("rr") + 64).cast("double"))) * 1000000.0)
+        .cast("long").as("w"))
+    val scored = toks.join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("dsir_score_micronats"))
+    scored.join(d.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .orderBy(col("dsir_score_micronats").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("dsir_score_micronats"))
+      .psort(col("dsir_score_micronats").desc, col("doc_id"))
+  }
+
+  private val x29Sql =
+    s"""WITH tb AS (
+       |  SELECT doc_id, lang, ${md5iSql("t.tok")} % 64 AS b
+       |  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) t(tok)),
+       |bc AS (
+       |  SELECT b, COUNT(*) AS cr,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM tb GROUP BY b),
+       |full_b AS (
+       |  SELECT r.range AS b, COALESCE(bc.cr, 0) AS cr, COALESCE(bc.ct, 0) AS ct
+       |  FROM RANGE(0, 64) r LEFT JOIN bc ON r.range = bc.b),
+       |tot AS (
+       |  SELECT CAST(SUM(cr) AS BIGINT) AS rr, CAST(SUM(ct) AS BIGINT) AS tt
+       |  FROM full_b),
+       |llr AS (
+       |  SELECT b, CAST(ROUND((LN((ct + 1)::DOUBLE / (tt + 64)::DOUBLE)
+       |                      - LN((cr + 1)::DOUBLE / (rr + 64)::DOUBLE))
+       |                 * 1000000.0) AS BIGINT) AS w
+       |  FROM full_b, tot),
+       |scored AS (
+       |  SELECT tb.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(llr.w) AS BIGINT) AS dsir_score_micronats
+       |  FROM tb JOIN llr ON tb.b = llr.b GROUP BY tb.doc_id)
+       |SELECT s.doc_id, d.lang, d.source, s.n_tokens, s.dsir_score_micronats
+       |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+       |ORDER BY s.dsir_score_micronats DESC, s.doc_id LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x29_dsir_resample" -> x29,
     "x28_url_curation" -> x28,
     "x27_heldout_ppl" -> x27,
     "x26_curriculum_order" -> x26,
@@ -1661,6 +1739,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x29_dsir_resample" -> x29Sql,
     "x28_url_curation" -> x28Sql,
     "x27_heldout_ppl" -> x27Sql,
     "x26_curriculum_order" -> x26Sql,
