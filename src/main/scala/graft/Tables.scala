@@ -23,12 +23,16 @@ object Tables {
   /** Small dimension tables that should always be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
-  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark refuses to read
-    * natively (no nanosecond timestamp type — SURVEY.md §7.3). We read them
-    * as raw nanos longs and truncate to microseconds, the same truncation
-    * DuckDB applies, so oracle comparisons agree.
+  /** Timestamp columns whose parquet encoding has varied across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark can only read as a
+    * raw nanos long — no nanosecond timestamp type, SURVEY.md §7.3) in
+    * earlier drops, TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ)
+    * since. Both are normalized to TimestampType at load: nanos truncate to
+    * micros exactly as DuckDB truncates them, and an NTZ micros value under
+    * the suite-wide UTC session timezone converts losslessly — so oracle
+    * comparisons agree under either encoding.
     */
-  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  private val tsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   /** Memoized per (dir, table): re-listing parquet files and re-deriving
     * the schema per query is pure overhead (the DataFrame is a lazy plan —
@@ -41,14 +45,21 @@ object Tables {
 
   private def load0(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    nanosCols.get(name) match {
+    tsCols.get(name) match {
       case None => spark.read.parquet(path)
       case Some(cols) =>
         val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try {
           cols.foldLeft(spark.read.parquet(path)) { (df, c) =>
-            df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+            df.schema(c).dataType match {
+              case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
+                df.withColumn(c, org.apache.spark.sql.functions
+                  .expr(s"timestamp_micros($c div 1000)"))
+              case _ => // TIMESTAMP(MICROS), read as TIMESTAMP_NTZ
+                df.withColumn(c, org.apache.spark.sql.functions
+                  .col(c).cast(org.apache.spark.sql.types.TimestampType))
+            }
           }
         } finally prev match {
           case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)

@@ -51,7 +51,7 @@ object Dedup {
   private val shinglesSql =
     "LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
       "FOR i IN RANGE(1, LEN(w) - 1)])"
-  private val docsShSql =
+  private[queries] val docsShSql =
     s"""SELECT doc_id, $shinglesSql AS sh
        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
        |  WHERE LEN(w) >= 3""".stripMargin

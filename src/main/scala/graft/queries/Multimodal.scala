@@ -666,7 +666,77 @@ object Multimodal {
       | CAST(is_cut AS BIGINT) AS is_cut
       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resampled channel-0 audio statistics: 2:1 decimation by paired-sample
+    * mean ((s[2j]+s[2j+1]) >> 1 — arithmetic shift floors identically on
+    * the JVM and in DuckDB, so the integers match bit-for-bit). */
+  case class ResampledAudio(doc_id: Long, n_in: Int, n_out: Int,
+                            out_rate: Int, rs_sum: Long, rs_peak: Int,
+                            rs_first: Int, rs_last: Int)
+
+  private def resampleOne(r: MediaPayload): ResampledAudio = {
+    val a = AudioCodecs.decodeWav(r.data)
+    val ch = a.channels
+    val nIn = a.samples.length / ch
+    val nOut = nIn / 2
+    var sum = 0L; var peak = 0; var first = 0; var last = 0
+    var j = 0
+    while (j < nOut) {
+      val s0 = a.samples(2 * j * ch).toInt
+      val s1 = a.samples((2 * j + 1) * ch).toInt
+      val v = (s0 + s1) >> 1
+      if (j == 0) first = v
+      last = v
+      sum += v
+      val av = math.abs(v)
+      if (av > peak) peak = av
+      j += 1
+    }
+    ResampledAudio(r.doc_id, nIn, nOut, a.sampleRate / 2, sum, peak, first, last)
+  }
+
+  /** m11: audio resampling (2:1 decimation with paired-sample averaging) —
+    * the sample-rate normalization stage an audio pipeline runs before
+    * feature extraction or model ingest (every corpus mixes 8/16/44.1 kHz
+    * sources; the model wants ONE rate). Runs on the REAL AudioCodecs PCM
+    * decode of the WAV fixture; output statistics are exact integers and
+    * the oracle replays the fixture's closed-form sample series through the
+    * identical decimation arithmetic, so any stride, rounding, or channel
+    * de-interleave mistake diverges.
+    *
+    * Scale: map-only typed mapPartitions over the payload scan (the
+    * mapInPandas batch shape) — no shuffle, fans out to billions of clips;
+    * at 100 TB the only change is reading payloads from object storage. */
+  private val m11: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[ResampledAudio] = Encoders.product[ResampledAudio]
+    audioTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(resampleOne)).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m11Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    8000 + (doc_id % 3) * 4000 AS rate,
+      |    1 + doc_id % 2 AS ch,
+      |    500 + doc_id % 250 AS nf
+      |  FROM documents WHERE doc_id <= 100),
+      |r AS (
+      |  SELECT doc_id, rate, ch, nf, nf // 2 AS nout,
+      |    [(((2*j)*ch*13 + doc_id) % 2001 - 1000
+      |      + ((2*j+1)*ch*13 + doc_id) % 2001 - 1000) >> 1
+      |     FOR j IN RANGE(nf // 2)] AS outs
+      |  FROM g)
+      |SELECT doc_id, CAST(nf AS INTEGER) AS n_in, CAST(nout AS INTEGER) AS n_out,
+      | CAST(rate // 2 AS INTEGER) AS out_rate,
+      | CAST(LIST_SUM(outs) AS BIGINT) AS rs_sum,
+      | CAST(LIST_MAX([ABS(v) FOR v IN outs]) AS INTEGER) AS rs_peak,
+      | CAST(outs[1] AS INTEGER) AS rs_first,
+      | CAST(outs[nout] AS INTEGER) AS rs_last
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m11_audio_resample" -> m11,
     "m10_video_scenes" -> m10,
     "m01_binary_meta" -> m01,
     "m02_image_decode" -> m02,
@@ -679,6 +749,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m11_audio_resample" -> m11Sql,
     "m10_video_scenes" -> m10Sql,
     "m01_binary_meta" -> m01Sql,
     "m02_image_decode" -> m02Sql,

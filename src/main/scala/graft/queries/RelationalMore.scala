@@ -439,7 +439,40 @@ object RelationalMore {
       |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q96: aggregate FILTER clause + arg_max/arg_min. The FILTER text is
+    * dialect-shared (Spark >= 3.0 and DuckDB parse the same clause); the
+    * argmax pair differs only in name (Spark max_by/min_by, DuckDB
+    * arg_max/arg_min — both in the SQL standard's wake). Ties are made
+    * deterministic by ranking on an exact encoded BIGINT
+    * (round(price*100)*1e7 + orderkey — cents fit 2^53, orderkey < 1e7),
+    * not on the raw double, so both engines pick the identical row even if
+    * the max price repeats.
+    *
+    * Scale: single hash aggregation with map-side partials; FILTER folds
+    * into the aggregate buffer update (no pre-split scans), argmax carries
+    * one (key, value) pair per group — no sort, no window. */
+  private val q96: Q = (s, dir) => {
+    graft.Tables.register(s, dir)
+    s.sql("""SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |    FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE) AS sum_hi,
+      |  MAX_BY(l_orderkey, CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)*10000000 + l_orderkey) AS key_max_price,
+      |  MIN_BY(l_orderkey, CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)*10000000 + l_orderkey) AS key_min_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val q96Sql =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |    FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE) AS sum_hi,
+      |  ARG_MAX(l_orderkey, CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)*10000000 + l_orderkey) AS key_max_price,
+      |  ARG_MIN(l_orderkey, CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)*10000000 + l_orderkey) AS key_min_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q96_filter_argmax" -> q96,
     "q64_time_range_frame" -> q64,
     "q62_union_by_name" -> q62,
     "q63_natural_join" -> q63,
@@ -463,6 +496,7 @@ object RelationalMore {
     "q49_bit_ops" -> q49)
 
   val oracleSql: Map[String, String] = Map(
+    "q96_filter_argmax" -> q96Sql,
     "q64_time_range_frame" -> q64Sql,
     "q62_union_by_name" -> q62Sql,
     "q63_natural_join" -> q63Text,

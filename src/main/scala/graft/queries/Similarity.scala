@@ -1077,7 +1077,104 @@ object Similarity {
        |  FROM rer) WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
+  /** s17: hybrid retrieval with reciprocal-rank fusion — the two-arm
+    * retrieval stack a training-data pipeline runs for curation and eval-set
+    * mining: a DENSE arm (exact cosine top-20, the s01 shape) and a LEXICAL
+    * arm (word-3-gram Jaccard top-20 over the d02 shared shingle index),
+    * fused per query with RRF: score = Σ_arms 1/(60 + rank) (Cormack et al.
+    * 2009's k=60), top-10 kept.
+    *
+    * Determinism: each arm's contribution is quantized once to integer
+    * nano-units (round(1e9/(60+r)) — integer-valued doubles, exact addition
+    * in both engines), so fused ordering is exact integer comparison.
+    *
+    * Scale: both arms broadcast the bounded query set and STREAM the
+    * corpus — the dense arm is one map-side scoring pass + per-query top-k,
+    * the lexical arm joins query shingles (broadcast) against the corpus
+    * posting explode with no corpus self-join; fusion touches only the
+    * 2×20-per-query shortlist union. At 100 TB the arms' candidate
+    * generation swaps to the IVF cells (s02) / df-capped postings (d02)
+    * already in the repo — the fusion stage is unchanged. */
+  private val s17: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wD = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val dense = q.hint("broadcast").crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rd", row_number().over(wD))
+      .filter(col("rd") <= 20).select(col("qid"), col("cid"), col("rd"))
+
+    val sh = Dedup.docsWithShingles(s, dir)
+    val qsh = sh.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), explode(col("sh")).as("g"))
+    val csh = sh.select(col("doc_id").as("cid"), explode(col("sh")).as("g"))
+    val sizes = sh.select(col("doc_id"), col("n"))
+    val wL = Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("cid"))
+    val lex = csh.join(broadcast(qsh), Seq("g"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid")).agg(count(lit(1)).as("common"))
+      .join(sizes.as("sq"), col("qid") === col("sq.doc_id"))
+      .join(sizes.as("sc"), col("cid") === col("sc.doc_id"))
+      .select(col("qid"), col("cid"),
+        (col("common").cast("double") /
+          (col("sq.n") + col("sc.n") - col("common")).cast("double")).as("jac"))
+      .withColumn("rl", row_number().over(wL))
+      .filter(col("rl") <= 20).select(col("qid"), col("cid"), col("rl"))
+
+    val fused = dense.join(lex, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        (coalesce(round(lit(1000000000.0) / (col("rd") + 60), 0), lit(0.0)) +
+          coalesce(round(lit(1000000000.0) / (col("rl") + 60), 0), lit(0.0)))
+          .cast("long").as("rrf_nano"),
+        coalesce(col("rd"), lit(0)).as("dense_rank"),
+        coalesce(col("rl"), lit(0)).as("lex_rank"))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf_nano").desc, col("cid"))
+    fused.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("cid"), col("rrf_nano"),
+        col("dense_rank"), col("lex_rank"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private val s17Sql =
+    s"""WITH docs AS (${Dedup.docsShSql}),
+       |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |dense AS (
+       |  SELECT qid, cid, rd FROM (
+       |    SELECT qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |        ${cosineSql("qe", "c.embedding")} DESC, c.vec_id) AS rd
+       |    FROM qv CROSS JOIN embeddings c WHERE qid <> c.vec_id)
+       |  WHERE rd <= 20),
+       |qsh AS (SELECT doc_id AS qid, UNNEST(sh) AS g FROM docs WHERE doc_id < 5),
+       |csh AS (SELECT doc_id AS cid, UNNEST(sh) AS g FROM docs),
+       |co AS (
+       |  SELECT qid, cid, COUNT(*) AS common FROM csh JOIN qsh USING (g)
+       |  WHERE qid <> cid GROUP BY qid, cid),
+       |sizes AS (SELECT doc_id, LEN(sh) AS n FROM docs),
+       |lex AS (SELECT qid, cid, rl FROM (
+       |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |    common::DOUBLE / (sq.n + sc.n - common)::DOUBLE DESC, cid) AS rl
+       |  FROM co JOIN sizes sq ON qid = sq.doc_id JOIN sizes sc ON cid = sc.doc_id)
+       |  WHERE rl <= 20),
+       |fused AS (
+       |  SELECT COALESCE(d.qid, l.qid) AS qid, COALESCE(d.cid, l.cid) AS cid,
+       |    CAST(COALESCE(ROUND(CAST(1000000000 AS DOUBLE)/(d.rd + 60), 0), 0) +
+       |         COALESCE(ROUND(CAST(1000000000 AS DOUBLE)/(l.rl + 60), 0), 0) AS BIGINT) AS rrf_nano,
+       |    CAST(COALESCE(d.rd, 0) AS INTEGER) AS dense_rank,
+       |    CAST(COALESCE(l.rl, 0) AS INTEGER) AS lex_rank
+       |  FROM dense d FULL OUTER JOIN lex l ON d.qid = l.qid AND d.cid = l.cid)
+       |SELECT qid, rank, cid, rrf_nano, dense_rank, lex_rank FROM (
+       |  SELECT qid, cid, rrf_nano, dense_rank, lex_rank,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_nano DESC, cid) AS rank
+       |  FROM fused) WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s17_hybrid_rrf" -> s17,
     "s16_binary_quant" -> s16,
     "s15_mmr_diversify" -> s15,
     "s14_range_search" -> s14,
@@ -1096,6 +1193,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s17_hybrid_rrf" -> s17Sql,
     "s16_binary_quant" -> s16Sql,
     "s15_mmr_diversify" -> s15Sql,
     "s14_range_search" -> s14Sql,

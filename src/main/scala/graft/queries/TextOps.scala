@@ -888,24 +888,35 @@ object TextOps {
   // one doc_id shuffle. Same round-order REPLACE semantics as training
   // (leftmost non-overlapping, resuming after each replacement -- identical
   // in both engines), so the oracle replays training AND encoding exactly.
-  private val x22: Q = (s, dir) => {
-    val SEP = "\u0001"
-    val merges = bpeTrain(s, dir)
-    val enc0 = concat(lit(SEP + SEP),
-      concat_ws(SEP + SEP, expr("graft_char_grams(w, 1)")), lit(SEP + SEP))
-    val dict0 = t(s, dir, "documents")
-      .select(explode(split(col("text"), " +")).as("w"))
-      .filter(col("w") =!= "").distinct()
-      .select(col("w"), enc0.as("enc"))
-    val dictN = merges.foldLeft(dict0) { case (df, (_, a, b, _, _)) =>
-      df.select(col("w"), regexp_replace(col("enc"),
-        lit(java.util.regex.Pattern.quote(SEP + a + SEP + SEP + b + SEP)),
-        lit(java.util.regex.Matcher.quoteReplacement(SEP + a + b + SEP)))
-        .as("enc"))
+  /** Encoded dictionary (word -> n_sym tokens) from the trained BPE merges.
+    * Bounded by DISTINCT-word cardinality (the vocabulary x16 trains on),
+    * built once per sf dir and shared by the encode (x22) and
+    * tokenizer-fertility (x31) gates -- the "train once, apply everywhere"
+    * tokenizer lifecycle. */
+  private def bpeDictF(s: SparkSession, dir: String): DataFrame =
+    memoized(s"bpedict:$dir") {
+      val SEP = "\u0001"
+      val merges = bpeTrain(s, dir)
+      val enc0 = concat(lit(SEP + SEP),
+        concat_ws(SEP + SEP, expr("graft_char_grams(w, 1)")), lit(SEP + SEP))
+      val dict0 = t(s, dir, "documents")
+        .select(explode(split(col("text"), " +")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .select(col("w"), enc0.as("enc"))
+      val dictN = merges.foldLeft(dict0) { case (df, (_, a, b, _, _)) =>
+        df.select(col("w"), regexp_replace(col("enc"),
+          lit(java.util.regex.Pattern.quote(SEP + a + SEP + SEP + b + SEP)),
+          lit(java.util.regex.Matcher.quoteReplacement(SEP + a + b + SEP)))
+          .as("enc"))
+      }
+      dictN.select(col("w"),
+        size(expr(s"filter(split(enc, '$SEP'), x -> x <> '')"))
+          .cast("long").as("n_sym"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val dictF = dictN.select(col("w"),
-      size(expr(s"filter(split(enc, '$SEP'), x -> x <> '')"))
-        .cast("long").as("n_sym"))
+
+  private val x22: Q = (s, dir) => {
+    val dictF = bpeDictF(s, dir)
     t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " +")).as("w"))
       .filter(col("w") =!= "")
@@ -920,14 +931,16 @@ object TextOps {
       .psort(col("doc_id"))
   }
 
-  private val x22Sql = {
+  /** DuckDB CTE chain replaying bpeDictF (training rounds + dictionary
+    * encode through dictF) — shared by the x22 and x31 oracles. */
+  private def bpeDictSqlCtes: String = {
     def dictRound(r: Int): String =
       s"""dict$r AS MATERIALIZED (
          |  SELECT w, REPLACE(enc,
          |      CHR(1) || REPLACE(b$r.p, CHR(1), CHR(1) || CHR(1)) || CHR(1),
          |      CHR(1) || REPLACE(b$r.p, CHR(1), '') || CHR(1)) AS enc
          |  FROM dict${r - 1}, b$r)""".stripMargin
-    s"""WITH $bpeCtePrefix,
+    s"""$bpeCtePrefix,
        |dict0 AS MATERIALIZED (
        |  SELECT w, CHR(1) || CHR(1) ||
        |      ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(w, '(?s).'), CHR(1) || CHR(1)) ||
@@ -939,7 +952,11 @@ object TextOps {
        |dictF AS (
        |  SELECT w, CAST(LEN(LIST_FILTER(STRING_SPLIT(enc, CHR(1)),
        |    x -> x <> '')) AS BIGINT) AS n_sym
-       |  FROM dict$bpeRounds),
+       |  FROM dict$bpeRounds)""".stripMargin
+  }
+
+  private val x22Sql =
+    s"""WITH $bpeDictSqlCtes,
        |docw AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w
@@ -950,7 +967,6 @@ object TextOps {
        | CAST(SUM(LEN(w)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE) AS chars_per_token
        |FROM docw JOIN dictF USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   // ---- x17: train/eval split with contamination (leakage) detection --------
   // Deterministic hash split (80/20 on a salted doc hash) plus the check
@@ -1707,7 +1723,116 @@ object TextOps {
        |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
        |ORDER BY s.dsir_score_micronats DESC, s.doc_id LIMIT 100""".stripMargin
 
+  // ---- x30: line-level boilerplate removal (CCNet/RefinedWeb staple) -------
+  /** x30: remove LINES (not documents) that repeat across the corpus —
+    * navigation chrome, cookie banners, share buttons. CCNet dedupes at the
+    * paragraph-hash level and RefinedWeb at the line level for exactly this
+    * reason: the document is fine, its furniture is not. Lines here are
+    * 10-token chunks (the d08 segmentation — the corpus has no newlines); a
+    * line is boilerplate when its hash occurs in >= 3 DISTINCT documents.
+    * The corpus has no organic mass-repeated chrome, so every 7th document
+    * is planted with a fixed 10-word header (the x17/d09 planting
+    * convention, identical in both engines) which must come back flagged,
+    * along with any organic cross-doc repeats. Output: the per-document
+    * retention report (kept_ppm exact integer arithmetic).
+    *
+    * Scale: ONE shuffle on the line hash builds the boilerplate set; the
+    * set is bounded by cross-doc redundancy (only hashes with nd >= 3
+    * survive the HAVING), so it broadcasts back into a map-side flag join —
+    * the corpus is never shuffled a second time. At 100 TB the broadcast
+    * swaps to the d16 bloom-prefilter or a co-partitioned hash join on h;
+    * the two-pass shape is unchanged. */
+  private val x30: Q = (s, dir) => {
+    val header = "subscribe to our newsletter and follow us on social media"
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(lit(header + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val lines = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, ((size(ws) + 9) div 10) - 1)")).as("i"),
+        col("ws"))
+      .select(col("doc_id"),
+        md5(array_join(expr("slice(ws, i * 10 + 1, 10)"), " ")).as("h"))
+    val boiler = lines.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3)
+      .select(col("h"), lit(1L).as("is_boiler"))
+    lines.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        expr("(n_lines - n_boiler) * 1000000 div n_lines").as("kept_ppm"))
+      .psort(col("doc_id"))
+  }
+
+  private val x30Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |    THEN 'subscribe to our newsletter and follow us on social media' || ' ' || text
+      |    ELSE text END AS text FROM documents),
+      |w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM d),
+      |lines AS (
+      |  SELECT doc_id, MD5(ARRAY_TO_STRING(ws[(i*10+1):(i*10+10)], ' ')) AS h
+      |  FROM w, UNNEST(RANGE(0, (LEN(ws) + 9) // 10)) t(i)),
+      |boiler AS (SELECT h FROM lines GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3)
+      |SELECT l.doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST((COUNT(*) - SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)) * 1000000
+      |    // COUNT(*) AS BIGINT) AS kept_ppm
+      |FROM lines l LEFT JOIN boiler b USING (h)
+      |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+
+  // ---- x31: tokenizer fertility by language --------------------------------
+  /** x31: per-language tokenizer fertility — chars/token (compression) and
+    * tokens/word (fertility) of the TRAINED BPE (x16's merge table) broken
+    * down by language. The tokenizer-fairness number multilingual pipelines
+    * publish: a tokenizer trained on skewed data spends more tokens per
+    * word on underrepresented languages, inflating their training cost and
+    * shrinking their effective context window.
+    *
+    * Scale: rides the SAME bounded (word -> n_sym) dictionary x22 encodes
+    * with (built once, broadcast); the corpus pass is one explode + map-side
+    * dictionary join + one 5-row language aggregation. All counters exact
+    * integers; the two ratios are single double divisions of exact longs. */
+  private val x31: Q = (s, dir) => {
+    val dictF = bpeDictF(s, dir)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " +")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(dictF), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"))
+      .psort(col("lang"))
+  }
+
+  private val x31Sql =
+    s"""WITH $bpeDictSqlCtes,
+       |docw AS (
+       |  SELECT doc_id, lang, w FROM (
+       |    SELECT doc_id, lang, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w
+       |    FROM documents) WHERE w <> '')
+       |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_words,
+       | CAST(SUM(LEN(w)) AS BIGINT) AS n_chars,
+       | CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       | CAST(SUM(LEN(w)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE) AS chars_per_token,
+       | CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tokens_per_word
+       |FROM docw JOIN dictF USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x31_tokenizer_fertility" -> x31,
+    "x30_boilerplate_lines" -> x30,
     "x29_dsir_resample" -> x29,
     "x28_url_curation" -> x28,
     "x27_heldout_ppl" -> x27,
@@ -1739,6 +1864,8 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x31_tokenizer_fertility" -> x31Sql,
+    "x30_boilerplate_lines" -> x30Sql,
     "x29_dsir_resample" -> x29Sql,
     "x28_url_curation" -> x28Sql,
     "x27_heldout_ppl" -> x27Sql,

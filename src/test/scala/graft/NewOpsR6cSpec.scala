@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-6 batch-3 semantic specs:
+  *  - Tables: both parquet timestamp encodings (NANOS-as-long and MICROS
+  *    native) normalize to TimestampType — the driver's testdata generator
+  *    has shipped both, and a mismatch silently breaks every events query.
+  *  - s17 hybrid RRF: fusion arithmetic re-derived independently from the
+  *    two arms' rank lists.
+  *  - x30 boilerplate lines: the planted 10-word header must be flagged in
+  *    every planted document and in none of the short unplantable ones.
+  *  - x31 tokenizer fertility: per-language aggregates re-derived from the
+  *    per-document x22 encode (same dictionary, independent aggregation).
+  *  - q96 FILTER/argmax: argmax keys re-derived by a driver-side scan with
+  *    the identical encoded tiebreak.
+  */
+class NewOpsR6cSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("events ts column normalizes to TimestampType under either parquet encoding") {
+    val e = Tables.load(spark, sfDir, "events")
+    e.schema("ts").dataType shouldBe org.apache.spark.sql.types.TimestampType
+    // values must be sane micros-precision 2024 timestamps, not epoch-garbage
+    val r = e.agg(min(col("ts")).cast("string"), max(col("ts")).cast("string"))
+      .collect()(0)
+    r.getString(0) should startWith("2024-")
+    r.getString(1) should startWith("2024-")
+  }
+
+  test("s17 hybrid RRF fuses the two arms with exact nano-unit arithmetic") {
+    val out = queries.Similarity.queries("s17_hybrid_rrf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5)))
+    out.map(_._1).distinct.sorted shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+    out.groupBy(_._1).values.foreach { g =>
+      g.map(_._2).sorted shouldBe (1 to g.length)
+      // fused score must equal the RRF formula of the reported arm ranks
+      g.foreach { case (_, _, _, nano, rd, rl) =>
+        def c(r: Int): Long =
+          if (r == 0) 0L else math.round(1000000000.0 / (r + 60))
+        nano shouldBe (c(rd) + c(rl))
+        (rd, rl) should not be ((0, 0))
+      }
+      // descending fused score in rank order
+      g.sortBy(_._2).map(_._4).sliding(2).foreach { w =>
+        if (w.length == 2) w(0) should be >= w(1)
+      }
+    }
+    // both arms must actually contribute somewhere
+    out.exists(r => r._5 > 0 && r._6 == 0) shouldBe true
+    out.exists(r => r._6 > 0 && r._5 == 0) shouldBe true
+  }
+
+  test("x30 flags the planted boilerplate header in every planted doc") {
+    val out = queries.TextOps.queries("x30_boilerplate_lines")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    out.length shouldBe nDocs
+    val planted = out.filter(_._1 % 7 == 0)
+    planted should not be empty
+    // every planted doc gains the header as line 0 -> at least one boiler line
+    planted.foreach { case (id, nl, nb, ppm) =>
+      withClue(s"doc $id:") {
+        nb should be >= 1L
+        ppm shouldBe (nl - nb) * 1000000L / nl
+      }
+    }
+    // retention arithmetic holds everywhere and nobody loses everything
+    out.foreach { case (_, nl, nb, ppm) =>
+      nb should be <= nl
+      ppm shouldBe (nl - nb) * 1000000L / nl
+    }
+  }
+
+  test("x31 per-language fertility equals the aggregated x22 per-doc encode") {
+    val perDoc = queries.TextOps.queries("x22_bpe_encode")(spark, sfDir)
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"))
+    val langs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val expect = perDoc.join(langs, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = queries.TextOps.queries("x31_tokenizer_fertility")(spark, sfDir)
+      .collect()
+    got.length shouldBe expect.size
+    got.foreach { r =>
+      val (nd, nw, nc, nt) = expect(r.getString(0))
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe
+        ((nd, nw, nc, nt))
+      r.getDouble(5) shouldBe (nc.toDouble / nt.toDouble)
+      r.getDouble(6) shouldBe (nt.toDouble / nw.toDouble)
+    }
+  }
+
+  test("m11 resample matches the fixture's closed-form series independently") {
+    val out = queries.Multimodal.queries("m11_audio_resample")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5),
+          r.getInt(6), r.getInt(7)))).toMap
+    out.keySet.max should be <= 100L
+    out.keySet.foreach { id =>
+      // fixture closed form (m07 convention): rate/channels/frames from
+      // doc_id; channel-0 sample j = ((j*ch)*13 + doc_id) % 2001 - 1000
+      val rate = 8000 + (id % 3).toInt * 4000
+      val ch = 1 + (id % 2).toInt
+      val nf = 500 + (id % 250).toInt
+      def s0(j: Int): Int = (((j.toLong * ch * 13 + id) % 2001) - 1000).toInt
+      val outs = (0 until nf / 2).map(j => (s0(2 * j) + s0(2 * j + 1)) >> 1)
+      val (nIn, nOut, oRate, sum, peak, first, last) = out(id)
+      (nIn, nOut, oRate) shouldBe ((nf, nf / 2, rate / 2))
+      sum shouldBe outs.map(_.toLong).sum
+      peak shouldBe outs.map(math.abs).max
+      first shouldBe outs.head
+      last shouldBe outs.last
+    }
+  }
+
+  test("q96 argmax keys match a driver-side rescan with the encoded tiebreak") {
+    val out = queries.RelationalMore.queries("q96_filter_argmax")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"),
+        col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      def key(t: (String, Long, Double, Double)): Long =
+        BigDecimal(t._3 * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong * 10000000L + t._2
+      val (nBig, kMax, kMin) = out(flag)
+      nBig shouldBe rows.count(_._4 > 25)
+      kMax shouldBe rows.maxBy(key)._2
+      kMin shouldBe rows.minBy(key)._2
+    }
+  }
+}
