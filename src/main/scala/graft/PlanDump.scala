@@ -51,7 +51,14 @@ object PlanDump {
     "q92_funnel" -> "three user-keyed stage aggregations chained by co-partitioned joins; the shrinking stage frames broadcast under AQE",
     "q93_bucketed_join" -> "both sides read bucketBy/sortBy layouts reporting bucket HashPartitioning — the sort-merge join has ZERO Exchange under it",
     "d17_span_dedup" -> "candidates off d14's persisted winnow postings; exact 40-char gram seeds exploded for candidate docs only; diagonal run-merge windows partition on (pair, diagonal)",
-    "x28_url_curation" -> "map-only regex canonicalization; one domain shuffle shared by the cap window and the per-domain aggregation")
+    "x28_url_curation" -> "map-only regex canonicalization; one domain shuffle shared by the cap window and the per-domain aggregation",
+    "s17_hybrid_rrf" -> "both arms broadcast the bounded query set (dense crossJoin + lexical shingle join); fusion is a full-outer join of the two 20-per-query shortlists — corpus streams, never self-joins",
+    "x30_boilerplate_lines" -> "one line-hash shuffle builds the nd>=3 boilerplate set, which broadcasts back into the map-side flag join — the corpus is never shuffled twice",
+    "x31_tokenizer_fertility" -> "the bounded BPE dictionary broadcasts onto the corpus explode (shared bpeDictF build with x22); one 5-row language aggregation",
+    "q96_filter_argmax" -> "FILTER folds into the aggregate buffers of ONE hash aggregation with map-side partials; argmax carries a single (key, value) pair per group — no sort, no window",
+    "d18_proto_prune" -> "centroids broadcast onto the trained assignment (map-only cosine); prototype ranks in cell-partitioned windows, never global",
+    "s16_binary_quant" -> "8-byte sign-bit codes stream against broadcast query codes (XOR+popcount in codegen); only the top-8 shortlist touches raw vectors",
+    "m11_audio_resample" -> "2:1 decimation as a typed map-only stage over the real WAV decode; only the presentation sort shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
