@@ -132,6 +132,28 @@ object AsofJoinNative {
     * on the session (idempotent). The right timestamp is cast to the left
     * timestamp's type when they differ (e.g. DATE vs TIMESTAMP), matching
     * SQL union coercion. */
+  /** FORWARD as-of (the match is the SMALLEST right.ts >= left.ts — or
+    * strictly > with `strict`): reduced to the backward merge by negating
+    * both time axes into epoch-micros longs — the largest -r.ts <= -l.ts is
+    * exactly the next-following match, and strictness is the exact integer
+    * identity r.ts > l.ts ⇔ -r.ts <= -l.ts - 1 (no epsilon, micros are
+    * integers). The negations ride as two helper columns dropped on return;
+    * the physical plan is the SAME one-shuffle-per-side sort-merge exec as
+    * the backward direction. */
+  def asofLeftForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val ln = "__graft_neg_lts"
+    val rn = "__graft_neg_rts"
+    val adj = if (strict) " - 1" else ""
+    val l2 = left.withColumn(ln,
+      expr(s"-unix_micros(cast(`$leftTs` as timestamp))$adj"))
+    val r2 = right.withColumn(rn,
+      expr(s"-unix_micros(cast(`$rightTs` as timestamp))"))
+    asofLeft(l2, r2, keys, ln, rn).drop(ln)
+  }
+
   def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

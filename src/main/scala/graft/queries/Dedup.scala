@@ -1241,7 +1241,68 @@ object Dedup {
        |FROM ranked WHERE proto_rank <= (n_members * 3) // 10
        |ORDER BY vec_id""".stripMargin
 
+  /** d19: soft dedup — downweight, don't delete (the Muennighoff et al.
+    * 2023 finding operationalized: moderate repetition is better spent than
+    * discarded, so production mixers keep every near-dup cluster member and
+    * sample it at weight 1/cluster_size instead of dropping to one copy).
+    * Cluster sizes come from the SAME persisted d07 component labels
+    * (min-label connected components over verified jaccard>=0.8 edges);
+    * singletons weigh 1.0. Output: the per-source mixture ledger — docs,
+    * clustered docs, exact char mass before/after weighting (integer ppm),
+    * and the effective weight the downweighting leaves on the source.
+    *
+    * Scale: the label table is bounded (cluster membership << corpus) and
+    * broadcasts onto the corpus scan; cluster sizes are one aggregation of
+    * the label table itself; the report is O(sources). The corpus is
+    * touched once, map-only. */
+  private val d19: Q = (s, dir) => {
+    val labels = d07Labels(s, dir).select(col("id").as("doc_id"), col("lbl"))
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(broadcast(sizes), Seq("lbl"), "left")
+      .select(col("source"), col("n_chars"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      .withColumn("weight_ppm", expr("1000000 div csize"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_clustered"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("n_chars") * col("weight_ppm")).as("chars_weighted_ppm"))
+      .select(col("source"), col("n_docs"), col("n_clustered"),
+        col("chars_total"), col("chars_weighted_ppm"),
+        (col("chars_weighted_ppm").cast("double") /
+          (col("chars_total").cast("double") * 1000000.0)).as("eff_weight"))
+      .psort(col("source"))
+  }
+
+  private val d19Sql =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |$verifiedPairCtes,
+       |bidir AS (SELECT d1 AS id, d2 AS nb FROM edges
+       |          UNION ALL SELECT d2, d1 FROM edges),
+       |walk(id, lbl) AS (
+       |  SELECT DISTINCT id, id FROM bidir
+       |  UNION
+       |  SELECT b.nb, w.lbl FROM walk w JOIN bidir b ON b.id = w.id),
+       |labels AS (SELECT id AS doc_id, MIN(lbl) AS lbl FROM walk GROUP BY id),
+       |sizes AS (SELECT lbl, COUNT(*) AS csize FROM labels GROUP BY lbl),
+       |wtd AS (
+       |  SELECT d.source, d.n_chars, COALESCE(sz.csize, 1) AS csize
+       |  FROM documents d
+       |  LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |  LEFT JOIN sizes sz ON l.lbl = sz.lbl)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       | CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       | CAST(SUM(n_chars * (1000000 // csize)) AS BIGINT) AS chars_weighted_ppm,
+       | CAST(SUM(n_chars * (1000000 // csize)) AS DOUBLE) /
+       |   (CAST(SUM(n_chars) AS DOUBLE) * 1000000.0) AS eff_weight
+       |FROM wtd GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d19_soft_dedup" -> d19,
     "d18_proto_prune" -> d18,
     "d17_span_dedup" -> d17,
     "d16_bloom_prefilter" -> d16,
@@ -1262,6 +1323,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d19_soft_dedup" -> d19Sql,
     "d18_proto_prune" -> d18Sql,
     "d17_span_dedup" -> d17Sql,
     "d16_bloom_prefilter" -> d16Sql,

@@ -500,6 +500,44 @@ object RelationalExt {
       .psort(col("event_id"))
   }
 
+  /** q98: FORWARD as-of through the native operator — each event matched to
+    * the SAME user's next event STRICTLY later (the "next action" join
+    * sessionization and funnel attribution run on). Exercises the forward
+    * direction `operators/AsofJoinNative.asofLeftForward` adds by negating
+    * the time axes (strictness via exact -1 µs integer arithmetic); DuckDB's
+    * oracle spells the same thing natively as `ASOF LEFT JOIN ... ON
+    * e.ts < d.next_ts`. Right side deduped per (user, ts) keeping the
+    * largest event_id (the q34 determinism convention).
+    *
+    * Scale: identical cost shape to the backward native asof — one shuffle
+    * + sort per side, streaming merge, zero buffering. */
+  private val q98: Q = (s, dir) => {
+    val e = t(s, dir, "events").filter(col("event_id") <= 300)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id"), col("next_ts"))
+      .orderBy(col("next_event").desc)
+    val r = t(s, dir, "events")
+      .select(col("user_id"), col("ts").as("next_ts"),
+        col("event_id").as("next_event"), col("event_type").as("next_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    graft.operators.AsofJoinNative
+      .asofLeftForward(e, r, Seq("user_id"), "ts", "next_ts", strict = true)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("next_event"), col("next_ts"), col("next_type"))
+      .psort(col("event_id"))
+  }
+
+  private val q98Sql =
+    """WITH dedup AS (
+      |  SELECT user_id, ts AS next_ts, event_id AS next_event, event_type AS next_type
+      |  FROM events
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+      |SELECT e.event_id, e.user_id, e.ts, d.next_event, d.next_ts, d.next_type
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_id <= 300) e
+      |ASOF LEFT JOIN dedup d ON e.user_id = d.user_id AND e.ts < d.next_ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** Range (inequality) join: lineitems shipped within 30 days of order. */
   private val q35: Q = (s, dir) => {
     val l = t(s, dir, "lineitem")
@@ -571,10 +609,12 @@ object RelationalExt {
     "q33_sample_hash" -> q33,
     "q34_asof_join" -> q34,
     "q35_range_join" -> q35,
-    "q51_asof_native" -> q51)
+    "q51_asof_native" -> q51,
+    "q98_asof_forward" -> q98)
 
   val oracleSql: Map[String, String] = Map(
     "q51_asof_native" -> q34Sql,
+    "q98_asof_forward" -> q98Sql,
     "q40_lateral" -> q40Sql,
     "q41_grouping_sets" -> q41Text,
     "q13_setops" -> q13Sql,

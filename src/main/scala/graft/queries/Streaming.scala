@@ -590,7 +590,55 @@ object Streaming {
     local.psort(col("user_id"))
   }
 
+  /** q97: streaming PARQUET FILE SINK — exactly-once shard delivery, the
+    * fourth sink topology after memory (q74+), COPY batch files (q75/q86/
+    * q87), and the stateful gates: a stateless curation transform (filter +
+    * exact-cents projection) streams through the REAL runtime into a file
+    * sink whose `_spark_metadata` log commits files atomically per
+    * micro-batch, and the gate aggregates the READ-BACK files — so a
+    * dropped row, a double-committed file, or a half-written shard breaks
+    * the hash against the batch oracle.
+    *
+    * Scale: the map-only transform never shuffles (partition count = source
+    * partitions); at 100 TB this is exactly how curated shards land on
+    * object storage, with the metadata log carrying exactly-once across
+    * executor failures. */
+  private val q97Counter = new java.util.concurrent.atomic.AtomicInteger()
+  private val q97: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    q97Counter.incrementAndGet() // distinct lineage per run (fresh sink dir)
+    val rows = t(s, dir, "events")
+      .filter(col("user_id") < 8)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[java.lang.Double](2)))
+      .toSeq
+    val ms = MemoryStream[(Long, String, java.lang.Double)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a)
+    ms.addData(b)
+    val stream = ms.toDF().toDF("event_id", "event_type", "value")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+    val landed = StreamingOps.snapshotToFiles(stream)
+    landed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("cents"), lit(0L))).as("cents_total"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .psort(col("event_type"))
+  }
+
+  private val q97Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(COALESCE(CAST(ROUND(value * 100, 0) AS BIGINT), 0)) AS BIGINT) AS cents_total,
+      | MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM events WHERE user_id < 8
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q97_stream_file_sink" -> q97,
     "q95_transform_with_state" -> q95,
     "q94_stream_dedup_within" -> q94,
     "q88_stream_static_join" -> q88,
@@ -606,6 +654,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q97_stream_file_sink" -> q97Sql,
     "q95_transform_with_state" -> q80Sql,
     "q94_stream_dedup_within" -> q94Sql,
     "q88_stream_static_join" -> q88Sql,

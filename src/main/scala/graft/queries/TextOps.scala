@@ -1662,20 +1662,31 @@ object TextOps {
     * score is an exact integer sum and the top-100 selection is
     * hash-stable.
     *
-    * Scale: ONE token-bucket shuffle builds both distributions (raw count
-    * + target count in the same aggregation); the 64-row LLR table
-    * broadcasts into the map-side scoring pass; top-100 is
-    * TakeOrderedAndProject (per-partition heads, no global sort). At
-    * 100 TB the feature space grows to 10k buckets and the target counts
-    * come from a small curated corpus — the shapes are unchanged. */
+    * Scale: the corpus is tokenized exactly ONCE into a persisted
+    * per-(doc, bucket) histogram (≤ B rows/doc — the only corpus-scale
+    * pass); both bucket distributions (raw + target in one aggregation)
+    * and the per-doc scores aggregate off that bounded frame, with the
+    * 64-row LLR table broadcast; top-100 is TakeOrderedAndProject
+    * (per-partition heads, no global sort). At 100 TB the feature space
+    * grows to 10k buckets and the target counts come from a small curated
+    * corpus — the shapes are unchanged. */
   private val x29: Q = (s, dir) => {
     val d = t(s, dir, "documents")
-    val toks = d.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("tok"))
-      .withColumn("b", pmod(md5i(col("tok")), lit(64L)))
-    val counts = toks.groupBy(col("b")).agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    // ONE token explode -> per-(doc, bucket) histogram (<= 64 rows/doc; at
+    // 100 TB this is the pass that touches the corpus — everything below
+    // runs on the bounded histogram). The raw/target bucket distributions
+    // and the per-doc scores both aggregate off this frame, so the corpus
+    // is tokenized exactly once (the previous spelling exploded it twice).
+    val hist = memoized(s"x29hist:$dir")(
+      d.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", pmod(md5i(col("tok")), lit(64L)))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val counts = hist.groupBy(col("b")).agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
     val full = s.range(0, 64).select(col("id").as("b"))
       .join(counts, Seq("b"), "left")
       .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
@@ -1685,10 +1696,12 @@ object TextOps {
       round((log((col("ct") + 1).cast("double") / (col("tt") + 64).cast("double")) -
              log((col("cr") + 1).cast("double") / (col("rr") + 64).cast("double"))) * 1000000.0)
         .cast("long").as("w"))
-    val scored = toks.join(broadcast(llr), Seq("b"))
+    val scored = hist.join(broadcast(llr), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("dsir_score_micronats"))
-    scored.join(d.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("w")).as("dsir_score_micronats"))
+    scored
+      .join(d.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
       .orderBy(col("dsir_score_micronats").desc, col("doc_id"))
       .limit(100)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),

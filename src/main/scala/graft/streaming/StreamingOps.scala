@@ -217,6 +217,36 @@ object StreamingOps {
     else GraftPlanBridge.ofRows(parent, snap.queryExecution.analyzed)
   }
 
+  /** Run a streaming frame to completion into a PARQUET FILE SINK (append
+    * mode — the only mode file sinks support) and return the read-back
+    * frame. This is the exactly-once shard-delivery path a production
+    * pipeline lands curated output with: the sink's `_spark_metadata`
+    * transaction log records exactly the files committed by completed
+    * micro-batches, and `spark.read.parquet` on the directory resolves
+    * through that log — a half-written or orphaned file from a failed
+    * batch is invisible to readers. Throwaway offset/commit logs go to
+    * tmpfs (the [[snapshotToTable]] amortization); the DATA directory is a
+    * real temp dir on disk — it IS the output. */
+  def snapshotToFiles(stream: DataFrame): DataFrame = {
+    val sess = stream.sparkSession
+    val shm = new java.io.File("/dev/shm")
+    val ckBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Path.of(System.getProperty("java.io.tmpdir"))
+    val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ck_")
+    ck.toFile.deleteOnExit()
+    val out = java.nio.file.Files.createTempDirectory("graft_filesink_")
+    out.toFile.deleteOnExit()
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ck.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.read.parquet(out.toString)
+  }
+
   /** [[snapshotToTable]] with EXPLICIT batch boundaries: Trigger.AvailableNow
     * drains every pre-added MemoryStream block in ONE micro-batch, so a gate
     * that needs the watermark to ADVANCE between waves (state eviction,

@@ -124,6 +124,64 @@ class NewOpsR6cSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("d19 soft-dedup weights re-derive from d07's cluster labels") {
+    val clusters = queries.Dedup.queries("d07_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = clusters.values.groupBy(identity).map { case (l, v) => l -> v.size }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = queries.Dedup.queries("d19_soft_dedup")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      val exp = rows.map { case (id, _, nc) =>
+        val cs = clusters.get(id).map(sizes).getOrElse(1)
+        (1L, if (cs > 1) 1L else 0L, nc, nc * (1000000L / cs))
+      }.reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4))
+      withClue(s"source $src:") { out(src) shouldBe exp }
+    }
+  }
+
+  test("q97 file-sink streamed result equals the direct batch computation") {
+    val got = queries.Streaming.queries("q97_stream_file_sink")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val exp = Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") < 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)), sum(coalesce(round(col("value") * 100, 0)
+        .cast("long"), lit(0L))), min(col("event_id")), max(col("event_id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    got shouldBe exp
+  }
+
+  test("q98 forward asof picks the strictly-next event per user (driver rescan)") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(2)
+        val micros = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+        (r.getLong(0), r.getLong(1), micros, r.getString(3))
+      }
+    // dedup per (user, ts): keep the largest event_id (q34 convention)
+    val dedup = events.groupBy(e => (e._2, e._3)).map(_._2.maxBy(_._1)).toSeq
+    val byUser = dedup.groupBy(_._2).map { case (u, v) => u -> v.sortBy(_._3) }
+    val out = queries.RelationalExt.queries("q98_asof_forward")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val lefts = events.filter(_._1 <= 300)
+    out.size shouldBe lefts.length
+    lefts.foreach { case (id, u, ts, _) =>
+      val expected = byUser.get(u).flatMap(_.find(_._3 > ts)).map(_._1)
+      withClue(s"event $id:") { out(id) shouldBe expected }
+    }
+    // forward matches must actually exist in this slice
+    out.values.count(_.isDefined) should be > 0
+  }
+
   test("q96 argmax keys match a driver-side rescan with the encoded tiebreak") {
     val out = queries.RelationalMore.queries("q96_filter_argmax")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
