@@ -6,7 +6,7 @@ import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.io.DecoderFactory
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types._
 
 import graft.schema.{AvroSchemaCompiler, InMemorySchemaRegistry, SchemaRegistry}
@@ -722,12 +722,16 @@ class Engine(val spark: SparkSession,
     * side, O(|L|+|R|) merge). Supported form:
     *
     *   ... FROM <ltab> [AS] [la] ASOF [LEFT] JOIN <rtab> [AS] [ra]
-    *       ON <key equalities...> AND <left.ts >= right.ts> [clauses...]
+    *       ON <key equalities...> AND <ts inequality> [clauses...]
     *
     * Both sides must be resolvable tables/views (quoted file refs work —
-    * rewriteSugar has already turned them into views). The single
-    * inequality must be the backward form (left.ts >= right.ts, or its
-    * right.ts <= left.ts mirror) — DuckDB's default ASOF direction. The
+    * rewriteSugar has already turned them into views). All four DuckDB
+    * inequality directions are accepted: `left.ts >= right.ts` (backward,
+    * the default), `>` (backward strict), `<=` (forward — earliest
+    * right.ts at-or-after), `<` (forward strict), each also in its
+    * mirrored right-side spelling. Non-default directions lower onto the
+    * SAME backward sort-merge exec via exact epoch-micros axis reduction
+    * (negation for forward, a one-microsecond shift for strict). The
     * joined frame is registered as a temp view and spliced into the
     * statement; alias-qualified column references elsewhere in the
     * statement are rewritten to bare names (the view carries the left
@@ -774,7 +778,7 @@ class Engine(val spark: SparkSession,
       }
       parts.toSeq.map(_.trim).filter(_.nonEmpty)
     }
-    val condRe = "(?s)^([`\\w.]+)\\s*(>=|<=|=)\\s*([`\\w.]+)$".r
+    val condRe = "(?s)^([`\\w.]+)\\s*(>=|<=|=|>|<)\\s*([`\\w.]+)$".r
     // resolve a (possibly alias-qualified) column ref to (side, bare name)
     def side(ref: String): (Char, String) = {
       val clean = ref.replace("`", "")
@@ -798,30 +802,36 @@ class Engine(val spark: SparkSession,
     }
     var keys = Seq.empty[(String, String)] // (left name, right name)
     var ts: Option[(String, String)] = None
+    // direction of the one inequality, normalized to the LEFT side's view:
+    // backward = latest right.ts at-or-before (DuckDB's default), forward =
+    // earliest right.ts at-or-after; strict drops the equal-timestamp match.
+    var forward = false
+    var strict = false
     conjuncts.foreach {
       case condRe(a, op, b) =>
         val (sa, sb) = (side(a), side(b))
         require(sa._1 != sb._1,
           s"ASOF JOIN condition '$a $op $b' must compare the two sides")
         val (lc, rc) = if (sa._1 == 'L') (sa._2, sb._2) else (sb._2, sa._2)
-        op match {
-          case "=" => keys :+= ((lc, rc))
-          case ">=" if sa._1 == 'L' => // left.ts >= right.ts
-            require(ts.isEmpty, "ASOF JOIN allows exactly one inequality")
-            ts = Some((lc, rc))
-          case "<=" if sa._1 == 'R' => // right.ts <= left.ts
-            require(ts.isEmpty, "ASOF JOIN allows exactly one inequality")
-            ts = Some((lc, rc))
+        def ineq(fwd: Boolean, str: Boolean): Unit = {
+          require(ts.isEmpty, "ASOF JOIN allows exactly one inequality")
+          ts = Some((lc, rc)); forward = fwd; strict = str
+        }
+        (op, sa._1) match {
+          case ("=", _) => keys :+= ((lc, rc))
+          case (">=", 'L') | ("<=", 'R') => ineq(fwd = false, str = false)
+          case ((">"), 'L') | ("<", 'R') => ineq(fwd = false, str = true)
+          case ("<=", 'L') | (">=", 'R') => ineq(fwd = true, str = false)
+          case ("<", 'L') | (">", 'R') => ineq(fwd = true, str = true)
           case _ => throw new IllegalArgumentException(
-            "only the backward ASOF direction is supported " +
-              "(left.ts >= right.ts or right.ts <= left.ts)")
+            s"unsupported ASOF JOIN condition '$a $op $b'")
         }
       case other => throw new IllegalArgumentException(
         s"unsupported ASOF JOIN condition '$other'")
     }
     require(keys.nonEmpty, "ASOF JOIN requires at least one equality key")
     val (lts, rts) = ts.getOrElse(throw new IllegalArgumentException(
-      "ASOF JOIN requires one left.ts >= right.ts inequality"))
+      "ASOF JOIN requires one timestamp inequality"))
 
     // the operator keys on shared names: align the right side to the left's
     val rAligned = keys.foldLeft(rdf) { case (df, (lc, rc)) =>
@@ -835,8 +845,27 @@ class Engine(val spark: SparkSession,
     // constant match marker: rides the (nullable) payload, so inner-ASOF is
     // a null filter on it; constant, so the payload sort tiebreak ignores it
     val marked = rAligned.withColumn("__asof_m", lit(true))
-    val joined0 = graft.operators.AsofJoinNative.asofLeft(
-      ldf, marked, keys.map(_._1), lts, rts)
+    // Non-default directions reduce to the SAME backward-inclusive merge on
+    // epoch-micros helper longs: forward negates both axes, strictness
+    // shifts the left axis by one exact microsecond (integer identity —
+    // no epsilon). The right's original ts column is dropped so every
+    // direction exposes the same payload the backward path does.
+    val joined0 =
+      if (!forward && !strict)
+        graft.operators.AsofJoinNative.asofLeft(
+          ldf, marked, keys.map(_._1), lts, rts)
+      else {
+        val sign = if (forward) "-" else ""
+        val adj = if (strict) " - 1" else ""
+        val ln = "__asof_lmic"
+        val rn = "__asof_rmic"
+        val l2 = ldf.withColumn(ln,
+          expr(s"$sign unix_micros(cast(`$lts` as timestamp))$adj"))
+        val r2 = marked.withColumn(rn,
+          expr(s"$sign unix_micros(cast(`$rts` as timestamp))")).drop(rts)
+        graft.operators.AsofJoinNative.asofLeft(
+          l2, r2, keys.map(_._1), ln, rn).drop(ln)
+      }
     val joined = (if (isLeft) joined0
                   else joined0.filter(col("__asof_m").isNotNull))
       .drop("__asof_m")

@@ -58,7 +58,10 @@ object PlanDump {
     "q96_filter_argmax" -> "FILTER folds into the aggregate buffers of ONE hash aggregation with map-side partials; argmax carries a single (key, value) pair per group — no sort, no window",
     "d18_proto_prune" -> "centroids broadcast onto the trained assignment (map-only cosine); prototype ranks in cell-partitioned windows, never global",
     "s16_binary_quant" -> "8-byte sign-bit codes stream against broadcast query codes (XOR+popcount in codegen); only the top-8 shortlist touches raw vectors",
-    "m11_audio_resample" -> "2:1 decimation as a typed map-only stage over the real WAV decode; only the presentation sort shuffles")
+    "m11_audio_resample" -> "2:1 decimation as a typed map-only stage over the real WAV decode; only the presentation sort shuffles",
+    "q98_asof_forward" -> "forward direction rides the SAME native sort-merge AsofJoin exec (one exchange + sort per side) on negated epoch-micros axes — no extra shuffle for the direction flip",
+    "x29_dsir_resample" -> "the corpus tokenizes ONCE into the persisted per-(doc,bucket) histogram (InMemoryTableScan on the second consumer); the 64-row LLR table broadcasts; top-100 is TakeOrderedAndProject",
+    "d19_soft_dedup" -> "bounded cluster labels + sizes broadcast onto one map-only corpus pass; the ledger is one O(sources) aggregation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

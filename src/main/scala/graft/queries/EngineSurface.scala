@@ -170,6 +170,48 @@ object EngineSurface {
       |ASOF JOIN dedup d ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** q99: FORWARD (strict) ASOF through the engine's SQL spelling —
+    * `ON e.ts < d.next_ts` picks the user's strictly-next event, LEFT form
+    * keeps unmatched rows. Exercises the direction dispatch
+    * Engine.rewriteAsofJoin lowers onto the native exec via negated-micros
+    * reduction; q98 gates the same semantics through the Scala API, so this
+    * pins the SQL surface. Right side deduped per (user, ts), q34
+    * convention. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    Tables.load(s, dir, "events")
+      .filter(col("event_id") <= 300)
+      .select("event_id", "user_id", "ts")
+      .createOrReplaceTempView("q99_events")
+    val w = Window.partitionBy(col("user_id"), col("next_ts"))
+      .orderBy(col("next_event").desc)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts").as("next_ts"),
+        col("event_id").as("next_event"), col("event_type").as("next_type"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+      .createOrReplaceTempView("q99_next")
+    val engine = new Engine(s)
+    try engine.sql(
+      """SELECT e.event_id, e.user_id, e.ts, d.next_event, d.next_type
+        |FROM q99_events e ASOF LEFT JOIN q99_next d
+        |ON e.user_id = d.user_id AND e.ts < d.next_ts
+        |ORDER BY e.event_id""".stripMargin)
+    finally engine.close()
+  }
+
+  private val q99Sql =
+    """WITH dedup AS (
+      |  SELECT user_id, ts AS next_ts, event_id AS next_event,
+      |         event_type AS next_type
+      |  FROM events QUALIFY ROW_NUMBER() OVER (
+      |    PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+      |SELECT e.event_id, e.user_id, e.ts, d.next_event, d.next_type
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_id <= 300) e
+      |ASOF LEFT JOIN dedup d ON e.user_id = d.user_id AND e.ts < d.next_ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** q82: DuckDB `USING SAMPLE N ROWS` through the engine's rewrite
     * (Engine.rewriteUsingSample -> Spark TABLESAMPLE). The sampled rows
     * differ per engine by construction, so the gate pins the one
@@ -289,6 +331,7 @@ object EngineSurface {
     "q77_from_first" -> (q77 _),
     "q78_columns_regex" -> (q78 _),
     "q81_asof_sql" -> (q81 _),
+    "q99_asof_sql_forward" -> (q99 _),
     "q82_using_sample" -> (q82 _),
     "q83_pivot_stmt" -> (q83 _),
     "q84_unpivot_stmt" -> (q84 _))
@@ -299,6 +342,7 @@ object EngineSurface {
     "q77_from_first" -> q77Sql,
     "q78_columns_regex" -> q78Sql,
     "q81_asof_sql" -> q81Sql,
+    "q99_asof_sql_forward" -> q99Sql,
     "q82_using_sample" -> q82Sql,
     "q83_pivot_stmt" -> q83Sql,
     "q84_unpivot_stmt" -> q84Sql,

@@ -293,13 +293,18 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
         |ON asof_l.k = r.k AND t >= rt ORDER BY ev""".stripMargin).collect()
     left.map(r => (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
       .toSeq shouldBe Seq(("a", 100.0), ("b", 200.0), ("c", -1.0), ("d", -1.0))
-    // the mirror spelling r.ts <= l.ts works; forward direction is rejected
+    // the mirror spelling r.ts <= l.ts works
     engine.sql(
       """SELECT count(*) AS n FROM asof_l l ASOF JOIN asof_r r
         |ON l.k = r.k AND r.rt <= l.t""".stripMargin)
       .collect()(0).getLong(0) shouldBe 2L
-    an[Exception] should be thrownBy engine.sql(
-      "SELECT * FROM asof_l l ASOF JOIN asof_r r ON l.k = r.k AND l.t <= r.rt")
+    // forward direction: earliest right row at-or-after per key
+    // (a t=10 -> rt=20; c t=5 -> rt=9; b t=25 and d k=3 have none)
+    val fwd = engine.sql(
+      """SELECT l.ev, r.price FROM asof_l l ASOF JOIN asof_r r
+        |ON l.k = r.k AND l.t <= r.rt ORDER BY l.ev""".stripMargin).collect()
+    fwd.map(r => (r.getString(0), r.getDouble(1))).toSeq shouldBe
+      Seq(("a", 200.0), ("c", 300.0))
     // no equality key must fail loudly (hash partitioning needs one)
     an[Exception] should be thrownBy engine.sql(
       "SELECT * FROM asof_l l ASOF JOIN asof_r r ON l.t >= r.rt")

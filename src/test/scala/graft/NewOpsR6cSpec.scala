@@ -182,6 +182,42 @@ class NewOpsR6cSpec extends AnyFunSuite with Matchers {
     out.values.count(_.isDefined) should be > 0
   }
 
+  test("engine ASOF SQL supports all four inequality directions exactly") {
+    import spark.implicits._
+    // left at ts 5 and 10; right at 3, 7, 12 — every direction picks a
+    // different, hand-checkable neighbor (plus a 7 == 7 tie for strictness)
+    Seq((1L, ts(5)), (2L, ts(7)), (3L, ts(10)))
+      .toDF("lid", "lts").createOrReplaceTempView("asof_dir_l")
+    Seq((10L, ts(3), "a"), (20L, ts(7), "b"), (30L, ts(12), "c"))
+      .toDF("rid", "rts", "v").createOrReplaceTempView("asof_dir_r")
+    val engine = new Engine(spark)
+    try {
+      // the grammar requires at least one equality key — use a constant one
+      def runKeyed(op: String): Map[Long, Option[String]] = {
+        spark.sql("SELECT lid, lts, 1 AS k FROM asof_dir_l")
+          .createOrReplaceTempView("asof_dir_lk")
+        spark.sql("SELECT rid, rts, v, 1 AS k FROM asof_dir_r")
+          .createOrReplaceTempView("asof_dir_rk")
+        engine.sql(
+          s"""SELECT l.lid, r.v FROM asof_dir_lk l ASOF LEFT JOIN asof_dir_rk r
+             |ON l.k = r.k AND l.lts $op r.rts""".stripMargin)
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+      }
+      runKeyed(">=") shouldBe Map( // backward: latest at-or-before
+        1L -> Some("a"), 2L -> Some("b"), 3L -> Some("b"))
+      runKeyed(">") shouldBe Map( // backward strict: 7 must skip the 7
+        1L -> Some("a"), 2L -> Some("a"), 3L -> Some("b"))
+      runKeyed("<=") shouldBe Map( // forward: earliest at-or-after
+        1L -> Some("b"), 2L -> Some("b"), 3L -> Some("c"))
+      runKeyed("<") shouldBe Map( // forward strict
+        1L -> Some("b"), 2L -> Some("c"), 3L -> Some("c"))
+    } finally engine.close()
+  }
+
+  private def ts(sec: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(sec * 1000L)
+
   test("q96 argmax keys match a driver-side rescan with the encoded tiebreak") {
     val out = queries.RelationalMore.queries("q96_filter_argmax")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
