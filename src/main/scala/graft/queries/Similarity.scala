@@ -1173,7 +1173,81 @@ object Similarity {
        |  FROM fused) WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
 
+  /** s18: graph centrality over the kNN similarity graph — the coreset /
+    * data-valuation signal (representativeness) the selection literature
+    * computes on exactly this graph: 5 PageRank iterations (damping 0.85)
+    * over s09's cell-blocked top-3 edges, in EXACT integer micro-units so
+    * both engines agree bit-for-bit: pr0 = 1e6; pr'(v) = 150000 +
+    * (850 · Σ_u pr(u) div outdeg(u)) div 1000 — every operand positive, so
+    * Spark's `div` and DuckDB's `//` floor identically. Top-20 central
+    * vectors reported.
+    *
+    * Scale: the edge list is 3N rows built ONCE from the persisted trained
+    * assignment (no new corpus pass); each iteration is one hash shuffle
+    * on dst — the standard distributed-PageRank cost, and at 100 TB each
+    * iteration's frame would checkpoint to break lineage. Driver holds
+    * nothing. */
+  private val s18: Q = (s, dir) => {
+    val (_, assigned) = trainedIvf(s, dir)
+    val edges = memoized(s"s18edges:$dir") {
+      val a = assigned.select(col("cell"), col("vec_id").as("qid"),
+        col("embedding").as("qe"))
+      val b = assigned.select(col("cell"), col("vec_id").as("cid"),
+        col("embedding").as("ce"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      a.join(b, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid").as("src"), col("cid").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nodes = assigned.select(col("vec_id").as("id"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val eDeg = edges.join(deg, Seq("src"))
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    (1 to 5).foreach { _ =>
+      val contrib = eDeg.join(pr, col("src") === col("id"))
+        .select(col("dst"), expr("pr div d").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("cs"))
+      pr = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr("150000L + (850L * coalesce(cs, 0L)) div 1000L").as("pr"))
+    }
+    pr.orderBy(col("pr").desc, col("id")).limit(20)
+      .select(col("id").as("vec_id"), col("pr").as("pr_micro"))
+      .psort(col("pr_micro").desc, col("vec_id"))
+  }
+
+  private val s18Sql = {
+    def iter(k: Int): String =
+      s"""pr$k AS (
+         |  SELECT n.id, 150000 + (850 * COALESCE(SUM(c.contrib), 0)) // 1000 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, p.pr // d.d AS contrib
+         |    FROM edges e JOIN pr${k - 1} p ON e.src = p.id
+         |    JOIN deg d ON e.src = d.src) c
+         |  ON n.id = c.dst GROUP BY n.id)""".stripMargin
+    s"""$ivfCtePrefix,
+       |gscored AS (
+       |  SELECT a.cid AS qid, b.cid, ${cosineSql("a.ce", "b.ce")} AS cos
+       |  FROM assignF a JOIN assignF b ON a.cell = b.cell AND a.cid <> b.cid),
+       |rankedg AS (
+       |  SELECT qid, cid, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM gscored),
+       |edges AS (SELECT qid AS src, cid AS dst FROM rankedg WHERE rank <= 3),
+       |nodes AS (SELECT DISTINCT cid AS id FROM assignF),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_micro FROM pr5
+       |ORDER BY pr DESC, id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s18_graph_centrality" -> s18,
     "s17_hybrid_rrf" -> s17,
     "s16_binary_quant" -> s16,
     "s15_mmr_diversify" -> s15,
@@ -1193,6 +1267,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s18_graph_centrality" -> s18Sql,
     "s17_hybrid_rrf" -> s17Sql,
     "s16_binary_quant" -> s16Sql,
     "s15_mmr_diversify" -> s15Sql,

@@ -1843,7 +1843,56 @@ object TextOps {
        |FROM docw JOIN dictF USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- x32: cross-slice n-gram novelty (new-crawl information rate) -------
+  /** x32: how much NEW text a fresh batch adds over the existing corpus —
+    * the freshness number a continuously-crawled pipeline tracks per
+    * ingest (a batch whose n-grams are 95% already-seen buys little): for
+    * every batch document (doc_id >= 250, standing in for "today's
+    * crawl"), the fraction of its distinct word-3-grams unseen in the base
+    * slice (doc_id < 250), in exact ppm. Rides the SAME persisted shingle
+    * index as the dedup family.
+    *
+    * Scale: the base gram set is corpus-scale, so this is deliberately a
+    * SHUFFLE anti-join on the gram (both sides hash-partitioned — the x11
+    * broadcast shape does not apply when the reference set is the corpus
+    * itself) plus one doc_id aggregation. At 100 TB: the base grams live
+    * as a bucketed table keyed on gram, so each daily batch anti-joins
+    * co-partitioned without reshuffling the corpus. */
+  private val x32: Q = (s, dir) => {
+    val sh = Dedup.docsWithShingles(s, dir)
+    val base = sh.filter(col("doc_id") < 250)
+      .select(explode(col("sh")).as("g")).distinct()
+    val batch = sh.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val novel = batch.join(base, Seq("g"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    sh.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("n").cast("long").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+      .psort(col("doc_id"))
+  }
+
+  private val x32Sql =
+    s"""WITH docs AS (${Dedup.docsShSql}),
+       |base AS (SELECT DISTINCT UNNEST(sh) AS g FROM docs WHERE doc_id < 250),
+       |batch AS (SELECT doc_id, UNNEST(sh) AS g FROM docs WHERE doc_id >= 250),
+       |novel AS (
+       |  SELECT doc_id, COUNT(*) AS n_novel FROM batch b
+       |  WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.g = b.g)
+       |  GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_grams
+       |          FROM docs WHERE doc_id >= 250)
+       |SELECT s.doc_id, s.n_grams,
+       | CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       | CAST(COALESCE(n.n_novel, 0) * 1000000 // s.n_grams AS BIGINT) AS novelty_ppm
+       |FROM sizes s LEFT JOIN novel n ON s.doc_id = n.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x32_ngram_novelty" -> x32,
     "x31_tokenizer_fertility" -> x31,
     "x30_boilerplate_lines" -> x30,
     "x29_dsir_resample" -> x29,
@@ -1877,6 +1926,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x32_ngram_novelty" -> x32Sql,
     "x31_tokenizer_fertility" -> x31Sql,
     "x30_boilerplate_lines" -> x30Sql,
     "x29_dsir_resample" -> x29Sql,

@@ -218,6 +218,51 @@ class NewOpsR6cSpec extends AnyFunSuite with Matchers {
   private def ts(sec: Int): java.sql.Timestamp =
     new java.sql.Timestamp(sec * 1000L)
 
+  test("s18 centrality equals a pure-Scala PageRank over s09's edges") {
+    val edges = queries.Similarity.queries("s09_knn_graph")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))) // (qid=src, cid=dst)
+    // node set = every assigned vector, including edge-less singleton cells
+    val nodes = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val outDeg = edges.groupBy(_._1).map { case (s0, v) => s0 -> v.length }
+    var pr = nodes.map(_ -> 1000000L).toMap
+    (1 to 5).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => pr(e._1) / outDeg(e._1)).sum
+      }
+      pr = nodes.map(n => n -> (150000L + 850L * in.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    val expect = pr.toSeq.sortBy { case (id, p) => (-p, id) }.take(20)
+    val got = queries.Similarity.queries("s18_graph_centrality")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expect.map { case (id, p) => (id, p) }
+  }
+
+  test("x32 novelty re-derives from the raw shingle sets") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.split(" ").length >= 3)
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val base = docs.filter(_._1 < 250).flatMap(d => grams(d._2)).toSet
+    val out = queries.TextOps.queries("x32_ngram_novelty")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = docs.filter(_._1 >= 250)
+    out.size shouldBe batch.length
+    batch.foreach { case (id, text) =>
+      val g = grams(text)
+      val novel = g.count(!base.contains(_)).toLong
+      withClue(s"doc $id:") {
+        out(id) shouldBe ((g.size.toLong, novel, novel * 1000000L / g.size))
+      }
+    }
+    // the split must actually produce both seen and novel material
+    out.values.exists(_._2 > 0) shouldBe true
+    out.values.exists(v => v._2 < v._1) shouldBe true
+  }
+
   test("q96 argmax keys match a driver-side rescan with the encoded tiebreak") {
     val out = queries.RelationalMore.queries("q96_filter_argmax")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
