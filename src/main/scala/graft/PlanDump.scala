@@ -61,7 +61,9 @@ object PlanDump {
     "m11_audio_resample" -> "2:1 decimation as a typed map-only stage over the real WAV decode; only the presentation sort shuffles",
     "q98_asof_forward" -> "forward direction rides the SAME native sort-merge AsofJoin exec (one exchange + sort per side) on negated epoch-micros axes — no extra shuffle for the direction flip",
     "x29_dsir_resample" -> "the corpus tokenizes ONCE into the persisted per-(doc,bucket) histogram (InMemoryTableScan on the second consumer); the 64-row LLR table broadcasts; top-100 is TakeOrderedAndProject",
-    "d19_soft_dedup" -> "bounded cluster labels + sizes broadcast onto one map-only corpus pass; the ledger is one O(sources) aggregation")
+    "d19_soft_dedup" -> "bounded cluster labels + sizes broadcast onto one map-only corpus pass; the ledger is one O(sources) aggregation",
+    "x32_ngram_novelty" -> "deliberate SHUFFLE anti-join on the gram (reference set is corpus-scale, broadcast does not apply) + one doc aggregation off the shared persisted shingle index",
+    "s18_graph_centrality" -> "five chained hash-shuffle iterations on the bounded 3N edge list (InMemoryTableScan, built once from the trained assignment); exact integer arithmetic end to end")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
