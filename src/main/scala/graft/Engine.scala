@@ -538,7 +538,84 @@ class Engine(val spark: SparkSession,
     }
   }
 
+  // DuckDB's PREPARE / EXECUTE / DEALLOCATE interactive surface (the
+  // reference's embedded DuckDB serves these through sqlline): positional
+  // `$1`-style and `?` parameters, bound by quote-aware textual splice
+  // (each argument wrapped in parentheses for precedence safety), then
+  // re-dispatched through sql() so prepared statements may use the full
+  // dialect (FROM-first, PIVOT, ASOF, macros, ...).
+  private val prepared = scala.collection.concurrent.TrieMap[String, String]()
+  private val prepareStmt =
+    "(?is)^\\s*PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.+?)\\s*;?\\s*$".r
+  private val executeStmt =
+    "(?is)^\\s*EXECUTE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(\\s*(.*?)\\s*\\))?\\s*;?\\s*$".r
+  private val deallocStmt =
+    "(?is)^\\s*DEALLOCATE\\s+(?:PREPARE\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+
+  /** Split EXECUTE arguments at top-level commas (quotes and parens nest). */
+  private def splitExecArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; sb.append(c)
+        case '(' => depth += 1; sb.append(c)
+        case ')' => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+        case _ => sb.append(c)
+      }
+    }
+    if (sb.nonEmpty || out.nonEmpty) out += sb.toString.trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Bind `?` (in order) and `$N` (by position) parameters outside quoted
+    * regions; fails loudly on a missing argument. */
+  private def bindParams(body: String, args: Seq[String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    var qIdx = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0; i += 1 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; sb.append(c); i += 1
+        case '?' =>
+          require(qIdx < args.length,
+            s"EXECUTE: statement needs at least ${qIdx + 1} argument(s), got ${args.length}")
+          sb.append('(').append(args(qIdx)).append(')'); qIdx += 1; i += 1
+        case '$' if i + 1 < body.length && body.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < body.length && body.charAt(j).isDigit) j += 1
+          val n = body.substring(i + 1, j).toInt
+          require(n >= 1 && n <= args.length,
+            s"EXECUTE: statement references $$$n but got ${args.length} argument(s)")
+          sb.append('(').append(args(n - 1)).append(')'); i = j
+        case _ => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   def sql(q: String): DataFrame = q match {
+    case prepareStmt(name, body) =>
+      prepared.put(name.toLowerCase, body.trim)
+      import spark.implicits._
+      Seq(name).toDF("prepared")
+    case executeStmt(name, args) =>
+      val body = prepared.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(s"no prepared statement '$name' " +
+          s"(prepared: ${prepared.keys.toSeq.sorted.mkString(", ")})"))
+      sql(bindParams(body,
+        Option(args).map(splitExecArgs).getOrElse(Seq.empty)))
+    case deallocStmt(name) =>
+      prepared.remove(name.toLowerCase)
+      import spark.implicits._
+      Seq(name).toDF("deallocated")
     case macroStmt(orReplace, name, params, body) =>
       val key = name.toLowerCase
       require(orReplace != null || !macros.contains(key),

@@ -406,6 +406,33 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("PREPARE/EXECUTE/DEALLOCATE bind positional parameters quote-aware") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+      .toDF("id", "cat", "v").createOrReplaceTempView("prep_t")
+    // $N form, used twice and out of order; a literal '$1' must survive
+    engine.sql(
+      "PREPARE pq AS SELECT id, cat, '$1' AS tag FROM prep_t " +
+        "WHERE v >= $2 AND cat = $1 ORDER BY id")
+    val r1 = engine.sql("EXECUTE pq('a', 15)").collect()
+    r1.map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    r1.head.getString(2) shouldBe "$1" // quoted region untouched
+    // ? form in order; arguments may contain nested parens
+    engine.sql("PREPARE pq2 AS SELECT count(*) AS n FROM prep_t WHERE cat = ? AND v < ?")
+    engine.sql("EXECUTE pq2(lower(UPPER('a')), (15 + 10))")
+      .collect()(0).getLong(0) shouldBe 1L
+    // re-dispatch: a prepared FROM-first statement runs through the dialect
+    engine.sql("PREPARE pq3 AS FROM prep_t SELECT id WHERE id = $1")
+    engine.sql("EXECUTE pq3(4)").collect()(0).getLong(0) shouldBe 4L
+    // missing argument and unknown name fail loudly
+    an[Exception] should be thrownBy engine.sql("EXECUTE pq('a')")
+    an[Exception] should be thrownBy engine.sql("EXECUTE nope(1)")
+    engine.sql("DEALLOCATE pq")
+    an[Exception] should be thrownBy engine.sql("EXECUTE pq('a', 15)")
+    engine.close()
+  }
+
   test("PRAGMA table_info/show_tables/version serve the interactive surface") {
     import spark.implicits._
     val engine = new Engine(spark)
