@@ -78,6 +78,50 @@ object DistributedRank {
     (ranked, total)
   }
 
+  /** Two independent exact global ranks in SHARED passes: one multi-column
+    * `approxQuantile` job and ONE pairwise bucket-count job (≤ parts²
+    * bounded rows on the driver, marginals derived there) replace the two
+    * per-dimension cut/count pass pairs, and both bucket-partitioned rank
+    * windows ride a single downstream plan — half the upstream
+    * re-executions for layout jobs that rank several dimensions (q91's
+    * z-order cells). Ranks are exactly [[withGlobalRank]]'s (cut placement
+    * only balances partitions, never changes an answer). */
+  def withGlobalRanks2(df: DataFrame,
+      s1: Column, sort1: Seq[Column], out1: String,
+      s2: Column, sort2: Seq[Column], out2: String,
+      parts: Int = 32): (DataFrame, Long) = {
+    val c1 = "__dr_s1"; val c2 = "__dr_s2"
+    val b1 = "__dr_b1"; val b2 = "__dr_b2"
+    val withS = df.withColumn(c1, s1.cast("double"))
+      .withColumn(c2, s2.cast("double"))
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val cuts = withS.stat.approxQuantile(Array(c1, c2), probs, 1.0 / (4 * parts))
+    def bCol(sc: String, cs: Array[Double]): Column =
+      cs.foldLeft(lit(0)) { (acc, c) => acc + when(col(sc) >= c, 1).otherwise(0) }
+    val bucketed = withS
+      .withColumn(b1, bCol(c1, cuts(0).distinct.sorted))
+      .withColumn(b2, bCol(c2, cuts(1).distinct.sorted))
+    val pairs = bucketed.groupBy(col(b1), col(b2)).count().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val total = pairs.map(_._3).sum
+    def offCol(bc: String, marginal: Seq[(Int, Long)]): Column = {
+      val sorted = marginal.sortBy(_._1)
+      val offs = sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _).init)
+      offs.foldLeft(lit(0L)) { case (acc, (id, off)) =>
+        when(col(bc) === id, off).otherwise(acc)
+      }
+    }
+    val m1 = pairs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toSeq
+    val m2 = pairs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+    val w1 = Window.partitionBy(col(b1)).orderBy(sort1: _*)
+    val w2 = Window.partitionBy(col(b2)).orderBy(sort2: _*)
+    val ranked = bucketed
+      .withColumn(out1, row_number().over(w1).cast("long") + offCol(b1, m1))
+      .withColumn(out2, row_number().over(w2).cast("long") + offCol(b2, m2))
+      .drop(b1, b2, c1, c2)
+    (ranked, total)
+  }
+
   /** Exact SQL `NTILE(n)` bucket (1-based) from a 1-based global rank: the
     * first `total % n` buckets carry `total/n + 1` rows, the rest `total/n`
     * — bit-identical to the window function, but computed map-only from the

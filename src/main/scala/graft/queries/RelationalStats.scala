@@ -386,16 +386,22 @@ object RelationalStats {
     // z-orders a 100 TB table — exactly how table formats compute z-cells
     // at scale. At that scale the `o` frame would be persisted between the
     // helper's passes; the gate slice makes that unnecessary here.
-    import graft.operators.DistributedRank.{ntileFromRank, withGlobalRank}
-    val (rc, nRows) = withGlobalRank(o, col("cust"),
-      Seq(col("cust"), col("o_orderkey")), "__rc")
-    val (rd, _) = withGlobalRank(rc, col("day"),
-      Seq(col("day"), col("o_orderkey")), "__rd")
+    import graft.operators.DistributedRank.{ntileFromRank, withGlobalRank, withGlobalRanks2}
+    // both dimension ranks in SHARED cut/count passes (one multi-column
+    // quantile job + one pairwise count job instead of two of each)
+    val (rd, nRows) = withGlobalRanks2(o,
+      col("cust"), Seq(col("cust"), col("o_orderkey")), "__rc",
+      col("day"), Seq(col("day"), col("o_orderkey")), "__rd")
     val ranked = rd
       .withColumn("c8", (ntileFromRank(col("__rc"), 256, nRows) - 1).cast("long"))
       .withColumn("d8", (ntileFromRank(col("__rd"), 256, nRows) - 1).cast("long"))
       .drop("__rc", "__rd")
-    val keyed = ranked.withColumn("zkey", expr(zTermsSpark("c8", "d8")))
+    // the z-keyed frame feeds the third rank's quantile/count/rank passes:
+    // persist it (shared-pass lifecycle) so the two rank windows and the
+    // bit-interleave expression execute once, not three times
+    val keyed = memoized(s"q91keyed:$dir")(
+      ranked.withColumn("zkey", expr(zTermsSpark("c8", "d8")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (rz, _) = withGlobalRank(keyed, col("zkey"),
       Seq(col("zkey"), col("o_orderkey")), "__rz")
     rz.withColumn("bucket", ntileFromRank(col("__rz"), 16, nRows).cast("long"))
