@@ -1448,7 +1448,12 @@ object TextOps {
       .withColumn("tier", ntileFromRank(col("__lr"), 3, nDocs).cast("long"))
       .drop("__lr")
     val wrr = Window.partitionBy(col("tier"), col("source")).orderBy(col("doc_id"))
-    val ranked = tiered.withColumn("pos", row_number().over(wrr).cast("long"))
+    // the positioned frame feeds the interleave rank's cut/count passes:
+    // persist it (the q91 lifecycle) so the tier rank + position window
+    // execute once, not three times
+    val ranked = memoized(s"x26ranked:$dir")(
+      tiered.withColumn("pos", row_number().over(wrr).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val (interleaved, _) = withGlobalRank(ranked,
       col("tier") * lit(1L << 44) + col("pos"),
       Seq(col("tier"), col("pos"), col("source"), col("doc_id")), "rank")
