@@ -735,7 +735,189 @@ object Multimodal {
       | CAST(outs[nout] AS INTEGER) AS rs_last
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- m12: audio fingerprint retrieval (offset-vote alignment) ----------
+  /** Degraded query clip: the original fixture clip with its first 25
+    * frames (one fingerprint window) cut off, re-encoded as a genuinely
+    * NEW WAV container — the "same recording, different file" retrieval
+    * case an audio fingerprinter exists for. */
+  private def degradedAudioPayload(docId: Long): Array[Byte] = {
+    val a = AudioCodecs.decodeWav(audioPayload(docId))
+    AudioCodecs.encodeWav(a.sampleRate, a.channels,
+      a.samples.drop(25 * a.channels))
+  }
+
+  private val degradedAudioFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def degradedAudioTable(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val path = degradedAudioFixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_audio_degraded").toString
+      t(s, dir, "documents").filter(col("doc_id") <= 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaPayload(id, degradedAudioPayload(id))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** One fingerprint landmark: a gram of consecutive energy-transition
+    * codes at transition position p of the clip's fingerprint sequence. */
+  case class AudioGram(doc_id: Long, p: Int, g: Long)
+
+  /** Haitsma-Kalker-style fingerprint: channel-0 PCM is cut into 25-frame
+    * windows; each energy transition w-1 -> w becomes a 21-bit code (sign
+    * of the delta + its magnitude scaled down by 64 and capped to 20 bits
+    * — enough precision to separate the fixture's near-duplicate clips,
+    * which differ only by a small DC offset, while still dropping the
+    * low-order bits a re-encode would perturb), and a landmark is 3
+    * consecutive transition codes packed into a 63-bit gram. Dropping
+    * exactly one window only SHIFTS the transition sequence, so the
+    * fixture's time-cut degradation aligns every true match at offset -1
+    * (the Shazam offset-histogram invariant); a lossier pipeline would
+    * coarsen the magnitude field further instead of changing the shape.
+    * Integer-exact end to end (energies are Σv² longs). */
+  private def fingerprintGrams(r: MediaPayload): Seq[AudioGram] = {
+    val a = AudioCodecs.decodeWav(r.data)
+    val ch = a.channels
+    val nw = a.samples.length / ch / 25
+    val en = new Array[Long](nw)
+    var w = 0
+    while (w < nw) {
+      var e = 0L
+      var j = 0
+      while (j < 25) {
+        val v = a.samples((w * 25 + j) * ch).toLong
+        e += v * v
+        j += 1
+      }
+      en(w) = e
+      w += 1
+    }
+    val nb = nw - 1
+    val code = new Array[Long](nb)
+    var i = 0
+    while (i < nb) {
+      val d = en(i + 1) - en(i)
+      val sign = if (d > 0) 1L else 0L
+      val mag = math.min(math.abs(d) >> 6, (1L << 20) - 1)
+      code(i) = (sign << 20) | mag
+      i += 1
+    }
+    (0 to nb - 3).map { p =>
+      AudioGram(r.doc_id, p,
+        (code(p) << 42) | (code(p + 1) << 21) | code(p + 2))
+    }
+  }
+
+  /** m12: audio fingerprint retrieval — match every degraded query clip
+    * back to its source recording by landmark-gram join + time-offset
+    * voting (the Shazam alignment: a true match concentrates its gram hits
+    * on ONE offset delta, random collisions scatter). Expected top-1 is
+    * the clip's own source at delta = -1 (the cut window).
+    *
+    * Scale: fingerprint extraction is map-only typed mapPartitions over
+    * the payload scan; the corpus gram table is the inverted-index shape
+    * (gram -> postings) that lives bucketed on gram at 100 TB, so query
+    * batches equi-join co-partitioned; the 63-bit gram keeps postings
+    * selective at corpus scale. Vote counting is one shuffle keyed on
+    * (qid, cid, delta); both rankings are bounded per-query windows. */
+  private val m12: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encG: Encoder[AudioGram] = Encoders.product[AudioGram]
+    val cg = audioTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.flatMap(fingerprintGrams)).toDF()
+      .select(col("doc_id").as("cid"), col("p").as("cp"), col("g"))
+    val qg = degradedAudioTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.flatMap(fingerprintGrams)).toDF()
+      .select(col("doc_id").as("qid"), col("p").as("qp"), col("g"))
+    val votes = qg.join(cg, Seq("g"))
+      .groupBy(col("qid"), col("cid"), (col("qp") - col("cp")).as("delta"))
+      .agg(count(lit(1)).as("votes"))
+    val wBest = Window.partitionBy(col("qid"), col("cid"))
+      .orderBy(col("votes").desc, col("delta"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("cid"))
+    votes.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .drop("rn")
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("votes"),
+        col("delta").cast("long").as("delta"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  // closed-form replay: corpus frame j of channel 0 is
+  // (j*ch*13 + doc) % 2001 - 1000; the degraded query clip shifts j by 25.
+  // Window energies -> transition codes (LAG) -> 63-bit grams (shift-
+  // weighted sum over a sliding join, complete grams only) -> gram join +
+  // offset votes.
+  private val m12Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch, 500 + doc_id % 250 AS nf
+      |  FROM documents WHERE doc_id <= 100),
+      |cw AS (
+      |  SELECT doc_id, j // 25 AS w,
+      |    SUM(CAST((j*ch*13 + doc_id) % 2001 - 1000 AS BIGINT)
+      |      * ((j*ch*13 + doc_id) % 2001 - 1000)) AS e
+      |  FROM g, UNNEST(RANGE((nf // 25) * 25)) t(j)
+      |  GROUP BY doc_id, j // 25),
+      |cb AS (
+      |  SELECT doc_id, w - 1 AS idx,
+      |    CAST(CASE WHEN d > 0 THEN 1048576 ELSE 0 END
+      |      + CAST(LEAST(ABS(d) // 64, 1048575) AS BIGINT) AS BIGINT) AS cd
+      |  FROM (SELECT doc_id, w,
+      |          e - LAG(e) OVER (PARTITION BY doc_id ORDER BY w) AS d
+      |        FROM cw) WHERE d IS NOT NULL),
+      |cg AS (
+      |  SELECT doc_id AS cid, idx - k AS p,
+      |    CAST(SUM(cd << (21 * (2 - k))) AS BIGINT) AS gm
+      |  FROM cb CROSS JOIN UNNEST(RANGE(3)) t(k)
+      |  WHERE idx - k >= 0
+      |  GROUP BY doc_id, idx - k HAVING COUNT(*) = 3),
+      |qw AS (
+      |  SELECT doc_id, j // 25 AS w,
+      |    SUM(CAST(((j+25)*ch*13 + doc_id) % 2001 - 1000 AS BIGINT)
+      |      * (((j+25)*ch*13 + doc_id) % 2001 - 1000)) AS e
+      |  FROM g, UNNEST(RANGE(((nf - 25) // 25) * 25)) t(j)
+      |  GROUP BY doc_id, j // 25),
+      |qb AS (
+      |  SELECT doc_id, w - 1 AS idx,
+      |    CAST(CASE WHEN d > 0 THEN 1048576 ELSE 0 END
+      |      + CAST(LEAST(ABS(d) // 64, 1048575) AS BIGINT) AS BIGINT) AS cd
+      |  FROM (SELECT doc_id, w,
+      |          e - LAG(e) OVER (PARTITION BY doc_id ORDER BY w) AS d
+      |        FROM qw) WHERE d IS NOT NULL),
+      |qg AS (
+      |  SELECT doc_id AS qid, idx - k AS p,
+      |    CAST(SUM(cd << (21 * (2 - k))) AS BIGINT) AS gm
+      |  FROM qb CROSS JOIN UNNEST(RANGE(3)) t(k)
+      |  WHERE idx - k >= 0
+      |  GROUP BY doc_id, idx - k HAVING COUNT(*) = 3),
+      |votes AS (
+      |  SELECT q.qid, c.cid, q.p - c.p AS delta, COUNT(*) AS v
+      |  FROM qg q JOIN cg c ON q.gm = c.gm
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT qid, cid, v, delta FROM (
+      |    SELECT qid, cid, v, delta,
+      |      ROW_NUMBER() OVER (PARTITION BY qid, cid
+      |        ORDER BY v DESC, delta) AS rn
+      |    FROM votes) WHERE rn = 1),
+      |ranked AS (
+      |  SELECT qid, cid, v, delta,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY v DESC, cid) AS rank
+      |  FROM best)
+      |SELECT qid, rank, cid, CAST(v AS BIGINT) AS votes,
+      | CAST(delta AS BIGINT) AS delta
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m12_audio_fingerprint" -> m12,
     "m11_audio_resample" -> m11,
     "m10_video_scenes" -> m10,
     "m01_binary_meta" -> m01,
@@ -749,6 +931,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m12_audio_fingerprint" -> m12Sql,
     "m11_audio_resample" -> m11Sql,
     "m10_video_scenes" -> m10Sql,
     "m01_binary_meta" -> m01Sql,

@@ -471,7 +471,44 @@ object RelationalMore {
       |  ARG_MIN(l_orderkey, CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)*10000000 + l_orderkey) AS key_min_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q100: bag-semantics set operations — INTERSECT ALL (multiplicity =
+    * min of the two sides' counts) and EXCEPT ALL (left count minus right
+    * count, floored at zero) over the customer/supplier nationkey
+    * multisets, where the distinct-set q13 forms would erase the
+    * multiplicities. Spark spells them `intersectAll`/`exceptAll`; DuckDB
+    * parses the standard INTERSECT ALL / EXCEPT ALL.
+    *
+    * Scale: both plan as ONE hash aggregation per side keyed on the value
+    * (map-side partial counts), then a co-partitioned count-arithmetic
+    * join — no sort, no row-by-row bag subtraction; the post-op
+    * groupBy(count) fuses onto the same key partitioning, so the whole
+    * query is a single shuffle of per-key counters. */
+  private val q100: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val ia = c.intersectAll(sup).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("nationkey"), col("n"))
+    val ea = c.exceptAll(sup).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("nationkey"), col("n"))
+    ia.union(ea).psort(col("op"), col("nationkey"))
+  }
+
+  private val q100Sql =
+    """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+      |     s AS (SELECT s_nationkey AS nationkey FROM supplier),
+      |     ia AS (SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS n
+      |            FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM s)
+      |            GROUP BY 2),
+      |     ea AS (SELECT 'except_all' AS op, nationkey, COUNT(*) AS n
+      |            FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM s)
+      |            GROUP BY 2)
+      |SELECT * FROM ia UNION ALL SELECT * FROM ea
+      |ORDER BY op, nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q100_setops_all" -> q100,
     "q96_filter_argmax" -> q96,
     "q64_time_range_frame" -> q64,
     "q62_union_by_name" -> q62,
@@ -496,6 +533,7 @@ object RelationalMore {
     "q49_bit_ops" -> q49)
 
   val oracleSql: Map[String, String] = Map(
+    "q100_setops_all" -> q100Sql,
     "q96_filter_argmax" -> q96Sql,
     "q64_time_range_frame" -> q64Sql,
     "q62_union_by_name" -> q62Sql,

@@ -1896,7 +1896,65 @@ object TextOps {
        |FROM sizes s LEFT JOIN novel n ON s.doc_id = n.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  // ---- x33: domain mixture weights (temperature-scaled sampling) ----------
+  /** x33: per-domain sampling weights for the training mixture — the
+    * DoReMi/UniMax-style knob every multi-source pretraining run publishes.
+    * Baseline share = each source's token fraction; the sampling weight is
+    * the temperature-scaled share p^0.5 renormalized, which up-weights
+    * small domains (boost_x > 1) and down-weights the dominant one without
+    * ever inverting the order. All shares are computed in exact integer
+    * ppm; the only floating step is one IEEE sqrt of a single division,
+    * identical in both engines, immediately floored back to integer
+    * micro-units so the renormalization is again exact long arithmetic.
+    *
+    * Scale: one map-only token count fused into the scan, one tiny
+    * groupBy(source) aggregation (map-side partials; #domains rows), and
+    * two 1-row broadcast total joins — the grand-total shape the suite
+    * uses instead of a global window. The weights table is O(#domains)
+    * and would be broadcast back to drive the actual sampler (x08's
+    * mixture sampler consumes exactly this shape). */
+  private val x33: Q = (s, dir) => {
+    val per = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " +")).as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).cast("long").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("long").as("tot_tokens"))
+    val scaled = per.crossJoin(broadcast(tot))
+      .withColumn("base_ppm", expr("n_tokens * 1000000 div tot_tokens"))
+      .withColumn("q", floor(
+        sqrt(col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          * lit(1000000.0)).cast("long"))
+    val sumq = scaled.agg(sum(col("q")).cast("long").as("sumq"))
+    scaled.crossJoin(broadcast(sumq))
+      .withColumn("w_ppm", expr("q * 1000000 div sumq"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("base_ppm"),
+        col("w_ppm"),
+        (col("w_ppm").cast("double") / col("base_ppm").cast("double"))
+          .as("boost_x"))
+      .psort(col("source"))
+  }
+
+  private val x33Sql =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+      |scaled AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    n_tokens * 1000000 // tot_tokens AS base_ppm,
+      |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS q
+      |  FROM per, tot),
+      |sq AS (SELECT CAST(SUM(q) AS BIGINT) AS sumq FROM scaled)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(base_ppm AS BIGINT) AS base_ppm,
+      |  CAST(q * 1000000 // sumq AS BIGINT) AS w_ppm,
+      |  CAST(q * 1000000 // sumq AS DOUBLE) / CAST(base_ppm AS DOUBLE) AS boost_x
+      |FROM scaled, sq ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x33_domain_mixture" -> x33,
     "x32_ngram_novelty" -> x32,
     "x31_tokenizer_fertility" -> x31,
     "x30_boilerplate_lines" -> x30,
@@ -1931,6 +1989,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x33_domain_mixture" -> x33Sql,
     "x32_ngram_novelty" -> x32Sql,
     "x31_tokenizer_fertility" -> x31Sql,
     "x30_boilerplate_lines" -> x30Sql,
