@@ -1246,7 +1246,174 @@ object Similarity {
        |ORDER BY pr DESC, id LIMIT 20""".stripMargin
   }
 
+  // ---- s19: IVFPQ (coarse cells + residual product quantization) ----------
+  /** Residual of a float vector against its coarse cell's centroid, stored
+    * float32 (what a real IVFPQ index keeps): double-exact subtraction of
+    * the fixed-point-trained centroid, rounded once to float. The centroid
+    * table rides as one constant-folded nested literal (k x dim doubles,
+    * ~4 KB) so the residual is a map-only codegen expression — no join on
+    * the corpus-scale pass. */
+  private def residCol(cents: Array[graft.operators.IvfIndex.Centroid],
+                       vec: Column, cell: Column): Column = {
+    val centsLit = typedlit(cents.sortBy(_.cell).map(_.vec.toSeq).toSeq)
+    val cvec = element_at(centsLit, cell + 1)
+    transform(vec, (x, i) =>
+      (x.cast("double") - element_at(cvec, i + 1)).cast("float"))
+  }
+
+  /** Per-dir memoized IVFPQ model: residual codebooks (the SAME
+    * fixed-point Lloyd as s10's PQ, but trained on coarse-cell residuals —
+    * residuals concentrate near zero, so the 4-bit-per-subspace budget
+    * buys much finer quantization than raw-vector PQ) plus the coded
+    * corpus keyed by its coarse cell: (ivf_cell, 8 codes) = the classic
+    * billion-scale index layout (8 B/vector + cell id). */
+  private val ivfpqModel = scala.collection.concurrent.TrieMap[
+    String, (Seq[Array[graft.operators.IvfIndex.Centroid]], DataFrame)]()
+  private def trainedIvfPq(s: SparkSession, dir: String) = {
+    val cached = ivfpqModel.get(dir)
+      .filter(!_._2.sparkSession.sparkContext.isStopped)
+    cached.getOrElse {
+      val (cents, assigned) = trainedIvf(s, dir)
+      val resid = assigned
+        .select(col("vec_id"), col("cell").as("ivf_cell"),
+          residCol(cents, col("embedding"), col("cell")).as("rvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val books = (0 until pqM).map { j =>
+        graft.operators.IvfIndex.train(
+          resid.select(col("vec_id"),
+            expr(s"slice(rvec, ${j * pqSubDim + 1}, $pqSubDim)").as("sub")),
+          "vec_id", "sub", k = pqK, iters = pqIters)
+      }
+      val codes = books.zipWithIndex.foldLeft(resid) { case (df, (cb, j)) =>
+          graft.operators.IvfIndex.assign(
+              df.withColumn("subv",
+                expr(s"slice(rvec, ${j * pqSubDim + 1}, $pqSubDim)")),
+              "vec_id", "subv", cb)
+            .withColumnRenamed("cell", s"c$j").drop("subv")
+        }
+        .select(col("vec_id") +: col("ivf_cell") +:
+          (0 until pqM).map(j => col(s"c$j")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ivfpqModel.put(dir, (books, codes))
+      (books, codes)
+    }
+  }
+
+  /** s19: IVFPQ search — the standard billion-scale ANN index (coarse IVF
+    * cells prune the corpus to nprobe/k, residual PQ codes compress what
+    * remains to 8 bytes/vector, ADC scores candidates without touching raw
+    * vectors). The query's residual is taken against EACH probed cell's
+    * centroid (the IVFPQ asymmetric-distance contract), then scored with
+    * the native graft_pq_adc table lookups over that cell's codes.
+    *
+    * Scale: probing is a map-only expression over the broadcast centroid
+    * literal; candidates come from an equi-join on the coarse cell (the
+    * corpus lives bucketed by cell); per-candidate cost is m lookups into
+    * the broadcast codebooks. Build cost rides the persisted IVF
+    * assignment + one residual pass; all driver state is O(k·dim) scalars. */
+  private val s19: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (cents, _) = trainedIvf(s, dir)
+    val (books, codes) = trainedIvfPq(s, dir)
+    val probes = graft.operators.IvfIndex.probeRanked(
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", cents,
+        maxProbe = 3)
+      .select(col("qid"), col("cell"),
+        residCol(cents, col("qe"), col("cell")).as("qr"))
+    val cands = codes.select(col("vec_id").as("cid"),
+      col("ivf_cell").as("cell"),
+      array((0 until pqM).map(j => col(s"c$j")): _*).as("cs"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("cid"))
+    probes.join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        adcCol(books, col("qr"), col("cs")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"),
+        round(col("adc"), 6).as("adc_dist"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  /** Oracle: full replay — the s04 IVF training/probing prefix, float32
+    * residuals against the final centroids, per-subspace residual k-means
+    * (the s10 pattern re-seeded on residual slices), coded assignment, and
+    * the per-probed-cell ADC sum in subspace order. */
+  private lazy val s19Sql: String = {
+    def sub(j: Int): String = {
+      val off = j * pqSubDim + 1
+      def iter(n: Int): String = {
+        val prev = s"rc${j}_${n - 1}"
+        s"""ra${j}_$n AS MATERIALIZED (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT e.vec_id, e.v, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+           |    FROM r$j e CROSS JOIN $prev c) WHERE rn = 1),
+           |ru${j}_$n AS (
+           |  SELECT cell, i,
+           |    CAST(SUM(CAST(FLOOR(v[i]::DOUBLE * 1048576.0) AS BIGINT)) AS DOUBLE)
+           |      / COUNT(*) / 1048576.0 AS comp
+           |  FROM ra${j}_$n, range(1, ${pqSubDim + 1}) rr(i) GROUP BY cell, i),
+           |rc${j}_$n AS MATERIALIZED (
+           |  SELECT p.cell, COALESCE(u.vec, p.vec) AS vec
+           |  FROM $prev p LEFT JOIN
+           |    (SELECT cell, LIST(comp ORDER BY i) AS vec FROM ru${j}_$n GROUP BY cell) u
+           |    ON p.cell = u.cell)""".stripMargin
+      }
+      s"""r$j AS MATERIALIZED (
+         |  SELECT vec_id, [x::DOUBLE FOR x IN rv[$off:${off + pqSubDim - 1}]] AS v
+         |  FROM resid),
+         |rc${j}_0 AS (
+         |  SELECT cell, vec FROM (
+         |    SELECT CAST(ROW_NUMBER() OVER (
+         |        ORDER BY ${md5iSql("CAST(vec_id AS VARCHAR)")}, CAST(vec_id AS VARCHAR)
+         |      ) AS INTEGER) - 1 AS cell,
+         |      [x::DOUBLE FOR x IN rv[$off:${off + pqSubDim - 1}]] AS vec
+         |    FROM resid) WHERE cell < $pqK),
+         |${(1 to pqIters).map(iter).mkString(",\n")},
+         |rcode$j AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+         |    FROM r$j e CROSS JOIN rc${j}_$pqIters c) WHERE rn = 1),
+         |rsc$j AS MATERIALIZED (
+         |  SELECT q.qid, a.vec_id AS cid,
+         |    ${dist2Sql(s"[x::DOUBLE FOR x IN q.qr[$off:${off + pqSubDim - 1}]]", "c.vec")} AS d$j
+         |  FROM qres q JOIN rcell r ON q.cell = r.cell AND q.qid <> r.vec_id
+         |    JOIN rcode$j a ON a.vec_id = r.vec_id
+         |    JOIN rc${j}_$pqIters c ON a.cell = c.cell)""".stripMargin
+    }
+    val joins = (1 until pqM)
+      .map(j => s"JOIN rsc$j USING (qid, cid)").mkString("\n  ")
+    val adcSum = (0 until pqM).map(j => s"d$j").mkString(" + ")
+    s"""$ivfCtePrefix,
+       |resid AS MATERIALIZED (
+       |  SELECT a.cid AS vec_id, a.cell,
+       |    [CAST(CAST(z[1] AS DOUBLE) - z[2] AS REAL)
+       |     FOR z IN LIST_ZIP(a.ce, c.vec)] AS rv
+       |  FROM assignF a JOIN $ivfFinalCentsCte c ON a.cell = c.cell),
+       |rcell AS (SELECT vec_id, cell FROM resid),
+       |qres AS MATERIALIZED (
+       |  SELECT p.qid, p.cell,
+       |    [CAST(CAST(z[1] AS DOUBLE) - z[2] AS REAL)
+       |     FOR z IN LIST_ZIP(p.qe, c.vec)] AS qr
+       |  FROM probe p JOIN $ivfFinalCentsCte c ON p.cell = c.cell),
+       |${(0 until pqM).map(sub).mkString(",\n")},
+       |adcs AS (
+       |  SELECT qid, cid, $adcSum AS adc FROM rsc0
+       |  $joins),
+       |rankedpq AS (
+       |  SELECT qid, cid, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS rank
+       |  FROM adcs)
+       |SELECT qid, rank, cid, ROUND(adc, 6) AS adc_dist
+       |FROM rankedpq WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s19_knn_ivfpq" -> s19,
     "s18_graph_centrality" -> s18,
     "s17_hybrid_rrf" -> s17,
     "s16_binary_quant" -> s16,
@@ -1267,6 +1434,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s19_knn_ivfpq" -> s19Sql,
     "s18_graph_centrality" -> s18Sql,
     "s17_hybrid_rrf" -> s17Sql,
     "s16_binary_quant" -> s16Sql,
