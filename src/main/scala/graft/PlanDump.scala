@@ -63,7 +63,12 @@ object PlanDump {
     "x29_dsir_resample" -> "the corpus tokenizes ONCE into the persisted per-(doc,bucket) histogram (InMemoryTableScan on the second consumer); the 64-row LLR table broadcasts; top-100 is TakeOrderedAndProject",
     "d19_soft_dedup" -> "bounded cluster labels + sizes broadcast onto one map-only corpus pass; the ledger is one O(sources) aggregation",
     "x32_ngram_novelty" -> "deliberate SHUFFLE anti-join on the gram (reference set is corpus-scale, broadcast does not apply) + one doc aggregation off the shared persisted shingle index",
-    "s18_graph_centrality" -> "five chained hash-shuffle iterations on the bounded 3N edge list (InMemoryTableScan, built once from the trained assignment); exact integer arithmetic end to end")
+    "s18_graph_centrality" -> "five chained hash-shuffle iterations on the bounded 3N edge list (InMemoryTableScan, built once from the trained assignment); exact integer arithmetic end to end",
+    "s19_knn_ivfpq" -> "probing + query residuals are map-only over the broadcast centroid literal; candidates from ONE coarse-cell equi-join over the persisted coded corpus; ADC is m codebook lookups per pair against the constant-folded books literal",
+    "m12_audio_fingerprint" -> "fingerprint extraction is a typed map-only stage over both payload scans; landmark match is a gram equi-join (inverted-index shape) + one (qid,cid,delta) vote shuffle; both rankings are bounded per-query windows",
+    "x33_domain_mixture" -> "map-only token count into a #domains-row aggregation; grand totals ride TWO broadcast 1-row joins — never a global window",
+    "x34_distribution_drift" -> "one word-keyed count shuffle (map-side partials absorb the explode); broadcast totals; top-15 via TakeOrderedAndProject, not a window",
+    "q101_retention_cohorts" -> "per-user MIN and (user,day) DISTINCT are user-keyed hash aggregations; the cohort join is co-partitioned on user_id; the matrix is O(days x 8) rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -551,7 +551,43 @@ object RelationalStats {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q101: retention cohort matrix — the product-analytics staple over the
+    * events stream: users are grouped into cohorts by their FIRST-activity
+    * day, and each (cohort, day-offset) cell counts how many of that
+    * cohort's users were active again offset days later (offsets 0..7).
+    *
+    * Scale: one per-user MIN aggregation (map-side partials) + one
+    * (user, day) distinct — both hash shuffles keyed on user, so AQE
+    * coalesces them onto one exchange; the cohort join is co-partitioned
+    * on user_id and the final matrix is O(days x 8) rows. No windows, no
+    * distinct-count expansion (the (user, day) pairs are already distinct,
+    * so the cell count is a plain COUNT). */
+  private val q101: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val first = e.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    val active = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    active.join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("d"), col("cohort")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .psort(col("cohort"), col("day_offset"))
+  }
+
+  private val q101Sql =
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      |SELECT f.cohort, DATEDIFF('day', f.cohort, a.d) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |WHERE DATEDIFF('day', f.cohort, a.d) <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q101_retention_cohorts" -> q101,
     "q93_bucketed_join" -> q93,
     "q92_funnel" -> q92,
     "q91_zorder_layout" -> q91,
@@ -567,6 +603,7 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q101_retention_cohorts" -> q101Sql,
     "q93_bucketed_join" -> q93Sql,
     "q92_funnel" -> q92Sql,
     "q91_zorder_layout" -> q91Sql,

@@ -1953,7 +1953,90 @@ object TextOps {
       |  CAST(q * 1000000 // sumq AS DOUBLE) / CAST(base_ppm AS DOUBLE) AS boost_x
       |FROM scaled, sq ORDER BY source""".stripMargin
 
+  // ---- x34: unigram distribution drift (slice-vs-slice KL) -----------------
+  /** x34: dataset drift monitoring — symmetric KL divergence between the
+    * base slice's (doc_id < 250) and the fresh batch's (doc_id >= 250)
+    * add-1-smoothed unigram distributions, with the top-15 words driving
+    * the drift. The number a continuously-ingesting pipeline alarms on:
+    * a crawl whose token distribution lurches (new spam pattern, encoding
+    * regression, topic shift) shows up here before any model does.
+    *
+    * Determinism: each word's KL contribution p·ln(p/q) is quantized ONCE
+    * to integer nano-nats (the x13 micronat discipline) and every total is
+    * an integer sum — associative, partition-order free, and bit-identical
+    * in DuckDB (same IEEE divisions/ln over identical doubles, same
+    * half-away-from-zero ROUND).
+    *
+    * Scale: one corpus token-count shuffle keyed on the word (map-side
+    * partials absorb the explode), a 1-row broadcast totals join, then a
+    * TakeOrderedAndProject top-15 — never a global window. At 100 TB the
+    * base counts persist as the standing reference table and each batch
+    * joins its counts against it co-partitioned on the word. */
+  private val x34: Q = (s, dir) => {
+    val counts = t(s, dir, "documents")
+      .select((col("doc_id") >= 250).as("isnew"),
+        explode(split(col("text"), " +")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(sum(when(!col("isnew"), 1L).otherwise(0L)).as("cb"),
+        sum(when(col("isnew"), 1L).otherwise(0L)).as("cn"))
+    val tot = counts.agg(sum(col("cb")).cast("long").as("nb"),
+      sum(col("cn")).cast("long").as("nn"), count(lit(1)).as("v"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("pb",
+        (col("cb") + 1).cast("double") / (col("nb") + col("v")).cast("double"))
+      .withColumn("pn",
+        (col("cn") + 1).cast("double") / (col("nn") + col("v")).cast("double"))
+      .withColumn("m_nano", round(col("pb") * log(col("pb") / col("pn"))
+        * lit(1000000000.0), 0).cast("long"))
+      .withColumn("n_nano", round(col("pn") * log(col("pn") / col("pb"))
+        * lit(1000000000.0), 0).cast("long"))
+      .withColumn("drift_nano", col("m_nano") + col("n_nano"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val top = terms
+      .orderBy(col("drift_nano").desc, col("w")).limit(15)
+      .select(col("w").as("word"), col("cb"), col("cn"), col("drift_nano"))
+    val total = terms.agg(sum(col("drift_nano")).cast("long").as("t"))
+      .crossJoin(broadcast(tot))
+      .select(lit("__total_sym_kl__").as("word"), col("nb").as("cb"),
+        col("nn").as("cn"), col("t").as("drift_nano"))
+    top.unionByName(total).psort(col("word"))
+  }
+
+  private val x34Sql =
+    """WITH ww AS (
+      |  SELECT isnew, w FROM (
+      |    SELECT doc_id >= 250 AS isnew,
+      |      UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |counts AS (
+      |  SELECT w,
+      |    CAST(SUM(CASE WHEN NOT isnew THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+      |    CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT) AS cn
+      |  FROM ww GROUP BY w),
+      |tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb,
+      |               CAST(SUM(cn) AS BIGINT) AS nn, COUNT(*) AS v FROM counts),
+      |probs AS (
+      |  SELECT w, cb, cn,
+      |    (cb + 1)::DOUBLE / (nb + v)::DOUBLE AS pb,
+      |    (cn + 1)::DOUBLE / (nn + v)::DOUBLE AS pn
+      |  FROM counts, tot),
+      |terms AS (
+      |  SELECT w, cb, cn,
+      |    CAST(ROUND(pb * LN(pb / pn) * 1000000000.0, 0) AS BIGINT) AS m_nano,
+      |    CAST(ROUND(pn * LN(pn / pb) * 1000000000.0, 0) AS BIGINT) AS n_nano
+      |  FROM probs),
+      |top AS (
+      |  SELECT w AS word, cb, cn, m_nano + n_nano AS drift_nano
+      |  FROM terms ORDER BY m_nano + n_nano DESC, w LIMIT 15),
+      |totr AS (
+      |  SELECT '__total_sym_kl__' AS word, nb AS cb, nn AS cn,
+      |    CAST(SUM(m_nano + n_nano) AS BIGINT) AS drift_nano
+      |  FROM terms, tot GROUP BY nb, nn)
+      |SELECT * FROM top UNION ALL SELECT * FROM totr ORDER BY word""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x34_distribution_drift" -> x34,
     "x33_domain_mixture" -> x33,
     "x32_ngram_novelty" -> x32,
     "x31_tokenizer_fertility" -> x31,
@@ -1989,6 +2072,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x34_distribution_drift" -> x34Sql,
     "x33_domain_mixture" -> x33Sql,
     "x32_ngram_novelty" -> x32Sql,
     "x31_tokenizer_fertility" -> x31Sql,

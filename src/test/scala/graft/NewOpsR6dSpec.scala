@@ -64,6 +64,61 @@ class NewOpsR6dSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q101 retention cells re-derive from raw events (first-day cohorts)") {
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        to_date(col("ts")).cast("string").as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstDay = rows.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val expected = rows.map { case (u, d) => (u, d) }.distinct
+      .map { case (u, d) =>
+        val c = firstDay(u)
+        val off = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(c), java.time.LocalDate.parse(d))
+        (c, off)
+      }
+      .filter(_._2 <= 7)
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val out = queries.RelationalStats.queries("q101_retention_cohorts")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getDate(0).toString, r.getInt(1).toLong), r.getLong(2)))
+      .toMap
+    out shouldBe expected
+    // offset-0 cell of each cohort = the cohort's size (everyone is active
+    // on their own first day)
+    val sizes = firstDay.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+    sizes.foreach { case (c, n) => out((c, 0L)) shouldBe n }
+  }
+
+  test("x34 drift terms re-derive from raw counts; symmetric KL total positive") {
+    val out = queries.TextOps.queries("x34_distribution_drift")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.length shouldBe 16
+    val total = out.find(_._1 == "__total_sym_kl__").get
+    total._4 should be > 0L // the two slices genuinely differ
+    val top = out.filterNot(_._1 == "__total_sym_kl__")
+    top should have length 15
+    // independently recount the top words and replay the nano-nat formula
+    val words = Tables.load(spark, sfDir, "documents")
+      .select((col("doc_id") >= 250).as("isnew"),
+        explode(split(col("text"), " +")).as("w"))
+      .filter(col("w") =!= "").collect()
+      .map(r => (r.getBoolean(0), r.getString(1)))
+    val nb = words.count(!_._1).toLong
+    val nn = words.count(_._1).toLong
+    val v = words.map(_._2).distinct.length.toLong
+    top.foreach { case (w, cb, cn, drift) =>
+      cb shouldBe words.count(x => !x._1 && x._2 == w).toLong
+      cn shouldBe words.count(x => x._1 && x._2 == w).toLong
+      val pb = (cb + 1).toDouble / (nb + v).toDouble
+      val pn = (cn + 1).toDouble / (nn + v).toDouble
+      val m = math.round(pb * math.log(pb / pn) * 1000000000.0)
+      val n = math.round(pn * math.log(pn / pb) * 1000000000.0)
+      drift shouldBe (m + n)
+    }
+  }
+
   test("s19 IVFPQ ranks candidates by non-decreasing ADC and finds exact-L2 neighbors") {
     val out = queries.Similarity.queries("s19_knn_ivfpq")(spark, sfDir)
       .collect()
