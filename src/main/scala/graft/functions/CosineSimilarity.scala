@@ -119,6 +119,7 @@ object GraftFunctions {
     "graft_bloom_contains" -> (exprs => BloomMightContain(exprs(0), exprs(1))),
     "graft_token_stats" -> (exprs => TokenStats(exprs.head,
       exprs.tail.map(e => lit(e).toString))),
+    "graft_word_entropy" -> (exprs => WordEntropy(exprs(0))),
     // union-type accessors over the engine's tagged-struct convention
     // (SURVEY §7.3; DuckDB surface: union_tag / union_extract)
     "union_tag" -> (exprs => org.apache.spark.sql.catalyst.analysis

@@ -809,3 +809,67 @@ case class LmBigramFold(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** graft_word_entropy(text) -> struct(n_tokens, n_types, entropy_micro):
+  * Shannon entropy of the document's whitespace-token distribution in
+  * integer micro-nats, one linear pass per row.
+  *
+  * Determinism (the x13 fixed-point convention): each distinct count's
+  * ln(c) is quantized ONCE to integer micro-nats (`Math.round`, which on
+  * positive values matches DuckDB's ROUND half-away-from-zero), then
+  * H_micro = lnT_micro - (Σ c·lnc_micro) // T is pure integer arithmetic —
+  * partition-order independent and bit-replayable on both engines.
+  *
+  * Why native: the composable spelling is explode + two corpus-keyed
+  * shuffles (per-(doc,word) counts, then per-doc re-aggregation); this
+  * expression is map-only — the shape a 100 TB quality gate needs. The
+  * DuckDB oracle pays the two-shuffle spelling.
+  */
+case class WordEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_types", LongType, nullable = false),
+    StructField("entropy_micro", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires string, got $t")
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val words = TokenStats.spacesRe.split(text.toString, -1)
+    val counts = new java.util.HashMap[String, Long]()
+    var total = 0L
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        counts.merge(w, 1L, (a, b) => a + b)
+        total += 1L
+      }
+      i += 1
+    }
+    if (total == 0L) InternalRow(0L, 0L, 0L)
+    else {
+      var s = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        s += c * Math.round(Math.log(c.toDouble) * 1000000.0)
+      }
+      val lnT = Math.round(Math.log(total.toDouble) * 1000000.0)
+      InternalRow(total, counts.size.toLong, lnT - s / total)
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordEntropy", this, classOf[WordEntropy].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

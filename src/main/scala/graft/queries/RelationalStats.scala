@@ -586,7 +586,118 @@ object RelationalStats {
       |WHERE DATEDIFF('day', f.cohort, a.d) <= 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q102: event sessionization — the gap-rule session builder (a new
+    * session starts after >30 min of inactivity) every product-analytics
+    * and training-data-curation pipeline runs over its event stream.
+    *
+    * Determinism: gaps are measured on floor-second epochs (timestamp cast
+    * to BIGINT seconds truncates identically in both engines), ties broken
+    * by event_id, and the money sum is exact DECIMAL.
+    *
+    * Scale: both windows (the lag and the running session counter) are
+    * PARTITIONED BY user_id — per-user frames, never a global window —
+    * and the closing aggregation shuffles on the same (user) key, so AQE
+    * plans one exchange. At 100 TB this is the canonical sessionize shape:
+    * key by user, sort within key, no driver state. */
+  private val q102: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = t(s, dir, "events").filter(col("user_id") <= 300)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    e.groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+      .psort(col("user_id"), col("session_no"))
+  }
+
+  private val q102Sql =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CAST(EPOCH_US(ts) // 1000000 AS BIGINT) AS sec
+      |  FROM events WHERE user_id <= 300),
+      |y AS (
+      |  SELECT *, CASE WHEN LAG(sec) OVER w IS NULL
+      |      OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |z AS (
+      |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      |  FROM y)
+      |SELECT user_id, session_no,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  MAX(sec) - MIN(sec) AS duration_sec
+      |FROM z GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
+  /** q103: MERGE-style SCD1 upsert — apply a change batch to a dimension
+    * snapshot: matched keys take the source row, unmatched targets are
+    * kept, unmatched sources are inserted (the MERGE WHEN MATCHED /
+    * NOT MATCHED triad spelled as one full-outer join).
+    *
+    * Scale: a single shuffle full-outer join on the merge key — exactly
+    * how a 100 TB MERGE executes (Delta/Iceberg plan the same join); if
+    * the change batch is small it broadcasts instead (Spark picks that up
+    * from AQE statistics automatically). Price arithmetic is exact
+    * DECIMAL until the final double cast. */
+  private val q103: Q = (s, dir) => {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("t_status"),
+        col("o_totalprice").cast("decimal(14,2)").as("t_price"))
+    // the 10% bump stays an EXACT scale-4 decimal — a re-round to cents
+    // would hit midpoint cells where Spark (HALF_UP) and DuckDB
+    // (HALF_EVEN) disagree; exact decimals convert to the same double
+    val source = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("U").as("s_status"),
+        (col("o_totalprice").cast("decimal(14,2)")
+          * lit(1.1).cast("decimal(3,2)")).cast("decimal(18,4)").as("s_price"))
+    target.join(source, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("s_status"), col("t_status")).as("status"),
+        coalesce(col("s_price"), col("t_price")).cast("double").as("price"),
+        when(col("s_status").isNotNull && col("t_status").isNotNull,
+          lit("updated"))
+          .when(col("s_status").isNotNull, lit("inserted"))
+          .otherwise(lit("kept")).as("action"))
+      .psort(col("o_orderkey"))
+  }
+
+  private val q103Sql =
+    """WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 500),
+      |t AS (
+      |  SELECT o_orderkey, o_orderstatus AS t_status,
+      |    CAST(o_totalprice AS DECIMAL(14,2)) AS t_price
+      |  FROM o WHERE o_orderkey % 3 <> 0),
+      |s AS (
+      |  SELECT o_orderkey, 'U' AS s_status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2))
+      |      * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(18,4)) AS s_price
+      |  FROM o WHERE o_orderkey % 2 = 0)
+      |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      |  COALESCE(s_status, t_status) AS status,
+      |  CAST(COALESCE(s_price, t_price) AS DOUBLE) AS price,
+      |  CASE WHEN s_status IS NOT NULL AND t_status IS NOT NULL THEN 'updated'
+      |       WHEN s_status IS NOT NULL THEN 'inserted'
+      |       ELSE 'kept' END AS action
+      |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q102_sessionize" -> q102,
+    "q103_merge_upsert" -> q103,
     "q101_retention_cohorts" -> q101,
     "q93_bucketed_join" -> q93,
     "q92_funnel" -> q92,
@@ -603,6 +714,8 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q102_sessionize" -> q102Sql,
+    "q103_merge_upsert" -> q103Sql,
     "q101_retention_cohorts" -> q101Sql,
     "q93_bucketed_join" -> q93Sql,
     "q92_funnel" -> q92Sql,

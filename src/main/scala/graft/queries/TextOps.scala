@@ -2035,7 +2035,59 @@ object TextOps {
       |  FROM terms, tot GROUP BY nb, nn)
       |SELECT * FROM top UNION ALL SELECT * FROM totr ORDER BY word""".stripMargin
 
+  /** x35: per-document lexical-entropy gate — Shannon entropy of the
+    * token distribution plus a type-token ratio, the low-cost signal that
+    * separates natural prose from keyword-stuffed / template / generated
+    * spam (low entropy) in a crawl-curation pipeline.
+    *
+    * Determinism: the x13 fixed-point discipline — each distinct count's
+    * ln is quantized once to integer micro-nats inside graft_word_entropy,
+    * all downstream arithmetic integer (see WordEntropy scaladoc).
+    *
+    * Scale: the engine side is ONE map-only native scan per document —
+    * no explode, no shuffle (the DuckDB oracle pays the two-shuffle
+    * explode + re-aggregate spelling). The flag threshold broadcasts as a
+    * literal; at 100 TB this runs at scan speed alongside the other
+    * map-only gates (x01/x02/x03). */
+  private val x35: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"),
+        expr("graft_word_entropy(text)").as("e"))
+      .select(col("doc_id"), col("lang"),
+        col("e.n_tokens").as("n_tokens"),
+        col("e.n_types").as("n_types"),
+        col("e.entropy_micro").as("entropy_micro"),
+        expr("e.n_types * 1000000L div e.n_tokens").as("ttr_micro"),
+        (col("e.entropy_micro") < lit(1500000L)).as("low_entropy"))
+      .psort(col("doc_id"))
+  }
+
+  private val x35Sql =
+    """WITH w AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM w GROUP BY doc_id, w),
+      |a AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(c * CAST(ROUND(LN(c) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+      |  FROM c GROUP BY doc_id)
+      |SELECT d.doc_id, d.lang, a.n_tokens, a.n_types,
+      |  CAST(ROUND(LN(a.n_tokens) * 1000000.0, 0) AS BIGINT) - a.s // a.n_tokens
+      |    AS entropy_micro,
+      |  a.n_types * 1000000 // a.n_tokens AS ttr_micro,
+      |  (CAST(ROUND(LN(a.n_tokens) * 1000000.0, 0) AS BIGINT) - a.s // a.n_tokens)
+      |    < 1500000 AS low_entropy
+      |FROM documents d JOIN a USING (doc_id)
+      |WHERE LENGTH(TRIM(d.text)) > 0
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x35_word_entropy" -> x35,
     "x34_distribution_drift" -> x34,
     "x33_domain_mixture" -> x33,
     "x32_ngram_novelty" -> x32,
@@ -2072,6 +2124,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x35_word_entropy" -> x35Sql,
     "x34_distribution_drift" -> x34Sql,
     "x33_domain_mixture" -> x33Sql,
     "x32_ngram_novelty" -> x32Sql,
