@@ -324,6 +324,18 @@ class Engine(val spark: SparkSession,
   private val dropMacroStmt =
     "(?is)^\\s*DROP\\s+MACRO\\s+(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
 
+  private val createTableStmt =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?TABLE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val createViewStmt =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?VIEW\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val insertStmt =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+      "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
+  private val dropRelStmt =
+    "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+
   private val explainStmt =
     "(?is)^\\s*EXPLAIN(\\s+ANALYZE)?\\s+(.+?)\\s*;?\\s*$".r
   private val setStmt =
@@ -628,6 +640,15 @@ class Engine(val spark: SparkSession,
       macros.remove(name.toLowerCase)
       import spark.implicits._
       Seq(name).toDF("macro_dropped")
+    case createTableStmt(orReplace, ifNotExists, name, body) =>
+      createTable(name, body, orReplace != null, ifNotExists != null)
+    case createViewStmt(orReplace, ifNotExists, name, body) =>
+      createView(name, body, orReplace != null, ifNotExists != null)
+    case insertStmt(name, colList, kw, rest) =>
+      insertInto(name, Option(colList).map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil), kw + rest)
+    case dropRelStmt(kind, ifExists, name) =>
+      dropRelation(kind.toUpperCase, name, ifExists != null)
     case explainStmt(analyze, body) => explainSql(analyze != null, body)
     case setStmt(key, value) => setSetting(key, value.trim.stripPrefix("'")
       .stripSuffix("'"))
@@ -637,6 +658,127 @@ class Engine(val spark: SparkSession,
       Seq(key).toDF("reset")
     case pragmaStmt(name, arg) => pragma(name.toLowerCase, Option(arg))
     case _ => expandedSql(rewriteFromFirst(expandMacros(q)))
+  }
+
+  // ---- CREATE TABLE AS / CREATE VIEW / INSERT INTO / DROP -----------------
+  // DuckDB's session DDL/DML surface (the reference's embedded DuckDB
+  // accepts all four through sqlline, KwackEngine.java:232). Engine tables
+  // created here are SNAPSHOTS: the CTAS result is materialized via an
+  // eager localCheckpoint (lineage truncated to the stored blocks, so a
+  // later change to the source — a sync(), a rewritten file view — does
+  // NOT leak into the created table, and repeated INSERTs keep an O(1)
+  // plan instead of a union tower). Views are late-bound plans, DuckDB
+  // semantics. At 100 TB a CTAS is a parquet/table-format write — that
+  // path is `COPY (query) TO 'dir' (FORMAT parquet)`; this in-session
+  // form is the interactive/REPL tier.
+  private val createdTables =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private val createdViews =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def statusDf(colName: String, v: String): DataFrame = {
+    import spark.implicits._
+    Seq(v).toDF(colName)
+  }
+
+  private def guardEngineName(name: String): Unit = {
+    // topic tables register under both the raw topic name and its
+    // sanitized alias — guard both spellings
+    require(!tables.contains(name) &&
+      !tables.keysIterator.exists(t => Engine.sanitize(t) == name),
+      s"'$name' is an ingested topic table and cannot be replaced or dropped")
+    require(!macros.contains(name.toLowerCase),
+      s"'$name' names a macro (DROP MACRO to remove it)")
+  }
+
+  private def createTable(name: String, body: String, orReplace: Boolean,
+      ifNotExists: Boolean): DataFrame = {
+    guardEngineName(name)
+    if (createdTables.contains(name) || createdViews.contains(name)) {
+      if (ifNotExists) return statusDf("create_table", name)
+      require(orReplace, s"table or view '$name' already exists " +
+        "(use CREATE OR REPLACE TABLE)")
+    }
+    val snap = sql(body).localCheckpoint(true)
+    createdTables.get(name).foreach(_.unpersist())
+    createdViews.remove(name)
+    createdTables.put(name, snap)
+    snap.createOrReplaceTempView(name)
+    statusDf("create_table", name)
+  }
+
+  private def createView(name: String, body: String, orReplace: Boolean,
+      ifNotExists: Boolean): DataFrame = {
+    guardEngineName(name)
+    if (createdTables.contains(name) || createdViews.contains(name)) {
+      if (ifNotExists) return statusDf("create_view", name)
+      require(orReplace, s"table or view '$name' already exists " +
+        "(use CREATE OR REPLACE VIEW)")
+    }
+    // a view is its PLAN (late-bound over current file views/macros at
+    // definition time — Spark temp views capture the analyzed plan)
+    val df = sql(body)
+    createdTables.get(name).foreach(_.unpersist())
+    createdTables.remove(name)
+    df.createOrReplaceTempView(name)
+    createdViews.put(name, body)
+    statusDf("create_view", name)
+  }
+
+  /** INSERT INTO matches DuckDB's semantics: without a column list the
+    * SELECT's columns are renamed and cast to the target schema
+    * positionally; with one, listed columns bind by position within the
+    * list and unlisted target columns fill with NULL. */
+  private def insertInto(name: String, cols: Seq[String],
+      body: String): DataFrame = {
+    val target = createdTables.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"'$name' is not an engine-created table (CREATE TABLE $name AS " +
+          "...; ingested topic tables are append-only via sync())"))
+    val add = sql(body)
+    import org.apache.spark.sql.functions.{col, lit}
+    val aligned = if (cols.isEmpty) {
+      require(add.schema.length == target.schema.length,
+        s"INSERT INTO $name: ${add.schema.length} column(s) vs table's " +
+          s"${target.schema.length}")
+      add.select(add.schema.fieldNames.zip(target.schema.fields)
+        .map { case (from, to) => col(s"`$from`").cast(to.dataType)
+          .as(to.name) }.toSeq: _*)
+    } else {
+      require(cols.length == add.schema.length,
+        s"INSERT INTO $name (${cols.mkString(", ")}): column list has " +
+          s"${cols.length} name(s) but the query emits ${add.schema.length}")
+      val pos = cols.zip(add.schema.fieldNames).toMap
+      cols.find(c => !target.schema.fieldNames.contains(c)).foreach { c =>
+        throw new IllegalArgumentException(
+          s"INSERT INTO $name: no column '$c' in target " +
+            s"(${target.schema.fieldNames.mkString(", ")})")
+      }
+      add.select(target.schema.fields.map { f =>
+        pos.get(f.name)
+          .map(from => col(s"`$from`").cast(f.dataType).as(f.name))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }.toSeq: _*)
+    }
+    val n = aligned.count()
+    val merged = target.unionByName(aligned).localCheckpoint(true)
+    target.unpersist()
+    createdTables.put(name, merged)
+    merged.createOrReplaceTempView(name)
+    import spark.implicits._
+    Seq(n).toDF("inserted_rows")
+  }
+
+  private def dropRelation(kind: String, name: String,
+      ifExists: Boolean): DataFrame = {
+    guardEngineName(name)
+    val existed = if (kind == "TABLE") {
+      createdTables.remove(name).map { df => df.unpersist(); () }.isDefined
+    } else createdViews.remove(name).isDefined
+    if (existed) spark.catalog.dropTempView(name)
+    else require(ifExists,
+      s"no engine-created ${kind.toLowerCase} '$name' (use DROP $kind IF EXISTS)")
+    statusDf(s"drop_${kind.toLowerCase}", name)
   }
 
   /** DuckDB's `EXPLAIN [ANALYZE] <stmt>` (the reference passes it through
@@ -1184,6 +1326,13 @@ class Engine(val spark: SparkSession,
     tables.values.foreach(_.unpersist())
     tables = Map.empty
     macros.clear()
+    prepared.clear()
+    (createdTables.keys ++ createdViews.keys).foreach { n =>
+      try spark.catalog.dropTempView(n) catch { case _: Exception => }
+    }
+    createdTables.values.foreach(_.unpersist())
+    createdTables.clear()
+    createdViews.clear()
     fileViews.values.foreach { case (v, _) =>
       try spark.catalog.dropTempView(v) catch { case _: Exception => }
     }

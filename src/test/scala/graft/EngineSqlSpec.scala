@@ -433,6 +433,68 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("CREATE TABLE AS / INSERT INTO / DROP TABLE session DDL round-trip") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .createOrReplaceTempView("ddl_src")
+    engine.sql("CREATE TABLE ddl_t AS SELECT k, s FROM ddl_src WHERE k <= 2")
+    engine.sql("SELECT COUNT(*) c FROM ddl_t").collect()(0).getLong(0) shouldBe 2
+    // CTAS is a snapshot: mutating the source view must not leak in
+    Seq((9L, "z")).toDF("k", "s").createOrReplaceTempView("ddl_src")
+    engine.sql("SELECT COUNT(*) c FROM ddl_t").collect()(0).getLong(0) shouldBe 2
+    // plain CREATE on an existing name fails; OR REPLACE / IF NOT EXISTS work
+    an[Exception] should be thrownBy
+      engine.sql("CREATE TABLE ddl_t AS SELECT 1 AS one")
+    engine.sql("CREATE TABLE IF NOT EXISTS ddl_t AS SELECT 1 AS one")
+    engine.sql("SELECT COUNT(*) c FROM ddl_t").collect()(0).getLong(0) shouldBe 2
+    // positional INSERT casts to the target schema
+    engine.sql("INSERT INTO ddl_t SELECT 7, 'x'").collect()(0)
+      .getLong(0) shouldBe 1
+    // column-list INSERT fills unlisted columns with NULL
+    engine.sql("INSERT INTO ddl_t (s) VALUES ('only_s')")
+    val rows = engine.sql("SELECT k, s FROM ddl_t ORDER BY s NULLS LAST")
+      .collect()
+    rows.length shouldBe 4
+    rows.map(r => Option(r.get(1)).orNull).toSet shouldBe
+      Set("a", "b", "x", "only_s")
+    rows.find(_.getString(1) == "only_s").get.isNullAt(0) shouldBe true
+    // OR REPLACE swaps the snapshot wholesale
+    engine.sql("CREATE OR REPLACE TABLE ddl_t AS SELECT 5 AS k")
+    engine.sql("SELECT k FROM ddl_t").collect()(0).getInt(0) shouldBe 5
+    engine.sql("DROP TABLE ddl_t")
+    an[Exception] should be thrownBy engine.sql("SELECT * FROM ddl_t")
+    an[Exception] should be thrownBy engine.sql("DROP TABLE ddl_t")
+    engine.sql("DROP TABLE IF EXISTS ddl_t") // no-op, no throw
+    engine.close()
+  }
+
+  test("CREATE VIEW is late-bound plan; DROP VIEW removes it; topic names guarded") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .createOrReplaceTempView("vw_src")
+    engine.sql("CREATE VIEW vw_agg AS SELECT SUM(v) s FROM vw_src")
+    engine.sql("SELECT s FROM vw_agg").collect()(0).getDouble(0) shouldBe 30.0
+    an[Exception] should be thrownBy
+      engine.sql("CREATE VIEW vw_agg AS SELECT 1 AS one")
+    engine.sql("CREATE OR REPLACE VIEW vw_agg AS SELECT COUNT(*) c FROM vw_src")
+    engine.sql("SELECT c FROM vw_agg").collect()(0).getLong(0) shouldBe 2
+    // INSERT targets must be engine-created TABLES, not views
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("INSERT INTO vw_agg SELECT 1")
+    engine.sql("DROP VIEW vw_agg")
+    an[Exception] should be thrownBy engine.sql("SELECT * FROM vw_agg")
+    // an ingested topic table can never be replaced or dropped
+    val topic = "ddl-topic"
+    engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.IntSerde)),
+      _ => KafkaRecords.synthetic(spark, Seq(intRecord(topic, 0, 1))))
+    an[Exception] should be thrownBy
+      engine.sql("CREATE TABLE ddl_topic AS SELECT 1 AS one")
+    an[Exception] should be thrownBy engine.sql("DROP TABLE ddl_topic")
+    engine.close()
+  }
+
   test("PRAGMA table_info/show_tables/version serve the interactive surface") {
     import spark.implicits._
     val engine = new Engine(spark)
