@@ -916,7 +916,68 @@ object Multimodal {
       | CAST(delta AS BIGINT) AS delta
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Per-channel color statistics from the REAL container decode — the
+    * feature-extraction stage a vision-data pipeline runs right after
+    * decode (channel means feed normalization; min/max catch dead/clipped
+    * channels). */
+  case class ChannelStats(doc_id: Long, channel: Int, n_ch: Long,
+                          sum_v: Long, min_v: Int, max_v: Int,
+                          mean_micro: Long)
+
+  private def channelStatsOne(r: MediaPayload): Seq[ChannelStats] = {
+    val img = ImageCodecs.decode(r.data)
+    val sums = new Array[Long](3)
+    val mins = Array(255, 255, 255)
+    val maxs = Array(0, 0, 0)
+    var i = 0
+    while (i < img.rgb.length) {
+      val c = i % 3
+      val v = img.rgb(i) & 0xff
+      sums(c) += v
+      if (v < mins(c)) mins(c) = v
+      if (v > maxs(c)) maxs(c) = v
+      i += 1
+    }
+    val n = img.rgb.length.toLong / 3
+    (0 until 3).map(c =>
+      ChannelStats(r.doc_id, c, n, sums(c), mins(c), maxs(c),
+        sums(c) * 1000000L / n))
+  }
+
+  /** m13: decode -> per-channel stats, the m02 shape widened to channel
+    * granularity. Map-only typed mapPartitions (3 rows out per payload,
+    * no shuffle before the presentation sort); integer-exact means in
+    * micro-units (sum*1e6 // n — positive operands, truncation ==
+    * floor in both engines). The oracle replays the interleaved-RGB
+    * fixture contract in closed form per channel, so a stride or
+    * channel-order mis-parse in the decoder diverges. */
+  private val m13: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[ChannelStats] = Encoders.product[ChannelStats]
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.flatMap(channelStatsOne)).toDF()
+      .psort(col("doc_id"), col("channel"))
+  }
+
+  private val m13Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id * 7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 100),
+      |b AS (
+      |  SELECT doc_id, CAST(c AS INTEGER) AS channel,
+      |    [CAST(((3 * j + c) * 7 + doc_id) % 251 AS BIGINT)
+      |      FOR j IN RANGE(w * h)] AS vs,
+      |    CAST(w * h AS BIGINT) AS n_ch
+      |  FROM g, RANGE(3) rc(c))
+      |SELECT doc_id, channel, n_ch,
+      |  CAST(LIST_SUM(vs) AS BIGINT) AS sum_v,
+      |  CAST(LIST_MIN(vs) AS INTEGER) AS min_v,
+      |  CAST(LIST_MAX(vs) AS INTEGER) AS max_v,
+      |  CAST(LIST_SUM(vs) AS BIGINT) * 1000000 // n_ch AS mean_micro
+      |FROM b ORDER BY doc_id, channel""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m13_channel_stats" -> m13,
     "m12_audio_fingerprint" -> m12,
     "m11_audio_resample" -> m11,
     "m10_video_scenes" -> m10,
@@ -931,6 +992,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m13_channel_stats" -> m13Sql,
     "m12_audio_fingerprint" -> m12Sql,
     "m11_audio_resample" -> m11Sql,
     "m10_video_scenes" -> m10Sql,

@@ -1412,7 +1412,39 @@ object Similarity {
        |FROM rankedpq WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** s20: IVF index health report — per-cell population and integer-ppm
+    * load factor (1e6 = perfectly balanced) off the SAME persisted trained
+    * assignment s04/s06/s13/s18 serve from. The number an index operator
+    * watches: a cell whose load_ppm drifts far above 1e6 is the hot
+    * shard that turns nprobe into a full scan, and the rebalance trigger.
+    *
+    * Scale: ONE tiny aggregation over the persisted assignment (k cells
+    * of output), a broadcast 1-row total — the engine never re-trains.
+    * The DuckDB oracle must replay the entire seeding + 3-Lloyd-iteration
+    * training CTE per execution: exactly the build-once/serve-many gap
+    * that pays for an index at 100 TB. */
+  private val s20: Q = (s, dir) => {
+    val (_, assigned) = trainedIvf(s, dir)
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    sizes.crossJoin(broadcast(sizes.agg(sum(col("n_vecs")).as("total"))))
+      .select(col("cell"), col("n_vecs"),
+        expr(s"n_vecs * $ivfK * 1000000L div total").as("load_ppm"))
+      .psort(col("cell"))
+  }
+
+  private val s20Sql: String =
+    s"""$ivfCtePrefix,
+       |sizes AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |  FROM assignF GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM sizes)
+       |SELECT cell, n_vecs,
+       |  n_vecs * $ivfK * 1000000 // total AS load_ppm
+       |FROM sizes, tot ORDER BY cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s20_ivf_cell_stats" -> s20,
     "s19_knn_ivfpq" -> s19,
     "s18_graph_centrality" -> s18,
     "s17_hybrid_rrf" -> s17,
@@ -1434,6 +1466,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s20_ivf_cell_stats" -> s20Sql,
     "s19_knn_ivfpq" -> s19Sql,
     "s18_graph_centrality" -> s18Sql,
     "s17_hybrid_rrf" -> s17Sql,

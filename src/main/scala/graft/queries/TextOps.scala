@@ -2086,7 +2086,62 @@ object TextOps {
       |WHERE LENGTH(TRIM(d.text)) > 0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** x36: document-length histogram on power-of-two buckets — the
+    * dataset-card length distribution (truncation budgeting, packing
+    * efficiency forecasts, and outlier-length screens all read it).
+    *
+    * Determinism: the bucket is floor(log2(n_chars)) computed EXACTLY as
+    * LENGTH(BIN(n)) - 1 — integer string length, no floating log that
+    * could land on either side of a power of two; shares are integer ppm.
+    *
+    * Scale: one aggregation onto <= 64 bucket rows (map-side partials
+    * absorb the corpus), then the cumulative share via a bounded
+    * bucket<=bucket self-join over those rows — NOT a global window, so
+    * the plan passes the suite-wide single-partition-window ban and is
+    * corpus-size independent after the first aggregation. */
+  private val x36: Q = (s, dir) => {
+    val b = t(s, dir, "documents")
+      .select((length(bin(col("n_chars"))) - 1).as("bucket"),
+        col("n_chars"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val tot = b.agg(sum(col("n_docs")).as("td"))
+    val cum = b.as("a").join(b.as("b2"),
+        col("b2.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b2.n_docs")).as("cum_docs"))
+    b.join(cum, Seq("bucket")).crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr("cast(shiftleft(1L, bucket) as bigint)").as("lo_chars"),
+        col("n_docs"), col("total_chars"),
+        expr("n_docs * 1000000L div td").as("share_ppm"),
+        col("cum_docs"),
+        expr("cum_docs * 1000000L div td").as("cum_ppm"))
+      .psort(col("bucket"))
+  }
+
+  private val x36Sql =
+    """WITH b AS (
+      |  SELECT LENGTH(BIN(n_chars)) - 1 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td FROM b),
+      |cum AS (
+      |  SELECT a.bucket, CAST(SUM(b2.n_docs) AS BIGINT) AS cum_docs
+      |  FROM b a JOIN b b2 ON b2.bucket <= a.bucket
+      |  GROUP BY a.bucket)
+      |SELECT b.bucket,
+      |  CAST(1::BIGINT << b.bucket AS BIGINT) AS lo_chars,
+      |  b.n_docs, b.total_chars,
+      |  b.n_docs * 1000000 // td AS share_ppm,
+      |  cum.cum_docs,
+      |  cum.cum_docs * 1000000 // td AS cum_ppm
+      |FROM b JOIN cum ON b.bucket = cum.bucket, tot
+      |ORDER BY b.bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x36_length_hist" -> x36,
     "x35_word_entropy" -> x35,
     "x34_distribution_drift" -> x34,
     "x33_domain_mixture" -> x33,
@@ -2124,6 +2179,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x36_length_hist" -> x36Sql,
     "x35_word_entropy" -> x35Sql,
     "x34_distribution_drift" -> x34Sql,
     "x33_domain_mixture" -> x33Sql,
