@@ -1301,7 +1301,60 @@ object Dedup {
        |   (CAST(SUM(n_chars) AS DOUBLE) * 1000000.0) AS eff_weight
        |FROM wtd GROUP BY source ORDER BY source""".stripMargin
 
+  /** d20: edit-distance-verified fuzzy dedup — the verify stage of a
+    * candidate→verify near-dup pipeline run on EXACT edit distance instead
+    * of set similarity. Shingle overlap (d02) can score two documents as
+    * similar when they merely share vocabulary; character-level Levenshtein
+    * is the ground-truth near-dup check CCNet/RefinedWeb-style pipelines
+    * apply to the bounded candidate set. Candidates come from the SAME
+    * persisted shinglePairCounts pass (no new corpus-scale scan), gated at
+    * common >= 3 shared 3-grams so the quadratic-per-pair Levenshtein only
+    * runs on pairs with real overlap. Output: verified pairs with the exact
+    * distance and the integer edit-ratio (ppm of the longer text) under the
+    * 600000-ppm near-dup threshold.
+    *
+    * Scale: candidate pairs are bounded by the df-capped postings (the d02
+    * argument); per-pair cost is O(len1*len2) on ~hundreds of chars — CPU
+    * spent only on the shortlist, never N². The two text joins are key
+    * equi-joins against the corpus; at 100 TB the candidate side is tiny
+    * relative to the corpus so AQE broadcasts it onto the scans. */
+  private val d20: Q = (s, dir) => {
+    val cand = shinglePairCounts(s, dir).filter(col("common") >= 3)
+    val texts = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    cand
+      .join(texts.as("t1"), col("d1") === col("t1.doc_id"))
+      .join(texts.as("t2"), col("d2") === col("t2.doc_id"))
+      .select(col("d1"), col("d2"), col("common"),
+        levenshtein(col("t1.text"), col("t2.text")).as("lev"),
+        greatest(length(col("t1.text")), length(col("t2.text"))).as("max_len"))
+      .withColumn("edit_ppm", expr("lev * 1000000L div max_len"))
+      .filter(col("edit_ppm") <= 600000)
+      .psortScaled(col("d1"), col("d2"))
+  }
+
+  private val d20Sql =
+    s"""WITH docs AS ($docsShSql),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+       |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |v AS (
+       |  SELECT d1, d2, CAST(common AS BIGINT) AS common,
+       |    CAST(LEVENSHTEIN(t1.text, t2.text) AS INTEGER) AS lev,
+       |    CAST(GREATEST(LENGTH(t1.text), LENGTH(t2.text)) AS INTEGER) AS max_len
+       |  FROM cand
+       |  JOIN documents t1 ON d1 = t1.doc_id
+       |  JOIN documents t2 ON d2 = t2.doc_id)
+       |SELECT d1, d2, common, lev, max_len,
+       |  CAST(lev AS BIGINT) * 1000000 // max_len AS edit_ppm
+       |FROM v WHERE CAST(lev AS BIGINT) * 1000000 // max_len <= 600000
+       |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d20_editdist_dedup" -> d20,
     "d19_soft_dedup" -> d19,
     "d18_proto_prune" -> d18,
     "d17_span_dedup" -> d17,
@@ -1323,6 +1376,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d20_editdist_dedup" -> d20Sql,
     "d19_soft_dedup" -> d19Sql,
     "d18_proto_prune" -> d18Sql,
     "d17_span_dedup" -> d17Sql,

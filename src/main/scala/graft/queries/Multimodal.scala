@@ -976,7 +976,94 @@ object Multimodal {
       |  CAST(LIST_SUM(vs) AS BIGINT) * 1000000 // n_ch AS mean_micro
       |FROM b ORDER BY doc_id, channel""".stripMargin
 
+  /** One active-audio segment: a maximal run of consecutive 50-frame
+    * windows whose energy is strictly above the clip's mean window energy. */
+  case class AudioSegment(doc_id: Long, seg_no: Int, start_win: Int,
+                          end_win: Int, n_wins: Long, seg_energy: Long)
+
+  private def audioSegmentsOne(r: MediaPayload): Seq[AudioSegment] = {
+    val a = AudioCodecs.decodeWav(r.data)
+    val ch = a.channels
+    val nf = a.samples.length / ch
+    val nw = (nf + 49) / 50
+    val we = new Array[Long](nw)
+    var j = 0
+    while (j < nf) {
+      val v = a.samples(j * ch).toLong // channel 0 of the interleaved PCM
+      we(j / 50) += v * v
+      j += 1
+    }
+    var tot = 0L
+    we.foreach(tot += _)
+    // active := window energy strictly above the clip mean (we*nw > tot —
+    // exact integer cross-multiplication, no division)
+    val segs = Seq.newBuilder[AudioSegment]
+    var segNo = 0
+    var w = 0
+    while (w < nw) {
+      if (we(w) * nw > tot) {
+        val start = w
+        var e = 0L
+        while (w < nw && we(w) * nw > tot) { e += we(w); w += 1 }
+        segNo += 1
+        segs += AudioSegment(r.doc_id, segNo, start, w - 1, (w - start).toLong, e)
+      } else w += 1
+    }
+    segs.result()
+  }
+
+  /** m14: voice/activity segmentation — the silence-trimming stage of an
+    * audio training-data pipeline: 50-frame energy windows over channel 0
+    * of the REAL decoded PCM, a window is active when its energy is
+    * strictly above the clip's mean window energy (exact integer
+    * cross-multiply, no float threshold), and maximal runs of active
+    * windows become segments (gaps-and-islands). Emits one row per
+    * segment with exact integer bounds and energy mass.
+    *
+    * Scale: decode + segmentation are a single map-only pass per clip —
+    * per-clip state is O(windows), no shuffle before the presentation
+    * sort; the shape fans out to billions of clips. The oracle replays the
+    * closed-form fixture series through SQL windows, so any decode,
+    * stride, or island-merge divergence breaks the hash. */
+  private val m14: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[AudioSegment] = Encoders.product[AudioSegment]
+    audioTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.flatMap(audioSegmentsOne)).toDF()
+      .psort(col("doc_id"), col("seg_no"))
+  }
+
+  private val m14Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch, 500 + doc_id % 250 AS nf
+      |  FROM documents WHERE doc_id <= 100),
+      |s AS (
+      |  SELECT doc_id, j, (j * ch * 13 + doc_id) % 2001 - 1000 AS v
+      |  FROM g, UNNEST(RANGE(nf)) t(j)),
+      |wins AS (
+      |  SELECT doc_id, j // 50 AS w, SUM(v * v) AS we
+      |  FROM s GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, COUNT(*) AS nw, SUM(we) AS tot FROM wins GROUP BY 1),
+      |act AS (
+      |  SELECT wins.doc_id, w, we,
+      |    w - ROW_NUMBER() OVER (PARTITION BY wins.doc_id ORDER BY w) AS isl
+      |  FROM wins JOIN tot USING (doc_id) WHERE we * nw > tot),
+      |seg AS (
+      |  SELECT doc_id, MIN(w) AS start_win, MAX(w) AS end_win,
+      |    COUNT(*) AS n_wins, SUM(we) AS seg_energy
+      |  FROM act GROUP BY doc_id, isl)
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_win)
+      |    AS INTEGER) AS seg_no,
+      |  CAST(start_win AS INTEGER) AS start_win,
+      |  CAST(end_win AS INTEGER) AS end_win,
+      |  CAST(n_wins AS BIGINT) AS n_wins,
+      |  CAST(seg_energy AS BIGINT) AS seg_energy
+      |FROM seg ORDER BY doc_id, seg_no""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m14_audio_segments" -> m14,
     "m13_channel_stats" -> m13,
     "m12_audio_fingerprint" -> m12,
     "m11_audio_resample" -> m11,
@@ -992,6 +1079,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m14_audio_segments" -> m14Sql,
     "m13_channel_stats" -> m13Sql,
     "m12_audio_fingerprint" -> m12Sql,
     "m11_audio_resample" -> m11Sql,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import QueryHelpers._
 
@@ -695,7 +696,111 @@ object RelationalStats {
       |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q104: cumulative DISTINCT count over a window — DuckDB accepts
+    * `COUNT(DISTINCT x) OVER (...)` directly; Spark's window aggregates
+    * reject DISTINCT, so the engine lowers it onto
+    * `size(collect_set(x) OVER w)` — the standard rewrite (the set dedups,
+    * size counts), identical semantics over the RANGE-cumulative frame
+    * including peers. Business shape: per nation, how many DISTINCT
+    * customers have ordered up through each month.
+    *
+    * Scale: the input is pre-aggregated to distinct (nation, month,
+    * customer) BEFORE the window — one hash shuffle — so the window's
+    * per-partition state is bounded by that nation's customer count, not
+    * its order count; the window partitions by nation (never global).
+    * At extreme cardinality the collect_set state is the known cost of
+    * exact distinct-over-window; the approximate path (HLL sketch
+    * per frame) is the documented relaxation. */
+  private val q104: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val base = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), trunc(col("o_orderdate"), "MM").as("mon"),
+        col("c_custkey"))
+      .distinct()
+    val w = Window.partitionBy(col("n_name")).orderBy(col("mon"))
+    base
+      .withColumn("cum_custs",
+        size(collect_set(col("c_custkey")).over(w)).cast("long"))
+      .select(col("n_name"), col("mon"), col("cum_custs"))
+      .distinct()
+      .psort(col("n_name"), col("mon"))
+  }
+
+  private val q104Sql =
+    """WITH base AS (
+      |  SELECT DISTINCT n_name, DATE_TRUNC('month', o_orderdate) AS mon,
+      |    c_custkey
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT DISTINCT n_name, mon,
+      |  COUNT(DISTINCT c_custkey) OVER
+      |    (PARTITION BY n_name ORDER BY mon) AS cum_custs
+      |FROM base ORDER BY n_name, mon""".stripMargin
+
+  /** q105: TPC-H Q7 "volume shipping" shape — revenue between two chosen
+    * nations by (supplier nation, customer nation, year), the canonical
+    * multi-join star query: lineitem x orders x supplier x customer with
+    * two nation dims filtered to a 2-nation pair set.
+    *
+    * Scale: the fact-to-fact joins (lineitem-orders on orderkey) shuffle
+    * on their keys; supplier/customer joins hash on the fact side; both
+    * nation dims are broadcast (tiny) with the nation-pair predicate
+    * BELOW the join so non-qualifying rows die before the big joins.
+    * Revenue is exact DECIMAL until the final double cast — Q7's
+    * float-drift trap avoided by construction. */
+  private val q105: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val su = t(s, dir, "supplier")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val n1 = broadcast(n.filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(n.filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(6, 4)) - dec4(col("l_discount"))))
+          .as("vol"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(asDouble(sum(col("vol"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .psort(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q105Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q104_window_distinct" -> q104,
+    "q105_volume_shipping" -> q105,
     "q102_sessionize" -> q102,
     "q103_merge_upsert" -> q103,
     "q101_retention_cohorts" -> q101,
@@ -714,6 +819,8 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q104_window_distinct" -> q104Sql,
+    "q105_volume_shipping" -> q105Sql,
     "q102_sessionize" -> q102Sql,
     "q103_merge_upsert" -> q103Sql,
     "q101_retention_cohorts" -> q101Sql,

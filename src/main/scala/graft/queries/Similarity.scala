@@ -1443,7 +1443,78 @@ object Similarity {
        |  n_vecs * $ivfK * 1000000 // total AS load_ppm
        |FROM sizes, tot ORDER BY cell""".stripMargin
 
+  /** s21: delete-aware ANN serving — s13's merged base+batch IVF index
+    * with a TOMBSTONE set applied at query time (vec_id % 17 == 3 of the
+    * base corpus is deleted). Production vector stores cannot rebuild the
+    * index per delete; they carry a tombstone list and exclude at serve
+    * time — here the exclusion is a broadcast LEFT ANTI join applied to
+    * the assigned index BELOW the cell-probe equi-join, so deleted vectors
+    * never enter a candidate list and the index itself is untouched.
+    *
+    * Scale: the tombstone side is a bounded id list (deletes << corpus),
+    * broadcast onto the index scan — no extra shuffle, no rebuild; the
+    * probe/search shape is exactly s13's (cell equi-join + per-query
+    * top-k). Compaction (physically dropping tombstoned rows) is the
+    * amortized background path, serving correctness never waits for it. */
+  private val s21: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val toDouble = (c: String) => expr(s"transform($c, x -> cast(x as double))")
+    val batch = e.filter(col("vec_id") % 37 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double) * 1.01d)")
+          .as("embedding"))
+    val batchAssigned = graft.operators.IvfIndex
+      .assign(batch, "vec_id", "embedding", centroids)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val tombstones = e.filter(col("vec_id") % 17 === 3)
+      .select(col("vec_id").as("del_id"))
+    val augmented = assigned
+      .select(col("vec_id"), toDouble("embedding").as("embedding"), col("cell"))
+      .unionAll(batchAssigned)
+      .join(broadcast(tombstones), col("vec_id") === col("del_id"),
+        "left_anti")
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), toDouble("embedding").as("embedding"))
+    graft.operators.IvfIndex
+      .search(augmented, qs, "vec_id", "embedding", centroids,
+        nprobe = 3, topk = 3)
+      .select(col("qid"), col("rank"), col("cid"),
+        (col("cid") >= 1000000L).as("is_new"), col("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private lazy val s21Sql =
+    s"""$ivfCtePrefix,
+       |batch AS (
+       |  SELECT vec_id + 1000000 AS cid,
+       |    [x::DOUBLE * 1.01 FOR x IN embedding] AS ce
+       |  FROM embeddings WHERE vec_id % 37 = 0),
+       |bassign AS (
+       |  SELECT cid, ce, cell FROM (
+       |    SELECT b.cid, b.ce, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.cid
+       |        ORDER BY ${dist2Sql("b.ce", "c.vec")}, c.cell) AS rn
+       |    FROM batch b CROSS JOIN cents$ivfIters c) WHERE rn = 1),
+       |aug AS (
+       |  SELECT cid, ce, cell FROM assignF
+       |  UNION ALL SELECT cid, ce, cell FROM bassign),
+       |live AS (
+       |  SELECT * FROM aug
+       |  WHERE cid NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 17 = 3)),
+       |augscored AS (
+       |  SELECT p.qid, a.cid, ${cosineSql("p.qe", "a.ce")} AS cos
+       |  FROM probe p JOIN live a ON p.cell = a.cell AND p.qid <> a.cid),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM augscored)
+       |SELECT qid, rank, cid, cid >= 1000000 AS is_new,
+       | ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s21_tombstone_search" -> s21,
     "s20_ivf_cell_stats" -> s20,
     "s19_knn_ivfpq" -> s19,
     "s18_graph_centrality" -> s18,
@@ -1466,6 +1537,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s21_tombstone_search" -> s21Sql,
     "s20_ivf_cell_stats" -> s20Sql,
     "s19_knn_ivfpq" -> s19Sql,
     "s18_graph_centrality" -> s18Sql,

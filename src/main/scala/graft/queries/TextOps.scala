@@ -2140,7 +2140,118 @@ object TextOps {
       |FROM b JOIN cum ON b.bucket = cum.bucket, tot
       |ORDER BY b.bucket""".stripMargin
 
+  // ---- x37: PMI collocations (phrase mining / tokenizer-merge evidence) ----
+  /** x37: pointwise-mutual-information bigram collocations — the phrase
+    * mining pass a tokenizer/vocab pipeline runs to find word pairs that
+    * co-occur far above chance (PMI = p(ab) / (p(a)p(b)) over adjacent
+    * token pairs). Ranking is by an EXACT staged-integer ratio in ppm:
+    * ((n_ab*1e6 // n_a) * NU // n_b) * NU // NB — i.e. 1e6 * p(b|a)/p(b)
+    * with floor at each stage, spelled IDENTICALLY in both engines so no
+    * floating log can land a pair on either side of a rank boundary (ln
+    * is monotone, so PMI order == ratio order); the staging keeps every
+    * intermediate <= 1e6 * NU, BIGINT-safe past 1e12 corpus tokens
+    * (n_ab <= n_a bounds stage one at 1e6).
+    *
+    * Scale: two corpus-keyed aggregations (bigram counts, unigram counts
+    * — both map-side-partial hash shuffles), two equi-joins of the bigram
+    * table against the unigram table (vocab-sized, standard shuffle
+    * joins), two scalar totals broadcast, and a top-k TakeOrdered. No
+    * windows, no N² — the exact shape a 100 TB collocation pass wants. */
+  private val x37: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(
+      expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+    val uni = memoized(s"x37uni:$dir")(
+      toks.select(explode(col("ws")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .persist())
+    val bi = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(element_at(ws, i) as a, element_at(ws, i + 1) as b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val nu = uni.agg(sum(col("n")).as("nu"))
+    val nb = toks.select((size(col("ws")) - 1).as("k"))
+      .agg(sum(col("k")).as("nb"))
+    bi.join(uni.withColumnRenamed("term", "a").withColumnRenamed("n", "n_a"),
+        Seq("a"))
+      .join(uni.select(col("term").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("((n_ab * 1000000L div n_a) * nu div n_b) * nu div nb")
+          .as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val x37Sql =
+    """WITH toks AS (
+      |  SELECT LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |uni AS (
+      |  SELECT term, COUNT(*) AS n
+      |  FROM (SELECT UNNEST(ws) AS term FROM toks) GROUP BY 1),
+      |bi AS (
+      |  SELECT p[1] AS a, p[2] AS b, COUNT(*) AS n_ab
+      |  FROM (SELECT UNNEST([[ws[i], ws[i+1]] FOR i IN RANGE(1, LEN(ws))]) AS p
+      |        FROM toks)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |nu AS (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM uni),
+      |nb AS (SELECT CAST(SUM(LEN(ws) - 1) AS BIGINT) AS nb FROM toks)
+      |SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+      |  CAST(((n_ab * 1000000 // ua.n) * nu // ub.n) * nu // nb
+      |    AS BIGINT) AS pmi_ratio_ppm
+      |FROM bi JOIN uni ua ON bi.a = ua.term
+      |JOIN uni ub ON bi.b = ub.term, nu, nb
+      |ORDER BY pmi_ratio_ppm DESC, a, b LIMIT 20""".stripMargin
+
+  // ---- x38: vocabulary growth / hapax profile per slice --------------------
+  /** x38: per-source vocabulary profile — token mass, distinct vocabulary,
+    * type-token ratio, and hapax (frequency-1) share: the Heaps'-law
+    * diagnostics a dataset card reports per slice (a slice whose hapax
+    * share collapses is template/boilerplate; one whose TTR explodes is
+    * OCR noise or code). All shares exact integer ppm.
+    *
+    * Scale: one (source, term) aggregation (map-side partials absorb
+    * duplicate tokens), then one O(slices x vocab) -> O(slices)
+    * aggregation. No windows, no joins back to the corpus. */
+  private val x38: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("vocab * 1000000L div n_tokens").as("ttr_ppm"),
+        expr("hapax * 1000000L div vocab").as("hapax_ppm"))
+      .psort(col("source"))
+  }
+
+  private val x38Sql =
+    """WITH st AS (
+      |  SELECT source, term, COUNT(*) AS n
+      |  FROM (SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+      |          w -> w <> '')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(COUNT(*) AS BIGINT) * 1000000 // CAST(SUM(n) AS BIGINT) AS ttr_ppm,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |    // CAST(COUNT(*) AS BIGINT) AS hapax_ppm
+      |FROM st GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x38_vocab_growth" -> x38,
+    "x37_pmi_collocations" -> x37,
     "x36_length_hist" -> x36,
     "x35_word_entropy" -> x35,
     "x34_distribution_drift" -> x34,
@@ -2179,6 +2290,8 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x38_vocab_growth" -> x38Sql,
+    "x37_pmi_collocations" -> x37Sql,
     "x36_length_hist" -> x36Sql,
     "x35_word_entropy" -> x35Sql,
     "x34_distribution_drift" -> x34Sql,
