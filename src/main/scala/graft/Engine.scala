@@ -335,6 +335,12 @@ class Engine(val spark: SparkSession,
       "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
   private val dropRelStmt =
     "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+  private val updateStmt =
+    ("(?is)^\\s*UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+?)" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
+  private val deleteStmt =
+    ("(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
 
   private val explainStmt =
     "(?is)^\\s*EXPLAIN(\\s+ANALYZE)?\\s+(.+?)\\s*;?\\s*$".r
@@ -649,6 +655,9 @@ class Engine(val spark: SparkSession,
         .filter(_.nonEmpty).toSeq).getOrElse(Nil), kw + rest)
     case dropRelStmt(kind, ifExists, name) =>
       dropRelation(kind.toUpperCase, name, ifExists != null)
+    case updateStmt(name, sets, where) =>
+      updateTable(name, sets, Option(where))
+    case deleteStmt(name, where) => deleteFrom(name, Option(where))
     case explainStmt(analyze, body) => explainSql(analyze != null, body)
     case setStmt(key, value) => setSetting(key, value.trim.stripPrefix("'")
       .stripSuffix("'"))
@@ -767,6 +776,86 @@ class Engine(val spark: SparkSession,
     merged.createOrReplaceTempView(name)
     import spark.implicits._
     Seq(n).toDF("inserted_rows")
+  }
+
+  private def mutableTarget(name: String, verb: String): DataFrame =
+    createdTables.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"'$name' is not an engine-created table ($verb applies to CREATE " +
+          "TABLE ... AS tables; ingested topic tables are append-only via " +
+          "sync(), views are plans — recreate them instead)"))
+
+  /** DuckDB's `UPDATE t SET c = e, ... [WHERE cond]` on an engine-created
+    * table: each SET column is rewritten as CASE WHEN cond THEN expr ELSE
+    * old END (cast back to the column's declared type — DuckDB keeps the
+    * table schema stable under UPDATE), non-matched rows pass through
+    * bit-identical. The new snapshot replaces the old (same eager
+    * localCheckpoint lifecycle as CTAS/INSERT). At 100 TB this is exactly
+    * a copy-on-write table-format update: rewrite with a predicate-guarded
+    * projection, swap the snapshot pointer. */
+  private def updateTable(name: String, setsRaw: String,
+      whereOpt: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val target = mutableTarget(name, "UPDATE")
+    val sets = splitExecArgs(setsRaw).map { a =>
+      // first top-level '=' splits column from expression ('==' never
+      // starts a SET assignment's rhs boundary in DuckDB's grammar)
+      var i = 0; var depth = 0; var quote: Char = 0; var at = -1
+      while (i < a.length && at < 0) {
+        val c = a.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '\'' | '"' | '`' => quote = c
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '=' if depth == 0 => at = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(at > 0, s"UPDATE $name: malformed SET assignment '$a'")
+      (a.substring(0, at).trim.stripPrefix("`").stripSuffix("`"),
+        a.substring(at + 1).trim)
+    }
+    sets.find(s => !target.schema.fieldNames.contains(s._1)).foreach { s =>
+      throw new IllegalArgumentException(
+        s"UPDATE $name: no column '${s._1}' in target " +
+          s"(${target.schema.fieldNames.mkString(", ")})")
+    }
+    val setMap = sets.toMap
+    val cond = whereOpt.map(expr).getOrElse(lit(true))
+    val n = target.filter(cond).count()
+    val updated = target.select(target.schema.fields.map { f =>
+      setMap.get(f.name)
+        .map(e => when(cond, expr(e).cast(f.dataType))
+          .otherwise(col(s"`${f.name}`")).as(f.name))
+        .getOrElse(col(s"`${f.name}`"))
+    }.toSeq: _*).localCheckpoint(true)
+    target.unpersist()
+    createdTables.put(name, updated)
+    updated.createOrReplaceTempView(name)
+    import spark.implicits._
+    Seq(n).toDF("updated_rows")
+  }
+
+  /** DuckDB's `DELETE FROM t [WHERE cond]`: the snapshot is replaced by
+    * the predicate's complement (NULL-safe — a row where cond is NULL is
+    * NOT deleted, SQL semantics). The 100 TB shape is identical: a
+    * copy-on-write anti-filter rewrite, or a tombstone list served at scan
+    * time (the s21 pattern) when rewrite amortization matters. */
+  private def deleteFrom(name: String,
+      whereOpt: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit, coalesce}
+    val target = mutableTarget(name, "DELETE")
+    val cond = whereOpt.map(expr).getOrElse(lit(true))
+    val n = target.filter(cond).count()
+    val kept = target.filter(!coalesce(cond, lit(false)))
+      .localCheckpoint(true)
+    target.unpersist()
+    createdTables.put(name, kept)
+    kept.createOrReplaceTempView(name)
+    import spark.implicits._
+    Seq(n).toDF("deleted_rows")
   }
 
   private def dropRelation(kind: String, name: String,

@@ -1353,7 +1353,58 @@ object Dedup {
        |FROM v WHERE CAST(lev AS BIGINT) * 1000000 // max_len <= 600000
        |ORDER BY d1, d2""".stripMargin
 
+  /** d21: canonical-representative selection — which member of each
+    * near-dup cluster survives? Production dedup keeps the LONGEST copy
+    * (the most complete capture; truncated mirrors and partial scrapes
+    * lose), tie-broken by min doc_id for determinism — NOT min-id-wins
+    * (d09's canonicalization), which throws away content whenever the
+    * lowest id happens to be the truncated copy. Reuses the persisted d07
+    * component labels (no new candidate pass). Output: per-cluster ledger
+    * — representative, member count, exact char mass kept vs total.
+    *
+    * Scale: the label table is bounded (cluster members << corpus); the
+    * n_chars join broadcasts the labels onto the corpus scan; the argmax
+    * is max_by over a (n_chars, -doc_id) struct — one aggregation, no
+    * window, O(clusters) output. */
+  private val d21: Q = (s, dir) => {
+    val labels = d07Labels(s, dir).select(col("id").as("doc_id"), col("lbl"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    labels.join(docs, Seq("doc_id"))
+      .groupBy(col("lbl"))
+      .agg(
+        expr("max_by(doc_id, struct(n_chars, -doc_id))").as("rep_doc"),
+        count(lit(1)).as("n_members"),
+        max(col("n_chars")).cast("long").as("chars_kept"),
+        sum(col("n_chars")).as("chars_total"))
+      .filter(col("n_members") >= 2)
+      .psort(col("lbl"))
+  }
+
+  private val d21Sql =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |$verifiedPairCtes,
+       |bidir AS (SELECT d1 AS id, d2 AS nb FROM edges
+       |          UNION ALL SELECT d2, d1 FROM edges),
+       |walk(id, lbl) AS (
+       |  SELECT DISTINCT id, id FROM bidir
+       |  UNION
+       |  SELECT b.nb, w.lbl FROM walk w JOIN bidir b ON b.id = w.id),
+       |labels AS (SELECT id AS doc_id, MIN(lbl) AS lbl FROM walk GROUP BY id),
+       |ranked AS (
+       |  SELECT l.lbl, l.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY l.lbl
+       |      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+       |  FROM labels l JOIN documents d USING (doc_id))
+       |SELECT lbl,
+       |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+       |  COUNT(*) AS n_members,
+       |  CAST(MAX(n_chars) AS BIGINT) AS chars_kept,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+       |FROM ranked GROUP BY lbl HAVING COUNT(*) >= 2
+       |ORDER BY lbl""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d21_best_rep" -> d21,
     "d20_editdist_dedup" -> d20,
     "d19_soft_dedup" -> d19,
     "d18_proto_prune" -> d18,
@@ -1376,6 +1427,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d21_best_rep" -> d21Sql,
     "d20_editdist_dedup" -> d20Sql,
     "d19_soft_dedup" -> d19Sql,
     "d18_proto_prune" -> d18Sql,

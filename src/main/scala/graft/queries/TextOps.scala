@@ -2249,7 +2249,52 @@ object TextOps {
       |    // CAST(COUNT(*) AS BIGINT) AS hapax_ppm
       |FROM st GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- x39: temperature-smoothed source mixture (multilingual sampling) ----
+  /** x39: temperature-scaled mixture weights — the multilingual/multi-
+    * source sampling staple (alpha = 0.5): raw token shares are smoothed
+    * by w_i = tokens_i^alpha so low-resource slices are upsampled and
+    * head slices damped. Determinism: alpha = 0.5 is spelled as
+    * floor(sqrt(tokens)) — IEEE sqrt is correctly rounded, so the floor
+    * is identical in both engines and everything downstream stays exact
+    * integer ppm (no order-dependent double summation anywhere).
+    *
+    * Scale: one corpus aggregation to O(sources) rows, then O(sources)
+    * arithmetic against two broadcast scalar totals. */
+  private val x39: Q = (s, dir) => {
+    val bySrc = t(s, dir, "documents")
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").as("k"))
+      .groupBy(col("source")).agg(sum(col("k")).as("tokens"))
+      .withColumn("w", expr("cast(sqrt(cast(tokens as double)) as bigint)"))
+    val tot = bySrc.agg(sum(col("tokens")).as("tt"), sum(col("w")).as("tw"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"), col("w"),
+        expr("tokens * 1000000L div tt").as("raw_ppm"),
+        expr("w * 1000000L div tw").as("smoothed_ppm"),
+        expr("w * 1000000L div tw - tokens * 1000000L div tt")
+          .as("boost_ppm"))
+      .psort(col("source"))
+  }
+
+  private val x39Sql =
+    """WITH b AS (
+      |  SELECT source,
+      |    CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')))
+      |      AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, tokens,
+      |        CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+      |      FROM b),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+      |               CAST(SUM(w) AS BIGINT) AS tw FROM w)
+      |SELECT source, tokens, w,
+      |  tokens * 1000000 // tt AS raw_ppm,
+      |  w * 1000000 // tw AS smoothed_ppm,
+      |  w * 1000000 // tw - tokens * 1000000 // tt AS boost_ppm
+      |FROM w, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x39_temperature_mix" -> x39,
     "x38_vocab_growth" -> x38,
     "x37_pmi_collocations" -> x37,
     "x36_length_hist" -> x36,
@@ -2290,6 +2335,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x39_temperature_mix" -> x39Sql,
     "x38_vocab_growth" -> x38Sql,
     "x37_pmi_collocations" -> x37Sql,
     "x36_length_hist" -> x36Sql,

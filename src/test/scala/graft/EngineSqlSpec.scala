@@ -469,6 +469,52 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("UPDATE / DELETE session DML mutate engine-created snapshots") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v").createOrReplaceTempView("dml_src")
+    engine.sql("CREATE TABLE dml_t AS SELECT * FROM dml_src")
+    // predicate-guarded multi-column UPDATE; schema stays stable
+    engine.sql("UPDATE dml_t SET v = v * 2, s = upper(s) WHERE k <= 2")
+      .collect()(0).getLong(0) shouldBe 2
+    val rows = engine.sql("SELECT k, s, v FROM dml_t ORDER BY k").collect()
+    rows.map(_.getString(1)).toSeq shouldBe Seq("A", "B", "c", "d")
+    rows.map(_.getDouble(2)).toSeq shouldBe Seq(20.0, 40.0, 30.0, 40.0)
+    // expression referencing another column + no WHERE touches every row
+    engine.sql("UPDATE dml_t SET v = v + k").collect()(0)
+      .getLong(0) shouldBe 4
+    engine.sql("SELECT SUM(v) sv FROM dml_t").collect()(0)
+      .getDouble(0) shouldBe (21.0 + 42.0 + 33.0 + 44.0)
+    // unknown SET column fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("UPDATE dml_t SET nope = 1")
+    // DELETE with predicate reports the exact count and keeps the rest
+    engine.sql("DELETE FROM dml_t WHERE k % 2 = 0").collect()(0)
+      .getLong(0) shouldBe 2
+    engine.sql("SELECT COUNT(*) c FROM dml_t").collect()(0)
+      .getLong(0) shouldBe 2
+    // a NULL predicate row is NOT deleted (SQL three-valued logic)
+    engine.sql("UPDATE dml_t SET s = NULL WHERE k = 1")
+    engine.sql("DELETE FROM dml_t WHERE s = 'zzz'").collect()(0)
+      .getLong(0) shouldBe 0
+    engine.sql("SELECT COUNT(*) c FROM dml_t").collect()(0)
+      .getLong(0) shouldBe 2
+    // bare DELETE empties the table but keeps it defined
+    engine.sql("DELETE FROM dml_t").collect()(0).getLong(0) shouldBe 2
+    engine.sql("SELECT COUNT(*) c FROM dml_t").collect()(0)
+      .getLong(0) shouldBe 0
+    // UPDATE/DELETE only touch engine-created tables, never views/topics
+    engine.sql("CREATE VIEW dml_v AS SELECT 1 AS one")
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("UPDATE dml_v SET one = 2")
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("DELETE FROM dml_v")
+    engine.sql("DROP VIEW dml_v")
+    engine.sql("DROP TABLE dml_t")
+    engine.close()
+  }
+
   test("CREATE VIEW is late-bound plan; DROP VIEW removes it; topic names guarded") {
     import spark.implicits._
     val engine = new Engine(spark)

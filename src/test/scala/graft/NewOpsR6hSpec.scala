@@ -56,6 +56,49 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected.toSeq
   }
 
+  test("d21 keeps the longest member of every d07 cluster") {
+    val labels = queries.Dedup.queries("d07_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val chars = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue).toMap
+    val out = queries.Dedup.queries("d21_best_rep")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val expected = labels.groupBy(_._2).filter(_._2.length >= 2)
+    out.keySet shouldBe expected.keySet
+    expected.foreach { case (lbl, members) =>
+      val ids = members.map(_._1)
+      val best = ids.map(id => (chars(id), -id)).max
+      val (repDoc, nMembers, charsKept, charsTotal) = out(lbl)
+      repDoc shouldBe -best._2
+      nMembers shouldBe ids.length.toLong
+      charsKept shouldBe best._1
+      charsTotal shouldBe ids.map(chars).sum
+    }
+  }
+
+  test("x39 temperature smoothing boosts the tail and damps the head") {
+    val out = queries.TextOps.queries("x39_temperature_mix")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.length should be > 1
+    val tt = out.map(_._2).sum
+    val tw = out.map(_._3).sum
+    out.foreach { case (_, tokens, w, raw, smoothed, boost) =>
+      w shouldBe math.sqrt(tokens.toDouble).toLong
+      raw shouldBe tokens * 1000000L / tt
+      smoothed shouldBe w * 1000000L / tw
+      boost shouldBe smoothed - raw
+    }
+    // sqrt smoothing: the largest source is damped, the smallest boosted
+    val byTokens = out.sortBy(_._2)
+    byTokens.head._6 should be >= 0L
+    byTokens.last._6 should be <= 0L
+  }
+
   test("s21 excludes tombstones and agrees with the delete-free search") {
     val out = queries.Similarity.queries("s21_tombstone_search")(spark, sfDir)
       .collect()
