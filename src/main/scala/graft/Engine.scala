@@ -341,6 +341,11 @@ class Engine(val spark: SparkSession,
   private val deleteStmt =
     ("(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)" +
       "(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
+  private val truncateStmt =
+    "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+  private val renameStmt =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+RENAME\\s+TO\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
 
   private val explainStmt =
     "(?is)^\\s*EXPLAIN(\\s+ANALYZE)?\\s+(.+?)\\s*;?\\s*$".r
@@ -658,6 +663,8 @@ class Engine(val spark: SparkSession,
     case updateStmt(name, sets, where) =>
       updateTable(name, sets, Option(where))
     case deleteStmt(name, where) => deleteFrom(name, Option(where))
+    case truncateStmt(name) => deleteFrom(name, None)
+    case renameStmt(from, to) => renameTable(from, to)
     case explainStmt(analyze, body) => explainSql(analyze != null, body)
     case setStmt(key, value) => setSetting(key, value.trim.stripPrefix("'")
       .stripSuffix("'"))
@@ -856,6 +863,21 @@ class Engine(val spark: SparkSession,
     kept.createOrReplaceTempView(name)
     import spark.implicits._
     Seq(n).toDF("deleted_rows")
+  }
+
+  /** DuckDB's `ALTER TABLE t RENAME TO u` on an engine-created table: the
+    * snapshot moves to the new temp-view name atomically from the session's
+    * point of view (register new, then drop old). */
+  private def renameTable(from: String, to: String): DataFrame = {
+    val target = mutableTarget(from, "ALTER TABLE RENAME")
+    guardEngineName(to)
+    require(!createdTables.contains(to) && !createdViews.contains(to),
+      s"cannot rename '$from' to '$to': target name already exists")
+    target.createOrReplaceTempView(to)
+    createdTables.put(to, target)
+    createdTables.remove(from)
+    spark.catalog.dropTempView(from)
+    statusDf("renamed_to", to)
   }
 
   private def dropRelation(kind: String, name: String,

@@ -68,7 +68,14 @@ object PlanDump {
     "m12_audio_fingerprint" -> "fingerprint extraction is a typed map-only stage over both payload scans; landmark match is a gram equi-join (inverted-index shape) + one (qid,cid,delta) vote shuffle; both rankings are bounded per-query windows",
     "x33_domain_mixture" -> "map-only token count into a #domains-row aggregation; grand totals ride TWO broadcast 1-row joins — never a global window",
     "x34_distribution_drift" -> "one word-keyed count shuffle (map-side partials absorb the explode); broadcast totals; top-15 via TakeOrderedAndProject, not a window",
-    "q101_retention_cohorts" -> "per-user MIN and (user,day) DISTINCT are user-keyed hash aggregations; the cohort join is co-partitioned on user_id; the matrix is O(days x 8) rows")
+    "q101_retention_cohorts" -> "per-user MIN and (user,day) DISTINCT are user-keyed hash aggregations; the cohort join is co-partitioned on user_id; the matrix is O(days x 8) rows",
+    "d20_editdist_dedup" -> "quadratic Levenshtein runs ONLY on the common>=3 shortlist off the shared persisted candidate pass; text joins are key equi-joins (AQE broadcasts the tiny candidate side)",
+    "d21_best_rep" -> "bounded d07 labels join the corpus by key; longest-member argmax is ONE max_by aggregation (no window); O(clusters) output",
+    "q104_window_distinct" -> "COUNT(DISTINCT) OVER lowered to size(collect_set) over nation-partitioned windows; input pre-deduped to (nation,month,customer) so window state is customer- not order-bounded",
+    "q105_volume_shipping" -> "TPC-H Q7 shape: both nation dims broadcast with the pair predicate below the join; fact joins shuffle on their keys; revenue in exact DECIMAL",
+    "x37_pmi_collocations" -> "bigram + unigram counts are two map-side-partial shuffles; vocab-sized joins; totals broadcast; top-20 is TakeOrderedAndProject on the exact staged-integer ratio",
+    "m14_audio_segments" -> "decode + energy windows + island merge fused in ONE typed map-only stage per clip; only the presentation sort shuffles",
+    "s21_tombstone_search" -> "tombstone ids broadcast as a LEFT ANTI join BELOW the cell-probe equi-join — deletes exclude at serve time with no index rebuild")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

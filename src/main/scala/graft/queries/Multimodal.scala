@@ -1062,7 +1062,99 @@ object Multimodal {
       |  CAST(seg_energy AS BIGINT) AS seg_energy
       |FROM seg ORDER BY doc_id, seg_no""".stripMargin
 
+  /** Per-image banding + the 8x8 point-sampled gray grid the bands were
+    * thresholded from (exact ints 0..765 per cell). */
+  case class ImageBandGrid(doc_id: Long, bands: Array[Long], grid: Array[Long])
+
+  private def bandGridOne(r: MediaPayload): ImageBandGrid = {
+    val img = ImageCodecs.decode(r.data)
+    val g = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      val yy = y * img.height / 8
+      var x = 0
+      while (x < 8) {
+        val xx = x * img.width / 8
+        val base = (yy * img.width + xx) * 3
+        g(y * 8 + x) = (img.rgb(base) & 0xff).toLong +
+          (img.rgb(base + 1) & 0xff) + (img.rgb(base + 2) & 0xff)
+        total += g(y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    val bands = new Array[Long](4)
+    var i = 0
+    while (i < 64) {
+      if (64L * g(i) >= total) bands(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    ImageBandGrid(r.doc_id, bands, g)
+  }
+
+  /** m15: image near-dup candidate pairs + exact verify — the full
+    * candidate->verify pipeline for images: m08's 16-bit phash bands
+    * become the pigeonhole candidate join (two images within Hamming<=3
+    * of the 64-bit hash MUST share a band), and each candidate pair is
+    * verified by the EXACT sum of squared differences over the dims-
+    * independent 8x8 point-sampled gray grids (bounded: 64 cells x 765^2).
+    *
+    * Scale: band buckets are equi-joins (never all-pairs); the grid
+    * verify joins the bounded candidate list back to the per-image grid
+    * by id — the d03/d04 LSH shape applied to vision data, decode runs
+    * once per image in the same map-only stage as banding. */
+  private val m15: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[ImageBandGrid] = Encoders.product[ImageBandGrid]
+    val gr = mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(bandGridOne)).toDF()
+    val bandRows = gr.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("k", "bv")))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_bands"))
+    cand
+      .join(gr.select(col("doc_id").as("d1"), col("grid").as("g1")), Seq("d1"))
+      .join(gr.select(col("doc_id").as("d2"), col("grid").as("g2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("shared_bands"),
+        expr("aggregate(zip_with(g1, g2, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)").as("ssd"))
+      .psort(col("d1"), col("d2"))
+  }
+
+  private val m15Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id * 7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 100),
+      |cells AS (
+      |  SELECT doc_id, y * 8 + x AS i,
+      |    CAST(LIST_SUM([((((y * h) // 8 * w + (x * w) // 8) * 3 + c) * 7 + doc_id) % 251
+      |      FOR c IN RANGE(3)]) AS BIGINT) AS v
+      |  FROM g, RANGE(8) ry(y), RANGE(8) rx(x)),
+      |tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+      |        FROM cells GROUP BY doc_id),
+      |bands AS (
+      |  SELECT c.doc_id, c.i // 16 AS k,
+      |    CAST(SUM(CASE WHEN 64 * c.v >= t.total
+      |      THEN 1 << (c.i % 16) ELSE 0 END) AS BIGINT) AS bv
+      |  FROM cells c JOIN tot t USING (doc_id) GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared_bands
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT cand.d1, cand.d2, shared_bands,
+      |  CAST(SUM((ca.v - cb.v) * (ca.v - cb.v)) AS BIGINT) AS ssd
+      |FROM cand
+      |JOIN cells ca ON ca.doc_id = cand.d1
+      |JOIN cells cb ON cb.doc_id = cand.d2 AND cb.i = ca.i
+      |GROUP BY 1, 2, 3 ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m15_image_neardup" -> m15,
     "m14_audio_segments" -> m14,
     "m13_channel_stats" -> m13,
     "m12_audio_fingerprint" -> m12,
@@ -1079,6 +1171,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m15_image_neardup" -> m15Sql,
     "m14_audio_segments" -> m14Sql,
     "m13_channel_stats" -> m13Sql,
     "m12_audio_fingerprint" -> m12Sql,

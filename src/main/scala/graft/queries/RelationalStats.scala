@@ -798,7 +798,55 @@ object RelationalStats {
       |  AND n1.n_name <> n2.n_name
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** q106: time-weighted average — the TWAP/financial-metrics staple: each
+    * event's value is weighted by how long it remained current (until the
+    * user's next event), so bursts of rapid events don't dominate a
+    * sparse-but-stable signal. The numerator is EXACT — DECIMAL(12,2)
+    * value x integer seconds, summed in decimal, cast to double once —
+    * and the final division is the same IEEE double op in both engines.
+    *
+    * Scale: one user-partitioned lead window (per-user frames, never
+    * global) and one user-keyed aggregation — AQE plans one exchange for
+    * both. The canonical interval-weighting shape at any scale. */
+  private val q106: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("next_sec", lead(col("sec"), 1).over(w))
+      .filter(col("next_sec").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum((col("next_sec") - col("sec"))).as("duration_sec"),
+        asDouble(sum(dec2(col("value")) * (col("next_sec") - col("sec"))))
+          .as("weighted_sum"))
+      .filter(col("duration_sec") > 0)
+      .withColumn("twa",
+        col("weighted_sum") / col("duration_sec").cast("double"))
+      .psort(col("user_id"))
+  }
+
+  private val q106Sql =
+    """WITH x AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(EPOCH_US(ts) // 1000000 AS BIGINT) AS sec,
+      |    LEAD(CAST(EPOCH_US(ts) // 1000000 AS BIGINT)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_intervals,
+      |    CAST(SUM(next_sec - sec) AS BIGINT) AS duration_sec,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * (next_sec - sec))
+      |      AS DOUBLE) AS weighted_sum
+      |  FROM x WHERE next_sec IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_intervals, duration_sec, weighted_sum,
+      |  weighted_sum / CAST(duration_sec AS DOUBLE) AS twa
+      |FROM agg WHERE duration_sec > 0 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q106_time_weighted" -> q106,
     "q104_window_distinct" -> q104,
     "q105_volume_shipping" -> q105,
     "q102_sessionize" -> q102,
@@ -819,6 +867,7 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q106_time_weighted" -> q106Sql,
     "q104_window_distinct" -> q104Sql,
     "q105_volume_shipping" -> q105Sql,
     "q102_sessionize" -> q102Sql,

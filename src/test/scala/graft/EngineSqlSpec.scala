@@ -504,6 +504,18 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.sql("DELETE FROM dml_t").collect()(0).getLong(0) shouldBe 2
     engine.sql("SELECT COUNT(*) c FROM dml_t").collect()(0)
       .getLong(0) shouldBe 0
+    // TRUNCATE is the bare-DELETE spelling; RENAME moves the snapshot
+    engine.sql("INSERT INTO dml_t SELECT 9, 'i', 1.0")
+    engine.sql("TRUNCATE TABLE dml_t").collect()(0).getLong(0) shouldBe 1
+    engine.sql("SELECT COUNT(*) c FROM dml_t").collect()(0)
+      .getLong(0) shouldBe 0
+    engine.sql("INSERT INTO dml_t SELECT 10, 'j', 2.0")
+    engine.sql("ALTER TABLE dml_t RENAME TO dml_r")
+    engine.sql("SELECT k FROM dml_r").collect()(0).getLong(0) shouldBe 10
+    an[Exception] should be thrownBy engine.sql("SELECT * FROM dml_t")
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("ALTER TABLE dml_missing RENAME TO x2")
+    engine.sql("ALTER TABLE dml_r RENAME TO dml_t")
     // UPDATE/DELETE only touch engine-created tables, never views/topics
     engine.sql("CREATE VIEW dml_v AS SELECT 1 AS one")
     an[IllegalArgumentException] should be thrownBy

@@ -135,6 +135,34 @@ class NewOpsR6gSpec extends AnyFunSuite with Matchers {
     out.keySet shouldBe acc.keySet
   }
 
+  test("q106 time-weighted average re-derives from the raw event stream") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.getTimestamp(1).getTime / 1000L,
+        r.get(2).asInstanceOf[Number].longValue, r.getDouble(3)))
+    val out = queries.RelationalStats.queries("q106_time_weighted")(
+        spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val byUser = events.groupBy(_._1)
+    byUser.foreach { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val intervals = sorted.zip(sorted.tail)
+        .map { case (a, b) => (BigDecimal(a._4).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP), b._2 - a._2) }
+      val duration = intervals.map(_._2).sum
+      if (intervals.nonEmpty && duration > 0) {
+        val (n, d, ws, twa) = out(uid)
+        n shouldBe intervals.length.toLong
+        d shouldBe duration
+        ws shouldBe intervals.map { case (v, dt) => v * dt }.sum.toDouble
+        twa shouldBe ws / d.toDouble
+      } else out.contains(uid) shouldBe false
+    }
+  }
+
   test("x37 staged PMI ratio re-derives from the raw token stream") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("text")).collect().map(_.getString(0))

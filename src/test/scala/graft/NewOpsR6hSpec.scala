@@ -99,6 +99,43 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     byTokens.last._6 should be <= 0L
   }
 
+  test("m15 candidate pairs and exact grid SSD re-derive from the fixture") {
+    val docIds = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") <= 100).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    // closed-form fixture replay: per-doc 4 bands + 64-cell grid
+    val info = docIds.map { id =>
+      val w = 8 + (id % 56).toInt
+      val h = 8 + ((id * 7) % 40).toInt
+      val g = new Array[Long](64)
+      var total = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val base = ((y * h / 8) * w + (x * w / 8)) * 3
+        var v = 0L
+        for (c <- 0 until 3) v += ((base + c).toLong * 7 + id) % 251
+        g(y * 8 + x) = v
+        total += v
+      }
+      val bands = new Array[Long](4)
+      for (i <- 0 until 64)
+        if (64L * g(i) >= total) bands(i / 16) |= 1L << (i % 16)
+      id -> (bands, g)
+    }.toMap
+    val expected = (for {
+      d1 <- docIds; d2 <- docIds if d1 < d2
+      shared = (0 until 4).count(k => info(d1)._1(k) == info(d2)._1(k))
+      if shared > 0
+    } yield {
+      val ssd = (0 until 64)
+        .map(i => { val d = info(d1)._2(i) - info(d2)._2(i); d * d }).sum
+      (d1, d2, shared.toLong, ssd)
+    }).sortBy(t => (t._1, t._2))
+    val out = queries.Multimodal.queries("m15_image_neardup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe expected
+  }
+
   test("s21 excludes tombstones and agrees with the delete-free search") {
     val out = queries.Similarity.queries("s21_tombstone_search")(spark, sfDir)
       .collect()
