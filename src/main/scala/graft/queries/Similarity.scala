@@ -1513,7 +1513,58 @@ object Similarity {
        | ROUND(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** s22: hard-negative mining — for each query vector, the most similar
+    * candidates with a DIFFERENT label: the contrastive-training staple
+    * (high-similarity cross-label examples are the negatives that teach an
+    * embedding model its decision boundary; random negatives are too easy
+    * to carry gradient). Candidates come from the trained IVF cells with
+    * the label-mismatch predicate applied BELOW the top-k window — the s08
+    * filtered-ANN shape with an inequality predicate bound per query.
+    *
+    * Scale: cell equi-join (never all-pairs), per-query top-3 via a
+    * qid-partitioned window; the label join rides the bounded query side.
+    * Mining across a 100 TB corpus is exactly this plan per shard. */
+  private val s22: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val q = graft.operators.IvfIndex
+      .probeRanked(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        centroids, 3)
+      .select(col("qid"), col("qe"), col("cell"))
+      .join(e.select(col("vec_id").as("qid"), col("label").as("qlabel")),
+        Seq("qid"))
+    val c = assigned.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), col("label").as("neg_label"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid") && col("neg_label") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("neg_label"),
+        expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("qlabel"), col("cid"),
+        col("neg_label"), round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private lazy val s22Sql =
+    s"""$ivfCtePrefix,
+       |negscored AS (
+       |  SELECT p.qid, qemb.label AS qlabel, a.cid, cemb.label AS neg_label,
+       |    ${cosineSql("p.qe", "a.ce")} AS cos
+       |  FROM probe p JOIN assignF a ON p.cell = a.cell AND p.qid <> a.cid
+       |  JOIN embeddings qemb ON qemb.vec_id = p.qid
+       |  JOIN embeddings cemb ON cemb.vec_id = a.cid
+       |  WHERE cemb.label <> qemb.label),
+       |ranked AS (
+       |  SELECT qid, qlabel, cid, neg_label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM negscored)
+       |SELECT qid, rank, qlabel, cid, neg_label, ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s22_hard_negatives" -> s22,
     "s21_tombstone_search" -> s21,
     "s20_ivf_cell_stats" -> s20,
     "s19_knn_ivfpq" -> s19,
@@ -1537,6 +1588,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s22_hard_negatives" -> s22Sql,
     "s21_tombstone_search" -> s21Sql,
     "s20_ivf_cell_stats" -> s20Sql,
     "s19_knn_ivfpq" -> s19Sql,

@@ -2293,7 +2293,67 @@ object TextOps {
       |  w * 1000000 // tw - tokens * 1000000 // tt AS boost_ppm
       |FROM w, tot ORDER BY source""".stripMargin
 
+  // ---- x40: cross-source overlap matrix (dump-lineage monitor) -------------
+  /** x40: pairwise source-overlap matrix — how much of each slice's
+    * 3-gram inventory appears in every other slice: the dump-lineage
+    * check a CommonCrawl-style pipeline runs before mixing snapshots
+    * (consecutive dumps overlap heavily; double-counting silently skews
+    * the mixture). Emits, per ordered source pair, the exact intersection
+    * size and both containment directions in integer ppm.
+    *
+    * Scale: the corpus collapses to DISTINCT (source, gram) in one
+    * map-side-partial shuffle; each gram then carries at most #sources
+    * rows, so the per-gram pair expansion is bounded by sources^2 — never
+    * corpus^2 — and the matrix aggregation is O(sources^2) rows. */
+  private val x40: Q = (s, dir) => {
+    // rides the SAME persisted shingle index the dedup family builds —
+    // tokenize once, serve many (Dedup.docsWithShingles)
+    val sg = Dedup.docsWithShingles(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), explode(col("sh")).as("g"))
+      .distinct()
+      .persist()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sg.as("a").join(sg.as("b2"),
+        col("a.g") === col("b2.g") && col("a.source") < col("b2.source"))
+      .groupBy(col("a.source").as("s1"), col("b2.source").as("s2"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))),
+        Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))),
+        Seq("s2"))
+      .select(col("s1"), col("s2"), col("common"), col("n1"), col("n2"),
+        expr("common * 1000000L div n1").as("in_s1_ppm"),
+        expr("common * 1000000L div n2").as("in_s2_ppm"))
+      .psort(col("s1"), col("s2"))
+  }
+
+  private val x40Sql =
+    """WITH sg AS (
+      |  SELECT DISTINCT source, g
+      |  FROM (SELECT source,
+      |          UNNEST(LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |            FOR i IN RANGE(1, LEN(w) - 1)])) AS g
+      |        FROM (SELECT source, STRING_SPLIT(text, ' ') AS w
+      |              FROM documents)
+      |        WHERE LEN(w) >= 3)),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS common
+      |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, common, z1.n AS n1, z2.n AS n2,
+      |  common * 1000000 // z1.n AS in_s1_ppm,
+      |  common * 1000000 // z2.n AS in_s2_ppm
+      |FROM inter
+      |JOIN sizes z1 ON z1.source = s1
+      |JOIN sizes z2 ON z2.source = s2
+      |ORDER BY s1, s2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x40_source_overlap" -> x40,
     "x39_temperature_mix" -> x39,
     "x38_vocab_growth" -> x38,
     "x37_pmi_collocations" -> x37,
@@ -2335,6 +2395,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x40_source_overlap" -> x40Sql,
     "x39_temperature_mix" -> x39Sql,
     "x38_vocab_growth" -> x38Sql,
     "x37_pmi_collocations" -> x37Sql,

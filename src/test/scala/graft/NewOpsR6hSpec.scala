@@ -99,6 +99,64 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     byTokens.last._6 should be <= 0L
   }
 
+  test("s22 hard negatives are cross-label only, densely ranked") {
+    val labels = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue).toMap
+    val out = queries.Similarity.queries("s22_hard_negatives")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.get(2).asInstanceOf[Number].longValue, r.getLong(3),
+        r.get(4).asInstanceOf[Number].longValue, r.getDouble(5)))
+    out.length should be > 0
+    out.foreach { case (qid, _, qlabel, cid, negLabel, _) =>
+      qid should be < 20L
+      qlabel shouldBe labels(qid)
+      negLabel shouldBe labels(cid)
+      negLabel should not be qlabel
+      cid should not be qid
+    }
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2)
+      byRank.map(_._2).toSeq shouldBe (1 to byRank.length).toSeq
+      val cs = byRank.map(_._6)
+      cs.zip(cs.tail).foreach { case (hi, lo) => hi should be >= lo }
+    }
+  }
+
+  test("x40 source-overlap matrix re-derives from raw 3-gram inventories") {
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val inv = rows.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, txt) =>
+        val w = txt.split(" ")
+        if (w.length < 3) Seq.empty
+        else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      }.toSet
+    }
+    val out = queries.TextOps.queries("x40_source_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    val sources = inv.keys.toSeq.sorted
+    val expectedPairs = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      s1 = sources(i); s2 = sources(j)
+      common = (inv(s1) intersect inv(s2)).size.toLong if common > 0
+    } yield (s1, s2, common)
+    out.keySet shouldBe expectedPairs.map(p => (p._1, p._2)).toSet
+    expectedPairs.foreach { case (s1, s2, common) =>
+      val (c, n1, n2, p1, p2) = out((s1, s2))
+      c shouldBe common
+      n1 shouldBe inv(s1).size.toLong
+      n2 shouldBe inv(s2).size.toLong
+      p1 shouldBe common * 1000000L / n1
+      p2 shouldBe common * 1000000L / n2
+    }
+  }
+
   test("m15 candidate pairs and exact grid SSD re-derive from the fixture") {
     val docIds = Tables.load(spark, sfDir, "documents")
       .filter(col("doc_id") <= 100).select(col("doc_id"))
