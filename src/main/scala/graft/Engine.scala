@@ -346,6 +346,10 @@ class Engine(val spark: SparkSession,
   private val renameStmt =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+RENAME\\s+TO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+  private val exportDbStmt =
+    "(?is)^\\s*EXPORT\\s+DATABASE\\s+'([^']+)'\\s*(?:\\([^)]*\\))?\\s*;?\\s*$".r
+  private val importDbStmt =
+    "(?is)^\\s*IMPORT\\s+DATABASE\\s+'([^']+)'\\s*;?\\s*$".r
 
   private val explainStmt =
     "(?is)^\\s*EXPLAIN(\\s+ANALYZE)?\\s+(.+?)\\s*;?\\s*$".r
@@ -665,6 +669,8 @@ class Engine(val spark: SparkSession,
     case deleteStmt(name, where) => deleteFrom(name, Option(where))
     case truncateStmt(name) => deleteFrom(name, None)
     case renameStmt(from, to) => renameTable(from, to)
+    case exportDbStmt(dir) => exportDatabase(dir)
+    case importDbStmt(dir) => importDatabase(dir)
     case explainStmt(analyze, body) => explainSql(analyze != null, body)
     case setStmt(key, value) => setSetting(key, value.trim.stripPrefix("'")
       .stripSuffix("'"))
@@ -863,6 +869,57 @@ class Engine(val spark: SparkSession,
     kept.createOrReplaceTempView(name)
     import spark.implicits._
     Seq(n).toDF("deleted_rows")
+  }
+
+  /** DuckDB's `EXPORT DATABASE 'dir'` over the session's created objects:
+    * every engine-created TABLE snapshot is written as parquet under
+    * `dir/<name>.parquet` and a `schema.sql` manifest re-creates macros,
+    * tables (as CTAS over the exported parquet), and views (their original
+    * SQL) in dependency-safe order — exactly the contract `IMPORT
+    * DATABASE 'dir'` replays. Ingested topic tables are NOT exported
+    * (their persistence is the -d persisted-db path, reference parity).
+    * At 100 TB the parquet writes are the distributed part; the manifest
+    * stays O(objects). */
+  private def exportDatabase(dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(base)
+    val oneLine = (s: String) => s.replaceAll("[\\r\\n]+", " ").trim
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    macros.toSeq.sortBy(_._1).foreach { case (name, (params, body)) =>
+      stmts += s"CREATE OR REPLACE MACRO $name(${params.mkString(", ")}) " +
+        s"AS ${oneLine(body)}"
+      entries += (("macro", name))
+    }
+    createdTables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      val path = base.resolve(s"$name.parquet").toString
+      df.write.mode("overwrite").parquet(path)
+      stmts += s"CREATE OR REPLACE TABLE $name AS SELECT * FROM '$path'"
+      entries += (("table", name))
+    }
+    createdViews.toSeq.sortBy(_._1).foreach { case (name, body) =>
+      stmts += s"CREATE OR REPLACE VIEW $name AS ${oneLine(body)}"
+      entries += (("view", name))
+    }
+    java.nio.file.Files.writeString(base.resolve("schema.sql"),
+      stmts.map(_ + ";").mkString("\n") + "\n")
+    import spark.implicits._
+    entries.toSeq.toDF("object_type", "name")
+  }
+
+  /** DuckDB's `IMPORT DATABASE 'dir'`: replays the exported `schema.sql`
+    * statement by statement through the full engine dialect (one statement
+    * per line by the export contract). */
+  private def importDatabase(dir: String): DataFrame = {
+    val f = java.nio.file.Paths.get(dir, "schema.sql")
+    require(java.nio.file.Files.exists(f),
+      s"no schema.sql under '$dir' (EXPORT DATABASE writes it)")
+    val stmts = java.nio.file.Files.readAllLines(f)
+      .toArray(Array.empty[String]).toSeq
+      .map(_.trim).filter(_.nonEmpty).map(_.stripSuffix(";"))
+    stmts.foreach(sql(_).collect())
+    import spark.implicits._
+    Seq(stmts.length.toLong).toDF("imported_statements")
   }
 
   /** DuckDB's `ALTER TABLE t RENAME TO u` on an engine-created table: the

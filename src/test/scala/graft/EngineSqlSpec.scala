@@ -527,6 +527,41 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("EXPORT DATABASE / IMPORT DATABASE round-trip tables, views, macros") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_exportdb").toString
+    val engine = new Engine(spark)
+    Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("k", "v")
+      .createOrReplaceTempView("exp_src")
+    engine.sql("CREATE MACRO twice(x) AS x * 2")
+    engine.sql("CREATE TABLE exp_t AS SELECT k, v FROM exp_src")
+    engine.sql("CREATE VIEW exp_v AS SELECT SUM(v) sv FROM exp_t")
+    val exported = engine.sql(s"EXPORT DATABASE '$dir'").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    exported shouldBe Set(("macro", "twice"), ("table", "exp_t"),
+      ("view", "exp_v"))
+    new java.io.File(s"$dir/schema.sql").exists() shouldBe true
+    new java.io.File(s"$dir/exp_t.parquet").exists() shouldBe true
+    // a FRESH session (no exp_t/exp_v/twice) replays the manifest
+    engine.sql("DROP VIEW exp_v")
+    engine.sql("DROP TABLE exp_t")
+    engine.sql("DROP MACRO twice")
+    val engine2 = new Engine(spark)
+    engine2.sql(s"IMPORT DATABASE '$dir'").collect()(0)
+      .getLong(0) shouldBe 3
+    engine2.sql("SELECT COUNT(*) c FROM exp_t").collect()(0)
+      .getLong(0) shouldBe 3
+    engine2.sql("SELECT sv FROM exp_v").collect()(0)
+      .getDouble(0) shouldBe 12.0
+    engine2.sql("SELECT twice(21) t").collect()(0).getInt(0) shouldBe 42
+    // imported tables are snapshots: the exported parquet dir can go away
+    engine2.sql("DROP TABLE exp_t")
+    engine2.sql("DROP VIEW exp_v")
+    engine2.sql("DROP MACRO twice")
+    engine.close(); engine2.close()
+  }
+
   test("CREATE VIEW is late-bound plan; DROP VIEW removes it; topic names guarded") {
     import spark.implicits._
     val engine = new Engine(spark)
