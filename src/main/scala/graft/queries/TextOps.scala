@@ -2352,7 +2352,79 @@ object TextOps {
       |JOIN sizes z2 ON z2.source = s2
       |ORDER BY s1, s2""".stripMargin
 
+  // ---- x41: token-budget epoch allocation (water-filling, 2 rounds) --------
+  /** x41: epoch/budget planner — turn per-source token masses into a
+    * training allocation: budget B = 2x corpus tokens, desired share
+    * proportional to the x39 sqrt-smoothed weight, HARD CAP of 4 epochs
+    * per source (the Muennighoff et al. repetition ceiling), and one
+    * redistribution round pushing capped surplus onto uncapped sources
+    * (fixed 2-round water-filling — deterministic, spelled identically in
+    * both engines, exact integer arithmetic end to end).
+    *
+    * Scale: one corpus aggregation to O(sources) rows; the allocation is
+    * O(sources) arithmetic against broadcast scalar totals — the planner
+    * output every mixture-weighted dataloader consumes. */
+  private val x41: Q = (s, dir) => {
+    val bySrc = t(s, dir, "documents")
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").as("k"))
+      .groupBy(col("source")).agg(sum(col("k")).as("tokens"))
+      .withColumn("w", expr("cast(sqrt(cast(tokens as double)) as bigint)"))
+    val tot = bySrc.agg(sum(col("tokens")).as("tt"), sum(col("w")).as("tw"))
+    val r1 = bySrc.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("2L * tt"))
+      .withColumn("cap", expr("4L * tokens"))
+      .withColumn("a1", expr("budget * w div tw"))
+      .withColumn("c1", least(col("a1"), col("cap")))
+    val spill = r1.agg(sum(col("c1")).as("allocated"),
+      sum(when(col("a1") < col("cap"), col("w")).otherwise(0L)).as("wu"))
+    r1.crossJoin(broadcast(spill))
+      .withColumn("leftover", expr("budget - allocated"))
+      .withColumn("a2", expr(
+        "c1 + (case when a1 < cap and wu > 0 then leftover * w div wu " +
+          "else 0L end)"))
+      .withColumn("alloc_tokens", least(col("a2"), col("cap")))
+      .select(col("source"), col("tokens"), col("w"), col("cap"),
+        col("a1"), col("alloc_tokens"),
+        expr("alloc_tokens * 1000000L div tokens").as("epochs_micro"),
+        (col("a1") >= col("cap")).as("was_capped"))
+      .psort(col("source"))
+  }
+
+  private val x41Sql =
+    """WITH b AS (
+      |  SELECT source,
+      |    CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')))
+      |      AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, tokens,
+      |        CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+      |      FROM b),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+      |               CAST(SUM(w) AS BIGINT) AS tw FROM w),
+      |r1 AS (
+      |  SELECT source, tokens, w,
+      |    2 * tt AS budget, 4 * tokens AS cap,
+      |    (2 * tt) * w // tw AS a1,
+      |    LEAST((2 * tt) * w // tw, 4 * tokens) AS c1
+      |  FROM w, tot),
+      |spill AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS allocated,
+      |    CAST(SUM(CASE WHEN a1 < cap THEN w ELSE 0 END) AS BIGINT) AS wu
+      |  FROM r1),
+      |r2 AS (
+      |  SELECT r1.*, budget - allocated AS leftover,
+      |    c1 + (CASE WHEN a1 < cap AND wu > 0
+      |      THEN (budget - allocated) * w // wu ELSE 0 END) AS a2
+      |  FROM r1, spill)
+      |SELECT source, tokens, w, cap, a1,
+      |  LEAST(a2, cap) AS alloc_tokens,
+      |  LEAST(a2, cap) * 1000000 // tokens AS epochs_micro,
+      |  a1 >= cap AS was_capped
+      |FROM r2 ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x41_epoch_alloc" -> x41,
     "x40_source_overlap" -> x40,
     "x39_temperature_mix" -> x39,
     "x38_vocab_growth" -> x38,
@@ -2395,6 +2467,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x41_epoch_alloc" -> x41Sql,
     "x40_source_overlap" -> x40Sql,
     "x39_temperature_mix" -> x39Sql,
     "x38_vocab_growth" -> x38Sql,

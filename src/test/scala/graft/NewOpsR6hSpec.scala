@@ -194,6 +194,37 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("x41 water-filling allocation respects budget, caps, and smoothing") {
+    val out = queries.TextOps.queries("x41_epoch_alloc")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    out.length should be > 1
+    val tt = out.map(_._2).sum
+    val tw = out.map(_._3).sum
+    val budget = 2L * tt
+    out.foreach { case (_, tokens, w, cap, a1, alloc, epochsMicro, capped) =>
+      w shouldBe math.sqrt(tokens.toDouble).toLong
+      cap shouldBe 4L * tokens
+      a1 shouldBe budget * w / tw
+      capped shouldBe (a1 >= cap)
+      alloc should be <= cap
+      epochsMicro shouldBe alloc * 1000000L / tokens
+      epochsMicro should be <= 4000000L
+    }
+    // replay the 2-round water-filling independently
+    val allocated = out.map(t => math.min(t._5, t._4)).sum
+    val wu = out.filter(t => t._5 < t._4).map(_._3).sum
+    out.foreach { case (_, _, w, cap, a1, alloc, _, _) =>
+      val c1 = math.min(a1, cap)
+      val a2 = c1 + (if (a1 < cap && wu > 0) (budget - allocated) * w / wu
+                     else 0L)
+      alloc shouldBe math.min(a2, cap)
+    }
+    // the plan never exceeds the budget
+    out.map(_._6).sum should be <= budget
+  }
+
   test("s21 excludes tombstones and agrees with the delete-free search") {
     val out = queries.Similarity.queries("s21_tombstone_search")(spark, sfDir)
       .collect()
