@@ -323,7 +323,37 @@ object EngineSurface {
 
   private val q87Sql = q86Sql
 
+  /** q107: named `WINDOW` clause — one window definition shared by several
+    * window functions (the dialect form DuckDB and Spark both parse
+    * natively; the engine passes it through with the file-scan sugar).
+    * Running total in exact DECIMAL; per-customer partitions, never
+    * global. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(
+        s"""SELECT o_custkey, o_orderkey,
+           |  ROW_NUMBER() OVER w AS rn,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+           |    AS DOUBLE) AS run_total
+           |FROM '$dir/orders.parquet' WHERE o_orderkey <= 2000
+           |WINDOW w AS (PARTITION BY o_custkey
+           |             ORDER BY o_orderdate, o_orderkey)
+           |ORDER BY o_custkey, rn""".stripMargin)
+    finally engine.close()
+  }
+
+  private val q107Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+      |    AS DOUBLE) AS run_total
+      |FROM orders WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q107_named_window" -> (q107 _),
     "q86_copy_csv" -> (q86 _),
     "q87_copy_json" -> (q87 _),
     "q75_copy_roundtrip" -> (q75 _),
@@ -337,6 +367,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q107_named_window" -> q107Sql,
     "q86_copy_csv" -> q86Sql,
     "q87_copy_json" -> q87Sql,
     "q77_from_first" -> q77Sql,

@@ -17,20 +17,54 @@ class BenchLineSpec extends AnyFunSuite with Matchers {
   private def realResults: Seq[(String, Double)] =
     SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456)
 
-  test("summary line from the real query registry is under 2 KB") {
+  test("summary line from the real query registry fits the 2000-char tail") {
+    // the driver's tail field in BENCH_r05.json is exactly 2000 chars —
+    // the summary plus newline must START inside that window
     val (_, summary) = Bench.renderLines(realResults, Nil, "/root/testdata/sf0.1")
-    withClue(s"len=${summary.length}: ") { summary.length should be < 2048 }
+    withClue(s"len=${summary.length}: ") { summary.length should be < 1950 }
   }
 
-  test("summary parses, has total first, and covers every query uniquely") {
+  test("summary parses, has total first, and every value is attributable") {
     val (_, summary) = Bench.renderLines(realResults, Seq("q99_fake"), "/sf")
     summary should startWith("""{"metric":"total",""")
     val node = mapper.readTree(summary)
     node.get("metric").asText() shouldBe "total"
     node.get("unit").asText() shouldBe "sec"
     node.get("value").asDouble() shouldBe (123.456 * realResults.size) +- 0.1
-    node.get("queries").size() shouldBe realResults.size // no short-key collisions
     node.get("errors").get(0).asText() shouldBe "q99_fake"
+    // past ~170 queries the capped rung engages: every key but "_rest" is a
+    // distinct real query's short key, and kept + _rest re-sums the total
+    val qs = node.get("queries")
+    val keys = qs.fieldNames()
+    var sum = 0.0
+    var realKeys = 0
+    val seen = scala.collection.mutable.Set.empty[String]
+    while (keys.hasNext) {
+      val k = keys.next()
+      sum += qs.get(k).asDouble()
+      if (k != "_rest") { realKeys += 1; seen.add(k) shouldBe true }
+    }
+    seen.size shouldBe realKeys // no short-key collisions among kept entries
+    sum shouldBe (123.456 * realResults.size) +- realResults.size * 0.06
+    qs.size() should be >= 100 // the window still carries the headline set
+  }
+
+  test("capped rung preserves the LARGEST entries and aggregates the tail") {
+    // 300 synthetic queries, strictly decreasing times: the cap must keep
+    // the biggest ones and fold the rest into _rest exactly
+    val results = (1 to 300)
+      .map(i => (f"q${i}%03d_synthetic_name" -> (301 - i) * 0.5))
+    val (_, summary) = Bench.renderLines(results, Nil, "/sf")
+    summary.length should be < 1950
+    val node = mapper.readTree(summary)
+    val qs = node.get("queries")
+    qs.has("_rest") shouldBe true
+    // the single largest query always survives the cap
+    qs.has("q001") shouldBe true
+    var sum = 0.0
+    val it = qs.fieldNames()
+    while (it.hasNext) { sum += qs.get(it.next()).asDouble() }
+    sum shouldBe results.map(_._2).sum +- results.size * 0.06
   }
 
   test("summary survives a bounded tail window (driver truncation replay)") {
