@@ -637,7 +637,87 @@ object Streaming {
       |FROM events WHERE user_id < 8
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q108: stream-stream LEFT OUTER interval join through the REAL
+    * runtime — the attribution shape q85 can't express: every view
+    * appears exactly once, clicks within [view_ts, view_ts + 30 min]
+    * attach, and views with no click emit NULL-extended ONLY after the
+    * watermark passes the end of their match interval (the runtime must
+    * hold left state that long — the semantics under test). A sentinel
+    * batch 10 days past end-of-data on BOTH streams (user_id = -1,
+    * filtered from the result) drives the watermark far enough to flush
+    * every pending outer row; input batches are time-ordered so the
+    * 1-minute watermark delay never drops a legitimate row.
+    *
+    * Scale: stream-stream outer join state is bounded by the interval
+    * (30 min of per-key left rows), evicted by watermark — the exact
+    * mechanism that makes attribution joins runnable on an unbounded
+    * firehose. Oracle: the equivalent batch LEFT JOIN. */
+  private val q108Counter = new java.util.concurrent.atomic.AtomicInteger()
+  private val q108: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def slice(tpe: String) = cappedSlice(t(s, dir, "events")
+      .filter(col("user_id") < 60 && col("event_type") === tpe)
+      .select(col("ts"), col("user_id"), col("event_id")))
+      .map(r => (r.getAs[java.sql.Timestamp](0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1.getTime) // time-ordered batches: no late drops
+    val viewRows = slice("view")
+    val clickRows = slice("click")
+    val maxTs = (viewRows ++ clickRows).map(_._1.getTime).max
+    // TWO sentinel waves: outer-row eviction runs with the watermark
+    // computed at the END of the previous micro-batch, so the first
+    // sentinel advances the watermark past every real interval and the
+    // second batch applies it — without the second wave the final ~31
+    // minutes of views would never null-flush. Staged feeding commits
+    // each wave as its own micro-batch (AvailableNow would drain all
+    // pre-added blocks in one batch and the watermark would never move
+    // between waves).
+    val sentinels = Seq(10L, 20L).map(d => (new java.sql.Timestamp(
+      maxTs + d * 24 * 3600 * 1000), -1L, -1L))
+    val msV = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val msC = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val views = msV.toDF().toDF("view_ts", "user_id", "view_id")
+    val clicks = msC.toDF().toDF("click_ts", "user_id", "click_id")
+    // NOTE: the sentinel filter must run on the SNAPSHOT, not the stream —
+    // an in-stream filter on user_id pushes below the EventTimeWatermark
+    // node, the sentinels never reach the watermark accounting, and the
+    // final 31 minutes of outer rows never flush (observed, not theory).
+    val joined = graft.streaming.StreamingOps.intervalJoinLeftOuter(
+        views, clicks, "user_id", "view_ts", "click_ts", "30 minutes",
+        watermark = "1 minute")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+    val sink = "q108_sink_" + q108Counter.incrementAndGet()
+    val (va, vb) = viewRows.splitAt(viewRows.length / 2)
+    val (ca, cb) = clickRows.splitAt(clickRows.length / 2)
+    val result = graft.streaming.StreamingOps
+      .snapshotToTableStaged(joined, sink, "append", statePartitions = 4)(Seq(
+        () => { msV.addData(va); msC.addData(ca) },
+        () => { msV.addData(vb); msC.addData(cb) },
+        () => { msV.addData(Seq(sentinels(0))); msC.addData(Seq(sentinels(0))) },
+        () => { msV.addData(Seq(sentinels(1))); msC.addData(Seq(sentinels(1))) }))
+      .filter(col("user_id") >= 0) // drop the sentinel rows from the snapshot
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
+      result.schema)
+    s.catalog.dropTempView(sink)
+    local.psort(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  private val q108Sql =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      | v.ts AS view_ts, c.ts AS click_ts
+      |FROM (SELECT * FROM events
+      |      WHERE event_type = 'view' AND user_id < 60) v
+      |LEFT JOIN (SELECT * FROM events
+      |           WHERE event_type = 'click' AND user_id < 60) c
+      |  ON v.user_id = c.user_id
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q108_stream_outer" -> q108,
     "q97_stream_file_sink" -> q97,
     "q95_transform_with_state" -> q95,
     "q94_stream_dedup_within" -> q94,
@@ -654,6 +734,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q108_stream_outer" -> q108Sql,
     "q97_stream_file_sink" -> q97Sql,
     "q95_transform_with_state" -> q80Sql,
     "q94_stream_dedup_within" -> q94Sql,

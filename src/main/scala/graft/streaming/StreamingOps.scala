@@ -70,6 +70,23 @@ object StreamingOps {
       .drop(r(keyCol))
   }
 
+  /** Stream-stream LEFT OUTER interval join: unmatched left rows are
+    * null-extended and emitted only once the watermark passes the end of
+    * their match interval (leftTs + bound) — the runtime must hold left
+    * state exactly that long, which is why outer stream joins REQUIRE
+    * both watermarks and the time-range condition. Callers drive the
+    * watermark past end-of-data (sentinel batch) to flush the tail. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String, bound: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(keyCol) === r(keyCol) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"), "left_outer")
+      .drop(r(keyCol))
+  }
+
   /** Streaming dedup: first event per key wins within the watermark. */
   def dedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
             watermark: String = "10 minutes"): DataFrame =

@@ -194,6 +194,32 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("q108 streaming left-outer interval join equals the batch join") {
+    val out = queries.Streaming.queries("q108_stream_outer")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val e = Tables.load(spark, sfDir, "events")
+    val v = e.filter(col("event_type") === "view" && col("user_id") < 60)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val c = e.filter(col("event_type") === "click" && col("user_id") < 60)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val expected = v.join(c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 minutes"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("click_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    out.sorted.toSeq shouldBe expected.sorted.toSeq
+    // the gate exercises REAL outer semantics: null-extended rows exist
+    out.count(_._3 == -1L) should be > 0
+  }
+
   test("x41 water-filling allocation respects budget, caps, and smoothing") {
     val out = queries.TextOps.queries("x41_epoch_alloc")(spark, sfDir)
       .collect()
