@@ -658,7 +658,7 @@ object Streaming {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     def slice(tpe: String) = cappedSlice(t(s, dir, "events")
-      .filter(col("user_id") < 60 && col("event_type") === tpe)
+      .filter(col("user_id") < 40 && col("event_type") === tpe)
       .select(col("ts"), col("user_id"), col("event_id")))
       .map(r => (r.getAs[java.sql.Timestamp](0), r.getLong(1), r.getLong(2)))
       .toSeq.sortBy(_._1.getTime) // time-ordered batches: no late drops
@@ -689,12 +689,12 @@ object Streaming {
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
     val sink = "q108_sink_" + q108Counter.incrementAndGet()
-    val (va, vb) = viewRows.splitAt(viewRows.length / 2)
-    val (ca, cb) = clickRows.splitAt(clickRows.length / 2)
+    // three waves: one data batch (watermark progression mid-data adds a
+    // full micro-batch of cost without exercising any extra semantics —
+    // the outer-flush machinery under test lives in the sentinel waves)
     val result = graft.streaming.StreamingOps
-      .snapshotToTableStaged(joined, sink, "append", statePartitions = 4)(Seq(
-        () => { msV.addData(va); msC.addData(ca) },
-        () => { msV.addData(vb); msC.addData(cb) },
+      .snapshotToTableStaged(joined, sink, "append", statePartitions = 2)(Seq(
+        () => { msV.addData(viewRows); msC.addData(clickRows) },
         () => { msV.addData(Seq(sentinels(0))); msC.addData(Seq(sentinels(0))) },
         () => { msV.addData(Seq(sentinels(1))); msC.addData(Seq(sentinels(1))) }))
       .filter(col("user_id") >= 0) // drop the sentinel rows from the snapshot
@@ -709,9 +709,9 @@ object Streaming {
     """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
       | v.ts AS view_ts, c.ts AS click_ts
       |FROM (SELECT * FROM events
-      |      WHERE event_type = 'view' AND user_id < 60) v
+      |      WHERE event_type = 'view' AND user_id < 40) v
       |LEFT JOIN (SELECT * FROM events
-      |           WHERE event_type = 'click' AND user_id < 60) c
+      |           WHERE event_type = 'click' AND user_id < 40) c
       |  ON v.user_id = c.user_id
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
       |ORDER BY v.user_id, view_id, click_id""".stripMargin

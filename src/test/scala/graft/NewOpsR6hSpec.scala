@@ -200,10 +200,10 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) -1L else r.getLong(2)))
     val e = Tables.load(spark, sfDir, "events")
-    val v = e.filter(col("event_type") === "view" && col("user_id") < 60)
+    val v = e.filter(col("event_type") === "view" && col("user_id") < 40)
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
-    val c = e.filter(col("event_type") === "click" && col("user_id") < 60)
+    val c = e.filter(col("event_type") === "click" && col("user_id") < 40)
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
     val expected = v.join(c,
