@@ -295,6 +295,30 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("round-6 second-wave ops: shared-pass reuse and join shapes") {
+    // d20 verifies candidates off the SAME persisted shingle-pair pass
+    // (InMemoryTableScan) — a re-derivation would scan the corpus again
+    val d20 = planString(SparkEntry.queries("d20_editdist_dedup")(spark, sfDir))
+    d20 should include("InMemoryTableScan")
+    d20 should not include "CartesianProduct"
+    // x40 rides the persisted shingle index rather than re-shingling
+    val x40 = planString(SparkEntry.queries("x40_source_overlap")(spark, sfDir))
+    x40 should include("InMemoryTableScan")
+    x40 should not include "CartesianProduct"
+    // s21's tombstone exclusion is a broadcast LEFT ANTI below the search
+    val s21 = planString(SparkEntry.queries("s21_tombstone_search")(spark, sfDir))
+    s21.toLowerCase should include("leftanti")
+    s21 should not include "CartesianProduct"
+    // q105 broadcasts both nation dims; fact joins never go cartesian
+    val q105 = planString(SparkEntry.queries("q105_volume_shipping")(spark, sfDir))
+    q105 should include("BroadcastHashJoin")
+    q105 should not include "CartesianProduct"
+    // q104's distinct-over-window rewrite partitions by nation, and the
+    // suite-wide global-window ban (below) already proves no empty spec
+    val q104 = planString(SparkEntry.queries("q104_window_distinct")(spark, sfDir))
+    q104 should include("Window")
+  }
+
   test("no gated query plans a window over a single global partition") {
     // The one shape that cannot survive 100x data: a Window (or
     // WindowGroupLimit) with an empty partition spec funnels every row
