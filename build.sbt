@@ -37,7 +37,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // 207-query suite: persisted index frames + codegen classes + per-query
+  // shuffle buffers need headroom — 20g forced GC churn that inflated
+  // unrelated queries mid-suite (observed 10x on d08/x12); the host has
+  // 128 GB, so size the single local[32] JVM like the executor fleet it
+  // stands in for.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++ (if (sys.env.contains("SPARK_GRAFT_GCLOG"))
   Seq("-Xlog:gc*:file=/tmp/graft_gc.log:time,uptime") else Seq.empty) ++
   // ad-hoc conf experiments: SPARK_GRAFT_XOPTS="-Dspark.foo=bar -Dspark.baz=qux"

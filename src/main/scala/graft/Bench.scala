@@ -22,11 +22,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // default 100-entry codegen cache thrashes at 86 queries x several
-      // stages each: evicted classes recompile (janino) inside the TIMED
-      // pass, inflating random queries by seconds. Static conf — must be
+      // the default 100-entry codegen cache thrashes under a multi-query
+      // suite, and 5000 thrashed AGAIN at 207 queries (~30 generated
+      // classes per query x 3 passes): evicted classes recompile (janino)
+      // inside the TIMED pass, inflating RANDOM queries by seconds —
+      // different ones each run, which mimics host noise. Entries are
+      // kilobyte-scale; 30000 is cheap insurance. Static conf — must be
       // set before the session exists.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "30000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

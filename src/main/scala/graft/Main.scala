@@ -196,7 +196,7 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "30000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val engine = runWith(spark, c)

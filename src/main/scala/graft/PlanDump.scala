@@ -75,7 +75,12 @@ object PlanDump {
     "q105_volume_shipping" -> "TPC-H Q7 shape: both nation dims broadcast with the pair predicate below the join; fact joins shuffle on their keys; revenue in exact DECIMAL",
     "x37_pmi_collocations" -> "bigram + unigram counts are two map-side-partial shuffles; vocab-sized joins; totals broadcast; top-20 is TakeOrderedAndProject on the exact staged-integer ratio",
     "m14_audio_segments" -> "decode + energy windows + island merge fused in ONE typed map-only stage per clip; only the presentation sort shuffles",
-    "s21_tombstone_search" -> "tombstone ids broadcast as a LEFT ANTI join BELOW the cell-probe equi-join — deletes exclude at serve time with no index rebuild")
+    "s21_tombstone_search" -> "tombstone ids broadcast as a LEFT ANTI join BELOW the cell-probe equi-join — deletes exclude at serve time with no index rebuild",
+    "s22_hard_negatives" -> "label-mismatch predicate below the per-query top-k window over trained-cell candidates — contrastive negatives mined with the s08 filtered-ANN shape",
+    "m15_image_neardup" -> "phash bands as the pigeonhole candidate equi-join; exact grid-SSD verify joins the bounded pair list back to per-image grids by id",
+    "x40_source_overlap" -> "DISTINCT (source, gram) off the shared persisted shingle index; per-gram pair expansion bounded by sources^2, matrix aggregation O(sources^2)",
+    "x41_epoch_alloc" -> "one corpus aggregation to O(sources) rows; 2-round water-filling arithmetic against broadcast scalar totals — exact integers end to end",
+    "q108_stream_outer" -> "(streaming runtime — stream-stream LEFT OUTER interval join; state bounded by the 30-min interval, outer rows flushed by staged watermark waves)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

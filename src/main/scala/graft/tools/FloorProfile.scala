@@ -20,7 +20,7 @@ object FloorProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "30000")
     val spark = confs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,7 +18,7 @@ object StageProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "30000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
