@@ -335,12 +335,13 @@ class Engine(val spark: SparkSession,
       "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
   private val dropRelStmt =
     "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+  // SET/WHERE are split by the quote-aware top-level scanner, not the
+  // regex — a lazy regex split would mangle a ' WHERE ' inside a string
+  // literal (the same failure class the ASOF alias-strip fix addressed)
   private val updateStmt =
-    ("(?is)^\\s*UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+?)" +
-      "(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
+    "(?is)^\\s*UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+(.+?)\\s*;?\\s*$".r
   private val deleteStmt =
-    ("(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)" +
-      "(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
+    "(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)((?:\\s+.+?)?)\\s*;?\\s*$".r
   private val truncateStmt =
     "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
   private val renameStmt =
@@ -664,9 +665,19 @@ class Engine(val spark: SparkSession,
         .filter(_.nonEmpty).toSeq).getOrElse(Nil), kw + rest)
     case dropRelStmt(kind, ifExists, name) =>
       dropRelation(kind.toUpperCase, name, ifExists != null)
-    case updateStmt(name, sets, where) =>
-      updateTable(name, sets, Option(where))
-    case deleteStmt(name, where) => deleteFrom(name, Option(where))
+    case updateStmt(name, setsAndWhere) =>
+      val (sets, where) = splitAtTopLevelWhere(setsAndWhere)
+      updateTable(name, sets, where)
+    case deleteStmt(name, rest) =>
+      val tail = rest.trim
+      val where =
+        if (tail.isEmpty) None
+        else splitAtTopLevelWhere(tail) match {
+          case ("", Some(w)) => Some(w)
+          case _ => throw new IllegalArgumentException(
+            s"DELETE FROM $name: expected WHERE <predicate>, got '$tail'")
+        }
+      deleteFrom(name, where)
     case truncateStmt(name) => deleteFrom(name, None)
     case renameStmt(from, to) => renameTable(from, to)
     case exportDbStmt(dir) => exportDatabase(dir)
@@ -790,6 +801,16 @@ class Engine(val spark: SparkSession,
     import spark.implicits._
     Seq(n).toDF("inserted_rows")
   }
+
+  /** Split "body [WHERE predicate]" at the FIRST top-level WHERE (outside
+    * quotes and parens) — quote-aware so a literal containing ' WHERE '
+    * never splits. Returns (before, Some(predicate)) or (body, None). */
+  private def splitAtTopLevelWhere(s: String): (String, Option[String]) =
+    findTopLevelKeyword(s, 0, Seq("WHERE")) match {
+      case Some((i, kw)) =>
+        (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
+      case None => (s.trim, None)
+    }
 
   private def mutableTarget(name: String, verb: String): DataFrame =
     createdTables.getOrElse(name,

@@ -504,6 +504,14 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.sql("DELETE FROM dml_t").collect()(0).getLong(0) shouldBe 2
     engine.sql("SELECT COUNT(*) c FROM dml_t").collect()(0)
       .getLong(0) shouldBe 0
+    // a literal containing ' WHERE ' must NOT split the SET clause
+    engine.sql("INSERT INTO dml_t SELECT 8, 'h', 8.0")
+    engine.sql("UPDATE dml_t SET s = 'a WHERE b' WHERE k = 8")
+      .collect()(0).getLong(0) shouldBe 1
+    engine.sql("SELECT s FROM dml_t WHERE k = 8").collect()(0)
+      .getString(0) shouldBe "a WHERE b"
+    engine.sql("DELETE FROM dml_t WHERE s = 'a WHERE b'").collect()(0)
+      .getLong(0) shouldBe 1
     // TRUNCATE is the bare-DELETE spelling; RENAME moves the snapshot
     engine.sql("INSERT INTO dml_t SELECT 9, 'i', 1.0")
     engine.sql("TRUNCATE TABLE dml_t").collect()(0).getLong(0) shouldBe 1
