@@ -1563,7 +1563,139 @@ object Similarity {
        |SELECT qid, rank, qlabel, cid, neg_label, ROUND(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** s23: quantization-ladder recall report — one table comparing every
+    * compression tier the index stack offers (int8 scalar quantization,
+    * 8-byte product quantization, 1-bit sign codes) against the EXACT
+    * ranking under that tier's own target metric (float dot / L2 /
+    * cosine), so each row isolates pure quantization loss: the
+    * capacity-planning artifact that decides which tier a deployment can
+    * afford at its recall floor. Macro recall@3 over the 20-query sample
+    * in exact integer ppm.
+    *
+    * Scale: every arm reuses its production machinery (s07's memoized
+    * int8 index, the trained PQ codes, s16's sign-bit codes); truths are
+    * the bounded 20-query broadcast cross joins the recall evals already
+    * pay. Output is O(methods). */
+  private val s23: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val base = q.hint("broadcast").crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+    def top3(df: DataFrame, m: Column, asc: Boolean): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(if (asc) m.asc else m.desc, col("cid"))
+      df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).select(col("qid"), col("cid"))
+    }
+    val dotTruth = top3(base.select(col("qid"), col("cid"),
+      expr("cast(graft_dot(qe, ce) as double)").as("m")), col("m"), asc = false)
+    val l2Truth = top3(base.select(col("qid"), col("cid"),
+      expr("graft_l2(qe, ce)").as("m")), col("m"), asc = true)
+    val cosTruth = top3(base.select(col("qid"), col("cid"),
+      expr(cosineExpr("qe", "ce")).as("m")), col("m"), asc = false)
+    def recallRow(method: String, truth: DataFrame,
+                  arm: DataFrame): DataFrame =
+      truth
+        .join(arm.select(col("qid"), col("cid")).withColumn("hit", lit(1)),
+          Seq("qid", "cid"), "left")
+        .agg(count(col("hit")).as("hits"))
+        .select(lit(method).as("method"), col("hits"),
+          expr("hits * 1000000L div 60").as("recall_ppm"))
+    recallRow("int8", dotTruth, s07(s, dir))
+      .unionAll(recallRow("pq", l2Truth, s10(s, dir)))
+      .unionAll(recallRow("binary", cosTruth, s16(s, dir)))
+      .psort(col("method"))
+  }
+
+  private lazy val s23Sql =
+    s"""$pqCtes,
+       |$bruteTruthCtes,
+       |pqtop AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS rn
+       |    FROM pqscored) WHERE rn <= 3),
+       |l2d AS (
+       |  SELECT qid, c.vec_id AS cid,
+       |    ${dist2Sql("qe", "[x::DOUBLE FOR x IN c.embedding]")} AS d
+       |  FROM (SELECT vec_id AS qid, [x::DOUBLE FOR x IN embedding] AS qe
+       |        FROM embeddings WHERE vec_id < 20) q
+       |  CROSS JOIN embeddings c WHERE qid <> c.vec_id),
+       |l2truth AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, cid) AS rn
+       |    FROM l2d) WHERE rn <= 3),
+       |dotd AS (
+       |  SELECT qid, c.vec_id AS cid,
+       |    LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE,
+       |      [z[1]::DOUBLE * z[2]::DOUBLE FOR z IN LIST_ZIP(qe, c.embedding)]),
+       |      (acc, v) -> acc + v) AS d
+       |  FROM (SELECT vec_id AS qid, embedding AS qe
+       |        FROM embeddings WHERE vec_id < 20) q
+       |  CROSS JOIN embeddings c WHERE qid <> c.vec_id),
+       |dottruth AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn
+       |    FROM dotd) WHERE rn <= 3),
+       |mx AS (
+       |  SELECT MAX(LIST_MAX([ABS(x::DOUBLE) FOR x IN embedding])) AS m FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    [CAST(ROUND(x::DOUBLE / m * 127.0) AS BIGINT) FOR x IN embedding] AS qv
+       |  FROM embeddings, mx),
+       |i8scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(LIST_SUM([z[1] * z[2] FOR z IN LIST_ZIP(q.qv, c.qv)]) AS BIGINT) AS qdot
+       |  FROM qz q JOIN qz c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |i8top AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qdot DESC, cid) AS rn
+       |    FROM i8scored) WHERE rn <= 3),
+       |bcodes AS (
+       |  SELECT vec_id,
+       |    CAST(LIST_SUM([CASE WHEN embedding[i+1] >= 0 THEN (1::BIGINT << i)
+       |                   ELSE 0 END FOR i IN RANGE(0,32)]) AS BIGINT) AS w0,
+       |    CAST(LIST_SUM([CASE WHEN embedding[i+33] >= 0 THEN (1::BIGINT << i)
+       |                   ELSE 0 END FOR i IN RANGE(0,32)]) AS BIGINT) AS w1
+       |  FROM embeddings),
+       |bham AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+       |  FROM bcodes q JOIN bcodes c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |bshort AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
+       |    FROM bham) WHERE rn <= 8),
+       |brer AS (
+       |  SELECT s.qid, s.cid, ${cosineSql("qe.embedding", "ce.embedding")} AS cos
+       |  FROM bshort s JOIN embeddings qe ON s.qid = qe.vec_id
+       |                JOIN embeddings ce ON s.cid = ce.vec_id),
+       |bintop AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |    FROM brer) WHERE rn <= 3)
+       |SELECT 'binary' AS method, CAST(COUNT(h.cid) AS BIGINT) AS hits,
+       |  CAST(COUNT(h.cid) AS BIGINT) * 1000000 // 60 AS recall_ppm
+       |FROM brute b LEFT JOIN bintop h ON b.qid = h.qid AND b.cid = h.cid
+       |UNION ALL
+       |SELECT 'int8', CAST(COUNT(h.cid) AS BIGINT),
+       |  CAST(COUNT(h.cid) AS BIGINT) * 1000000 // 60
+       |FROM dottruth b LEFT JOIN i8top h ON b.qid = h.qid AND b.cid = h.cid
+       |UNION ALL
+       |SELECT 'pq', CAST(COUNT(h.cid) AS BIGINT),
+       |  CAST(COUNT(h.cid) AS BIGINT) * 1000000 // 60
+       |FROM l2truth b LEFT JOIN pqtop h ON b.qid = h.qid AND b.cid = h.cid
+       |ORDER BY method""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s23_quant_ladder" -> s23,
     "s22_hard_negatives" -> s22,
     "s21_tombstone_search" -> s21,
     "s20_ivf_cell_stats" -> s20,
@@ -1588,6 +1720,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s23_quant_ladder" -> s23Sql,
     "s22_hard_negatives" -> s22Sql,
     "s21_tombstone_search" -> s21Sql,
     "s20_ivf_cell_stats" -> s20Sql,

@@ -194,6 +194,20 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("s23 ladder recalls are sane and agree with the per-query evals") {
+    val out = queries.Similarity.queries("s23_quant_ladder")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.keySet shouldBe Set("int8", "pq", "binary")
+    out.values.foreach { case (hits, ppm) =>
+      hits should (be >= 0L and be <= 60L)
+      ppm shouldBe hits * 1000000L / 60
+    }
+    // int8 scalar quantization at 127 levels loses almost nothing on this
+    // corpus; 1-bit sign codes lose the most — the ladder must be ordered
+    out("int8")._1 should be >= out("binary")._1
+  }
+
   test("d22 split assignment keeps clusters whole and covers the corpus") {
     val out = queries.Dedup.queries("d22_split_assign")(spark, sfDir)
       .collect()
