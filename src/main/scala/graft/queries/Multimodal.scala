@@ -1153,7 +1153,74 @@ object Multimodal {
       |JOIN cells cb ON cb.doc_id = cand.d2 AND cb.i = ca.i
       |GROUP BY 1, 2, 3 ORDER BY d1, d2""".stripMargin
 
+  /** Per-video motion summary: the frame boundary with the highest sum of
+    * absolute pixel differences (the keyframe a sampler would keep). */
+  case class VideoMotion(doc_id: Long, n_frames: Int, key_frame: Int,
+                         max_sad: Long, total_sad: Long)
+
+  private def motionOne(r: MediaPayload): VideoMotion = {
+    val frames = graft.media.VideoCodecs.decodeGvid(r.data).frames
+    var maxSad = -1L
+    var keyF = 0
+    var total = 0L
+    var f = 1
+    while (f < frames.length) {
+      val a = frames(f - 1).rgb
+      val b = frames(f).rgb
+      var sad = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        sad += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1
+      }
+      total += sad
+      if (sad > maxSad) { maxSad = sad; keyF = f }
+      f += 1
+    }
+    VideoMotion(r.doc_id, frames.length, keyF, math.max(maxSad, 0L), total)
+  }
+
+  /** m16: motion-energy keyframe selection — the representative-frame
+    * extraction stage of a video training-data pipeline: per consecutive
+    * frame pair, the exact sum of absolute pixel differences (SAD) over
+    * the REAL per-frame BMP decodes; the keyframe is the argmax boundary
+    * (ties -> earliest). On the fixture the only nonzero SAD is the
+    * planted scene cut, which the oracle derives in closed form — any
+    * decode, stride, or argmax divergence breaks the hash.
+    *
+    * Scale: container decode + pairwise SAD + argmax fused in ONE typed
+    * map-only stage per payload (per-clip state is two frames); only the
+    * presentation sort shuffles. */
+  private val m16: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[VideoMotion] = Encoders.product[VideoMotion]
+    videoTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(motionOne)).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m16Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h,
+      |    4 + doc_id % 5 AS nf
+      |  FROM documents WHERE doc_id <= 40),
+      |c AS (
+      |  SELECT doc_id, w, h, nf,
+      |    1 + doc_id % (nf - 1) AS cut,
+      |    doc_id * 31 AS s1, doc_id * 31 + 999 AS s2
+      |  FROM g),
+      |sad AS (
+      |  SELECT doc_id, nf, cut,
+      |    CAST(LIST_SUM([ABS((i * 7 + s1) % 251 - (i * 7 + s2) % 251)
+      |      FOR i IN RANGE(w * h * 3)]) AS BIGINT) AS cut_sad
+      |  FROM c)
+      |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+      |  CAST(cut AS INTEGER) AS key_frame,
+      |  cut_sad AS max_sad, cut_sad AS total_sad
+      |FROM sad ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m16_video_keyframe" -> m16,
     "m15_image_neardup" -> m15,
     "m14_audio_segments" -> m14,
     "m13_channel_stats" -> m13,
@@ -1171,6 +1238,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m16_video_keyframe" -> m16Sql,
     "m15_image_neardup" -> m15Sql,
     "m14_audio_segments" -> m14Sql,
     "m13_channel_stats" -> m13Sql,

@@ -194,6 +194,29 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("m16 keyframe is the planted scene cut with the closed-form SAD") {
+    val out = queries.Multimodal.queries("m16_video_keyframe")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    out.length should be > 0
+    out.foreach { case (docId, nFrames, keyFrame, maxSad, totalSad) =>
+      val w = 8 + (docId % 8).toInt
+      val h = 8 + ((docId * 3) % 8).toInt
+      val nf = 4 + (docId % 5).toInt
+      val cut = 1 + (docId % (nf - 1)).toInt
+      val s1 = docId * 31
+      val s2 = docId * 31 + 999
+      val sad = (0 until w * h * 3)
+        .map(i => math.abs((i.toLong * 7 + s1) % 251 - (i.toLong * 7 + s2) % 251))
+        .sum
+      nFrames shouldBe nf
+      keyFrame shouldBe cut
+      maxSad shouldBe sad
+      totalSad shouldBe sad // static scenes: the cut is the only motion
+    }
+  }
+
   test("s23 ladder recalls are sane and agree with the per-query evals") {
     val out = queries.Similarity.queries("s23_quant_ladder")(spark, sfDir)
       .collect()
