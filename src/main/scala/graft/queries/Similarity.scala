@@ -1694,7 +1694,125 @@ object Similarity {
        |FROM l2truth b LEFT JOIN pqtop h ON b.qid = h.qid AND b.cid = h.cid
        |ORDER BY method""".stripMargin
 
+  /** s24: semi-supervised label propagation over the kNN graph — the
+    * label-scarce curation pattern: 20% of vectors keep their label
+    * (vec_id % 5 == 0 seeds), everything else is labeled by two rounds of
+    * majority vote along s09/s18's cell-blocked top-3 edges (ties ->
+    * smallest label; seeds never overwritten). The report groups by TRUE
+    * label and scores the propagated set against it — the accuracy audit
+    * that decides whether graph labels are good enough to train on.
+    *
+    * Scale: rides the SAME persisted edge list s18 built (build-once);
+    * each round is one hash shuffle keyed on the destination vector —
+    * bounded by 3N edges; seeds/labels stay (id, lbl) pairs, no vectors
+    * move after edge construction. */
+  private val s24: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (_, assigned) = trainedIvf(s, dir)
+    val edges = memoized(s"s18edges:$dir") {
+      val a = assigned.select(col("cell"), col("vec_id").as("qid"),
+        col("embedding").as("qe"))
+      val b = assigned.select(col("cell"), col("vec_id").as("cid"),
+        col("embedding").as("ce"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      a.join(b, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid").as("src"), col("cid").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val truth = e.select(col("vec_id").as("id"), col("label").cast("long"))
+    val seeds = truth.filter(col("id") % 5 === 0)
+    var labels = seeds
+    (1 to 2).foreach { _ =>
+      val cur = labels
+      val votes = edges.join(cur.select(col("id").as("src"),
+          col("label").as("vlbl")), Seq("src"))
+        .groupBy(col("dst"), col("vlbl")).agg(count(lit(1)).as("n"))
+      val vw = Window.partitionBy(col("dst"))
+        .orderBy(col("n").desc, col("vlbl"))
+      val winners = votes.withColumn("rn", row_number().over(vw))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("vlbl").as("label"))
+        .join(cur.select(col("id")), Seq("id"), "left_anti")
+      labels = cur.unionAll(winners)
+    }
+    val propagated = labels.join(seeds.select(col("id")), Seq("id"),
+        "left_anti")
+      .select(col("id"), col("label").as("plbl"))
+    truth
+      .join(seeds.select(col("id"), lit(1L).as("is_seed")), Seq("id"), "left")
+      .join(propagated.select(col("id"), col("plbl")), Seq("id"), "left")
+      .groupBy(col("label"))
+      .agg(sum(coalesce(col("is_seed"), lit(0L))).as("n_seeded"),
+        count(col("plbl")).as("n_propagated"),
+        sum(when(col("plbl") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("correct_ppm",
+        expr("case when n_propagated > 0 " +
+          "then n_correct * 1000000L div n_propagated else 0L end"))
+      .psort(col("label"))
+  }
+
+  private lazy val s24Sql =
+    s"""$ivfCtePrefix,
+       |gscored AS (
+       |  SELECT a.cid AS qid, b.cid, ${cosineSql("a.ce", "b.ce")} AS cos
+       |  FROM assignF a JOIN assignF b ON a.cell = b.cell AND a.cid <> b.cid),
+       |rankedg AS (
+       |  SELECT qid, cid, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM gscored),
+       |edges AS (SELECT qid AS src, cid AS dst FROM rankedg WHERE rank <= 3),
+       |truth AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+       |          FROM embeddings),
+       |seeds AS (SELECT id, label FROM truth WHERE id % 5 = 0),
+       |v1 AS (
+       |  SELECT e.dst, l.label AS vlbl, COUNT(*) AS n
+       |  FROM edges e JOIN seeds l ON e.src = l.id GROUP BY 1, 2),
+       |w1 AS (
+       |  SELECT dst AS id, vlbl AS label FROM (
+       |    SELECT dst, vlbl,
+       |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n DESC, vlbl) AS rn
+       |    FROM v1) WHERE rn = 1),
+       |l1 AS (
+       |  SELECT id, label FROM seeds
+       |  UNION ALL
+       |  SELECT id, label FROM w1 WHERE id NOT IN (SELECT id FROM seeds)),
+       |v2 AS (
+       |  SELECT e.dst, l.label AS vlbl, COUNT(*) AS n
+       |  FROM edges e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
+       |w2 AS (
+       |  SELECT dst AS id, vlbl AS label FROM (
+       |    SELECT dst, vlbl,
+       |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n DESC, vlbl) AS rn
+       |    FROM v2) WHERE rn = 1),
+       |l2 AS (
+       |  SELECT id, label FROM l1
+       |  UNION ALL
+       |  SELECT id, label FROM w2 WHERE id NOT IN (SELECT id FROM l1)),
+       |prop AS (
+       |  SELECT id, label AS plbl FROM l2
+       |  WHERE id NOT IN (SELECT id FROM seeds))
+       |SELECT t.label,
+       |  CAST(SUM(CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_seeded,
+       |  CAST(COUNT(p.plbl) AS BIGINT) AS n_propagated,
+       |  CAST(SUM(CASE WHEN p.plbl = t.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CASE WHEN COUNT(p.plbl) > 0
+       |    THEN CAST(SUM(CASE WHEN p.plbl = t.label THEN 1 ELSE 0 END)
+       |      AS BIGINT) * 1000000 // CAST(COUNT(p.plbl) AS BIGINT)
+       |    ELSE 0 END AS correct_ppm
+       |FROM truth t
+       |LEFT JOIN seeds s ON t.id = s.id
+       |LEFT JOIN prop p ON t.id = p.id
+       |GROUP BY t.label ORDER BY t.label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s24_label_prop" -> s24,
     "s23_quant_ladder" -> s23,
     "s22_hard_negatives" -> s22,
     "s21_tombstone_search" -> s21,
@@ -1720,6 +1838,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s24_label_prop" -> s24Sql,
     "s23_quant_ladder" -> s23Sql,
     "s22_hard_negatives" -> s22Sql,
     "s21_tombstone_search" -> s21Sql,

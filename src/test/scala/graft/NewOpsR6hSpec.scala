@@ -194,6 +194,31 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("s24 label propagation covers only non-seeds and scores sanely") {
+    val out = queries.Similarity.queries("s24_label_prop")(spark, sfDir)
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.length should be > 0
+    val truth = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue))
+    val byLabel = truth.groupBy(_._2)
+    out.foreach { case (label, nSeeded, nProp, nCorrect, ppm) =>
+      val members = byLabel(label)
+      nSeeded shouldBe members.count(_._1 % 5 == 0).toLong
+      nProp should be <= (members.length - nSeeded.toInt).toLong
+      nCorrect should be <= nProp
+      ppm shouldBe (if (nProp > 0) nCorrect * 1000000L / nProp else 0L)
+    }
+    // the graph is label-clustered by construction: propagation must beat
+    // the 1-in-k random baseline overall
+    val totProp = out.map(_._3).sum
+    val totCorrect = out.map(_._4).sum
+    totProp should be > 0L
+    totCorrect.toDouble / totProp.toDouble should be > (1.0 / out.length)
+  }
+
   test("m16 keyframe is the planted scene cut with the closed-form SAD") {
     val out = queries.Multimodal.queries("m16_video_keyframe")(spark, sfDir)
       .collect()
