@@ -845,7 +845,40 @@ object RelationalStats {
       |  weighted_sum / CAST(duration_sec AS DOUBLE) AS twa
       |FROM agg WHERE duration_sec > 0 ORDER BY user_id""".stripMargin
 
+  /** q109: ordered string aggregation — DuckDB's `STRING_AGG(x, ','
+    * ORDER BY y)` and Spark 4's `listagg(x, ',') WITHIN GROUP (ORDER BY
+    * y)` are the same aggregate; the ORDER BY inside the aggregate is
+    * what makes the concatenation deterministic (an unordered string_agg
+    * is nondeterministic under parallelism — never ship one).
+    *
+    * Scale: one hash aggregation; per-group state is the concatenated
+    * payload, so production callers bound group size first (the <= 300
+    * slice here stands in for that gate). */
+  private val q109: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 300)
+      .groupBy(col("o_custkey"))
+      .agg(
+        expr("listagg(cast(o_orderkey as string), ',') " +
+          "within group (order by o_orderkey)").as("order_keys"),
+        count(lit(1)).as("n_orders"),
+        expr("listagg(distinct o_orderstatus, '|') " +
+          "within group (order by o_orderstatus)").as("statuses"))
+      .psort(col("o_custkey"))
+  }
+
+  private val q109Sql =
+    """SELECT o_custkey,
+      |  STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+      |    AS order_keys,
+      |  COUNT(*) AS n_orders,
+      |  STRING_AGG(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+      |    AS statuses
+      |FROM orders WHERE o_orderkey <= 300
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q109_string_agg" -> q109,
     "q106_time_weighted" -> q106,
     "q104_window_distinct" -> q104,
     "q105_volume_shipping" -> q105,
@@ -867,6 +900,7 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q109_string_agg" -> q109Sql,
     "q106_time_weighted" -> q106Sql,
     "q104_window_distinct" -> q104Sql,
     "q105_volume_shipping" -> q105Sql,

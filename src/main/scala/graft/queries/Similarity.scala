@@ -1811,7 +1811,77 @@ object Similarity {
        |LEFT JOIN prop p ON t.id = p.id
        |GROUP BY t.label ORDER BY t.label""".stripMargin
 
+  /** s25: vector dedup-at-ingest gate — before a new embedding batch joins
+    * the index, each incoming vector is checked against the EXISTING
+    * corpus within its probed IVF cells (nprobe=3) and rejected when its
+    * max cosine >= 0.98: the semantic-dup admission control a production
+    * vector store runs on every write (d05/d11 find dups AFTER the fact;
+    * this keeps them out). Batch = s13's ingest slice (vec_id % 37,
+    * jittered x1.01 — near-dups of their sources by construction, so the
+    * gate must reject them; a 0.5-shifted control subset (% 74) lands
+    * far from everything and must pass).
+    *
+    * Scale: the batch probes the broadcast centroid table (O(batch)),
+    * candidates come from the cell equi-join against the persisted
+    * assignment, and the verdict is one max-aggregation per batch vector
+    * — the corpus is never scanned, exactly the serve-path cost model. */
+  private val s25: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val toDouble = (c: String) => expr(s"transform($c, x -> cast(x as double))")
+    val batch = e.filter(col("vec_id") % 37 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        when(col("vec_id") % 74 === 0,
+          expr("transform(embedding, x -> cast(x as double) + 0.5d)"))
+          .otherwise(
+            expr("transform(embedding, x -> cast(x as double) * 1.01d)"))
+          .as("embedding"))
+    val probed = graft.operators.IvfIndex
+      .probeRanked(batch, "vec_id", "embedding", centroids, 3)
+      .select(col("qid"), col("qe"), col("cell"))
+    val cand = assigned
+      .select(col("cell"), col("vec_id").as("cid"),
+        toDouble("embedding").as("ce"))
+    probed.join(cand, Seq("cell"))
+      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(max(col("cos")).as("max_cos"),
+        expr("max_by(cid, struct(cos, -cid))").as("nearest_id"))
+      .select(col("qid"), col("nearest_id"),
+        round(col("max_cos"), 6).as("max_cosine"),
+        (col("max_cos") < 0.98).as("accepted"))
+      .psort(col("qid"))
+  }
+
+  private lazy val s25Sql =
+    s"""$ivfCtePrefix,
+       |batch AS (
+       |  SELECT vec_id + 1000000 AS bid,
+       |    CASE WHEN vec_id % 74 = 0
+       |      THEN [x::DOUBLE + 0.5 FOR x IN embedding]
+       |      ELSE [x::DOUBLE * 1.01 FOR x IN embedding] END AS be
+       |  FROM embeddings WHERE vec_id % 37 = 0),
+       |bprobe AS (
+       |  SELECT bid, be, cell FROM (
+       |    SELECT b.bid, b.be, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.bid
+       |        ORDER BY ${dist2Sql("b.be", "c.vec")}, c.cell) AS cell_rank
+       |    FROM batch b CROSS JOIN cents$ivfIters c) WHERE cell_rank <= 3),
+       |bscored AS (
+       |  SELECT p.bid, a.cid, ${cosineSql("p.be", "a.ce")} AS cos
+       |  FROM bprobe p JOIN assignF a ON p.cell = a.cell),
+       |verdict AS (
+       |  SELECT bid, max_cos, nearest_id FROM (
+       |    SELECT bid, cid AS nearest_id, cos AS max_cos,
+       |      ROW_NUMBER() OVER (PARTITION BY bid ORDER BY cos DESC, cid)
+       |        AS rn
+       |    FROM bscored) WHERE rn = 1)
+       |SELECT bid AS qid, nearest_id, ROUND(max_cos, 6) AS max_cosine,
+       |  max_cos < 0.98 AS accepted
+       |FROM verdict ORDER BY qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s25_ingest_gate" -> s25,
     "s24_label_prop" -> s24,
     "s23_quant_ladder" -> s23,
     "s22_hard_negatives" -> s22,
@@ -1838,6 +1908,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s25_ingest_gate" -> s25Sql,
     "s24_label_prop" -> s24Sql,
     "s23_quant_ladder" -> s23Sql,
     "s22_hard_negatives" -> s22Sql,

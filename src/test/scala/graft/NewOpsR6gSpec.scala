@@ -163,6 +163,27 @@ class NewOpsR6gSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q109 ordered string_agg re-derives from the raw order stream") {
+    val out = queries.RelationalStats.queries("q109_string_agg")(spark, sfDir)
+      .collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue ->
+        (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    val raw = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") <= 300)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue, r.getString(2)))
+    val byCust = raw.groupBy(_._1)
+    out.keySet shouldBe byCust.keySet
+    byCust.foreach { case (cust, rows) =>
+      val (keys, n, statuses) = out(cust)
+      keys shouldBe rows.map(_._2).sorted.mkString(",")
+      n shouldBe rows.length.toLong
+      statuses shouldBe rows.map(_._3).distinct.sorted.mkString("|")
+    }
+  }
+
   test("x37 staged PMI ratio re-derives from the raw token stream") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("text")).collect().map(_.getString(0))

@@ -194,6 +194,27 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("s25 ingest gate rejects jittered near-dups and passes shifted controls") {
+    val out = queries.Similarity.queries("s25_ingest_gate")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    out.length should be > 0
+    out.foreach { case (qid, nearest, maxCos, accepted) =>
+      qid should be >= 1000000L
+      nearest should be < 1000000L
+      accepted shouldBe (maxCos < 0.98)
+      val origId = qid - 1000000L
+      if (origId % 74 != 0) {
+        // x1.01 jitter of an existing vector: cosine vs its source is 1.0
+        // up to rounding — the gate MUST reject it
+        accepted shouldBe false
+        maxCos should be >= 0.98
+      }
+    }
+    // at least one control (the +0.5 shift) exists in the batch
+    out.exists { case (qid, _, _, _) => (qid - 1000000L) % 74 == 0 } shouldBe true
+  }
+
   test("s24 label propagation covers only non-seeds and scores sanely") {
     val out = queries.Similarity.queries("s24_label_prop")(spark, sfDir)
       .collect()
