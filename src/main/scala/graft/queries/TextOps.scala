@@ -2426,7 +2426,87 @@ object TextOps {
       |  a1 >= cap AS was_capped
       |FROM r2 ORDER BY source""".stripMargin
 
+  // ---- x42: pairwise source-similarity matrix (symmetric KL) ---------------
+  /** x42: distributional source-similarity matrix — symmetric KL
+    * divergence between every source pair's unigram distributions over
+    * the TOP-500 global vocabulary (add-1 smoothed): x40 answers "how
+    * much content is shared verbatim"; this answers "how similar do the
+    * sources SOUND" — the two signals mixture planners cross (high KL +
+    * high overlap = templated spam; low KL + low overlap = redundant
+    * shards to merge). Same nano-nat quantization as x34, so the doubles
+    * are bit-identical in both engines.
+    *
+    * Scale: the vocabulary is CAPPED at 500 (top by corpus count,
+    * word-tiebroken) — the pair grid is O(sources^2 x 500) regardless of
+    * corpus size, and per-source counts aggregate map-side before any
+    * pair expansion. The full-vocab variant is the documented relaxation
+    * when sources^2 x V fits. */
+  private val x42: Q = (s, dir) => {
+    val wc = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " +")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val vocab = wc.groupBy(col("w")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("w")).limit(500).select(col("w"))
+    val inVocab = wc.join(broadcast(vocab), Seq("w"))
+    val totals = inVocab.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val pairs = totals.select(col("source").as("s1"), col("n").as("n1"))
+      .join(totals.select(col("source").as("s2"), col("n").as("n2")),
+        col("s1") < col("s2"))
+    pairs.crossJoin(broadcast(vocab)).crossJoin(broadcast(vsize))
+      .join(inVocab.select(col("source").as("s1"), col("w"),
+        col("c").as("c1")), Seq("s1", "w"), "left")
+      .join(inVocab.select(col("source").as("s2"), col("w"),
+        col("c").as("c2")), Seq("s2", "w"), "left")
+      .withColumn("p1", (coalesce(col("c1"), lit(0L)) + 1).cast("double") /
+        (col("n1") + col("v")).cast("double"))
+      .withColumn("p2", (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+        (col("n2") + col("v")).cast("double"))
+      .withColumn("t_nano",
+        round(col("p1") * log(col("p1") / col("p2")) * 1000000000.0, 0)
+          .cast("long") +
+        round(col("p2") * log(col("p2") / col("p1")) * 1000000000.0, 0)
+          .cast("long"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("t_nano")).as("sym_kl_nano"))
+      .psort(col("s1"), col("s2"))
+  }
+
+  private val x42Sql =
+    """WITH ww AS (
+      |  SELECT source, w FROM (
+      |    SELECT source, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |wc AS (SELECT source, w, COUNT(*) AS c FROM ww GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT w FROM (SELECT w, SUM(c) AS tc FROM wc GROUP BY w)
+      |  ORDER BY tc DESC, w LIMIT 500),
+      |iv AS (SELECT wc.source, wc.w, wc.c FROM wc JOIN vocab USING (w)),
+      |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |           FROM iv GROUP BY source),
+      |vsize AS (SELECT COUNT(*) AS v FROM vocab),
+      |pairs AS (
+      |  SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+      |  FROM totals a JOIN totals b ON a.source < b.source),
+      |grid AS (
+      |  SELECT p.s1, p.s2, p.n1, p.n2, vb.w, v
+      |  FROM pairs p CROSS JOIN vocab vb, vsize),
+      |probs AS (
+      |  SELECT g.s1, g.s2, g.w,
+      |    (COALESCE(a.c, 0) + 1)::DOUBLE / (g.n1 + g.v)::DOUBLE AS p1,
+      |    (COALESCE(b.c, 0) + 1)::DOUBLE / (g.n2 + g.v)::DOUBLE AS p2
+      |  FROM grid g
+      |  LEFT JOIN iv a ON a.source = g.s1 AND a.w = g.w
+      |  LEFT JOIN iv b ON b.source = g.s2 AND b.w = g.w)
+      |SELECT s1, s2,
+      |  CAST(SUM(CAST(ROUND(p1 * LN(p1 / p2) * 1000000000.0, 0) AS BIGINT)
+      |         + CAST(ROUND(p2 * LN(p2 / p1) * 1000000000.0, 0) AS BIGINT))
+      |    AS BIGINT) AS sym_kl_nano
+      |FROM probs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x42_source_similarity" -> x42,
     "x41_epoch_alloc" -> x41,
     "x40_source_overlap" -> x40,
     "x39_temperature_mix" -> x39,
@@ -2470,6 +2550,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x42_source_similarity" -> x42Sql,
     "x41_epoch_alloc" -> x41Sql,
     "x40_source_overlap" -> x40Sql,
     "x39_temperature_mix" -> x39Sql,

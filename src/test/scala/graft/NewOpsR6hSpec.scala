@@ -194,6 +194,39 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("x42 source-similarity matrix re-derives from raw unigram counts") {
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wc = scala.collection.mutable.Map[(String, String), Long]()
+    rows.foreach { case (src, txt) =>
+      txt.split(" +").filter(_.nonEmpty).foreach { w =>
+        wc((src, w)) = wc.getOrElse((src, w), 0L) + 1
+      }
+    }
+    val vocab = wc.groupBy(_._1._2).view.mapValues(_.values.sum).toSeq
+      .sortBy { case (w, tc) => (-tc, w) }.take(500).map(_._1).toIndexedSeq
+    val vset = vocab.toSet
+    val totals = wc.toSeq.collect { case ((s, w), c) if vset(w) => (s, c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val sources = totals.keys.toSeq.sorted
+    val v = vocab.size
+    val out = queries.TextOps.queries("x42_source_similarity")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out.size shouldBe sources.length * (sources.length - 1) / 2
+    for (i <- sources.indices; j <- (i + 1) until sources.length) {
+      val (s1, s2) = (sources(i), sources(j))
+      val expected = vocab.map { w =>
+        val p1 = (wc.getOrElse((s1, w), 0L) + 1).toDouble / (totals(s1) + v)
+        val p2 = (wc.getOrElse((s2, w), 0L) + 1).toDouble / (totals(s2) + v)
+        Math.round(p1 * math.log(p1 / p2) * 1e9) +
+          Math.round(p2 * math.log(p2 / p1) * 1e9)
+      }.sum
+      out((s1, s2)) shouldBe expected
+    }
+  }
+
   test("s25 ingest gate rejects jittered near-dups and passes shifted controls") {
     val out = queries.Similarity.queries("s25_ingest_gate")(spark, sfDir)
       .collect()
