@@ -227,15 +227,21 @@ object Dedup {
     * enumeration -> exact jaccard >= 0.8 verification on candidates only. */
   /** Verified near-duplicate pairs (jaccard >= 0.8 on LSH candidates) —
     * d03's result frame, also the edge set for d07's clustering. */
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithShingles(s, dir)
-    val cand = minhashCandidates(minhashSig(s, dir))
-    cand
-      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-      .select(col("d1"), col("d2"), jaccardCol.as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-  }
+  // Memoized: the verified pair list is the shared EDGE asset of the
+  // dedup family (d03 emits it; d07's components, d19's weights, d21's
+  // representatives, and d22's split audit all consume it) — build the
+  // verify join once, serve every consumer from the persisted frame.
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s"ndpairs:$dir") {
+      val docs = docsWithShingles(s, dir)
+      val cand = minhashCandidates(minhashSig(s, dir))
+      cand
+        .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1"), col("d2"), jaccardCol.as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
   private val d03: Q = (s, dir) =>
     nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
@@ -454,9 +460,16 @@ object Dedup {
         cur = next
         converged = changed == 0
       }
-      cur.count() // materialize before dropping the edge cache
+      // localCheckpoint TRUNCATES the unrolled-iteration lineage: without
+      // it every consumer's logical plan embeds the whole Pregel union
+      // tower once per reference (d22's three references carried ~900
+      // plan nodes and paid ~3 s of OPTIMIZER time per execution — the
+      // data itself is tiny). Eager: materializes before the edge cache
+      // drops, replacing the cur.count() materialization.
+      val snapped = cur.localCheckpoint(true)
+      prevPersisted.foreach(_.unpersist())
       bidir.unpersist()
-      cur
+      snapped
     }
 
   private val d07: Q = (s, dir) =>
