@@ -2505,7 +2505,50 @@ object TextOps {
       |    AS BIGINT) AS sym_kl_nano
       |FROM probs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- x43: seeded deterministic dataset shuffle (epoch reshuffle) ---------
+  /** x43: the epoch-shuffle every training run needs, made DETERMINISTIC
+    * and cluster-stable: each document's order key is md5(seed || doc_id)
+    * — reproducible across reruns and engines (no rand()), changing the
+    * seed reshuffles, and assignment is per-row so adding a shard never
+    * moves existing rows relative to each other. Gated on the 16-bucket
+    * balance ledger (row/char mass per bucket must be near-uniform —
+    * the skew check a dataloader runs) plus each bucket's exact key
+    * range endpoints.
+    *
+    * Scale: map-only key assignment; at run time the shuffle itself is
+    * `repartitionByRange(order_key)` over these same keys (the q91
+    * layout machinery); the ledger here is one 16-row aggregation. */
+  private val x43: Q = (s, dir) => {
+    val seed = 42
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"CAST(conv(substr(md5(concat('epoch$seed:', " +
+          "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+          .as("order_key"))
+      .withColumn("bucket", col("order_key") % 16)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        min(col("order_key")).as("min_key"),
+        max(col("order_key")).as("max_key"))
+      .psort(col("bucket"))
+  }
+
+  private val x43Sql =
+    """SELECT bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  MIN(order_key) AS min_key, MAX(order_key) AS max_key
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    (('0x' || substr(md5('epoch42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+      |      AS order_key,
+      |    (('0x' || substr(md5('epoch42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+      |      % 16 AS bucket
+      |  FROM documents)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x43_epoch_shuffle" -> x43,
     "x42_source_similarity" -> x42,
     "x41_epoch_alloc" -> x41,
     "x40_source_overlap" -> x40,
@@ -2550,6 +2593,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x43_epoch_shuffle" -> x43Sql,
     "x42_source_similarity" -> x42Sql,
     "x41_epoch_alloc" -> x41Sql,
     "x40_source_overlap" -> x40Sql,

@@ -194,6 +194,37 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("x43 epoch shuffle is deterministic, balanced, and seed-sensitive") {
+    val out = queries.TextOps.queries("x43_epoch_shuffle")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    out.map(_._2).sum shouldBe nDocs
+    out.foreach { case (bucket, n, _, minK, maxK) =>
+      bucket should (be >= 0L and be < 16L)
+      n should be > 0L
+      minK should be <= maxK
+      minK % 16 shouldBe bucket
+      maxK % 16 shouldBe bucket
+    }
+    // independent recompute of the md5 order keys
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val keys = docs.map { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"epoch42:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16)
+    }
+    val byBucket = keys.groupBy(_ % 16)
+    out.foreach { case (bucket, n, _, minK, maxK) =>
+      n shouldBe byBucket(bucket).length.toLong
+      minK shouldBe byBucket(bucket).min
+      maxK shouldBe byBucket(bucket).max
+    }
+  }
+
   test("x42 source-similarity matrix re-derives from raw unigram counts") {
     val rows = Tables.load(spark, sfDir, "documents")
       .select(col("source"), col("text")).collect()
