@@ -80,7 +80,15 @@ object PlanDump {
     "m15_image_neardup" -> "phash bands as the pigeonhole candidate equi-join; exact grid-SSD verify joins the bounded pair list back to per-image grids by id",
     "x40_source_overlap" -> "DISTINCT (source, gram) off the shared persisted shingle index; per-gram pair expansion bounded by sources^2, matrix aggregation O(sources^2)",
     "x41_epoch_alloc" -> "one corpus aggregation to O(sources) rows; 2-round water-filling arithmetic against broadcast scalar totals — exact integers end to end",
-    "q108_stream_outer" -> "(streaming runtime — stream-stream LEFT OUTER interval join; state bounded by the 30-min interval, outer rows flushed by staged watermark waves)")
+    "q108_stream_outer" -> "(streaming runtime — stream-stream LEFT OUTER interval join; state bounded by the 30-min interval, outer rows flushed by staged watermark waves)",
+    "d22_split_assign" -> "bounded labels broadcast onto one map-only corpus pass (localCheckpoint-truncated lineage — no Pregel plan tower in consumers); violation audit joins the bounded edge frame by key",
+    "s23_quant_ladder" -> "every arm reuses its production index machinery (memoized int8/PQ/sign-bit frames); truths are the bounded 20-query broadcast cross joins; output O(methods)",
+    "s24_label_prop" -> "two majority-vote rounds, each ONE hash shuffle keyed on the destination over the persisted 3N edge list; seeds never overwritten",
+    "s25_ingest_gate" -> "batch probes broadcast centroids (O(batch)); candidates via cell equi-join against the persisted assignment; verdict is one max-agg per batch vector — the corpus never scans",
+    "x42_source_similarity" -> "vocabulary CAPPED at top-500 so the pair grid is O(sources^2 x 500) regardless of corpus size; per-source counts aggregate map-side before pair expansion",
+    "x43_epoch_shuffle" -> "map-only seeded md5 order-key assignment; the ledger is one 16-row aggregation (the run-time shuffle is repartitionByRange over these keys)",
+    "m16_video_keyframe" -> "container decode + pairwise SAD + argmax fused in ONE typed map-only stage per clip; only the presentation sort shuffles",
+    "q109_string_agg" -> "ordered listagg/string_agg: one hash aggregation; the in-aggregate ORDER BY is what makes the concatenation deterministic under parallelism")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
