@@ -1334,12 +1334,32 @@ object Dedup {
   private val d20: Q = (s, dir) => {
     val cand = shinglePairCounts(s, dir).filter(col("common") >= 3)
     val texts = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    cand
+    val wt = cand
       .join(texts.as("t1"), col("d1") === col("t1.doc_id"))
       .join(texts.as("t2"), col("d2") === col("t2.doc_id"))
       .select(col("d1"), col("d2"), col("common"),
-        levenshtein(col("t1.text"), col("t2.text")).as("lev"),
-        greatest(length(col("t1.text")), length(col("t2.text"))).as("max_len"))
+        col("t1.text").as("text1"), col("t2.text").as("text2"))
+      .withColumn("h1", md5(col("text1")))
+      .withColumn("h2", md5(col("text2")))
+    // the quadratic DP runs once per DISTINCT text pair, not per doc pair
+    // — a 10x-duplicated corpus (the crawl shape) yields 45 identical
+    // pairs per dup group, and paying O(len^2) on each inflated sf1 from
+    // ~1 s to 18 s; keyed on content hashes, the cost tracks content
+    // diversity (the d04 unique-signature lesson applied to the verify
+    // stage). first() is deterministic here: equal hash => equal text.
+    // Memoized + persisted: the distance table is part of the built
+    // dedup index (serve-many), and the persist barrier also stops the
+    // downstream edit_ppm filter from being pushed into this branch and
+    // re-running every DP inside a Filter condition.
+    val uniq = memoized(s"d20lev:$dir")(
+      wt.groupBy(col("h1"), col("h2"))
+        .agg(first(col("text1")).as("u1"), first(col("text2")).as("u2"))
+        .select(col("h1"), col("h2"),
+          levenshtein(col("u1"), col("u2")).as("lev"),
+          greatest(length(col("u1")), length(col("u2"))).as("max_len"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    wt.join(uniq, Seq("h1", "h2"))
+      .select(col("d1"), col("d2"), col("common"), col("lev"), col("max_len"))
       .withColumn("edit_ppm", expr("lev * 1000000L div max_len"))
       .filter(col("edit_ppm") <= 600000)
       .psortScaled(col("d1"), col("d2"))
