@@ -1505,7 +1505,68 @@ object Dedup {
        |FROM named, vio GROUP BY split_name, violations
        |ORDER BY split_name""".stripMargin
 
+  /** d23: dedup-rate tuning curve — for every candidate threshold 0.5..1.0
+    * (tenths), how many verified pairs and how many distinct documents a
+    * jaccard->=threshold dedup policy would touch: the operating-curve a
+    * pipeline reads before committing to a cutoff (too low deletes
+    * paraphrases, too high leaves mirrors). The bucket is the EXACT
+    * integer floor((common * 10) / union) — no floating jaccard can land
+    * a pair on either side of a tenth boundary.
+    *
+    * Scale: rides the SAME persisted candidate-pair pass; the curve is a
+    * 6-threshold expansion of a bounded pair list + one distinct-doc
+    * aggregation per threshold — O(thresholds) output. */
+  private val d23: Q = (s, dir) => {
+    val docs = docsWithShingles(s, dir)
+    val sizes = docs.select(col("doc_id"), col("n"))
+    val bucketed = shinglePairCounts(s, dir)
+      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
+      .select(col("d1"), col("d2"),
+        expr("common * 10L div (z1.n + z2.n - common)").as("bucket"))
+    val thresholds = (5 to 10).map(k => (k, k / 10.0))
+    import s.implicits._
+    val tdf = thresholds.toDF("k", "threshold")
+    val joined = broadcast(tdf).join(bucketed, col("bucket") >= col("k"))
+    val pa = joined.groupBy(col("k"), col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val da = joined
+      .select(col("k"), explode(array(col("d1"), col("d2"))).as("d"))
+      .distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_docs_affected"))
+    pa.join(da, Seq("k")).psort(col("k"))
+  }
+
+  private val d23Sql =
+    s"""WITH docs AS ($docsShSql),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+       |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, LEN(sh) AS n FROM docs),
+       |bucketed AS (
+       |  SELECT d1, d2, common * 10 // (z1.n + z2.n - common) AS bucket
+       |  FROM cand
+       |  JOIN sizes z1 ON d1 = z1.doc_id
+       |  JOIN sizes z2 ON d2 = z2.doc_id),
+       |ks AS (SELECT k, k / 10.0 AS threshold FROM RANGE(5, 11) t(k)),
+       |pa AS (
+       |  SELECT ks.k, ks.threshold, COUNT(*) AS n_pairs
+       |  FROM ks JOIN bucketed b ON b.bucket >= ks.k GROUP BY 1, 2),
+       |da AS (
+       |  SELECT k, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_affected
+       |  FROM (SELECT ks.k, UNNEST([b.d1, b.d2]) AS d
+       |        FROM ks JOIN bucketed b ON b.bucket >= ks.k)
+       |  GROUP BY k)
+       |SELECT CAST(pa.k AS INTEGER) AS k, threshold, n_pairs,
+       |  n_docs_affected
+       |FROM pa JOIN da USING (k) ORDER BY k""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d23_threshold_curve" -> d23,
     "d22_split_assign" -> d22,
     "d21_best_rep" -> d21,
     "d20_editdist_dedup" -> d20,
@@ -1530,6 +1591,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d23_threshold_curve" -> d23Sql,
     "d22_split_assign" -> d22Sql,
     "d21_best_rep" -> d21Sql,
     "d20_editdist_dedup" -> d20Sql,

@@ -1880,7 +1880,104 @@ object Similarity {
        |  max_cos < 0.98 AS accepted
        |FROM verdict ORDER BY qid""".stripMargin
 
+  /** s26: centroid-drift / index-staleness monitor — per trained cell,
+    * the fixed-point mean squared distance of CORPUS members to their
+    * centroid vs the same statistic for an incoming BATCH (s25's jittered
+    * ingest slice): when a cell's batch mean runs hot (drift_ppm >> 1e6),
+    * new data no longer fits the trained quantizer and the index needs
+    * re-training — the health metric that schedules IVF rebuilds.
+    * Distances quantize to floor(d2 * 2^20) BIGINT before averaging, so
+    * the means and the ppm ratio are exact integers in both engines.
+    *
+    * Scale: both sides are map-only distance-to-own-centroid passes
+    * against the broadcast centroid literal, then O(k)-row aggregations;
+    * the batch never touches the corpus. */
+  private val s26: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val centsLit = typedlit(centroids.sortBy(_.cell).map(_.vec.toSeq).toSeq)
+    val corpus = assigned
+      .select(col("cell"),
+        call_function("graft_l2",
+          expr("transform(embedding, x -> cast(x as double))"),
+          element_at(centsLit, col("cell") + 1)).as("d2"))
+      .select(col("cell"),
+        floor(col("d2") * 1048576.0).cast("long").as("fp"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_corpus"), sum(col("fp")).as("sfp"))
+      .select(col("cell"), col("n_corpus"),
+        expr("sfp div n_corpus").as("corpus_mean_fp"))
+    val batch = e.filter(col("vec_id") % 37 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        when(col("vec_id") % 74 === 0,
+          expr("transform(embedding, x -> cast(x as double) + 0.5d)"))
+          .otherwise(
+            expr("transform(embedding, x -> cast(x as double) * 1.01d)"))
+          .as("embedding"))
+    val bAssigned = graft.operators.IvfIndex
+      .assign(batch, "vec_id", "embedding", centroids)
+      .select(col("cell"),
+        call_function("graft_l2", col("embedding"),
+          element_at(centsLit, col("cell") + 1)).as("d2"))
+      .select(col("cell"),
+        floor(col("d2") * 1048576.0).cast("long").as("fp"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_batch"), sum(col("fp")).as("bsfp"))
+      .select(col("cell"), col("n_batch"),
+        expr("bsfp div n_batch").as("batch_mean_fp"))
+    corpus.join(bAssigned, Seq("cell"), "left")
+      .select(col("cell"), col("n_corpus"), col("corpus_mean_fp"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("batch_mean_fp"), lit(0L)).as("batch_mean_fp"),
+        expr("case when corpus_mean_fp > 0 then " +
+          "coalesce(batch_mean_fp, 0L) * 1000000L div corpus_mean_fp " +
+          "else 0L end").as("drift_ppm"))
+      .psort(col("cell"))
+  }
+
+  private lazy val s26Sql =
+    s"""$ivfCtePrefix,
+       |cdist AS (
+       |  SELECT a.cell,
+       |    CAST(FLOOR(${dist2Sql("a.ce", s"c.vec")} * 1048576.0) AS BIGINT)
+       |      AS fp
+       |  FROM assignF a JOIN cents$ivfIters c ON a.cell = c.cell),
+       |corpus AS (
+       |  SELECT cell, COUNT(*) AS n_corpus,
+       |    CAST(SUM(fp) AS BIGINT) // COUNT(*) AS corpus_mean_fp
+       |  FROM cdist GROUP BY cell),
+       |batch AS (
+       |  SELECT vec_id + 1000000 AS bid,
+       |    CASE WHEN vec_id % 74 = 0
+       |      THEN [x::DOUBLE + 0.5 FOR x IN embedding]
+       |      ELSE [x::DOUBLE * 1.01 FOR x IN embedding] END AS be
+       |  FROM embeddings WHERE vec_id % 37 = 0),
+       |bassign AS (
+       |  SELECT bid, be, cell FROM (
+       |    SELECT b.bid, b.be, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.bid
+       |        ORDER BY ${dist2Sql("b.be", "c.vec")}, c.cell) AS rn
+       |    FROM batch b CROSS JOIN cents$ivfIters c) WHERE rn = 1),
+       |bdist AS (
+       |  SELECT a.cell,
+       |    CAST(FLOOR(${dist2Sql("a.be", "c.vec")} * 1048576.0) AS BIGINT)
+       |      AS fp
+       |  FROM bassign a JOIN cents$ivfIters c ON a.cell = c.cell),
+       |bagg AS (
+       |  SELECT cell, COUNT(*) AS n_batch,
+       |    CAST(SUM(fp) AS BIGINT) // COUNT(*) AS batch_mean_fp
+       |  FROM bdist GROUP BY cell)
+       |SELECT corpus.cell, n_corpus, corpus_mean_fp,
+       |  COALESCE(n_batch, 0) AS n_batch,
+       |  COALESCE(batch_mean_fp, 0) AS batch_mean_fp,
+       |  CASE WHEN corpus_mean_fp > 0
+       |    THEN COALESCE(batch_mean_fp, 0) * 1000000 // corpus_mean_fp
+       |    ELSE 0 END AS drift_ppm
+       |FROM corpus LEFT JOIN bagg ON corpus.cell = bagg.cell
+       |ORDER BY corpus.cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s26_centroid_drift" -> s26,
     "s25_ingest_gate" -> s25,
     "s24_label_prop" -> s24,
     "s23_quant_ladder" -> s23,
@@ -1908,6 +2005,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s26_centroid_drift" -> s26Sql,
     "s25_ingest_gate" -> s25Sql,
     "s24_label_prop" -> s24Sql,
     "s23_quant_ladder" -> s23Sql,

@@ -194,6 +194,52 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("d23 threshold curve is monotone and anchored to d02's cutoff") {
+    val out = queries.Dedup.queries("d23_threshold_curve")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    out.length should be > 0
+    out.map(_._1).toSeq shouldBe out.map(_._1).toSeq.sorted
+    // raising the threshold can only shrink the affected set
+    val byK = out.sortBy(_._1)
+    byK.map(_._3).zip(byK.map(_._3).tail).foreach { case (lo, hi) =>
+      lo should be >= hi
+    }
+    byK.map(_._4).zip(byK.map(_._4).tail).foreach { case (lo, hi) =>
+      lo should be >= hi
+    }
+    byK.foreach { case (k, threshold, nPairs, nDocs) =>
+      threshold shouldBe k / 10.0
+      // a pair touches exactly 2 docs; distinct docs <= 2 * pairs
+      nDocs should be <= 2 * nPairs
+      nDocs should be > 0L
+    }
+    // k=5 row equals the d02 gated pair count (jaccard >= 0.5)
+    val d02n = queries.Dedup.queries("d02_dedup_jaccard")(spark, sfDir).count()
+    byK.head._1 shouldBe 5
+    byK.head._3 shouldBe d02n
+  }
+
+  test("s26 drift monitor: corpus cells covered, jittered batch runs hot") {
+    val out = queries.Similarity.queries("s26_centroid_drift")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.length should be > 0
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    out.map(_._2).sum shouldBe nVecs
+    out.foreach { case (_, nCorpus, corpusMean, nBatch, batchMean, ppm) =>
+      nCorpus should be > 0L
+      corpusMean should be >= 0L
+      if (nBatch == 0) { batchMean shouldBe 0L }
+      ppm shouldBe (if (corpusMean > 0) batchMean * 1000000L / corpusMean
+                    else 0L)
+    }
+    // the batch is mostly small jitter of corpus members: overall it must
+    // land in the trained cells with nonzero but sane distances
+    out.map(_._4).sum should be > 0L
+  }
+
   test("x43 epoch shuffle is deterministic, balanced, and seed-sensitive") {
     val out = queries.TextOps.queries("x43_epoch_shuffle")(spark, sfDir)
       .collect()
