@@ -88,7 +88,9 @@ object PlanDump {
     "x42_source_similarity" -> "vocabulary CAPPED at top-500 so the pair grid is O(sources^2 x 500) regardless of corpus size; per-source counts aggregate map-side before pair expansion",
     "x43_epoch_shuffle" -> "map-only seeded md5 order-key assignment; the ledger is one 16-row aggregation (the run-time shuffle is repartitionByRange over these keys)",
     "m16_video_keyframe" -> "container decode + pairwise SAD + argmax fused in ONE typed map-only stage per clip; only the presentation sort shuffles",
-    "q109_string_agg" -> "ordered listagg/string_agg: one hash aggregation; the in-aggregate ORDER BY is what makes the concatenation deterministic under parallelism")
+    "q109_string_agg" -> "ordered listagg/string_agg: one hash aggregation; the in-aggregate ORDER BY is what makes the concatenation deterministic under parallelism",
+    "d23_threshold_curve" -> "6-threshold expansion of the bounded persisted pair list; exact integer buckets; two O(thresholds) aggregations",
+    "s26_centroid_drift" -> "corpus and batch distance passes are map-only against the broadcast centroid literal; O(k)-row aggregations; batch never touches the corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
