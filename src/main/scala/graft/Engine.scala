@@ -943,7 +943,26 @@ class Engine(val spark: SparkSession,
   private def exportDatabase(dir: String): DataFrame = {
     val base = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(base)
-    val oneLine = (s: String) => s.replaceAll("[\\r\\n]+", " ").trim
+    // Collapsing newlines would let a `-- comment` swallow the rest of the
+    // statement, so line comments are stripped FIRST (quote-aware: a `--`
+    // inside a string literal survives) and only then is the body joined
+    // onto one manifest line.
+    val oneLine = (s: String) => s.split("\\r?\\n").map { line =>
+      val sb = new StringBuilder
+      var i = 0
+      var quote: Char = 0
+      var done = false
+      while (i < line.length && !done) {
+        val c = line.charAt(i)
+        if (quote != 0) { sb.append(c); if (c == quote) quote = 0 }
+        else if (c == '\'' || c == '"' || c == '`') { quote = c; sb.append(c) }
+        else if (c == '-' && i + 1 < line.length && line.charAt(i + 1) == '-')
+          done = true
+        else sb.append(c)
+        i += 1
+      }
+      sb.toString.trim
+    }.filter(_.nonEmpty).mkString(" ").trim
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
     macros.toSeq.sortBy(_._1).foreach { case (name, (params, body)) =>

@@ -599,7 +599,21 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine2.sql("DROP TABLE exp_t")
     engine2.sql("DROP VIEW exp_v")
     engine2.sql("DROP MACRO twice")
-    engine.close(); engine2.close()
+    // a view body with a line comment and a '--' INSIDE a literal must
+    // survive the manifest's one-line collapse
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_exportdb2").toString
+    engine2.sql("CREATE VIEW exp_c AS SELECT 1 AS a, -- note\n" +
+      "  '--not-a-comment' AS b")
+    engine2.sql(s"EXPORT DATABASE '$dir2'")
+    engine2.sql("DROP VIEW exp_c")
+    val engine3 = new Engine(spark)
+    engine3.sql(s"IMPORT DATABASE '$dir2'")
+    val row = engine3.sql("SELECT a, b FROM exp_c").collect()(0)
+    row.getInt(0) shouldBe 1
+    row.getString(1) shouldBe "--not-a-comment"
+    engine3.sql("DROP VIEW exp_c")
+    engine.close(); engine2.close(); engine3.close()
   }
 
   test("CREATE VIEW is late-bound plan; DROP VIEW removes it; topic names guarded") {
