@@ -816,7 +816,7 @@ class Engine(val spark: SparkSession,
   /** Split "body [WHERE predicate]" at the FIRST top-level WHERE (outside
     * quotes and parens) — quote-aware so a literal containing ' WHERE '
     * never splits. Returns (before, Some(predicate)) or (body, None). */
-  private def splitAtTopLevelWhere(s: String): (String, Option[String]) =
+  private[graft] def splitAtTopLevelWhere(s: String): (String, Option[String]) =
     findTopLevelKeyword(s, 0, Seq("WHERE")) match {
       case Some((i, kw)) =>
         (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
