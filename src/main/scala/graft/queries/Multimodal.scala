@@ -1219,7 +1219,79 @@ object Multimodal {
       |  cut_sad AS max_sad, cut_sad AS total_sad
       |FROM sad ORDER BY doc_id""".stripMargin
 
+  /** Per-clip loudness-normalization plan: channel-0 peak, the integer
+    * milli-gain that scales it to the 32000 target, and the exact
+    * normalized absolute mass after applying that gain per sample. */
+  case class AudioGain(doc_id: Long, peak0: Int, gain_milli: Long,
+                       norm_abs_sum: Long, at_target: Long)
+
+  private def gainOne(r: MediaPayload): AudioGain = {
+    val a = AudioCodecs.decodeWav(r.data)
+    val ch = a.channels
+    val nf = a.samples.length / ch
+    var peak = 0
+    var j = 0
+    while (j < nf) {
+      val v = math.abs(a.samples(j * ch).toInt)
+      if (v > peak) peak = v
+      j += 1
+    }
+    val gain = if (peak == 0) 0L else 32000L * 1000L / peak
+    var sum = 0L
+    var atT = 0L
+    j = 0
+    while (j < nf) {
+      val v = math.abs(a.samples(j * ch).toInt).toLong
+      val n = v * gain / 1000L // per-sample floor, positive operands
+      sum += n
+      if (n == 32000L) atT += 1
+      j += 1
+    }
+    AudioGain(r.doc_id, peak, gain, sum, atT)
+  }
+
+  /** m17: peak-normalization planning — the loudness-equalization stage an
+    * audio corpus runs before model ingest (clips recorded at wildly
+    * different levels must not dominate training by amplitude): channel-0
+    * peak from the REAL PCM decode, integer milli-gain to the 32000
+    * target, and the exact post-gain absolute mass (per-sample floor on
+    * positive operands — floor == truncate in both engines, so every
+    * emitted number is an exact integer the oracle replays closed-form).
+    *
+    * Scale: decode + peak + gain application fused in ONE map-only pass
+    * per clip (two sequential scans of the in-memory samples); no
+    * shuffle before the presentation sort. */
+  private val m17: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[AudioGain] = Encoders.product[AudioGain]
+    audioTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(gainOne)).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m17Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch, 500 + doc_id % 250 AS nf
+      |  FROM documents WHERE doc_id <= 100),
+      |s AS (
+      |  SELECT doc_id, ABS((j * ch * 13 + doc_id) % 2001 - 1000) AS v
+      |  FROM g, UNNEST(RANGE(nf)) t(j)),
+      |pk AS (SELECT doc_id, CAST(MAX(v) AS BIGINT) AS peak FROM s GROUP BY 1),
+      |gn AS (SELECT doc_id, peak,
+      |         CASE WHEN peak = 0 THEN 0
+      |              ELSE 32000 * 1000 // peak END AS gain
+      |       FROM pk)
+      |SELECT s.doc_id,
+      |  CAST(gn.peak AS INTEGER) AS peak0,
+      |  CAST(gn.gain AS BIGINT) AS gain_milli,
+      |  CAST(SUM(s.v * gn.gain // 1000) AS BIGINT) AS norm_abs_sum,
+      |  CAST(SUM(CASE WHEN s.v * gn.gain // 1000 = 32000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS at_target
+      |FROM s JOIN gn USING (doc_id)
+      |GROUP BY s.doc_id, gn.peak, gn.gain ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m17_audio_gain" -> m17,
     "m16_video_keyframe" -> m16,
     "m15_image_neardup" -> m15,
     "m14_audio_segments" -> m14,
@@ -1238,6 +1310,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m17_audio_gain" -> m17Sql,
     "m16_video_keyframe" -> m16Sql,
     "m15_image_neardup" -> m15Sql,
     "m14_audio_segments" -> m14Sql,

@@ -194,6 +194,26 @@ class NewOpsR6hSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe expected
   }
 
+  test("m17 gain plan re-derives from the closed-form fixture series") {
+    val out = queries.Multimodal.queries("m17_audio_gain")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.length should be > 0
+    out.foreach { case (docId, peak0, gain, sum, atT) =>
+      val ch = 1 + (docId % 2).toInt
+      val nf = 500 + (docId % 250).toInt
+      val vs = (0 until nf)
+        .map(j => math.abs((j.toLong * ch * 13 + docId) % 2001 - 1000))
+      peak0 shouldBe vs.max.toInt
+      gain shouldBe (if (peak0 == 0) 0L else 32000L * 1000L / peak0)
+      sum shouldBe vs.map(v => v * gain / 1000L).sum
+      atT shouldBe vs.count(v => v * gain / 1000L == 32000L).toLong
+      // the normalized peak never overshoots the target
+      vs.map(v => v * gain / 1000L).max should be <= 32000L
+    }
+  }
+
   test("d23 threshold curve is monotone and anchored to d02's cutoff") {
     val out = queries.Dedup.queries("d23_threshold_curve")(spark, sfDir)
       .collect()
