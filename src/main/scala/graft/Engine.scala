@@ -46,13 +46,14 @@ object Engine {
                              skipBytes: Int = 0)
 
   /** rowinfo struct fields in layout order (reference: KwackEngine.java:
-    * 703-743). The reference additionally emits `epo` (leader epoch);
-    * Spark's Kafka source does not expose it, so requesting `epo` is
-    * rejected at init (see decodeTopic) rather than emitted as null. */
+    * 703-743). `epo` (leader epoch) is accepted for reference-config
+    * compatibility but always NULL — Spark's Kafka source does not expose
+    * per-record leader epoch (warned at init, see decodeTopic). */
   private val rowinfoFields: Seq[(String, DataType)] = Seq(
     "ksi" -> IntegerType, "vsi" -> IntegerType, "top" -> StringType,
     "par" -> IntegerType, "off" -> LongType, "ts" -> LongType,
     "tst" -> ShortType,
+    "epo" -> IntegerType, // always NULL — see decodeTopic's warning
     "hdr" -> MapType(StringType, StringType, valueContainsNull = true))
 
   def sanitize(topic: String): String = topic.replaceAll("[^A-Za-z0-9_]", "_")
@@ -182,13 +183,15 @@ class Engine(val spark: SparkSession,
     val attrs = spec.rowAttrs
     // Documented delta from the reference: KwackEngine.java:703-743 emits
     // the record's leader epoch, but Spark's Kafka source does not surface
-    // leaderEpoch, and an admin-client lookup at ingest time could only see
-    // the CURRENT epoch, not the per-record one — a silently-null or wrong
-    // column is worse than an upfront refusal.
-    require(!attrs.contains("epo"),
-      "row attribute 'epo' (leader epoch) is not available: Spark's Kafka " +
-        "source does not expose per-record leader epoch; remove 'epo' from " +
-        "row.attributes")
+    // leaderEpoch, and an admin-client lookup at ingest time could only
+    // see the CURRENT epoch, not the per-record one. Reference configs
+    // naming 'epo' still work (round 7): the column is emitted with its
+    // reference type but always NULL, announced loudly at init.
+    if (attrs.contains("epo"))
+      org.slf4j.LoggerFactory.getLogger(classOf[Engine]).warn(
+        "row attribute 'epo' (leader epoch) is emitted as an always-NULL " +
+          "INT column: Spark's Kafka source does not expose per-record " +
+          "leader epoch")
     val withKey = attrs.contains(Rowkey)
     val infoFields = rowinfoFields.filter { case (n, _) => attrs.contains(n) }
     val outFields =
@@ -237,6 +240,7 @@ class Engine(val spark: SparkSession,
                 "off" -> r.getAs[Long]("offset"),
                 "ts" -> r.getAs[java.sql.Timestamp]("timestamp").getTime,
                 "tst" -> r.getAs[Int]("timestampType").toShort,
+                "epo" -> null, // not exposed by Spark's Kafka source
                 "hdr" -> hdrs)
               Seq(Row(infoNames.map(all): _*))
             }
@@ -862,12 +866,18 @@ class Engine(val spark: SparkSession,
       (a.substring(0, at).trim.stripPrefix("`").stripSuffix("`"),
         a.substring(at + 1).trim)
     }
-    sets.find(s => !target.schema.fieldNames.contains(s._1)).foreach { s =>
+    // SET targets resolve case-insensitively (DuckDB identifier
+    // semantics, matching the rest of the dialect); the rebuilt
+    // projection uses the schema's canonical spelling.
+    val canonical: Map[String, String] =
+      target.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+    sets.find(s => !canonical.contains(s._1.toLowerCase)).foreach { s =>
       throw new IllegalArgumentException(
         s"UPDATE $name: no column '${s._1}' in target " +
           s"(${target.schema.fieldNames.mkString(", ")})")
     }
-    val setMap = sets.toMap
+    val setMap = sets.map { case (c, e) => canonical(c.toLowerCase) -> e }
+      .toMap
     val cond = whereOpt.map(expr).getOrElse(lit(true))
     val n = target.filter(cond).count()
     val updated = target.select(target.schema.fields.map { f =>
@@ -916,9 +926,30 @@ class Engine(val spark: SparkSession,
       require(orReplace, s"table or view '$name' already exists " +
         "(use CREATE OR REPLACE TABLE)")
     }
-    val ddl = colDefs
-      .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
-      .replaceAll("(?i)\\bTEXT\\b", "STRING")
+    // The VARCHAR/TEXT→STRING mapping must apply to the TYPE token only:
+    // a column legitimately NAMED `text` (this repo's canonical corpus
+    // column) would otherwise be silently renamed. Split the defs
+    // quote/paren-aware, peel the leading identifier verbatim, and map
+    // only the remainder.
+    val ddl = splitExecArgs(colDefs).map { d =>
+      val t = d.trim
+      val nameEnd =
+        if (t.startsWith("\"") || t.startsWith("`")) {
+          val q = t.charAt(0)
+          val close = t.indexOf(q, 1)
+          require(close > 0, s"unterminated quoted column name in '$d'")
+          close + 1
+        } else {
+          val m = t.takeWhile(c => c.isLetterOrDigit || c == '_')
+          require(m.nonEmpty, s"missing column name in definition '$d'")
+          m.length
+        }
+      val name = t.substring(0, nameEnd)
+      val tpe = t.substring(nameEnd)
+        .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+        .replaceAll("(?i)\\bTEXT\\b", "STRING")
+      s"$name$tpe"
+    }.mkString(", ")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
     val snap = spark
       .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -944,25 +975,32 @@ class Engine(val spark: SparkSession,
     val base = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(base)
     // Collapsing newlines would let a `-- comment` swallow the rest of the
-    // statement, so line comments are stripped FIRST (quote-aware: a `--`
-    // inside a string literal survives) and only then is the body joined
-    // onto one manifest line.
-    val oneLine = (s: String) => s.split("\\r?\\n").map { line =>
+    // statement, so line comments are stripped FIRST, in ONE quote-aware
+    // pass over the whole body: quote state carries across newlines, so a
+    // `--` on the continuation line of a multi-line string literal
+    // survives (and a comment never eats past its own line). Newlines —
+    // including inside literals, where the one-statement-per-line manifest
+    // cannot represent them — become single spaces.
+    val oneLine = (s: String) => {
       val sb = new StringBuilder
       var i = 0
       var quote: Char = 0
-      var done = false
-      while (i < line.length && !done) {
-        val c = line.charAt(i)
-        if (quote != 0) { sb.append(c); if (c == quote) quote = 0 }
-        else if (c == '\'' || c == '"' || c == '`') { quote = c; sb.append(c) }
-        else if (c == '-' && i + 1 < line.length && line.charAt(i + 1) == '-')
-          done = true
-        else sb.append(c)
-        i += 1
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (quote != 0) {
+          if (c == '\n' || c == '\r') sb.append(' ') else sb.append(c)
+          if (c == quote) quote = 0
+          i += 1
+        } else if (c == '\'' || c == '"' || c == '`') {
+          quote = c; sb.append(c); i += 1
+        } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+        } else if (c == '\n' || c == '\r') {
+          sb.append(' '); i += 1
+        } else { sb.append(c); i += 1 }
       }
       sb.toString.trim
-    }.filter(_.nonEmpty).mkString(" ").trim
+    }
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
     macros.toSeq.sortBy(_._1).foreach { case (name, (params, body)) =>
@@ -976,8 +1014,29 @@ class Engine(val spark: SparkSession,
       stmts += s"CREATE OR REPLACE TABLE $name AS SELECT * FROM '$path'"
       entries += (("table", name))
     }
-    createdViews.toSeq.sortBy(_._1).foreach { case (name, body) =>
-      stmts += s"CREATE OR REPLACE VIEW $name AS ${oneLine(body)}"
+    // Views must replay in dependency order: IMPORT eagerly analyzes each
+    // body, so a view referencing another view must come after it.
+    // Kahn topological sort on view→view word references, alphabetical
+    // tie-break for a deterministic manifest; any cycle remainder (not
+    // creatable through this engine) falls back to alphabetical.
+    val viewNames = createdViews.keySet.toSet
+    val deps: Map[String, Set[String]] = createdViews.toSeq.map {
+      case (name, body) =>
+        val refs = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(body).toSet
+          .intersect(viewNames) - name
+        name -> refs
+    }.toMap
+    val ordered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val placed = scala.collection.mutable.Set.empty[String]
+    var frontier = deps.keys.toSeq.sorted
+    while (frontier.nonEmpty) {
+      val ready = frontier.filter(n => deps(n).forall(placed))
+      val batch = if (ready.nonEmpty) ready else frontier // cycle fallback
+      batch.foreach { n => ordered += n; placed += n }
+      frontier = frontier.filterNot(placed)
+    }
+    ordered.foreach { name =>
+      stmts += s"CREATE OR REPLACE VIEW $name AS ${oneLine(createdViews(name))}"
       entries += (("view", name))
     }
     java.nio.file.Files.writeString(base.resolve("schema.sql"),
@@ -1386,21 +1445,63 @@ class Engine(val spark: SparkSession,
     * directly after a FROM item — the same position DuckDB documents for
     * its table-sample form; other placements fail loudly in the parser.
     *
-    * KNOWN SEMANTIC DIVERGENCE (documented, deliberate): Spark's
-    * `TABLESAMPLE (N ROWS)` is a deterministic first-N limit, while
-    * DuckDB's `USING SAMPLE N [ROWS]` draws a RANDOM reservoir sample of N
-    * rows. Percentage forms (`N%`/`N PERCENT`) are genuinely random in
-    * both engines and carry `REPEATABLE (seed)` through; only the
-    * row-count form diverges. Callers needing random row samples should
-    * use the x19 reservoir-sample operator (exact, deterministic,
-    * distributed) or a percentage spec; rewriting the FROM item into
-    * `ORDER BY rand(seed) LIMIT N` would silently add a corpus-wide sort,
-    * which is the wrong default at scale. Also recorded in SURVEY §2.2. */
+    * Row-count semantics (round 7): `USING SAMPLE N ROWS REPEATABLE
+    * (seed)` — the form that names a seed and therefore asks for a
+    * REPRODUCIBLE RANDOM draw — lowers to a subquery
+    * `(SELECT * FROM <item> ORDER BY rand(seed) LIMIT N)`, which Spark
+    * plans as TakeOrderedAndProject: a distributed per-partition top-N by
+    * the seeded random key plus an O(N·parts) merge, NOT a corpus-wide
+    * sort — random AND deterministic (rand(seed) is seeded per partition
+    * index; a parquet scan's partition layout is stable).
+    *
+    * KNOWN SEMANTIC DIVERGENCE (documented, deliberate): the UNSEEDED
+    * row-count form stays Spark's `TABLESAMPLE (N ROWS)` = deterministic
+    * first-N, while DuckDB draws a random reservoir. Percentage forms
+    * (`N%`/`N PERCENT`) are genuinely random in both engines and carry
+    * `REPEATABLE (seed)` through. Callers needing unseeded random row
+    * samples should use the x19 reservoir-sample operator (exact,
+    * deterministic, distributed) or a percentage spec. Also recorded in
+    * SURVEY §2.2. */
+  /** Start offset of the FROM item that ends at `end`: the position right
+    * after the last top-level `FROM`/`JOIN` keyword or item-list comma
+    * before `end` (quote/paren-aware). Used by the seeded row-sample
+    * rewrite to wrap exactly the preceding item. */
+  private def lastFromItemStart(q: String, end: Int): Int = {
+    var i = 0
+    var depth = 0
+    var quote: Char = 0
+    var start = 0
+    val upper = q.toUpperCase
+    while (i < end) {
+      val c = q.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => start = i + 1
+        case _ if depth == 0 &&
+            (i == 0 || (!Character.isLetterOrDigit(q.charAt(i - 1)) &&
+              q.charAt(i - 1) != '_')) =>
+          Seq("FROM", "JOIN").find(kw => upper.startsWith(kw, i) && {
+            val e = i + kw.length
+            e >= q.length ||
+              (!Character.isLetterOrDigit(q.charAt(e)) && q.charAt(e) != '_')
+          }).foreach(kw => start = i + kw.length)
+        case _ =>
+      }
+      i += 1
+    }
+    start
+  }
+
   private[graft] def rewriteUsingSample(q: String): String =
     findTopLevelKeyword(q, 0, Seq("USING")) match {
       case Some((i, _)) =>
-        val specRe = ("(?is)^USING\\s+SAMPLE\\s+(\\d+(?:\\.\\d+)?)\\s*" +
-          "(%|PERCENT|ROWS)?\\s*(?:\\((?:bernoulli|system)\\))?" +
+        val specRe = ("(?is)^USING\\s+SAMPLE\\s+(?:" +
+          "reservoir\\s*\\(\\s*(\\d+)\\s+ROWS?\\s*\\)|" + // DuckDB fn form
+          "(\\d+(?:\\.\\d+)?)\\s*(%|PERCENT|ROWS)?\\s*" +
+          "(?:\\((?:bernoulli|system)\\))?)" +
           "(\\s*REPEATABLE\\s*\\(\\s*\\d+\\s*\\))?").r
         val rest = q.substring(i)
         if (!rest.toUpperCase.startsWith("USING") ||
@@ -1409,17 +1510,40 @@ class Engine(val spark: SparkSession,
           q.substring(0, i + 5) + rewriteUsingSample(q.substring(i + 5))
         else specRe.findFirstMatchIn(rest) match {
           case Some(m) =>
-            val n = m.group(1)
-            val unit = Option(m.group(2)).map(_.toUpperCase) match {
+            val n = Option(m.group(1)).getOrElse(m.group(2))
+            val unit = Option(m.group(3)).map(_.toUpperCase) match {
+              case _ if m.group(1) != null => "ROWS" // reservoir(N ROWS)
               case Some("%") | Some("PERCENT") => "PERCENT"
               case _ =>
                 require(!n.contains('.'),
                   s"USING SAMPLE row count must be an integer, got $n")
                 "ROWS"
             }
-            val rep = Option(m.group(3)).map(_.trim).map(" " + _).getOrElse("")
-            q.substring(0, i) + s"TABLESAMPLE ($n $unit)$rep" +
-              rewriteUsingSample(rest.substring(m.end))
+            val rep = Option(m.group(4)).map(_.trim).map(" " + _).getOrElse("")
+            if (unit == "ROWS" && rep.nonEmpty) {
+              // seeded row sample: wrap the preceding FROM item in a
+              // deterministic-random top-N (see scaladoc above)
+              val seed = "\\d+".r.findFirstIn(rep).get
+              val start = lastFromItemStart(q, i)
+              val item = q.substring(start, i).trim
+              require(item.nonEmpty && !"(?is)\\b(ON|WHERE)\\b".r
+                  .findFirstIn(item).isDefined,
+                "USING SAMPLE N ROWS REPEATABLE must directly follow a " +
+                  s"FROM item, got '$item'")
+              // preserve qualified refs: reuse the item's own alias, or
+              // the table identifier itself when the item is a bare ref
+              val aliasRe = "(?is)^(.+?)\\s+(?:AS\\s+)?([A-Za-z_]\\w*)$".r
+              val alias = item match {
+                case aliasRe(base, a)
+                    if !base.trim.toUpperCase.endsWith(" AS") => a
+                case _ => item // bare identifier (possibly backticked)
+              }
+              q.substring(0, start) +
+                s" (SELECT * FROM $item ORDER BY rand($seed) LIMIT $n) $alias" +
+                rewriteUsingSample(rest.substring(m.end))
+            } else
+              q.substring(0, i) + s"TABLESAMPLE ($n $unit)$rep" +
+                rewriteUsingSample(rest.substring(m.end))
           case None => throw new IllegalArgumentException(
             "unsupported USING SAMPLE spec (supported: N%, N PERCENT, " +
               "N ROWS, N, with optional (bernoulli)/(system) and " +

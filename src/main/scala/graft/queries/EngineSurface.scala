@@ -213,19 +213,29 @@ object EngineSurface {
       |ORDER BY e.event_id""".stripMargin
 
   /** q82: DuckDB `USING SAMPLE N ROWS` through the engine's rewrite
-    * (Engine.rewriteUsingSample -> Spark TABLESAMPLE). The sampled rows
-    * differ per engine by construction, so the gate pins the one
-    * cross-engine invariant of row-count sampling: the exact sample size.
-    * The oracle runs DuckDB's native USING SAMPLE of the same shape. */
+    * (Engine.rewriteUsingSample -> Spark TABLESAMPLE; the seeded
+    * REPEATABLE form -> deterministic-random top-N by rand(seed)). The
+    * sampled rows differ per engine by construction, so the gate pins the
+    * cross-engine invariant of row-count sampling: the exact sample size,
+    * for both the unseeded and the seeded draw. The oracle runs DuckDB's
+    * native USING SAMPLE of the same shapes. */
   private def q82(s: SparkSession, dir: String): DataFrame = {
     val engine = new Engine(s)
-    try engine.sql(
-      s"SELECT count(*) AS n FROM '$dir/orders.parquet' USING SAMPLE 200 ROWS")
-    finally engine.close()
+    try {
+      val a = engine.sql(
+        s"SELECT count(*) AS n FROM '$dir/orders.parquet' USING SAMPLE 200 ROWS")
+      val b = engine.sql(
+        s"SELECT count(*) AS n_rep FROM '$dir/orders.parquet' " +
+          "USING SAMPLE 200 ROWS REPEATABLE (42)")
+      a.crossJoin(b)
+    } finally engine.close()
   }
 
   private val q82Sql =
-    "SELECT count(*) AS n FROM (SELECT * FROM orders USING SAMPLE 200 ROWS)"
+    """SELECT * FROM
+      |(SELECT count(*) AS n FROM (SELECT * FROM orders USING SAMPLE 200 ROWS)),
+      |(SELECT count(*) AS n_rep FROM
+      |  (SELECT * FROM orders USING SAMPLE reservoir(200 ROWS) REPEATABLE (42)))""".stripMargin
 
   /** q83: DuckDB statement-form `PIVOT ... ON ... USING ... GROUP BY`
     * through Engine.pivot (DataFrame two-pass pivot); the oracle runs

@@ -55,23 +55,28 @@ object QueryHelpers {
     * that scale you would drop the presentation sort entirely and let the
     * consumer read unordered shards. */
   implicit class PresentationSort(private val df: DataFrame) {
+    /** Every presentation sort is flag-aware (round 7): in the default
+      * merged mode it stays the 1-partition merge above (single shuffle,
+      * no sampling job — the oracle-gate/CLI shape, identical plans to
+      * every prior round). Under `spark.graft.output.merged=false`
+      * (production) EVERY output — bounded or corpus-proportional — plans
+      * a range-partitioned parallel `orderBy` instead: ordered shards
+      * across the cluster, no single-task funnel anywhere at 100 TB. One
+      * switch instead of a per-site bounded-vs-proportional judgment
+      * call, so no site can be mislabeled. */
+    private def merged: Boolean =
+      df.sparkSession.conf.get("spark.graft.output.merged", "true").toBoolean
     def psort(cols: Column*): DataFrame =
-      df.repartition(1).sortWithinPartitions(cols: _*)
-    def psort(col0: String, cols: String*): DataFrame =
-      df.repartition(1).sortWithinPartitions(col0, cols: _*)
-
-    /** Final ordering for CORPUS-PROPORTIONAL outputs (near-dup pairs, kNN
-      * graph edges, packing bins, leaked-dup lists): these grow with the
-      * input, so the 1-partition merge psort is only acceptable on the
-      * bounded oracle-gate path. In production mode
-      * (`spark.graft.output.merged=false`) this plans a range-partitioned
-      * parallel sort instead — ordered output across many shards, no
-      * single-task funnel at 100 TB. Default stays merged so the driver's
-      * single-file hash gate is unchanged. */
-    def psortScaled(cols: Column*): DataFrame =
-      if (df.sparkSession.conf.get("spark.graft.output.merged", "true").toBoolean)
-        df.repartition(1).sortWithinPartitions(cols: _*)
+      if (merged) df.repartition(1).sortWithinPartitions(cols: _*)
       else df.orderBy(cols: _*)
+    def psort(col0: String, cols: String*): DataFrame =
+      if (merged) df.repartition(1).sortWithinPartitions(col0, cols: _*)
+      else df.orderBy(col0, cols: _*)
+
+    /** Alias kept for the corpus-proportional call sites annotated in
+      * rounds 5-6 (near-dup pairs, kNN edges, packing bins): same
+      * semantics as [[psort]] now that both are flag-aware. */
+    def psortScaled(cols: Column*): DataFrame = psort(cols: _*)
   }
 
   /** Exact money: cast a double measure column to DECIMAL(12,2). */

@@ -2165,10 +2165,15 @@ object TextOps {
       toks.select(explode(col("ws")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .persist())
+    // Guarded for 0/1-token docs: sequence(1, 0) is DESCENDING in Spark
+    // and would index element_at(ws, 0) → error, where DuckDB's
+    // RANGE(1, LEN(ws)) is simply empty.
     val bi = toks
       .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> " +
-          "struct(element_at(ws, i) as a, element_at(ws, i + 1) as b))"))
+        "case when size(ws) >= 2 then " +
+          "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(element_at(ws, i) as a, element_at(ws, i + 1) as b)) " +
+          "else array() end"))
         .as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_ab"))

@@ -152,16 +152,21 @@ class EngineSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
-  test("requesting the 'epo' row attribute is refused upfront (documented delta)") {
+  test("the 'epo' row attribute is accepted as an always-NULL INT column " +
+      "(documented delta: Spark's Kafka source hides leader epoch)") {
     val engine = new Engine(spark)
     val topic = "epo-topic"
     val records = Seq(SyntheticRecord(null,
       java.nio.ByteBuffer.allocate(4).putInt(1).array(), topic, 0, 0L, 1L))
-    val ex = intercept[IllegalArgumentException] {
-      engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.IntSerde,
-        rowAttrs = Set("par", "epo"))), _ => KafkaRecords.synthetic(spark, records))
-    }
-    ex.getMessage should include("leader epoch")
+    engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.IntSerde,
+      rowAttrs = Set("par", "epo"))), _ => KafkaRecords.synthetic(spark, records))
+    val rows = spark.sql(s"SELECT rowinfo.par, rowinfo.epo FROM `$topic`")
+      .collect()
+    rows.length shouldBe 1
+    rows(0).getInt(0) shouldBe 0
+    rows(0).isNullAt(1) shouldBe true
+    spark.sql(s"SELECT rowinfo.epo FROM `$topic`").schema("epo")
+      .dataType.simpleString shouldBe "int"
     engine.close()
   }
 

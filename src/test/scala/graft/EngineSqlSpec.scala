@@ -330,13 +330,38 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.sql(
       "SELECT count(*) AS n FROM samp_t USING SAMPLE 50 PERCENT REPEATABLE (42)")
       .collect()(0).getLong(0) shouldBe pct
+    // seeded ROWS form: an honest random-but-deterministic draw — exact
+    // size, repeatable, and NOT the first-N prefix
+    val drawIds = engine.sql(
+      "SELECT id FROM samp_t USING SAMPLE 10 ROWS REPEATABLE (7)")
+      .collect().map(_.getLong(0)).toSet
+    drawIds.size shouldBe 10
+    val again = engine.sql(
+      "SELECT id FROM samp_t USING SAMPLE 10 ROWS REPEATABLE (7)")
+      .collect().map(_.getLong(0)).toSet
+    again shouldBe drawIds
+    drawIds should not be (1L to 10L).toSet
+    // a different seed gives a different draw
+    engine.sql("SELECT id FROM samp_t USING SAMPLE 10 ROWS REPEATABLE (8)")
+      .collect().map(_.getLong(0)).toSet should not be drawIds
+    // the aliased-item form keeps the alias resolvable
+    engine.sql("SELECT count(s.id) AS n FROM samp_t s " +
+      "USING SAMPLE 10 ROWS REPEATABLE (7)")
+      .collect()(0).getLong(0) shouldBe 10L
     // JOIN ... USING (cols) must pass through untouched
     engine.sql(
       """SELECT count(*) AS n FROM samp_t a JOIN samp_t b USING (id)""")
       .collect()(0).getLong(0) shouldBe 100L
+    // DuckDB's reservoir(N ROWS) function form: accepted, and with a
+    // seed it takes the seeded-random path
+    engine.sql("SELECT count(*) AS n FROM samp_t " +
+      "USING SAMPLE reservoir(10 ROWS)").collect()(0).getLong(0) shouldBe 10L
+    engine.sql("SELECT id FROM samp_t " +
+      "USING SAMPLE reservoir(10 ROWS) REPEATABLE (7)")
+      .collect().map(_.getLong(0)).toSet shouldBe drawIds
     // unsupported spec fails loudly
     an[Exception] should be thrownBy engine.sql(
-      "SELECT * FROM samp_t USING SAMPLE reservoir(10 ROWS)")
+      "SELECT * FROM samp_t USING SAMPLE xyz(10 ROWS)")
     engine.close()
   }
 
@@ -614,6 +639,72 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     row.getString(1) shouldBe "--not-a-comment"
     engine3.sql("DROP VIEW exp_c")
     engine.close(); engine2.close(); engine3.close()
+  }
+
+  test("EXPORT DATABASE: dependent views replay in topological order; " +
+      "quote state carries across manifest lines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_exportdb_topo").toString
+    val engine = new Engine(spark)
+    Seq((1L, 5.0), (2L, 7.0)).toDF("k", "v")
+      .createOrReplaceTempView("topo_src")
+    engine.sql("CREATE TABLE topo_t AS SELECT k, v FROM topo_src")
+    // 'a_dep' sorts BEFORE 'z_base' alphabetically but depends on it —
+    // the manifest must still emit z_base first
+    engine.sql("CREATE VIEW z_base AS SELECT SUM(v) sv FROM topo_t")
+    engine.sql("CREATE VIEW a_dep AS SELECT sv * 2 AS dv FROM z_base")
+    // a string literal SPANNING lines whose continuation line contains
+    // '--': the collapse must keep it (quote state across newlines)
+    engine.sql("CREATE VIEW m_lit AS SELECT 'x\n--keep' AS s, sv FROM z_base")
+    engine.sql(s"EXPORT DATABASE '$dir'").collect()
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "schema.sql"))
+    manifest.indexOf("VIEW z_base") should be < manifest.indexOf("VIEW a_dep")
+    manifest should include("--keep")
+    engine.sql("DROP VIEW a_dep"); engine.sql("DROP VIEW m_lit")
+    engine.sql("DROP VIEW z_base"); engine.sql("DROP TABLE topo_t")
+    val engine2 = new Engine(spark)
+    engine2.sql(s"IMPORT DATABASE '$dir'")
+    engine2.sql("SELECT dv FROM a_dep").collect()(0)
+      .getDouble(0) shouldBe 24.0
+    engine2.sql("SELECT s FROM m_lit").collect()(0)
+      .getString(0) shouldBe "x --keep"
+    engine2.sql("DROP VIEW a_dep"); engine2.sql("DROP VIEW m_lit")
+    engine2.sql("DROP VIEW z_base"); engine2.sql("DROP TABLE topo_t")
+    engine.close(); engine2.close()
+  }
+
+  test("CREATE TABLE (coldefs): VARCHAR/TEXT map to STRING in the TYPE " +
+      "position only — a column NAMED text keeps its name") {
+    val engine = new Engine(spark)
+    engine.sql("CREATE TABLE cd_t (text VARCHAR, varchar TEXT, " +
+      "n DECIMAL(10,2), tags ARRAY<STRING>)")
+    val schema = engine.sql("SELECT * FROM cd_t").schema
+    schema.fieldNames.toSeq shouldBe Seq("text", "varchar", "n", "tags")
+    schema("text").dataType.simpleString shouldBe "string"
+    schema("varchar").dataType.simpleString shouldBe "string"
+    schema("n").dataType.simpleString shouldBe "decimal(10,2)"
+    engine.sql("DROP TABLE cd_t")
+    engine.close()
+  }
+
+  test("UPDATE resolves SET column names case-insensitively") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "vAl")
+      .createOrReplaceTempView("upd_src")
+    engine.sql("CREATE TABLE upd_t AS SELECT k, vAl FROM upd_src")
+    engine.sql("UPDATE upd_t SET VAL = vAl + 1 WHERE k = 1").collect()(0)
+      .getLong(0) shouldBe 1L
+    // canonical spelling survives the rewrite
+    val df = engine.sql("SELECT * FROM upd_t ORDER BY k")
+    df.schema.fieldNames.toSeq shouldBe Seq("k", "vAl")
+    df.collect().map(_.getDouble(1)).toSeq shouldBe Seq(11.0, 20.0)
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("UPDATE upd_t SET missing = 1")
+    engine.sql("DROP TABLE upd_t")
+    engine.close()
   }
 
   test("CREATE VIEW is late-bound plan; DROP VIEW removes it; topic names guarded") {

@@ -338,6 +338,33 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("production output mode: NO gated query plans a requested " +
+      "1-partition repartition (suite-wide, no allowlist)") {
+    // Round 7: every presentation sort is flag-aware, so under
+    // spark.graft.output.merged=false the single-task merge funnel must
+    // vanish from EVERY plan. Scalar aggregates still legitimately pass
+    // one row per partition through an ENSURE_REQUIREMENTS SinglePartition
+    // exchange (O(1) data — fine at 100 TB); what is banned is a
+    // REQUESTED repartition(1) — the REPARTITION_BY_NUM origin — which is
+    // exactly the psort merge shape.
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, REPARTITION_BY_NUM, REPARTITION_BY_COL}
+    def offenders(p: SparkPlan): Seq[String] =
+      p.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 &&
+              (e.shuffleOrigin == REPARTITION_BY_NUM ||
+                e.shuffleOrigin == REPARTITION_BY_COL) =>
+          e.nodeName + " " + e.outputPartitioning
+      } ++ p.subqueries.flatMap(offenders)
+    spark.conf.set("spark.graft.output.merged", "false")
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+        val bad = offenders(planOf(q(spark, sfDir)))
+        withClue(name) { bad shouldBe empty }
+      }
+    } finally spark.conf.unset("spark.graft.output.merged")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -213,6 +213,33 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
       .filter(expr("n IS DISTINCT FROM c")).count() shouldBe 0L
   }
 
+  test("graft_pq_adc rejects an out-of-range code with a descriptive error") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dim = e.selectExpr("size(embedding)").head().getInt(0)
+    val m = 4
+    val sub = dim / m
+    val k = 3
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      (0 until k).map(c => (0 until sub).map(i =>
+        ((j + 1) * 0.25 + c * 0.125 + i * 0.0625))))
+    // subspace 2 carries a corrupt code (k, one past the last centroid)
+    val codes = array(lit(0), lit(1), lit(k), lit(2))
+    val ex = intercept[Exception] {
+      e.limit(5).select(
+          call_function("graft_pq_adc", col("embedding"), codes,
+            typedlit(books)).as("d"))
+        .collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    withClue(msgs) {
+      msgs should include("graft_pq_adc")
+      msgs should include(s"code $k out of range [0, $k) in subspace 2")
+    }
+  }
+
   test("graft_lm_fold: row-variant models never hit a stale thread cache") {
     import spark.implicits._
     // Two models with IDENTICAL size, boundary keys and boundary values —
