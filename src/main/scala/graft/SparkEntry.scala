@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.QueryHelpers.Q
-import graft.queries.{Dedup, EngineSurface, Multimodal, Relational, RelationalExt, RelationalMore, RelationalStats, Similarity, Streaming, TextOps}
+import graft.queries.{Dedup, EngineSurface, Multimodal, Pipeline, Relational, RelationalExt, RelationalMore, RelationalStats, Similarity, Streaming, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracleSql),
     (Multimodal.queries, Multimodal.oracleSql),
     (Streaming.queries, Streaming.oracleSql),
-    (EngineSurface.queries, EngineSurface.oracleSql))
+    (EngineSurface.queries, EngineSurface.oracleSql),
+    (Pipeline.queries, Pipeline.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

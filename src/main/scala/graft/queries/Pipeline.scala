@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.queries.QueryHelpers._
+
+/** End-to-end COMPOSITION of the engine's own surfaces — the reference's
+  * ingest-then-query lifecycle (README.md:112-123: consume a topic, run
+  * SQL over it, export the result) scaled into a training-data pipeline:
+  *
+  *   Kafka ingest (Confluent-framed JSON through Engine.init's registry +
+  *   wire-format decode) -> canonical dedup (d09's normalization,
+  *   first-doc-wins) -> quality gate (x23's five rules) -> sequence
+  *   packing (x10's per-(source, shard) running-sum bins) -> partitioned
+  *   COPY export -> read the exported shards back and summarize.
+  *
+  * Everything between ingest and export is ONE chain of engine.sql
+  * statements — the exact statements a user would type at the CLI — so
+  * the gate proves the operators compose outside the per-query harness.
+  * The oracle recomputes the same pipeline from the raw documents table
+  * (the kafka layer is an identity transport), so the hash gate covers
+  * the ingest decode, every transform, AND the export round-trip.
+  *
+  * Scale: ingest decode is the shuffle-free mapPartitions path; dedup is
+  * one hash shuffle on the canonical hash; the gate is map-only; packing
+  * windows are per-(source, shard) — never global; the COPY is a
+  * hive-partitioned distributed write. No driver-side data moves: the
+  * record frames are built with Spark SQL (concat of a constant wire
+  * prefix), not collected.
+  */
+object Pipeline {
+
+  private val budget = 256
+
+  private val stopArr = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+
+  private val p01: Q = (s, dir) => {
+    val engine = new Engine(s)
+    try {
+      val topic = "pipe-docs"
+      val schemaText =
+        """{"type":"object","properties":{
+          |"doc_id":{"type":"integer"},
+          |"source":{"type":"string"},
+          |"text":{"type":"string"}},
+          |"required":["doc_id","source","text"]}""".stripMargin
+      val id = engine.registry.register(s"$topic-value", "JSON", schemaText)
+      // Confluent wire frame (magic byte + schema id) prepended IN SPARK —
+      // the produce side of the reference harness, distributed
+      val prefix = graft.serde.WireFormat.frame(id, Array.emptyByteArray)
+      val records = t(s, dir, "documents").select(
+        lit(null).cast("binary").as("key"),
+        concat(lit(prefix),
+          encode(to_json(struct(col("doc_id"), col("source"), col("text"))),
+            "UTF-8")).as("value"),
+        lit(topic).as("topic"),
+        pmod(col("doc_id"), lit(8)).cast("int").as("partition"),
+        col("doc_id").as("offset"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id")).as("timestamp"),
+        lit(0).as("timestampType"),
+        lit(null).cast(
+          "array<struct<key:string,value:binary>>").as("headers"))
+      engine.init(Seq(Engine.TopicSpec(topic, rowAttrs = Set.empty)),
+        _ => records)
+
+      // ---- the CLI statement chain ----
+      engine.sql(
+        s"""CREATE OR REPLACE TABLE p_dedup AS
+           |SELECT doc_id, source, text FROM (
+           |  SELECT doc_id, source, text, row_number() OVER (
+           |    PARTITION BY md5(array_join(array_sort(split(
+           |      regexp_replace(lower(trim(text)), ' +', ' '), ' ')), ' '))
+           |    ORDER BY doc_id) AS rn
+           |  FROM pipe_docs) WHERE rn = 1""".stripMargin).collect()
+      engine.sql(
+        s"""CREATE OR REPLACE TABLE p_kept AS
+           |SELECT doc_id, source, doc_id % 4 AS shard,
+           |  cast(size(split(text, ' +')) AS bigint) AS tok
+           |FROM p_dedup
+           |WHERE NOT (length(text) < 50)
+           |  AND NOT (size(split(text, ' +')) < 10)
+           |  AND NOT (cast(size(filter(split(text, ' +'),
+           |        w -> array_contains(array($stopArr), w))) AS double)
+           |      / cast(size(split(text, ' +')) AS double) < 0.01)
+           |  AND NOT (cast(length(text) -
+           |        length(regexp_replace(text, '[^A-Za-z0-9 ]', '')) AS double)
+           |      / cast(length(text) AS double) > 0.3)
+           |  AND NOT (aggregate(transform(split(text, ' +'),
+           |          w -> length(w)), 0L, (a, x) -> a + x) / cast(size(
+           |          split(text, ' +')) AS double) > 12.0
+           |    OR aggregate(transform(split(text, ' +'),
+           |          w -> length(w)), 0L, (a, x) -> a + x) / cast(size(
+           |          split(text, ' +')) AS double) < 2.0)""".stripMargin)
+        .collect()
+      engine.sql(
+        s"""CREATE OR REPLACE TABLE p_packed AS
+           |SELECT source, shard, doc_id, tok,
+           |  (sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+           |     ROWS UNBOUNDED PRECEDING) - tok) div $budget AS bin
+           |FROM p_kept""".stripMargin).collect()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_p01_export").toString + "/packed.parquet"
+      engine.sql(s"COPY p_packed TO '$out' " +
+        "(FORMAT parquet, PARTITION_BY (source))").collect()
+
+      // ---- read the EXPORTED shards back; summarize per bin ----
+      engine.sql(
+        s"""SELECT source, shard, bin, count(*) AS n_docs,
+           |  cast(sum(tok) AS bigint) AS bin_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM '$out' GROUP BY source, shard, bin""".stripMargin)
+        .psort(col("source"), col("shard"), col("bin"))
+    } finally engine.close()
+  }
+
+  private val p01Sql = {
+    val toks = "REGEXP_SPLIT_TO_ARRAY(text, ' +')"
+    val stopList = TextOps.stopwords.map(w => s"'$w'")
+      .mkString("[", ",", "]")
+    val meanLen =
+      s"(LIST_SUM(LIST_TRANSFORM($toks, w -> LENGTH(w)))::DOUBLE / LEN($toks)::DOUBLE)"
+    s"""WITH dedup AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text, ROW_NUMBER() OVER (
+       |      PARTITION BY MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(
+       |        REGEXP_REPLACE(LOWER(TRIM(text)), ' +', ' ', 'g'), ' ')), ' '))
+       |      ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |kept AS (
+       |  SELECT doc_id, source, doc_id % 4 AS shard,
+       |    CAST(LEN($toks) AS BIGINT) AS tok
+       |  FROM dedup
+       |  WHERE NOT (LENGTH(text) < 50)
+       |    AND NOT (LEN($toks) < 10)
+       |    AND NOT (LEN(LIST_FILTER($toks,
+       |          w -> LIST_CONTAINS($stopList, w)))::DOUBLE
+       |        / LEN($toks)::DOUBLE < 0.01)
+       |    AND NOT ((LENGTH(text) -
+       |          LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |        / LENGTH(text)::DOUBLE > 0.3)
+       |    AND NOT ($meanLen > 12.0 OR $meanLen < 2.0)),
+       |binned AS (
+       |  SELECT source, shard, doc_id, tok,
+       |    CAST((SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) - tok) // $budget AS BIGINT) AS bin
+       |  FROM kept)
+       |SELECT source, shard, bin, COUNT(*) AS n_docs,
+       | CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+       | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM binned GROUP BY source, shard, bin
+       |ORDER BY source, shard, bin""".stripMargin
+  }
+
+  /** Row shape flowing through p02's streaming dedup state. */
+  final case class PDoc(ch: String, doc_id: Long, source: String,
+                        text: String)
+
+  /** p02: the STREAMING arrival of p01's curation pipeline — dedup-at-
+    * ingest through the real Structured Streaming runtime:
+    *
+    *   MemoryStream of (original ∪ planted canonical twins) ->
+    *   flatMapGroupsWithState keyed on the d09 canonical hash keeping the
+    *   LOWEST doc_id per group (winner by construction, not by arrival
+    *   order — a keep-earliest-crawl policy that is deterministic at any
+    *   scale factor even when organic bag collisions exist) -> the x23
+    *   quality gate as a map-only filter -> a REAL parquet file sink
+    *   (append mode) -> read the sink files back and summarize per
+    *   source.
+    *
+    * Scale: the dedup state is one small row per distinct canonical hash
+    * (exactly the state a 100 TB ingest gate carries, sharded by the
+    * group key); the gate filter is stateless; the file sink is the
+    * production landing path. The oracle replays min-doc_id-per-hash +
+    * gate + summary in batch SQL — streaming runtime result == batch
+    * semantics, pinned by hash. */
+  private val p02: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val twins = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        concat(upper(array_join(reverse(split(col("text"), " ")), "  ")),
+          lit("  ")).as("text"))
+    val rows = d.select(col("doc_id"), col("source"), col("text"))
+      .unionAll(twins)
+      .withColumn("ch", md5(array_join(array_sort(split(
+        regexp_replace(lower(trim(col("text"))), " +", " "), " ")), " ")))
+      .select(col("ch"), col("doc_id"), col("source"), col("text"))
+      .as[PDoc].collect().toSeq
+    val ms = MemoryStream[PDoc]
+    ms.addData(rows)
+    val deduped = ms.toDS()
+      .groupByKey(_.ch)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[PDoc], state: GroupState[PDoc]) => {
+          // keep-lowest-doc_id ingest gate: first sight of a canonical
+          // hash admits the winner; later sightings are duplicates
+          val batchBest = it.minBy(_.doc_id)
+          if (state.exists) Iterator.empty
+          else { state.update(batchBest); Iterator.single(batchBest) }
+        })
+      .toDF()
+    val kept = deduped.filter(expr(
+      s"""NOT (length(text) < 50)
+         |AND NOT (size(split(text, ' +')) < 10)
+         |AND NOT (cast(size(filter(split(text, ' +'),
+         |      w -> array_contains(array($stopArr), w))) AS double)
+         |    / cast(size(split(text, ' +')) AS double) < 0.01)
+         |AND NOT (cast(length(text) -
+         |      length(regexp_replace(text, '[^A-Za-z0-9 ]', '')) AS double)
+         |    / cast(length(text) AS double) > 0.3)
+         |AND NOT (aggregate(transform(split(text, ' +'),
+         |        w -> length(w)), 0L, (a, x) -> a + x) / cast(size(
+         |        split(text, ' +')) AS double) > 12.0
+         |  OR aggregate(transform(split(text, ' +'),
+         |        w -> length(w)), 0L, (a, x) -> a + x) / cast(size(
+         |        split(text, ' +')) AS double) < 2.0)""".stripMargin))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " +")).cast("long").as("tok"))
+    graft.streaming.StreamingOps.snapshotToFiles(kept)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("tok")).as("kept_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .psort(col("source"))
+  }
+
+  private val p02Sql = {
+    val toks = "REGEXP_SPLIT_TO_ARRAY(text, ' +')"
+    val stopList = TextOps.stopwords.map(w => s"'$w'")
+      .mkString("[", ",", "]")
+    val meanLen =
+      s"(LIST_SUM(LIST_TRANSFORM($toks, w -> LENGTH(w)))::DOUBLE / LEN($toks)::DOUBLE)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source,
+       |    UPPER(ARRAY_TO_STRING(LIST_REVERSE(STRING_SPLIT(text, ' ')), '  ')) || '  '
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |dedup AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text, ROW_NUMBER() OVER (
+       |      PARTITION BY MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(
+       |        REGEXP_REPLACE(LOWER(TRIM(text)), ' +', ' ', 'g'), ' ')), ' '))
+       |      ORDER BY doc_id) AS rn
+       |    FROM corpus) WHERE rn = 1),
+       |kept AS (
+       |  SELECT doc_id, source, CAST(LEN($toks) AS BIGINT) AS tok
+       |  FROM dedup
+       |  WHERE NOT (LENGTH(text) < 50)
+       |    AND NOT (LEN($toks) < 10)
+       |    AND NOT (LEN(LIST_FILTER($toks,
+       |          w -> LIST_CONTAINS($stopList, w)))::DOUBLE
+       |        / LEN($toks)::DOUBLE < 0.01)
+       |    AND NOT ((LENGTH(text) -
+       |          LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |        / LENGTH(text)::DOUBLE > 0.3)
+       |    AND NOT ($meanLen > 12.0 OR $meanLen < 2.0))
+       |SELECT source, COUNT(*) AS n_kept,
+       | CAST(SUM(tok) AS BIGINT) AS kept_tokens,
+       | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "p01_pipeline_e2e" -> p01,
+    "p02_pipeline_streaming" -> p02)
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_pipeline_e2e" -> p01Sql,
+    "p02_pipeline_streaming" -> p02Sql)
+}

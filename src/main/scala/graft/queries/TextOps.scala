@@ -40,7 +40,8 @@ object TextOps {
       | LENGTH(text) = n_chars AS n_chars_consistent
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is", "it")
+  private[queries] val stopwords =
+    Seq("the", "a", "of", "to", "in", "and", "is", "it")
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
     * length, and a quality bucket — the standard pre-training heuristics.
