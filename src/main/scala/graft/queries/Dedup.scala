@@ -1565,7 +1565,89 @@ object Dedup {
        |  n_docs_affected
        |FROM pa JOIN da USING (k) ORDER BY k""".stripMargin
 
+  // ---- d24: LSH (b, r) S-curve planner ------------------------------------
+  /** d24: the parameter-selection artifact behind d03's 4x2 band choice —
+    * for every (bands, rows) split of the k=8 signature budget, the
+    * analytic candidate probability P(s) = 1 - (1 - s^r)^b on a
+    * twentieth-grid of jaccard s, overlaid with the OBSERVED pair count
+    * in that jaccard bucket from the SAME persisted df-capped shingle-pair
+    * pass every dedup op shares (no new corpus scan). This is the table a
+    * pipeline reads to pick its operating point: where the S-curve's knee
+    * sits vs where the corpus's actual near-dup mass sits.
+    *
+    * Determinism: the powers are spelled as explicit left-associated
+    * multiplication chains (IEEE *, exactly rounded, bit-identical in
+    * both engines) — never libm pow, whose last ulp is
+    * implementation-defined. Buckets are exact integer arithmetic.
+    *
+    * Scale: the analytic grid is O(configs x 20) driver-side literals;
+    * the observed overlay is one bucket aggregation of the persisted
+    * candidate pairs + a broadcast join. Nothing here touches the corpus
+    * again. */
+  private val d24: Q = (s, dir) => {
+    import s.implicits._
+    // (bands, rows) splits of the k = 8 minhash budget (d03 ships 4x2)
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val grid = (for ((b, r) <- configs; i <- 1 to 20) yield (b, r, i))
+      .toDF("b", "r", "s20")
+    def chain(base: String, n: Int): String =
+      Seq.fill(n)(base).mkString("(", " * ", ")")
+    val sExpr = "cast(s20 as double) / 20.0"
+    // per-config frames so the multiply chains are plan-time strings
+    val analytic = configs.map { case (b, r) =>
+      grid.filter(col("b") === b && col("r") === r)
+        .withColumn("s", expr(sExpr))
+        .withColumn("p_candidate",
+          round(expr(s"1.0 - ${chain(s"(1.0 - ${chain(s"($sExpr)", r)})", b)}"), 6))
+    }.reduce(_ unionAll _)
+    val sizes = docsWithShingles(s, dir).select(col("doc_id"), col("n"))
+    val observed = shinglePairCounts(s, dir)
+      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
+      .select(expr("common * 20L div (z1.n + z2.n - common)").as("s20"))
+      .groupBy(col("s20")).agg(count(lit(1)).as("n_observed_pairs"))
+    analytic.join(broadcast(observed), Seq("s20"), "left")
+      .select(col("b"), col("r"), col("s20"), col("s"), col("p_candidate"),
+        coalesce(col("n_observed_pairs"), lit(0L)).as("n_observed_pairs"))
+      .psort(col("b"), col("r"), col("s20"))
+  }
+
+  private val d24Sql = {
+    def chain(base: String, n: Int): String =
+      Seq.fill(n)(base).mkString("(", " * ", ")")
+    val sExpr = "CAST(s20 AS DOUBLE) / 20.0"
+    val pCases = Seq((1, 8), (2, 4), (4, 2), (8, 1)).map { case (b, r) =>
+      s"WHEN b = $b AND r = $r THEN ROUND(1.0 - " +
+        chain(s"(1.0 - ${chain(s"($sExpr)", r)})", b) + ", 6)"
+    }.mkString(" ")
+    s"""WITH docs AS ($docsShSql),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+       |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, LEN(sh) AS n FROM docs),
+       |observed AS (
+       |  SELECT common * 20 // (z1.n + z2.n - common) AS s20,
+       |    COUNT(*) AS n_observed_pairs
+       |  FROM cand
+       |  JOIN sizes z1 ON d1 = z1.doc_id
+       |  JOIN sizes z2 ON d2 = z2.doc_id
+       |  GROUP BY 1),
+       |grid AS (
+       |  SELECT b, r, s20 FROM (VALUES (1, 8), (2, 4), (4, 2), (8, 1)) c(b, r),
+       |    RANGE(1, 21) t(s20))
+       |SELECT b, r, CAST(s20 AS INTEGER) AS s20, $sExpr AS s,
+       |  CASE $pCases END AS p_candidate,
+       |  COALESCE(o.n_observed_pairs, 0) AS n_observed_pairs
+       |FROM grid LEFT JOIN observed o USING (s20)
+       |ORDER BY b, r, s20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d24_lsh_curve" -> d24,
     "d23_threshold_curve" -> d23,
     "d22_split_assign" -> d22,
     "d21_best_rep" -> d21,
@@ -1591,6 +1673,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d24_lsh_curve" -> d24Sql,
     "d23_threshold_curve" -> d23Sql,
     "d22_split_assign" -> d22Sql,
     "d21_best_rep" -> d21Sql,

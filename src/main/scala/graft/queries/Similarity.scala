@@ -1976,7 +1976,68 @@ object Similarity {
        |FROM corpus LEFT JOIN bagg ON corpus.cell = bagg.cell
        |ORDER BY corpus.cell""".stripMargin
 
+  // ---- s27: streaming ANN serving (stream-static join) --------------------
+  private val s27Counter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** s27: the ONLINE serving path of the trained IVF index — query vectors
+    * arrive as a STREAM and probe the persisted assignment through a
+    * stream-STATIC equi-join (the Structured Streaming topology the other
+    * streaming gates don't cover: static side = the build-once index,
+    * stream side = live traffic). Per micro-batch: centroid probe ranking
+    * is the same broadcast-literal argmin expression the batch path uses
+    * (map-only on the stream), candidates come from the cell equi-join
+    * against the static assignment, exact cosine scores in-stream; the
+    * final top-3 cut runs batch-side on the drained snapshot (streaming
+    * append mode cannot rank). Results must equal s04's batch search
+    * bit-for-bit — one code path's answer serves both latencies.
+    *
+    * Scale: the static side stays partitioned by cell; each micro-batch
+    * joins only its probed cells' postings — per-batch cost is
+    * O(batch x nprobe x cell size), corpus never rescanned. */
+  private val s27: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val qRows = e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    // two waves -> the stream-static join runs across micro-batches
+    val (w1, w2) = qRows.splitAt(qRows.length / 2)
+    ms.addData(w1)
+    ms.addData(w2)
+    val qs = ms.toDF().toDF("qid", "qe")
+    val probed = graft.operators.IvfIndex
+      .probeRanked(qs, "qid", "qe", centroids, maxProbe = 3)
+      .select(col("qid"), col("qe"), col("cell"))
+    val scored = probed
+      .join(assigned.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr("graft_cosine(qe, ce)").as("cos"))
+    val sink = "s27_sink_" + s27Counter.incrementAndGet()
+    val snap = graft.streaming.StreamingOps
+      .snapshotToTable(scored, sink, "append", statePartitions = 4)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(snap.collect(): _*)),
+      snap.schema)
+    s.catalog.dropTempView(sink)
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"),
+        round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  /** Oracle: identical to s04's — the streaming serve path must reproduce
+    * the batch search exactly. */
+  private val s27Sql: String = s04Sql
+
   val queries: Map[String, Q] = Map(
+    "s27_streaming_ann" -> s27,
     "s26_centroid_drift" -> s26,
     "s25_ingest_gate" -> s25,
     "s24_label_prop" -> s24,
@@ -2005,6 +2066,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s27_streaming_ann" -> s27Sql,
     "s26_centroid_drift" -> s26Sql,
     "s25_ingest_gate" -> s25Sql,
     "s24_label_prop" -> s24Sql,
