@@ -335,8 +335,12 @@ class Engine(val spark: SparkSession,
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?VIEW\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.+?)\\s*;?\\s*$").r
   private val insertStmt =
-    ("(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+    ("(?is)^\\s*INSERT\\s+(?:OR\\s+(REPLACE|IGNORE)\\s+)?INTO\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*" +
       "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
+  private val conflictClause =
+    ("(?is)^ON\\s+CONFLICT\\s*\\(([A-Za-z0-9_,\\s]*)\\)\\s*" +
+      "(?:DO\\s+(NOTHING)|DO\\s+(UPDATE\\s+SET\\s+.+?))?\\s*$").r
   private val dropRelStmt =
     "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
   // SET/WHERE are split by the quote-aware top-level scanner, not the
@@ -675,14 +679,73 @@ class Engine(val spark: SparkSession,
       insertInto(name, Nil, s"SELECT * FROM '$path'")
     case createViewStmt(orReplace, ifNotExists, name, body) =>
       createView(name, body, orReplace != null, ifNotExists != null)
-    case insertStmt(name, colList, kw, rest) =>
-      insertInto(name, Option(colList).map(_.split(",").map(_.trim)
-        .filter(_.nonEmpty).toSeq).getOrElse(Nil), kw + rest)
+    case insertStmt(orKw, name, colList, kw, rest) =>
+      val cols = Option(colList).map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val body = kw + rest
+      // locate a TOP-LEVEL `ON CONFLICT` (quote/paren-aware; an `ON`
+      // inside a quoted literal or a subquery join never splits)
+      var conflictAt = -1
+      var from = 0
+      var scanning = true
+      while (scanning) {
+        findTopLevelKeyword(body, from, Seq("ON")) match {
+          case Some((i, _))
+              if "(?is)^ON\\s+CONFLICT\\b".r
+                .findFirstIn(body.substring(i)).isDefined =>
+            conflictAt = i; scanning = false
+          case Some((i, _)) => from = i + 2
+          case None => scanning = false
+        }
+      }
+      (conflictAt, Option(orKw).map(_.toUpperCase)) match {
+        case (-1, None) => insertInto(name, cols, body)
+        case (-1, Some(k)) => throw new IllegalArgumentException(
+          s"INSERT OR $k INTO $name: the engine has no primary-key " +
+            "metadata, so the conflict target is mandatory — append " +
+            "ON CONFLICT (key columns)")
+        case (at, orK) =>
+          val insertBody = body.substring(0, at).trim
+          body.substring(at) match {
+            case conflictClause(keys, doNothing, doUpdate) =>
+              val keyCols = keys.split(",").map(_.trim)
+                .filter(_.nonEmpty).toSeq
+              require(keyCols.nonEmpty,
+                s"INSERT INTO $name ON CONFLICT: empty conflict target")
+              val action =
+                if (doUpdate != null) doUpdate
+                else if (doNothing != null) "NOTHING"
+                else orK match {
+                  case Some("IGNORE") => "NOTHING"
+                  case Some("REPLACE") => "REPLACE"
+                  case _ => throw new IllegalArgumentException(
+                    s"INSERT INTO $name ON CONFLICT: missing DO NOTHING " +
+                      "or DO UPDATE SET (or use INSERT OR REPLACE/IGNORE)")
+                }
+              insertOnConflict(name, cols, insertBody, keyCols, action)
+            case other => throw new IllegalArgumentException(
+              s"INSERT INTO $name: malformed ON CONFLICT clause '$other'")
+          }
+      }
     case dropRelStmt(kind, ifExists, name) =>
       dropRelation(kind.toUpperCase, name, ifExists != null)
     case updateStmt(name, setsAndWhere) =>
-      val (sets, where) = splitAtTopLevelWhere(setsAndWhere)
-      updateTable(name, sets, where)
+      // `SET ... FROM rel [WHERE ...]` (joined update) vs plain
+      // `SET ... [WHERE ...]`: a top-level FROM before any top-level
+      // WHERE selects the joined form (quote/paren-aware, so a FROM
+      // inside a SET subquery or literal never triggers it)
+      val fromAt = findTopLevelKeyword(setsAndWhere, 0, Seq("FROM"))
+      val whereAt = findTopLevelKeyword(setsAndWhere, 0, Seq("WHERE"))
+      (fromAt, whereAt) match {
+        case (Some((fi, _)), w) if w.forall(_._1 > fi) =>
+          val sets = setsAndWhere.substring(0, fi).trim
+          val (rel, where) =
+            splitAtTopLevelWhere(setsAndWhere.substring(fi + 4))
+          updateFromTable(name, sets, rel, where)
+        case _ =>
+          val (sets, where) = splitAtTopLevelWhere(setsAndWhere)
+          updateTable(name, sets, where)
+      }
     case deleteStmt(name, rest) =>
       val tail = rest.trim
       val where =
@@ -783,9 +846,17 @@ class Engine(val spark: SparkSession,
       throw new IllegalArgumentException(
         s"'$name' is not an engine-created table (CREATE TABLE $name AS " +
           "...; ingested topic tables are append-only via sync())"))
-    val add = sql(body)
+    val aligned = alignInsert(name, target, cols, sql(body))
+    appendAligned(name, target, aligned)
+  }
+
+  /** Align an INSERT source to the target schema: positional when no
+    * column list is given, by-name with NULL fill otherwise; every column
+    * cast to the target's declared type. */
+  private def alignInsert(name: String, target: DataFrame,
+      cols: Seq[String], add: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val aligned = if (cols.isEmpty) {
+    if (cols.isEmpty) {
       require(add.schema.length == target.schema.length,
         s"INSERT INTO $name: ${add.schema.length} column(s) vs table's " +
           s"${target.schema.length}")
@@ -808,6 +879,10 @@ class Engine(val spark: SparkSession,
           .getOrElse(lit(null).cast(f.dataType).as(f.name))
       }.toSeq: _*)
     }
+  }
+
+  private def appendAligned(name: String, target: DataFrame,
+      aligned: DataFrame): DataFrame = {
     val n = aligned.count()
     val merged = target.unionByName(aligned).localCheckpoint(true)
     target.unpersist()
@@ -842,13 +917,11 @@ class Engine(val spark: SparkSession,
     * localCheckpoint lifecycle as CTAS/INSERT). At 100 TB this is exactly
     * a copy-on-write table-format update: rewrite with a predicate-guarded
     * projection, swap the snapshot pointer. */
-  private def updateTable(name: String, setsRaw: String,
-      whereOpt: Option[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit, when}
-    val target = mutableTarget(name, "UPDATE")
-    val sets = splitExecArgs(setsRaw).map { a =>
-      // first top-level '=' splits column from expression ('==' never
-      // starts a SET assignment's rhs boundary in DuckDB's grammar)
+  /** Parse `c = expr, ...` SET assignments (quote/paren-aware; the first
+    * top-level '=' splits column from expression — '==' never starts a SET
+    * assignment's rhs boundary in DuckDB's grammar). */
+  private def parseAssignments(ctx: String, setsRaw: String): Seq[(String, String)] =
+    splitExecArgs(setsRaw).map { a =>
       var i = 0; var depth = 0; var quote: Char = 0; var at = -1
       while (i < a.length && at < 0) {
         val c = a.charAt(i)
@@ -862,10 +935,16 @@ class Engine(val spark: SparkSession,
         }
         i += 1
       }
-      require(at > 0, s"UPDATE $name: malformed SET assignment '$a'")
+      require(at > 0, s"$ctx: malformed SET assignment '$a'")
       (a.substring(0, at).trim.stripPrefix("`").stripSuffix("`"),
         a.substring(at + 1).trim)
     }
+
+  private def updateTable(name: String, setsRaw: String,
+      whereOpt: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val target = mutableTarget(name, "UPDATE")
+    val sets = parseAssignments(s"UPDATE $name", setsRaw)
     // SET targets resolve case-insensitively (DuckDB identifier
     // semantics, matching the rest of the dialect); the rebuilt
     // projection uses the schema's canonical spelling.
@@ -891,6 +970,145 @@ class Engine(val spark: SparkSession,
     updated.createOrReplaceTempView(name)
     import spark.implicits._
     Seq(n).toDF("updated_rows")
+  }
+
+  /** DuckDB's `UPDATE t SET ... FROM src [AS alias] [WHERE cond]` — the
+    * joined update: target rows matching a source row under `cond` take
+    * the SET expressions (which may reference the source's columns,
+    * qualified by its alias); unmatched rows pass through unchanged. When
+    * several source rows match one target row, one arbitrary match wins —
+    * the same unspecified-choice semantics DuckDB/Postgres document; a
+    * spec needing determinism must make matches unique. The 100 TB shape
+    * is a copy-on-write join-update: one equi/theta join, a per-target-row
+    * winner cut, the projection swap — no driver-side data. */
+  private def updateFromTable(name: String, setsRaw: String, fromRel: String,
+      whereOpt: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, desc_nulls_last, expr, lit, monotonically_increasing_id, row_number, when}
+    import org.apache.spark.sql.expressions.Window
+    val target = mutableTarget(name, "UPDATE")
+    val sets = parseAssignments(s"UPDATE $name", setsRaw)
+    val canonical: Map[String, String] =
+      target.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+    sets.find(s => !canonical.contains(s._1.toLowerCase)).foreach { s =>
+      throw new IllegalArgumentException(
+        s"UPDATE $name: no column '${s._1}' in target " +
+          s"(${target.schema.fieldNames.mkString(", ")})")
+    }
+    val setMap = sets.map { case (c, e) => canonical(c.toLowerCase) -> e }
+      .toMap
+    // source relation through the dialect (file refs, views, topics);
+    // trailing bare identifier = its alias, else the relation name itself
+    val rel = fromRel.trim
+    val aliasRe = "(?is)^(.+?)\\s+(?:AS\\s+)?([A-Za-z_]\\w*)$".r
+    val (srcRef, srcAlias) = rel match {
+      case aliasRe(base, a) => (base.trim, a)
+      case _ => (rel, rel.replaceAll("^`|`$", ""))
+    }
+    val src = spark.sql(rewriteSugar(s"SELECT * FROM $srcRef"))
+      .withColumn("__graft_m", lit(1)).alias(srcAlias)
+    val t = target.withColumn("__graft_tid", monotonically_increasing_id())
+      .alias(name)
+    val cond = whereOpt.map(expr).getOrElse(lit(true))
+    val w = Window.partitionBy(col("__graft_tid"))
+      .orderBy(desc_nulls_last("__graft_m"))
+    val picked = t.join(src, cond, "left")
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+    val n = picked.filter(col("__graft_m").isNotNull).count()
+    val updated = picked.select(target.schema.fields.map { f =>
+      val old = col(s"$name.`${f.name}`")
+      setMap.get(f.name)
+        .map(e => when(col("__graft_m").isNotNull,
+            expr(e).cast(f.dataType)).otherwise(old).as(f.name))
+        .getOrElse(old.as(f.name))
+    }.toSeq: _*).localCheckpoint(true)
+    target.unpersist()
+    createdTables.put(name, updated)
+    updated.createOrReplaceTempView(name)
+    import spark.implicits._
+    Seq(n).toDF("updated_rows")
+  }
+
+  /** DuckDB's `INSERT INTO t ... ON CONFLICT (keys) DO NOTHING | DO UPDATE
+    * SET c = expr` (plus the `INSERT OR REPLACE/IGNORE` sugar): upsert
+    * against the engine snapshot keyed on the named conflict columns (the
+    * engine has no PK metadata, so the conflict target is mandatory —
+    * init-time error otherwise). Source rows whose key already exists
+    * either stay out (NOTHING) or drive the SET expressions, which may
+    * reference the incoming row as `excluded.<col>` (the
+    * DuckDB/Postgres spelling). Duplicate keys WITHIN the insert batch
+    * fail loudly, matching both reference engines. NULL key components
+    * never conflict (SQL equality). At 100 TB this is the standard
+    * copy-on-write MERGE shape: one equi-join on the key, projection
+    * swap, anti-join append. */
+  private def insertOnConflict(name: String, cols: Seq[String], body: String,
+      keyColsRaw: Seq[String], action: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, when}
+    val target = mutableTarget(name, "INSERT ON CONFLICT")
+    val aligned = alignInsert(name, target, cols, sql(body))
+    val canonical: Map[String, String] =
+      target.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+    val keyCols = keyColsRaw.map { k =>
+      canonical.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+        s"INSERT INTO $name ON CONFLICT: no column '$k' in target " +
+          s"(${target.schema.fieldNames.mkString(", ")})"))
+    }
+    val dupInBatch = aligned.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    require(dupInBatch == 0,
+      s"INSERT INTO $name ON CONFLICT: $dupInBatch duplicate conflict " +
+        "key(s) within the insert batch (DuckDB and Postgres reject this)")
+    val fresh = aligned.join(target.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    val actionU = action.trim match {
+      // INSERT OR REPLACE sugar: every non-key column takes the incoming
+      // row's value
+      case r if r.equalsIgnoreCase("REPLACE") =>
+        val nonKey = target.schema.fieldNames.filterNot(keyCols.contains)
+        require(nonKey.nonEmpty, s"INSERT OR REPLACE INTO $name: every " +
+          "column is part of the conflict key; use INSERT OR IGNORE")
+        "UPDATE SET " + nonKey.map(f => s"$f = excluded.$f").mkString(", ")
+      case r => r
+    }
+    val snapshot =
+      if (actionU.equalsIgnoreCase("NOTHING")) target.unionByName(fresh)
+      else {
+        val setsRaw = actionU.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")
+        val sets = parseAssignments(s"INSERT INTO $name ON CONFLICT", setsRaw)
+        sets.find(s => !canonical.contains(s._1.toLowerCase)).foreach { s =>
+          throw new IllegalArgumentException(
+            s"INSERT INTO $name ON CONFLICT: no column '${s._1}' in target")
+        }
+        val setMap = sets.map { case (c, e) => canonical(c.toLowerCase) -> e }
+          .toMap
+        val ex = aligned
+          .select(target.schema.fieldNames.map(f =>
+            col(s"`$f`").as(s"__ex_$f")).toSeq: _*)
+          .withColumn("__graft_m", lit(1))
+        val joinCond = keyCols.map(k =>
+          col(s"`$k`") === col(s"`__ex_$k`")).reduce(_ && _)
+        // `excluded.<col>` in SET rhs resolves to the incoming row; the
+        // target keeps its table name as alias so `t.<col>` resolves too
+        val exRewrite = (e: String) =>
+          e.replaceAll("(?i)\\bexcluded\\s*\\.\\s*([A-Za-z_]\\w*)", "__ex_$1")
+        target.alias(name).join(ex, joinCond, "left")
+          .select(target.schema.fields.map { f =>
+            val old = col(s"`${f.name}`")
+            setMap.get(f.name)
+              .map(e => when(col("__graft_m").isNotNull,
+                  expr(exRewrite(e)).cast(f.dataType)).otherwise(old)
+                .as(f.name))
+              .getOrElse(old.as(f.name))
+          }.toSeq: _*)
+          .unionByName(fresh)
+      }
+    val nFresh = fresh.count()
+    val snap = snapshot.localCheckpoint(true)
+    target.unpersist()
+    createdTables.put(name, snap)
+    snap.createOrReplaceTempView(name)
+    import spark.implicits._
+    Seq(nFresh).toDF("inserted_rows")
   }
 
   /** DuckDB's `DELETE FROM t [WHERE cond]`: the snapshot is replaced by

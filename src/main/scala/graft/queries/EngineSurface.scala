@@ -12,7 +12,7 @@ import graft.{Engine, Tables}
 import graft.serde.WireFormat
 import graft.sources.KafkaRecords
 import graft.sources.KafkaRecords.SyntheticRecord
-import QueryHelpers.Q
+import QueryHelpers.{PresentationSort, Q}
 
 /** Oracle-gated queries that exercise the ENGINE surface itself (ingest,
   * COPY sink, union accessors) rather than the delegated relational layer —
@@ -362,7 +362,76 @@ object EngineSurface {
       |             ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** q110: `UPDATE ... SET ... FROM ... WHERE` (the joined update, round
+    * 7): per-nation supplier counts join INTO a nation summary table —
+    * matches take the joined expression, unmatched rows pass through.
+    * Matches are unique by construction (source aggregated on the join
+    * key), so the winner choice is moot and the gate is deterministic.
+    * The oracle replays the join-update as a LEFT JOIN projection. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql(s"CREATE OR REPLACE TABLE upd_nation AS " +
+        s"SELECT n_nationkey, n_name, 0L AS n_suppliers " +
+        s"FROM '$dir/nation.parquet'")
+      engine.sql(s"CREATE OR REPLACE TABLE upd_counts AS " +
+        s"SELECT s_nationkey, count(*) AS c FROM '$dir/supplier.parquet' " +
+        s"WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey")
+      engine.sql("UPDATE upd_nation SET n_suppliers = c.c FROM upd_counts c " +
+        "WHERE upd_nation.n_nationkey = c.s_nationkey")
+      engine.sql("SELECT n_nationkey, n_name, n_suppliers FROM upd_nation")
+        .psort(col("n_nationkey"))
+    } finally engine.close()
+  }
+
+  private val q110Sql =
+    """SELECT n_nationkey, n_name,
+      |  COALESCE(c.c, 0) AS n_suppliers
+      |FROM nation LEFT JOIN (
+      |  SELECT s_nationkey, count(*) AS c FROM supplier
+      |  WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey) c
+      |ON n_nationkey = c.s_nationkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** q111: `INSERT ... ON CONFLICT (key) DO UPDATE SET ... excluded...`
+    * (round 7): a delta batch upserts into a customer balance table —
+    * conflicting keys accumulate the incoming balance, fresh keys land as
+    * new rows. The oracle replays the upsert as FULL-join arithmetic. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql(s"CREATE OR REPLACE TABLE ups_cust AS " +
+        s"SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) " +
+        s"AS bal FROM '$dir/customer.parquet' WHERE c_custkey <= 400")
+      engine.sql(s"INSERT INTO ups_cust " +
+        s"SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) " +
+        s"FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey BETWEEN 301 AND 500 " +
+        s"ON CONFLICT (c_custkey) DO UPDATE SET " +
+        s"bal = ups_cust.bal + excluded.bal")
+      engine.sql("SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS bal " +
+        "FROM ups_cust").psort(col("c_custkey"))
+    } finally engine.close()
+  }
+
+  private val q111Sql =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer WHERE c_custkey <= 400),
+      |delta AS (
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer WHERE c_custkey BETWEEN 301 AND 500)
+      |SELECT c_custkey,
+      |  COALESCE(b.c_name, d.c_name) AS c_name,
+      |  CAST(CASE WHEN b.c_custkey IS NOT NULL AND d.c_custkey IS NOT NULL
+      |    THEN b.bal + d.bal
+      |    ELSE COALESCE(b.bal, d.bal) END AS DOUBLE) AS bal
+      |FROM base b FULL JOIN delta d USING (c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q110_update_from" -> (q110 _),
+    "q111_upsert" -> (q111 _),
     "q107_named_window" -> (q107 _),
     "q86_copy_csv" -> (q86 _),
     "q87_copy_json" -> (q87 _),
@@ -377,6 +446,8 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q110_update_from" -> q110Sql,
+    "q111_upsert" -> q111Sql,
     "q107_named_window" -> q107Sql,
     "q86_copy_csv" -> q86Sql,
     "q87_copy_json" -> q87Sql,

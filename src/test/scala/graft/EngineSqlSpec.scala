@@ -707,6 +707,78 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("UPDATE ... FROM joins the source relation into the SET expressions") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("uf_src")
+    Seq((1L, 5.0), (3L, 7.0), (9L, 99.0)).toDF("k", "delta")
+      .createOrReplaceTempView("uf_delta")
+    engine.sql("CREATE TABLE uf_t AS SELECT k, v, tag FROM uf_src")
+    engine.sql("CREATE TABLE uf_d AS SELECT k, delta FROM uf_delta")
+    // matched rows take the joined expression; unmatched pass through
+    engine.sql("UPDATE uf_t SET v = uf_t.v + d.delta FROM uf_d d " +
+      "WHERE uf_t.k = d.k").collect()(0).getLong(0) shouldBe 2L
+    engine.sql("SELECT v FROM uf_t ORDER BY k").collect()
+      .map(_.getDouble(0)).toSeq shouldBe Seq(15.0, 20.0, 37.0)
+    // a WHERE with extra predicates narrows the join
+    engine.sql("UPDATE uf_t SET tag = 'hit' FROM uf_d d " +
+      "WHERE uf_t.k = d.k AND d.delta > 6").collect()(0)
+      .getLong(0) shouldBe 1L
+    engine.sql("SELECT tag FROM uf_t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("a", "b", "hit")
+    // a quoted ' FROM ' inside a SET literal stays a plain UPDATE
+    engine.sql("UPDATE uf_t SET tag = ' FROM d' WHERE k = 1").collect()(0)
+      .getLong(0) shouldBe 1L
+    engine.sql("SELECT tag FROM uf_t WHERE k = 1").collect()(0)
+      .getString(0) shouldBe " FROM d"
+    engine.sql("DROP TABLE uf_t"); engine.sql("DROP TABLE uf_d")
+    engine.close()
+  }
+
+  test("INSERT ... ON CONFLICT upserts: DO NOTHING, DO UPDATE with " +
+      "excluded refs, OR REPLACE / OR IGNORE sugar") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("oc_src")
+    engine.sql("CREATE TABLE oc_t AS SELECT k, name, v FROM oc_src")
+    // DO NOTHING: existing key 2 stays, new key 3 lands
+    engine.sql("INSERT INTO oc_t VALUES (2, 'B', 99.0), (3, 'c', 30.0) " +
+      "ON CONFLICT (k) DO NOTHING").collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT name, v FROM oc_t WHERE k = 2").collect()(0)
+      .toSeq shouldBe Seq("b", 20.0)
+    // DO UPDATE with excluded.<col> in the SET expressions
+    engine.sql("INSERT INTO oc_t VALUES (2, 'B2', 200.0), (4, 'd', 40.0) " +
+      "ON CONFLICT (k) DO UPDATE SET v = oc_t.v + excluded.v")
+      .collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT name, v FROM oc_t WHERE k = 2").collect()(0)
+      .toSeq shouldBe Seq("b", 220.0)
+    // OR REPLACE: every non-key column takes the incoming value
+    engine.sql("INSERT OR REPLACE INTO oc_t VALUES (3, 'C!', 33.0) " +
+      "ON CONFLICT (k)").collect()(0).getLong(0) shouldBe 0L
+    engine.sql("SELECT name, v FROM oc_t WHERE k = 3").collect()(0)
+      .toSeq shouldBe Seq("C!", 33.0)
+    // OR IGNORE sugar == DO NOTHING
+    engine.sql("INSERT OR IGNORE INTO oc_t VALUES (3, 'zzz', 0.0) " +
+      "ON CONFLICT (k)").collect()(0).getLong(0) shouldBe 0L
+    engine.sql("SELECT name FROM oc_t WHERE k = 3").collect()(0)
+      .getString(0) shouldBe "C!"
+    engine.sql("SELECT count(*) AS n FROM oc_t").collect()(0)
+      .getLong(0) shouldBe 4L
+    // duplicate conflict keys within one batch fail loudly
+    an[Exception] should be thrownBy engine.sql(
+      "INSERT INTO oc_t VALUES (7, 'x', 1.0), (7, 'y', 2.0) " +
+        "ON CONFLICT (k) DO NOTHING")
+    // OR REPLACE without a conflict target names the missing PK metadata
+    val ex = intercept[IllegalArgumentException] {
+      engine.sql("INSERT OR REPLACE INTO oc_t VALUES (5, 'e', 50.0)")
+    }
+    ex.getMessage should include("conflict target is mandatory")
+    engine.sql("DROP TABLE oc_t")
+    engine.close()
+  }
+
   test("CREATE VIEW is late-bound plan; DROP VIEW removes it; topic names guarded") {
     import spark.implicits._
     val engine = new Engine(spark)
