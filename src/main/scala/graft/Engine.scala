@@ -1728,6 +1728,12 @@ class Engine(val spark: SparkSession,
           q.substring(0, i + 5) + rewriteUsingSample(q.substring(i + 5))
         else specRe.findFirstMatchIn(rest) match {
           case Some(m) =>
+            // the spec regex eats trailing whitespace; keep a separator so
+            // "TABLESAMPLE (...)JOIN" never fuses tokens
+            val remainder = rest.substring(m.end)
+            val sep =
+              if (remainder.nonEmpty && !remainder.head.isWhitespace) " "
+              else ""
             val n = Option(m.group(1)).getOrElse(m.group(2))
             val unit = Option(m.group(3)).map(_.toUpperCase) match {
               case _ if m.group(1) != null => "ROWS" // reservoir(N ROWS)
@@ -1758,10 +1764,10 @@ class Engine(val spark: SparkSession,
               }
               q.substring(0, start) +
                 s" (SELECT * FROM $item ORDER BY rand($seed) LIMIT $n) $alias" +
-                rewriteUsingSample(rest.substring(m.end))
+                sep + rewriteUsingSample(remainder)
             } else
               q.substring(0, i) + s"TABLESAMPLE ($n $unit)$rep" +
-                rewriteUsingSample(rest.substring(m.end))
+                sep + rewriteUsingSample(remainder)
           case None => throw new IllegalArgumentException(
             "unsupported USING SAMPLE spec (supported: N%, N PERCENT, " +
               "N ROWS, N, with optional (bernoulli)/(system) and " +
