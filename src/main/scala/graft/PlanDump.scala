@@ -90,7 +90,13 @@ object PlanDump {
     "m16_video_keyframe" -> "container decode + pairwise SAD + argmax fused in ONE typed map-only stage per clip; only the presentation sort shuffles",
     "q109_string_agg" -> "ordered listagg/string_agg: one hash aggregation; the in-aggregate ORDER BY is what makes the concatenation deterministic under parallelism",
     "d23_threshold_curve" -> "6-threshold expansion of the bounded persisted pair list; exact integer buckets; two O(thresholds) aggregations",
-    "s26_centroid_drift" -> "corpus and batch distance passes are map-only against the broadcast centroid literal; O(k)-row aggregations; batch never touches the corpus")
+    "s26_centroid_drift" -> "corpus and batch distance passes are map-only against the broadcast centroid literal; O(k)-row aggregations; batch never touches the corpus",
+    "d24_lsh_curve" -> "analytic S-curve grid is O(configs x 20) literals; observed overlay is one bucket aggregation of the persisted candidate pairs + a broadcast join — the corpus is never rescanned",
+    "s27_streaming_ann" -> "(streaming runtime — stream-STATIC cell equi-join against the persisted IVF assignment; probe ranking is the broadcast centroid argmin on the stream side; top-k cut runs batch-side on the snapshot)",
+    "p01_pipeline_e2e" -> "(composed engine.sql chain — ingest decode mapPartitions, one canonical-hash shuffle, map-only gate, per-(source,shard) packing windows, hive-partitioned COPY; final plan shown is the read-back summary)",
+    "p02_pipeline_streaming" -> "(streaming runtime — flatMapGroupsWithState dedup state keyed on canonical hash, stateless gate filter, parquet append sink; final plan is the per-source summary over the landed files)",
+    "q110_update_from" -> "joined UPDATE: one LEFT join target-vs-source, per-target-row winner cut, projection swap — the copy-on-write join-update shape",
+    "q111_upsert" -> "ON CONFLICT upsert: equi-join on the conflict key for DO UPDATE, anti-join append for fresh rows; exact DECIMAL arithmetic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
