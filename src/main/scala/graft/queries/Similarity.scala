@@ -2036,7 +2036,45 @@ object Similarity {
     * the batch search exactly. */
   private val s27Sql: String = s04Sql
 
+  // ---- s28: index persistence (save -> load -> serve) ---------------------
+  /** s28: the DURABILITY leg of the build-once/serve-many lifecycle — the
+    * trained IVF index (centroid table + cell assignment) is EXPORTED to
+    * parquet, loaded back through a fresh scan lineage (no reference to
+    * the in-memory model), and served: results must equal s04's search on
+    * the live index bit-for-bit (doubles round-trip parquet exactly).
+    * This is what lets a 100 TB deployment train the quantizer in one job
+    * and serve it from object storage in every later job — the index
+    * outlives the session, not just the TrieMap memo.
+    *
+    * Scale: the export is O(corpus) parquet (distributed write) + O(k)
+    * centroids; the serve path is the same cell equi-join as s04 reading
+    * from the persisted files, centroids collected O(k) driver-side. */
+  private val s28: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_export_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    centroids.toSeq.map(c => (c.cell, c.vec.toSeq)).toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$base/centroids.parquet")
+    assigned.select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").parquet(s"$base/assigned.parquet")
+    val loadedCents = s.read.parquet(s"$base/centroids.parquet")
+      .collect().map(r => graft.operators.IvfIndex.Centroid(
+        r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_.cell)
+    val loadedAssign = s.read.parquet(s"$base/assigned.parquet")
+    graft.operators.IvfIndex.search(loadedAssign,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        loadedCents, nprobe = 3, topk = 3)
+      .psort(col("qid"), col("rank"))
+  }
+
+  /** Oracle: identical to s04's — persistence must be lossless. */
+  private val s28Sql: String = s04Sql
+
   val queries: Map[String, Q] = Map(
+    "s28_index_persist" -> s28,
     "s27_streaming_ann" -> s27,
     "s26_centroid_drift" -> s26,
     "s25_ingest_gate" -> s25,
@@ -2066,6 +2104,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s28_index_persist" -> s28Sql,
     "s27_streaming_ann" -> s27Sql,
     "s26_centroid_drift" -> s26Sql,
     "s25_ingest_gate" -> s25Sql,

@@ -2553,7 +2553,62 @@ object TextOps {
       |  FROM documents)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---- x44: intra-document self-repetition removal ------------------------
+  /** x44: WITHIN-document repeated-passage removal (the RefinedWeb-style
+    * self-repetition cleanup — distinct from d08's cross-doc passage dedup
+    * and x30's cross-doc boilerplate): each doc chunks into consecutive
+    * 10-word windows (d08's convention) and duplicate chunks AFTER the
+    * first occurrence are counted for removal. The corpus has no organic
+    * intra-doc chunk repeats, so repeats are PLANTED on both sides (every
+    * doc_id % 7 == 0 doc gets its own first 20 words prepended — two
+    * chunks that duplicate by construction, alignment guaranteed because
+    * the prefix length is a chunk multiple).
+    *
+    * Scale: intra-doc dedup is embarrassingly parallel — chunking and the
+    * first-occurrence count (size minus array_distinct size) are PURE
+    * map-side expressions; the ONLY shuffle in the whole query is the
+    * presentation sort. The 100 TB cost is one codegen'd scan. */
+  private val x44: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val ws2 = expr(
+      """CASE WHEN doc_id % 7 = 0
+        | THEN concat(slice(split(text, ' '), 1, 20), split(text, ' '))
+        | ELSE split(text, ' ') END""".stripMargin)
+    val chunks = expr(
+      """CASE WHEN size(ws2) >= 10
+        | THEN transform(sequence(1, size(ws2) div 10),
+        |   i -> array_join(slice(ws2, (i - 1) * 10 + 1, 10), ' '))
+        | ELSE CAST(array() AS array<string>) END""".stripMargin)
+    d.select(col("doc_id"), ws2.as("ws2"))
+      .select(col("doc_id"), chunks.as("chunks"))
+      .select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"),
+        (size(col("chunks")) - size(array_distinct(col("chunks"))))
+          .cast("long").as("n_dup_chunks"))
+      .filter(col("n_dup_chunks") > 0)
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks") * 10L).as("dup_tokens"))
+      .psort(col("doc_id"))
+  }
+
+  private val x44Sql =
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+      |p AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN LIST_CONCAT(ws[1:20], ws) ELSE ws END
+      |    AS ws2 FROM t),
+      |c AS (SELECT doc_id,
+      |  CASE WHEN LEN(ws2) >= 10
+      |    THEN [ARRAY_TO_STRING(ws2[(i - 1) * 10 + 1:(i - 1) * 10 + 10], ' ')
+      |          FOR i IN RANGE(1, LEN(ws2) // 10 + 1)]
+      |    ELSE [] END AS chunks FROM p)
+      |SELECT doc_id, LEN(chunks) AS n_chunks,
+      |  LEN(chunks) - LEN(LIST_DISTINCT(chunks)) AS n_dup_chunks,
+      |  CAST((LEN(chunks) - LEN(LIST_DISTINCT(chunks))) * 10 AS BIGINT)
+      |    AS dup_tokens
+      |FROM c WHERE LEN(chunks) > LEN(LIST_DISTINCT(chunks))
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x44_selfrep_dedup" -> x44,
     "x43_epoch_shuffle" -> x43,
     "x42_source_similarity" -> x42,
     "x41_epoch_alloc" -> x41,
@@ -2599,6 +2654,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x44_selfrep_dedup" -> x44Sql,
     "x43_epoch_shuffle" -> x43Sql,
     "x42_source_similarity" -> x42Sql,
     "x41_epoch_alloc" -> x41Sql,

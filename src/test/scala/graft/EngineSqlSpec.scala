@@ -766,9 +766,18 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       .getString(0) shouldBe "C!"
     engine.sql("SELECT count(*) AS n FROM oc_t").collect()(0)
       .getLong(0) shouldBe 4L
+    // a JOIN ... ON inside the INSERT body is NOT a conflict clause, and
+    // a quoted 'ON CONFLICT' literal never splits the body
+    Seq((7L, 7L)).toDF("x", "y").createOrReplaceTempView("oc_j")
+    engine.sql("INSERT INTO oc_t SELECT a.x, 'j', 70.0 FROM oc_j a " +
+      "JOIN oc_j b ON a.x = b.y").collect()(0).getLong(0) shouldBe 1L
+    engine.sql("INSERT INTO oc_t SELECT 8, 'ON CONFLICT (k)', 80.0 " +
+      "ON CONFLICT (k) DO NOTHING").collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT name FROM oc_t WHERE k = 8").collect()(0)
+      .getString(0) shouldBe "ON CONFLICT (k)"
     // duplicate conflict keys within one batch fail loudly
     an[Exception] should be thrownBy engine.sql(
-      "INSERT INTO oc_t VALUES (7, 'x', 1.0), (7, 'y', 2.0) " +
+      "INSERT INTO oc_t VALUES (9, 'x', 1.0), (9, 'y', 2.0) " +
         "ON CONFLICT (k) DO NOTHING")
     // OR REPLACE without a conflict target names the missing PK metadata
     val ex = intercept[IllegalArgumentException] {
