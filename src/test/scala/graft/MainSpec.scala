@@ -89,6 +89,23 @@ class MainSpec extends AnyFunSuite with Matchers {
       Array(7, 8, 9)
   }
 
+  test("-a epo: reference configs naming the leader-epoch attribute run, " +
+      "column lands as always-NULL INT (documented delta)") {
+    val topic = "cli-epo-topic"
+    val recDir = Files.createTempDirectory("graftepo").toString
+    KafkaRecords.synthetic(spark, intRecords(topic, Seq(1, 2)))
+      .write.mode("overwrite").parquet(s"$recDir/records.parquet")
+    Main.runWith(spark, Main.parse(Array(
+      "-t", s"$topic=$recDir/records.parquet", "-v", s"$topic=int",
+      "-a", "par,epo")))
+    val rows = spark.sql(
+      s"SELECT rowinfo.par, rowinfo.epo FROM ${Engine.sanitize(topic)}")
+      .collect()
+    rows.length shouldBe 2
+    rows.foreach(r => r.isNullAt(1) shouldBe true)
+    spark.catalog.dropTempView(Engine.sanitize(topic))
+  }
+
   test("unsupported registry URL scheme is rejected with guidance") {
     val e = intercept[IllegalArgumentException] {
       Main.runWith(spark, Main.parse(Array("-r", "ftp://sr:8081")))
