@@ -1829,7 +1829,13 @@ class Engine(val spark: SparkSession,
     * SUMMARIZE does via approx_unique) to get a true single pass. */
   private def summarize(ref: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
-    val df = spark.sql(rewriteSugar(s"SELECT * FROM ${ref.trim}"))
+    val trimmed = ref.trim
+    // DuckDB's query form (`SUMMARIZE SELECT ...` / FROM-first / CTE)
+    // profiles the query's result; a bare ref profiles the relation
+    val df =
+      if ("(?is)^(SELECT|WITH|FROM)\\b".r.findFirstIn(trimmed).isDefined)
+        sql(trimmed)
+      else spark.sql(rewriteSugar(s"SELECT * FROM $trimmed"))
     val fields = df.schema.fields
     // backtick-quote: a column name containing '.' must not parse as a
     // nested-field path (escape embedded backticks by doubling)

@@ -220,6 +220,16 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     val dr = engine.sql("SUMMARIZE dotted").collect()
     dr.map(_.getString(0)).toSeq shouldBe Seq("user.id", "plain")
     dr(0).getString(1) shouldBe "1"
+    // DuckDB's query form profiles the query result (incl. FROM-first)
+    val qr = engine.sql(
+      "SUMMARIZE SELECT r_regionkey * 2 AS dk FROM region WHERE r_regionkey < 3")
+      .collect()
+    qr.length shouldBe 1
+    qr(0).getString(0) shouldBe "dk"
+    qr(0).getString(2) shouldBe "4" // max = 2*2
+    qr(0).getLong(3) shouldBe 3L
+    engine.sql("SUMMARIZE FROM region WHERE r_regionkey = 0")
+      .collect().length shouldBe spark.table("region").columns.length
     engine.close()
   }
 
