@@ -96,7 +96,9 @@ object PlanDump {
     "p01_pipeline_e2e" -> "(composed engine.sql chain — ingest decode mapPartitions, one canonical-hash shuffle, map-only gate, per-(source,shard) packing windows, hive-partitioned COPY; final plan shown is the read-back summary)",
     "p02_pipeline_streaming" -> "(streaming runtime — flatMapGroupsWithState dedup state keyed on canonical hash, stateless gate filter, parquet append sink; final plan is the per-source summary over the landed files)",
     "q110_update_from" -> "joined UPDATE: one LEFT join target-vs-source, per-target-row winner cut, projection swap — the copy-on-write join-update shape",
-    "q111_upsert" -> "ON CONFLICT upsert: equi-join on the conflict key for DO UPDATE, anti-join append for fresh rows; exact DECIMAL arithmetic")
+    "q111_upsert" -> "ON CONFLICT upsert: equi-join on the conflict key for DO UPDATE, anti-join append for fresh rows; exact DECIMAL arithmetic",
+    "x44_selfrep_dedup" -> "intra-doc chunking and first-occurrence counting are pure map-side expressions (size minus array_distinct) — the ONLY shuffle is the presentation sort",
+    "s28_index_persist" -> "the persisted-index serve path: same cell equi-join as s04 reading centroids + assignment from parquet; centroid collect is O(k) driver-side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -16,6 +16,12 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "30000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_OUTPUT_MERGED=false runs the whole dump in PRODUCTION
+    // output mode (parallel range sorts at every presentation-sort site,
+    // no 1-partition merges) — check.py's sorted-column hash is order-
+    // insensitive, so the same oracle gate verifies both modes.
+    sys.env.get("SPARK_GRAFT_OUTPUT_MERGED")
+      .foreach(v => spark.conf.set("spark.graft.output.merged", v))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
