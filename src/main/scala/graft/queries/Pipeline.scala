@@ -100,8 +100,11 @@ object Pipeline {
            |  (sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
            |     ROWS UNBOUNDED PRECEDING) - tok) div $budget AS bin
            |FROM p_kept""".stripMargin).collect()
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_p01_export").toString + "/packed.parquet"
+      // keyed by sf dir so repeated runs (bench warmup + iterations)
+      // overwrite one location instead of accumulating temp dirs
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_p01_export_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath + "/packed.parquet"
       engine.sql(s"COPY p_packed TO '$out' " +
         "(FORMAT parquet, PARTITION_BY (source))").collect()
 
