@@ -748,14 +748,23 @@ class Engine(val spark: SparkSession,
       }
     case deleteStmt(name, rest) =>
       val tail = rest.trim
-      val where =
-        if (tail.isEmpty) None
-        else splitAtTopLevelWhere(tail) match {
-          case ("", Some(w)) => Some(w)
-          case _ => throw new IllegalArgumentException(
-            s"DELETE FROM $name: expected WHERE <predicate>, got '$tail'")
-        }
-      deleteFrom(name, where)
+      // `USING rel [WHERE cond]` (the joined delete, DuckDB/Postgres) vs
+      // plain `[WHERE cond]` — quote/paren-aware, so a USING inside a
+      // literal or subquery never triggers the joined form
+      findTopLevelKeyword(tail, 0, Seq("USING")) match {
+        case Some((0, _)) =>
+          val (rel, where) = splitAtTopLevelWhere(tail.substring(5))
+          deleteUsing(name, rel, where)
+        case _ =>
+          val where =
+            if (tail.isEmpty) None
+            else splitAtTopLevelWhere(tail) match {
+              case ("", Some(w)) => Some(w)
+              case _ => throw new IllegalArgumentException(
+                s"DELETE FROM $name: expected WHERE <predicate>, got '$tail'")
+            }
+          deleteFrom(name, where)
+      }
     case truncateStmt(name) => deleteFrom(name, None)
     case renameStmt(from, to) => renameTable(from, to)
     case exportDbStmt(dir) => exportDatabase(dir)
@@ -1109,6 +1118,34 @@ class Engine(val spark: SparkSession,
     snap.createOrReplaceTempView(name)
     import spark.implicits._
     Seq(nFresh).toDF("inserted_rows")
+  }
+
+  /** DuckDB/Postgres `DELETE FROM t USING src [AS alias] [WHERE cond]` —
+    * the joined delete: target rows with ANY matching source row under
+    * `cond` are removed; the rest pass through bit-identical. Lowered to
+    * ONE left-anti theta join (the exact copy-on-write shape a table
+    * format runs at 100 TB); the deleted count is the semi-join count. */
+  private def deleteUsing(name: String, fromRel: String,
+      whereOpt: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val target = mutableTarget(name, "DELETE")
+    val rel = fromRel.trim
+    val aliasRe = "(?is)^(.+?)\\s+(?:AS\\s+)?([A-Za-z_]\\w*)$".r
+    val (srcRef, srcAlias) = rel match {
+      case aliasRe(base, a) => (base.trim, a)
+      case _ => (rel, rel.replaceAll("^`|`$", ""))
+    }
+    val src = spark.sql(rewriteSugar(s"SELECT * FROM $srcRef"))
+      .alias(srcAlias)
+    val t = target.alias(name)
+    val cond = whereOpt.map(expr).getOrElse(lit(true))
+    val n = t.join(src, cond, "left_semi").count()
+    val kept = t.join(src, cond, "left_anti").localCheckpoint(true)
+    target.unpersist()
+    createdTables.put(name, kept)
+    kept.createOrReplaceTempView(name)
+    import spark.implicits._
+    Seq(n).toDF("deleted_rows")
   }
 
   /** DuckDB's `DELETE FROM t [WHERE cond]`: the snapshot is replaced by

@@ -429,7 +429,39 @@ object EngineSurface {
       |FROM base b FULL JOIN delta d USING (c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q112: `DELETE ... USING ... WHERE` (the joined delete, round 7):
+    * orders whose customer sits in a churned slice are removed in ONE
+    * left-anti theta join; the gate hashes the surviving snapshot. The
+    * oracle replays the delete as an anti-join SELECT. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql(s"CREATE OR REPLACE TABLE del_orders AS " +
+        s"SELECT o_orderkey, o_custkey, " +
+        s"CAST(o_totalprice AS DECIMAL(12,2)) AS price " +
+        s"FROM '$dir/orders.parquet' WHERE o_orderkey <= 2000")
+      engine.sql(s"CREATE OR REPLACE TABLE churned AS " +
+        s"SELECT c_custkey FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey % 5 = 2")
+      engine.sql("DELETE FROM del_orders USING churned c " +
+        "WHERE del_orders.o_custkey = c.c_custkey")
+      engine.sql("SELECT o_orderkey, o_custkey, " +
+        "CAST(price AS DOUBLE) AS price FROM del_orders")
+        .psort(col("o_orderkey"))
+    } finally engine.close()
+  }
+
+  private val q112Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      |FROM orders
+      |WHERE o_orderkey <= 2000
+      |  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                        WHERE c_custkey % 5 = 2)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q112_delete_using" -> (q112 _),
     "q110_update_from" -> (q110 _),
     "q111_upsert" -> (q111 _),
     "q107_named_window" -> (q107 _),
@@ -446,6 +478,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q112_delete_using" -> q112Sql,
     "q110_update_from" -> q110Sql,
     "q111_upsert" -> q111Sql,
     "q107_named_window" -> q107Sql,

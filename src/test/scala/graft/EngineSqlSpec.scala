@@ -746,6 +746,26 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("DELETE ... USING removes rows with any source match") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "tag")
+      .createOrReplaceTempView("du_src")
+    Seq((2L, true), (3L, false), (9L, true)).toDF("k", "kill")
+      .createOrReplaceTempView("du_kill")
+    engine.sql("CREATE TABLE du_t AS SELECT k, tag FROM du_src")
+    engine.sql("CREATE TABLE du_k AS SELECT k, kill FROM du_kill")
+    engine.sql("DELETE FROM du_t USING du_k o " +
+      "WHERE du_t.k = o.k AND o.kill").collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT k FROM du_t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L, 4L)
+    // a quoted ' USING ' inside the predicate stays a plain DELETE
+    engine.sql("DELETE FROM du_t WHERE tag = ' USING x'").collect()(0)
+      .getLong(0) shouldBe 0L
+    engine.sql("DROP TABLE du_t"); engine.sql("DROP TABLE du_k")
+    engine.close()
+  }
+
   test("INSERT ... ON CONFLICT upserts: DO NOTHING, DO UPDATE with " +
       "excluded refs, OR REPLACE / OR IGNORE sugar") {
     import spark.implicits._
