@@ -339,7 +339,7 @@ class Engine(val spark: SparkSession,
       "([A-Za-z_][A-Za-z0-9_]*)\\s*" +
       "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
   private val conflictClause =
-    ("(?is)^ON\\s+CONFLICT\\s*\\(([A-Za-z0-9_,\\s]*)\\)\\s*" +
+    ("(?is)^ON\\s+CONFLICT\\s*(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*" +
       "(?:DO\\s+(NOTHING)|DO\\s+(UPDATE\\s+SET\\s+.+?))?\\s*$").r
   private val dropRelStmt =
     "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
@@ -700,18 +700,28 @@ class Engine(val spark: SparkSession,
       }
       (conflictAt, Option(orKw).map(_.toUpperCase)) match {
         case (-1, None) => insertInto(name, cols, body)
-        case (-1, Some(k)) => throw new IllegalArgumentException(
-          s"INSERT OR $k INTO $name: the engine has no primary-key " +
-            "metadata, so the conflict target is mandatory — append " +
-            "ON CONFLICT (key columns)")
+        case (-1, Some(k)) =>
+          // OR REPLACE/IGNORE shorthand with no clause: the declared
+          // PRIMARY KEY (column-definition CREATE TABLE) is the target
+          primaryKeys.get(name) match {
+            case Some(pk) => insertOnConflict(name, cols, body, pk,
+              if (k == "IGNORE") "NOTHING" else "REPLACE")
+            case None => throw new IllegalArgumentException(
+              s"INSERT OR $k INTO $name: no PRIMARY KEY declared for " +
+                "this table — declare one in CREATE TABLE or append " +
+                "ON CONFLICT (key columns)")
+          }
         case (at, orK) =>
           val insertBody = body.substring(0, at).trim
           body.substring(at) match {
             case conflictClause(keys, doNothing, doUpdate) =>
-              val keyCols = keys.split(",").map(_.trim)
-                .filter(_.nonEmpty).toSeq
-              require(keyCols.nonEmpty,
-                s"INSERT INTO $name ON CONFLICT: empty conflict target")
+              val keyCols = Option(keys)
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .filter(_.nonEmpty)
+                .orElse(primaryKeys.get(name))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"INSERT INTO $name ON CONFLICT: no conflict target " +
+                    "and no declared PRIMARY KEY"))
               val action =
                 if (doUpdate != null) doUpdate
                 else if (doNothing != null) "NOTHING"
@@ -795,6 +805,13 @@ class Engine(val spark: SparkSession,
     scala.collection.concurrent.TrieMap[String, DataFrame]()
   private val createdViews =
     scala.collection.concurrent.TrieMap[String, String]()
+  /** Declared PRIMARY KEY columns per engine table (column-definition
+    * CREATE TABLE only): the default conflict target for INSERT OR
+    * REPLACE/IGNORE and bare ON CONFLICT. Advisory — snapshots have no
+    * constraint enforcement (documented relaxation); EXPORT DATABASE
+    * does not carry it (the manifest re-creates tables as CTAS). */
+  private val primaryKeys =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
   private def statusDf(colName: String, v: String): DataFrame = {
     import spark.implicits._
@@ -822,6 +839,7 @@ class Engine(val spark: SparkSession,
     val snap = sql(body).localCheckpoint(true)
     createdTables.get(name).foreach(_.unpersist())
     createdViews.remove(name)
+    primaryKeys.remove(name) // CTAS declares no key; drop any stale one
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
     statusDf("create_table", name)
@@ -1185,27 +1203,52 @@ class Engine(val spark: SparkSession,
     // a column legitimately NAMED `text` (this repo's canonical corpus
     // column) would otherwise be silently renamed. Split the defs
     // quote/paren-aware, peel the leading identifier verbatim, and map
-    // only the remainder.
-    val ddl = splitExecArgs(colDefs).map { d =>
+    // only the remainder. Constraint tokens are accepted like DuckDB's
+    // grammar: PRIMARY KEY (column- or table-level) is RECORDED as the
+    // table's conflict key (serving INSERT OR REPLACE/IGNORE and bare
+    // ON CONFLICT); NOT NULL / UNIQUE are stripped — snapshots have no
+    // enforcement layer, a documented relaxation.
+    val pk = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pkTableRe = "(?is)^PRIMARY\\s+KEY\\s*\\(([^)]*)\\)$".r
+    val defs = splitExecArgs(colDefs).flatMap { d =>
       val t = d.trim
-      val nameEnd =
-        if (t.startsWith("\"") || t.startsWith("`")) {
-          val q = t.charAt(0)
-          val close = t.indexOf(q, 1)
-          require(close > 0, s"unterminated quoted column name in '$d'")
-          close + 1
-        } else {
-          val m = t.takeWhile(c => c.isLetterOrDigit || c == '_')
-          require(m.nonEmpty, s"missing column name in definition '$d'")
-          m.length
-        }
-      val name = t.substring(0, nameEnd)
-      val tpe = t.substring(nameEnd)
-        .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
-        .replaceAll("(?i)\\bTEXT\\b", "STRING")
-      s"$name$tpe"
-    }.mkString(", ")
+      t match {
+        case pkTableRe(cols) => // table-level PRIMARY KEY (a, b)
+          pk ++= cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty)
+          None
+        case _ =>
+          val nameEnd =
+            if (t.startsWith("\"") || t.startsWith("`")) {
+              val q = t.charAt(0)
+              val close = t.indexOf(q, 1)
+              require(close > 0, s"unterminated quoted column name in '$d'")
+              close + 1
+            } else {
+              val m = t.takeWhile(c => c.isLetterOrDigit || c == '_')
+              require(m.nonEmpty, s"missing column name in definition '$d'")
+              m.length
+            }
+          val colName = t.substring(0, nameEnd)
+          var tpe = t.substring(nameEnd)
+          if ("(?i)\\bPRIMARY\\s+KEY\\b".r.findFirstIn(tpe).isDefined) {
+            pk += colName.stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("`").stripSuffix("`")
+            tpe = tpe.replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
+          }
+          tpe = tpe
+            .replaceAll("(?i)\\bNOT\\s+NULL\\b", "")
+            .replaceAll("(?i)\\bUNIQUE\\b", "")
+            .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+            .replaceAll("(?i)\\bTEXT\\b", "STRING")
+            .replaceAll("\\s+$", "")
+          Some(s"$colName$tpe")
+      }
+    }
+    val ddl = defs.mkString(", ")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    if (pk.nonEmpty) primaryKeys.put(name, pk.toSeq.distinct)
+    else primaryKeys.remove(name)
     val snap = spark
       .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
@@ -1326,6 +1369,7 @@ class Engine(val spark: SparkSession,
     target.createOrReplaceTempView(to)
     createdTables.put(to, target)
     createdTables.remove(from)
+    primaryKeys.remove(from).foreach(primaryKeys.put(to, _))
     spark.catalog.dropTempView(from)
     statusDf("renamed_to", to)
   }
@@ -1334,6 +1378,7 @@ class Engine(val spark: SparkSession,
       ifExists: Boolean): DataFrame = {
     guardEngineName(name)
     val existed = if (kind == "TABLE") {
+      primaryKeys.remove(name)
       createdTables.remove(name).map { df => df.unpersist(); () }.isDefined
     } else createdViews.remove(name).isDefined
     if (existed) spark.catalog.dropTempView(name)

@@ -175,9 +175,12 @@ object Pipeline {
     * Scale: the dedup state is one small row per distinct canonical hash
     * (exactly the state a 100 TB ingest gate carries, sharded by the
     * group key); the gate filter is stateless; the file sink is the
-    * production landing path. The oracle replays min-doc_id-per-hash +
-    * gate + summary in batch SQL — streaming runtime result == batch
-    * semantics, pinned by hash. */
+    * production landing path. The driver-side collect below feeds the
+    * MemoryStream test rig only (the convention of every streaming gate
+    * in this suite) — production replaces it with `readStream`, and
+    * nothing downstream of `ms.toDS()` changes. The oracle replays
+    * min-doc_id-per-hash + gate + summary in batch SQL — streaming
+    * runtime result == batch semantics, pinned by hash. */
   private val p02: Q = (s, dir) => {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -809,12 +809,46 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy engine.sql(
       "INSERT INTO oc_t VALUES (9, 'x', 1.0), (9, 'y', 2.0) " +
         "ON CONFLICT (k) DO NOTHING")
-    // OR REPLACE without a conflict target names the missing PK metadata
+    // OR REPLACE without a conflict target: no PK declared on a CTAS table
     val ex = intercept[IllegalArgumentException] {
       engine.sql("INSERT OR REPLACE INTO oc_t VALUES (5, 'e', 50.0)")
     }
-    ex.getMessage should include("conflict target is mandatory")
+    ex.getMessage should include("no PRIMARY KEY declared")
     engine.sql("DROP TABLE oc_t")
+    engine.close()
+  }
+
+  test("declared PRIMARY KEY drives INSERT OR REPLACE / bare ON CONFLICT; " +
+      "NOT NULL / UNIQUE constraint tokens are accepted") {
+    val engine = new Engine(spark)
+    engine.sql("CREATE TABLE pk_t (k BIGINT PRIMARY KEY, " +
+      "name VARCHAR NOT NULL, v DOUBLE UNIQUE)")
+    engine.sql("SELECT * FROM pk_t").schema.fieldNames.toSeq shouldBe
+      Seq("k", "name", "v")
+    engine.sql("INSERT INTO pk_t VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    // OR REPLACE with no clause resolves the declared PK
+    engine.sql("INSERT OR REPLACE INTO pk_t VALUES (2, 'B!', 99.0)")
+      .collect()(0).getLong(0) shouldBe 0L
+    engine.sql("SELECT name, v FROM pk_t WHERE k = 2").collect()(0)
+      .toSeq shouldBe Seq("B!", 99.0)
+    // bare ON CONFLICT (no target) also resolves the PK
+    engine.sql("INSERT INTO pk_t VALUES (1, 'x', 0.0) " +
+      "ON CONFLICT DO NOTHING").collect()(0).getLong(0) shouldBe 0L
+    engine.sql("SELECT name FROM pk_t WHERE k = 1").collect()(0)
+      .getString(0) shouldBe "a"
+    // table-level composite key form
+    engine.sql("CREATE TABLE pk_c (a INT, b INT, n BIGINT, " +
+      "PRIMARY KEY (a, b))")
+    engine.sql("INSERT INTO pk_c VALUES (1, 1, 10), (1, 2, 20)")
+    engine.sql("INSERT OR IGNORE INTO pk_c VALUES (1, 1, 99), (2, 1, 30)")
+      .collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT n FROM pk_c WHERE a = 1 AND b = 1").collect()(0)
+      .getLong(0) shouldBe 10L
+    // the PK does not survive a CTAS replace (documented)
+    engine.sql("CREATE OR REPLACE TABLE pk_t AS SELECT 1 AS k")
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("INSERT OR REPLACE INTO pk_t VALUES (1)")
+    engine.sql("DROP TABLE pk_t"); engine.sql("DROP TABLE pk_c")
     engine.close()
   }
 
