@@ -32,6 +32,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "30000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_OUTPUT_MERGED=false benches PRODUCTION output mode
+    // (parallel range sorts at every presentation-sort site) — the mode a
+    // cluster deployment runs; default stays the oracle-gate merge
+    sys.env.get("SPARK_GRAFT_OUTPUT_MERGED")
+      .foreach(v => spark.conf.set("spark.graft.output.merged", v))
 
     // Optional subset for targeted profiling: comma-separated query names.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
