@@ -808,8 +808,9 @@ class Engine(val spark: SparkSession,
   /** Declared PRIMARY KEY columns per engine table (column-definition
     * CREATE TABLE only): the default conflict target for INSERT OR
     * REPLACE/IGNORE and bare ON CONFLICT. Advisory — snapshots have no
-    * constraint enforcement (documented relaxation); EXPORT DATABASE
-    * does not carry it (the manifest re-creates tables as CTAS). */
+    * constraint enforcement (documented relaxation). EXPORT DATABASE
+    * round-trips it: keyed tables emit a typed column-definition CREATE
+    * plus a data INSERT instead of CTAS, so IMPORT restores the key. */
   private val primaryKeys =
     scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
@@ -1309,7 +1310,19 @@ class Engine(val spark: SparkSession,
     createdTables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       val path = base.resolve(s"$name.parquet").toString
       df.write.mode("overwrite").parquet(path)
-      stmts += s"CREATE OR REPLACE TABLE $name AS SELECT * FROM '$path'"
+      primaryKeys.get(name) match {
+        case Some(pk) =>
+          // a keyed table round-trips its PRIMARY KEY: typed
+          // column-definition CREATE (re-parsed by createEmptyTable on
+          // import, restoring the key) + a data INSERT from the export
+          val defs = df.schema.fields
+            .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+          stmts += s"CREATE OR REPLACE TABLE $name ($defs, " +
+            s"PRIMARY KEY (${pk.mkString(", ")}))"
+          stmts += s"INSERT INTO $name SELECT * FROM '$path'"
+        case None =>
+          stmts += s"CREATE OR REPLACE TABLE $name AS SELECT * FROM '$path'"
+      }
       entries += (("table", name))
     }
     // Views must replay in dependency order: IMPORT eagerly analyzes each

@@ -844,11 +844,29 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       .collect()(0).getLong(0) shouldBe 1L
     engine.sql("SELECT n FROM pk_c WHERE a = 1 AND b = 1").collect()(0)
       .getLong(0) shouldBe 10L
+    // EXPORT/IMPORT round-trips the declared key (coldef CREATE + data
+    // INSERT in the manifest)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pk_export").toString
+    engine.sql(s"EXPORT DATABASE '$dir'")
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "schema.sql"))
+    manifest should include("PRIMARY KEY (a, b)")
+    engine.sql("DROP TABLE pk_c")
+    val engine2 = new Engine(spark)
+    engine2.sql(s"IMPORT DATABASE '$dir'")
+    engine2.sql("SELECT count(*) AS n FROM pk_c").collect()(0)
+      .getLong(0) shouldBe 3L
+    engine2.sql("INSERT OR IGNORE INTO pk_c VALUES (1, 1, 77)")
+      .collect()(0).getLong(0) shouldBe 0L // key restored by the import
+    engine2.sql("DROP TABLE pk_c"); engine2.sql("DROP TABLE pk_t")
+    engine2.close()
     // the PK does not survive a CTAS replace (documented)
-    engine.sql("CREATE OR REPLACE TABLE pk_t AS SELECT 1 AS k")
+    engine.sql("CREATE TABLE pk_t2 (k BIGINT PRIMARY KEY)")
+    engine.sql("CREATE OR REPLACE TABLE pk_t2 AS SELECT 1 AS k")
     an[IllegalArgumentException] should be thrownBy
-      engine.sql("INSERT OR REPLACE INTO pk_t VALUES (1)")
-    engine.sql("DROP TABLE pk_t"); engine.sql("DROP TABLE pk_c")
+      engine.sql("INSERT OR REPLACE INTO pk_t2 VALUES (1)")
+    engine.sql("DROP TABLE pk_t2")
     engine.close()
   }
 
