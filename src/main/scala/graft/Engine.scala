@@ -1116,9 +1116,29 @@ class Engine(val spark: SparkSession,
         val joinCond = keyCols.map(k =>
           col(s"`$k`") === col(s"`__ex_$k`")).reduce(_ && _)
         // `excluded.<col>` in SET rhs resolves to the incoming row; the
-        // target keeps its table name as alias so `t.<col>` resolves too
-        val exRewrite = (e: String) =>
-          e.replaceAll("(?i)\\bexcluded\\s*\\.\\s*([A-Za-z_]\\w*)", "__ex_$1")
+        // target keeps its table name as alias so `t.<col>` resolves too.
+        // Quote-aware: an 'excluded.x' inside a string literal survives.
+        val exRe = "(?i)^excluded\\s*\\.\\s*([A-Za-z_]\\w*)".r
+        val exRewrite = (e: String) => {
+          val sb = new StringBuilder
+          var i = 0
+          var quote: Char = 0
+          while (i < e.length) {
+            val c = e.charAt(i)
+            if (quote != 0) {
+              sb.append(c); if (c == quote) quote = 0; i += 1
+            } else if (c == '\'' || c == '"' || c == '`') {
+              quote = c; sb.append(c); i += 1
+            } else if ((i == 0 || (!e.charAt(i - 1).isLetterOrDigit &&
+                e.charAt(i - 1) != '_')) &&
+                exRe.findFirstMatchIn(e.substring(i)).isDefined) {
+              val m = exRe.findFirstMatchIn(e.substring(i)).get
+              sb.append("__ex_").append(m.group(1))
+              i += m.end
+            } else { sb.append(c); i += 1 }
+          }
+          sb.toString
+        }
         target.alias(name).join(ex, joinCond, "left")
           .select(target.schema.fields.map { f =>
             val old = col(s"`${f.name}`")

@@ -784,6 +784,12 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       .collect()(0).getLong(0) shouldBe 1L
     engine.sql("SELECT name, v FROM oc_t WHERE k = 2").collect()(0)
       .toSeq shouldBe Seq("b", 220.0)
+    // a quoted 'excluded.v' literal in the SET rhs is NOT rewritten
+    engine.sql("INSERT INTO oc_t VALUES (2, 'zz', 1.0) " +
+      "ON CONFLICT (k) DO UPDATE SET name = 'excluded.v'")
+      .collect()(0).getLong(0) shouldBe 0L
+    engine.sql("SELECT name FROM oc_t WHERE k = 2").collect()(0)
+      .getString(0) shouldBe "excluded.v"
     // OR REPLACE: every non-key column takes the incoming value
     engine.sql("INSERT OR REPLACE INTO oc_t VALUES (3, 'C!', 33.0) " +
       "ON CONFLICT (k)").collect()(0).getLong(0) shouldBe 0L
