@@ -355,6 +355,17 @@ class Engine(val spark: SparkSession,
   private val renameStmt =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+RENAME\\s+TO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+  private val addColStmt =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ADD\\s+" +
+      "(?:COLUMN\\s+)?(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "(.+?)\\s*;?\\s*$").r
+  private val dropColStmt =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+DROP\\s+" +
+      "(?:COLUMN\\s+)?(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+  private val renameColStmt =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+RENAME\\s+" +
+      "(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
   private val copyFromStmt =
     ("(?is)^\\s*COPY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+FROM\\s+'([^']+)'" +
       "\\s*(?:\\([^)]*\\))?\\s*;?\\s*$").r
@@ -777,6 +788,11 @@ class Engine(val spark: SparkSession,
       }
     case truncateStmt(name) => deleteFrom(name, None)
     case renameStmt(from, to) => renameTable(from, to)
+    case addColStmt(name, ifNotExists, colName, colType) =>
+      alterAddColumn(name, colName, colType, ifNotExists != null)
+    case dropColStmt(name, ifExists, colName) =>
+      alterDropColumn(name, colName, ifExists != null)
+    case renameColStmt(name, from, to) => alterRenameColumn(name, from, to)
     case exportDbStmt(dir) => exportDatabase(dir)
     case importDbStmt(dir) => importDatabase(dir)
     case explainStmt(analyze, body) => explainSql(analyze != null, body)
@@ -1405,6 +1421,89 @@ class Engine(val spark: SparkSession,
     primaryKeys.remove(from).foreach(primaryKeys.put(to, _))
     spark.catalog.dropTempView(from)
     statusDf("renamed_to", to)
+  }
+
+  /** DuckDB's `ALTER TABLE t ADD [COLUMN] c TYPE [DEFAULT expr]` on an
+    * engine snapshot: a copy-on-write projection append — existing rows
+    * take the DEFAULT (NULL when none), the column lands typed via the
+    * same VARCHAR/TEXT→STRING mapping as CREATE TABLE coldefs. */
+  private def alterAddColumn(name: String, colName: String, colSpec: String,
+      ifNotExists: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val target = mutableTarget(name, "ALTER TABLE ADD COLUMN")
+    if (target.schema.fieldNames.exists(_.equalsIgnoreCase(colName))) {
+      if (ifNotExists) return statusDf("alter_table", name)
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $name: column '$colName' already exists")
+    }
+    val defRe = "(?is)^(.*?)\\s+DEFAULT\\s+(.+)$".r
+    val (tpeRaw, dflt) = colSpec.trim match {
+      case defRe(t, d) => (t, Some(d))
+      case t => (t, None)
+    }
+    val tpe = org.apache.spark.sql.types.DataType.fromDDL(tpeRaw
+      .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+      .replaceAll("(?i)\\bTEXT\\b", "STRING"))
+    val value = dflt.map(expr).getOrElse(lit(null)).cast(tpe).as(colName)
+    val snap = target.select(
+        target.schema.fieldNames.map(f => col(s"`$f`")) :+ value: _*)
+      .localCheckpoint(true)
+    target.unpersist()
+    createdTables.put(name, snap)
+    snap.createOrReplaceTempView(name)
+    statusDf("alter_table", name)
+  }
+
+  /** DuckDB's `ALTER TABLE t DROP [COLUMN] c`: projection removal; the
+    * declared PRIMARY KEY must not lose a member (DuckDB refuses too). */
+  private def alterDropColumn(name: String, colName: String,
+      ifExists: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = mutableTarget(name, "ALTER TABLE DROP COLUMN")
+    val canonical = target.schema.fieldNames
+      .find(_.equalsIgnoreCase(colName)) match {
+      case Some(c) => c
+      case None if ifExists => return statusDf("alter_table", name)
+      case None => throw new IllegalArgumentException(
+        s"ALTER TABLE $name: no column '$colName' " +
+          s"(${target.schema.fieldNames.mkString(", ")})")
+    }
+    require(target.schema.length > 1,
+      s"ALTER TABLE $name: cannot drop the only column")
+    require(!primaryKeys.get(name).exists(_.contains(canonical)),
+      s"ALTER TABLE $name: '$canonical' is part of the PRIMARY KEY")
+    val snap = target.select(target.schema.fieldNames
+        .filter(_ != canonical).map(f => col(s"`$f`")).toSeq: _*)
+      .localCheckpoint(true)
+    target.unpersist()
+    createdTables.put(name, snap)
+    snap.createOrReplaceTempView(name)
+    statusDf("alter_table", name)
+  }
+
+  /** DuckDB's `ALTER TABLE t RENAME [COLUMN] a TO b`: projection rename;
+    * a PRIMARY KEY member follows the rename. */
+  private def alterRenameColumn(name: String, from: String,
+      to: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = mutableTarget(name, "ALTER TABLE RENAME COLUMN")
+    val canonical = target.schema.fieldNames
+      .find(_.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE $name: no column '$from'"))
+    require(!target.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"ALTER TABLE $name: column '$to' already exists")
+    val snap = target.select(target.schema.fieldNames.map { f =>
+        if (f == canonical) col(s"`$f`").as(to) else col(s"`$f`")
+      }.toSeq: _*)
+      .localCheckpoint(true)
+    primaryKeys.get(name).foreach { pk =>
+      primaryKeys.put(name, pk.map(c => if (c == canonical) to else c))
+    }
+    target.unpersist()
+    createdTables.put(name, snap)
+    snap.createOrReplaceTempView(name)
+    statusDf("alter_table", name)
   }
 
   private def dropRelation(kind: String, name: String,

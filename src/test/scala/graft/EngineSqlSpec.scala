@@ -746,6 +746,43 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("ALTER TABLE ADD / DROP / RENAME COLUMN rewrite the snapshot") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+      .createOrReplaceTempView("alt_src")
+    engine.sql("CREATE TABLE alt_t AS SELECT k, tag FROM alt_src")
+    // ADD with DEFAULT backfills existing rows; typed via the coldef map
+    engine.sql("ALTER TABLE alt_t ADD COLUMN note VARCHAR DEFAULT 'n/a'")
+    engine.sql("ALTER TABLE alt_t ADD score DOUBLE")
+    val r = engine.sql("SELECT * FROM alt_t ORDER BY k").collect()
+    r.map(_.getString(2)).toSeq shouldBe Seq("n/a", "n/a")
+    r.foreach(_.isNullAt(3) shouldBe true)
+    engine.sql("ALTER TABLE alt_t ADD COLUMN IF NOT EXISTS note VARCHAR")
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("ALTER TABLE alt_t ADD COLUMN note VARCHAR")
+    // RENAME COLUMN keeps data; DROP removes it
+    engine.sql("ALTER TABLE alt_t RENAME COLUMN note TO remark")
+    engine.sql("SELECT remark FROM alt_t WHERE k = 1").collect()(0)
+      .getString(0) shouldBe "n/a"
+    engine.sql("ALTER TABLE alt_t DROP COLUMN score")
+    engine.sql("SELECT * FROM alt_t").schema.fieldNames.toSeq shouldBe
+      Seq("k", "tag", "remark")
+    engine.sql("ALTER TABLE alt_t DROP COLUMN IF EXISTS ghost")
+    an[IllegalArgumentException] should be thrownBy
+      engine.sql("ALTER TABLE alt_t DROP COLUMN ghost")
+    // a PRIMARY KEY member cannot be dropped but follows a rename
+    engine.sql("CREATE TABLE alt_pk (id BIGINT PRIMARY KEY, v INT)")
+    an[Exception] should be thrownBy
+      engine.sql("ALTER TABLE alt_pk DROP COLUMN id")
+    engine.sql("ALTER TABLE alt_pk RENAME COLUMN id TO uid")
+    engine.sql("INSERT INTO alt_pk VALUES (1, 10)")
+    engine.sql("INSERT OR IGNORE INTO alt_pk VALUES (1, 99)")
+      .collect()(0).getLong(0) shouldBe 0L // key followed the rename
+    engine.sql("DROP TABLE alt_t"); engine.sql("DROP TABLE alt_pk")
+    engine.close()
+  }
+
   test("DELETE ... USING removes rows with any source match") {
     import spark.implicits._
     val engine = new Engine(spark)
