@@ -1646,7 +1646,90 @@ object Dedup {
        |ORDER BY b, r, s20""".stripMargin
   }
 
+  // ---- d25: cluster-cohesion audit ---------------------------------------
+  /** d25: QUALITY metrics for the near-dup clusters the pipeline acts on —
+    * per cluster: member count and the exact-jaccard distribution
+    * (mean/min/max, integer ppm) over the observed candidate pairs whose
+    * BOTH endpoints carry the cluster's label. A cluster whose intra
+    * jaccard floor is far below the 0.8 edge threshold was stitched by
+    * transitive chaining — the signal a curation run uses to split or
+    * re-verify before deleting survivors. Pairs come from the SAME
+    * persisted df-capped shingle-pair pass every dedup op shares, labels
+    * from the SAME persisted d07 cluster index — no new corpus scan, two
+    * broadcast-sized joins and one O(clusters) aggregation.
+    *
+    * All arithmetic is exact integers (ppm = common*1e6 div union; mean =
+    * sum div count), so both engines agree bit-for-bit. */
+  private val d25: Q = (s, dir) => {
+    val labels = d07Labels(s, dir)
+    val sizes = docsWithShingles(s, dir).select(col("doc_id"), col("n"))
+    val ppm = shinglePairCounts(s, dir)
+      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
+      .select(col("d1"), col("d2"),
+        expr("common * 1000000L div (z1.n + z2.n - common)").as("ppm"))
+    val intra = ppm
+      .join(labels.select(col("id").as("d1"), col("lbl").as("l1")), Seq("d1"))
+      .join(labels.select(col("id").as("d2"), col("lbl").as("l2")), Seq("d2"))
+      .filter(col("l1") === col("l2"))
+    val members = labels.groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    intra.groupBy(col("l1").as("cluster"))
+      .agg(count(lit(1)).as("n_intra_pairs"),
+        expr("sum(ppm) div count(1)").as("mean_jaccard_ppm"),
+        min(col("ppm")).as("min_jaccard_ppm"),
+        max(col("ppm")).as("max_jaccard_ppm"))
+      .join(members, Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("n_intra_pairs"),
+        col("mean_jaccard_ppm"), col("min_jaccard_ppm"),
+        col("max_jaccard_ppm"))
+      .psort(col("cluster"))
+  }
+
+  private val d25Sql =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |$verifiedPairCtes,
+       |bidir AS (SELECT d1 AS id, d2 AS nb FROM edges
+       |          UNION ALL SELECT d2, d1 FROM edges),
+       |walk(id, lbl) AS (
+       |  SELECT DISTINCT id, id FROM bidir
+       |  UNION
+       |  SELECT b.nb, w.lbl FROM walk w JOIN bidir b ON b.id = w.id),
+       |labels AS (SELECT id, MIN(lbl) AS lbl FROM walk GROUP BY id),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+       |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+       |cand2 AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, LEN(sh) AS n FROM docs),
+       |ppm AS (
+       |  SELECT d1, d2,
+       |    common * 1000000 // (z1.n + z2.n - common) AS ppm
+       |  FROM cand2
+       |  JOIN sizes z1 ON d1 = z1.doc_id
+       |  JOIN sizes z2 ON d2 = z2.doc_id),
+       |intra AS (
+       |  SELECT l1.lbl AS cluster, p.ppm
+       |  FROM ppm p
+       |  JOIN labels l1 ON p.d1 = l1.id
+       |  JOIN labels l2 ON p.d2 = l2.id
+       |  WHERE l1.lbl = l2.lbl),
+       |members AS (SELECT lbl AS cluster, COUNT(*) AS n_members
+       |            FROM labels GROUP BY 1)
+       |SELECT i.cluster, CAST(n_members AS BIGINT) AS n_members,
+       |  COUNT(*) AS n_intra_pairs,
+       |  CAST(CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+       |    AS mean_jaccard_ppm,
+       |  CAST(MIN(ppm) AS BIGINT) AS min_jaccard_ppm,
+       |  CAST(MAX(ppm) AS BIGINT) AS max_jaccard_ppm
+       |FROM intra i JOIN members m ON i.cluster = m.cluster
+       |GROUP BY i.cluster, n_members
+       |ORDER BY i.cluster""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d25_cluster_cohesion" -> d25,
     "d24_lsh_curve" -> d24,
     "d23_threshold_curve" -> d23,
     "d22_split_assign" -> d22,
@@ -1673,6 +1756,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d25_cluster_cohesion" -> d25Sql,
     "d24_lsh_curve" -> d24Sql,
     "d23_threshold_curve" -> d23Sql,
     "d22_split_assign" -> d22Sql,
