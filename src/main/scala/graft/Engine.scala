@@ -2148,6 +2148,7 @@ class Engine(val spark: SparkSession,
     createdTables.values.foreach(_.unpersist())
     createdTables.clear()
     createdViews.clear()
+    primaryKeys.clear()
     fileViews.values.foreach { case (v, _) =>
       try spark.catalog.dropTempView(v) catch { case _: Exception => }
     }

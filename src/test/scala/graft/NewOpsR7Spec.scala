@@ -91,6 +91,30 @@ class NewOpsR7Spec extends AnyFunSuite with Matchers {
       .keys.foreach { d => out.contains(d) shouldBe true }
   }
 
+  test("d25 cohesion rows are internally consistent with the d07 clusters") {
+    val out = queries.Dedup.queries("d25_cluster_cohesion")(spark, sfDir)
+      .collect()
+    out.length should be > 0
+    val clusters = queries.Dedup.queries("d07_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // id -> lbl
+    val bySize = clusters.groupBy(_._2).map { case (l, m) => l -> m.size }
+    out.foreach { r =>
+      val (cluster, nMembers, nPairs) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (mean, mn, mx) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      withClue(s"cluster $cluster ") {
+        // the label is its own smallest member; sizes agree with d07
+        bySize(cluster).toLong shouldBe nMembers
+        nMembers should be >= 2L
+        nPairs should be >= 1L
+        nPairs should be <= nMembers * (nMembers - 1) / 2
+        mn should be <= mean
+        mean should be <= mx
+        mx should be <= 1000000L
+      }
+    }
+  }
+
   test("p01 export lands as a hive-partitioned layout by source") {
     queries.Pipeline.queries("p01_pipeline_e2e")(spark, sfDir).count()
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
