@@ -1254,6 +1254,12 @@ class Engine(val spark: SparkSession,
           pk ++= cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty)
           None
+        case c if "(?is)^(UNIQUE|CHECK|FOREIGN\\s+KEY)\\b".r
+            .findFirstIn(c).isDefined =>
+          // other table-level constraints parse and drop (advisory —
+          // snapshots have no enforcement layer, same relaxation as the
+          // column-level NOT NULL/UNIQUE)
+          None
         case _ =>
           val nameEnd =
             if (t.startsWith("\"") || t.startsWith("`")) {

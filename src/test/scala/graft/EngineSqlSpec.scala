@@ -879,9 +879,11 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       "ON CONFLICT DO NOTHING").collect()(0).getLong(0) shouldBe 0L
     engine.sql("SELECT name FROM pk_t WHERE k = 1").collect()(0)
       .getString(0) shouldBe "a"
-    // table-level composite key form
+    // table-level composite key form; other table-level constraints
+    // (UNIQUE/CHECK/FOREIGN KEY) parse and drop — DuckDB DDL pastes run
     engine.sql("CREATE TABLE pk_c (a INT, b INT, n BIGINT, " +
-      "PRIMARY KEY (a, b))")
+      "PRIMARY KEY (a, b), UNIQUE (n), CHECK (n > 0), " +
+      "FOREIGN KEY (a) REFERENCES other_t (x))")
     engine.sql("INSERT INTO pk_c VALUES (1, 1, 10), (1, 2, 20)")
     engine.sql("INSERT OR IGNORE INTO pk_c VALUES (1, 1, 99), (2, 1, 30)")
       .collect()(0).getLong(0) shouldBe 1L
