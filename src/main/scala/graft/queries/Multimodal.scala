@@ -1290,7 +1290,60 @@ object Multimodal {
       |FROM s JOIN gn USING (doc_id)
       |GROUP BY s.doc_id, gn.peak, gn.gain ORDER BY s.doc_id""".stripMargin
 
+  /** One uniformly-sampled frame slot of a clip: slot index (0..3), the
+    * source frame it maps to, and that frame's exact pixel mass. */
+  case class VideoSample(doc_id: Long, slot: Int, frame_idx: Int,
+                         px_sum: Long)
+
+  private def sampleOne(r: MediaPayload): Iterator[VideoSample] = {
+    val frames = graft.media.VideoCodecs.decodeGvid(r.data).frames
+    val nf = frames.length
+    (0 until 4).iterator.map { j =>
+      val idx = j * nf / 4 // uniform stride over the clip
+      val px = frames(idx).rgb
+      var s = 0L
+      var i = 0
+      while (i < px.length) { s += (px(i) & 0xff); i += 1 }
+      VideoSample(r.doc_id, j, idx, s)
+    }
+  }
+
+  /** m18: uniform temporal frame sampling — the fixed-frames-per-clip
+    * normalization every video training pipeline applies before frame
+    * encoding (clips arrive at arbitrary lengths; the model sees exactly
+    * k frames): slot j of k=4 maps to source frame floor(j*nf/4), each
+    * selected frame decoded from the REAL GVID container and pinned by
+    * its exact pixel mass. The oracle replays frame selection and the
+    * pixel formula closed-form from the fixture contract.
+    *
+    * Scale: decode + stride-select + checksum fuse into ONE typed
+    * map-only stage per clip (the m11 audio-resample shape on the video
+    * axis); output is O(4 x clips); only the presentation sort shuffles. */
+  private val m18: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[VideoSample] = Encoders.product[VideoSample]
+    videoTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.flatMap(sampleOne)).toDF()
+      .psort(col("doc_id"), col("slot"))
+  }
+
+  private val m18Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h,
+      |    4 + doc_id % 5 AS nf, 1 + doc_id % (3 + doc_id % 5) AS cut
+      |  FROM documents WHERE doc_id <= 40),
+      |slots AS (
+      |  SELECT doc_id, w, h, cut, j,
+      |    CAST((j * nf) // 4 AS INTEGER) AS idx
+      |  FROM g, RANGE(0, 4) r(j))
+      |SELECT doc_id, CAST(j AS INTEGER) AS slot, idx AS frame_idx,
+      |  CAST(LIST_SUM([(i * 7 + doc_id * 31 +
+      |      CASE WHEN idx >= cut THEN 999 ELSE 0 END) % 251
+      |    FOR i IN RANGE(w * h * 3)]) AS BIGINT) AS px_sum
+      |FROM slots ORDER BY doc_id, slot""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m18_video_resample" -> m18,
     "m17_audio_gain" -> m17,
     "m16_video_keyframe" -> m16,
     "m15_image_neardup" -> m15,
@@ -1310,6 +1363,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m18_video_resample" -> m18Sql,
     "m17_audio_gain" -> m17Sql,
     "m16_video_keyframe" -> m16Sql,
     "m15_image_neardup" -> m15Sql,
