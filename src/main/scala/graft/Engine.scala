@@ -187,11 +187,20 @@ class Engine(val spark: SparkSession,
     // see the CURRENT epoch, not the per-record one. Reference configs
     // naming 'epo' still work (round 7): the column is emitted with its
     // reference type but always NULL, announced loudly at init.
-    if (attrs.contains("epo"))
+    if (attrs.contains("epo")) {
+      // opt-in strictness: a consumer who can't tolerate the NULL delta
+      // sets spark.graft.epo.strict=true and gets the pre-round-7
+      // fail-loud behavior instead of a silently-NULL column
+      if (spark.conf.getOption("spark.graft.epo.strict").exists(_.toBoolean))
+        throw new IllegalArgumentException(
+          "row attribute 'epo' (leader epoch) is not available: Spark's " +
+            "Kafka source does not expose per-record leader epoch " +
+            "(unset spark.graft.epo.strict to accept an always-NULL column)")
       org.slf4j.LoggerFactory.getLogger(classOf[Engine]).warn(
         "row attribute 'epo' (leader epoch) is emitted as an always-NULL " +
           "INT column: Spark's Kafka source does not expose per-record " +
-          "leader epoch")
+          "leader epoch (set spark.graft.epo.strict=true to fail instead)")
+    }
     val withKey = attrs.contains(Rowkey)
     val infoFields = rowinfoFields.filter { case (n, _) => attrs.contains(n) }
     val outFields =
@@ -199,7 +208,18 @@ class Engine(val spark: SparkSession,
         valueFields ++
         (if (infoFields.nonEmpty)
           Seq(StructField(Rowinfo,
-            StructType(infoFields.map { case (n, t) => StructField(n, t, nullable = true) }),
+            StructType(infoFields.map { case (n, t) =>
+              val md =
+                if (n == "epo")
+                  // machine-readable marker: consumers can detect the
+                  // documented always-NULL delta from the schema itself
+                  new org.apache.spark.sql.types.MetadataBuilder()
+                    .putString("graft.alwaysNull",
+                      "leader epoch not exposed by Spark's Kafka source")
+                    .build()
+                else org.apache.spark.sql.types.Metadata.empty
+              StructField(n, t, nullable = true, md)
+            }),
             nullable = false))
         else Nil)
     val outSchema = StructType(outFields)
@@ -257,7 +277,10 @@ class Engine(val spark: SparkSession,
         }
       }
     }(Engine.lenientRowEncoder(outSchema))
-    out
+    // the encoder round-trip drops StructField metadata (e.g. the
+    // graft.alwaysNull marker on epo); .to() reapplies the declared
+    // schema as a zero-cost projection
+    out.to(outSchema)
   }
 
   private def registerViews(spec: TopicSpec, df: DataFrame): Unit = {
@@ -1097,7 +1120,12 @@ class Engine(val spark: SparkSession,
         s"INSERT INTO $name ON CONFLICT: no column '$k' in target " +
           s"(${target.schema.fieldNames.mkString(", ")})"))
     }
-    val dupInBatch = aligned.groupBy(keyCols.map(col): _*)
+    // NULL key components never conflict (SQL equality), so rows with any
+    // NULL key column can't collide — exclude them from the dup check just
+    // as the anti-join below lets them through as always-fresh inserts.
+    val dupInBatch = aligned
+      .filter(keyCols.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
     require(dupInBatch == 0,
       s"INSERT INTO $name ON CONFLICT: $dupInBatch duplicate conflict " +
@@ -1357,10 +1385,12 @@ class Engine(val spark: SparkSession,
           // a keyed table round-trips its PRIMARY KEY: typed
           // column-definition CREATE (re-parsed by createEmptyTable on
           // import, restoring the key) + a data INSERT from the export
+          // backtick-quote names so a column like `a b` re-parses on
+          // IMPORT, matching the CTAS path (which never spells names out)
           val defs = df.schema.fields
-            .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
           stmts += s"CREATE OR REPLACE TABLE $name ($defs, " +
-            s"PRIMARY KEY (${pk.mkString(", ")}))"
+            s"PRIMARY KEY (${pk.map(k => s"`$k`").mkString(", ")}))"
           stmts += s"INSERT INTO $name SELECT * FROM '$path'"
         case None =>
           stmts += s"CREATE OR REPLACE TABLE $name AS SELECT * FROM '$path'"
@@ -1970,8 +2000,23 @@ class Engine(val spark: SparkSession,
               val seed = "\\d+".r.findFirstIn(rep).get
               val start = lastFromItemStart(q, i)
               val item = q.substring(start, i).trim
-              require(item.nonEmpty && !"(?is)\\b(ON|WHERE)\\b".r
-                  .findFirstIn(item).isDefined,
+              // a fully-parenthesized subquery may contain ON/WHERE inside
+              // its own parens; the guard only rejects bare keywords that
+              // prove the preceding text isn't a FROM item
+              val selfContained = item.startsWith("(") && {
+                var depth = 0; var ok = true
+                item.zipWithIndex.foreach { case (c, j) =>
+                  if (c == '(') depth += 1
+                  else if (c == ')') { depth -= 1
+                    if (depth == 0 && j < item.length - 1 &&
+                        !item.substring(j + 1).trim.matches(
+                          "(?is)(AS\\s+)?[A-Za-z_]\\w*")) ok = false
+                  }
+                }
+                ok && depth == 0
+              }
+              require(item.nonEmpty && (selfContained ||
+                  !"(?is)\\b(ON|WHERE)\\b".r.findFirstIn(item).isDefined),
                 "USING SAMPLE N ROWS REPEATABLE must directly follow a " +
                   s"FROM item, got '$item'")
               // preserve qualified refs: reuse the item's own alias, or
@@ -1980,6 +2025,10 @@ class Engine(val spark: SparkSession,
               val alias = item match {
                 case aliasRe(base, a)
                     if !base.trim.toUpperCase.endsWith(" AS") => a
+                case _ if item.startsWith("(") =>
+                  // unaliased parenthesized subquery: qualified refs can't
+                  // point at it anyway, so a synthesized alias is safe
+                  "__graft_samp"
                 case _ => item // bare identifier (possibly backticked)
               }
               q.substring(0, start) +

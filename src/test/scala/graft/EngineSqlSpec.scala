@@ -896,7 +896,7 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.sql(s"EXPORT DATABASE '$dir'")
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "schema.sql"))
-    manifest should include("PRIMARY KEY (a, b)")
+    manifest should include("PRIMARY KEY (`a`, `b`)")
     engine.sql("DROP TABLE pk_c")
     val engine2 = new Engine(spark)
     engine2.sql(s"IMPORT DATABASE '$dir'")
