@@ -1987,9 +1987,10 @@ object Similarity {
     * is the same broadcast-literal argmin expression the batch path uses
     * (map-only on the stream), candidates come from the cell equi-join
     * against the static assignment, exact cosine scores in-stream; the
-    * final top-3 cut runs batch-side on the drained snapshot (streaming
-    * append mode cannot rank). Results must equal s04's batch search
-    * bit-for-bit — one code path's answer serves both latencies.
+    * final top-3 cut runs as a DISTRIBUTED window on the drained snapshot
+    * table (streaming append mode cannot rank; the snapshot partitions
+    * stay executor-side via localCheckpoint). Results must equal s04's
+    * batch search bit-for-bit — one code path serves both latencies.
     *
     * Scale: the static side stays partitioned by cell; each micro-batch
     * joins only its probed cells' postings — per-batch cost is
@@ -2021,11 +2022,12 @@ object Similarity {
     val snap = graft.streaming.StreamingOps
       .snapshotToTable(scored, sink, "append", statePartitions = 4)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(snap.collect(): _*)),
-      snap.schema)
+    // the rank runs DISTRIBUTED on the snapshot table (the production
+    // serve shape); localCheckpoint pins the partitions executor-side so
+    // the temp view can drop without collapsing the lineage to the driver
+    val ranked = snap.localCheckpoint(true)
     s.catalog.dropTempView(sink)
-    local.withColumn("rank", row_number().over(w))
+    ranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("cid"),
         round(col("cos"), 6).as("cosine"))

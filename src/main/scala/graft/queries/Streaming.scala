@@ -160,17 +160,13 @@ object Streaming {
       .snapshotToTable(agged, sink, "complete", statePartitions = 4)
       .select(col("window_start"), col("event_type"), col("n"),
         col("total").cast("double").as("total"))
-    // eager local copy (the aggregate is window x type — tiny), then drop
-    // the sink so repeated invocations don't pin dead views on the driver.
+    // detach pins the snapshot executor-side, then drops the sink so
+    // repeated invocations don't pin dead views on the driver.
     // State-store teardown is amortized: the gates cap state partitions at
     // 4, so the dead providers left per run are a few near-empty maps —
     // StreamingOps.shutdownGates() unloads them once at suite end instead
     // of paying a maintenance-pool stop/restart inside every gate.
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
-      result.schema)
-    s.catalog.dropTempView(sink)
-    local.psort(col("window_start"), col("event_type"))
+    StreamingOps.detach(result, sink).psort(col("window_start"), col("event_type"))
   }
 
   // identical aggregation contract, restricted to the streamed slice — the
@@ -271,11 +267,7 @@ object Streaming {
       .snapshotToTable(deduped, sink, "append", statePartitions = 4)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(first.collect(): _*)),
-      first.schema)
-    s.catalog.dropTempView(sink)
-    local.psort(col("event_type"))
+    StreamingOps.detach(first, sink).psort(col("event_type"))
   }
 
   private val q79Sql =
@@ -327,11 +319,7 @@ object Streaming {
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
     val fin = snap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id"), col("n_events"), col("total_cents"), col("max_event"))
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(fin.collect(): _*)),
-      fin.schema)
-    s.catalog.dropTempView(sink)
-    local.psort(col("user_id"))
+    StreamingOps.detach(fin, sink).psort(col("user_id"))
   }
 
   private val q80Sql =
@@ -380,11 +368,7 @@ object Streaming {
     val sink = "q85_sink_" + q85Counter.incrementAndGet()
     val result = graft.streaming.StreamingOps
       .snapshotToTable(joined, sink, "append", statePartitions = 4)
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
-      result.schema)
-    s.catalog.dropTempView(sink)
-    local.psort(col("user_id"), col("view_id"), col("click_id"))
+    StreamingOps.detach(result, sink).psort(col("user_id"), col("view_id"), col("click_id"))
   }
 
   private val q85Sql =
@@ -431,11 +415,7 @@ object Streaming {
     val sink = "q88_sink_" + q88Counter.incrementAndGet()
     val result = graft.streaming.StreamingOps
       .snapshotToTable(joined, sink, "append", statePartitions = 4)
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
-      result.schema)
-    s.catalog.dropTempView(sink)
-    local.psort(col("event_id"))
+    StreamingOps.detach(result, sink).psort(col("event_id"))
   }
 
   private val q88Sql =
@@ -498,11 +478,7 @@ object Streaming {
       .filter(col("user_id") < 100)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_emitted"))
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(emitted.collect(): _*)),
-      emitted.schema)
-    s.catalog.dropTempView(sink)
-    local.psort(col("user_id"))
+    StreamingOps.detach(emitted, sink).psort(col("user_id"))
   }
 
   private val q94Sql =
@@ -583,11 +559,7 @@ object Streaming {
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
     val fin = snap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id"), col("n_events"), col("total_cents"), col("max_event"))
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(fin.collect(): _*)),
-      fin.schema)
-    s.catalog.dropTempView(sink)
-    local.psort(col("user_id"))
+    StreamingOps.detach(fin, sink).psort(col("user_id"))
   }
 
   /** q97: streaming PARQUET FILE SINK — exactly-once shard delivery, the
@@ -698,11 +670,7 @@ object Streaming {
         () => { msV.addData(Seq(sentinels(0))); msC.addData(Seq(sentinels(0))) },
         () => { msV.addData(Seq(sentinels(1))); msC.addData(Seq(sentinels(1))) }))
       .filter(col("user_id") >= 0) // drop the sentinel rows from the snapshot
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
-      result.schema)
-    s.catalog.dropTempView(sink)
-    local.psort(col("user_id"), col("view_id"), col("click_id"))
+    StreamingOps.detach(result, sink).psort(col("user_id"), col("view_id"), col("click_id"))
   }
 
   private val q108Sql =

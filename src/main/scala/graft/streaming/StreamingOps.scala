@@ -234,6 +234,19 @@ object StreamingOps {
     else GraftPlanBridge.ofRows(parent, snap.queryExecution.analyzed)
   }
 
+  /** Detach a [[snapshotToTable]] result (or a frame derived from it)
+    * from its memory-sink temp view: pin the frame's partitions
+    * EXECUTOR-side via an eager localCheckpoint, then drop the view so
+    * repeated gate invocations don't accumulate dead views. Unlike the
+    * former createDataFrame(collect()) detach, any computation layered on
+    * the snapshot (window ranks, aggregates) stays in the distributed
+    * plan — the production serve shape. */
+  def detach(df: DataFrame, sink: String): DataFrame = {
+    val pinned = df.localCheckpoint(true)
+    df.sparkSession.catalog.dropTempView(sink)
+    pinned
+  }
+
   /** Run a streaming frame to completion into a PARQUET FILE SINK (append
     * mode — the only mode file sinks support) and return the read-back
     * frame. This is the exactly-once shard-delivery path a production
