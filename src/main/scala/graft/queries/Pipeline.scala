@@ -163,7 +163,7 @@ object Pipeline {
   /** p02: the STREAMING arrival of p01's curation pipeline — dedup-at-
     * ingest through the real Structured Streaming runtime:
     *
-    *   MemoryStream of (original ∪ planted canonical twins) ->
+    *   parquet-staged readStream of (original ∪ planted canonical twins) ->
     *   flatMapGroupsWithState keyed on the d09 canonical hash keeping the
     *   LOWEST doc_id per group (winner by construction, not by arrival
     *   order — a keep-earliest-crawl policy that is deterministic at any
@@ -175,31 +175,28 @@ object Pipeline {
     * Scale: the dedup state is one small row per distinct canonical hash
     * (exactly the state a 100 TB ingest gate carries, sharded by the
     * group key); the gate filter is stateless; the file sink is the
-    * production landing path. The driver-side collect below feeds the
-    * MemoryStream test rig only (the convention of every streaming gate
-    * in this suite) — production replaces it with `readStream`, and
-    * nothing downstream of `ms.toDS()` changes. The oracle replays
+    * production landing path. The INGEST leg is executor-side end to
+    * end: the corpus is staged as parquet by a distributed write and
+    * re-opened through `readStream` (Spark's file source — the exact
+    * shape a deployment points at its landing bucket), so no
+    * corpus-sized rows ever pass through the driver. The oracle replays
     * min-doc_id-per-hash + gate + summary in batch SQL — streaming
     * runtime result == batch semantics, pinned by hash. */
   private val p02: Q = (s, dir) => {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val d = t(s, dir, "documents")
     val twins = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
         concat(upper(array_join(reverse(split(col("text"), " ")), "  ")),
           lit("  ")).as("text"))
-    val rows = d.select(col("doc_id"), col("source"), col("text"))
+    val corpus = d.select(col("doc_id"), col("source"), col("text"))
       .unionAll(twins)
       .withColumn("ch", md5(array_join(array_sort(split(
         regexp_replace(lower(trim(col("text"))), " +", " "), " ")), " ")))
       .select(col("ch"), col("doc_id"), col("source"), col("text"))
-      .as[PDoc].collect().toSeq
-    val ms = MemoryStream[PDoc]
-    ms.addData(rows)
-    val deduped = ms.toDS()
+    val deduped = graft.streaming.StreamingOps.stageAndStream(corpus)
+      .as[PDoc]
       .groupByKey(_.ch)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[PDoc], state: GroupState[PDoc]) => {

@@ -234,6 +234,21 @@ object StreamingOps {
     else GraftPlanBridge.ofRows(parent, snap.queryExecution.analyzed)
   }
 
+  /** Stage a batch frame as parquet files and re-open it as a STREAMING
+    * file source — the executor-side ingest rig: the write is a
+    * distributed parquet job and the returned stream reads those files
+    * through Spark's file-source (the same `readStream` path a production
+    * deployment points at its landing bucket), so no corpus-sized rows
+    * ever pass through the driver. With `maxFilesPerTrigger` unset,
+    * Trigger.AvailableNow drains every staged file in one micro-batch —
+    * deterministic for keep-first dedup state regardless of file order. */
+  def stageAndStream(df: DataFrame, numFiles: Int = 4): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_")
+    dir.toFile.deleteOnExit()
+    df.coalesce(numFiles).write.mode("overwrite").parquet(dir.toString)
+    df.sparkSession.readStream.schema(df.schema).parquet(dir.toString)
+  }
+
   /** Detach a [[snapshotToTable]] result (or a frame derived from it)
     * from its memory-sink temp view: pin the frame's partitions
     * EXECUTOR-side via an eager localCheckpoint, then drop the view so
