@@ -13,7 +13,7 @@ import graft.sources.KafkaRecords
   *            [-v topic=serde]... [-a attrs] [-q query] [-x|-s skipBytes]
   *            [-b bootstrapServers] [-p topic=0,1,2] [-o topic=offsetSpec]
   *            [-m metadataTimeoutMs] [-r registryUrl] [-d dbDir]
-  *            [-F propsFile] [-X key=value]...
+  *            [-F propsFile] [-X key=value]... [-j jdbcPort]
   * }}}
   *
   * Record source: with `-b`, each topic is a batch Kafka read (consume to
@@ -47,7 +47,8 @@ object Main {
       metadataTimeoutMs: Option[Long] = None,
       registryUrl: Option[String] = None,
       dbDir: Option[String] = None,
-      passthrough: Map[String, String] = Map.empty)
+      passthrough: Map[String, String] = Map.empty,
+      jdbcPort: Option[Int] = None)
 
   private def splitKv(s: String): (String, String) = {
     val i = s.indexOf('=')
@@ -117,6 +118,7 @@ object Main {
         case "-F" => c = applyProps(c, args(i + 1)); i += 2
         case "-X" => val (k, v) = splitKv(args(i + 1)); i += 2
           c = c.copy(passthrough = c.passthrough + (k -> v))
+        case "-j" => c = c.copy(jdbcPort = Some(args(i + 1).toInt)); i += 2
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
@@ -197,13 +199,23 @@ object Main {
       .appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "30000")
+      // static conf, set before session build: JDBC sessions on the -j
+      // thrift endpoint share this session's temp views (topic tables)
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val engine = runWith(spark, c)
+    // external SQL-client attach surface (reference parity: kwack serves
+    // sqlline over a second JDBC connection, KwackEngine.java:258-272)
+    c.jdbcPort.foreach { p =>
+      val bound = graft.server.JdbcServe.start(spark, p)
+      println(s"JDBC endpoint: jdbc:hive2://localhost:$bound/default")
+    }
     c.query match {
       case Some(q) => engine.query(q).foreach(println)
       case None => repl(engine)
     }
+    c.jdbcPort.foreach(_ => graft.server.JdbcServe.stop())
     spark.stop()
   }
 

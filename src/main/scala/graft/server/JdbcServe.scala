@@ -1,0 +1,84 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+
+/** External SQL-client attach surface — the Spark-native analogue of the
+  * reference's second JDBC connection (kwack runs sqlline against the
+  * embedded DuckDB over JDBC, KwackEngine.java:258-272): a HiveServer2
+  * thrift endpoint bound to THIS engine's SparkSession, so any
+  * hive-jdbc/beeline/BI client can attach and query the engine's topic
+  * views, tables, and registered functions over the wire.
+  *
+  * Design notes:
+  *  - `singleSession=true` binds every JDBC connection to the engine's
+  *    own session state — the attach surface sees exactly the temp views
+  *    `Engine.init` registered (kwack's JDBC connection likewise shares
+  *    the one embedded database).
+  *  - The port defaults to an OS-assigned free port (probed, then bound
+  *    by the server) so test rigs and multi-engine hosts never collide.
+  *  - At cluster scale this is the standard Spark Thrift Server
+  *    deployment: the driver hosts the endpoint, queries fan out to the
+  *    executors; nothing engine-side changes.
+  */
+object JdbcServe {
+
+  /** One server per JVM (HiveServer2 registers global state). */
+  @volatile private var running: Option[(AnyRef, Int)] = None
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  /** Start (or return the already-running) thrift endpoint on the given
+    * session. Returns the bound port. */
+  def start(spark: SparkSession, port: Int = 0): Int = synchronized {
+    running match {
+      case Some((_, p)) => p
+      case None =>
+        val p = if (port > 0) port else freePort()
+        val sc = spark.sqlContext
+        sc.setConf("hive.server2.thrift.port", p.toString)
+        sc.setConf("hive.server2.thrift.bind.host", "localhost")
+        sc.setConf("hive.server2.transport.mode", "binary")
+        // every JDBC session should share the engine's session state
+        // (temp views, registered graft_* functions) — the reference
+        // semantics. singleSession is a STATIC conf: it must be set when
+        // the SparkSession is built (Main does; TestSpark does). Warn
+        // rather than fail so a metastore-backed deployment (where
+        // catalog tables are visible to every session anyway) can still
+        // serve.
+        if (!spark.conf.getOption("spark.sql.hive.thriftServer.singleSession")
+            .exists(_.toBoolean))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "spark.sql.hive.thriftServer.singleSession is not set: JDBC " +
+              "sessions will not see this engine's temp views (set it at " +
+              "session build time)")
+        val srv = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+          .startWithContext(sc)
+        running = Some((srv, p))
+        p
+    }
+  }
+
+  def stop(): Unit = synchronized {
+    running.foreach { case (srv, _) =>
+      srv.asInstanceOf[org.apache.hive.service.server.HiveServer2].stop()
+    }
+    running = None
+  }
+
+  /** Blocking connect helper with retry — server bring-up is async. */
+  def connect(port: Int, timeoutMs: Long = 30000): java.sql.Connection = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    val url = s"jdbc:hive2://localhost:$port/default"
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var last: Throwable = null
+    while (System.nanoTime() < deadline) {
+      try return java.sql.DriverManager.getConnection(url, "anonymous", "")
+      catch { case e: Exception => last = e; Thread.sleep(250) }
+    }
+    throw new IllegalStateException(
+      s"could not attach to thrift endpoint on port $port", last)
+  }
+}

@@ -27,7 +27,7 @@ class MainSpec extends AnyFunSuite with Matchers {
       "-a", "rowkey,par", "-q", "SELECT 1", "-x", "5", "-b", "broker:9092",
       "-p", "b=0,2", "-o", "b=-10", "-m", "3000", "-r", "mock://x",
       "-d", "/tmp/db", "-X", "kafka.fetch.max.bytes=1048576",
-      "-X", "spark.sql.shuffle.partitions=8"))
+      "-X", "spark.sql.shuffle.partitions=8", "-j", "10123"))
     c.topics shouldBe Vector("a" -> Some("f.parquet"), "b" -> None)
     c.valueSerdes("a") shouldBe Serde.IntSerde
     c.rowAttrs shouldBe Set("rowkey", "par")
@@ -38,6 +38,7 @@ class MainSpec extends AnyFunSuite with Matchers {
     c.registryUrl shouldBe Some("mock://x")
     c.dbDir shouldBe Some("/tmp/db")
     c.passthrough should have size 2
+    c.jdbcPort shouldBe Some(10123)
   }
 
   test("-F properties file maps the reference config keys; later flags win") {

@@ -11,6 +11,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: JDBC sessions on the thrift attach surface share
+      // this session's temp views (JdbcServeSpec; see JdbcServe.start)
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
