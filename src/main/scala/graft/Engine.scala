@@ -361,9 +361,6 @@ class Engine(val spark: SparkSession,
     ("(?is)^\\s*INSERT\\s+(?:OR\\s+(REPLACE|IGNORE)\\s+)?INTO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*" +
       "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
-  private val conflictClause =
-    ("(?is)^ON\\s+CONFLICT\\s*(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*" +
-      "(?:DO\\s+(NOTHING)|DO\\s+(UPDATE\\s+SET\\s+.+?))?\\s*$").r
   private val dropRelStmt =
     "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
   // SET/WHERE are split by the quote-aware top-level scanner, not the
@@ -629,24 +626,10 @@ class Engine(val spark: SparkSession,
     "(?is)^\\s*DEALLOCATE\\s+(?:PREPARE\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
 
   /** Split EXECUTE arguments at top-level commas (quotes and parens nest). */
-  private def splitExecArgs(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val sb = new StringBuilder
-    var depth = 0
-    var quote: Char = 0
-    s.foreach { c =>
-      if (quote != 0) { sb.append(c); if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' | '`' => quote = c; sb.append(c)
-        case '(' => depth += 1; sb.append(c)
-        case ')' => depth -= 1; sb.append(c)
-        case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
-        case _ => sb.append(c)
-      }
-    }
-    if (sb.nonEmpty || out.nonEmpty) out += sb.toString.trim
-    out.toSeq.filter(_.nonEmpty)
-  }
+  // clause-splitting primitives live on the ONE shared tokenizer
+  // (SqlScan); these are thin local names kept for call-site brevity
+  private def splitExecArgs(s: String): Seq[String] =
+    SqlScan.splitTopLevelCommas(s)
 
   /** Bind `?` (in order) and `$N` (by position) parameters outside quoted
     * regions; fails loudly on a missing argument. */
@@ -747,28 +730,24 @@ class Engine(val spark: SparkSession,
           }
         case (at, orK) =>
           val insertBody = body.substring(0, at).trim
-          body.substring(at) match {
-            case conflictClause(keys, doNothing, doUpdate) =>
-              val keyCols = Option(keys)
-                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-                .filter(_.nonEmpty)
+          SqlScan.parseConflictClause(body.substring(at)) match {
+            case Some(cc) =>
+              val keyCols = Some(cc.keys).filter(_.nonEmpty)
                 .orElse(primaryKeys.get(name))
                 .getOrElse(throw new IllegalArgumentException(
                   s"INSERT INTO $name ON CONFLICT: no conflict target " +
                     "and no declared PRIMARY KEY"))
-              val action =
-                if (doUpdate != null) doUpdate
-                else if (doNothing != null) "NOTHING"
-                else orK match {
-                  case Some("IGNORE") => "NOTHING"
-                  case Some("REPLACE") => "REPLACE"
-                  case _ => throw new IllegalArgumentException(
-                    s"INSERT INTO $name ON CONFLICT: missing DO NOTHING " +
-                      "or DO UPDATE SET (or use INSERT OR REPLACE/IGNORE)")
-                }
+              val action = cc.action.getOrElse(orK match {
+                case Some("IGNORE") => "NOTHING"
+                case Some("REPLACE") => "REPLACE"
+                case _ => throw new IllegalArgumentException(
+                  s"INSERT INTO $name ON CONFLICT: missing DO NOTHING " +
+                    "or DO UPDATE SET (or use INSERT OR REPLACE/IGNORE)")
+              })
               insertOnConflict(name, cols, insertBody, keyCols, action)
-            case other => throw new IllegalArgumentException(
-              s"INSERT INTO $name: malformed ON CONFLICT clause '$other'")
+            case None => throw new IllegalArgumentException(
+              s"INSERT INTO $name: malformed ON CONFLICT clause " +
+                s"'${body.substring(at)}'")
           }
       }
     case dropRelStmt(kind, ifExists, name) =>
@@ -963,11 +942,7 @@ class Engine(val spark: SparkSession,
     * quotes and parens) — quote-aware so a literal containing ' WHERE '
     * never splits. Returns (before, Some(predicate)) or (body, None). */
   private[graft] def splitAtTopLevelWhere(s: String): (String, Option[String]) =
-    findTopLevelKeyword(s, 0, Seq("WHERE")) match {
-      case Some((i, kw)) =>
-        (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
-      case None => (s.trim, None)
-    }
+    SqlScan.splitAtTopLevelWhere(s)
 
   private def mutableTarget(name: String, verb: String): DataFrame =
     createdTables.getOrElse(name,
@@ -988,24 +963,7 @@ class Engine(val spark: SparkSession,
     * top-level '=' splits column from expression — '==' never starts a SET
     * assignment's rhs boundary in DuckDB's grammar). */
   private def parseAssignments(ctx: String, setsRaw: String): Seq[(String, String)] =
-    splitExecArgs(setsRaw).map { a =>
-      var i = 0; var depth = 0; var quote: Char = 0; var at = -1
-      while (i < a.length && at < 0) {
-        val c = a.charAt(i)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else c match {
-          case '\'' | '"' | '`' => quote = c
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case '=' if depth == 0 => at = i
-          case _ =>
-        }
-        i += 1
-      }
-      require(at > 0, s"$ctx: malformed SET assignment '$a'")
-      (a.substring(0, at).trim.stripPrefix("`").stripSuffix("`"),
-        a.substring(at + 1).trim)
-    }
+    SqlScan.parseAssignments(ctx, setsRaw)
 
   private def updateTable(name: String, setsRaw: String,
       whereOpt: Option[String]): DataFrame = {
@@ -1620,34 +1578,8 @@ class Engine(val spark: SparkSession,
     * after `from`, with the matched keyword. Comments are not handled — the
     * reference's query surface (CLI -q / REPL lines) does not carry them. */
   private def findTopLevelKeyword(s: String, from: Int,
-                                  kws: Seq[String]): Option[(Int, String)] = {
-    val upper = s.toUpperCase
-    var i = from
-    var depth = 0
-    var quote: Char = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        if (c == quote) quote = 0
-      } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')) {
-            val hit = kws.find { kw =>
-              upper.startsWith(kw, i) && {
-                val e = i + kw.length
-                e >= s.length || (!Character.isLetterOrDigit(s.charAt(e)) && s.charAt(e) != '_')
-              }
-            }
-            if (hit.isDefined) return Some((i, hit.get))
-          }
-      }
-      i += 1
-    }
-    None
-  }
+                                  kws: Seq[String]): Option[(Int, String)] =
+    SqlScan.findTopLevelKeyword(s, from, kws)
 
   private val trailingClauseKws =
     Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",

@@ -1,0 +1,152 @@
+package graft
+
+/** The ONE shared quote/paren-aware SQL tokenizer behind every textual
+  * clause split in the engine dialect (UPDATE/DELETE/SET splitting, the
+  * INSERT ... ON CONFLICT clause, EXECUTE argument lists, FROM-first
+  * rewriting, USING SAMPLE). All scans obey the same discipline:
+  *
+  *  - a single-quoted literal, double-quoted literal, or backquoted
+  *    identifier is opaque — keywords and separators inside never match;
+  *  - parenthesized regions are opaque to top-level scans — a WHERE in a
+  *    subquery or a ',' in a call never splits an outer clause;
+  *  - keyword hits require identifier boundaries on both sides, so
+  *    `WHERE_x` or `fooWHERE` never match.
+  *
+  * Consolidating the statement forms on this object (round 8) retires the
+  * per-statement regex surgery the round-7 review flagged: any new
+  * statement form composes these scans instead of hand-rolling escapes.
+  */
+private[graft] object SqlScan {
+
+  /** First top-level occurrence of any of `kws` at or after `from`,
+    * as (index, matchedKeyword). */
+  def findTopLevelKeyword(s: String, from: Int,
+                          kws: Seq[String]): Option[(Int, String)] = {
+    val upper = s.toUpperCase
+    var i = from
+    var depth = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')) {
+            val hit = kws.find { kw =>
+              upper.startsWith(kw, i) && {
+                val e = i + kw.length
+                e >= s.length || (!Character.isLetterOrDigit(s.charAt(e)) && s.charAt(e) != '_')
+              }
+            }
+            if (hit.isDefined) return Some((i, hit.get))
+          }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Split on top-level commas (EXECUTE args, column lists, SET lists). */
+  def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; sb.append(c)
+        case '(' => depth += 1; sb.append(c)
+        case ')' => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+        case _ => sb.append(c)
+      }
+    }
+    if (sb.nonEmpty || out.nonEmpty) out += sb.toString.trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Split "body [WHERE predicate]" at the FIRST top-level WHERE.
+    * Returns (before, Some(predicate)) or (body, None). */
+  def splitAtTopLevelWhere(s: String): (String, Option[String]) =
+    findTopLevelKeyword(s, 0, Seq("WHERE")) match {
+      case Some((i, kw)) =>
+        (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
+      case None => (s.trim, None)
+    }
+
+  /** Parse `c = expr, ...` SET assignments: top-level commas separate
+    * assignments, the first top-level '=' splits column from expression
+    * ('==' never starts a SET rhs boundary in DuckDB's grammar). */
+  def parseAssignments(ctx: String, setsRaw: String): Seq[(String, String)] =
+    splitTopLevelCommas(setsRaw).map { a =>
+      var i = 0; var depth = 0; var quote: Char = 0; var at = -1
+      while (i < a.length && at < 0) {
+        val c = a.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else c match {
+          case '\'' | '"' | '`' => quote = c
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '=' if depth == 0 => at = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(at > 0, s"$ctx: malformed SET assignment '$a'")
+      (a.substring(0, at).trim.stripPrefix("`").stripSuffix("`"),
+        a.substring(at + 1).trim)
+    }
+
+  /** Index of the ')' matching the '(' at `open` (quote-aware), or -1. */
+  def matchingParen(s: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Structured `ON CONFLICT [(keys)] [DO NOTHING | DO UPDATE SET ...]`.
+    * `action` is None for the bare form (PRIMARY-KEY sugar target),
+    * Some("NOTHING"), or Some("UPDATE SET <assignments>"). Keys may be
+    * backquoted; quoting is stripped here (the engine resolves
+    * case-insensitively against the target schema). */
+  final case class ConflictClause(keys: Seq[String], action: Option[String])
+
+  def parseConflictClause(clause: String): Option[ConflictClause] = {
+    val s = clause.trim
+    val head = "(?is)^ON\\s+CONFLICT\\b".r.findFirstIn(s)
+    if (head.isEmpty) return None
+    var rest = s.substring(head.get.length).trim
+    var keys = Seq.empty[String]
+    if (rest.startsWith("(")) {
+      val close = matchingParen(rest, 0)
+      if (close < 0) return None
+      keys = splitTopLevelCommas(rest.substring(1, close))
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      rest = rest.substring(close + 1).trim
+    }
+    rest = rest.stripSuffix(";").trim
+    if (rest.isEmpty) Some(ConflictClause(keys, None))
+    else if ("(?is)^DO\\s+NOTHING\\s*$".r.findFirstIn(rest).isDefined)
+      Some(ConflictClause(keys, Some("NOTHING")))
+    else
+      "(?is)^DO\\s+(UPDATE\\s+SET\\s+.+)$".r.findFirstMatchIn(rest)
+        .map(m => ConflictClause(keys, Some(m.group(1).trim)))
+  }
+}

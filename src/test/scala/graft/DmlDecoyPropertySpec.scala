@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-8 decoy property tests for the DML statement forms that ride the
+  * shared SqlScan tokenizer: string literals containing the exact clause
+  * keywords (WHERE / USING / FROM / ON CONFLICT / DO UPDATE SET / '=')
+  * must never split a clause. Complements WhereScannerPropertySpec
+  * (UPDATE/DELETE WHERE) and AssignmentParserPropertySpec (SET rhs) with
+  * the joined/upsert forms. Seeded LCG, end-to-end through Engine.sql. */
+class DmlDecoyPropertySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+
+  test("DELETE ... USING: literals containing ' USING ' / ' WHERE ' in the " +
+      "predicate or source never split the clause") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    val r = lcg(0xdec0L)
+    (0 until 50).foreach { i =>
+      val decoy = s"D${i}_${math.floorMod(r.next(), 1000)} USING x WHERE y"
+      Seq((1L, decoy), (2L, "keep")).toDF("k", "tag")
+        .createOrReplaceTempView("dd_src")
+      engine.sql("CREATE OR REPLACE TABLE dd_t AS SELECT k, tag FROM dd_src")
+      // the decoy literal sits in the join predicate: only row k=1 matches
+      engine.sql("DELETE FROM dd_t USING dd_src s " +
+        s"WHERE dd_t.k = s.k AND s.tag = '$decoy'")
+        .collect()(0).getLong(0) shouldBe 1L
+      val left = engine.sql("SELECT tag FROM dd_t").collect()
+      left.map(_.getString(0)).toSeq shouldBe Seq("keep")
+    }
+    engine.sql("DROP TABLE dd_t")
+    engine.close()
+  }
+
+  test("INSERT ... ON CONFLICT: literals containing 'ON CONFLICT' and " +
+      "'DO UPDATE SET' in inserted values or SET rhs never split") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    val r = lcg(0xc0f1L)
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("oc_ps")
+    (0 until 50).foreach { i =>
+      val lit1 = s"X$i ON CONFLICT (k) DO NOTHING ${math.floorMod(r.next(), 100)}"
+      val lit2 = s"Y$i DO UPDATE SET v = excluded.v"
+      engine.sql("CREATE OR REPLACE TABLE oc_p AS SELECT k, v FROM oc_ps")
+      // literal containing the clause keywords INSERTS cleanly
+      engine.sql(s"INSERT INTO oc_p VALUES (2, '$lit1') " +
+        "ON CONFLICT (k) DO NOTHING").collect()(0).getLong(0) shouldBe 1L
+      engine.sql("SELECT v FROM oc_p WHERE k = 2").collect()(0)
+        .getString(0) shouldBe lit1
+      // decoy in the DO UPDATE SET rhs: concat embeds the phrase
+      engine.sql(s"INSERT INTO oc_p VALUES (2, 'z') ON CONFLICT (k) " +
+        s"DO UPDATE SET v = concat('$lit2', ' WHERE 1 = 2')")
+        .collect()(0).getLong(0) shouldBe 0L
+      engine.sql("SELECT v FROM oc_p WHERE k = 2").collect()(0)
+        .getString(0) shouldBe s"$lit2 WHERE 1 = 2"
+    }
+    // backquoted conflict keys parse through the tokenizer
+    engine.sql("CREATE OR REPLACE TABLE oc_q (`order id` BIGINT, v VARCHAR)")
+    engine.sql("INSERT INTO oc_q VALUES (1, 'a')")
+    engine.sql("INSERT INTO oc_q VALUES (1, 'b') " +
+      "ON CONFLICT (`order id`) DO UPDATE SET v = excluded.v")
+      .collect()(0).getLong(0) shouldBe 0L
+    engine.sql("SELECT v FROM oc_q").collect()(0).getString(0) shouldBe "b"
+    engine.sql("DROP TABLE oc_p"); engine.sql("DROP TABLE oc_q")
+    engine.close()
+  }
+
+  test("UPDATE ... FROM: literals containing ' FROM ' / ' WHERE ' in SET " +
+      "rhs never trigger the joined form or split the predicate") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    val r = lcg(0xf02aL)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .createOrReplaceTempView("uf_src")
+    (0 until 50).foreach { i =>
+      val decoy = s"F$i FROM uf_src WHERE k = 2 ${math.floorMod(r.next(), 100)}"
+      engine.sql("CREATE OR REPLACE TABLE uf_t AS SELECT k, v FROM uf_src")
+      // plain UPDATE whose SET rhs literal contains ' FROM ' and ' WHERE '
+      engine.sql(s"UPDATE uf_t SET v = '$decoy' WHERE k = 1")
+        .collect()(0).getLong(0) shouldBe 1L
+      engine.sql("SELECT v FROM uf_t WHERE k = 1").collect()(0)
+        .getString(0) shouldBe decoy
+      engine.sql("SELECT v FROM uf_t WHERE k = 2").collect()(0)
+        .getString(0) shouldBe "b"
+      // genuine joined form still parses alongside the decoy literal
+      engine.sql("UPDATE uf_t SET v = concat(s.v, '$ FROM x') FROM " +
+        "uf_src s WHERE uf_t.k = s.k AND uf_t.k = 2")
+        .collect()(0).getLong(0) shouldBe 1L
+      engine.sql("SELECT v FROM uf_t WHERE k = 2").collect()(0)
+        .getString(0) shouldBe "b$ FROM x"
+    }
+    engine.sql("DROP TABLE uf_t")
+    engine.close()
+  }
+}
