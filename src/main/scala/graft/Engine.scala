@@ -258,7 +258,15 @@ class Engine(val spark: SparkSession,
                 "top" -> topic,
                 "par" -> r.getAs[Int]("partition"),
                 "off" -> r.getAs[Long]("offset"),
-                "ts" -> r.getAs[java.sql.Timestamp]("timestamp").getTime,
+                // tolerate both temporal APIs: with
+                // spark.sql.datetime.java8API.enabled=true (which the
+                // thrift attach surface turns on for its sessions) the
+                // row carries java.time.Instant instead of sql.Timestamp
+                "ts" -> (r.getAs[AnyRef]("timestamp") match {
+                  case t: java.sql.Timestamp => t.getTime
+                  case i: java.time.Instant => i.toEpochMilli
+                  case null => null
+                }),
                 "tst" -> r.getAs[Int]("timestampType").toShort,
                 "epo" -> null, // not exposed by Spark's Kafka source
                 "hdr" -> hdrs)

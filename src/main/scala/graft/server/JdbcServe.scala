@@ -25,6 +25,15 @@ object JdbcServe {
   /** One server per JVM (HiveServer2 registers global state). */
   @volatile private var running: Option[(AnyRef, Int)] = None
 
+  /** Session confs the thrift layer mutates on open (in singleSession
+    * mode that hits the SHARED session state): snapshot at start, restore
+    * at stop, so serving never leaves the engine session reconfigured.
+    * Known mutation: SparkSQLSessionManager.openSession enables
+    * spark.sql.datetime.java8API.enabled for result-set encoding. */
+  private val volatileConfs = Seq("spark.sql.datetime.java8API.enabled")
+  @volatile private var savedConfs: Map[String, Option[String]] = Map.empty
+  @volatile private var boundSession: Option[SparkSession] = None
+
   private def freePort(): Int = {
     val s = new java.net.ServerSocket(0)
     try s.getLocalPort finally s.close()
@@ -54,6 +63,9 @@ object JdbcServe {
             "spark.sql.hive.thriftServer.singleSession is not set: JDBC " +
               "sessions will not see this engine's temp views (set it at " +
               "session build time)")
+        savedConfs = volatileConfs
+          .map(k => k -> spark.conf.getOption(k)).toMap
+        boundSession = Some(spark)
         val srv = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
           .startWithContext(sc)
         running = Some((srv, p))
@@ -61,10 +73,21 @@ object JdbcServe {
     }
   }
 
+  /** Stop the endpoint and restore mutated session confs. NOTE:
+    * HiveServer2 keeps JVM-global state — a stopped endpoint cannot be
+    * restarted in the same JVM; stop() is a shutdown-time call. */
   def stop(): Unit = synchronized {
     running.foreach { case (srv, _) =>
       srv.asInstanceOf[org.apache.hive.service.server.HiveServer2].stop()
     }
+    boundSession.foreach { s =>
+      savedConfs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    boundSession = None
+    savedConfs = Map.empty
     running = None
   }
 

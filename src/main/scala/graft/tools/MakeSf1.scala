@@ -34,6 +34,12 @@ object MakeSf1 {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/root/repo/testdata_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional table subset (round 8: sf10 needs only the corpus tables
+    // the corpus-proportional worst cases read — documents, embeddings)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
+    def wanted(t: String) = only.forall(_.contains(t))
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,12 +57,12 @@ object MakeSf1 {
       shifted.reduce(_ unionAll _)
     }
 
-    Seq("region", "nation").foreach { t =>
+    Seq("region", "nation").filter(wanted).foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"$t: copied")
     }
-    keyCols.foreach { case (t, keys) =>
+    keyCols.filter(kv => wanted(kv._1)).foreach { case (t, keys) =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
       val out = replicate(src, keys)
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")

@@ -24,6 +24,8 @@ class JdbcServeSpec extends AnyFunSuite with Matchers {
       topic, i % 2, i.toLong, 1700000000000L + i))
     engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.IntSerde)),
       _ => KafkaRecords.synthetic(spark, records))
+    val confBefore =
+      spark.conf.getOption("spark.sql.datetime.java8API.enabled")
     val port = JdbcServe.start(spark)
     val conn = JdbcServe.connect(port)
     try {
@@ -51,9 +53,26 @@ class JdbcServeSpec extends AnyFunSuite with Matchers {
       // DatabaseMetaData surface (what sqlline/BI tools introspect)
       val md = conn.getMetaData
       md.getDatabaseProductName.toLowerCase should include("spark")
+      // the thrift session layer enables java8API datetimes on the SHARED
+      // session (singleSession mode); the ingest decode must tolerate it:
+      // re-sync a topic WHILE a JDBC session has been open
+      val engine2 = new Engine(spark)
+      engine2.init(Seq(Engine.TopicSpec("jdbc-live-topic",
+        valueSerde = Serde.IntSerde, rowAttrs = Set("par", "ts"))),
+        _ => KafkaRecords.synthetic(spark, Seq(SyntheticRecord(null,
+          java.nio.ByteBuffer.allocate(4).putInt(7).array(),
+          "jdbc-live-topic", 0, 0L, 1700000000123L))))
+      spark.sql("SELECT rowinfo.ts FROM `jdbc-live-topic`").collect()(0)
+        .getLong(0) shouldBe 1700000000123L
+      engine2.close()
     } finally {
       conn.close()
       JdbcServe.stop()
     }
+    // stop() must restore the session confs the thrift session layer
+    // mutated (openSession enables java8API datetimes on the SHARED
+    // session in singleSession mode) — no leak into later engine work
+    spark.conf.getOption("spark.sql.datetime.java8API.enabled") shouldBe
+      confBefore
   }
 }
