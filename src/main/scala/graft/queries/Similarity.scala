@@ -493,29 +493,62 @@ object Similarity {
        |SELECT qid, rank, cid, label, ROUND(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
-  /** kNN-graph construction: every corpus vector's top-3 cosine neighbors
-    * WITHIN its trained IVF cell — the corpus-vs-corpus shape (vs s04's
-    * bounded query set) that feeds SemDeDup-style clustering, diversity
-    * analysis, and graph-based label propagation over training corpora.
-    *
-    * Scale: the self-join is equi-keyed on cell, so with k chosen ∝ N
-    * (bounded cell size) the pair count is Σ|cell|² ≪ N² and the plan is
-    * one shuffle on cell (or ZERO extra shuffles when the index is already
-    * cell-partitioned, the layout IvfIndex.assign documents). The top-k
-    * ranking prunes below the shuffle via WindowGroupLimit. No all-pairs
-    * cartesian anywhere. */
-  private val s09: Q = (s, dir) => {
+  /** Shared corpus kNN: every vector's top-3 cosine neighbors within its
+    * trained IVF cell, as (qid, rank, cid, cos). The within-cell pair join
+    * is DUPLICATE-COLLAPSED (round 8): identical embeddings — the dominant
+    * shape of a crawl corpus, and exactly what the sf10 replication
+    * stresses — group to one representative each, the pair join runs over
+    * DISTINCT content only, and per-query candidates fan back out from
+    * the group member lists. Correctness is exact: within a group the
+    * cosine to any member is one constant and ties break by cid, so any
+    * global top-3 candidate is among the 4 lowest-cid members of its own
+    * group (its better-ranked groupmates precede it); a 4-member slice
+    * per group therefore reconstructs the naive join's answer
+    * bit-for-bit. Cost: pairs scale with Σ|distinct-cell|², NOT corpus² —
+    * at 100x duplication the naive join pays 10,000x more pairs, this
+    * plan pays 1x pairs + a linear fan-out. */
+  private def knnTop3(s: SparkSession, dir: String): DataFrame = {
     val (_, assigned) = trainedIvf(s, dir)
-    val a = assigned.select(col("cell"), col("vec_id").as("qid"),
-      col("embedding").as("qe"))
-    val b = assigned.select(col("cell"), col("vec_id").as("cid"),
-      col("embedding").as("ce"))
+    val groups = assigned.groupBy(col("cell"), col("embedding"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+    val ga = groups.select(col("cell"), col("embedding").as("qe"),
+      element_at(col("members"), 1).as("qgid"),
+      col("members").as("qmembers"))
+    val gb = groups.select(col("cell"), col("embedding").as("ce"),
+      slice(col("members"), 1, 4).as("cands"))
+    // rank ONCE per query group (every member of a group sees the same
+    // candidate list, minus itself): group-level top-4 is a superset of
+    // any member's top-3 because a given cid can be excluded by at most
+    // one member. The heavy window thus runs over groups, and the
+    // member fan-out only carries the <=4 survivors.
+    val wg = Window.partitionBy(col("qgid")).orderBy(col("cos").desc, col("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    a.join(b, Seq("cell"))
+    ga.join(gb, Seq("cell"))
+      .select(col("qgid"), col("qmembers"),
+        expr(cosineExpr("qe", "ce")).as("cos"), col("cands"))
+      .select(col("qgid"), col("qmembers"), col("cos"),
+        explode(col("cands")).as("cid"))
+      .withColumn("grank", row_number().over(wg))
+      .filter(col("grank") <= 4)
+      .select(explode(col("qmembers")).as("qid"), col("cos"), col("cid"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
+  }
+
+  /** s09 kNN-graph construction: every corpus vector's top-3 cosine
+    * neighbors WITHIN its trained IVF cell — the corpus-vs-corpus shape
+    * (vs s04's bounded query set) that feeds SemDeDup-style clustering,
+    * diversity analysis, and graph-based label propagation over training
+    * corpora.
+    *
+    * Scale: [[knnTop3]] — equi-keyed on cell AND duplicate-collapsed, so
+    * the pair count is Σ|distinct-per-cell|² ≪ N² even on a
+    * duplicate-heavy corpus (sf10 measured: the naive join froze the
+    * driver; this plan runs in seconds). The top-k ranking prunes below
+    * the shuffle via WindowGroupLimit. No all-pairs cartesian anywhere. */
+  private val s09: Q = (s, dir) => {
+    knnTop3(s, dir)
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 6).as("cosine"))
       .psortScaled(col("qid"), col("rank"))
   }
@@ -1190,16 +1223,7 @@ object Similarity {
   private val s18: Q = (s, dir) => {
     val (_, assigned) = trainedIvf(s, dir)
     val edges = memoized(s"s18edges:$dir") {
-      val a = assigned.select(col("cell"), col("vec_id").as("qid"),
-        col("embedding").as("qe"))
-      val b = assigned.select(col("cell"), col("vec_id").as("cid"),
-        col("embedding").as("ce"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-      a.join(b, Seq("cell"))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      knnTop3(s, dir)
         .select(col("qid").as("src"), col("cid").as("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -1708,18 +1732,8 @@ object Similarity {
     * move after edge construction. */
   private val s24: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
-    val (_, assigned) = trainedIvf(s, dir)
     val edges = memoized(s"s18edges:$dir") {
-      val a = assigned.select(col("cell"), col("vec_id").as("qid"),
-        col("embedding").as("qe"))
-      val b = assigned.select(col("cell"), col("vec_id").as("cid"),
-        col("embedding").as("ce"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-      a.join(b, Seq("cell"))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      knnTop3(s, dir)
         .select(col("qid").as("src"), col("cid").as("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
