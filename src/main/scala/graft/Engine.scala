@@ -772,7 +772,10 @@ class Engine(val spark: SparkSession,
           val sets = setsAndWhere.substring(0, fi).trim
           val (rel, where) =
             splitAtTopLevelWhere(setsAndWhere.substring(fi + 4))
-          updateFromTable(name, sets, rel, where)
+          // the rel tail is an alias position: a trailing comment's last
+          // word must not be mistaken for the alias (comments are
+          // semantically neutral, stripping is quote-aware)
+          updateFromTable(name, sets, SqlScan.stripComments(rel).trim, where)
         case _ =>
           val (sets, where) = splitAtTopLevelWhere(setsAndWhere)
           updateTable(name, sets, where)
@@ -785,7 +788,8 @@ class Engine(val spark: SparkSession,
       findTopLevelKeyword(tail, 0, Seq("USING")) match {
         case Some((0, _)) =>
           val (rel, where) = splitAtTopLevelWhere(tail.substring(5))
-          deleteUsing(name, rel, where)
+          // alias position — see the UPDATE ... FROM comment above
+          deleteUsing(name, SqlScan.stripComments(rel).trim, where)
         case _ =>
           val where =
             if (tail.isEmpty) None
@@ -1944,16 +1948,13 @@ class Engine(val spark: SparkSession,
               // its own parens; the guard only rejects bare keywords that
               // prove the preceding text isn't a FROM item
               val selfContained = item.startsWith("(") && {
-                var depth = 0; var ok = true
-                item.zipWithIndex.foreach { case (c, j) =>
-                  if (c == '(') depth += 1
-                  else if (c == ')') { depth -= 1
-                    if (depth == 0 && j < item.length - 1 &&
-                        !item.substring(j + 1).trim.matches(
-                          "(?is)(AS\\s+)?[A-Za-z_]\\w*")) ok = false
-                  }
+                // quote-aware paren matching: a ')' inside a string literal
+                // in the subquery must not close the depth count
+                val close = SqlScan.matchingParen(item, 0)
+                close >= 0 && {
+                  val tail = item.substring(close + 1).trim
+                  tail.isEmpty || tail.matches("(?is)(AS\\s+)?[A-Za-z_]\\w*")
                 }
-                ok && depth == 0
               }
               require(item.nonEmpty && (selfContained ||
                   !"(?is)\\b(ON|WHERE)\\b".r.findFirstIn(item).isDefined),
@@ -2133,6 +2134,9 @@ class Engine(val spark: SparkSession,
   }
 
   def close(): Unit = {
+    // if this engine was serving the full dialect (JdbcServe attach),
+    // detach — a closed engine must not front the session's parser
+    GraftSqlFront.unbind(spark, this)
     tables.values.foreach(_.unpersist())
     tables = Map.empty
     macros.clear()

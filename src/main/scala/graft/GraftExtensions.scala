@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (experimental.extraStrategies, registered on first use) stays for
     // sessions the engine does not construct itself
     ext.injectPlannerStrategy(_ => graft.operators.AsofJoinNative.AsofJoinStrategy)
+    // full-dialect attach surface: inert until JdbcServe.start binds an
+    // engine to the session (see GraftSqlFront)
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }

@@ -14,6 +14,7 @@ import graft.sources.KafkaRecords
   *            [-b bootstrapServers] [-p topic=0,1,2] [-o topic=offsetSpec]
   *            [-m metadataTimeoutMs] [-r registryUrl] [-d dbDir]
   *            [-F propsFile] [-X key=value]... [-j jdbcPort]
+  *            [-c attachJdbcUrl]
   * }}}
   *
   * Record source: with `-b`, each topic is a batch Kafka read (consume to
@@ -48,7 +49,8 @@ object Main {
       registryUrl: Option[String] = None,
       dbDir: Option[String] = None,
       passthrough: Map[String, String] = Map.empty,
-      jdbcPort: Option[Int] = None)
+      jdbcPort: Option[Int] = None,
+      attachUrl: Option[String] = None)
 
   private def splitKv(s: String): (String, String) = {
     val i = s.indexOf('=')
@@ -119,6 +121,7 @@ object Main {
         case "-X" => val (k, v) = splitKv(args(i + 1)); i += 2
           c = c.copy(passthrough = c.passthrough + (k -> v))
         case "-j" => c = c.copy(jdbcPort = Some(args(i + 1).toInt)); i += 2
+        case "-c" => c = c.copy(attachUrl = Some(args(i + 1))); i += 2
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
@@ -202,18 +205,21 @@ object Main {
       // static conf, set before session build: JDBC sessions on the -j
       // thrift endpoint share this session's temp views (topic tables)
       .config("spark.sql.hive.thriftServer.singleSession", "true")
+      // native functions, the AS-OF planner strategy, and the
+      // full-dialect parser front for the -j attach surface
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val engine = runWith(spark, c)
     // external SQL-client attach surface (reference parity: kwack serves
     // sqlline over a second JDBC connection, KwackEngine.java:258-272)
     c.jdbcPort.foreach { p =>
-      val bound = graft.server.JdbcServe.start(spark, p)
+      val bound = graft.server.JdbcServe.start(engine, p)
       println(s"JDBC endpoint: jdbc:hive2://localhost:$bound/default")
     }
     c.query match {
       case Some(q) => engine.query(q).foreach(println)
-      case None => repl(engine)
+      case None => repl(engine, None, c.attachUrl)
     }
     c.jdbcPort.foreach(_ => graft.server.JdbcServe.stop())
     spark.stop()
@@ -235,13 +241,23 @@ object Main {
     * `sbin/start-thriftserver.sh` (or a Connect endpoint) against the same
     * session serves these views to any JDBC/BI client with zero engine
     * changes. */
-  private[graft] def repl(engine: Engine): Unit = repl(engine, None)
+  private[graft] def repl(engine: Engine): Unit = repl(engine, None, None)
+
+  private[graft] def repl(engine: Engine,
+      io: Option[(java.io.InputStream, java.io.OutputStream)]): Unit =
+    repl(engine, io, None)
 
   /** `io`: explicit (in, out) streams for scripted/automated runs (the
     * JLine system terminal binds the real file descriptors, so a spec
-    * cannot drive it by swapping `System.in`); None = the user's TTY. */
+    * cannot drive it by swapping `System.in`); None = the user's TTY.
+    * `attachUrl`: start attached to a remote thrift endpoint (`-c`) —
+    * statements execute over hive-jdbc instead of the local engine, the
+    * inverse of `-j` and the reference's sqlline second-connection
+    * attach (KwackEngine.java:258-272). `!connect <url>` / `!detach`
+    * switch modes at runtime. */
   private[graft] def repl(engine: Engine,
-      io: Option[(java.io.InputStream, java.io.OutputStream)]): Unit = {
+      io: Option[(java.io.InputStream, java.io.OutputStream)],
+      attachUrl: Option[String]): Unit = {
     import org.jline.reader.{EndOfFileException, LineReader, LineReaderBuilder, UserInterruptException}
     import org.jline.terminal.TerminalBuilder
     val terminal = io match {
@@ -259,6 +275,19 @@ object Main {
       .build()
     var maxRows = 100
     var done = false
+    var remote: Option[(String, java.sql.Connection)] = None
+    def connectRemote(url: String): Unit = {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      remote.foreach { case (_, c) => try c.close() catch { case _: Exception => () } }
+      remote = Some((url,
+        java.sql.DriverManager.getConnection(url, "anonymous", "")))
+      println(s"connected: $url (statements now run remotely; !detach to return)")
+    }
+    attachUrl.foreach { u =>
+      try connectRemote(u)
+      catch { case e: Exception =>
+        System.err.println(s"error: could not attach to $u: ${e.getMessage}") }
+    }
     while (!done) {
       val line =
         try reader.readLine("graft> ")
@@ -277,6 +306,8 @@ object Main {
                       |!describe <table>  show a table's schema
                       |!history           show command history
                       |!rows <n>          set the display row cap (default 100)
+                      |!connect <url>     attach to a remote thrift endpoint (hive-jdbc)
+                      |!detach            return to the local engine
                       |quit | exit        leave""".stripMargin)
           case "!tables" =>
             engine.spark.catalog.listTables().collect()
@@ -290,28 +321,75 @@ object Main {
           case cmd if cmd.startsWith("!rows") =>
             try { maxRows = stmt.split("\\s+")(1).toInt; println(s"display cap: $maxRows") }
             catch { case _: Exception => System.err.println("usage: !rows <n>") }
+          case cmd if cmd.startsWith("!connect") =>
+            stmt.split("\\s+").lift(1) match {
+              case Some(url) =>
+                try connectRemote(url)
+                catch { case e: Exception =>
+                  System.err.println(s"error: ${e.getMessage}") }
+              case None => System.err.println("usage: !connect <jdbc:hive2://...>")
+            }
+          case "!detach" =>
+            remote match {
+              case Some((url, c)) =>
+                try c.close() catch { case _: Exception => () }
+                remote = None
+                println(s"detached from $url")
+              case None => System.err.println("not attached")
+            }
           case cmd if cmd.startsWith("!") =>
             System.err.println(s"unknown command $stmt (try !help)")
           case _ =>
             try {
               val t0 = System.nanoTime()
-              val df = engine.sql(stmt)
-              // one execution: fetch cap+1 rows to detect truncation
-              val fetched = df.limit(maxRows + 1).collect()
-              val truncated = fetched.length > maxRows
-              val rows = fetched.take(maxRows)
-              renderTable(df.columns, rows)
+              val (cols, fetched, updateCount) = remote match {
+                case Some((_, conn)) => execRemote(conn, stmt, maxRows + 1)
+                case None =>
+                  val df = engine.sql(stmt)
+                  // one execution: fetch cap+1 rows to detect truncation
+                  (df.columns, df.limit(maxRows + 1).collect(), None)
+              }
               val secs = (System.nanoTime() - t0) / 1e9
-              val n = rows.length
-              val count = if (truncated) s"first $n" else n.toString
-              println(f"$count row${if (n == 1) "" else "s"} selected ($secs%.3f seconds)")
+              updateCount match {
+                case Some(n) =>
+                  println(f"$n row${if (n == 1L) "" else "s"} affected ($secs%.3f seconds)")
+                case None =>
+                  val truncated = fetched.length > maxRows
+                  val rows = fetched.take(maxRows)
+                  renderTable(cols, rows)
+                  val n = rows.length
+                  val count = if (truncated) s"first $n" else n.toString
+                  println(f"$count row${if (n == 1) "" else "s"} selected ($secs%.3f seconds)")
+              }
             } catch {
               case e: Exception => System.err.println(s"error: ${e.getMessage}")
             }
         }
       }
     }
+    remote.foreach { case (_, c) => try c.close() catch { case _: Exception => () } }
     terminal.close()
+  }
+
+  /** Execute a statement over an attached hive-jdbc connection: result
+    * sets come back as rendered rows (capped at `fetchMax`), non-query
+    * statements as an update count. */
+  private[graft] def execRemote(conn: java.sql.Connection, stmt: String,
+      fetchMax: Int): (Array[String], Array[org.apache.spark.sql.Row], Option[Long]) = {
+    val st = conn.createStatement()
+    try {
+      if (st.execute(stmt)) {
+        val rs = st.getResultSet
+        val md = rs.getMetaData
+        val cols = (1 to md.getColumnCount).map(md.getColumnLabel).toArray
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        while (buf.length < fetchMax && rs.next())
+          buf += org.apache.spark.sql.Row.fromSeq(
+            (1 to cols.length).map(rs.getObject))
+        (cols, buf.toArray, None)
+      } else (Array.empty[String], Array.empty[org.apache.spark.sql.Row],
+        Some(st.getUpdateCount.toLong))
+    } finally st.close()
   }
 
   /** sqlline-style column-aligned rendering: `+---+` borders, headers,

@@ -9,6 +9,9 @@ package graft
   *    identifier is opaque — keywords and separators inside never match;
   *  - parenthesized regions are opaque to top-level scans — a WHERE in a
   *    subquery or a ',' in a call never splits an outer clause;
+  *  - `--` line comments and `/* */` block comments are opaque — a
+  *    keyword or separator inside a comment embedded in a statement
+  *    never splits a clause;
   *  - keyword hits require identifier boundaries on both sides, so
   *    `WHERE_x` or `fooWHERE` never match.
   *
@@ -17,6 +20,19 @@ package graft
   * statement form composes these scans instead of hand-rolling escapes.
   */
 private[graft] object SqlScan {
+
+  /** If a comment starts at `i` (outside quotes), its EXCLUSIVE end index
+    * (`--` runs to end of line; an unterminated block comment runs to end
+    * of string, matching how the downstream parser would treat it);
+    * -1 if no comment starts here. */
+  private def commentEnd(s: String, i: Int): Int =
+    if (i + 1 < s.length && s.charAt(i) == '-' && s.charAt(i + 1) == '-') {
+      val nl = s.indexOf('\n', i + 2)
+      if (nl < 0) s.length else nl + 1
+    } else if (i + 1 < s.length && s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+      val close = s.indexOf("*/", i + 2)
+      if (close < 0) s.length else close + 2
+    } else -1
 
   /** First top-level occurrence of any of `kws` at or after `from`,
     * as (index, matchedKeyword). */
@@ -30,40 +46,61 @@ private[graft] object SqlScan {
       val c = s.charAt(i)
       if (quote != 0) {
         if (c == quote) quote = 0
-      } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')) {
-            val hit = kws.find { kw =>
-              upper.startsWith(kw, i) && {
-                val e = i + kw.length
-                e >= s.length || (!Character.isLetterOrDigit(s.charAt(e)) && s.charAt(e) != '_')
+        i += 1
+      } else {
+        val ce = commentEnd(s, i)
+        if (ce >= 0) i = ce
+        else {
+          c match {
+            case '\'' | '"' | '`' => quote = c
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+              if (depth == 0 && (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_')) {
+                val hit = kws.find { kw =>
+                  upper.startsWith(kw, i) && {
+                    val e = i + kw.length
+                    e >= s.length || (!Character.isLetterOrDigit(s.charAt(e)) && s.charAt(e) != '_')
+                  }
+                }
+                if (hit.isDefined) return Some((i, hit.get))
               }
-            }
-            if (hit.isDefined) return Some((i, hit.get))
           }
+          i += 1
+        }
       }
-      i += 1
     }
     None
   }
 
-  /** Split on top-level commas (EXECUTE args, column lists, SET lists). */
+  /** Split on top-level commas (EXECUTE args, column lists, SET lists).
+    * Comment text is carried through to the containing piece verbatim —
+    * the downstream SQL parser understands comments; only the SPLIT must
+    * not happen inside one. */
   def splitTopLevelCommas(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
     var quote: Char = 0
-    s.foreach { c =>
-      if (quote != 0) { sb.append(c); if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' | '`' => quote = c; sb.append(c)
-        case '(' => depth += 1; sb.append(c)
-        case ')' => depth -= 1; sb.append(c)
-        case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
-        case _ => sb.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        sb.append(c); if (c == quote) quote = 0
+        i += 1
+      } else {
+        val ce = commentEnd(s, i)
+        if (ce >= 0) { sb.append(s.substring(i, ce)); i = ce }
+        else {
+          c match {
+            case '\'' | '"' | '`' => quote = c; sb.append(c)
+            case '(' => depth += 1; sb.append(c)
+            case ')' => depth -= 1; sb.append(c)
+            case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+            case _ => sb.append(c)
+          }
+          i += 1
+        }
       }
     }
     if (sb.nonEmpty || out.nonEmpty) out += sb.toString.trim
@@ -87,20 +124,51 @@ private[graft] object SqlScan {
       var i = 0; var depth = 0; var quote: Char = 0; var at = -1
       while (i < a.length && at < 0) {
         val c = a.charAt(i)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else c match {
-          case '\'' | '"' | '`' => quote = c
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case '=' if depth == 0 => at = i
-          case _ =>
+        if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+        else {
+          val ce = commentEnd(a, i)
+          if (ce >= 0) i = ce
+          else {
+            c match {
+              case '\'' | '"' | '`' => quote = c
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case '=' if depth == 0 => at = i
+              case _ =>
+            }
+            i += 1
+          }
         }
-        i += 1
       }
       require(at > 0, s"$ctx: malformed SET assignment '$a'")
-      (a.substring(0, at).trim.stripPrefix("`").stripSuffix("`"),
+      // the lhs is an IDENTIFIER position: a comment riding before/after
+      // the column name must not pollute it (the rhs is expression text —
+      // the SQL parser handles comments there)
+      (stripComments(a.substring(0, at)).trim
+        .stripPrefix("`").stripSuffix("`"),
         a.substring(at + 1).trim)
     }
+
+  /** Remove `--` and block comments outside quoted regions — for
+    * identifier positions where comment text would pollute the token. */
+  def stripComments(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0; i += 1 }
+      else {
+        val ce = commentEnd(s, i)
+        if (ce >= 0) { sb.append(' '); i = ce }
+        else {
+          if (c == '\'' || c == '"' || c == '`') quote = c
+          sb.append(c); i += 1
+        }
+      }
+    }
+    sb.toString
+  }
 
   /** Index of the ')' matching the '(' at `open` (quote-aware), or -1. */
   def matchingParen(s: String, open: Int): Int = {
@@ -109,14 +177,20 @@ private[graft] object SqlScan {
     var quote: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) return i
-        case _ =>
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else {
+        val ce = commentEnd(s, i)
+        if (ce >= 0) i = ce
+        else {
+          c match {
+            case '\'' | '"' | '`' => quote = c
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) return i
+            case _ =>
+          }
+          i += 1
+        }
       }
-      i += 1
     }
     -1
   }

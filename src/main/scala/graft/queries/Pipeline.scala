@@ -160,6 +160,30 @@ object Pipeline {
   final case class PDoc(ch: String, doc_id: Long, source: String,
                         text: String)
 
+  /** p02's keep-lowest-doc_id ingest gate: first sight of a canonical
+    * hash admits the winner; later sightings are duplicates.
+    * Trigger.AvailableNow with maxFilesPerTrigger unset drains all staged
+    * files in ONE micro-batch, so the batch min IS the global min — and
+    * if that assumption is ever broken (a future caller sets
+    * maxFilesPerTrigger, staging semantics change), a lower doc_id
+    * arriving AFTER the winner emitted is the exact violation: fail loud
+    * instead of silently keeping the wrong doc. Unit-tested directly via
+    * TestGroupState (AdviceR8FixSpec). */
+  private[graft] def keepLowestGate(key: String, it: Iterator[PDoc],
+      state: org.apache.spark.sql.streaming.GroupState[PDoc]): Iterator[PDoc] = {
+    val batchBest = it.minBy(_.doc_id)
+    state.getOption match {
+      case Some(w) =>
+        if (batchBest.doc_id < w.doc_id) throw new IllegalStateException(
+          s"p02 keep-lowest gate: doc ${batchBest.doc_id} arrived after " +
+            s"winner ${w.doc_id} was emitted — staged drain was not " +
+            "single-batch (maxFilesPerTrigger set?)")
+        Iterator.empty
+      case None =>
+        state.update(batchBest); Iterator.single(batchBest)
+    }
+  }
+
   /** p02: the STREAMING arrival of p01's curation pipeline — dedup-at-
     * ingest through the real Structured Streaming runtime:
     *
@@ -199,13 +223,7 @@ object Pipeline {
       .as[PDoc]
       .groupByKey(_.ch)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, it: Iterator[PDoc], state: GroupState[PDoc]) => {
-          // keep-lowest-doc_id ingest gate: first sight of a canonical
-          // hash admits the winner; later sightings are duplicates
-          val batchBest = it.minBy(_.doc_id)
-          if (state.exists) Iterator.empty
-          else { state.update(batchBest); Iterator.single(batchBest) }
-        })
+        keepLowestGate _)
       .toDF()
     val kept = deduped.filter(expr(
       s"""NOT (length(text) < 50)

@@ -220,7 +220,7 @@ object StreamingOps {
     val ckBase = if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Path.of(System.getProperty("java.io.tmpdir"))
     val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ck_")
-    ck.toFile.deleteOnExit()
+    trackTempDir(ck)
     val q = bound.writeStream
       .format("memory")
       .queryName(name)
@@ -244,7 +244,10 @@ object StreamingOps {
     * deterministic for keep-first dedup state regardless of file order. */
   def stageAndStream(df: DataFrame, numFiles: Int = 4): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage_")
-    dir.toFile.deleteOnExit()
+    // staging copies are corpus-sized: File.deleteOnExit() would be a
+    // no-op on a non-empty directory, so track for recursive cleanup —
+    // eagerly at shutdownGates() (suite end) and via the JVM hook
+    trackTempDir(dir, eager = true)
     df.coalesce(numFiles).write.mode("overwrite").parquet(dir.toString)
     df.sparkSession.readStream.schema(df.schema).parquet(dir.toString)
   }
@@ -278,9 +281,9 @@ object StreamingOps {
     val ckBase = if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Path.of(System.getProperty("java.io.tmpdir"))
     val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ck_")
-    ck.toFile.deleteOnExit()
+    trackTempDir(ck)
     val out = java.nio.file.Files.createTempDirectory("graft_filesink_")
-    out.toFile.deleteOnExit()
+    trackTempDir(out)
     val q = stream.writeStream
       .format("parquet")
       .option("path", out.toString)
@@ -320,7 +323,7 @@ object StreamingOps {
     val ckBase = if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Path.of(System.getProperty("java.io.tmpdir"))
     val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ck_")
-    ck.toFile.deleteOnExit()
+    trackTempDir(ck)
     val q = bound.writeStream
       .format("memory")
       .queryName(name)
@@ -342,6 +345,48 @@ object StreamingOps {
     * at a few state partitions over a bounded slice, the dead-provider
     * residue per run is a handful of near-empty maps, safe to carry until
     * the suite ends. Verify/Bench call this after their query loop. */
-  def shutdownGates(): Unit =
+  def shutdownGates(): Unit = {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    // every tracked stream has terminated by suite end: reclaim the
+    // corpus-sized staging copies now rather than at JVM exit
+    drainEagerTempDirs()
+  }
+
+  /** Temp directories needing RECURSIVE deletion (deleteOnExit does not
+    * recurse, so a non-empty staging/checkpoint dir would leak past
+    * process exit). `eager=true` dirs (corpus-sized staging copies) are
+    * additionally reclaimed by [[shutdownGates]] during the process
+    * lifetime; the rest wait for the one JVM shutdown hook. */
+  private val eagerTmp =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val exitTmp =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val hookInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+      finally walk.close()
+    }
+  }
+
+  private[graft] def trackTempDir(p: java.nio.file.Path,
+                                  eager: Boolean = false): Unit = {
+    (if (eager) eagerTmp else exitTmp).add(p)
+    if (hookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        drainEagerTempDirs()
+        var q = exitTmp.poll()
+        while (q != null) { deleteRecursively(q); q = exitTmp.poll() }
+      }, "graft-tmpdir-cleanup"))
+  }
+
+  private def drainEagerTempDirs(): Unit = {
+    var p = eagerTmp.poll()
+    while (p != null) { deleteRecursively(p); p = eagerTmp.poll() }
+  }
 }

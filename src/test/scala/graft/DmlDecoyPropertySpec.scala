@@ -69,6 +69,47 @@ class DmlDecoyPropertySpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("comment decoys: keywords and commas inside -- and /* */ comments " +
+      "never split UPDATE/DELETE/ON CONFLICT/SET/EXECUTE clauses") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("cm_src")
+    // block comment containing WHERE + a comma in the SET list: neither
+    // splits — both rows update, the predicate applies to k=1 only
+    engine.sql("CREATE OR REPLACE TABLE cm_t AS SELECT k, v FROM cm_src")
+    engine.sql("UPDATE cm_t SET v = /* WHERE k = 2, v = 'x' */ 'one' " +
+      "WHERE k = 1").collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM cm_t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("one", "b")
+    // line comment containing USING + WHERE inside a DELETE predicate
+    engine.sql("CREATE OR REPLACE TABLE cm_t AS SELECT k, v FROM cm_src")
+    engine.sql("DELETE FROM cm_t USING cm_src s -- USING x WHERE y\n" +
+      "WHERE cm_t.k = s.k AND s.v = 'a'").collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM cm_t").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("b")
+    // ON CONFLICT with a block comment holding 'DO UPDATE SET x = 1,'
+    engine.sql("CREATE OR REPLACE TABLE cm_t AS SELECT k, v FROM cm_src")
+    engine.sql("INSERT INTO cm_t VALUES (1, 'z') ON CONFLICT (k) " +
+      "DO UPDATE SET /* DO UPDATE SET v = 'no', k = 9 */ v = excluded.v")
+      .collect()(0).getLong(0) shouldBe 0L
+    engine.sql("SELECT v FROM cm_t WHERE k = 1").collect()(0)
+      .getString(0) shouldBe "z"
+    // EXECUTE args: a comma inside a block comment must not split the
+    // argument list; the comment rides along into the substituted SQL
+    engine.sql("PREPARE cm_p AS SELECT $1 + $2 AS s")
+    engine.sql("EXECUTE cm_p(1 /* , 99 */, 2)").collect()(0)
+      .getInt(0) shouldBe 3
+    // unterminated -- comment at the tail never eats a real clause above
+    engine.sql("CREATE OR REPLACE TABLE cm_t AS SELECT k, v FROM cm_src")
+    engine.sql("UPDATE cm_t SET v = 'w' WHERE k = 2 -- WHERE k = 1")
+      .collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM cm_t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("a", "w")
+    engine.sql("DEALLOCATE cm_p")
+    engine.sql("DROP TABLE cm_t")
+    engine.close()
+  }
+
   test("UPDATE ... FROM: literals containing ' FROM ' / ' WHERE ' in SET " +
       "rhs never trigger the joined form or split the predicate") {
     import spark.implicits._

@@ -14,6 +14,9 @@ object TestSpark {
       // static conf: JDBC sessions on the thrift attach surface share
       // this session's temp views (JdbcServeSpec; see JdbcServe.start)
       .config("spark.sql.hive.thriftServer.singleSession", "true")
+      // parser front for the full-dialect attach (inert until an engine
+      // is bound by JdbcServe.start), functions, AS-OF strategy
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -9,14 +9,25 @@ import graft.sources.KafkaRecords
 import graft.sources.KafkaRecords.SyntheticRecord
 
 /** e2e: an EXTERNAL JDBC client attaches to the engine's thrift endpoint
-  * and queries engine-registered topic views over the wire — the
-  * reference's sqlline-over-JDBC parity path. */
+  * and gets the FULL engine dialect over the wire — the reference's
+  * sqlline-over-JDBC parity path (kwack serves its entire DuckDB dialect
+  * over its second JDBC connection, KwackEngine.java:258-272).
+  *
+  * HiveServer2 keeps JVM-global state (one server per JVM, no restart),
+  * so the suite starts the endpoint ONCE in the first test, shares it
+  * across the ordered tests, and stops it in the last — which also
+  * asserts the session-conf restore. */
 class JdbcServeSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
 
+  // shared across the ordered tests; set up by the first test
+  private var engine: Engine = _
+  private var port: Int = 0
+  private var confBefore: Option[String] = None
+
   test("hive-jdbc client attaches, sees engine topic views, and runs a " +
       "gated query's SQL over the wire") {
-    val engine = new Engine(spark)
+    engine = new Engine(spark)
     graft.functions.GraftFunctions.register(spark)
     val topic = "jdbc-topic"
     val records = (0 until 10).map(i => SyntheticRecord(null,
@@ -24,9 +35,8 @@ class JdbcServeSpec extends AnyFunSuite with Matchers {
       topic, i % 2, i.toLong, 1700000000000L + i))
     engine.init(Seq(Engine.TopicSpec(topic, valueSerde = Serde.IntSerde)),
       _ => KafkaRecords.synthetic(spark, records))
-    val confBefore =
-      spark.conf.getOption("spark.sql.datetime.java8API.enabled")
-    val port = JdbcServe.start(spark)
+    confBefore = spark.conf.getOption("spark.sql.datetime.java8API.enabled")
+    port = JdbcServe.start(engine, 0) // dialect-bound attach surface
     val conn = JdbcServe.connect(port)
     try {
       // engine temp view visible through the external connection
@@ -65,14 +75,181 @@ class JdbcServeSpec extends AnyFunSuite with Matchers {
       spark.sql("SELECT rowinfo.ts FROM `jdbc-live-topic`").collect()(0)
         .getLong(0) shouldBe 1700000000123L
       engine2.close()
-    } finally {
-      conn.close()
-      JdbcServe.stop()
+    } finally conn.close()
+  }
+
+  test("the FULL engine dialect is served over the attach: COPY TO, " +
+      "FROM 'file', macros, ASOF SQL, USING SAMPLE, PREPARE, session DML") {
+    val conn = JdbcServe.connect(port)
+    val st = conn.createStatement()
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // FROM 'file' scan (engine sugar — plain Spark SQL rejects it)
+      val r1 = st.executeQuery(
+        s"SELECT count(*) AS n FROM '$dir/region.parquet'")
+      r1.next() shouldBe true
+      r1.getLong("n") shouldBe 5L
+      // COPY ... TO (engine statement form; eager side effect)
+      val out = java.nio.file.Files.createTempDirectory("graft-jdbc-copy")
+        .resolve("regions.parquet").toString
+      val r2 = st.executeQuery(
+        s"COPY (SELECT r_regionkey, r_name FROM '$dir/region.parquet') " +
+          s"TO '$out' (FORMAT parquet)")
+      r2.next() shouldBe true
+      r2.getLong("rows_copied") shouldBe 5L
+      val back = st.executeQuery(s"SELECT count(*) AS n FROM '$out'")
+      back.next() shouldBe true
+      back.getLong("n") shouldBe 5L
+      // macro definition + call over the wire
+      st.executeQuery(
+        "CREATE OR REPLACE MACRO add_one(x) AS x + 1").next() shouldBe true
+      val r3 = st.executeQuery("SELECT add_one(41) AS a")
+      r3.next() shouldBe true
+      r3.getInt("a") shouldBe 42
+      // ASOF JOIN SQL spelling → native exec
+      st.execute("CREATE OR REPLACE TABLE jl AS SELECT * FROM " +
+        "VALUES (1, 10), (1, 25), (2, 5) AS t(k, ts)")
+      st.execute("CREATE OR REPLACE TABLE jr AS SELECT * FROM " +
+        "VALUES (1, 8, 100.0), (1, 20, 200.0) AS t(k, rts, price)")
+      val r4 = st.executeQuery(
+        "SELECT l.ts, r.price FROM jl l ASOF JOIN jr r " +
+          "ON l.k = r.k AND l.ts >= r.rts ORDER BY l.ts")
+      val asof = Iterator.continually(r4).takeWhile(_.next())
+        .map(r => (r.getInt(1), r.getDouble(2))).toList
+      asof shouldBe List((10, 100.0), (25, 200.0))
+      // USING SAMPLE (seeded rows form)
+      val r5 = st.executeQuery(
+        s"SELECT l_orderkey FROM '$dir/lineitem.parquet' " +
+          "USING SAMPLE 7 ROWS REPEATABLE (3)")
+      Iterator.continually(r5).takeWhile(_.next()).size shouldBe 7
+      // PREPARE / EXECUTE
+      st.execute("PREPARE jp AS SELECT $1 * 2 AS d")
+      val r6 = st.executeQuery("EXECUTE jp(21)")
+      r6.next() shouldBe true
+      r6.getInt("d") shouldBe 42
+      st.execute("DEALLOCATE jp")
+      // session DML: INSERT ... ON CONFLICT upsert + UPDATE + DELETE
+      st.execute("CREATE OR REPLACE TABLE jt AS SELECT * FROM " +
+        "VALUES (1, 'a'), (2, 'b') AS t(k, v)")
+      val r7 = st.executeQuery("INSERT INTO jt VALUES (2, 'B2'), (3, 'c') " +
+        "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+      r7.next() shouldBe true
+      val r8 = st.executeQuery("UPDATE jt SET v = upper(v) WHERE k = 1")
+      r8.next() shouldBe true
+      r8.getLong("updated_rows") shouldBe 1L
+      st.executeQuery("DELETE FROM jt WHERE k = 3").next() shouldBe true
+      val r9 = st.executeQuery("SELECT k, v FROM jt ORDER BY k")
+      Iterator.continually(r9).takeWhile(_.next())
+        .map(r => (r.getInt(1), r.getString(2))).toList shouldBe
+        List((1, "A"), (2, "B2"))
+      // FROM-first + SUMMARIZE-class forms still parse over the wire
+      val r10 = st.executeQuery(s"FROM '$dir/region.parquet' SELECT count(*) AS n")
+      r10.next() shouldBe true
+      r10.getLong("n") shouldBe 5L
+      st.execute("DROP TABLE jt"); st.execute("DROP TABLE jl")
+      st.execute("DROP TABLE jr"); st.execute("DROP MACRO add_one")
+    } finally { st.close(); conn.close() }
+  }
+
+  test("REPL !connect attaches to the live endpoint and serves the " +
+      "dialect remotely; !detach returns to the local engine") {
+    val dir = "/root/testdata/sf0.001"
+    val script =
+      s"""!connect jdbc:hive2://localhost:$port/default
+         |SELECT count(*) AS n FROM '$dir/nation.parquet';
+         |!detach
+         |SELECT 42 AS answer;
+         |quit
+         |""".stripMargin
+    val in = new java.io.ByteArrayInputStream(
+      script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val termOut = new java.io.ByteArrayOutputStream()
+    // repl prints result tables via println (Console.out); prompts go to
+    // the dumb terminal's stream — capture the former
+    Console.withOut(new java.io.PrintStream(outBuf, true, "UTF-8")) {
+      graft.Main.repl(engine, Some((in, termOut)),
+        None) // !connect in-script exercises the runtime path
     }
+    val text = outBuf.toString("UTF-8")
+    text should include("connected: jdbc:hive2://localhost:" + port)
+    text should include("| 25") // 25 nations via the remote FROM-'file' scan
+    text should include("detached")
+    text should include("| 42") // local engine again after !detach
+    text should include("answer")
+  }
+
+  test("two concurrent connections run gated SQL simultaneously; a " +
+      "client cancel aborts only its own statement") {
+    val dir = "/root/testdata/sf0.01"
+    // two clients, interleaved queries on separate threads
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 2).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          val c = JdbcServe.connect(port)
+          val s = c.createStatement()
+          try (0 until 3).foreach { _ =>
+            val r = s.executeQuery(
+              s"SELECT count(*) AS n FROM '$dir/lineitem.parquet' " +
+                "WHERE l_quantity > 25")
+            r.next() shouldBe true
+            results.add(r.getLong("n"))
+          } finally { s.close(); c.close() }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(120, TimeUnit.SECONDS) shouldBe true
+    errors.isEmpty shouldBe true
+    results.size shouldBe 6
+    import scala.jdk.CollectionConverters._
+    results.asScala.toSet.size shouldBe 1 // same answer on every connection
+    // cancel: a long-running statement aborted client-side must throw,
+    // and the connection must stay usable for the next statement
+    val c = JdbcServe.connect(port)
+    val s = c.createStatement()
+    val canceller = new Thread(() => { Thread.sleep(1500); s.cancel() })
+    canceller.start()
+    val t0 = System.nanoTime()
+    an[Exception] should be thrownBy {
+      val r = s.executeQuery(
+        "SELECT count(*) AS n FROM range(200000000000)")
+      r.next(); r.getLong(1)
+    }
+    canceller.join()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    elapsed should be < 60.0 // cancelled, not run to completion
+    val s2 = c.createStatement()
+    val ok = s2.executeQuery("SELECT 2 + 2 AS f")
+    ok.next() shouldBe true
+    ok.getInt("f") shouldBe 4
+    s2.close(); s.close(); c.close()
+  }
+
+  test("start() with a DIFFERENT explicit port fails loudly; same or " +
+      "auto port returns the running endpoint") {
+    JdbcServe.start(spark, port) shouldBe port // same explicit port: ok
+    JdbcServe.start(spark) shouldBe port // auto: ok
+    an[IllegalArgumentException] should be thrownBy
+      JdbcServe.start(spark, port + 1)
+  }
+
+  test("stop() restores the session confs the thrift layer mutated and " +
+      "unbinds the dialect front") {
+    JdbcServe.stop()
     // stop() must restore the session confs the thrift session layer
     // mutated (openSession enables java8API datetimes on the SHARED
     // session in singleSession mode) — no leak into later engine work
     spark.conf.getOption("spark.sql.datetime.java8API.enabled") shouldBe
       confBefore
+    // with the front unbound, engine sugar no longer parses via spark.sql
+    an[Exception] should be thrownBy
+      spark.sql("SELECT count(*) FROM '/root/testdata/sf0.001/region.parquet'")
+        .collect()
+    engine.close()
   }
 }
