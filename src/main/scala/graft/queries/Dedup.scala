@@ -189,12 +189,59 @@ object Dedup {
   /** MinHash signature frame (doc_id, m0..m7) over the shingled corpus —
     * ONE definition of the sketch parameters (8 hashes, 4 bands x 2 rows)
     * shared by the dedup pass (d03) and the quality evaluation (d06). */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithShingles(s, dir)
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigOf(docsWithShingles(s, dir))
+
+  private def minhashSigOf(docs: DataFrame): DataFrame =
     docs.select(
       (col("doc_id") +: col("sh") +:
         (0 until 8).map(i => expr(minhashCol(i)).as(s"m$i"))): _*)
-  }
+
+  /** Content-group map (doc_id -> rep): docs whose shingle ARRAYS are
+    * identical collapse to one representative (the min doc_id), keyed by
+    * an md5 digest of the array (the d01 exact-dedup precedent). On a
+    * duplicate-heavy corpus — sf1 is 10x, sf10 is 100x replicated, yet
+    * both hold the SAME 4992 distinct contents — any stage that
+    * enumerates doc-level pairs degenerates as dup^2 per group (measured
+    * at sf10: the doc-level minhash verify and d07's Pregel edge set
+    * froze the suite). This map lets the whole minhash chain run at
+    * CONTENT diversity and expand winners back to doc pairs as
+    * output-proportional, partition-pinned work — the same collapse the
+    * round-8 s09 knnTop3 and round-6 d20 fixes applied. */
+  private def docGroups(s: SparkSession, dir: String): DataFrame =
+    memoized(s"docgroups:$dir") {
+      val keyed = docsWithShingles(s, dir)
+        // NUL separator: shingles contain spaces, so a space-joined digest
+        // could alias two different arrays onto one key
+        .select(col("doc_id"), md5(concat_ws("\u0000", col("sh"))).as("ck"))
+      val reps = keyed.groupBy(col("ck")).agg(min(col("doc_id")).as("rep"))
+      keyed.join(reps, Seq("ck"))
+        .select(col("doc_id"), col("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Verified near-dup pairs at the REPRESENTATIVE level (r1 < r2,
+    * jaccard >= 0.8): the d03 candidate+verify chain over one doc per
+    * distinct content. Copies share their rep's signature bit-for-bit, so
+    * (a, b) shares a band iff (rep(a), rep(b)) does, and jaccard(a, b) ==
+    * jaccard(rep(a), rep(b)) — the doc-level pair set reconstructs
+    * exactly from these winners plus the always-candidate same-content
+    * pairs (identical sigs share every band; jaccard exactly 1.0). */
+  private def nearDupRepPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s"ndreppairs:$dir") {
+      val g = docGroups(s, dir)
+      val reps = docsWithShingles(s, dir).as("d")
+        .join(g.filter(col("doc_id") === col("rep"))
+          .select(col("rep").as("rid")), col("d.doc_id") === col("rid"))
+        .select(col("d.doc_id"), col("d.sh"), col("d.n"), col("d.hv"))
+      val cand = minhashCandidates(minhashSigOf(reps))
+      cand
+        .join(reps.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(reps.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1").as("r1"), col("d2").as("r2"), jaccardCol.as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** LSH band-bucket candidate pairs (d1 < d2, distinct) from the signature
     * frame — the shared candidate generator for d03/d06. */
@@ -233,13 +280,29 @@ object Dedup {
   // verify join once, serve every consumer from the persisted frame.
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     memoized(s"ndpairs:$dir") {
-      val docs = docsWithShingles(s, dir)
-      val cand = minhashCandidates(minhashSig(s, dir))
-      cand
-        .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-        .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-        .select(col("d1"), col("d2"), jaccardCol.as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+      val par = s.sparkContext.defaultParallelism
+      val g = docGroups(s, dir)
+      // same-content pairs: identical shingle arrays mean identical
+      // signatures (every band shared — always candidates) and jaccard
+      // n/(n+n-n) = exactly 1.0; no verify work needed. The self-join is
+      // pinned to cluster parallelism — each rep key's fan-out is C(k,2)
+      // in its copy count, and AQE would coalesce the byte-small map
+      // into one task
+      val gp = g.repartition(par, col("rep"))
+      val same = gp.as("a").join(gp.as("b"),
+          col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          lit(1.0).as("jaccard"))
+      // cross-content winners verified once per representative pair, then
+      // expanded to member pairs (copies share the rep's exact jaccard
+      // value bit-for-bit — same arrays, same expression)
+      val rp = nearDupRepPairs(s, dir).repartition(par, col("r1"), col("r2"))
+      val cross = rp
+        .join(broadcast(g.select(col("rep").as("r1"), col("doc_id").as("m1"))), Seq("r1"))
+        .join(broadcast(g.select(col("rep").as("r2"), col("doc_id").as("m2"))), Seq("r2"))
+        .select(least(col("m1"), col("m2")).as("d1"),
+          greatest(col("m1"), col("m2")).as("d2"), col("jaccard"))
+      same.unionAll(cross)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -331,19 +394,33 @@ object Dedup {
         struct(lit(k).as("k"), shiftright(col("sim"), 16 * k).bitwiseAND(65535).as("byte"))
       }: _*)).as("bk"))
       .select(col("sim"), col("bk.k").as("k"), col("bk.byte").as("byte"))
+    // The expansions below fan out dup^2 doc pairs from byte-small
+    // inputs: AQE's size-based coalescing would funnel each into 1-2
+    // tasks (measured at sf10: one 485 s task carried the whole cross
+    // expansion). User-numbered repartitions pin them at cluster
+    // parallelism — the d02 postings lesson applied to the expansion.
+    val par = s.sparkContext.defaultParallelism
+    // distribute by the FULL pair key: each sig pair's member fan-out is
+    // dup1 x dup2, and a hot s1 (one signature with many hamming-1
+    // partners) would still straggle under s1-only partitioning — AQE
+    // cannot see output-explosion skew because the pair rows are
+    // byte-small. Broadcasting the doc->sim map keeps the pinned
+    // partitioning through both expansion joins.
     val sigPairs = sbands.as("a").join(sbands.as("b"),
         col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
           && col("a.sim") < col("b.sim"))
       .select(col("a.sim").as("s1"), col("b.sim").as("s2"))
       .distinct()
       .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) === 1)
-    val same = d.as("a").join(d.as("b"),
+      .repartition(par, col("s1"), col("s2"))
+    val dp = d.repartition(par, col("sim"))
+    val same = dp.as("a").join(dp.as("b"),
         col("a.sim") === col("b.sim") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         lit(0).as("hamming"))
     val cross = sigPairs
-      .join(d.as("x"), col("x.sim") === col("s1"))
-      .join(d.as("y"), col("y.sim") === col("s2"))
+      .join(broadcast(d.as("x")), col("x.sim") === col("s1"))
+      .join(broadcast(d.as("y")), col("y.sim") === col("s2"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2"),
         lit(1).as("hamming"))
@@ -368,12 +445,45 @@ object Dedup {
   /** Embedding-cosine near-dup: block by label (coarse quantizer), exact
     * cosine on within-block pairs, threshold 0.4. */
   private val d05: Q = (s, dir) => {
+    // Distinct-vector collapse (the d04/s09 duplicate lesson applied to
+    // the embedding space): copies of the same (label, vector) pay ONE
+    // cosine — at sf10 the 21,800-vector label blocks are 218 distinct
+    // vectors, so the exact scoring runs at content diversity and the
+    // doc-level pairs expand back as partition-pinned fan-out. Copies
+    // share their rep's cosine bit-for-bit (same arrays, same
+    // expression; the kernel is index-ordered and commutative in its
+    // two arguments, so orientation never changes the value).
+    val par = s.sparkContext.defaultParallelism
     val e = t(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
-    val b = e.select(col("vec_id").as("v2"), col("label"), col("embedding").as("e2"))
-    a.join(b, Seq("label")).filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), col("label"),
+    val reps = e.groupBy(col("label"), col("embedding"))
+      .agg(min(col("vec_id")).as("rep"))
+    val gmap = e.join(reps, Seq("label", "embedding"))
+      .select(col("vec_id"), col("label"), col("rep"))
+    // one self-cosine per distinct vector ((sqrt x)^2 rounds, so cos(e,e)
+    // is NOT axiomatically 1.0 — it must be computed, once)
+    val selfc = reps
+      .select(col("rep"), col("embedding").as("e1"), col("embedding").as("e2"))
+      .select(col("rep"), expr(cosineExpr("e1", "e2")).as("cos"))
+    val mem = gmap.repartition(par, col("rep"))
+    val same = mem.as("a").join(mem.as("b"),
+        col("a.rep") === col("b.rep") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.label").as("label"), col("a.rep").as("rep"))
+      .join(broadcast(selfc), Seq("rep"))
+    val ra = reps.select(col("label"), col("rep").as("ra"), col("embedding").as("e1"))
+    val rb = reps.select(col("label"), col("rep").as("rb"), col("embedding").as("e2"))
+    val repPairs = ra.join(rb, Seq("label")).filter(col("ra") < col("rb"))
+      .select(col("label"), col("ra"), col("rb"),
         expr(cosineExpr("e1", "e2")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .repartition(par, col("ra"), col("rb"))
+    val cross = repPairs
+      .join(broadcast(gmap.select(col("rep").as("ra"), col("vec_id").as("m1"))), Seq("ra"))
+      .join(broadcast(gmap.select(col("rep").as("rb"), col("vec_id").as("m2"))), Seq("rb"))
+      .select(least(col("m1"), col("m2")).as("v1"),
+        greatest(col("m1"), col("m2")).as("v2"), col("label"), col("cos"))
+    same.select(col("v1"), col("v2"), col("label"), col("cos"))
+      .unionAll(cross)
       .filter(col("cos") >= 0.4)
       .select(col("v1"), col("v2"), col("label"), round(col("cos"), 6).as("cosine"))
       .psort(col("v1"), col("v2"))
@@ -439,7 +549,20 @@ object Dedup {
     * label IS the survivor a keep-first policy selects. */
   private def d07Labels(s: SparkSession, dir: String): DataFrame =
     memoized(s"d07labels:$dir") {
-      val edges = nearDupPairs(s, dir).select(col("d1"), col("d2"))
+      // Connectivity-reduced edge set: a STAR per content group (every
+      // copy -> its representative) plus the rep-level verified pairs.
+      // Component membership is identical to the full clique pair list —
+      // same-content pairs connect exactly the star's vertices, and a
+      // cross pair (a, b) connects groups A, B iff the (rep A, rep B)
+      // edge exists — so min-label propagation converges to the same
+      // labels, while the edge count drops from sum(k^2) to sum(k)
+      // (measured: the full pair list's Pregel froze the sf10 suite).
+      val g = docGroups(s, dir)
+      val star = g.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("d1"), col("doc_id").as("d2"))
+      val edges = nearDupRepPairs(s, dir)
+        .select(col("r1").as("d1"), col("r2").as("d2"))
+        .unionAll(star)
       val bidir = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       var cur = bidir.select(col("d1").as("id")).distinct()

@@ -365,6 +365,32 @@ class PlanSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.output.merged")
   }
 
+  test("round-9 duplicate-collapse: pair expansions stay pinned to cluster parallelism") {
+    // d04/d05 fan dup² doc-level pairs out of byte-small content-level
+    // inputs. AQE's size-based coalescing sees only the input bytes, so it
+    // would funnel each expansion into 1-2 tasks (measured at sf10: one
+    // 485 s task carried d04's whole cross expansion). The fix pins the
+    // expansion with a REQUESTED hash repartition at cluster parallelism
+    // on the full pair key and broadcasts the member maps so the pin
+    // survives the joins — this asserts the pin stays in the plan.
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, REPARTITION_BY_NUM}
+    val par = spark.sparkContext.defaultParallelism
+    Seq("d04_dedup_simhash", "d05_dedup_embedding").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.count()
+      val p = planOf(df)
+      val pinned = p.collect {
+        case e: ShuffleExchangeExec
+            if e.shuffleOrigin == REPARTITION_BY_NUM &&
+              e.outputPartitioning.numPartitions == par => e
+      }
+      withClue(q) {
+        pinned should not be empty
+        planString(df) should include("BroadcastHashJoin")
+      }
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
