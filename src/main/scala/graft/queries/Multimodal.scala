@@ -1342,7 +1342,78 @@ object Multimodal {
       |    FOR i IN RANGE(w * h * 3)]) AS BIGINT) AS px_sum
       |FROM slots ORDER BY doc_id, slot""".stripMargin
 
+  /** One quarantine verdict row: format sniffed from magic bytes, verdict
+    * from a real decode attempt, dimensions only for payloads that decode
+    * clean. */
+  case class MediaVerdict(doc_id: Long, format: String, verdict: String,
+                          width: Option[Long], height: Option[Long],
+                          n_px: Option[Long])
+
+  private def quarantineOne(docId: Long, b: Array[Byte]): MediaVerdict = {
+    val isBmp = b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val isPng = b.length >= 8 && (0 until 8).forall(i => b(i) == pngSig(i))
+    if (!isBmp && !isPng)
+      MediaVerdict(docId, "unknown", "bad_magic", None, None, None)
+    else {
+      val fmt = if (isBmp) "bmp" else "png"
+      try {
+        val img = ImageCodecs.decode(b)
+        MediaVerdict(docId, fmt, "ok", Some(img.width.toLong),
+          Some(img.height.toLong), Some(img.rgb.length.toLong))
+      } catch {
+        case _: Exception =>
+          MediaVerdict(docId, fmt, "corrupt_data", None, None, None)
+      }
+    }
+  }
+
+  /** m19: corrupt-media quarantine — the validation gate every lake-scale
+    * media pipeline runs BEFORE decode/feature stages: classify each binary
+    * payload as ok / bad_magic / corrupt_data from its magic bytes and a
+    * real decode attempt, so downstream stages see only clean payloads and
+    * the quarantine rate is a monitorable metric. Corruption is PLANTED
+    * deterministically on the wire (doc_id % 7 == 3 truncates the payload
+    * to 10 bytes — magic intact, body gone; doc_id % 7 == 5 flips the
+    * first magic byte), so the oracle replays the expected taxonomy closed
+    * form while the engine must actually hit the decoder's failure paths
+    * (BMP header length check, PNG chunk-bounds check) and recover per
+    * row rather than aborting the partition. Dimensions for clean rows
+    * come from the REAL decode, not the contract. Map-only, shuffle-free
+    * — the same mapPartitions batch shape as m02. */
+  private val m19: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[MediaVerdict] = Encoders.product[MediaVerdict]
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map { p =>
+        val tampered = p.doc_id % 7 match {
+          case 3 => java.util.Arrays.copyOf(p.data, 10)
+          case 5 =>
+            val c = p.data.clone(); c(0) = (c(0) ^ 0xff).toByte; c
+          case _ => p.data
+        }
+        quarantineOne(p.doc_id, tampered)
+      }).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m19Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 5 THEN 'unknown'
+      |       WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      |  CASE WHEN doc_id % 7 = 3 THEN 'corrupt_data'
+      |       WHEN doc_id % 7 = 5 THEN 'bad_magic'
+      |       ELSE 'ok' END AS verdict,
+      |  CASE WHEN doc_id % 7 IN (3, 5) THEN NULL
+      |       ELSE 8 + doc_id % 56 END AS width,
+      |  CASE WHEN doc_id % 7 IN (3, 5) THEN NULL
+      |       ELSE 8 + (doc_id * 7) % 40 END AS height,
+      |  CASE WHEN doc_id % 7 IN (3, 5) THEN NULL
+      |       ELSE (8 + doc_id % 56) * (8 + (doc_id * 7) % 40) * 3 END AS n_px
+      |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m19_media_quarantine" -> m19,
     "m18_video_resample" -> m18,
     "m17_audio_gain" -> m17,
     "m16_video_keyframe" -> m16,
@@ -1363,6 +1434,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m19_media_quarantine" -> m19Sql,
     "m18_video_resample" -> m18Sql,
     "m17_audio_gain" -> m17Sql,
     "m16_video_keyframe" -> m16Sql,

@@ -391,6 +391,32 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("d26 bucketed store: corpus side reads buckets with zero exchange") {
+    // The repeated-ingest layout: the store table pays its shuffle once at
+    // build (bucketBy on the content hash); every batch join must read the
+    // store's buckets in place — a shuffle on the store side here would be
+    // a full corpus reshuffle per ingest at 100 TB.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = SparkEntry.queries("d26_bucketed_store")(spark, sfDir)
+    df.count()
+    val p = planOf(df)
+    val smjs = p.collect { case j: SortMergeJoinExec => j }
+    smjs should not be empty
+    def bucketedScans(n: SparkPlan) =
+      n.collect { case sc: FileSourceScanExec if sc.bucketedScan => sc }
+    bucketedScans(p) should not be empty
+    // the h-join is the SMJ sitting directly on the bucketed scan (the
+    // outer nid-join also CONTAINS it, so pick the one with no nested join
+    // on its store side)
+    val storeSide = smjs.flatMap(_.children).find { c =>
+      bucketedScans(c).nonEmpty &&
+        c.collect { case j: SortMergeJoinExec => j }.isEmpty
+    }
+    storeSide should not be empty
+    storeSide.get.collect { case e: ShuffleExchangeLike => e } shouldBe empty
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
