@@ -460,7 +460,59 @@ object EngineSurface {
       |                        WHERE c_custkey % 5 = 2)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q113: `MERGE INTO ... WHEN MATCHED AND ... THEN DELETE / UPDATE /
+    * WHEN NOT MATCHED THEN INSERT` (DuckDB 1.4 grammar, round 9) — the
+    * three-way incremental-batch reconcile every lake table runs: churn
+    * heavy spenders out, fold spend into surviving balances, admit new
+    * accounts, all in ONE statement lowered to one left join + one anti
+    * join (copy-on-write). Money flows through DECIMAL end to end; the
+    * gate hashes the merged snapshot. The oracle replays the merge as the
+    * equivalent join/union SELECT (the driver's DuckDB 1.0 predates
+    * MERGE). */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql(s"CREATE OR REPLACE TABLE acct AS " +
+        s"SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal, " +
+        s"c_mktsegment AS seg FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey <= 600")
+      engine.sql(s"CREATE OR REPLACE TABLE delta AS " +
+        s"SELECT o_custkey AS id, " +
+        s"CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) " +
+        s"AS spend FROM '$dir/orders.parquet' WHERE o_orderkey <= 3000 " +
+        s"GROUP BY o_custkey")
+      engine.sql("MERGE INTO acct USING delta d ON acct.id = d.id " +
+        "WHEN MATCHED AND d.spend > 200000 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET bal = acct.bal + d.spend " +
+        "WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (d.id, d.spend)")
+      engine.sql("SELECT id, CAST(bal AS DOUBLE) AS bal, seg FROM acct")
+        .psort(col("id"))
+    } finally engine.close()
+  }
+
+  private val q113Sql =
+    """WITH acct AS (
+      |  SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+      |         c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey <= 600),
+      |delta AS (
+      |  SELECT o_custkey AS id,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS spend
+      |  FROM orders WHERE o_orderkey <= 3000 GROUP BY o_custkey),
+      |merged AS (
+      |  SELECT a.id,
+      |    CASE WHEN d.id IS NOT NULL THEN CAST(a.bal + d.spend AS DECIMAL(18,2))
+      |         ELSE a.bal END AS bal,
+      |    a.seg
+      |  FROM acct a LEFT JOIN delta d ON a.id = d.id
+      |  WHERE NOT (d.id IS NOT NULL AND d.spend > 200000)
+      |  UNION ALL
+      |  SELECT d.id, d.spend AS bal, NULL AS seg
+      |  FROM delta d WHERE NOT EXISTS (SELECT 1 FROM acct a WHERE a.id = d.id))
+      |SELECT id, CAST(bal AS DOUBLE) AS bal, seg FROM merged ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q113_merge_into" -> (q113 _),
     "q112_delete_using" -> (q112 _),
     "q110_update_from" -> (q110 _),
     "q111_upsert" -> (q111 _),
@@ -478,6 +530,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q113_merge_into" -> q113Sql,
     "q112_delete_using" -> q112Sql,
     "q110_update_from" -> q110Sql,
     "q111_upsert" -> q111Sql,

@@ -1412,7 +1412,172 @@ object Multimodal {
       |       ELSE (8 + doc_id % 56) * (8 + (doc_id * 7) % 40) * 3 END AS n_px
       |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
 
+  // ---- p03: composed media curation pipeline -------------------------------
+
+  /** Per-payload curation record: the quarantine verdict fused with m08's
+    * band/grid statistic from the SAME decode — one pass, one decode. */
+  case class MediaCurated(doc_id: Long, format: String, verdict: String,
+                          bands: Seq[Long], grid: Seq[Long], total: Long)
+
+  private def curateOne(docId: Long, b: Array[Byte]): MediaCurated = {
+    val isBmp = b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val isPng = b.length >= 8 && (0 until 8).forall(i => b(i) == pngSig(i))
+    if (!isBmp && !isPng)
+      MediaCurated(docId, "unknown", "bad_magic", Nil, Nil, 0L)
+    else {
+      val fmt = if (isBmp) "bmp" else "png"
+      try {
+        val gb = bandGridOne(MediaPayload(docId, b))
+        MediaCurated(docId, fmt, "ok", gb.bands.toSeq, gb.grid.toSeq,
+          gb.grid.sum)
+      } catch {
+        case _: Exception =>
+          MediaCurated(docId, fmt, "corrupt_data", Nil, Nil, 0L)
+      }
+    }
+  }
+
+  /** Corrupted + re-uploaded media wire fixture: doc_id % 9 == 2 rows carry
+    * the PREVIOUS doc's image bytes under their own id (the re-upload dup),
+    * then m19's corruption plants on top (% 7 == 3 truncates, % 7 == 5
+    * flips the magic byte). Built map-only on executors, stored as parquet
+    * binary — the raw-ingest shape. */
+  private val tamperedFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def tamperedTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val path = tamperedFixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_media_tampered").toString
+      t(s, dir, "documents").filter(col("doc_id") <= 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val eff = if (id % 9 == 2) id - 1 else id
+          val raw = fixturePayload(eff)
+          val bytes = id % 7 match {
+            case 3 => java.util.Arrays.copyOf(raw, 10)
+            case 5 =>
+              val c = raw.clone(); c(0) = (c(0) ^ 0xff).toByte; c
+            case _ => raw
+          }
+          MediaPayload(id, bytes)
+        })
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** p03: the composed media-curation pipeline — quarantine → phash
+    * near-dup → keep-list → per-format manifest, chained end to end the
+    * way a lake-scale image-ingest run actually executes: (1) ONE typed
+    * map-only pass decodes each payload, emitting the m19 quarantine
+    * verdict fused with m08's 8x8 grid + 16-bit band signature (one
+    * decode, never two); (2) clean rows pigeonhole-join on band equality
+    * — never all-pairs — and candidates verify by exact grid SSD == 0;
+    * (3) a duplicate keeps its lowest-id clean peer as canonical
+    * (re-uploads planted on the wire: % 9 == 2 rows carry the previous
+    * doc's bytes); (4) the manifest aggregates the funnel per format —
+    * ingested / bad_magic / corrupt / clean / dup_dropped / kept, with
+    * the kept pixel mass pinning every decode. The oracle replays the
+    * whole funnel generically from the pixel contract (substitution +
+    * corruption + hash + dedup in SQL), so a divergence ANYWHERE in the
+    * chain — decoder failure path, band join, SSD verify, keep rule —
+    * breaks the gate.
+    *
+    * Scale: stage 1 is map-only over the binary column; the candidate
+    * join is band-bucketed (pairs ∝ collisions, not corpus²); the verify
+    * touches only candidates; the manifest is an O(formats) aggregation.
+    * Same 100 TB shape as d03/m15. */
+  private val p03: Q = (s, dir) => {
+    val curated = memoized(s"p03cur:$dir") {
+      implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encOut: Encoder[MediaCurated] = Encoders.product[MediaCurated]
+      val df = tamperedTable(s, dir).as[MediaPayload]
+        .mapPartitions(_.map(p => curateOne(p.doc_id, p.data))).toDF()
+      df.persist(); df.count(); df
+    }
+    val clean = curated.filter(col("verdict") === "ok")
+    val bandRows = clean.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("k", "bv")))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val verified = cand
+      .join(clean.select(col("doc_id").as("d1"), col("grid").as("g1")), Seq("d1"))
+      .join(clean.select(col("doc_id").as("d2"), col("grid").as("g2")), Seq("d2"))
+      .filter(expr("aggregate(zip_with(g1, g2, (a, b) -> (a - b) * (a - b)), " +
+        "0L, (acc, x) -> acc + x)") === 0L)
+    val drops = verified.groupBy(col("d2").as("doc_id"))
+      .agg(min(col("d1")).as("dup_of"))
+    curated.join(drops, Seq("doc_id"), "left")
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_ingested"),
+        sum(when(col("verdict") === "bad_magic", 1L).otherwise(0L)).as("n_bad_magic"),
+        sum(when(col("verdict") === "corrupt_data", 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("verdict") === "ok", 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("verdict") === "ok" && col("dup_of").isNotNull, 1L)
+          .otherwise(0L)).as("n_dup_dropped"),
+        sum(when(col("verdict") === "ok" && col("dup_of").isNull, 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("verdict") === "ok" && col("dup_of").isNull, col("total"))
+          .otherwise(0L)).as("kept_px_sum"))
+      .psort(col("format"))
+  }
+
+  private val p03Sql =
+    """WITH ids AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 9 = 2 THEN doc_id - 1 ELSE doc_id END AS eff
+      |  FROM documents WHERE doc_id <= 100),
+      |v AS (
+      |  SELECT doc_id, eff,
+      |    CASE WHEN doc_id % 7 = 5 THEN 'unknown'
+      |         WHEN eff % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      |    CASE WHEN doc_id % 7 = 3 THEN 'corrupt_data'
+      |         WHEN doc_id % 7 = 5 THEN 'bad_magic' ELSE 'ok' END AS verdict
+      |  FROM ids),
+      |g AS (SELECT doc_id, eff, 8 + eff % 56 AS w, 8 + (eff * 7) % 40 AS h
+      |      FROM v WHERE verdict = 'ok'),
+      |cells AS (
+      |  SELECT doc_id, y * 8 + x AS i,
+      |    CAST(LIST_SUM([((((y * h) // 8 * w + (x * w) // 8) * 3 + c) * 7 + eff) % 251
+      |      FOR c IN RANGE(3)]) AS BIGINT) AS val
+      |  FROM g, RANGE(8) ry(y), RANGE(8) rx(x)),
+      |tot AS (SELECT doc_id, CAST(SUM(val) AS BIGINT) AS total FROM cells GROUP BY doc_id),
+      |bands AS (
+      |  SELECT c.doc_id, c.i // 16 AS k,
+      |    CAST(SUM(CASE WHEN 64 * c.val >= t.total THEN 1 << (c.i % 16) ELSE 0 END) AS BIGINT) AS bv
+      |  FROM cells c JOIN tot t USING (doc_id) GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ssd AS (
+      |  SELECT cand.d1, cand.d2,
+      |    CAST(SUM((ca.val - cb.val) * (ca.val - cb.val)) AS BIGINT) AS ssd
+      |  FROM cand
+      |  JOIN cells ca ON ca.doc_id = cand.d1
+      |  JOIN cells cb ON cb.doc_id = cand.d2 AND cb.i = ca.i
+      |  GROUP BY 1, 2),
+      |drops AS (SELECT d2 AS doc_id, MIN(d1) AS dup_of FROM ssd WHERE ssd = 0 GROUP BY d2)
+      |SELECT v.format,
+      |  COUNT(*) AS n_ingested,
+      |  CAST(SUM(CASE WHEN verdict = 'bad_magic' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_magic,
+      |  CAST(SUM(CASE WHEN verdict = 'corrupt_data' THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+      |  CAST(SUM(CASE WHEN verdict = 'ok' AND drops.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+      |  CAST(SUM(CASE WHEN verdict = 'ok' AND drops.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN verdict = 'ok' AND drops.doc_id IS NULL THEN tot.total ELSE 0 END) AS BIGINT) AS kept_px_sum
+      |FROM v LEFT JOIN drops ON v.doc_id = drops.doc_id
+      |       LEFT JOIN tot ON v.doc_id = tot.doc_id
+      |GROUP BY v.format ORDER BY v.format""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p03_media_pipeline" -> p03,
     "m19_media_quarantine" -> m19,
     "m18_video_resample" -> m18,
     "m17_audio_gain" -> m17,
@@ -1434,6 +1599,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "p03_media_pipeline" -> p03Sql,
     "m19_media_quarantine" -> m19Sql,
     "m18_video_resample" -> m18Sql,
     "m17_audio_gain" -> m17Sql,

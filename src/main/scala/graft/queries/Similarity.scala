@@ -2089,7 +2089,98 @@ object Similarity {
   /** Oracle: identical to s04's — persistence must be lossless. */
   private val s28Sql: String = s04Sql
 
+  // ---- s29: farthest-point (k-center) coreset selection --------------------
+
+  private val kcK = 6
+
+  /** s29: farthest-point traversal (Gonzalez k-center 2-approx) — the
+    * diversity-subset-selection primitive behind coreset construction,
+    * active-learning seed picks, and "cover the embedding space with k
+    * exemplars" curation: seed = max-norm vector, then each round admits
+    * the candidate FARTHEST from everything selected so far (exact squared
+    * L2, argmax with vec_id tiebreak — fully deterministic). Output is the
+    * selection order plus the coverage-radius decay curve (radius after i
+    * centers = the next pick's separation, by definition of argmax), the
+    * diagnostic a curator reads to choose k.
+    *
+    * Determinism: distances are graft_l2 sequential folds over exact
+    * float→double widenings against typedlit'd selected vectors, min via
+    * LEAST (exact), selection by (d DESC, vec_id) — both engines agree
+    * bit-for-bit, no tolerance.
+    *
+    * Scale: k bounded passes over the corpus, each map-only against a
+    * broadcast O(k·dim) literal with a global top-1 (TakeOrderedAndProject
+    * — per-partition partial max, O(partitions) rows to the driver). No
+    * shuffle of the corpus, no pairwise blowup; the O(k) driver rows are
+    * the selected centers themselves — the same bounded-collect class as
+    * IvfIndex centroids. */
+  private val s29: Q = (s, dir) => {
+    val cands = memoized(s"s29base:$dir") {
+      val df = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("e"))
+      df.persist(); df.count(); df
+    }
+    case class Pick(vecId: Long, vec: Seq[Double], sep: Option[Double])
+    val seedRow = cands
+      .select(col("vec_id"), col("e"),
+        call_function("graft_dot", col("e"), col("e")).as("n2"))
+      .orderBy(col("n2").desc, col("vec_id")).limit(1).head()
+    var selected = Vector(
+      Pick(seedRow.getLong(0), seedRow.getSeq[Double](1), None))
+    def minDist = selected
+      .map(p => call_function("graft_l2", col("e"), typedlit(p.vec)))
+      .reduce(least(_, _))
+    for (_ <- 2 to kcK) {
+      val r = cands.select(col("vec_id"), col("e"), minDist.as("d"))
+        .orderBy(col("d").desc, col("vec_id")).limit(1).head()
+      selected :+= Pick(r.getLong(0), r.getSeq[Double](1), Some(r.getDouble(2)))
+    }
+    val finalRadius = cands.select(max(minDist).as("r")).head().getDouble(0)
+    // radius after i centers = max min-dist = the (i+1)-th pick's separation
+    val rows = selected.zipWithIndex.map { case (p, i) =>
+      val after = if (i + 1 < selected.size) selected(i + 1).sep.get
+                  else finalRadius
+      (i + 1L, p.vecId, p.sep, after)
+    }
+    import s.implicits._
+    rows.toDF("step", "vec_id", "sep_dist", "radius_after")
+      .select(col("step"), col("vec_id"),
+        round(col("sep_dist"), 6).as("sep_dist"),
+        round(col("radius_after"), 6).as("radius_after"))
+      .psort(col("step"))
+  }
+
+  private lazy val s29Sql: String = {
+    def dot(a: String, b: String) =
+      s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, [z[1]::DOUBLE * z[2]::DOUBLE FOR z IN LIST_ZIP($a, $b)]), (acc, v) -> acc + v)"
+    // d{i} = min squared L2 to the first i picks; s{i+1} = argmax of d{i}
+    val steps = (2 to kcK).map { i =>
+      val prev = if (i == 2)
+        s"d1 AS (SELECT c.vec_id, c.e, ${dist2Sql("c.e", "s1.e")} AS d FROM c CROSS JOIN s1)"
+      else
+        s"d${i - 1} AS (SELECT p.vec_id, p.e, LEAST(p.d, ${dist2Sql("p.e", s"s${i - 1}.e")}) AS d FROM d${i - 2} p CROSS JOIN s${i - 1})"
+      prev + s",\ns$i AS (SELECT vec_id, e, d FROM d${i - 1} ORDER BY d DESC, vec_id LIMIT 1)"
+    }.mkString(",\n")
+    val lastD =
+      s"d$kcK AS (SELECT p.vec_id, LEAST(p.d, ${dist2Sql("p.e", s"s$kcK.e")}) AS d FROM d${kcK - 1} p CROSS JOIN s$kcK)"
+    val rows = (1 to kcK).map { i =>
+      val sep = if (i == 1) "NULL::DOUBLE"
+                else s"(SELECT ROUND(d, 6) FROM s$i)"
+      val after = if (i < kcK) s"(SELECT ROUND(d, 6) FROM s${i + 1})"
+                  else s"(SELECT ROUND(MAX(d), 6) FROM d$kcK)"
+      s"SELECT $i::BIGINT AS step, (SELECT vec_id FROM s$i) AS vec_id, $sep AS sep_dist, $after AS radius_after"
+    }.mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |s1 AS (SELECT vec_id, e FROM c ORDER BY ${dot("e", "e")} DESC, vec_id LIMIT 1),
+       |$steps,
+       |$lastD
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s29_kcenter_coreset" -> s29,
     "s28_index_persist" -> s28,
     "s27_streaming_ann" -> s27,
     "s26_centroid_drift" -> s26,
@@ -2120,6 +2211,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s29_kcenter_coreset" -> s29Sql,
     "s28_index_persist" -> s28Sql,
     "s27_streaming_ann" -> s27Sql,
     "s26_centroid_drift" -> s26Sql,

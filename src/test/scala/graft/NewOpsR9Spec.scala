@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-9 specs: the MERGE INTO statement surface (DuckDB 1.4 grammar —
+  * the reference's embedded engine accepts it, pom.xml duckdb 1.4.4),
+  * lowered to the copy-on-write join shape. */
+class NewOpsR9Spec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+
+  private def freshEngine(): Engine = {
+    val e = new Engine(spark)
+    e.sql("CREATE OR REPLACE TABLE stock AS " +
+      "SELECT * FROM (VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')) " +
+      "AS t(id, qty, tag)")
+    e.sql("CREATE OR REPLACE TABLE buy AS " +
+      "SELECT * FROM (VALUES (2, 5), (3, 7), (9, 99)) AS t(id, add_qty)")
+    e
+  }
+
+  private def rowsOf(e: Engine, q: String): Seq[Row] =
+    e.sql(q).collect().toSeq
+
+  test("MERGE: MATCHED UPDATE + NOT MATCHED INSERT (the basic upsert)") {
+    val e = freshEngine()
+    try {
+      val n = e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
+        "WHEN MATCHED THEN UPDATE SET qty = stock.qty + buy.add_qty " +
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (buy.id, buy.add_qty)")
+        .collect()(0).getLong(0)
+      n shouldBe 3 // 2 updates + 1 insert
+      rowsOf(e, "SELECT id, qty, tag FROM stock ORDER BY id") shouldBe Seq(
+        Row(1, 10, "a"), Row(2, 25, "b"), Row(3, 37, "c"), Row(9, 99, null))
+    } finally e.close()
+  }
+
+  test("MERGE: clause order resolves first-applicable (conditional DELETE " +
+      "before UPDATE), DO NOTHING short-circuits") {
+    val e = freshEngine()
+    try {
+      e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
+        "WHEN MATCHED AND buy.add_qty > 6 THEN DELETE " +
+        "WHEN MATCHED AND buy.add_qty > 100 THEN UPDATE SET qty = -1 " +
+        "WHEN MATCHED THEN UPDATE SET qty = stock.qty + buy.add_qty " +
+        "WHEN NOT MATCHED THEN DO NOTHING")
+      // id 3 (add 7 > 6) deleted; id 2 updated by the THIRD clause (second
+      // never fires: 5 < 100 and first-applicable already took id 3);
+      // id 9 discarded by DO NOTHING
+      rowsOf(e, "SELECT id, qty FROM stock ORDER BY id") shouldBe Seq(
+        Row(1, 10), Row(2, 25))
+    } finally e.close()
+  }
+
+  test("MERGE: NOT MATCHED BY SOURCE prunes stale target rows") {
+    val e = freshEngine()
+    try {
+      e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
+        "WHEN MATCHED THEN UPDATE SET qty = buy.add_qty " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      rowsOf(e, "SELECT id, qty FROM stock ORDER BY id") shouldBe Seq(
+        Row(2, 5), Row(3, 7))
+    } finally e.close()
+  }
+
+  test("MERGE: NOT MATCHED BY SOURCE UPDATE (flag instead of delete)") {
+    val e = freshEngine()
+    try {
+      e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
+        "WHEN NOT MATCHED BY SOURCE AND stock.qty < 15 THEN " +
+        "UPDATE SET tag = 'stale'")
+      rowsOf(e, "SELECT id, tag FROM stock ORDER BY id") shouldBe Seq(
+        Row(1, "stale"), Row(2, "b"), Row(3, "c"))
+    } finally e.close()
+  }
+
+  test("MERGE: INSERT * maps the source row positionally") {
+    val e = new Engine(spark)
+    try {
+      e.sql("CREATE OR REPLACE TABLE t2 AS " +
+        "SELECT * FROM (VALUES (1, 'x')) AS t(k, v)")
+      e.sql("CREATE OR REPLACE TABLE s2 AS " +
+        "SELECT * FROM (VALUES (1, 'ignored'), (7, 'new')) AS t(k, v)")
+      e.sql("MERGE INTO t2 USING s2 ON t2.k = s2.k " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      rowsOf(e, "SELECT k, v FROM t2 ORDER BY k") shouldBe Seq(
+        Row(1, "x"), Row(7, "new"))
+    } finally e.close()
+  }
+
+  test("MERGE: WHEN/THEN inside CASE expressions never split clauses") {
+    val e = freshEngine()
+    try {
+      e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
+        "WHEN MATCHED AND (CASE WHEN buy.add_qty > 6 THEN 1 ELSE 0 END) = 1 " +
+        "THEN UPDATE SET qty = CASE WHEN stock.qty > 25 THEN 0 ELSE 99 END " +
+        "WHEN MATCHED THEN UPDATE SET tag = 'small'")
+      rowsOf(e, "SELECT id, qty, tag FROM stock ORDER BY id") shouldBe Seq(
+        Row(1, 10, "a"), Row(2, 20, "small"), Row(3, 0, "c"))
+    } finally e.close()
+  }
+
+  test("MERGE: a target row matching two source rows fails loud " +
+      "(cardinality violation)") {
+    val e = new Engine(spark)
+    try {
+      e.sql("CREATE OR REPLACE TABLE t3 AS " +
+        "SELECT * FROM (VALUES (1, 0)) AS t(k, v)")
+      e.sql("CREATE OR REPLACE TABLE s3 AS " +
+        "SELECT * FROM (VALUES (1, 10), (1, 20)) AS t(k, v)")
+      val ex = intercept[IllegalArgumentException] {
+        e.sql("MERGE INTO t3 USING s3 ON t3.k = s3.k " +
+          "WHEN MATCHED THEN UPDATE SET v = s3.v")
+      }
+      ex.getMessage should include("cardinality")
+    } finally e.close()
+  }
+
+  test("MERGE: non-engine targets and RETURNING fail with clear messages") {
+    val e = freshEngine()
+    try {
+      intercept[IllegalArgumentException] {
+        e.sql("MERGE INTO nosuch USING buy ON nosuch.id = buy.id " +
+          "WHEN MATCHED THEN DELETE")
+      }.getMessage should include("not an engine-created table")
+      intercept[IllegalArgumentException] {
+        e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
+          "WHEN MATCHED THEN DELETE RETURNING *")
+      }.getMessage should include("RETURNING")
+    } finally e.close()
+  }
+
+  test("MERGE: source can be any dialect relation (subquery with alias)") {
+    val e = freshEngine()
+    try {
+      e.sql("MERGE INTO stock USING " +
+        "(SELECT id, add_qty * 2 AS a2 FROM buy WHERE id <= 3) d " +
+        "ON stock.id = d.id " +
+        "WHEN MATCHED THEN UPDATE SET qty = d.a2")
+      rowsOf(e, "SELECT id, qty FROM stock ORDER BY id") shouldBe Seq(
+        Row(1, 10), Row(2, 10), Row(3, 14))
+    } finally e.close()
+  }
+}
