@@ -712,7 +712,10 @@ class Engine(val spark: SparkSession,
     case insertStmt(orKw, name, colList, kw, rest) =>
       val cols = Option(colList).map(_.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      val body = kw + rest
+      val (body, iRet) = stripReturning(kw + rest)
+      def noConflictReturning(): Unit = require(iRet.isEmpty,
+        s"INSERT INTO $name: RETURNING is not supported together with " +
+          "ON CONFLICT / OR REPLACE / OR IGNORE")
       // locate a TOP-LEVEL `ON CONFLICT` (quote/paren-aware; an `ON`
       // inside a quoted literal or a subquery join never splits)
       var conflictAt = -1
@@ -729,8 +732,9 @@ class Engine(val spark: SparkSession,
         }
       }
       (conflictAt, Option(orKw).map(_.toUpperCase)) match {
-        case (-1, None) => insertInto(name, cols, body)
+        case (-1, None) => insertInto(name, cols, body, iRet)
         case (-1, Some(k)) =>
+          noConflictReturning()
           // OR REPLACE/IGNORE shorthand with no clause: the declared
           // PRIMARY KEY (column-definition CREATE TABLE) is the target
           primaryKeys.get(name) match {
@@ -742,6 +746,7 @@ class Engine(val spark: SparkSession,
                 "ON CONFLICT (key columns)")
           }
         case (at, orK) =>
+          noConflictReturning()
           val insertBody = body.substring(0, at).trim
           SqlScan.parseConflictClause(body.substring(at)) match {
             case Some(cc) =>
@@ -765,7 +770,8 @@ class Engine(val spark: SparkSession,
       }
     case dropRelStmt(kind, ifExists, name) =>
       dropRelation(kind.toUpperCase, name, ifExists != null)
-    case updateStmt(name, setsAndWhere) =>
+    case updateStmt(name, setsAndWhereRet) =>
+      val (setsAndWhere, ret) = stripReturning(setsAndWhereRet)
       // `SET ... FROM rel [WHERE ...]` (joined update) vs plain
       // `SET ... [WHERE ...]`: a top-level FROM before any top-level
       // WHERE selects the joined form (quote/paren-aware, so a FROM
@@ -780,12 +786,14 @@ class Engine(val spark: SparkSession,
           // the rel tail is an alias position: a trailing comment's last
           // word must not be mistaken for the alias (comments are
           // semantically neutral, stripping is quote-aware)
-          updateFromTable(name, sets, SqlScan.stripComments(rel).trim, where)
+          updateFromTable(name, sets, SqlScan.stripComments(rel).trim,
+            where, ret)
         case _ =>
           val (sets, where) = splitAtTopLevelWhere(setsAndWhere)
-          updateTable(name, sets, where)
+          updateTable(name, sets, where, ret)
       }
-    case deleteStmt(name, rest) =>
+    case deleteStmt(name, restRet) =>
+      val (rest, ret) = stripReturning(restRet)
       val tail = rest.trim
       // `USING rel [WHERE cond]` (the joined delete, DuckDB/Postgres) vs
       // plain `[WHERE cond]` — quote/paren-aware, so a USING inside a
@@ -794,7 +802,7 @@ class Engine(val spark: SparkSession,
         case Some((0, _)) =>
           val (rel, where) = splitAtTopLevelWhere(tail.substring(5))
           // alias position — see the UPDATE ... FROM comment above
-          deleteUsing(name, SqlScan.stripComments(rel).trim, where)
+          deleteUsing(name, SqlScan.stripComments(rel).trim, where, ret)
         case _ =>
           val where =
             if (tail.isEmpty) None
@@ -803,7 +811,7 @@ class Engine(val spark: SparkSession,
               case _ => throw new IllegalArgumentException(
                 s"DELETE FROM $name: expected WHERE <predicate>, got '$tail'")
             }
-          deleteFrom(name, where)
+          deleteFrom(name, where, ret)
       }
     case truncateStmt(name) => deleteFrom(name, None)
     case mergeStmt(body) => mergeInto(body)
@@ -905,13 +913,22 @@ class Engine(val spark: SparkSession,
     * positionally; with one, listed columns bind by position within the
     * list and unlisted target columns fill with NULL. */
   private def insertInto(name: String, cols: Seq[String],
-      body: String): DataFrame = {
+      body: String, ret: Option[String] = None): DataFrame = {
     val target = createdTables.getOrElse(name,
       throw new IllegalArgumentException(
         s"'$name' is not an engine-created table (CREATE TABLE $name AS " +
           "...; ingested topic tables are append-only via sync())"))
-    val aligned = alignInsert(name, target, cols, sql(body))
-    appendAligned(name, target, aligned)
+    val aligned0 = alignInsert(name, target, cols, sql(body))
+    // RETURNING: pin the inserted rows once so the appended snapshot and
+    // the returned projection see the SAME evaluation of the source query
+    val aligned =
+      if (ret.isDefined) aligned0.localCheckpoint(true) else aligned0
+    val counts = appendAligned(name, target, aligned)
+    ret.map { r =>
+      val out = returningDf(aligned, r)
+      aligned.unpersist()
+      out
+    }.getOrElse(counts)
   }
 
   /** Align an INSERT source to the target schema: positional when no
@@ -962,6 +979,28 @@ class Engine(val spark: SparkSession,
   private[graft] def splitAtTopLevelWhere(s: String): (String, Option[String]) =
     SqlScan.splitAtTopLevelWhere(s)
 
+  /** Split a top-level trailing `RETURNING <exprs>` off a DML statement
+    * tail (quote/paren/comment-aware — a RETURNING inside a literal or a
+    * subquery never splits). DuckDB grammar: RETURNING is the last clause
+    * of INSERT / UPDATE / DELETE / MERGE. */
+  private def stripReturning(s: String): (String, Option[String]) =
+    findTopLevelKeyword(s, 0, Seq("RETURNING")) match {
+      case Some((i, _)) =>
+        val exprs = s.substring(i + 9).trim
+        require(exprs.nonEmpty, "RETURNING: empty projection")
+        (s.substring(0, i).trim, Some(exprs))
+      case None => (s, None)
+    }
+
+  /** Evaluate a RETURNING projection over the affected-rows frame and pin
+    * it eagerly — the affected rows are a plan over the PRE-swap snapshot,
+    * whose storage is released when the new snapshot replaces it, so the
+    * result must materialize before the swap (the caller unpersists the
+    * old target right after). */
+  private def returningDf(rows: DataFrame, exprs: String): DataFrame =
+    rows.selectExpr(SqlScan.splitTopLevelCommas(exprs): _*)
+      .localCheckpoint(true)
+
   private def mutableTarget(name: String, verb: String): DataFrame =
     createdTables.getOrElse(name,
       throw new IllegalArgumentException(
@@ -984,7 +1023,7 @@ class Engine(val spark: SparkSession,
     SqlScan.parseAssignments(ctx, setsRaw)
 
   private def updateTable(name: String, setsRaw: String,
-      whereOpt: Option[String]): DataFrame = {
+      whereOpt: Option[String], ret: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val target = mutableTarget(name, "UPDATE")
     val sets = parseAssignments(s"UPDATE $name", setsRaw)
@@ -1008,11 +1047,19 @@ class Engine(val spark: SparkSession,
           .otherwise(col(s"`${f.name}`")).as(f.name))
         .getOrElse(col(s"`${f.name}`"))
     }.toSeq: _*).localCheckpoint(true)
+    // RETURNING: the affected rows, post-update values (DuckDB semantics)
+    val retDf = ret.map { r =>
+      returningDf(target.filter(cond).select(target.schema.fields.map { f =>
+        setMap.get(f.name)
+          .map(e => expr(e).cast(f.dataType).as(f.name))
+          .getOrElse(col(s"`${f.name}`"))
+      }.toSeq: _*), r)
+    }
     target.unpersist()
     createdTables.put(name, updated)
     updated.createOrReplaceTempView(name)
     import spark.implicits._
-    Seq(n).toDF("updated_rows")
+    retDf.getOrElse(Seq(n).toDF("updated_rows"))
   }
 
   /** DuckDB's `UPDATE t SET ... FROM src [AS alias] [WHERE cond]` — the
@@ -1025,7 +1072,7 @@ class Engine(val spark: SparkSession,
     * is a copy-on-write join-update: one equi/theta join, a per-target-row
     * winner cut, the projection swap — no driver-side data. */
   private def updateFromTable(name: String, setsRaw: String, fromRel: String,
-      whereOpt: Option[String]): DataFrame = {
+      whereOpt: Option[String], ret: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, desc_nulls_last, expr, lit, monotonically_increasing_id, row_number, when}
     import org.apache.spark.sql.expressions.Window
     val target = mutableTarget(name, "UPDATE")
@@ -1065,11 +1112,21 @@ class Engine(val spark: SparkSession,
             expr(e).cast(f.dataType)).otherwise(old).as(f.name))
         .getOrElse(old.as(f.name))
     }.toSeq: _*).localCheckpoint(true)
+    // RETURNING: matched rows only, post-update values
+    val retDf = ret.map { r =>
+      returningDf(picked.filter(col("__graft_m").isNotNull)
+        .select(target.schema.fields.map { f =>
+          val old = col(s"$name.`${f.name}`")
+          setMap.get(f.name)
+            .map(e => expr(e).cast(f.dataType).as(f.name))
+            .getOrElse(old.as(f.name))
+        }.toSeq: _*), r)
+    }
     target.unpersist()
     createdTables.put(name, updated)
     updated.createOrReplaceTempView(name)
     import spark.implicits._
-    Seq(n).toDF("updated_rows")
+    retDf.getOrElse(Seq(n).toDF("updated_rows"))
   }
 
   /** DuckDB's `INSERT INTO t ... ON CONFLICT (keys) DO NOTHING | DO UPDATE
@@ -1185,7 +1242,7 @@ class Engine(val spark: SparkSession,
     * ONE left-anti theta join (the exact copy-on-write shape a table
     * format runs at 100 TB); the deleted count is the semi-join count. */
   private def deleteUsing(name: String, fromRel: String,
-      whereOpt: Option[String]): DataFrame = {
+      whereOpt: Option[String], ret: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{expr, lit}
     val target = mutableTarget(name, "DELETE")
     val rel = fromRel.trim
@@ -1199,12 +1256,13 @@ class Engine(val spark: SparkSession,
     val t = target.alias(name)
     val cond = whereOpt.map(expr).getOrElse(lit(true))
     val n = t.join(src, cond, "left_semi").count()
+    val retDf = ret.map(r => returningDf(t.join(src, cond, "left_semi"), r))
     val kept = t.join(src, cond, "left_anti").localCheckpoint(true)
     target.unpersist()
     createdTables.put(name, kept)
     kept.createOrReplaceTempView(name)
     import spark.implicits._
-    Seq(n).toDF("deleted_rows")
+    retDf.getOrElse(Seq(n).toDF("deleted_rows"))
   }
 
   // ---- MERGE INTO -----------------------------------------------------
@@ -1292,11 +1350,10 @@ class Engine(val spark: SparkSession,
       throw new IllegalArgumentException(
         "MERGE INTO: expected ON <condition>"))._1
     val srcSpec = afterUsing.substring(0, onAt).trim
-    val tail = afterUsing.substring(onAt + 2)
-    findTopLevelKeyword(tail, 0, Seq("RETURNING")).foreach { _ =>
-      throw new IllegalArgumentException(
-        "MERGE INTO: RETURNING is not supported")
-    }
+    // RETURNING (DuckDB 1.4): the affected rows — post-image for
+    // UPDATE/INSERT, pre-image for DELETE — with the virtual
+    // `merge_action` column available to the projection
+    val (tail, retOpt) = stripReturning(afterUsing.substring(onAt + 2))
     val firstWhen = findKeywordOutsideCase(tail, 0, "WHEN").getOrElse(
       throw new IllegalArgumentException(
         "MERGE INTO: expected at least one WHEN clause"))
@@ -1409,17 +1466,19 @@ class Engine(val spark: SparkSession,
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nUpdated = updateSets.map(u => actHist.getOrElse(u._1, 0L)).sum
     val nDeleted = deleteIdxs.map(i => actHist.getOrElse(i, 0L)).sum
+    // post-image projection (UPDATE clauses applied, everything else old)
+    val newValProj = target.schema.fields.map { f =>
+      val old = col(s"$tgtAlias.`${f.name}`")
+      updateSets.filter(_._2.contains(f.name)).foldRight(old) {
+        case ((i, sm), els) =>
+          when(col("__graft_act") === i,
+            expr(sm(f.name)).cast(f.dataType)).otherwise(els)
+      }.as(f.name)
+    }.toSeq
     val keptTargets = joined
       .filter(if (deleteIdxs.isEmpty) lit(true)
               else !col("__graft_act").isin(deleteIdxs.map(Int.box): _*))
-      .select(target.schema.fields.map { f =>
-        val old = col(s"$tgtAlias.`${f.name}`")
-        updateSets.filter(_._2.contains(f.name)).foldRight(old) {
-          case ((i, sm), els) =>
-            when(col("__graft_act") === i,
-              expr(sm(f.name)).cast(f.dataType)).otherwise(els)
-        }.as(f.name)
-      }.toSeq: _*)
+      .select(newValProj: _*)
 
     // ---- insert leg: anti join, one projection per INSERT clause ----
     val insClauses = clauses.zipWithIndex.filter(_._1.kind == 1)
@@ -1475,13 +1534,35 @@ class Engine(val spark: SparkSession,
         }
       }
     val inserted = insLegs.map(_.count()).sum
+    // RETURNING legs pin eagerly against the PRE-swap snapshot
+    val retDf = retOpt.map { r =>
+      def actIn(idxs: Seq[Int]) =
+        if (idxs.isEmpty) lit(false)
+        else col("__graft_act").isin(idxs.map(Int.box): _*)
+      val plain = target.schema.fields
+        .map(f => col(s"$tgtAlias.`${f.name}`").as(f.name)).toSeq
+      val upd = joined.filter(actIn(updateSets.map(_._1)))
+        .select(newValProj: _*)
+        .withColumn("merge_action", lit("UPDATE"))
+      val del = joined.filter(actIn(deleteIdxs)).select(plain: _*)
+        .withColumn("merge_action", lit("DELETE"))
+      val ins = insLegs.map(_.withColumn("merge_action", lit("INSERT")))
+      val affected = ins.foldLeft(upd.unionByName(del))(_ unionByName _)
+      // `*` expands to the TARGET columns only (merge_action is virtual —
+      // present only when named explicitly, DuckDB semantics)
+      val items = SqlScan.splitTopLevelCommas(r).flatMap {
+        case "*" => target.schema.fieldNames.map(f => s"`$f`").toSeq
+        case other => Seq(other)
+      }
+      affected.selectExpr(items: _*).localCheckpoint(true)
+    }
     val merged = insLegs.foldLeft(keptTargets)(_ unionByName _)
       .localCheckpoint(true)
     target.unpersist()
     createdTables.put(tgtName, merged)
     merged.createOrReplaceTempView(tgtName)
     import spark.implicits._
-    Seq(nUpdated + nDeleted + inserted).toDF("merged_rows")
+    retDf.getOrElse(Seq(nUpdated + nDeleted + inserted).toDF("merged_rows"))
   }
 
   /** DuckDB's `DELETE FROM t [WHERE cond]`: the snapshot is replaced by
@@ -1490,18 +1571,19 @@ class Engine(val spark: SparkSession,
     * copy-on-write anti-filter rewrite, or a tombstone list served at scan
     * time (the s21 pattern) when rewrite amortization matters. */
   private def deleteFrom(name: String,
-      whereOpt: Option[String]): DataFrame = {
+      whereOpt: Option[String], ret: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{expr, lit, coalesce}
     val target = mutableTarget(name, "DELETE")
     val cond = whereOpt.map(expr).getOrElse(lit(true))
     val n = target.filter(cond).count()
+    val retDf = ret.map(r => returningDf(target.filter(cond), r))
     val kept = target.filter(!coalesce(cond, lit(false)))
       .localCheckpoint(true)
     target.unpersist()
     createdTables.put(name, kept)
     kept.createOrReplaceTempView(name)
     import spark.implicits._
-    Seq(n).toDF("deleted_rows")
+    retDf.getOrElse(Seq(n).toDF("deleted_rows"))
   }
 
   /** DuckDB's column-definition `CREATE TABLE t (c TYPE, ...)` — an EMPTY

@@ -511,7 +511,55 @@ object EngineSurface {
       |  FROM delta d WHERE NOT EXISTS (SELECT 1 FROM acct a WHERE a.id = d.id))
       |SELECT id, CAST(bal AS DOUBLE) AS bal, seg FROM merged ORDER BY id""".stripMargin
 
+  /** q114: `MERGE ... RETURNING merge_action, ...` (DuckDB DML RETURNING,
+    * round 9) — the audit-trail form of the q113 reconcile: the statement
+    * itself returns every affected row tagged with its action (post-image
+    * for UPDATE/INSERT, pre-image for DELETE), so the pipeline's change
+    * log needs no second scan. The oracle replays the affected-row union
+    * as a SELECT. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql(s"CREATE OR REPLACE TABLE acct2 AS " +
+        s"SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal, " +
+        s"c_mktsegment AS seg FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey BETWEEN 200 AND 900")
+      engine.sql(s"CREATE OR REPLACE TABLE delta2 AS " +
+        s"SELECT o_custkey AS id, " +
+        s"CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) " +
+        s"AS spend FROM '$dir/orders.parquet' " +
+        s"WHERE o_orderkey BETWEEN 3000 AND 6000 GROUP BY o_custkey")
+      engine.sql("MERGE INTO acct2 USING delta2 d ON acct2.id = d.id " +
+        "WHEN MATCHED AND d.spend > 300000 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET bal = acct2.bal + d.spend " +
+        "WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (d.id, d.spend) " +
+        "RETURNING merge_action, id, CAST(bal AS DOUBLE) AS bal")
+        .psort(col("id"))
+    } finally engine.close()
+  }
+
+  private val q114Sql =
+    """WITH acct AS (
+      |  SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey BETWEEN 200 AND 900),
+      |delta AS (
+      |  SELECT o_custkey AS id,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS spend
+      |  FROM orders WHERE o_orderkey BETWEEN 3000 AND 6000 GROUP BY o_custkey),
+      |m AS (SELECT a.id, a.bal, d.id AS did, d.spend
+      |      FROM acct a LEFT JOIN delta d ON a.id = d.id)
+      |SELECT 'DELETE' AS merge_action, id, CAST(bal AS DOUBLE) AS bal
+      |FROM m WHERE did IS NOT NULL AND spend > 300000
+      |UNION ALL
+      |SELECT 'UPDATE', id, CAST(CAST(bal + spend AS DECIMAL(18,2)) AS DOUBLE)
+      |FROM m WHERE did IS NOT NULL AND NOT (spend > 300000)
+      |UNION ALL
+      |SELECT 'INSERT', d.id, CAST(d.spend AS DOUBLE)
+      |FROM delta d WHERE NOT EXISTS (SELECT 1 FROM acct a WHERE a.id = d.id)
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q114_merge_returning" -> (q114 _),
     "q113_merge_into" -> (q113 _),
     "q112_delete_using" -> (q112 _),
     "q110_update_from" -> (q110 _),
@@ -530,6 +578,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q114_merge_returning" -> q114Sql,
     "q113_merge_into" -> q113Sql,
     "q112_delete_using" -> q112Sql,
     "q110_update_from" -> q110Sql,

@@ -117,16 +117,71 @@ class NewOpsR9Spec extends AnyFunSuite with Matchers {
     } finally e.close()
   }
 
-  test("MERGE: non-engine targets and RETURNING fail with clear messages") {
+  test("MERGE: non-engine targets fail with a clear message") {
     val e = freshEngine()
     try {
       intercept[IllegalArgumentException] {
         e.sql("MERGE INTO nosuch USING buy ON nosuch.id = buy.id " +
           "WHEN MATCHED THEN DELETE")
       }.getMessage should include("not an engine-created table")
+    } finally e.close()
+  }
+
+  test("MERGE RETURNING: affected rows with the virtual merge_action " +
+      "column; * expands to target columns only") {
+    val e = freshEngine()
+    try {
+      val rows = e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
+        "WHEN MATCHED AND buy.add_qty > 6 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET qty = stock.qty + buy.add_qty " +
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (buy.id, buy.add_qty) " +
+        "RETURNING merge_action, *")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .sortBy(_._2).toSeq
+      rows shouldBe Seq(("UPDATE", 2, 25), ("DELETE", 3, 30),
+        ("INSERT", 9, 99))
+      // * alone excludes the virtual column
+      val star = e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
+        "WHEN MATCHED THEN DO NOTHING " +
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (buy.id, 1) " +
+        "RETURNING *")
+      star.schema.fieldNames.toSeq shouldBe Seq("id", "qty", "tag")
+      star.collect().map(_.getInt(0)).sorted.toSeq shouldBe Seq(3)
+    } finally e.close()
+  }
+
+  test("DML RETURNING: INSERT, UPDATE [FROM], DELETE [USING] return the " +
+      "affected rows; ON CONFLICT + RETURNING fails loud") {
+    val e = freshEngine()
+    try {
+      // INSERT ... RETURNING (post-cast inserted rows)
+      val ins = e.sql("INSERT INTO stock VALUES (7, 70, 'g') " +
+        "RETURNING id, qty * 2 AS dq")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      ins shouldBe Seq((7, 140))
+      // UPDATE ... RETURNING (post-update values, affected rows only)
+      val upd = e.sql("UPDATE stock SET qty = qty + 1 WHERE id <= 2 " +
+        "RETURNING id, qty").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+      upd shouldBe Seq((1, 11), (2, 21))
+      // UPDATE ... FROM ... RETURNING (joined update, matched rows)
+      val updF = e.sql("UPDATE stock SET qty = buy.add_qty FROM buy " +
+        "WHERE stock.id = buy.id RETURNING id, qty").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+      updF shouldBe Seq((2, 5), (3, 7))
+      // DELETE ... RETURNING (the deleted rows)
+      val del = e.sql("DELETE FROM stock WHERE id = 7 RETURNING *")
+        .collect().map(_.getInt(0)).toSeq
+      del shouldBe Seq(7)
+      // DELETE ... USING ... RETURNING
+      val delU = e.sql("DELETE FROM stock USING buy " +
+        "WHERE stock.id = buy.id RETURNING id").collect()
+        .map(_.getInt(0)).sorted.toSeq
+      delU shouldBe Seq(2, 3)
+      // ON CONFLICT + RETURNING: loud rejection
       intercept[IllegalArgumentException] {
-        e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
-          "WHEN MATCHED THEN DELETE RETURNING *")
+        e.sql("INSERT INTO stock VALUES (1, 0, 'z') " +
+          "ON CONFLICT (id) DO NOTHING RETURNING *")
       }.getMessage should include("RETURNING")
     } finally e.close()
   }

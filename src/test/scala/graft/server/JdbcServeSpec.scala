@@ -142,6 +142,21 @@ class JdbcServeSpec extends AnyFunSuite with Matchers {
       Iterator.continually(r9).takeWhile(_.next())
         .map(r => (r.getInt(1), r.getString(2))).toList shouldBe
         List((1, "A"), (2, "B2"))
+      // MERGE INTO (round-9 statement form) over the wire
+      st.execute("CREATE OR REPLACE TABLE jm AS SELECT * FROM " +
+        "VALUES (1, 10), (2, 20) AS t(k, q)")
+      st.execute("CREATE OR REPLACE TABLE js AS SELECT * FROM " +
+        "VALUES (2, 5), (4, 40) AS t(k, q)")
+      val rm = st.executeQuery("MERGE INTO jm USING js ON jm.k = js.k " +
+        "WHEN MATCHED THEN UPDATE SET q = jm.q + js.q " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      rm.next() shouldBe true
+      rm.getLong("merged_rows") shouldBe 2L
+      val rm2 = st.executeQuery("SELECT k, q FROM jm ORDER BY k")
+      Iterator.continually(rm2).takeWhile(_.next())
+        .map(r => (r.getInt(1), r.getInt(2))).toList shouldBe
+        List((1, 10), (2, 25), (4, 40))
+      st.execute("DROP TABLE jm"); st.execute("DROP TABLE js")
       // FROM-first + SUMMARIZE-class forms still parse over the wire
       val r10 = st.executeQuery(s"FROM '$dir/region.parquet' SELECT count(*) AS n")
       r10.next() shouldBe true
