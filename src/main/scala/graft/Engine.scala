@@ -385,6 +385,12 @@ class Engine(val spark: SparkSession,
   // a WHEN or THEN inside a CASE expression must never split a clause
   private val mergeStmt =
     "(?is)^\\s*MERGE\\s+INTO\\s+(.+?)\\s*;?\\s*$".r
+  private val beginStmt =
+    "(?is)^\\s*BEGIN(?:\\s+TRANSACTION)?\\s*;?\\s*$".r
+  private val commitStmt =
+    "(?is)^\\s*COMMIT(?:\\s+TRANSACTION)?\\s*;?\\s*$".r
+  private val rollbackStmt =
+    "(?is)^\\s*(?:ROLLBACK|ABORT)(?:\\s+TRANSACTION)?\\s*;?\\s*$".r
   private val renameStmt =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+RENAME\\s+TO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
@@ -815,6 +821,9 @@ class Engine(val spark: SparkSession,
       }
     case truncateStmt(name) => deleteFrom(name, None)
     case mergeStmt(body) => mergeInto(body)
+    case beginStmt() => beginTxn()
+    case commitStmt() => commitTxn()
+    case rollbackStmt() => rollbackTxn()
     case renameStmt(from, to) => renameTable(from, to)
     case addColStmt(name, ifNotExists, colName, colType) =>
       alterAddColumn(name, colName, colType, ifNotExists != null)
@@ -863,6 +872,74 @@ class Engine(val spark: SparkSession,
     Seq(v).toDF(colName)
   }
 
+  // ---- transactions ------------------------------------------------------
+
+  /** Open-transaction state: the pre-BEGIN catalog (tables as their
+    * snapshot frames, views as their SQL, keys/macros/prepared), plus the
+    * snapshots DML displaced during the txn. Displaced pre-images are
+    * released only at COMMIT — a localCheckpoint'd frame cannot recompute
+    * once unpersisted, and ROLLBACK restores exactly those frames. This is
+    * the MVCC-undo-log analog of the copy-on-write snapshot model: BEGIN
+    * pins the current snapshot pointers, DML swaps build new snapshots
+    * beside them, COMMIT drops the old storage, ROLLBACK drops the new. */
+  private case class TxnState(tables: Map[String, DataFrame],
+      views: Map[String, String], keys: Map[String, Seq[String]],
+      macrosSnap: Map[String, (Seq[String], String)],
+      preparedSnap: Map[String, String],
+      displaced: scala.collection.mutable.ArrayBuffer[DataFrame])
+  @volatile private var txn: Option[TxnState] = None
+
+  /** Release a displaced engine-table snapshot: immediately outside a
+    * transaction, deferred to COMMIT inside one (ROLLBACK needs the
+    * storage intact to restore the pre-image). */
+  private def releaseSnapshot(df: DataFrame): Unit = txn match {
+    case Some(t) => t.displaced += df
+    case None => df.unpersist()
+  }
+
+  /** DuckDB's `BEGIN [TRANSACTION]` over the session catalog (engine
+    * tables/views/keys/macros/prepared). Ingested topic tables are
+    * append-only via sync() and stay outside transaction scope. */
+  private def beginTxn(): DataFrame = {
+    require(txn.isEmpty, "BEGIN: a transaction is already active")
+    txn = Some(TxnState(createdTables.toMap, createdViews.toMap,
+      primaryKeys.toMap, macros.toMap, prepared.toMap,
+      scala.collection.mutable.ArrayBuffer.empty))
+    statusDf("begin", "transaction")
+  }
+
+  private def commitTxn(): DataFrame = {
+    val t = txn.getOrElse(throw new IllegalArgumentException(
+      "COMMIT: no open transaction"))
+    txn = None
+    t.displaced.foreach(_.unpersist())
+    statusDf("commit", "ok")
+  }
+
+  private def rollbackTxn(): DataFrame = {
+    val t = txn.getOrElse(throw new IllegalArgumentException(
+      "ROLLBACK: no open transaction"))
+    // frames created during the txn are discarded — release their storage
+    createdTables.foreach { case (n, df) =>
+      if (!t.tables.get(n).exists(_ eq df)) df.unpersist()
+    }
+    // temp views for names that did not exist at BEGIN disappear
+    (createdTables.keySet ++ createdViews.keySet)
+      .filterNot(n => t.tables.contains(n) || t.views.contains(n))
+      .foreach(n => spark.catalog.dropTempView(n))
+    createdTables.clear(); createdTables ++= t.tables
+    createdViews.clear(); createdViews ++= t.views
+    primaryKeys.clear(); primaryKeys ++= t.keys
+    macros.clear(); macros ++= t.macrosSnap
+    prepared.clear(); prepared ++= t.preparedSnap
+    txn = None
+    // re-register restored objects (DML swaps/renames re-pointed or
+    // dropped their temp views during the txn)
+    t.tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    t.views.foreach { case (n, body) => sql(body).createOrReplaceTempView(n) }
+    statusDf("rollback", "ok")
+  }
+
   private def guardEngineName(name: String): Unit = {
     // topic tables register under both the raw topic name and its
     // sanitized alias — guard both spellings
@@ -882,7 +959,7 @@ class Engine(val spark: SparkSession,
         "(use CREATE OR REPLACE TABLE)")
     }
     val snap = sql(body).localCheckpoint(true)
-    createdTables.get(name).foreach(_.unpersist())
+    createdTables.get(name).foreach(releaseSnapshot)
     createdViews.remove(name)
     primaryKeys.remove(name) // CTAS declares no key; drop any stale one
     createdTables.put(name, snap)
@@ -901,7 +978,7 @@ class Engine(val spark: SparkSession,
     // a view is its PLAN (late-bound over current file views/macros at
     // definition time — Spark temp views capture the analyzed plan)
     val df = sql(body)
-    createdTables.get(name).foreach(_.unpersist())
+    createdTables.get(name).foreach(releaseSnapshot)
     createdTables.remove(name)
     df.createOrReplaceTempView(name)
     createdViews.put(name, body)
@@ -966,7 +1043,7 @@ class Engine(val spark: SparkSession,
       aligned: DataFrame): DataFrame = {
     val n = aligned.count()
     val merged = target.unionByName(aligned).localCheckpoint(true)
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(name, merged)
     merged.createOrReplaceTempView(name)
     import spark.implicits._
@@ -1055,7 +1132,7 @@ class Engine(val spark: SparkSession,
           .getOrElse(col(s"`${f.name}`"))
       }.toSeq: _*), r)
     }
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(name, updated)
     updated.createOrReplaceTempView(name)
     import spark.implicits._
@@ -1122,7 +1199,7 @@ class Engine(val spark: SparkSession,
             .getOrElse(old.as(f.name))
         }.toSeq: _*), r)
     }
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(name, updated)
     updated.createOrReplaceTempView(name)
     import spark.implicits._
@@ -1229,7 +1306,7 @@ class Engine(val spark: SparkSession,
       }
     val nFresh = fresh.count()
     val snap = snapshot.localCheckpoint(true)
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
     import spark.implicits._
@@ -1258,7 +1335,7 @@ class Engine(val spark: SparkSession,
     val n = t.join(src, cond, "left_semi").count()
     val retDf = ret.map(r => returningDf(t.join(src, cond, "left_semi"), r))
     val kept = t.join(src, cond, "left_anti").localCheckpoint(true)
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(name, kept)
     kept.createOrReplaceTempView(name)
     import spark.implicits._
@@ -1558,7 +1635,7 @@ class Engine(val spark: SparkSession,
     }
     val merged = insLegs.foldLeft(keptTargets)(_ unionByName _)
       .localCheckpoint(true)
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(tgtName, merged)
     merged.createOrReplaceTempView(tgtName)
     import spark.implicits._
@@ -1579,7 +1656,7 @@ class Engine(val spark: SparkSession,
     val retDf = ret.map(r => returningDf(target.filter(cond), r))
     val kept = target.filter(!coalesce(cond, lit(false)))
       .localCheckpoint(true)
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(name, kept)
     kept.createOrReplaceTempView(name)
     import spark.implicits._
@@ -1659,7 +1736,7 @@ class Engine(val spark: SparkSession,
       .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
       .localCheckpoint(true)
-    createdTables.get(name).foreach(_.unpersist())
+    createdTables.get(name).foreach(releaseSnapshot)
     createdViews.remove(name)
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
@@ -1819,7 +1896,7 @@ class Engine(val spark: SparkSession,
     val snap = target.select(
         target.schema.fieldNames.map(f => col(s"`$f`")) :+ value: _*)
       .localCheckpoint(true)
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
     statusDf("alter_table", name)
@@ -1846,7 +1923,7 @@ class Engine(val spark: SparkSession,
     val snap = target.select(target.schema.fieldNames
         .filter(_ != canonical).map(f => col(s"`$f`")).toSeq: _*)
       .localCheckpoint(true)
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
     statusDf("alter_table", name)
@@ -1871,7 +1948,7 @@ class Engine(val spark: SparkSession,
     primaryKeys.get(name).foreach { pk =>
       primaryKeys.put(name, pk.map(c => if (c == canonical) to else c))
     }
-    target.unpersist()
+    releaseSnapshot(target)
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
     statusDf("alter_table", name)
@@ -1882,7 +1959,7 @@ class Engine(val spark: SparkSession,
     guardEngineName(name)
     val existed = if (kind == "TABLE") {
       primaryKeys.remove(name)
-      createdTables.remove(name).map { df => df.unpersist(); () }.isDefined
+      createdTables.remove(name).map { df => releaseSnapshot(df); () }.isDefined
     } else createdViews.remove(name).isDefined
     if (existed) spark.catalog.dropTempView(name)
     else require(ifExists,
@@ -2502,6 +2579,10 @@ class Engine(val spark: SparkSession,
     // if this engine was serving the full dialect (JdbcServe attach),
     // detach — a closed engine must not front the session's parser
     GraftSqlFront.unbind(spark, this)
+    // an open transaction dies with the engine: release its retained
+    // pre-images (displaced frames are not in createdTables anymore)
+    txn.foreach(_.displaced.foreach(_.unpersist()))
+    txn = None
     tables.values.foreach(_.unpersist())
     tables = Map.empty
     macros.clear()

@@ -558,7 +558,41 @@ object EngineSurface {
       |FROM delta d WHERE NOT EXISTS (SELECT 1 FROM acct a WHERE a.id = d.id)
       |ORDER BY id""".stripMargin
 
+  /** q115: session transactions (round 9) — BEGIN / ROLLBACK / COMMIT over
+    * the copy-on-write snapshots: a rolled-back batch (zero-out + delete)
+    * must leave NO trace, a committed batch exactly its effect. The oracle
+    * replays only the committed leg; any rollback leakage (a lost row, a
+    * zeroed balance) breaks the hash. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql(s"CREATE OR REPLACE TABLE txn_acct AS " +
+        s"SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal " +
+        s"FROM '$dir/customer.parquet' WHERE c_custkey <= 300")
+      engine.sql("BEGIN TRANSACTION")
+      engine.sql("UPDATE txn_acct SET bal = 0")
+      engine.sql("DELETE FROM txn_acct WHERE id % 2 = 0")
+      engine.sql("ROLLBACK")
+      engine.sql("BEGIN")
+      engine.sql("UPDATE txn_acct SET bal = bal + 100 WHERE id % 10 = 1")
+      engine.sql("DELETE FROM txn_acct WHERE id % 10 = 7")
+      engine.sql("COMMIT")
+      engine.sql("SELECT id, CAST(bal AS DOUBLE) AS bal FROM txn_acct")
+        .psort(col("id"))
+    } finally engine.close()
+  }
+
+  private val q115Sql =
+    """SELECT c_custkey AS id,
+      |  CAST(CASE WHEN c_custkey % 10 = 1
+      |    THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2))
+      |    ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS DOUBLE) AS bal
+      |FROM customer
+      |WHERE c_custkey <= 300 AND c_custkey % 10 <> 7
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q115_transactions" -> (q115 _),
     "q114_merge_returning" -> (q114 _),
     "q113_merge_into" -> (q113 _),
     "q112_delete_using" -> (q112 _),
@@ -578,6 +612,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q115_transactions" -> q115Sql,
     "q114_merge_returning" -> q114Sql,
     "q113_merge_into" -> q113Sql,
     "q112_delete_using" -> q112Sql,

@@ -186,6 +186,73 @@ class NewOpsR9Spec extends AnyFunSuite with Matchers {
     } finally e.close()
   }
 
+  test("transactions: ROLLBACK restores tables, views, macros, keys — " +
+      "DML, DDL, MERGE and drops all undone") {
+    val e = freshEngine()
+    try {
+      e.sql("BEGIN TRANSACTION")
+      e.sql("UPDATE stock SET qty = 0")
+      e.sql("DELETE FROM stock WHERE id = 1")
+      e.sql("MERGE INTO stock USING buy ON stock.id = buy.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (buy.id, 1)")
+      e.sql("CREATE TABLE txn_new AS SELECT 1 AS a")
+      e.sql("CREATE OR REPLACE VIEW txn_v AS SELECT id FROM stock")
+      e.sql("CREATE OR REPLACE MACRO txn_m(x) AS x + 1")
+      e.sql("DROP TABLE buy")
+      e.sql("ROLLBACK")
+      // original snapshot back, bit-identical
+      rowsOf(e, "SELECT id, qty, tag FROM stock ORDER BY id") shouldBe Seq(
+        Row(1, 10, "a"), Row(2, 20, "b"), Row(3, 30, "c"))
+      // dropped table restored, txn-created objects gone
+      rowsOf(e, "SELECT count(*) AS n FROM buy")(0).getLong(0) shouldBe 3L
+      intercept[Exception] { e.sql("SELECT * FROM txn_new").collect() }
+      intercept[Exception] { e.sql("SELECT * FROM txn_v").collect() }
+      intercept[Exception] { e.sql("SELECT txn_m(1)").collect() }
+    } finally e.close()
+  }
+
+  test("transactions: COMMIT keeps the changes and releases pre-images") {
+    val e = freshEngine()
+    try {
+      e.sql("BEGIN")
+      e.sql("UPDATE stock SET qty = qty * 2 WHERE id = 1")
+      e.sql("DELETE FROM stock WHERE id = 3")
+      e.sql("COMMIT")
+      rowsOf(e, "SELECT id, qty FROM stock ORDER BY id") shouldBe Seq(
+        Row(1, 20), Row(2, 20))
+      // a later ROLLBACK has nothing to roll back
+      intercept[IllegalArgumentException] { e.sql("ROLLBACK") }
+        .getMessage should include("no open transaction")
+    } finally e.close()
+  }
+
+  test("transactions: nested BEGIN and stray COMMIT fail loud; ABORT " +
+      "aliases ROLLBACK") {
+    val e = freshEngine()
+    try {
+      intercept[IllegalArgumentException] { e.sql("COMMIT") }
+        .getMessage should include("no open transaction")
+      e.sql("BEGIN")
+      intercept[IllegalArgumentException] { e.sql("BEGIN") }
+        .getMessage should include("already active")
+      e.sql("UPDATE stock SET qty = -1")
+      e.sql("ABORT")
+      rowsOf(e, "SELECT qty FROM stock WHERE id = 1")(0).getInt(0) shouldBe 10
+    } finally e.close()
+  }
+
+  test("transactions: a rolled-back rename restores the original name") {
+    val e = freshEngine()
+    try {
+      e.sql("BEGIN")
+      e.sql("ALTER TABLE stock RENAME TO stock2")
+      rowsOf(e, "SELECT count(*) AS n FROM stock2")(0).getLong(0) shouldBe 3L
+      e.sql("ROLLBACK")
+      rowsOf(e, "SELECT count(*) AS n FROM stock")(0).getLong(0) shouldBe 3L
+      intercept[Exception] { e.sql("SELECT * FROM stock2").collect() }
+    } finally e.close()
+  }
+
   test("MERGE: source can be any dialect relation (subquery with alias)") {
     val e = freshEngine()
     try {
