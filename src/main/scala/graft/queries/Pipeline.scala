@@ -287,11 +287,90 @@ object Pipeline {
        |FROM kept GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** p04: streaming CDC apply — the change-data-capture lake-apply
+    * pattern end to end: a CDC event stream (upserts + deletes, each
+    * carrying a monotone sequence number) lands through the REAL
+    * Structured Streaming file source in MULTIPLE micro-batches
+    * (maxFilesPerTrigger=1 forces real batch boundaries), and each batch
+    * applies transactionally to an engine table via foreachBatch + MERGE
+    * INTO: collapse the batch to its max-seq event per key (in-batch
+    * last-wins), then a seq-guarded MERGE (`b.seq > tgt.seq`) makes the
+    * apply idempotent and ORDER-INDEPENDENT across batches — the final
+    * state is the max-seq record per key no matter how the files split,
+    * the exact out-of-order tolerance a production CDC consumer needs.
+    * Deletes are retained as tombstones (the s21 serve pattern) so a
+    * stale update arriving after a newer delete can never resurrect the
+    * row; the serve-time filter drops them.
+    *
+    * Scale: each batch is O(batch) — one window collapse + one MERGE
+    * (left join + anti join against the snapshot); the corpus-sized
+    * target never rescans per event, and no rows pass through the driver
+    * (the batch pins executor-side and re-binds to the engine session).
+    * The oracle replays the whole stream as one max-seq-per-key batch
+    * query — streaming apply == batch semantics, pinned by hash. */
+  private val p04: Q = (s, dir) => {
+    val eng = new graft.Engine(s)
+    try {
+      eng.sql(s"CREATE OR REPLACE TABLE cdc_tgt AS " +
+        s"SELECT c_custkey AS id, CAST(0 AS BIGINT) AS seq, " +
+        s"CAST(c_acctbal AS DECIMAL(12,2)) AS bal, FALSE AS del " +
+        s"FROM '$dir/customer.parquet' WHERE c_custkey <= 500")
+      val ev = t(s, dir, "orders").filter(col("o_orderkey") <= 5000)
+        .select((col("o_custkey") % 500).as("id"),
+          col("o_orderkey").as("seq"),
+          col("o_totalprice").cast("decimal(12,2)").as("bal"),
+          (col("o_orderkey") % 11 === 0).as("del"))
+      val stream = graft.streaming.StreamingOps
+        .stageAndStream(ev, numFiles = 4, maxFilesPerTrigger = Some(1))
+      graft.streaming.StreamingOps.applyBatches(stream) { (batch, _) =>
+        // pin the batch executor-side and re-bind it to the engine session
+        // (foreachBatch frames arrive on the micro-batch session clone)
+        val pinned = batch.localCheckpoint(true)
+        val bound = org.apache.spark.sql.GraftPlanBridge
+          .ofRows(s, pinned.queryExecution.analyzed)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("seq").desc)
+        bound.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .createOrReplaceTempView("cdc_batch")
+        eng.sql("MERGE INTO cdc_tgt USING cdc_batch b ON cdc_tgt.id = b.id " +
+          "WHEN MATCHED AND b.seq > cdc_tgt.seq THEN " +
+          "UPDATE SET bal = b.bal, seq = b.seq, del = b.del " +
+          "WHEN NOT MATCHED THEN INSERT (id, seq, bal, del) " +
+          "VALUES (b.id, b.seq, b.bal, b.del)")
+        s.catalog.dropTempView("cdc_batch")
+        pinned.unpersist()
+        ()
+      }
+      eng.sql("SELECT id, seq, CAST(bal AS DOUBLE) AS bal FROM cdc_tgt " +
+        "WHERE NOT del").psort(col("id"))
+    } finally eng.close()
+  }
+
+  private val p04Sql =
+    """WITH init AS (
+      |  SELECT c_custkey AS id, CAST(0 AS BIGINT) AS seq,
+      |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal, FALSE AS del
+      |  FROM customer WHERE c_custkey <= 500),
+      |ev AS (
+      |  SELECT o_custkey % 500 AS id, o_orderkey AS seq,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS bal,
+      |         o_orderkey % 11 = 0 AS del
+      |  FROM orders WHERE o_orderkey <= 5000),
+      |allr AS (SELECT * FROM init UNION ALL SELECT * FROM ev),
+      |r AS (SELECT id, seq, bal, del,
+      |        ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+      |      FROM allr)
+      |SELECT id, seq, CAST(bal AS DOUBLE) AS bal
+      |FROM r WHERE rn = 1 AND NOT del ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p04_cdc_merge" -> p04,
     "p01_pipeline_e2e" -> p01,
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p04_cdc_merge" -> p04Sql,
     "p01_pipeline_e2e" -> p01Sql,
     "p02_pipeline_streaming" -> p02Sql)
 }

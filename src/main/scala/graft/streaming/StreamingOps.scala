@@ -242,14 +242,41 @@ object StreamingOps {
     * ever pass through the driver. With `maxFilesPerTrigger` unset,
     * Trigger.AvailableNow drains every staged file in one micro-batch —
     * deterministic for keep-first dedup state regardless of file order. */
-  def stageAndStream(df: DataFrame, numFiles: Int = 4): DataFrame = {
+  def stageAndStream(df: DataFrame, numFiles: Int = 4,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage_")
     // staging copies are corpus-sized: File.deleteOnExit() would be a
     // no-op on a non-empty directory, so track for recursive cleanup —
     // eagerly at shutdownGates() (suite end) and via the JVM hook
     trackTempDir(dir, eager = true)
     df.coalesce(numFiles).write.mode("overwrite").parquet(dir.toString)
-    df.sparkSession.readStream.schema(df.schema).parquet(dir.toString)
+    val reader = df.sparkSession.readStream.schema(df.schema)
+    maxFilesPerTrigger
+      .foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(dir.toString)
+  }
+
+  /** Run a streaming frame to completion through `foreachBatch`
+    * (Trigger.AvailableNow) — the transactional apply path: each
+    * micro-batch is handed to the caller (typically a MERGE INTO against
+    * an engine table, the CDC-apply-to-lake pattern) and recorded by the
+    * streaming checkpoint exactly once. The batch frame arrives bound to
+    * the micro-batch's session clone; callers that hand it to another
+    * session's catalog should pin it first (localCheckpoint) and re-bind
+    * the plan. */
+  def applyBatches(stream: DataFrame)(f: (DataFrame, Long) => Unit): Unit = {
+    val shm = new java.io.File("/dev/shm")
+    val ckBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Path.of(System.getProperty("java.io.tmpdir"))
+    val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ck_")
+    trackTempDir(ck)
+    val q = stream.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => f(b.toDF(), id))
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Detach a [[snapshotToTable]] result (or a frame derived from it)
