@@ -1458,7 +1458,9 @@ class Engine(val spark: SparkSession,
           val thenAt = findKeywordOutsideCase(rest0, 0, "THEN").getOrElse(
             throw new IllegalArgumentException(
               s"$ctx: WHEN clause missing THEN: '$clause'"))
-          val condPart = rest0.substring(0, thenAt).trim
+          // comments between MATCHED and THEN are semantically empty
+          val condPart =
+            SqlScan.stripComments(rest0.substring(0, thenAt)).trim
           val cond =
             if (condPart.isEmpty) None
             else if (condPart.length > 3 &&

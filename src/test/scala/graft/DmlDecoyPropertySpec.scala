@@ -69,6 +69,57 @@ class DmlDecoyPropertySpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("MERGE decoys: literals containing ' WHEN MATCHED THEN ' / ' ON ' / " +
+      "' USING ' and comments with THEN never split merge clauses") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    val r = lcg(0x3e56eL)
+    (0 until 50).foreach { i =>
+      val decoy =
+        s"M$i WHEN MATCHED THEN DELETE USING x ON y ${math.floorMod(r.next(), 100)}"
+      Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+        .createOrReplaceTempView("mg_t0")
+      Seq((1L, decoy), (3L, "new")).toDF("k", "v")
+        .createOrReplaceTempView("mg_s0")
+      engine.sql("CREATE OR REPLACE TABLE mg_t AS SELECT k, v FROM mg_t0")
+      // the decoy literal rides the ON condition AND the UPDATE SET rhs;
+      // a comment inside the WHEN chain carries THEN/WHEN keywords
+      engine.sql("MERGE INTO mg_t USING mg_s0 s " +
+        s"ON mg_t.k = s.k AND s.v <> 'nope WHEN MATCHED THEN DELETE' " +
+        "WHEN MATCHED /* WHEN NOT MATCHED THEN DELETE */ THEN " +
+        s"UPDATE SET v = concat(s.v, ' -- THEN x') " +
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)")
+        .collect()(0).getLong(0) shouldBe 2L
+      val got = engine.sql("SELECT k, v FROM mg_t").collect()
+        .map(row => (row.getLong(0), row.getString(1))).sortBy(_._1).toSeq
+      got shouldBe Seq((1L, s"$decoy -- THEN x"), (2L, "keep"),
+        (3L, "new"))
+    }
+    engine.sql("DROP TABLE mg_t")
+    engine.close()
+  }
+
+  test("RETURNING decoys: a literal containing ' RETURNING ' never splits; " +
+      "a real trailing RETURNING still parses after it") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("rt_src")
+    engine.sql("CREATE OR REPLACE TABLE rt_t AS SELECT k, v FROM rt_src")
+    // literal decoy only: the statement returns the count frame
+    engine.sql("UPDATE rt_t SET v = 'x RETURNING y' WHERE k = 1")
+      .collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM rt_t").collect()(0)
+      .getString(0) shouldBe "x RETURNING y"
+    // literal decoy + real RETURNING: split happens at the REAL keyword
+    val out = engine.sql("UPDATE rt_t SET v = 'z RETURNING w' WHERE k = 1 " +
+      "RETURNING k, v").collect()
+    out.length shouldBe 1
+    out(0).getLong(0) shouldBe 1L
+    out(0).getString(1) shouldBe "z RETURNING w"
+    engine.sql("DROP TABLE rt_t")
+    engine.close()
+  }
+
   test("comment decoys: keywords and commas inside -- and /* */ comments " +
       "never split UPDATE/DELETE/ON CONFLICT/SET/EXECUTE clauses") {
     import spark.implicits._
