@@ -1913,7 +1913,97 @@ object Dedup {
       |FROM batch b LEFT JOIN hits h ON b.nid = h.nid
       |ORDER BY doc_id""".stripMargin
 
+  /** Band-key column (band index fused into the key string) for the d27
+    * bucketed store: one string column so the store can bucket on it. */
+  private def bandKeyCol(idCol: String, outId: String) = {
+    val keys = (0 until 4).map { b =>
+      concat_ws("_", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))
+    }
+    (sig: DataFrame) => sig.select(col(idCol).as(outId),
+      explode(array(keys: _*)).as("bkey"))
+  }
+
+  /** d27: NEAR-dup dedup against a BUCKETED LSH band store — d26's twin
+    * for near duplicates, the ingest-time admission gate a 100 TB corpus
+    * runs on every batch: the store's minhash band keys are persisted
+    * ONCE as a bucketed, per-bucket-sorted parquet table (the one-time
+    * shuffle paid at build), and every incoming batch probes it by
+    * sort-merge join with ZERO store-side exchange — only the O(batch)
+    * band rows shuffle to the store's bucketing. Candidates (shared band)
+    * verify by exact jaccard >= 0.8 against the shingled corpus, so the
+    * verify cost is candidate-proportional, never corpus². Per batch doc:
+    * near_dup verdict, canonical (lowest-id) store match, match count.
+    * PlanSpec pins the bucketed scan + exchange-free store side. */
+  private val d27: Q = (s, dir) => {
+    val isBatch = col("doc_id") % 10 === 3
+    val store = memoized(s"d27store:$dir") {
+      val sig = minhashSigOf(docsWithShingles(s, dir).filter(!isBatch))
+      val name = "d27_bands_" + java.lang.Integer.toHexString(dir.hashCode)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = java.nio.file.Files.createTempDirectory("graft_d27_store")
+      bandKeyCol("doc_id", "oid")(sig)
+        .write.bucketBy(16, "bkey").sortBy("bkey").format("parquet")
+        .option("path", loc.toString).mode("overwrite").saveAsTable(name)
+      s.table(name)
+    }
+    val batchDocs = docsWithShingles(s, dir).filter(isBatch)
+    val bbands = bandKeyCol("doc_id", "nid")(minhashSigOf(batchDocs))
+    val cand = store.hint("merge").join(bbands, Seq("bkey"))
+      .select(col("nid"), col("oid")).distinct()
+    val matches = cand
+      .join(batchDocs.select(col("doc_id").as("nid"), col("sh").as("sh1")),
+        Seq("nid"))
+      .join(docsWithShingles(s, dir)
+        .select(col("doc_id").as("oid"), col("sh").as("sh2")), Seq("oid"))
+      .filter(jaccardCol >= 0.8)
+      .groupBy(col("nid"))
+      .agg(min(col("oid")).as("dup_of"), count(lit(1)).as("n_matches"))
+    batchDocs.select(col("doc_id"))
+      .join(matches.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, "near_dup").otherwise("unique")
+          .as("verdict"),
+        col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .psort(col("doc_id"))
+  }
+
+  private val d27Sql = {
+    val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i")
+      .mkString(",\n   ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b || '_' || m${2 * b} || '_' || m${2 * b + 1} AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS ($docsShSql),
+       |sig AS (SELECT doc_id, sh,
+       |   $sigCols
+       |  FROM docs),
+       |bands AS (
+       |  $bandRows),
+       |store AS (SELECT doc_id AS oid, bkey FROM bands WHERE doc_id % 10 <> 3),
+       |batch AS (SELECT doc_id AS nid, bkey FROM bands WHERE doc_id % 10 = 3),
+       |cand AS (SELECT DISTINCT b.nid, s.oid
+       |         FROM batch b JOIN store s USING (bkey)),
+       |j AS (
+       |  SELECT nid, oid,
+       |    $jaccardSql AS jaccard
+       |  FROM cand
+       |  JOIN docs s1 ON nid = s1.doc_id
+       |  JOIN docs s2 ON oid = s2.doc_id),
+       |m AS (SELECT nid, MIN(oid) AS dup_of,
+       |        CAST(COUNT(*) AS BIGINT) AS n_matches
+       |      FROM j WHERE jaccard >= 0.8 GROUP BY nid)
+       |SELECT d.doc_id,
+       |  CASE WHEN m.nid IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS verdict,
+       |  m.dup_of,
+       |  COALESCE(m.n_matches, 0) AS n_matches
+       |FROM (SELECT doc_id FROM docs WHERE doc_id % 10 = 3) d
+       |LEFT JOIN m ON d.doc_id = m.nid
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d27_lsh_store" -> d27,
     "d26_bucketed_store" -> d26,
     "d25_cluster_cohesion" -> d25,
     "d24_lsh_curve" -> d24,
@@ -1942,6 +2032,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d27_lsh_store" -> d27Sql,
     "d26_bucketed_store" -> d26Sql,
     "d25_cluster_cohesion" -> d25Sql,
     "d24_lsh_curve" -> d24Sql,

@@ -417,6 +417,28 @@ class PlanSpec extends AnyFunSuite with Matchers {
     storeSide.get.collect { case e: ShuffleExchangeLike => e } shouldBe empty
   }
 
+  test("d27 LSH store: band probe reads store buckets with zero exchange") {
+    // near-dup twin of the d26 assertion: the persisted band table pays
+    // its shuffle at build; every batch probe must read the buckets in
+    // place — a store-side exchange here is a full index reshuffle per
+    // ingest at 100 TB
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = SparkEntry.queries("d27_lsh_store")(spark, sfDir)
+    df.count()
+    val p = planOf(df)
+    def bucketedScans(n: SparkPlan) =
+      n.collect { case sc: FileSourceScanExec if sc.bucketedScan => sc }
+    bucketedScans(p) should not be empty
+    val smjs = p.collect { case j: SortMergeJoinExec => j }
+    val storeSide = smjs.flatMap(_.children).find { c =>
+      bucketedScans(c).nonEmpty &&
+        c.collect { case j: SortMergeJoinExec => j }.isEmpty
+    }
+    storeSide should not be empty
+    storeSide.get.collect { case e: ShuffleExchangeLike => e } shouldBe empty
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
