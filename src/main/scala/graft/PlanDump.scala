@@ -98,7 +98,14 @@ object PlanDump {
     "q110_update_from" -> "joined UPDATE: one LEFT join target-vs-source, per-target-row winner cut, projection swap — the copy-on-write join-update shape",
     "q111_upsert" -> "ON CONFLICT upsert: equi-join on the conflict key for DO UPDATE, anti-join append for fresh rows; exact DECIMAL arithmetic",
     "x44_selfrep_dedup" -> "intra-doc chunking and first-occurrence counting are pure map-side expressions (size minus array_distinct) — the ONLY shuffle is the presentation sort",
-    "s28_index_persist" -> "the persisted-index serve path: same cell equi-join as s04 reading centroids + assignment from parquet; centroid collect is O(k) driver-side")
+    "s28_index_persist" -> "the persisted-index serve path: same cell equi-join as s04 reading centroids + assignment from parquet; centroid collect is O(k) driver-side",
+    "d26_bucketed_store" -> "repeated-ingest exact dedup: the canonical store reads its buckets in place (bucketed scan, ZERO store-side exchange); only the O(batch) side shuffles to the store's bucketing",
+    "d27_lsh_store" -> "near-dup ingest gate: the persisted band table probes by sort-merge with zero store-side exchange; verify joins touch candidates only",
+    "m19_media_quarantine" -> "quarantine verdicts from a real decode attempt with per-row recovery — one typed map-only stage, only the presentation sort shuffles",
+    "s29_kcenter_coreset" -> "farthest-point traversal: k map-only passes against broadcast centers, each reduced by a TakeOrderedAndProject top-1 (per-partition partial max)",
+    "p03_media_pipeline" -> "(composed: one fused decode pass emits verdict + bands + grid; band-bucket candidate join; SSD verify on candidates; O(formats) manifest aggregation)",
+    "q113_merge_into" -> "(MERGE INTO lowers to one left join with an action-indexed projection + one anti join for inserts — the copy-on-write shape; plan shown is the merged snapshot read-back)",
+    "p04_cdc_merge" -> "(streaming foreachBatch: each micro-batch collapses to max-seq-per-key and MERGEs with a seq guard; plan shown is the final serve-time tombstone filter)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
