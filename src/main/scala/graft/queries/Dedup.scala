@@ -2002,7 +2002,69 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- d28: dedup-then-shard — serpentine token-balanced shards -----------
+  /** d28: the step AFTER dedup in a corpus build — assign the canonical
+    * (exact-dedup survivor) documents to a fixed number of training shards
+    * balanced by TOKEN budget, not document count. Serpentine (boustrophedon)
+    * assignment over the token-desc rank: rank r goes to shard r%8 on even
+    * passes and 7-(r%8) on odd passes, which bounds the shard-total spread
+    * by one max-document per shard — the cheap deterministic 7/8-competitive
+    * alternative to greedy bin packing that needs no per-shard running
+    * state.
+    *
+    * Scale shape: the global token-desc rank comes from
+    * [[graft.operators.DistributedRank]] (approx-quantile cuts ->
+    * bucket-partitioned windows — no single-partition sort), the serpentine
+    * arithmetic is map-only on the rank, and the audit is one 8-group
+    * aggregation. At 100 TB the canonical frame is the persisted dedup
+    * output and sharding costs one rank pass + a map. */
+  private val d28: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val norm = regexp_replace(lower(col("text")), " +", " ")
+    val canon = d
+      .select(col("doc_id"), md5(norm).as("h"),
+        size(filter(split(norm, " "), w => w =!= "")).cast("long").as("n_tokens"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
+    val (ranked, _) = graft.operators.DistributedRank.withGlobalRank(
+      canon, -col("n_tokens"), Seq(col("n_tokens").desc, col("doc_id")), "rank")
+    val pass = expr("(rank - 1) div 8")
+    val pos = (col("rank") - 1) % 8
+    ranked
+      .withColumn("shard", when(pass % 2 === 0, pos).otherwise(lit(7) - pos))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        min(col("n_tokens")).as("min_tokens"))
+      .psort(col("shard"))
+  }
+
+  private val d28Sql =
+    """WITH canon AS (
+      |  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens FROM (
+      |    SELECT doc_id,
+      |      MD5(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g')) AS h,
+      |      LEN([w FOR w IN
+      |        STRING_SPLIT(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'), ' ')
+      |        IF w <> '']) AS n_tokens
+      |    FROM documents) GROUP BY h),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+      |  FROM canon),
+      |sh AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+      |         ELSE 7 - (rank - 1) % 8 END AS shard
+      |  FROM r)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
+      |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d28_token_shards" -> d28,
     "d27_lsh_store" -> d27,
     "d26_bucketed_store" -> d26,
     "d25_cluster_cohesion" -> d25,
@@ -2032,6 +2094,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d28_token_shards" -> d28Sql,
     "d27_lsh_store" -> d27Sql,
     "d26_bucketed_store" -> d26Sql,
     "d25_cluster_cohesion" -> d25Sql,

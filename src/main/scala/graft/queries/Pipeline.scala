@@ -364,12 +364,108 @@ object Pipeline {
       |SELECT id, seq, CAST(bal AS DOUBLE) AS bal
       |FROM r WHERE rn = 1 AND NOT del ORDER BY id""".stripMargin
 
+  // ---- p05: eval-set builder (split -> dedup-vs-train -> decontaminate) ---
+  /** p05: the held-out EVAL split construction every training corpus needs,
+    * as one composed pipeline: (1) a deterministic hash split carves ~10%
+    * of documents out as eval candidates (md5 of doc_id — reproducible on
+    * any cluster, any partition count, unlike random()); (2) candidates
+    * that are exact duplicates of any remaining TRAIN document are dropped
+    * (split-safe dedup — a leaked verbatim copy makes the eval score a
+    * memorization test); (3) survivors sharing >=50% of their word
+    * 3-grams with the train side are dropped as near-duplicate
+    * contamination (the x11 decontamination direction, INVERTED: here the
+    * eval set is cleaned against train, the final gate before an eval set
+    * ships). The manifest reports the funnel per source.
+    *
+    * Scale shape: the split tag is map-only; the exact-dup check is one
+    * hash semi-join on the canonical digest; the contamination check
+    * re-serves the ONE persisted shingle index (Dedup.docsWithShingles —
+    * build-once/serve-many) with the tiny eval side broadcast against the
+    * streamed train postings; the manifest is a per-source aggregation.
+    * No corpus-wide state beyond what the dedup family already persists. */
+  private val p05: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val norm = regexp_replace(lower(col("text")), " +", " ")
+    val tagged = d.select(col("doc_id"), col("source"), md5(norm).as("h"),
+      (md5i(col("doc_id").cast("string")) % 10 === 0).as("is_eval"))
+    val trainH = tagged.filter(!col("is_eval")).select(col("h")).distinct()
+    val dupf = tagged.filter(col("is_eval"))
+      .join(trainH.withColumn("dup", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+    val sh = Dedup.docsWithShingles(s, dir).select(col("doc_id"), col("sh"))
+    val trainSh = sh
+      .join(tagged.filter(!col("is_eval")).select(col("doc_id")), Seq("doc_id"))
+      .select(explode(col("sh")).as("s")).distinct()
+    val contam = sh
+      .join(dupf.filter(!col("is_dup")).select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), size(col("sh")).as("n_grams"),
+        explode(col("sh")).as("s"))
+      .hint("broadcast")
+      .join(trainSh, Seq("s"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_ov"))
+      .filter(col("n_ov").cast("double") >= col("n_grams").cast("double") * 0.5)
+      .select(col("doc_id"), lit(true).as("contam"))
+    dupf.join(contam, Seq("doc_id"), "left")
+      .select(col("source"), col("is_dup"),
+        coalesce(col("contam"), lit(false)).as("is_contam"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("is_dup"), 1).otherwise(0)).as("n_dup_dropped"),
+        sum(when(!col("is_dup") && col("is_contam"), 1).otherwise(0))
+          .as("n_contam_dropped"),
+        sum(when(!col("is_dup") && !col("is_contam"), 1).otherwise(0))
+          .as("n_final"))
+      .psort(col("source"))
+  }
+
+  private val p05Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    MD5(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g')) AS h,
+       |    ${md5iSql("CAST(doc_id AS VARCHAR)")} % 10 = 0 AS is_eval
+       |  FROM documents),
+       |trainH AS (SELECT DISTINCT h FROM base WHERE NOT is_eval),
+       |dupf AS (
+       |  SELECT e.doc_id, e.source, (t.h IS NOT NULL) AS is_dup
+       |  FROM (SELECT doc_id, source, h FROM base WHERE is_eval) e
+       |  LEFT JOIN trainH t ON e.h = t.h),
+       |docsh AS (
+       |  SELECT doc_id,
+       |    LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |      FOR i IN RANGE(1, LEN(w) - 1)]) AS sh
+       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+       |  WHERE LEN(w) >= 3),
+       |trainSh AS (
+       |  SELECT DISTINCT UNNEST(sh) AS s
+       |  FROM docsh JOIN base USING (doc_id) WHERE NOT is_eval),
+       |evalSh AS (
+       |  SELECT d.doc_id, LEN(d.sh) AS n_grams, UNNEST(d.sh) AS s
+       |  FROM docsh d JOIN dupf USING (doc_id) WHERE NOT is_dup),
+       |contam AS (
+       |  SELECT doc_id FROM (
+       |    SELECT e.doc_id, e.n_grams, COUNT(*) AS n_ov
+       |    FROM evalSh e JOIN trainSh USING (s) GROUP BY 1, 2)
+       |  WHERE CAST(n_ov AS DOUBLE) >= CAST(n_grams AS DOUBLE) * 0.5)
+       |SELECT d.source, COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_dropped,
+       |  CAST(SUM(CASE WHEN NOT d.is_dup AND c.doc_id IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_dropped,
+       |  CAST(SUM(CASE WHEN NOT d.is_dup AND c.doc_id IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+       |FROM dupf d LEFT JOIN contam c ON d.doc_id = c.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p05_eval_builder" -> p05,
     "p04_cdc_merge" -> p04,
     "p01_pipeline_e2e" -> p01,
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p05_eval_builder" -> p05Sql,
     "p04_cdc_merge" -> p04Sql,
     "p01_pipeline_e2e" -> p01Sql,
     "p02_pipeline_streaming" -> p02Sql)

@@ -2179,7 +2179,89 @@ object Similarity {
        |ORDER BY step""".stripMargin
   }
 
+  // ---- s30: greedy graph-descent serve over the kNN graph -----------------
+  private val gwHops = 3
+  private val gwEntry = 100L
+
+  /** s30: greedy best-first descent over the s09 kNN graph — the serve-time
+    * navigation pattern of graph ANN indexes (NSW/HNSW layer-0): start at a
+    * fixed entry node, repeatedly move to the neighbor of the current node
+    * closest to the query, stop after a hop budget. Reuses the SAME persisted
+    * adjacency the s09/s18/s24 family builds once (build-once/serve-many).
+    *
+    * Scale shape: the frontier is query-sized (one row per in-flight walk)
+    * and BROADCASTS at every hop against the corpus-resident adjacency and
+    * vector tables — the corpus never shuffles, and a hop costs
+    * O(|queries| x degree) probe work regardless of corpus size. Hops are
+    * sequential (inherent to graph descent) but each is a tiny
+    * broadcast-hash join, so the 100 TB cost is hop-count x a
+    * map-side-pruned scan, not any corpus-wide exchange.
+    *
+    * Determinism: candidate set per hop = neighbors(cur) U {cur} minus the
+    * query node itself; argmax cosine with ties by lowest candidate id —
+    * both engines fold the cosine in index order (graft_cosine), so the
+    * walk is bit-reproducible and the oracle unrolls the identical hops. */
+  private val s30: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val adj = memoized(s"s30adj:$dir") {
+      knnTop3(s, dir).select(col("qid").as("src"), col("cid").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("dst"))
+    var walk = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        lit(gwEntry).as("cur"))
+    for (_ <- 1 to gwHops) {
+      val cands = walk.hint("broadcast").join(adj, col("cur") === col("src"))
+        .select(col("qid"), col("qe"), col("dst"))
+        .unionByName(walk.select(col("qid"), col("qe"), col("cur").as("dst")))
+      walk = cands.filter(col("dst") =!= col("qid")).hint("broadcast")
+        .join(corpus, col("dst") === col("nid"))
+        .withColumn("cos", expr(cosineExpr("qe", "ne")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("qe"), col("dst").as("cur"), col("cos"))
+    }
+    walk.select(col("qid"), col("cur").as("cid"),
+        round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"))
+  }
+
+  private lazy val s30Sql: String = {
+    // edges = the s09 graph (top-3 in-cell neighbors), then gwHops unrolled
+    // greedy steps: candidates = out-edges of cur plus cur itself, next =
+    // argmax cosine (ties -> lowest id), query node excluded throughout.
+    val hops = (1 to gwHops).map { n =>
+      s"""cand$n AS (
+         |  SELECT w.qid, w.qe, x.dst FROM walk${n - 1} w JOIN edges x ON w.cur = x.src
+         |  UNION ALL SELECT qid, qe, cur AS dst FROM walk${n - 1}),
+         |walk$n AS (
+         |  SELECT qid, qe, cur, cos FROM (
+         |    SELECT c.qid, c.qe, c.dst AS cur, ${cosineSql("c.qe", "k.ne")} AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY c.qid
+         |        ORDER BY ${cosineSql("c.qe", "k.ne")} DESC, c.dst) AS rn
+         |    FROM cand$n c JOIN corpus k ON c.dst = k.nid
+         |    WHERE c.dst <> c.qid) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$ivfCtePrefix,
+       |g2scored AS (
+       |  SELECT a.cid AS qid, b.cid, ${cosineSql("a.ce", "b.ce")} AS cos
+       |  FROM assignF a JOIN assignF b ON a.cell = b.cell AND a.cid <> b.cid),
+       |edges AS (
+       |  SELECT qid AS src, cid AS dst FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |    FROM g2scored) WHERE rank <= 3),
+       |corpus AS (SELECT vec_id AS nid, v AS ne FROM e),
+       |walk0 AS (
+       |  SELECT vec_id AS qid, v AS qe, $gwEntry AS cur FROM e WHERE vec_id < 10),
+       |$hops
+       |SELECT qid, cur AS cid, ROUND(cos, 6) AS cosine FROM walk$gwHops
+       |ORDER BY qid""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s30_graph_walk" -> s30,
     "s29_kcenter_coreset" -> s29,
     "s28_index_persist" -> s28,
     "s27_streaming_ann" -> s27,
@@ -2211,6 +2293,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s30_graph_walk" -> s30Sql,
     "s29_kcenter_coreset" -> s29Sql,
     "s28_index_persist" -> s28Sql,
     "s27_streaming_ann" -> s27Sql,

@@ -2607,7 +2607,79 @@ object TextOps {
       |FROM c WHERE LEN(chunks) > LEN(LIST_DISTINCT(chunks))
       |ORDER BY doc_id""".stripMargin
 
+  // ---- x45: semantic topic clusters with TF-IDF labels --------------------
+  /** x45: topic-cluster report over the corpus — every document is assigned
+    * to its trained IVF cell (the SAME bit-reproducible quantizer the ANN
+    * family serves from, build-once/serve-many), and each cluster is
+    * labelled with its top-3 TF-IDF terms (cluster-level term frequency x
+    * ln(k/cluster-df)) plus size and mean length. This is the corpus
+    * topic-map step of data curation: "what IS in this 100 TB crawl, and
+    * how big is each slice" — the input to mixture decisions (x33/x39).
+    *
+    * Scale shape: the assignment is the persisted IVF frame (no new pass),
+    * one (cell, term) shuffle for cluster tf, a cells-count-sized df frame
+    * broadcast back, and a top-3 window over k<=8 partitions. No
+    * corpus-wide state beyond the one tf aggregation. Determinism: tf/df
+    * are exact integers; ln is 1-ulp noisy so the score is ROUNDed for the
+    * hash and ties rank by term (the x07 discipline). */
+  private val x45: Q = (s, dir) => {
+    val (_, assigned) = Similarity.trainedIvf(s, dir)
+    val docs = t(s, dir, "documents")
+      .join(assigned.select(col("vec_id").as("doc_id"), col("cell")), Seq("doc_id"))
+    val terms = docs
+      .select(col("cell"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("cell"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sizes = docs.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .select(col("cell"), col("term"),
+        (col("tf").cast("double") * log(lit(8.0) / col("df").cast("double")))
+          .as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .join(broadcast(sizes), Seq("cell"))
+      .select(col("cell"), col("n_docs"),
+        round(col("total_chars").cast("double") / col("n_docs").cast("double"), 4)
+          .as("avg_chars"),
+        col("rnk"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+      .psort(col("cell"), col("rnk"))
+  }
+
+  private lazy val x45Sql: String =
+    s"""${Similarity.ivfCtePrefix},
+       |docs2 AS (
+       |  SELECT d.doc_id, d.text, d.n_chars, a.cell
+       |  FROM documents d JOIN assignF a ON d.doc_id = a.cid),
+       |terms AS (
+       |  SELECT cell, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM docs2),
+       |tf AS (
+       |  SELECT cell, term, COUNT(*) AS tf FROM terms WHERE term <> ''
+       |  GROUP BY cell, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sizes AS (
+       |  SELECT cell, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       |  FROM docs2 GROUP BY cell),
+       |tscored AS (
+       |  SELECT tf.cell, tf.term,
+       |    CAST(tf.tf AS DOUBLE) * LN(8.0 / CAST(dfreq.df AS DOUBLE)) AS tfidf
+       |  FROM tf JOIN dfreq USING (term)),
+       |tranked AS (
+       |  SELECT cell, term, tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY tfidf DESC, term) AS rnk
+       |  FROM tscored)
+       |SELECT r.cell, s.n_docs,
+       |  ROUND(CAST(s.total_chars AS DOUBLE) / CAST(s.n_docs AS DOUBLE), 4) AS avg_chars,
+       |  r.rnk, r.term, ROUND(r.tfidf, 6) AS tfidf
+       |FROM tranked r JOIN sizes s USING (cell) WHERE r.rnk <= 3
+       |ORDER BY cell, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x45_topic_clusters" -> x45,
     "x44_selfrep_dedup" -> x44,
     "x43_epoch_shuffle" -> x43,
     "x42_source_similarity" -> x42,
@@ -2654,6 +2726,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x45_topic_clusters" -> x45Sql,
     "x44_selfrep_dedup" -> x44Sql,
     "x43_epoch_shuffle" -> x43Sql,
     "x42_source_similarity" -> x42Sql,
