@@ -105,7 +105,11 @@ object PlanDump {
     "s29_kcenter_coreset" -> "farthest-point traversal: k map-only passes against broadcast centers, each reduced by a TakeOrderedAndProject top-1 (per-partition partial max)",
     "p03_media_pipeline" -> "(composed: one fused decode pass emits verdict + bands + grid; band-bucket candidate join; SSD verify on candidates; O(formats) manifest aggregation)",
     "q113_merge_into" -> "(MERGE INTO lowers to one left join with an action-indexed projection + one anti join for inserts — the copy-on-write shape; plan shown is the merged snapshot read-back)",
-    "p04_cdc_merge" -> "(streaming foreachBatch: each micro-batch collapses to max-seq-per-key and MERGEs with a seq guard; plan shown is the final serve-time tombstone filter)")
+    "p04_cdc_merge" -> "(streaming foreachBatch: each micro-batch collapses to max-seq-per-key and MERGEs with a seq guard; plan shown is the final serve-time tombstone filter)",
+    "s30_graph_walk" -> "greedy graph descent: query-sized frontier BROADCASTS at every hop against the persisted s09 adjacency + vectors — the corpus never shuffles; 3 unrolled broadcast-hash-join hops",
+    "x45_topic_clusters" -> "topic map from the persisted IVF assignment: one (cell, term) shuffle for cluster tf, cells-sized df broadcast back, top-3 window over k<=8 partitions",
+    "d28_token_shards" -> "serpentine token-balanced shards: DistributedRank bucket-partitioned global rank (no single-partition sort), map-only boustrophedon placement, one 8-group audit agg",
+    "p05_eval_builder" -> "(composed: md5 hash split map-only; exact-dup semi-join on the canonical digest; contamination re-serves the persisted shingle index with the eval side broadcast; per-source funnel agg)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
