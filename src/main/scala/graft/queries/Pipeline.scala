@@ -380,9 +380,12 @@ object Pipeline {
     * Scale shape: the split tag is map-only; the exact-dup check is one
     * hash semi-join on the canonical digest; the contamination check
     * re-serves the ONE persisted shingle index (Dedup.docsWithShingles —
-    * build-once/serve-many) with the tiny eval side broadcast against the
-    * streamed train postings; the manifest is a per-source aggregation.
-    * No corpus-wide state beyond what the dedup family already persists. */
+    * build-once/serve-many) through a shingle-keyed equi-join. The eval
+    * side is ~10% of the corpus — PROPORTIONAL, not constant — so no
+    * broadcast is forced: AQE broadcasts it while it fits and falls back
+    * to a shuffled join beyond that (both sides hash-partition on the
+    * shingle — the shape that survives 100 TB). The manifest is a
+    * per-source aggregation. */
   private val p05: Q = (s, dir) => {
     val d = t(s, dir, "documents")
     val norm = regexp_replace(lower(col("text")), " +", " ")
@@ -401,7 +404,6 @@ object Pipeline {
       .join(dupf.filter(!col("is_dup")).select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), size(col("sh")).as("n_grams"),
         explode(col("sh")).as("s"))
-      .hint("broadcast")
       .join(trainSh, Seq("s"))
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_ov"))
