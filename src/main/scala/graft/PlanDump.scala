@@ -109,7 +109,10 @@ object PlanDump {
     "s30_graph_walk" -> "greedy graph descent: query-sized frontier BROADCASTS at every hop against the persisted s09 adjacency + vectors — the corpus never shuffles; 3 unrolled broadcast-hash-join hops",
     "x45_topic_clusters" -> "topic map from the persisted IVF assignment: one (cell, term) shuffle for cluster tf, cells-sized df broadcast back, top-3 window over k<=8 partitions",
     "d28_token_shards" -> "serpentine token-balanced shards: DistributedRank bucket-partitioned global rank (no single-partition sort), map-only boustrophedon placement, one 8-group audit agg",
-    "p05_eval_builder" -> "(composed: md5 hash split map-only; exact-dup semi-join on the canonical digest; contamination re-serves the persisted shingle index with the eval side broadcast; per-source funnel agg)")
+    "p05_eval_builder" -> "(composed: md5 hash split map-only; exact-dup semi-join on the canonical digest; contamination re-serves the persisted shingle index with the eval side broadcast; per-source funnel agg)",
+    "d29_source_matrix" -> "mirror matrix: one (digest, source) shuffle collapses to content diversity BEFORE the digest self-join (fan-out <= |sources|^2 per group) — no doc-level pairs",
+    "s31_adaptive_nprobe" -> "adaptive probe depth: centroids + k-row cell histogram broadcast; coverage cut is a per-query running sum over <= k rows; candidates from the same cell equi-join as s04",
+    "x46_ppl_outliers" -> "median/MAD outlier audit over the persisted x13 scoring frame: both medians are source-PARTITIONED windows (never global), mad/med frames broadcast back, one per-source agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2063,7 +2063,52 @@ object Dedup {
       |  MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- d29: cross-source duplication matrix (mirror detection) ------------
+  /** d29: which sources copy from which — for every pair of sources that
+    * share at least one duplicated content-fingerprint group, the number of
+    * shared groups and how many documents each side contributes to them.
+    * The fingerprint is the normalized 64-char lead (same normalization as
+    * d01; prefix rather than full text so re-hosted copies with altered
+    * tails still collide). This is the crawl-forensics view of dedup
+    * (mirror sites, syndicated feeds, re-hosted dumps): the input to
+    * source-level dedup policy (drop the mirror, keep the origin),
+    * complementary to x40's SHINGLE-level source overlap (which sees
+    * near-dup text; this sees copy lineage with exact doc counts).
+    *
+    * Scale shape: one shuffle groups (digest, source) with per-cell doc
+    * counts — CONTENT-diversity-sized, duplicates collapse before any
+    * join; the self-join on the digest fans out at most |sources|^2 per
+    * group (sources is a small dimension); output is at most a
+    * |sources|^2 matrix. No doc-level pair ever materializes. */
+  private val d29: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val norm = regexp_replace(lower(col("text")), " +", " ")
+    val hs = d.select(md5(substring(norm, 1, 64)).as("h"), col("source"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("cnt"))
+    hs.as("a")
+      .join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+      .agg(count(lit(1)).as("n_shared_groups"),
+        sum(col("a.cnt")).as("n_docs_src1"),
+        sum(col("b.cnt")).as("n_docs_src2"))
+      .psort(col("src1"), col("src2"))
+  }
+
+  private val d29Sql =
+    """WITH hs AS (
+      |  SELECT MD5(SUBSTR(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'), 1, 64)) AS h,
+      |         source, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT a.source AS src1, b.source AS src2,
+      |  COUNT(*) AS n_shared_groups,
+      |  CAST(SUM(a.cnt) AS BIGINT) AS n_docs_src1,
+      |  CAST(SUM(b.cnt) AS BIGINT) AS n_docs_src2
+      |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d29_source_matrix" -> d29,
     "d28_token_shards" -> d28,
     "d27_lsh_store" -> d27,
     "d26_bucketed_store" -> d26,
@@ -2094,6 +2139,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d29_source_matrix" -> d29Sql,
     "d28_token_shards" -> d28Sql,
     "d27_lsh_store" -> d27Sql,
     "d26_bucketed_store" -> d26Sql,

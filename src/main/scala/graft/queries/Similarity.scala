@@ -2260,7 +2260,82 @@ object Similarity {
        |ORDER BY qid""".stripMargin
   }
 
+  // ---- s31: adaptive-nprobe IVF serve (coverage-bound early termination) --
+  /** s31: query-adaptive probe depth — instead of s04's fixed nprobe=3,
+    * each query probes its distance-ranked cells only until the cumulative
+    * candidate population reaches 25% of the corpus, then re-ranks exactly.
+    * This is the production ANN serving refinement (per-query early
+    * termination): queries landing in dense cells stop after 1 probe,
+    * queries in sparse regions widen automatically — recall stabilizes
+    * per-query instead of per-index, and the COST is output-proportional
+    * (the coverage bound caps candidates at corpus/4 regardless of skew).
+    *
+    * Scale shape: centroids ride the plan as a broadcast literal (O(k x
+    * dim)); the coverage cut is a per-query running sum over k<=8 rows;
+    * candidates come from the same cell equi-join as s04 against the
+    * persisted assignment. The only new state vs s04 is the k-row cell
+    * histogram. */
+  private val s31: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    val total = assigned.agg(count(lit(1)).as("total"))
+    val wCum = Window.partitionBy(col("qid")).orderBy(col("cell_rank"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val probed = graft.operators.IvfIndex.probeRanked(
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", centroids, ivfK)
+      .join(broadcast(sizes), Seq("cell"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .filter(col("cum_before") * 4 < col("total")) // probe until 25% covered
+    val np = probed.groupBy(col("qid")).agg(count(lit(1)).as("nprobe_used"))
+    val c = assigned.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    probed.select(col("qid"), col("qe"), col("cell"))
+      .join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .join(broadcast(np), Seq("qid"))
+      .select(col("qid"), col("nprobe_used"), col("rank"), col("cid"),
+        round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private lazy val s31Sql: String =
+    s"""$ivfCtePrefix,
+       |aprobe AS (
+       |  SELECT qid, qe, cell, cell_rank FROM (
+       |    SELECT e.vec_id AS qid, e.v AS qe, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS cell_rank
+       |    FROM e CROSS JOIN $ivfFinalCentsCte c WHERE e.vec_id < 20)),
+       |asizes AS (SELECT cell, COUNT(*) AS cnt FROM assignF GROUP BY cell),
+       |atot AS (SELECT COUNT(*) AS total FROM assignF),
+       |ataken AS (
+       |  SELECT qid, qe, cell FROM (
+       |    SELECT p.qid, p.qe, p.cell,
+       |      COALESCE(SUM(s.cnt) OVER (PARTITION BY p.qid ORDER BY p.cell_rank
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    FROM aprobe p JOIN asizes s USING (cell)) t, atot
+       |  WHERE t.cum_before * 4 < atot.total),
+       |anp AS (SELECT qid, COUNT(*) AS nprobe_used FROM ataken GROUP BY qid),
+       |acand AS (
+       |  SELECT t.qid, a.cid, ${cosineSql("t.qe", "a.ce")} AS cos
+       |  FROM ataken t JOIN assignF a ON t.cell = a.cell AND t.qid <> a.cid),
+       |aranked AS (
+       |  SELECT qid, cid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM acand)
+       |SELECT r.qid, n.nprobe_used, r.rank, r.cid, ROUND(r.cos, 6) AS cosine
+       |FROM aranked r JOIN anp n USING (qid) WHERE r.rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s31_adaptive_nprobe" -> s31,
     "s30_graph_walk" -> s30,
     "s29_kcenter_coreset" -> s29,
     "s28_index_persist" -> s28,
@@ -2293,6 +2368,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s31_adaptive_nprobe" -> s31Sql,
     "s30_graph_walk" -> s30Sql,
     "s29_kcenter_coreset" -> s29Sql,
     "s28_index_persist" -> s28Sql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -2678,7 +2678,99 @@ object TextOps {
        |FROM tranked r JOIN sizes s USING (cell) WHERE r.rnk <= 3
        |ORDER BY cell, rnk""".stripMargin
 
+  // ---- x46: robust perplexity outlier detection (median/MAD) --------------
+  /** x46: per-source LM-score outlier audit — the "what poisoned this
+    * slice" check run after x13's scoring pass: within each source, flag
+    * documents whose bigram-LM average NLL deviates from the source median
+    * by more than 3x the median absolute deviation. Median/MAD (not
+    * mean/stddev) on purpose: outliers cannot inflate their own threshold,
+    * and the lower-median of INTEGER micronat scores keeps every number in
+    * the query exact integer arithmetic — hash-stable across engines with
+    * no float-order or overflow hazard (sum-of-squares of micronat scores
+    * overflows int64 at sf10; a median never does).
+    *
+    * Scale shape: re-serves the ONE persisted x13 scoring frame
+    * (build-once/serve-many); both medians are windows PARTITIONED by
+    * source (never global), and the audit is a per-source aggregation. */
+  private val x46: Q = (s, dir) => {
+    val scored = lmScored(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("avg_nll_micronats").as("v"))
+    val bySrc = Window.partitionBy(col("source"))
+    val medOf = (value: Column, frame: DataFrame) => {
+      val w = bySrc.orderBy(value, col("doc_id"))
+      frame.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(bySrc))
+        .filter(col("rn") === expr("(n + 1) div 2")) // lower median, int div
+    }
+    val med = medOf(col("v"), scored)
+      .select(col("source"), col("v").as("med"))
+    val dev = scored.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = medOf(col("dev"), dev)
+      .select(col("source"), col("dev").as("mad"))
+    val wWorst = bySrc.orderBy(col("dev").desc, col("doc_id"))
+    dev.join(broadcast(mad), Seq("source"))
+      .withColumn("is_out", col("dev") > col("mad") * 3)
+      .withColumn("wr", row_number().over(wWorst))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("med")).as("median_nll"),
+        min(col("mad")).as("mad_nll"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("wr") === 1, col("doc_id"))).as("worst_doc"),
+        min(when(col("wr") === 1, col("dev"))).as("worst_dev"))
+      .psort(col("source"))
+  }
+
+  private val x46Sql =
+    """WITH ex AS (
+      |  SELECT doc_id, UNNEST([SUBSTR(text, i, 2) FOR i IN RANGE(1, LEN(text))]) AS bg
+      |  FROM documents WHERE LEN(text) >= 2),
+      |model AS (
+      |  SELECT bg,
+      |    CAST(ROUND(-LN(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM ex)::DOUBLE)
+      |      * 1000000.0) AS BIGINT) AS nll_micro
+      |  FROM ex GROUP BY bg),
+      |docbg AS (SELECT doc_id, bg, COUNT(*) AS k FROM ex GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.doc_id, doc.source,
+      |    CAST(SUM(d.k * m.nll_micro) AS BIGINT) // CAST(SUM(d.k) AS BIGINT) AS v
+      |  FROM docbg d JOIN model m ON d.bg = m.bg
+      |  JOIN documents doc ON d.doc_id = doc.doc_id
+      |  GROUP BY d.doc_id, doc.source),
+      |med AS (
+      |  SELECT source, v AS med FROM (
+      |    SELECT source, v,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rn,
+      |      COUNT(*) OVER (PARTITION BY source) AS n
+      |    FROM scored) WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT s.doc_id, s.source, ABS(s.v - m.med) AS dev, m.med
+      |  FROM scored s JOIN med m USING (source)),
+      |mad AS (
+      |  SELECT source, dev AS mad FROM (
+      |    SELECT source, dev,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+      |      COUNT(*) OVER (PARTITION BY source) AS n
+      |    FROM dev) WHERE rn = (n + 1) // 2),
+      |j AS (
+      |  SELECT d.source, d.doc_id, d.dev, d.med, m.mad,
+      |    d.dev > m.mad * 3 AS is_out,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source
+      |      ORDER BY d.dev DESC, d.doc_id) AS wr
+      |  FROM dev d JOIN mad m USING (source))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  MIN(med) AS median_nll, MIN(mad) AS mad_nll,
+      |  CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  MIN(CASE WHEN wr = 1 THEN doc_id END) AS worst_doc,
+      |  MIN(CASE WHEN wr = 1 THEN dev END) AS worst_dev
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x46_ppl_outliers" -> x46,
     "x45_topic_clusters" -> x45,
     "x44_selfrep_dedup" -> x44,
     "x43_epoch_shuffle" -> x43,
@@ -2726,6 +2818,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x46_ppl_outliers" -> x46Sql,
     "x45_topic_clusters" -> x45Sql,
     "x44_selfrep_dedup" -> x44Sql,
     "x43_epoch_shuffle" -> x43Sql,
