@@ -112,7 +112,9 @@ object PlanDump {
     "p05_eval_builder" -> "(composed: md5 hash split map-only; exact-dup semi-join on the canonical digest; contamination re-serves the persisted shingle index with the eval side broadcast; per-source funnel agg)",
     "d29_source_matrix" -> "mirror matrix: one (digest, source) shuffle collapses to content diversity BEFORE the digest self-join (fan-out <= |sources|^2 per group) — no doc-level pairs",
     "s31_adaptive_nprobe" -> "adaptive probe depth: centroids + k-row cell histogram broadcast; coverage cut is a per-query running sum over <= k rows; candidates from the same cell equi-join as s04",
-    "x46_ppl_outliers" -> "median/MAD outlier audit over the persisted x13 scoring frame: both medians are source-PARTITIONED windows (never global), mad/med frames broadcast back, one per-source agg")
+    "x46_ppl_outliers" -> "median/MAD outlier audit over the persisted x13 scoring frame: both medians are source-PARTITIONED windows (never global), mad/med frames broadcast back, one per-source agg",
+    "p06_mix_builder" -> "(composed: digest-shuffle canonical collapse; O(sources) water-filling vs broadcast totals; source-partitioned running-sum selection; DistributedRank serpentine shards; per-source manifest agg)",
+    "x47_readability" -> "three integer counts per doc in ONE map-only codegen'd pass (regexp + lambda, no UDF); per-source agg; Flesch/FKGL arithmetic on O(sources) rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -460,13 +460,162 @@ object Pipeline {
        |FROM dupf d LEFT JOIN contam c ON d.doc_id = c.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---- p06: training-mix builder (allocate -> select -> shard) ------------
+  /** p06: the final "build the actual pretraining mix" composition — the
+    * step that turns curation DECISIONS into a concrete training set:
+    * (1) exact-dedup canonical collapse (d01's digest; the canonical keeps
+    * the lowest doc_id and its source); (2) a token budget of HALF the
+    * canonical mass is allocated across sources by x41's 2-round
+    * water-filling (sqrt-smoothed weights, capped at each source's
+    * available mass, surplus redistributed to uncapped sources — exact
+    * integer arithmetic end to end); (3) each source fills its allocation
+    * greedily in deterministic md5(doc_id) order (reproducible on any
+    * cluster/partitioning, unlike random()), taking documents while the
+    * running token sum fits; (4) the selected set is laid out into 4
+    * token-balanced serpentine shards (d28's boustrophedon over the global
+    * token-desc rank, via DistributedRank — no single-partition sort).
+    * The manifest reports the funnel per source: candidates -> allocation
+    * -> selection -> shard spread, with integer-percent utilization.
+    *
+    * Scale shape: canonical collapse is one digest shuffle; the allocation
+    * is O(sources) arithmetic against broadcast scalar totals; selection is
+    * one source-PARTITIONED running-sum window (never global) against the
+    * broadcast O(sources) allocation table; sharding is one DistributedRank
+    * pass + map-only placement; the manifest is a per-source aggregation. */
+  private val p06: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val norm = regexp_replace(lower(col("text")), " +", " ")
+    val canon = d.select(col("doc_id"), col("source"), md5(norm).as("h"),
+        size(filter(split(norm, " "), w => w =!= "")).cast("long")
+          .as("n_tokens"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        expr("min_by(source, doc_id)").as("source"),
+        min(col("n_tokens")).as("n_tokens"))
+    val bySrc = canon.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_cand"), sum(col("n_tokens")).as("cand_tokens"))
+      .withColumn("w",
+        expr("cast(floor(sqrt(cast(cand_tokens as double))) as bigint)"))
+    val tot = bySrc.agg(sum(col("cand_tokens")).as("tt"), sum(col("w")).as("tw"))
+    val r1 = bySrc.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tt div 2"))
+      .withColumn("a1", expr("budget * w div tw"))
+      .withColumn("c1", least(col("a1"), col("cand_tokens")))
+    val spill = r1.agg(sum(col("c1")).as("allocated"),
+      sum(when(col("a1") < col("cand_tokens"), col("w")).otherwise(0L))
+        .as("wu"))
+    val alloc = r1.crossJoin(broadcast(spill))
+      .withColumn("alloc_tokens", least(expr(
+        "c1 + (case when a1 < cand_tokens and wu > 0 " +
+          "then (budget - allocated) * w div wu else 0L end)"),
+        col("cand_tokens")))
+      .select(col("source"), col("n_cand"), col("cand_tokens"),
+        col("alloc_tokens"))
+    val wOrd = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // DistributedRank's cut/count passes re-execute their parent plan, so
+    // the selected frame persists first (the helper's documented caller
+    // convention) — at 100 TB this is the materialized "selected set"
+    // artifact between pipeline stages anyway
+    val sel = canon
+      .join(broadcast(alloc.select(col("source"), col("alloc_tokens"))),
+        Seq("source"))
+      .withColumn("cum", sum(col("n_tokens")).over(wOrd))
+      .filter(col("cum") <= col("alloc_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ranked, _) = graft.operators.DistributedRank.withGlobalRank(
+      sel, -col("n_tokens"), Seq(col("n_tokens").desc, col("doc_id")), "rank")
+    val pass = expr("(rank - 1) div 4")
+    val pos = (col("rank") - 1) % 4
+    val selAgg = ranked
+      .withColumn("shard", when(pass % 2 === 0, pos).otherwise(lit(3) - pos))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("n_tokens")).as("sel_tokens"),
+        countDistinct(col("shard")).as("n_shards"))
+    alloc.join(selAgg, Seq("source"), "left")
+      .select(col("source"), col("n_cand"), col("cand_tokens"),
+        col("alloc_tokens"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+        coalesce(col("n_shards"), lit(0L)).as("n_shards"))
+      .withColumn("util_pct",
+        expr("sel_tokens * 100 div greatest(alloc_tokens, 1L)"))
+      .psort(col("source"))
+  }
+
+  private val p06Sql =
+    """WITH canon AS (
+      |  SELECT MIN(doc_id) AS doc_id, ARG_MIN(source, doc_id) AS source,
+      |         MIN(n_tokens) AS n_tokens
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      MD5(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g')) AS h,
+      |      LEN([w FOR w IN
+      |        STRING_SPLIT(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'), ' ')
+      |        IF w <> '']) AS n_tokens
+      |    FROM documents) GROUP BY h),
+      |bysrc AS (
+      |  SELECT source, COUNT(*) AS n_cand,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS cand_tokens,
+      |    CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM canon GROUP BY source),
+      |tot AS (SELECT CAST(SUM(cand_tokens) AS BIGINT) AS tt,
+      |               CAST(SUM(w) AS BIGINT) AS tw FROM bysrc),
+      |r1 AS (
+      |  SELECT b.*, tt // 2 AS budget, (tt // 2) * w // tw AS a1,
+      |    LEAST((tt // 2) * w // tw, cand_tokens) AS c1
+      |  FROM bysrc b, tot),
+      |spill AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS allocated,
+      |    CAST(SUM(CASE WHEN a1 < cand_tokens THEN w ELSE 0 END) AS BIGINT)
+      |      AS wu
+      |  FROM r1),
+      |alloc AS (
+      |  SELECT r.source, r.n_cand, r.cand_tokens,
+      |    LEAST(r.c1 + CASE WHEN r.a1 < r.cand_tokens AND s.wu > 0
+      |      THEN (r.budget - s.allocated) * r.w // s.wu ELSE 0 END,
+      |      r.cand_tokens) AS alloc_tokens
+      |  FROM r1 r, spill s),
+      |sel AS (
+      |  SELECT source, doc_id, n_tokens FROM (
+      |    SELECT c.source, c.doc_id, c.n_tokens, a.alloc_tokens,
+      |      SUM(c.n_tokens) OVER (PARTITION BY c.source
+      |        ORDER BY MD5(CAST(c.doc_id AS VARCHAR)), c.doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |    FROM canon c JOIN alloc a USING (source)) t
+      |  WHERE cum <= alloc_tokens),
+      |sharded AS (
+      |  SELECT source, n_tokens,
+      |    CASE WHEN ((rank - 1) // 4) % 2 = 0 THEN (rank - 1) % 4
+      |         ELSE 3 - (rank - 1) % 4 END AS shard
+      |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id)
+      |          AS rank FROM sel)),
+      |selagg AS (
+      |  SELECT source, COUNT(*) AS n_selected,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens,
+      |    COUNT(DISTINCT shard) AS n_shards
+      |  FROM sharded GROUP BY source)
+      |SELECT a.source, a.n_cand, a.cand_tokens, a.alloc_tokens,
+      |  COALESCE(s.n_selected, 0) AS n_selected,
+      |  COALESCE(s.sel_tokens, 0) AS sel_tokens,
+      |  COALESCE(s.n_shards, 0) AS n_shards,
+      |  COALESCE(s.sel_tokens, 0) * 100 // GREATEST(a.alloc_tokens, 1)
+      |    AS util_pct
+      |FROM alloc a LEFT JOIN selagg s USING (source)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p06_mix_builder" -> p06,
     "p05_eval_builder" -> p05,
     "p04_cdc_merge" -> p04,
     "p01_pipeline_e2e" -> p01,
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p06_mix_builder" -> p06Sql,
     "p05_eval_builder" -> p05Sql,
     "p04_cdc_merge" -> p04Sql,
     "p01_pipeline_e2e" -> p01Sql,

@@ -2769,7 +2769,102 @@ object TextOps {
       |  MIN(CASE WHEN wr = 1 THEN dev END) AS worst_dev
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- x47: readability audit (Flesch / FKGL, integer-staged) -------------
+  /** x47: per-source readability profile — the curation filter class the
+    * quality score (x02) doesn't cover: reading-ease level. Counts are the
+    * standard deterministic heuristics (words = non-empty whitespace
+    * tokens over the normalized text; sentences = terminator runs
+    * `[.!?]+`, min 1; syllables = vowel-group runs `[aeiouy]+` per word,
+    * min 1 — the classic approximation), aggregated per source, with
+    * Flesch reading-ease and Flesch-Kincaid grade level computed from the
+    * per-source INTEGER sums (one exactly-specified double expression at
+    * O(sources) rows — no float aggregation order hazard), plus the share
+    * of documents in the "easy" band (per-doc Flesch >= 60).
+    *
+    * Scale shape: one map-only pass computes the three integer counts per
+    * document (codegen'd regexp + higher-order lambda, no UDF); the audit
+    * is a single per-source aggregation; the formulas run on O(sources)
+    * rows. */
+  private val x47: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val counted = d
+      .withColumn("ws", expr(
+        "filter(split(regexp_replace(lower(text), ' +', ' '), ' '), " +
+          "w -> w <> '')"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("source"),
+        size(col("ws")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+          .as("n_sent"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + greatest(1L, " +
+          "cast(size(regexp_extract_all(w, '[aeiouy]+', 0)) as long)))")
+          .as("n_syll"))
+      .withColumn("doc_flesch", expr(
+        "206.835 - 1.015 * (cast(n_words as double) / cast(n_sent as double))" +
+          " - 84.6 * (cast(n_syll as double) / cast(n_words as double))"))
+    counted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_sent")).as("sentences"),
+        sum(col("n_syll")).as("syllables"),
+        sum(when(col("doc_flesch") >= 60.0, 1L).otherwise(0L)).as("n_easy"))
+      .withColumn("wps", expr(
+        "round(cast(words as double) / cast(sentences as double), 2)"))
+      .withColumn("spw", expr(
+        "round(cast(syllables as double) / cast(words as double), 2)"))
+      .withColumn("flesch", expr(
+        "round(206.835 - 1.015 * (cast(words as double) / " +
+          "cast(sentences as double)) - 84.6 * (cast(syllables as double) " +
+          "/ cast(words as double)), 2)"))
+      .withColumn("fkgl", expr(
+        "round(0.39 * (cast(words as double) / cast(sentences as double)) " +
+          "+ 11.8 * (cast(syllables as double) / cast(words as double)) " +
+          "- 15.59, 2)"))
+      .psort(col("source"))
+  }
+
+  private val x47Sql =
+    """WITH counted AS (
+      |  SELECT source,
+      |    CAST(LEN(ws) AS BIGINT) AS n_words,
+      |    GREATEST(1, CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+'))
+      |      AS BIGINT)) AS n_sent,
+      |    CAST(LIST_SUM([GREATEST(1, LEN(REGEXP_EXTRACT_ALL(w, '[aeiouy]+')))
+      |      FOR w IN ws]) AS BIGINT) AS n_syll
+      |  FROM (
+      |    SELECT source, text,
+      |      [w FOR w IN
+      |        STRING_SPLIT(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'), ' ')
+      |        IF w <> ''] AS ws
+      |    FROM documents) WHERE LEN(ws) >= 1),
+      |flagged AS (
+      |  SELECT *,
+      |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+      |      - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |      AS doc_flesch
+      |  FROM counted),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_words) AS BIGINT) AS words,
+      |    CAST(SUM(n_sent) AS BIGINT) AS sentences,
+      |    CAST(SUM(n_syll) AS BIGINT) AS syllables,
+      |    CAST(SUM(CASE WHEN doc_flesch >= 60.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_easy
+      |  FROM flagged GROUP BY source)
+      |SELECT source, n_docs, words, sentences, syllables, n_easy,
+      |  ROUND(CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE), 2) AS wps,
+      |  ROUND(CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 2) AS spw,
+      |  ROUND(206.835 - 1.015 * (CAST(words AS DOUBLE) /
+      |    CAST(sentences AS DOUBLE)) - 84.6 * (CAST(syllables AS DOUBLE) /
+      |    CAST(words AS DOUBLE)), 2) AS flesch,
+      |  ROUND(0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) +
+      |    11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) -
+      |    15.59, 2) AS fkgl
+      |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x47_readability" -> x47,
     "x46_ppl_outliers" -> x46,
     "x45_topic_clusters" -> x45,
     "x44_selfrep_dedup" -> x44,
@@ -2818,6 +2913,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x47_readability" -> x47Sql,
     "x46_ppl_outliers" -> x46Sql,
     "x45_topic_clusters" -> x45Sql,
     "x44_selfrep_dedup" -> x44Sql,
