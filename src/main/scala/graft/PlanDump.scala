@@ -114,7 +114,9 @@ object PlanDump {
     "s31_adaptive_nprobe" -> "adaptive probe depth: centroids + k-row cell histogram broadcast; coverage cut is a per-query running sum over <= k rows; candidates from the same cell equi-join as s04",
     "x46_ppl_outliers" -> "median/MAD outlier audit over the persisted x13 scoring frame: both medians are source-PARTITIONED windows (never global), mad/med frames broadcast back, one per-source agg",
     "p06_mix_builder" -> "(composed: digest-shuffle canonical collapse; O(sources) water-filling vs broadcast totals; source-partitioned running-sum selection; DistributedRank serpentine shards; per-source manifest agg)",
-    "x47_readability" -> "three integer counts per doc in ONE map-only codegen'd pass (regexp + lambda, no UDF); per-source agg; Flesch/FKGL arithmetic on O(sources) rows")
+    "x47_readability" -> "three integer counts per doc in ONE map-only codegen'd pass (regexp + lambda, no UDF); per-source agg; Flesch/FKGL arithmetic on O(sources) rows",
+    "p07_dlq_gate" -> "(streaming foreachBatch dual sink: stateless map-only verdict per batch, O(batch) parquet appends to accept + quarantine; plan shown is the per-source manifest over the landed files)",
+    "m20_crossformat_dedup" -> "cross-format dedup: typed map-only decode+digest over both containers, ONE shuffle on the content digest, dups join canonicals by digest equality — no pairwise compare")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1576,7 +1576,78 @@ object Multimodal {
       |       LEFT JOIN tot ON v.doc_id = tot.doc_id
       |GROUP BY v.format ORDER BY v.format""".stripMargin
 
+  // ---- m20: cross-format exact media dedup (pixel-content digest) ---------
+  /** m20: format-INDEPENDENT exact image dedup — the re-encode case byte
+    * hashes (m01) and container-aware near-dup (m15) both miss: the same
+    * pixels saved as BMP by one uploader and PNG by another are different
+    * bytes but the same image. The fixture plants an opposite-format twin
+    * (doc_id + 2000) for every third image; the engine decodes BOTH real
+    * containers to raw RGB, keys on sha2(width x height x pixel bytes),
+    * and reports each duplicate against its lowest-id canonical with both
+    * formats. The pair survives ONLY if the BMP decoder and the PNG
+    * decoder (stride padding, filter reconstruction, zlib) reproduce
+    * byte-identical pixels — the oracle replays the planted-twin contract
+    * in closed form, so any decoder divergence breaks the hash.
+    *
+    * Scale shape: decode + digest is one typed map-only stage (the same
+    * mapPartitions batch shape as m02); the group is one shuffle on the
+    * content digest at O(images); duplicates join back to their group's
+    * canonical by digest equality — no pairwise comparisons anywhere. */
+  private val m20: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encK: Encoder[(Long, String, Int, Int, String)] =
+      Encoders.product[(Long, String, Int, Int, String)]
+    val twins = {
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      t(s, dir, "documents")
+        .filter(col("doc_id") <= 100 && col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = fixtureDims(id)
+          val px = fixturePixels(id, w * h * 3)
+          val payload =
+            if (id % 2 == 0) ImageCodecs.encodePng(w, h, px)
+            else ImageCodecs.encodeBmp(w, h, px)
+          MediaPayload(id + 2000L, payload)
+        })
+    }
+    val keyed = mediaTable(s, dir).as[MediaPayload].union(twins)
+      .mapPartitions(_.map { r =>
+        val fmt =
+          if (r.data.length >= 2 && r.data(0) == 'B' && r.data(1) == 'M') "bmp"
+          else "png"
+        val img = ImageCodecs.decode(r.data)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.update(java.nio.ByteBuffer.allocate(8).putInt(img.width)
+          .putInt(img.height).array())
+        md.update(img.rgb)
+        val key = md.digest().map("%02x".format(_)).mkString
+        (r.doc_id, fmt, img.width, img.height, key)
+      }).toDF("doc_id", "format", "width", "height", "key")
+    val groups = keyed.groupBy(col("key"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        expr("min_by(format, doc_id)").as("fmt_canonical"))
+    keyed.join(groups, Seq("key"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("canonical_id"), col("doc_id").as("dup_id"),
+        col("fmt_canonical"), col("format").as("fmt_dup"),
+        col("width"), col("height"))
+      .psort(col("canonical_id"))
+  }
+
+  // the oracle replays the planted-twin contract: every third fixture image
+  // gains an opposite-format twin at doc_id + 2000 with identical pixels
+  private val m20Sql =
+    """SELECT doc_id AS canonical_id, doc_id + 2000 AS dup_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt_canonical,
+      | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt_dup,
+      | CAST(8 + doc_id % 56 AS INTEGER) AS width,
+      | CAST(8 + (doc_id * 7) % 40 AS INTEGER) AS height
+      |FROM documents WHERE doc_id <= 100 AND doc_id % 3 = 0
+      |ORDER BY canonical_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m20_crossformat_dedup" -> m20,
     "p03_media_pipeline" -> p03,
     "m19_media_quarantine" -> m19,
     "m18_video_resample" -> m18,
@@ -1599,6 +1670,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m20_crossformat_dedup" -> m20Sql,
     "p03_media_pipeline" -> p03Sql,
     "m19_media_quarantine" -> m19Sql,
     "m18_video_resample" -> m18Sql,

@@ -611,7 +611,123 @@ object Pipeline {
       |FROM alloc a LEFT JOIN selagg s USING (source)
       |ORDER BY source""".stripMargin
 
+  // ---- p07: streaming quality gate with dual sinks (dead-letter) ----------
+  /** p07: the dead-letter-queue arrival pattern — the streaming quality
+    * gate every production ingest runs with TWO landing paths: each
+    * micro-batch is verdicted against x23's five rules IN ORDER (first
+    * failing rule names the verdict) and split inside `foreachBatch` into
+    * an ACCEPT parquet sink and a QUARANTINE sink that carries the reject
+    * reason — the quarantine side is what a data-quality on-call actually
+    * reads, and replaying it is how rejected docs re-enter after a rule
+    * fix. The manifest summarizes both sinks per source (accept +
+    * per-reason counts, with n_docs = accept + quarantine pinned by spec).
+    *
+    * Scale shape: the verdict is one stateless map-only expression per
+    * batch; each batch writes O(batch) rows to each sink (distributed
+    * parquet appends — no driver rows); the manifest is a per-source
+    * aggregation over the landed files. The stream arrives through the
+    * real file source in multiple micro-batches (maxFilesPerTrigger=2
+    * over 4 staged files), and the result is batch-identical because the
+    * gate is stateless — pinned by the oracle hash. */
+  private val p07: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val meanLen = "aggregate(transform(split(text, ' +'), w -> length(w)), " +
+      "0L, (a, x) -> a + x) / cast(size(split(text, ' +')) AS double)"
+    val verdictExpr =
+      s"""CASE
+         | WHEN length(text) < 50 THEN 'too_short'
+         | WHEN size(split(text, ' +')) < 10 THEN 'few_words'
+         | WHEN cast(size(filter(split(text, ' +'),
+         |       w -> array_contains(array($stopArr), w))) AS double)
+         |     / cast(size(split(text, ' +')) AS double) < 0.01
+         |   THEN 'low_stopword'
+         | WHEN cast(length(text) -
+         |       length(regexp_replace(text, '[^A-Za-z0-9 ]', '')) AS double)
+         |     / cast(length(text) AS double) > 0.3 THEN 'high_punct'
+         | WHEN $meanLen > 12.0 OR $meanLen < 2.0 THEN 'word_len'
+         | ELSE 'accept' END""".stripMargin
+    val stream = graft.streaming.StreamingOps
+      .stageAndStream(d, numFiles = 4, maxFilesPerTrigger = Some(2))
+    val acceptDir = java.nio.file.Files.createTempDirectory("graft_p07_acc_")
+    val quarDir = java.nio.file.Files.createTempDirectory("graft_p07_dlq_")
+    graft.streaming.StreamingOps.trackTempDir(acceptDir, eager = true)
+    graft.streaming.StreamingOps.trackTempDir(quarDir, eager = true)
+    graft.streaming.StreamingOps.applyBatches(stream) { (batch, _) =>
+      val v = batch.withColumn("verdict", expr(verdictExpr))
+      v.filter(col("verdict") === "accept")
+        .select(col("doc_id"), col("source"))
+        .write.mode("append").parquet(acceptDir.toString)
+      v.filter(col("verdict") =!= "accept")
+        .select(col("doc_id"), col("source"), col("verdict"))
+        .write.mode("append").parquet(quarDir.toString)
+    }
+    val acc = s.read.parquet(acceptDir.toString)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_accept"))
+    val quar = s.read.parquet(quarDir.toString)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_quarantine"),
+        sum(when(col("verdict") === "too_short", 1L).otherwise(0L))
+          .as("n_short"),
+        sum(when(col("verdict") === "few_words", 1L).otherwise(0L))
+          .as("n_few"),
+        sum(when(col("verdict") === "low_stopword", 1L).otherwise(0L))
+          .as("n_stop"),
+        sum(when(col("verdict") === "high_punct", 1L).otherwise(0L))
+          .as("n_punct"),
+        sum(when(col("verdict") === "word_len", 1L).otherwise(0L))
+          .as("n_wlen"))
+    acc.join(quar, Seq("source"), "full")
+      .select(col("source"),
+        (coalesce(col("n_accept"), lit(0L)) +
+          coalesce(col("n_quarantine"), lit(0L))).as("n_docs"),
+        coalesce(col("n_accept"), lit(0L)).as("n_accept"),
+        coalesce(col("n_short"), lit(0L)).as("n_short"),
+        coalesce(col("n_few"), lit(0L)).as("n_few"),
+        coalesce(col("n_stop"), lit(0L)).as("n_stop"),
+        coalesce(col("n_punct"), lit(0L)).as("n_punct"),
+        coalesce(col("n_wlen"), lit(0L)).as("n_wlen"))
+      .psort(col("source"))
+  }
+
+  private val p07Sql = {
+    val toks = "REGEXP_SPLIT_TO_ARRAY(text, ' +')"
+    val stopList = TextOps.stopwords.map(w => s"'$w'")
+      .mkString("[", ",", "]")
+    val meanLen =
+      s"(LIST_SUM(LIST_TRANSFORM($toks, w -> LENGTH(w)))::DOUBLE / LEN($toks)::DOUBLE)"
+    s"""WITH v AS (
+       |  SELECT doc_id, source,
+       |    CASE
+       |     WHEN LENGTH(text) < 50 THEN 'too_short'
+       |     WHEN LEN($toks) < 10 THEN 'few_words'
+       |     WHEN LEN(LIST_FILTER($toks,
+       |           w -> LIST_CONTAINS($stopList, w)))::DOUBLE
+       |         / LEN($toks)::DOUBLE < 0.01 THEN 'low_stopword'
+       |     WHEN (LENGTH(text) -
+       |           LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |         / LENGTH(text)::DOUBLE > 0.3 THEN 'high_punct'
+       |     WHEN $meanLen > 12.0 OR $meanLen < 2.0 THEN 'word_len'
+       |     ELSE 'accept' END AS verdict
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN verdict = 'accept' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_accept,
+       |  CAST(SUM(CASE WHEN verdict = 'too_short' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_short,
+       |  CAST(SUM(CASE WHEN verdict = 'few_words' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_few,
+       |  CAST(SUM(CASE WHEN verdict = 'low_stopword' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_stop,
+       |  CAST(SUM(CASE WHEN verdict = 'high_punct' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_punct,
+       |  CAST(SUM(CASE WHEN verdict = 'word_len' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_wlen
+       |FROM v GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p07_dlq_gate" -> p07,
     "p06_mix_builder" -> p06,
     "p05_eval_builder" -> p05,
     "p04_cdc_merge" -> p04,
@@ -619,6 +735,7 @@ object Pipeline {
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p07_dlq_gate" -> p07Sql,
     "p06_mix_builder" -> p06Sql,
     "p05_eval_builder" -> p05Sql,
     "p04_cdc_merge" -> p04Sql,
