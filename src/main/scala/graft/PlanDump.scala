@@ -116,7 +116,9 @@ object PlanDump {
     "p06_mix_builder" -> "(composed: digest-shuffle canonical collapse; O(sources) water-filling vs broadcast totals; source-partitioned running-sum selection; DistributedRank serpentine shards; per-source manifest agg)",
     "x47_readability" -> "three integer counts per doc in ONE map-only codegen'd pass (regexp + lambda, no UDF); per-source agg; Flesch/FKGL arithmetic on O(sources) rows",
     "p07_dlq_gate" -> "(streaming foreachBatch dual sink: stateless map-only verdict per batch, O(batch) parquet appends to accept + quarantine; plan shown is the per-source manifest over the landed files)",
-    "m20_crossformat_dedup" -> "cross-format dedup: typed map-only decode+digest over both containers, ONE shuffle on the content digest, dups join canonicals by digest equality — no pairwise compare")
+    "m20_crossformat_dedup" -> "cross-format dedup: typed map-only decode+digest over both containers, ONE shuffle on the content digest, dups join canonicals by digest equality — no pairwise compare",
+    "d31_dup_spectrum" -> "duplication spectrum: one digest shuffle to content diversity, O(buckets) agg, 1-row total broadcast — doc-level rows never pass the first shuffle",
+    "s32_adaptive_recall" -> "recall audit: bounded 20-query broadcast truth cross join (s05 shape) + the shared adaptive serve frame; audit join at O(queries) rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2107,7 +2107,55 @@ object Dedup {
       |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin
 
+  // ---- d31: duplication spectrum (copy-count histogram) -------------------
+  /** d31: the "how duplicated IS this corpus" planning view run before any
+    * dedup budget decision — the copy-count histogram over d29's lead
+    * fingerprint (normalized 64-char prefix: catches verbatim copies AND
+    * re-hosted variants with altered tails): for each copy-count bucket
+    * (1, 2, ..., capped at 10+) the number of content groups, the number
+    * of documents they hold, and their integer-permille share of the
+    * corpus. This is the Zipf spectrum that decides whether exact dedup
+    * alone recovers most of the budget or near-dup machinery pays for
+    * itself — and its shape under the 10x/100x replicated decade corpora
+    * is the cleanest duplication-scaling evidence in the suite.
+    *
+    * Scale shape: one digest shuffle to content diversity, one O(buckets)
+    * aggregation, a 1-row total broadcast — nothing downstream of the
+    * first shuffle ever sees doc-level rows. */
+  private val d31: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val norm = regexp_replace(lower(col("text")), " +", " ")
+    val g = d.select(md5(substring(norm, 1, 64)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    val tot = g.agg(sum(col("n_copies")).as("total_docs"))
+    g.withColumn("copies_bucket",
+        when(col("n_copies") >= 10, lit(10L)).otherwise(col("n_copies")))
+      .groupBy(col("copies_bucket"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_copies")).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("permille_docs", expr("n_docs * 1000 div total_docs"))
+      .select(col("copies_bucket"), col("n_groups"), col("n_docs"),
+        col("permille_docs"))
+      .psort(col("copies_bucket"))
+  }
+
+  private val d31Sql =
+    """WITH g AS (
+      |  SELECT MD5(SUBSTR(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'), 1, 64))
+      |      AS h, COUNT(*) AS n_copies
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_copies) AS BIGINT) AS total_docs FROM g),
+      |b AS (
+      |  SELECT CASE WHEN n_copies >= 10 THEN 10 ELSE n_copies END
+      |      AS copies_bucket,
+      |    COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs
+      |  FROM g GROUP BY 1)
+      |SELECT CAST(copies_bucket AS BIGINT) AS copies_bucket, n_groups, n_docs,
+      |  n_docs * 1000 // total_docs AS permille_docs
+      |FROM b, tot ORDER BY copies_bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d31_dup_spectrum" -> d31,
     "d29_source_matrix" -> d29,
     "d28_token_shards" -> d28,
     "d27_lsh_store" -> d27,
@@ -2139,6 +2187,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d31_dup_spectrum" -> d31Sql,
     "d29_source_matrix" -> d29Sql,
     "d28_token_shards" -> d28Sql,
     "d27_lsh_store" -> d27Sql,

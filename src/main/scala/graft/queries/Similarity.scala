@@ -2275,7 +2275,11 @@ object Similarity {
     * candidates come from the same cell equi-join as s04 against the
     * persisted assignment. The only new state vs s04 is the k-row cell
     * histogram. */
-  private val s31: Q = (s, dir) => {
+  /** Shared adaptive-serve frame: per query the top-3 candidates from the
+    * coverage-bound probe set, with the probe depth used. Serves s31 (the
+    * serve surface) and s32 (its recall audit) from ONE definition so the
+    * audited path can never drift from the served path. */
+  private def adaptiveTop3(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val (centroids, assigned) = trainedIvf(s, dir)
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
@@ -2300,14 +2304,18 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .join(broadcast(np), Seq("qid"))
+  }
+
+  private val s31: Q = (s, dir) =>
+    adaptiveTop3(s, dir)
       .select(col("qid"), col("nprobe_used"), col("rank"), col("cid"),
         round(col("cos"), 6).as("cosine"))
       .psort(col("qid"), col("rank"))
-  }
 
-  private lazy val s31Sql: String =
-    s"""$ivfCtePrefix,
-       |aprobe AS (
+  /** Shared adaptive-probe CTE fragment (the oracle twin of
+    * [[adaptiveTop3]]) — one definition serves s31Sql and s32Sql. */
+  private lazy val adaptiveCtes: String =
+    s"""aprobe AS (
        |  SELECT qid, qe, cell, cell_rank FROM (
        |    SELECT e.vec_id AS qid, e.v AS qe, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -2329,12 +2337,69 @@ object Similarity {
        |aranked AS (
        |  SELECT qid, cid, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
-       |  FROM acand)
+       |  FROM acand)""".stripMargin
+
+  private lazy val s31Sql: String =
+    s"""$ivfCtePrefix,
+       |$adaptiveCtes
        |SELECT r.qid, n.nprobe_used, r.rank, r.cid, ROUND(r.cos, 6) AS cosine
        |FROM aranked r JOIN anp n USING (qid) WHERE r.rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
+  // ---- s32: recall audit of the adaptive serve (vs exact truth) -----------
+  /** s32: the accuracy certificate for s31 — per-query recall@3 of the
+    * adaptive-nprobe serve against the exact brute-force truth, with the
+    * probe depth each query chose. This closes the loop the fixed-nprobe
+    * family already has (s05/s06 for LSH/IVF): the coverage-bound
+    * early-termination policy is only shippable with a recall curve next
+    * to it, and auditing the SAME [[adaptiveTop3]] frame the serve uses
+    * means the audited path cannot drift from the served path.
+    *
+    * Scale shape: the truth pass broadcasts the bounded query set against
+    * the corpus (the s05 shape); the serve side re-reads the shared
+    * adaptive frame; the audit is a per-query join + count at O(queries)
+    * rows. */
+  private val s32: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val brute = q.hint("broadcast").crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+    val approx = adaptiveTop3(s, dir)
+      .select(col("qid").as("aqid"), col("cid").as("acid"),
+        col("nprobe_used"))
+    val np = approx.groupBy(col("aqid"))
+      .agg(min(col("nprobe_used")).as("nprobe_used"))
+    brute
+      .join(approx.select(col("aqid"), col("acid")),
+        col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("acid")).as("hits"),
+        (count(col("acid")) / lit(3.0)).as("recall"))
+      .join(broadcast(np), col("qid") === col("aqid"))
+      .select(col("qid"), col("nprobe_used"), col("hits"), col("recall"))
+      .psort(col("qid"))
+  }
+
+  private lazy val s32Sql: String =
+    s"""$ivfCtePrefix,
+       |$bruteTruthCtes,
+       |$adaptiveCtes,
+       |approx AS (SELECT qid, cid FROM aranked WHERE rank <= 3)
+       |SELECT b.qid, MIN(n.nprobe_used) AS nprobe_used,
+       |  COUNT(h.cid) AS hits, COUNT(h.cid) / 3.0 AS recall
+       |FROM brute b
+       |LEFT JOIN approx h ON b.qid = h.qid AND b.cid = h.cid
+       |JOIN anp n ON b.qid = n.qid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s32_adaptive_recall" -> s32,
     "s31_adaptive_nprobe" -> s31,
     "s30_graph_walk" -> s30,
     "s29_kcenter_coreset" -> s29,
@@ -2368,6 +2433,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s32_adaptive_recall" -> s32Sql,
     "s31_adaptive_nprobe" -> s31Sql,
     "s30_graph_walk" -> s30Sql,
     "s29_kcenter_coreset" -> s29Sql,
