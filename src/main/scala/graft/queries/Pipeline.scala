@@ -632,20 +632,29 @@ object Pipeline {
   private val p07: Q = (s, dir) => {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    val meanLen = "aggregate(transform(split(text, ' +'), w -> length(w)), " +
-      "0L, (a, x) -> a + x) / cast(size(split(text, ' +')) AS double)"
+    // ingredients computed ONCE per row in a single projection — the CASE
+    // branches then compare scalars (codegen CSE does not reliably
+    // eliminate the repeated split/aggregate trees across conditional
+    // CASE branches, and this text-heavy expression dominated the sf10
+    // decade run before the hoist)
+    val ingredients = Seq(
+      "split(text, ' +')" -> "toks",
+      "size(split(text, ' +'))" -> "nw",
+      s"size(filter(split(text, ' +'), " +
+        s"w -> array_contains(array($stopArr), w)))" -> "nstop",
+      "length(regexp_replace(text, '[^A-Za-z0-9 ]', ''))" -> "nalnum",
+      "aggregate(transform(split(text, ' +'), w -> length(w)), 0L, " +
+        "(a, x) -> a + x)" -> "sumlen")
     val verdictExpr =
       s"""CASE
          | WHEN length(text) < 50 THEN 'too_short'
-         | WHEN size(split(text, ' +')) < 10 THEN 'few_words'
-         | WHEN cast(size(filter(split(text, ' +'),
-         |       w -> array_contains(array($stopArr), w))) AS double)
-         |     / cast(size(split(text, ' +')) AS double) < 0.01
+         | WHEN nw < 10 THEN 'few_words'
+         | WHEN cast(nstop AS double) / cast(nw AS double) < 0.01
          |   THEN 'low_stopword'
-         | WHEN cast(length(text) -
-         |       length(regexp_replace(text, '[^A-Za-z0-9 ]', '')) AS double)
+         | WHEN cast(length(text) - nalnum AS double)
          |     / cast(length(text) AS double) > 0.3 THEN 'high_punct'
-         | WHEN $meanLen > 12.0 OR $meanLen < 2.0 THEN 'word_len'
+         | WHEN sumlen / cast(nw AS double) > 12.0
+         |   OR sumlen / cast(nw AS double) < 2.0 THEN 'word_len'
          | ELSE 'accept' END""".stripMargin
     val stream = graft.streaming.StreamingOps
       .stageAndStream(d, numFiles = 4, maxFilesPerTrigger = Some(2))
@@ -654,13 +663,23 @@ object Pipeline {
     graft.streaming.StreamingOps.trackTempDir(acceptDir, eager = true)
     graft.streaming.StreamingOps.trackTempDir(quarDir, eager = true)
     graft.streaming.StreamingOps.applyBatches(stream) { (batch, _) =>
-      val v = batch.withColumn("verdict", expr(verdictExpr))
-      v.filter(col("verdict") === "accept")
-        .select(col("doc_id"), col("source"))
-        .write.mode("append").parquet(acceptDir.toString)
-      v.filter(col("verdict") =!= "accept")
-        .select(col("doc_id"), col("source"), col("verdict"))
-        .write.mode("append").parquet(quarDir.toString)
+      // the two sink writes would each re-execute the batch plan (source
+      // re-read + verdict recompute); caching the verdicted batch first is
+      // the canonical multi-sink foreachBatch pattern — one evaluation,
+      // two O(batch) writes
+      val withIng = ingredients.foldLeft(batch) { case (b, (e, n)) =>
+        b.withColumn(n, expr(e))
+      }
+      val v = withIng.withColumn("verdict", expr(verdictExpr))
+        .select(col("doc_id"), col("source"), col("verdict")).persist()
+      try {
+        v.filter(col("verdict") === "accept")
+          .select(col("doc_id"), col("source"))
+          .write.mode("append").parquet(acceptDir.toString)
+        v.filter(col("verdict") =!= "accept")
+          .select(col("doc_id"), col("source"), col("verdict"))
+          .write.mode("append").parquet(quarDir.toString)
+      } finally v.unpersist()
     }
     val acc = s.read.parquet(acceptDir.toString)
       .groupBy(col("source")).agg(count(lit(1)).as("n_accept"))
