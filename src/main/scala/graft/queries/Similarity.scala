@@ -2398,7 +2398,106 @@ object Similarity {
        |JOIN anp n ON b.qid = n.qid
        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 
+  // ---- s33: embedding ingest-health audit (planted-corruption gate) -------
+  /** s33: the validation stage every embedding pipeline runs BEFORE index
+    * build — per-label vector-health taxonomy: wrong dimension, non-finite
+    * elements (NaN), zero norm, out-of-range norm, and the clean
+    * remainder with its norm envelope. The corpus is unit-norm by
+    * construction, so the gate follows the m19 planted-corruption
+    * precedent: four deterministic bad vectors per label (NaN-filled,
+    * all-zero, 3-dim, all-2.0) are planted on the wire and the audit must
+    * recover EXACTLY that taxonomy — the oracle replays the planting in
+    * closed form, so a mis-classifying audit (or a norm pipeline that
+    * silently propagates NaN) breaks the hash.
+    *
+    * Scale shape: planting is O(labels); the audit is one map-only
+    * classify pass (native graft_dot norm) + one per-label aggregation —
+    * the flattest possible corpus shape, same as the serving-side
+    * ingest gate (s25) it complements. */
+  private val s33: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val planted = e.select(col("label")).distinct()
+      .select(col("label"), explode(expr(
+        """array(
+          | named_struct('off', 1L, 'emb', array_repeat(cast('NaN' as float), 64)),
+          | named_struct('off', 2L, 'emb', array_repeat(cast(0.0 as float), 64)),
+          | named_struct('off', 3L, 'emb', array_repeat(cast(0.5 as float), 3)),
+          | named_struct('off', 4L, 'emb', array_repeat(cast(2.0 as float), 64)))""".stripMargin)).as("p"))
+      .select((lit(900000L) + col("label") * 10 + col("p.off")).as("vec_id"),
+        col("p.emb").as("embedding"), col("label"))
+    val v = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionAll(planted)
+      .withColumn("bad_dim", size(col("embedding")) =!= 64)
+      .withColumn("nonfinite",
+        expr("exists(embedding, x -> isnan(cast(x as double)))"))
+      .withColumn("norm", when(!col("bad_dim") && !col("nonfinite"),
+        expr("sqrt(graft_dot(embedding, embedding))")))
+      .withColumn("zero_norm", col("norm") === 0.0)
+      .withColumn("high_norm", col("norm") > 2.0)
+      .withColumn("clean", !col("bad_dim") && !col("nonfinite") &&
+        !col("zero_norm") && !col("high_norm"))
+    v.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("bad_dim"), 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("zero_norm"), 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("high_norm"), 1L).otherwise(0L)).as("n_high_norm"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+        round(min(when(col("clean"), col("norm"))), 6).as("min_norm"),
+        round(max(when(col("clean"), col("norm"))), 6).as("max_norm"))
+      .psort(col("label"))
+  }
+
+  private val s33Sql = {
+    val norm = "SQRT(LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, " +
+      "[x::DOUBLE * x::DOUBLE FOR x IN embedding]), (acc, v) -> acc + v))"
+    s"""WITH planted AS (
+       |  SELECT 900000 + label * 10 + p.off AS vec_id, p.emb AS embedding,
+       |         label
+       |  FROM (SELECT DISTINCT label FROM embeddings),
+       |    (VALUES
+       |      (1, ['NaN'::FLOAT FOR i IN RANGE(64)]),
+       |      (2, [0.0::FLOAT FOR i IN RANGE(64)]),
+       |      (3, [0.5::FLOAT FOR i IN RANGE(3)]),
+       |      (4, [2.0::FLOAT FOR i IN RANGE(64)])) p(off, emb)),
+       |u AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding, label FROM planted),
+       |cls AS (
+       |  SELECT label,
+       |    LEN(embedding) <> 64 AS bad_dim,
+       |    LEN(LIST_FILTER(embedding, x -> ISNAN(x::DOUBLE))) > 0
+       |      AS nonfinite,
+       |    CASE WHEN LEN(embedding) = 64 AND
+       |        LEN(LIST_FILTER(embedding, x -> ISNAN(x::DOUBLE))) = 0
+       |      THEN $norm END AS norm
+       |  FROM u),
+       |f AS (
+       |  SELECT label, bad_dim, nonfinite,
+       |    COALESCE(norm = 0.0, FALSE) AS zero_norm,
+       |    COALESCE(norm > 2.0, FALSE) AS high_norm,
+       |    norm,
+       |    (NOT bad_dim AND NOT nonfinite AND NOT COALESCE(norm = 0.0, FALSE)
+       |      AND NOT COALESCE(norm > 2.0, FALSE)) AS clean
+       |  FROM cls)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bad_dim,
+       |  CAST(SUM(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_nonfinite,
+       |  CAST(SUM(CASE WHEN zero_norm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_zero_norm,
+       |  CAST(SUM(CASE WHEN high_norm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_high_norm,
+       |  CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       |  ROUND(MIN(CASE WHEN clean THEN norm END), 6) AS min_norm,
+       |  ROUND(MAX(CASE WHEN clean THEN norm END), 6) AS max_norm
+       |FROM f GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s33_embedding_audit" -> s33,
     "s32_adaptive_recall" -> s32,
     "s31_adaptive_nprobe" -> s31,
     "s30_graph_walk" -> s30,
@@ -2433,6 +2532,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s33_embedding_audit" -> s33Sql,
     "s32_adaptive_recall" -> s32Sql,
     "s31_adaptive_nprobe" -> s31Sql,
     "s30_graph_walk" -> s30Sql,

@@ -41,6 +41,26 @@ class NewOpsR9fSpec extends AnyFunSuite with Matchers {
     rows.map(num(_, "copies_bucket")).max should be > 1L
   }
 
+  test("s33: the audit recovers EXACTLY the planted corruption taxonomy " +
+      "per label and the clean envelope is the unit norm") {
+    val out = queries.Similarity.queries("s33_embedding_audit")(spark, sfDir)
+    val rows = out.collect()
+    rows.length should be > 0
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val realPerLabel = e.groupBy("label").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      num(r, "n_bad_dim") shouldBe 1L
+      num(r, "n_nonfinite") shouldBe 1L
+      num(r, "n_zero_norm") shouldBe 1L
+      num(r, "n_high_norm") shouldBe 1L
+      num(r, "n_vecs") shouldBe realPerLabel(num(r, "label")) + 4
+      num(r, "n_clean") shouldBe num(r, "n_vecs") - 4
+      r.getAs[Double]("min_norm") shouldBe 1.0 +- 1e-5
+      r.getAs[Double]("max_norm") shouldBe 1.0 +- 1e-5
+    }
+  }
+
   test("s32: recall audit covers every query with hits consistent against " +
       "an independently computed truth overlap") {
     val out = queries.Similarity.queries("s32_adaptive_recall")(spark, sfDir)
