@@ -119,7 +119,8 @@ object PlanDump {
     "m20_crossformat_dedup" -> "cross-format dedup: typed map-only decode+digest over both containers, ONE shuffle on the content digest, dups join canonicals by digest equality — no pairwise compare",
     "d31_dup_spectrum" -> "duplication spectrum: one digest shuffle to content diversity, O(buckets) agg, 1-row total broadcast — doc-level rows never pass the first shuffle",
     "s32_adaptive_recall" -> "recall audit: bounded 20-query broadcast truth cross join (s05 shape) + the shared adaptive serve frame; audit join at O(queries) rows",
-    "s33_embedding_audit" -> "ingest-health audit: O(labels) planting, ONE map-only classify pass (native graft_dot norm), one per-label agg — the flattest corpus shape")
+    "s33_embedding_audit" -> "ingest-health audit: O(labels) planting, ONE map-only classify pass (native graft_dot norm), one per-label agg — the flattest corpus shape",
+    "m21_audio_clipping" -> "clipping audit: bounded twin planting through the real WAV encoder; one typed map-only decode pass per clip; only the presentation sort shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

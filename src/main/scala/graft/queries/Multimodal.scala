@@ -1646,7 +1646,93 @@ object Multimodal {
       |FROM documents WHERE doc_id <= 100 AND doc_id % 3 = 0
       |ORDER BY canonical_id""".stripMargin
 
+  // ---- m21: audio clipping audit (planted-plateau gate) -------------------
+  /** Per-clip clipping report row. */
+  case class ClippedAudio(doc_id: Long, n_samples: Long, n_clipped: Long,
+                          max_run: Long, clipped_permille: Long)
+
+  /** m21: audio ingest-health — clipping detection, the signal-quality
+    * gate every audio curation pipeline runs before feature extraction:
+    * per clip the count of full-scale samples (>= 32767 / <= -32768) and
+    * the LONGEST consecutive clipped run (a long plateau = hard clipping;
+    * isolated peaks are benign). The fixture PCM stays in [-1000, 1000]
+    * by contract, so the gate follows the s33/m19 planted pattern: every
+    * fourth clip gains a twin (doc_id + 3000) with a periodic full-scale
+    * plateau (length docId%5+2 every 50 samples) written through the REAL
+    * WAV encoder — the audit must recover the exact planted clip counts
+    * and run lengths from the decoded containers, and the oracle replays
+    * the plateau arithmetic in closed form.
+    *
+    * Scale shape: planting is bounded (<=26 twins); the audit is one
+    * typed map-only decode pass per clip — only the presentation sort
+    * shuffles. */
+  private val m21: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[ClippedAudio] = Encoders.product[ClippedAudio]
+    implicit val encL: Encoder[Long] = Encoders.scalaLong
+    val twins = t(s, dir, "documents")
+      .filter(col("doc_id") <= 100 && col("doc_id") % 4 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val a = AudioCodecs.decodeWav(audioPayload(id))
+        val plateau = (id % 5 + 2).toInt
+        val smp = a.samples.clone()
+        var i = 0
+        while (i < smp.length) {
+          if (i % 50 < plateau) smp(i) = 32767
+          i += 1
+        }
+        MediaPayload(id + 3000L,
+          AudioCodecs.encodeWav(a.sampleRate, a.channels, smp))
+      })
+    audioTable(s, dir).as[MediaPayload].union(twins)
+      .mapPartitions(_.map { r =>
+        val a = AudioCodecs.decodeWav(r.data)
+        var nClip = 0L
+        var run = 0L
+        var maxRun = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          val v = a.samples(i)
+          if (v >= 32767 || v <= -32768) {
+            nClip += 1; run += 1; if (run > maxRun) maxRun = run
+          } else run = 0
+          i += 1
+        }
+        ClippedAudio(r.doc_id, a.samples.length.toLong, nClip, maxRun,
+          nClip * 1000L / a.samples.length)
+      }).toDF()
+      .psort(col("doc_id"))
+  }
+
+  // closed-form oracle: clean clips report zero; each planted twin's
+  // periodic plateau (length L = id%5+2 every 50 samples, mono by
+  // construction since id%4=0 implies channels=1) yields
+  // (n//50)*L + min(L, n%50) clipped samples with max run L
+  private val m21Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST((500 + doc_id % 250) * (1 + doc_id % 2) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id <= 100),
+      |clean AS (
+      |  SELECT doc_id, n, CAST(0 AS BIGINT) AS n_clipped,
+      |    CAST(0 AS BIGINT) AS max_run
+      |  FROM base),
+      |twin AS (
+      |  SELECT b.doc_id + 3000 AS tid, b.n,
+      |    CAST((b.n // 50) * (b.doc_id % 5 + 2)
+      |      + LEAST(b.doc_id % 5 + 2, b.n % 50) AS BIGINT) AS n_clipped,
+      |    CAST(b.doc_id % 5 + 2 AS BIGINT) AS max_run
+      |  FROM base b WHERE b.doc_id % 4 = 0),
+      |u AS (
+      |  SELECT doc_id, n, n_clipped, max_run FROM clean
+      |  UNION ALL SELECT tid, n, n_clipped, max_run FROM twin)
+      |SELECT doc_id, n AS n_samples, n_clipped, max_run,
+      |  n_clipped * 1000 // n AS clipped_permille
+      |FROM u ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m21_audio_clipping" -> m21,
     "m20_crossformat_dedup" -> m20,
     "p03_media_pipeline" -> p03,
     "m19_media_quarantine" -> m19,
@@ -1670,6 +1756,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m21_audio_clipping" -> m21Sql,
     "m20_crossformat_dedup" -> m20Sql,
     "p03_media_pipeline" -> p03Sql,
     "m19_media_quarantine" -> m19Sql,

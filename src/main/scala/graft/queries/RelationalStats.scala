@@ -515,8 +515,14 @@ object RelationalStats {
       key: String, cols: Seq[String], buckets: Int): DataFrame = {
     val tbl = s"graft_bkt_${src}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     if (!s.catalog.tableExists(tbl)) {
+      // the external path is per-JVM: the catalog entry (and its cached
+      // file listing) is session-local, so a SHARED path raced when a
+      // concurrent JVM's overwrite deleted files this session had listed
+      // (observed as a FILE_NOT_EXIST flake under parallel verify + test
+      // runs)
       val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_bucketed/$tbl")
+        System.getProperty("java.io.tmpdir"),
+        s"graft_bucketed_${ProcessHandle.current().pid()}/$tbl")
       t(s, dir, src).select(cols.map(col): _*)
         .repartition(buckets, col(key))
         .write.mode("overwrite")

@@ -42,6 +42,29 @@ class NewOpsR9eSpec extends AnyFunSuite with Matchers {
       be > 0L
   }
 
+  test("m21: clean clips report zero clipping; planted twins recover the " +
+      "exact plateau arithmetic from the decoded containers") {
+    val out = queries.Multimodal.queries("m21_audio_clipping")(spark, sfDir)
+    val rows = out.collect()
+    val (twins, clean) = rows.partition(r => num(r, "doc_id") >= 3000L)
+    clean.length should be > 0
+    twins.length should be > 0
+    clean.foreach { r =>
+      num(r, "n_clipped") shouldBe 0L
+      num(r, "max_run") shouldBe 0L
+      num(r, "clipped_permille") shouldBe 0L
+    }
+    twins.foreach { r =>
+      val id = num(r, "doc_id") - 3000L
+      val L = id % 5 + 2
+      val n = num(r, "n_samples")
+      n shouldBe 500L + id % 250
+      num(r, "max_run") shouldBe L
+      num(r, "n_clipped") shouldBe (n / 50) * L + math.min(L, n % 50)
+      num(r, "clipped_permille") shouldBe num(r, "n_clipped") * 1000 / n
+    }
+  }
+
   test("m20: every pair is cross-format, twin-keyed, and dimensioned by " +
       "the fixture contract — certifying BMP/PNG decoders agree on pixels") {
     val out = queries.Multimodal.queries("m20_crossformat_dedup")(spark, sfDir)
