@@ -120,7 +120,8 @@ object PlanDump {
     "d31_dup_spectrum" -> "duplication spectrum: one digest shuffle to content diversity, O(buckets) agg, 1-row total broadcast — doc-level rows never pass the first shuffle",
     "s32_adaptive_recall" -> "recall audit: bounded 20-query broadcast truth cross join (s05 shape) + the shared adaptive serve frame; audit join at O(queries) rows",
     "s33_embedding_audit" -> "ingest-health audit: O(labels) planting, ONE map-only classify pass (native graft_dot norm), one per-label agg — the flattest corpus shape",
-    "m21_audio_clipping" -> "clipping audit: bounded twin planting through the real WAV encoder; one typed map-only decode pass per clip; only the presentation sort shuffles")
+    "m21_audio_clipping" -> "clipping audit: bounded twin planting through the real WAV encoder; one typed map-only decode pass per clip; only the presentation sort shuffles",
+    "s34_sharded_serve" -> "scatter-gather: each shard serves the s04 cell equi-join against its OWN persisted assignment (broadcast centroid literal); gather = union of 3-per-query frames + one query-partitioned window — shards never see each other's vectors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

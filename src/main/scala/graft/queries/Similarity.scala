@@ -2496,7 +2496,147 @@ object Similarity {
        |FROM f GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---- s34: sharded index + scatter-gather serve --------------------------
+  /** Per-shard trained IVF (memoized per (dir, parity) like [[trainedIvf]]):
+    * the index a 1000-executor deployment actually runs is MANY shard-local
+    * indexes, each trained on its own slice. */
+  private def trainedIvfShard(s: SparkSession, dir: String, parity: Int) = {
+    val key = s"$dir#shard$parity"
+    val cached = ivfModel.get(key)
+      .filter(!_._2.sparkSession.sparkContext.isStopped)
+    cached.getOrElse {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") % 2 === parity)
+      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
+        k = ivfK, iters = ivfIters)
+      val assigned = graft.operators.IvfIndex
+        .assign(e, "vec_id", "embedding", centroids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ivfModel.put(key, (centroids, assigned))
+      (centroids, assigned)
+    }
+  }
+
+  /** s34: the distributed ANN serving ARCHITECTURE, not just an index —
+    * the corpus is split into two shards (vec_id parity), each shard
+    * trains its OWN IVF quantizer on its own slice and serves shard-local
+    * top-3 (nprobe=2), and the router merges the shard answers into the
+    * global top-3 (scatter-gather). This is how every production vector
+    * store scales past one machine: indexes are shard-local (trainable,
+    * rebuildable, and servable independently), only O(queries x shards x
+    * k) candidate rows cross the network for the gather. The output keeps
+    * the serving shard per hit — the routing table a deployment debugs
+    * with.
+    *
+    * Scale shape: each shard's serve is the s04 cell equi-join against
+    * its own persisted assignment (probes against a broadcast O(k x dim)
+    * centroid literal); the gather is a union of two 3-rows-per-query
+    * frames + one query-partitioned window. Nothing global ever shuffles;
+    * shards never see each other's vectors. The oracle replays BOTH
+    * shard trainers (suffixed CTE replicas of the shared fixed-point
+    * spelling) and the merge. */
+  private val s34: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val perShard = Seq(0, 1).map { p =>
+      val (cents, assigned) = trainedIvfShard(s, dir, p)
+      val probes = graft.operators.IvfIndex
+        .probeRanked(queries, "vec_id", "embedding", cents, 2)
+        .select(col("qid"), col("qe"), col("cell"))
+      val c = assigned.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("cell"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      probes.join(c, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+        .withColumn("srank", row_number().over(w))
+        .filter(col("srank") <= 3)
+        .select(col("qid"), col("cid"), col("cos"), lit(p.toLong).as("shard"))
+    }
+    val wg = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    perShard.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(wg))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("shard"),
+        round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  /** Suffixed replica of the shared fixed-point trainer CTEs, filtered to
+    * one shard — same seeding, same Lloyd spelling, same tie-breaks as
+    * [[ivfCtePrefix]] (built from the same dist2Sql/md5iSql blocks and the
+    * same ivfK/ivfIters/ivfDim constants). Ends with `top3$tag`: the
+    * shard-local top-3 per query at nprobe=2. */
+  private def shardCtes(tag: String, parity: Int): String = {
+    def iter(n: Int): String = {
+      val prev = s"cents${n - 1}$tag"
+      s"""assign$n$tag AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+         |    FROM e$tag e CROSS JOIN $prev c) WHERE rn = 1),
+         |upd$n$tag AS (
+         |  SELECT cell, i,
+         |    CAST(SUM(CAST(FLOOR(v[i]::DOUBLE * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / COUNT(*) / 1048576.0 AS comp
+         |  FROM assign$n$tag, range(1, ${ivfDim + 1}) r(i) GROUP BY cell, i),
+         |cents$n$tag AS (
+         |  SELECT p.cell, COALESCE(u.vec, p.vec) AS vec
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT cell, LIST(comp ORDER BY i) AS vec FROM upd$n$tag GROUP BY cell) u
+         |    ON p.cell = u.cell)""".stripMargin
+    }
+    val fin = s"cents$ivfIters$tag"
+    s"""e$tag AS (SELECT vec_id, embedding AS v FROM embeddings
+       |  WHERE vec_id % 2 = $parity),
+       |cents0$tag AS (
+       |  SELECT cell, vec FROM (
+       |    SELECT CAST(ROW_NUMBER() OVER (
+       |        ORDER BY ${md5iSql("CAST(vec_id AS VARCHAR)")}, CAST(vec_id AS VARCHAR)
+       |      ) AS INTEGER) - 1 AS cell,
+       |      [x::DOUBLE FOR x IN embedding] AS vec
+       |    FROM embeddings WHERE vec_id % 2 = $parity) WHERE cell < $ivfK),
+       |${(1 to ivfIters).map(iter).mkString(",\n")},
+       |probe$tag AS (
+       |  SELECT qid, qe, cell FROM (
+       |    SELECT q.qid, q.qe, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dist2Sql("q.qe", "c.vec")}, c.cell) AS cell_rank
+       |    FROM qv q CROSS JOIN $fin c) WHERE cell_rank <= 2),
+       |assignF$tag AS (
+       |  SELECT vec_id AS cid, v AS ce, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+       |    FROM e$tag e CROSS JOIN $fin c) WHERE rn = 1),
+       |top3$tag AS (
+       |  SELECT qid, cid, cos, CAST($parity AS BIGINT) AS shard FROM (
+       |    SELECT s.qid, s.cid, s.cos,
+       |      ROW_NUMBER() OVER (PARTITION BY s.qid
+       |        ORDER BY s.cos DESC, s.cid) AS srank
+       |    FROM (
+       |      SELECT p.qid, a.cid, ${cosineSql("p.qe", "a.ce")} AS cos
+       |      FROM probe$tag p JOIN assignF$tag a
+       |        ON p.cell = a.cell AND p.qid <> a.cid) s) WHERE srank <= 3)""".stripMargin
+  }
+
+  private lazy val s34Sql: String =
+    s"""WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id < 20),
+       |${shardCtes("a", 0)},
+       |${shardCtes("b", 1)},
+       |merged AS (
+       |  SELECT * FROM top3a UNION ALL SELECT * FROM top3b),
+       |g AS (
+       |  SELECT qid, cid, shard, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM merged)
+       |SELECT qid, rank, cid, shard, ROUND(cos, 6) AS cosine
+       |FROM g WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s34_sharded_serve" -> s34,
     "s33_embedding_audit" -> s33,
     "s32_adaptive_recall" -> s32,
     "s31_adaptive_nprobe" -> s31,
@@ -2532,6 +2672,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s34_sharded_serve" -> s34Sql,
     "s33_embedding_audit" -> s33Sql,
     "s32_adaptive_recall" -> s32Sql,
     "s31_adaptive_nprobe" -> s31Sql,

@@ -61,6 +61,26 @@ class NewOpsR9fSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("s34: scatter-gather merge is a true per-query top-3 with each hit " +
+      "served by the shard that owns it") {
+    val out = queries.Similarity.queries("s34_sharded_serve")(spark, sfDir)
+    val rows = out.collect()
+    rows.length shouldBe 60 // 20 queries x top-3
+    val byQ = rows.groupBy(num(_, "qid"))
+    byQ.keySet shouldBe (0L until 20L).toSet
+    byQ.values.foreach { rs =>
+      rs.sortBy(num(_, "rank")).map(num(_, "rank")) shouldBe Seq(1L, 2L, 3L)
+      val cos = rs.sortBy(num(_, "rank")).map(_.getAs[Double]("cosine"))
+      cos shouldBe cos.sorted.reverse
+    }
+    rows.foreach { r =>
+      // shard ownership: the hit's shard IS the parity shard holding cid
+      num(r, "shard") shouldBe num(r, "cid") % 2
+    }
+    // the gather genuinely merges: both shards contribute hits overall
+    rows.map(num(_, "shard")).distinct.sorted shouldBe Seq(0L, 1L)
+  }
+
   test("s32: recall audit covers every query with hits consistent against " +
       "an independently computed truth overlap") {
     val out = queries.Similarity.queries("s32_adaptive_recall")(spark, sfDir)
