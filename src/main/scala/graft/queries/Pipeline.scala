@@ -681,9 +681,16 @@ object Pipeline {
           .write.mode("append").parquet(quarDir.toString)
       } finally v.unpersist()
     }
-    val acc = s.read.parquet(acceptDir.toString)
+    // explicit sink schemas: a sink that received only empty-batch appends
+    // has no data files to infer from (a clean corpus would legitimately
+    // leave the quarantine empty)
+    val accSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING")
+    val quarSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, verdict STRING")
+    val acc = s.read.schema(accSchema).parquet(acceptDir.toString)
       .groupBy(col("source")).agg(count(lit(1)).as("n_accept"))
-    val quar = s.read.parquet(quarDir.toString)
+    val quar = s.read.schema(quarSchema).parquet(quarDir.toString)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_quarantine"),
         sum(when(col("verdict") === "too_short", 1L).otherwise(0L))
