@@ -632,13 +632,13 @@ object Pipeline {
   private val p07: Q = (s, dir) => {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    // ingredients computed ONCE per row in a single projection — the CASE
-    // branches then compare scalars (codegen CSE does not reliably
-    // eliminate the repeated split/aggregate trees across conditional
-    // CASE branches, and this text-heavy expression dominated the sf10
-    // decade run before the hoist)
+    // ingredients computed in ONE unconditional projection — the CASE
+    // branches then compare scalars. Codegen subexpression elimination
+    // covers the repeated split() subtrees WITHIN this projection (all
+    // four evaluate unconditionally) but does not reliably cover them
+    // across conditional CASE branches, which is where the text-heavy
+    // expression dominated the sf10 decade run before the hoist.
     val ingredients = Seq(
-      "split(text, ' +')" -> "toks",
       "size(split(text, ' +'))" -> "nw",
       s"size(filter(split(text, ' +'), " +
         s"w -> array_contains(array($stopArr), w)))" -> "nstop",

@@ -523,6 +523,10 @@ object RelationalStats {
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_bucketed_${ProcessHandle.current().pid()}/$tbl")
+      // dataset-sized layout copy: register exit-time recursive deletion
+      // (the per-PID dir would otherwise leak one orders+customer copy
+      // per JVM run)
+      graft.streaming.StreamingOps.trackTempDir(path.toPath)
       t(s, dir, src).select(cols.map(col): _*)
         .repartition(buckets, col(key))
         .write.mode("overwrite")

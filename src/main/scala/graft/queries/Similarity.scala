@@ -160,20 +160,26 @@ object Similarity {
     * assignment frame is persisted; centroids live with it. */
   private val ivfModel = scala.collection.concurrent.TrieMap[
     String, (Array[graft.operators.IvfIndex.Centroid], org.apache.spark.sql.DataFrame)]()
-  private[queries] def trainedIvf(s: SparkSession, dir: String) = {
-    val cached = ivfModel.get(dir)
+  /** Shared train/persist/memoize lifecycle: one definition guards the
+    * TrieMap for every quantizer variant (full corpus, per-shard) so
+    * stale-session and persist handling can never diverge between them. */
+  private def trainedOn(key: String, e: => org.apache.spark.sql.DataFrame) = {
+    val cached = ivfModel.get(key)
       .filter(!_._2.sparkSession.sparkContext.isStopped)
     cached.getOrElse {
-      val e = t(s, dir, "embeddings")
-      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
-        k = ivfK, iters = ivfIters)
+      val frame = e
+      val centroids = graft.operators.IvfIndex.train(frame, "vec_id",
+        "embedding", k = ivfK, iters = ivfIters)
       val assigned = graft.operators.IvfIndex
-        .assign(e, "vec_id", "embedding", centroids)
+        .assign(frame, "vec_id", "embedding", centroids)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ivfModel.put(dir, (centroids, assigned))
+      ivfModel.put(key, (centroids, assigned))
       (centroids, assigned)
     }
   }
+
+  private[queries] def trainedIvf(s: SparkSession, dir: String) =
+    trainedOn(dir, t(s, dir, "embeddings"))
 
   private val s04: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
@@ -2275,25 +2281,39 @@ object Similarity {
     * candidates come from the same cell equi-join as s04 against the
     * persisted assignment. The only new state vs s04 is the k-row cell
     * histogram. */
-  /** Shared adaptive-serve frame: per query the top-3 candidates from the
-    * coverage-bound probe set, with the probe depth used. Serves s31 (the
-    * serve surface) and s32 (its recall audit) from ONE definition so the
-    * audited path can never drift from the served path. */
-  private def adaptiveTop3(s: SparkSession, dir: String): DataFrame = {
+  /** Shared adaptive-serve machinery: the coverage-bound probe set (every
+    * query keeps its distance-ranked cells until the cumulative candidate
+    * population reaches 25% of the corpus). Serves s31 (the serve surface)
+    * and s32 (its recall audit) from ONE definition so the audited path
+    * can never drift from the served path. */
+  private def adaptiveProbed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val (centroids, assigned) = trainedIvf(s, dir)
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
     val total = assigned.agg(count(lit(1)).as("total"))
     val wCum = Window.partitionBy(col("qid")).orderBy(col("cell_rank"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val probed = graft.operators.IvfIndex.probeRanked(
+    graft.operators.IvfIndex.probeRanked(
         e.filter(col("vec_id") < 20), "vec_id", "embedding", centroids, ivfK)
       .join(broadcast(sizes), Seq("cell"))
       .crossJoin(broadcast(total))
       .withColumn("cum_before",
         coalesce(sum(col("cnt")).over(wCum), lit(0L)))
       .filter(col("cum_before") * 4 < col("total")) // probe until 25% covered
-    val np = probed.groupBy(col("qid")).agg(count(lit(1)).as("nprobe_used"))
+  }
+
+  /** Per-query probe depth, computed from the PROBE frame (not from the
+    * candidate frame — a query whose taken cells hold no other vectors
+    * still has a depth, matching the oracle's `anp` CTE). */
+  private def adaptiveNp(probed: DataFrame): DataFrame =
+    probed.groupBy(col("qid")).agg(count(lit(1)).as("nprobe_used"))
+
+  /** Per query the top-3 candidates from the coverage-bound probe set,
+    * with the probe depth used. */
+  private def adaptiveTop3(s: SparkSession, dir: String): DataFrame = {
+    val probed = adaptiveProbed(s, dir)
+    val np = adaptiveNp(probed)
+    val (_, assigned) = trainedIvf(s, dir)
     val c = assigned.select(col("vec_id").as("cid"),
       col("embedding").as("ce"), col("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
@@ -2371,13 +2391,14 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("qid"), col("cid"))
     val approx = adaptiveTop3(s, dir)
-      .select(col("qid").as("aqid"), col("cid").as("acid"),
-        col("nprobe_used"))
-    val np = approx.groupBy(col("aqid"))
-      .agg(min(col("nprobe_used")).as("nprobe_used"))
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    // probe-frame depth (same derivation as the oracle's anp CTE): a query
+    // whose taken cells yield zero candidates still reports its depth
+    val np = adaptiveNp(adaptiveProbed(s, dir))
+      .select(col("qid").as("aqid"), col("nprobe_used"))
     brute
-      .join(approx.select(col("aqid"), col("acid")),
-        col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"),
+        "left")
       .groupBy(col("qid"))
       .agg(count(col("acid")).as("hits"),
         (count(col("acid")) / lit(3.0)).as("recall"))
@@ -2500,21 +2521,9 @@ object Similarity {
   /** Per-shard trained IVF (memoized per (dir, parity) like [[trainedIvf]]):
     * the index a 1000-executor deployment actually runs is MANY shard-local
     * indexes, each trained on its own slice. */
-  private def trainedIvfShard(s: SparkSession, dir: String, parity: Int) = {
-    val key = s"$dir#shard$parity"
-    val cached = ivfModel.get(key)
-      .filter(!_._2.sparkSession.sparkContext.isStopped)
-    cached.getOrElse {
-      val e = t(s, dir, "embeddings").filter(col("vec_id") % 2 === parity)
-      val centroids = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
-        k = ivfK, iters = ivfIters)
-      val assigned = graft.operators.IvfIndex
-        .assign(e, "vec_id", "embedding", centroids)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ivfModel.put(key, (centroids, assigned))
-      (centroids, assigned)
-    }
-  }
+  private def trainedIvfShard(s: SparkSession, dir: String, parity: Int) =
+    trainedOn(s"$dir#shard$parity",
+      t(s, dir, "embeddings").filter(col("vec_id") % 2 === parity))
 
   /** s34: the distributed ANN serving ARCHITECTURE, not just an index —
     * the corpus is split into two shards (vec_id parity), each shard
