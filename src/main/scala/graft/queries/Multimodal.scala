@@ -1731,7 +1731,118 @@ object Multimodal {
       |  n_clipped * 1000 // n AS clipped_permille
       |FROM u ORDER BY doc_id""".stripMargin
 
+  // ---- m22: PNG metadata-chunk audit + strip (privacy leak gate) ----------
+  /** Per-image metadata audit row. */
+  case class MetaAudit(doc_id: Long, format: String, n_meta: Long,
+                       meta_bytes: Long, removed_bytes: Long,
+                       width: Int, height: Int, decode_ok: Boolean)
+
+  /** Splice one tEXt chunk (keyword NUL text, per the PNG spec) right
+    * after IHDR — signature(8) + IHDR chunk(12+13) = offset 33. */
+  private def spliceText(png: Array[Byte], keyword: String,
+                         text: String): Array[Byte] = {
+    val data = (keyword + "\u0000" + text)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val chunk = new Array[Byte](12 + data.length)
+    chunk(0) = ((data.length >>> 24) & 0xff).toByte
+    chunk(1) = ((data.length >>> 16) & 0xff).toByte
+    chunk(2) = ((data.length >>> 8) & 0xff).toByte
+    chunk(3) = (data.length & 0xff).toByte
+    System.arraycopy("tEXt".getBytes("US-ASCII"), 0, chunk, 4, 4)
+    System.arraycopy(data, 0, chunk, 8, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk, 4, 4 + data.length)
+    val c = crc.getValue.toInt
+    chunk(8 + data.length) = ((c >>> 24) & 0xff).toByte
+    chunk(9 + data.length) = ((c >>> 16) & 0xff).toByte
+    chunk(10 + data.length) = ((c >>> 8) & 0xff).toByte
+    chunk(11 + data.length) = (c & 0xff).toByte
+    val at = 33
+    val out = new Array[Byte](png.length + chunk.length)
+    System.arraycopy(png, 0, out, 0, at)
+    System.arraycopy(chunk, 0, out, at, chunk.length)
+    System.arraycopy(png, at, out, at + chunk.length, png.length - at)
+    out
+  }
+
+  /** m22: the training-data PRIVACY leak every image pipeline must audit —
+    * ancillary metadata chunks riding inside PNG containers (EXIF-class
+    * payloads: author, GPS, source URLs survive re-hosting and leak into
+    * models). The fixture plants a real tEXt chunk (`src=doc_<id>`) into
+    * every PNG with doc_id % 6 == 1 — spliced with a correct CRC so the
+    * audit must WALK the actual chunk structure, not pattern-match. The
+    * op reports per image the ancillary-chunk count/bytes, strips them
+    * (critical chunks only survive), and re-decodes the stripped bytes to
+    * prove the strip is lossless for pixels. The oracle replays the
+    * planting arithmetic (chunk overhead = data + 12) in closed form.
+    *
+    * Scale shape: one typed map-only walk+strip+redecode pass per image;
+    * only the presentation sort shuffles. */
+  private val m22: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[MetaAudit] = Encoders.product[MetaAudit]
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map { r =>
+        val payload =
+          if (r.doc_id % 6 == 1)
+            spliceText(r.data, "Comment", s"src=doc_${r.doc_id}")
+          else r.data
+        val isBmp = payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M'
+        if (isBmp) {
+          val img = ImageCodecs.decode(payload)
+          MetaAudit(r.doc_id, "bmp", 0L, 0L, 0L, img.width, img.height, true)
+        } else {
+          // walk the real chunk structure: keep critical chunks, count and
+          // strip ancillary ones
+          val out = new java.io.ByteArrayOutputStream(payload.length)
+          out.write(payload, 0, 8)
+          var pos = 8
+          var nMeta = 0L
+          var metaBytes = 0L
+          var removed = 0L
+          var end = false
+          while (!end) {
+            val len = ((payload(pos) & 0xff) << 24) |
+              ((payload(pos + 1) & 0xff) << 16) |
+              ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+            val ct = new String(payload, pos + 4, 4, "US-ASCII")
+            if (ct == "IHDR" || ct == "IDAT" || ct == "IEND")
+              out.write(payload, pos, 12 + len)
+            else {
+              nMeta += 1; metaBytes += len; removed += 12L + len
+            }
+            if (ct == "IEND") end = true
+            pos += 12 + len
+          }
+          val stripped = out.toByteArray
+          val img = ImageCodecs.decode(stripped)
+          MetaAudit(r.doc_id, "png", nMeta, metaBytes, removed,
+            img.width, img.height,
+            stripped.length == payload.length - removed)
+        }
+      }).toDF()
+      .psort(col("doc_id"))
+  }
+
+  // planting contract: doc_id % 6 == 1 gains one tEXt chunk with data
+  // "Comment" + NUL + "src=doc_<id>" = 16 + digits(id) bytes (+12 overhead)
+  private val m22Sql =
+    """SELECT doc_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      | CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_meta,
+      | CAST(CASE WHEN doc_id % 6 = 1
+      |   THEN 16 + LENGTH(CAST(doc_id AS VARCHAR)) ELSE 0 END AS BIGINT)
+      |   AS meta_bytes,
+      | CAST(CASE WHEN doc_id % 6 = 1
+      |   THEN 28 + LENGTH(CAST(doc_id AS VARCHAR)) ELSE 0 END AS BIGINT)
+      |   AS removed_bytes,
+      | CAST(8 + doc_id % 56 AS INTEGER) AS width,
+      | CAST(8 + (doc_id * 7) % 40 AS INTEGER) AS height,
+      | TRUE AS decode_ok
+      |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m22_png_metadata" -> m22,
     "m21_audio_clipping" -> m21,
     "m20_crossformat_dedup" -> m20,
     "p03_media_pipeline" -> p03,
@@ -1756,6 +1867,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m22_png_metadata" -> m22Sql,
     "m21_audio_clipping" -> m21Sql,
     "m20_crossformat_dedup" -> m20Sql,
     "p03_media_pipeline" -> p03Sql,

@@ -2863,7 +2863,61 @@ object TextOps {
       |    15.59, 2) AS fkgl
       |FROM agg ORDER BY source""".stripMargin
 
+  // ---- x48: quasi-identifier k-anonymity audit ----------------------------
+  /** x48: the metadata-privacy audit release pipelines run before shipping
+    * a corpus with per-document attributes: treating (source,
+    * char-length bucket, token-count bucket) as the quasi-identifier
+    * tuple, how identifiable is each document? Per source: the number of
+    * distinct quasi-identifier groups, the smallest group (the source's
+    * k-anonymity — k=1 means some document is uniquely fingerprintable
+    * from its metadata alone), and the count/permille of documents in
+    * groups below k=5 (the conventional re-identification threshold).
+    * Exact integer arithmetic end to end.
+    *
+    * Scale shape: one shuffle groups the quasi-identifier tuples
+    * (map-side partials), the per-source rollup aggregates the GROUP
+    * frame (group-diversity-sized, not corpus-sized) plus one doc-level
+    * count join — no windows, no pairs. */
+  private val x48: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val q = d.select(col("source"),
+      (length(col("text")).cast("long") / 500L).cast("long").as("len_b"),
+      (expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+        / 100L).cast("long").as("tok_b"))
+    val groups = q.groupBy(col("source"), col("len_b"), col("tok_b"))
+      .agg(count(lit(1)).as("gsize"))
+    groups.groupBy(col("source"))
+      .agg(sum(col("gsize")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        min(col("gsize")).as("k_anonymity"),
+        sum(when(col("gsize") < 5, col("gsize")).otherwise(0L))
+          .as("n_below_k"))
+      .withColumn("permille_below",
+        expr("n_below_k * 1000 div n_docs"))
+      .psort(col("source"))
+  }
+
+  private val x48Sql =
+    """WITH q AS (
+      |  SELECT source,
+      |    LENGTH(text) // 500 AS len_b,
+      |    LEN([w FOR w IN STRING_SPLIT(text, ' ') IF w <> '']) // 100 AS tok_b
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, len_b, tok_b, COUNT(*) AS gsize
+      |  FROM q GROUP BY 1, 2, 3)
+      |SELECT source,
+      |  CAST(SUM(gsize) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_groups,
+      |  MIN(gsize) AS k_anonymity,
+      |  CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+      |    AS n_below_k,
+      |  CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+      |    * 1000 // CAST(SUM(gsize) AS BIGINT) AS permille_below
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x48_k_anonymity" -> x48,
     "x47_readability" -> x47,
     "x46_ppl_outliers" -> x46,
     "x45_topic_clusters" -> x45,
@@ -2913,6 +2967,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x48_k_anonymity" -> x48Sql,
     "x47_readability" -> x47Sql,
     "x46_ppl_outliers" -> x46Sql,
     "x45_topic_clusters" -> x45Sql,
