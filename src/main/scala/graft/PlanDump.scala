@@ -121,7 +121,9 @@ object PlanDump {
     "s32_adaptive_recall" -> "recall audit: bounded 20-query broadcast truth cross join (s05 shape) + the shared adaptive serve frame; audit join at O(queries) rows",
     "s33_embedding_audit" -> "ingest-health audit: O(labels) planting, ONE map-only classify pass (native graft_dot norm), one per-label agg — the flattest corpus shape",
     "m21_audio_clipping" -> "clipping audit: bounded twin planting through the real WAV encoder; one typed map-only decode pass per clip; only the presentation sort shuffles",
-    "s34_sharded_serve" -> "scatter-gather: each shard serves the s04 cell equi-join against its OWN persisted assignment (broadcast centroid literal); gather = union of 3-per-query frames + one query-partitioned window — shards never see each other's vectors")
+    "s34_sharded_serve" -> "scatter-gather: each shard serves the s04 cell equi-join against its OWN persisted assignment (broadcast centroid literal); gather = union of 3-per-query frames + one query-partitioned window — shards never see each other's vectors",
+    "m22_png_metadata" -> "metadata audit+strip: one typed map-only walk+strip+redecode pass per image (real chunk traversal); only the presentation sort shuffles",
+    "x48_k_anonymity" -> "k-anonymity audit: one tuple-group shuffle with map-side partials; the per-source rollup aggregates group-diversity-sized frames — no windows, no pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
