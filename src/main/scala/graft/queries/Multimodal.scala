@@ -1841,7 +1841,89 @@ object Multimodal {
       | TRUE AS decode_ok
       |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
 
+  // ---- m23: thumbnail normalization (2x2 average-pool + re-encode) --------
+  /** Per-image thumbnail row: pooled dims, pixel mass, round-trip proof. */
+  case class Thumb(doc_id: Long, format: String, w2: Int, h2: Int,
+                   n_px2: Int, pooled_sum: Long, roundtrip_ok: Boolean)
+
+  /** m23: the RESIZE stage every image pipeline runs before feature
+    * extraction or storage tiering — a 2x2 average-pool thumbnail (integer
+    * floor per block, odd trailing row/column dropped) computed from the
+    * REAL decoded pixels of both containers, then re-encoded as PNG at the
+    * new dimensions and decoded back to prove the thumbnail round-trips
+    * losslessly (gates the codec at dims the fixture never exercises). The
+    * oracle replays the pooled pixel mass in closed form from the fixture
+    * pixel formula — a stride, BGR, bottom-up or filter mis-parse at
+    * EITHER scale diverges.
+    *
+    * Scale shape: one typed map-only decode+pool+re-encode pass per image;
+    * only the presentation sort shuffles. */
+  private val m23: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[Thumb] = Encoders.product[Thumb]
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map { r =>
+        val fmt = if (r.data.length >= 2 && r.data(0) == 'B' &&
+          r.data(1) == 'M') "bmp" else "png"
+        val img = ImageCodecs.decode(r.data)
+        val (w, h) = (img.width, img.height)
+        val (w2, h2) = (w / 2, h / 2)
+        val pooled = new Array[Byte](w2 * h2 * 3)
+        var sum = 0L
+        var y2 = 0
+        while (y2 < h2) {
+          var x2 = 0
+          while (x2 < w2) {
+            var c = 0
+            while (c < 3) {
+              val i00 = ((2 * y2) * w + 2 * x2) * 3 + c
+              val i10 = ((2 * y2 + 1) * w + 2 * x2) * 3 + c
+              val v = ((img.rgb(i00) & 0xff) + (img.rgb(i00 + 3) & 0xff) +
+                (img.rgb(i10) & 0xff) + (img.rgb(i10 + 3) & 0xff)) / 4
+              pooled((y2 * w2 + x2) * 3 + c) = v.toByte
+              sum += v
+              c += 1
+            }
+            x2 += 1
+          }
+          y2 += 1
+        }
+        val back = ImageCodecs.decode(ImageCodecs.encodePng(w2, h2, pooled))
+        Thumb(r.doc_id, fmt, w2, h2, w2 * h2 * 3, sum,
+          back.width == w2 && back.height == h2 &&
+            java.util.Arrays.equals(back.rgb, pooled))
+      }).toDF()
+      .psort(col("doc_id"))
+  }
+
+  // pooled pixel (y2,x2,c) = floor((p(2y2,2x2,c)+p(2y2,2x2+1,c)
+  //   +p(2y2+1,2x2,c)+p(2y2+1,2x2+1,c))/4), p(y,x,c)=((y*w+x)*3+c)*7+id %251;
+  // the comprehension decomposes output index i as c=i%3, x2=(i//3)%w2,
+  // y2=i//(3*w2)
+  private val m23Sql =
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id*7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      | CAST(w//2 AS INTEGER) AS w2,
+      | CAST(h//2 AS INTEGER) AS h2,
+      | CAST((w//2)*(h//2)*3 AS INTEGER) AS n_px2,
+      | CAST(list_sum([
+      |   (((((2*(i//(3*(w//2))))*w + 2*((i//3)%(w//2)))*3 + i%3)*7
+      |       + doc_id) % 251
+      |   + ((((2*(i//(3*(w//2))))*w + 2*((i//3)%(w//2)) + 1)*3 + i%3)*7
+      |       + doc_id) % 251
+      |   + ((((2*(i//(3*(w//2))) + 1)*w + 2*((i//3)%(w//2)))*3 + i%3)*7
+      |       + doc_id) % 251
+      |   + ((((2*(i//(3*(w//2))) + 1)*w + 2*((i//3)%(w//2)) + 1)*3 + i%3)*7
+      |       + doc_id) % 251) // 4
+      |  FOR i IN range((w//2)*(h//2)*3)]) AS BIGINT) AS pooled_sum,
+      | TRUE AS roundtrip_ok
+      |FROM dims ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m23_thumbnail" -> m23,
     "m22_png_metadata" -> m22,
     "m21_audio_clipping" -> m21,
     "m20_crossformat_dedup" -> m20,
@@ -1867,6 +1949,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m23_thumbnail" -> m23Sql,
     "m22_png_metadata" -> m22Sql,
     "m21_audio_clipping" -> m21Sql,
     "m20_crossformat_dedup" -> m20Sql,

@@ -2644,7 +2644,65 @@ object Similarity {
        |SELECT qid, rank, cid, shard, ROUND(cos, 6) AS cosine
        |FROM g WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---- s35: index compaction + retrain-trigger audit ----------------------
+  /** s35: the amortized background path s21's scaladoc promises — serving
+    * carries tombstones, COMPACTION physically drops them. The job rewrites
+    * the persisted assignment without the tombstoned rows (vec_id % 9 == 4;
+    * cell assignment preserved — compaction never retrains) and emits the
+    * maintenance report an operator pages on: per cell the before/after
+    * population, the deleted count/permille, and the retrain trigger (a
+    * cell still holding more than 2x the post-compaction mean load —
+    * deletes concentrate, residual skew means the quantizer has drifted
+    * from the live distribution).
+    *
+    * Scale shape: the tombstone list broadcasts onto the persisted
+    * assignment (left anti, no shuffle); both population frames are
+    * group-by-cell aggs emitting k rows; the total is a 1-row broadcast.
+    * Compaction cost is one linear rewrite regardless of delete count. */
+  private val s35: Q = (s, dir) => {
+    val (_, assigned) = trainedIvf(s, dir)
+    val tomb = t(s, dir, "embeddings").filter(col("vec_id") % 9 === 4)
+      .select(col("vec_id").as("del_id"))
+    val compacted = assigned
+      .join(broadcast(tomb), col("vec_id") === col("del_id"), "left_anti")
+    val before = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = compacted.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("cell"), "left")
+      .select(col("cell"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .crossJoin(broadcast(
+        compacted.agg(count(lit(1)).as("total_after"))))
+      .select(col("cell"), col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).as("n_deleted"),
+        expr("(n_before - n_after) * 1000 div n_before").as("del_permille"),
+        (col("n_after") * ivfK > col("total_after") * 2L).as("retrain"))
+      .psort(col("cell"))
+  }
+
+  private lazy val s35Sql: String =
+    s"""$ivfCtePrefix,
+       |before AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_before
+       |  FROM assignF GROUP BY cell),
+       |after AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_after FROM assignF
+       |  WHERE cid NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 9 = 4)
+       |  GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total FROM after)
+       |SELECT b.cell, b.n_before,
+       |  CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       |  b.n_before - CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_deleted,
+       |  (b.n_before - CAST(COALESCE(a.n_after, 0) AS BIGINT)) * 1000
+       |    // b.n_before AS del_permille,
+       |  CAST(COALESCE(a.n_after, 0) AS BIGINT) * $ivfK > t.total * 2
+       |    AS retrain
+       |FROM before b LEFT JOIN after a ON b.cell = a.cell, tot t
+       |ORDER BY b.cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s35_index_compaction" -> s35,
     "s34_sharded_serve" -> s34,
     "s33_embedding_audit" -> s33,
     "s32_adaptive_recall" -> s32,
@@ -2681,6 +2739,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s35_index_compaction" -> s35Sql,
     "s34_sharded_serve" -> s34Sql,
     "s33_embedding_audit" -> s33Sql,
     "s32_adaptive_recall" -> s32Sql,

@@ -2916,7 +2916,80 @@ object TextOps {
       |    * 1000 // CAST(SUM(gsize) AS BIGINT) AS permille_below
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- x49: Zipf power-law fit over the per-source token spectrum --------
+  /** x49: the distributional-health check after tokenization — natural
+    * language follows Zipf's law (frequency ~ rank^-s with s near 1);
+    * machine-generated or template-heavy sources deviate. Per source: the
+    * least-squares slope and r-squared of ln(freq) on ln(rank) over the
+    * top-20 tokens, plus the head token itself. A slope far from -1 or a
+    * poor fit flags a source for curation review. Counts and ranks are
+    * exact integers; ln enters only the final fitted coefficients, which
+    * are rounded for the hash per the x07 ulp discipline.
+    *
+    * Scale shape: one (source, term) count shuffle with map-side partials;
+    * the top-20 cut is a rank window that Catalyst executes as
+    * WindowGroupLimit (per-partition partial top-k BELOW the shuffle), so
+    * no source's full vocabulary ever sorts in one task; the fit
+    * aggregates 20 rows per source. */
+  private val x49: Q = (s, dir) => {
+    val terms = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cnt = terms.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("term"))
+    val top = cnt.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+    val lx = log(col("rnk").cast("double"))
+    val ly = log(col("cnt").cast("double"))
+    val sums = top.groupBy(col("source")).agg(
+      count(lit(1)).as("n_top"),
+      max(when(col("rnk") === 1, col("term"))).as("top_term"),
+      max(when(col("rnk") === 1, col("cnt"))).as("top_count"),
+      sum(lx).as("sx"), sum(ly).as("sy"), sum(lx * ly).as("sxy"),
+      sum(lx * lx).as("sxx"), sum(ly * ly).as("syy"))
+    val n = col("n_top").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    sums.select(col("source"), col("n_top"), col("top_term"),
+        col("top_count"),
+        round(cov / varx, 6).as("zipf_slope"),
+        round(cov * cov / (varx * vary), 6).as("fit_r2"))
+      .psort(col("source"))
+  }
+
+  private val x49Sql =
+    """WITH terms AS (
+      |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT source, term, COUNT(*) AS cnt FROM terms WHERE term <> ''
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, term, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, term) AS rnk
+      |  FROM cnt QUALIFY rnk <= 20),
+      |sums AS (
+      |  SELECT source, COUNT(*) AS n_top,
+      |    MAX(CASE WHEN rnk = 1 THEN term END) AS top_term,
+      |    MAX(CASE WHEN rnk = 1 THEN cnt END) AS top_count,
+      |    SUM(LN(CAST(rnk AS DOUBLE))) AS sx,
+      |    SUM(LN(CAST(cnt AS DOUBLE))) AS sy,
+      |    SUM(LN(CAST(rnk AS DOUBLE)) * LN(CAST(cnt AS DOUBLE))) AS sxy,
+      |    SUM(LN(CAST(rnk AS DOUBLE)) * LN(CAST(rnk AS DOUBLE))) AS sxx,
+      |    SUM(LN(CAST(cnt AS DOUBLE)) * LN(CAST(cnt AS DOUBLE))) AS syy
+      |  FROM top GROUP BY source)
+      |SELECT source, n_top, top_term, top_count,
+      |  ROUND((n_top*sxy - sx*sy) / (n_top*sxx - sx*sx), 6) AS zipf_slope,
+      |  ROUND((n_top*sxy - sx*sy) * (n_top*sxy - sx*sy)
+      |    / ((n_top*sxx - sx*sx) * (n_top*syy - sy*sy)), 6) AS fit_r2
+      |FROM sums ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x49_zipf_fit" -> x49,
     "x48_k_anonymity" -> x48,
     "x47_readability" -> x47,
     "x46_ppl_outliers" -> x46,
@@ -2967,6 +3040,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x49_zipf_fit" -> x49Sql,
     "x48_k_anonymity" -> x48Sql,
     "x47_readability" -> x47Sql,
     "x46_ppl_outliers" -> x46Sql,

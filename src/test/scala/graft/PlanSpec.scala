@@ -439,6 +439,13 @@ class PlanSpec extends AnyFunSuite with Matchers {
     storeSide.get.collect { case e: ShuffleExchangeLike => e } shouldBe empty
   }
 
+  test("x49 top-20 cut gets partial pruning below the shuffle - no " +
+      "source's full vocabulary sorts in one task") {
+    val s = planString(SparkEntry.queries("x49_zipf_fit")(spark, sfDir))
+    s should include("WindowGroupLimit")
+    s should not include "CartesianProduct"
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
