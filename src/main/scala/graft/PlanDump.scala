@@ -123,7 +123,10 @@ object PlanDump {
     "m21_audio_clipping" -> "clipping audit: bounded twin planting through the real WAV encoder; one typed map-only decode pass per clip; only the presentation sort shuffles",
     "s34_sharded_serve" -> "scatter-gather: each shard serves the s04 cell equi-join against its OWN persisted assignment (broadcast centroid literal); gather = union of 3-per-query frames + one query-partitioned window — shards never see each other's vectors",
     "m22_png_metadata" -> "metadata audit+strip: one typed map-only walk+strip+redecode pass per image (real chunk traversal); only the presentation sort shuffles",
-    "x48_k_anonymity" -> "k-anonymity audit: one tuple-group shuffle with map-side partials; the per-source rollup aggregates group-diversity-sized frames — no windows, no pairs")
+    "x48_k_anonymity" -> "k-anonymity audit: one tuple-group shuffle with map-side partials; the per-source rollup aggregates group-diversity-sized frames — no windows, no pairs",
+    "m23_thumbnail" -> "thumbnail resize: one typed map-only decode+pool+re-encode pass per image; only the presentation sort shuffles",
+    "x49_zipf_fit" -> "Zipf fit: one (source, term) count shuffle; the top-20 cut is a WindowGroupLimit (map-side partial top-k below the exchange); the fit aggregates 20 rows per source",
+    "s35_index_compaction" -> "index compaction: bounded tombstone list broadcast-anti onto the persisted assignment; two group-by-cell aggs emitting k rows; 1-row total broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
