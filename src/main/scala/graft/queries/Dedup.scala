@@ -181,7 +181,7 @@ object Dedup {
     s"graft_minhash(hv, $a, $b, $P)"
   }
 
-  private def minhashSql(i: Int): String = {
+  private[queries] def minhashSql(i: Int): String = {
     val (a, b) = hashAB(i)
     s"LIST_MIN([($a * (${md5iSql("s")} % $P) + $b) % $P FOR s IN sh])"
   }
@@ -192,7 +192,7 @@ object Dedup {
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSigOf(docsWithShingles(s, dir))
 
-  private def minhashSigOf(docs: DataFrame): DataFrame =
+  private[queries] def minhashSigOf(docs: DataFrame): DataFrame =
     docs.select(
       (col("doc_id") +: col("sh") +:
         (0 until 8).map(i => expr(minhashCol(i)).as(s"m$i"))): _*)
@@ -328,7 +328,7 @@ object Dedup {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  private val jaccardSql =
+  private[queries] val jaccardSql =
     """LEN(LIST_INTERSECT(s1.sh, s2.sh))::DOUBLE /
       |      (LEN(s1.sh) + LEN(s2.sh) - LEN(LIST_INTERSECT(s1.sh, s2.sh)))::DOUBLE""".stripMargin
 

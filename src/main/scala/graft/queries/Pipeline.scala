@@ -752,7 +752,160 @@ object Pipeline {
        |FROM v GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- p08: incremental refresh admission (quality -> exact -> near) -----
+  /** p08: the DAILY INGEST composition a continuously-crawled corpus runs
+    * for every arriving shard — the three admission gates chained in
+    * policy order against the standing corpus: (1) x23's five quality
+    * rules reject junk before any dedup work is spent on it; (2) d26's
+    * normalized-hash exact-dup check against the store; (3) minhash
+    * band near-dup (d03's sketch: 8 hashes, 4 bands x 2 rows, exact
+    * jaccard >= 0.8 verify) against the store for whatever survives.
+    * Output is the per-source admission manifest (batch / per-gate drops /
+    * admitted + admitted token mass) — the number a crawl operator
+    * watches daily.
+    *
+    * Scale shape: quality is map-only; the exact gate is one distinct-hash
+    * join; the near gate runs at CONTENT-REP level on both sides (the
+    * round-9 duplicate-collapse discipline — a 100x-replicated corpus
+    * adds zero candidate pairs), candidates from a band equi-join, verify
+    * candidate-proportional; one per-source agg closes the funnel. */
+  private val p08: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val isBatch = md5i(col("doc_id").cast("string")) % 10 === 7
+    val norm = md5(regexp_replace(lower(col("text")), " +", " "))
+    val ts = expr(s"graft_token_stats(text, $stopArr)")
+    val nTok = ts.getField("n_tokens")
+    val nStop = ts.getField("n_stop")
+    val meanTokLen = ts.getField("sum_len").cast("double") / nTok.cast("double")
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val qfail = (length(col("text")) < 50) || (nTok < 10) ||
+      (nStop.cast("double") / nTok.cast("double") < 0.01) ||
+      (nPunct.cast("double") / length(col("text")).cast("double") > 0.3) ||
+      (meanTokLen > 12.0) || (meanTokLen < 2.0)
+    val batch = d.filter(isBatch).select(col("doc_id"), col("source"),
+      norm.as("h"), qfail.as("qfail"), nTok.as("n_tok"))
+    val storeH = d.filter(!isBatch).select(norm.as("h")).distinct()
+    val flagged = batch
+      .join(storeH.withColumn("in_store", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), col("source"), col("h"), col("qfail"),
+        col("n_tok"), col("in_store").isNotNull.as("is_exact"))
+    // near-dup gate at content-rep level: one representative per distinct
+    // normalized text on BOTH sides, so candidate pairs track content
+    // diversity, never corpus size
+    val brep = flagged.filter(!col("qfail") && !col("is_exact"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("rid"))
+    val srep = d.filter(!isBatch).select(col("doc_id"), norm.as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("rid"))
+    val sh = Dedup.docsWithShingles(s, dir)
+      .select(col("doc_id"), col("sh"), col("hv"))
+    def sig(rep: DataFrame) = Dedup.minhashSigOf(
+      sh.join(rep.select(col("rid")), col("doc_id") === col("rid"))
+        .select(col("doc_id"), col("sh"), col("hv")))
+    def bands(sg: DataFrame, out: String) = {
+      val keys = (0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key")))
+      sg.select(col("doc_id").as(out), explode(array(keys: _*)).as("bk"))
+        .select(col(out), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val cand = bands(sig(brep), "bd").join(bands(sig(srep), "sd"),
+        Seq("band", "key"))
+      .select(col("bd"), col("sd")).distinct()
+    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    val ver = cand
+      .join(sh.select(col("doc_id").as("bd"), col("sh").as("sh1")), Seq("bd"))
+      .join(sh.select(col("doc_id").as("sd"), col("sh").as("sh2")), Seq("sd"))
+      .filter(inter.cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - inter).cast("double") >= 0.8)
+      .select(col("bd")).distinct()
+    val nearH = brep.join(ver, col("rid") === col("bd"), "left_semi")
+      .select(col("h"), lit(true).as("is_near"))
+    val admitted = !col("qfail") && !col("is_exact") && col("is_near").isNull
+    flagged.join(nearH, Seq("h"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("qfail"), 1L).otherwise(0L)).as("n_quality_rejected"),
+        sum(when(!col("qfail") && col("is_exact"), 1L).otherwise(0L))
+          .as("n_exact_dup"),
+        sum(when(!col("qfail") && !col("is_exact") &&
+          col("is_near").isNotNull, 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when(admitted, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(admitted, col("n_tok")).otherwise(0L)).as("admitted_tokens"))
+      .psort(col("source"))
+  }
+
+  private val p08Sql: String = {
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val toks = "REGEXP_SPLIT_TO_ARRAY(text, ' +')"
+    val nTok = s"LEN($toks)"
+    val nStop = s"LEN(LIST_FILTER($toks, w -> LIST_CONTAINS($stopList, w)))"
+    val nPunct =
+      "(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')))"
+    val meanTokLen =
+      s"(LIST_SUM(LIST_TRANSFORM($toks, w -> LENGTH(w)))::DOUBLE / $nTok::DOUBLE)"
+    val qfail = s"(LENGTH(text) < 50 OR $nTok < 10" +
+      s" OR $nStop::DOUBLE / $nTok::DOUBLE < 0.01" +
+      s" OR $nPunct::DOUBLE / LENGTH(text)::DOUBLE > 0.3" +
+      s" OR $meanTokLen > 12.0 OR $meanTokLen < 2.0)"
+    val normH = "MD5(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'))"
+    val sigCols = (0 until 8)
+      .map(i => s"${Dedup.minhashSql(i)} AS m$i").mkString(",\n   ")
+    def bandRows(src: String) = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || '_' || m${2 * b + 1} AS key FROM $src"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS (${Dedup.docsShSql}),
+       |b0 AS (
+       |  SELECT doc_id, source, $normH AS h, $qfail AS qfail, $nTok AS n_tok
+       |  FROM documents WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT) % 10 = 7),
+       |storeh AS (
+       |  SELECT DISTINCT $normH AS h FROM documents WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT) % 10 <> 7),
+       |b1 AS (
+       |  SELECT b0.*, (h IN (SELECT h FROM storeh)) AS is_exact FROM b0),
+       |brep AS (
+       |  SELECT h, MIN(doc_id) AS rid FROM b1
+       |  WHERE NOT qfail AND NOT is_exact GROUP BY h),
+       |srep AS (
+       |  SELECT $normH AS h, MIN(doc_id) AS rid
+       |  FROM documents WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT) % 10 <> 7 GROUP BY 1),
+       |bsig AS (
+       |  SELECT d.doc_id, d.sh,
+       |   $sigCols
+       |  FROM docs d JOIN brep r ON d.doc_id = r.rid),
+       |ssig AS (
+       |  SELECT d.doc_id, d.sh,
+       |   $sigCols
+       |  FROM docs d JOIN srep r ON d.doc_id = r.rid),
+       |bbands AS (
+       |  ${bandRows("bsig")}),
+       |sbands AS (
+       |  ${bandRows("ssig")}),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS bd, s.doc_id AS sd
+       |  FROM bbands b JOIN sbands s ON b.band = s.band AND b.key = s.key),
+       |ver AS (
+       |  SELECT DISTINCT c.bd FROM cand c
+       |  JOIN docs s1 ON c.bd = s1.doc_id
+       |  JOIN docs s2 ON c.sd = s2.doc_id
+       |  WHERE ${Dedup.jaccardSql} >= 0.8),
+       |nearh AS (SELECT r.h FROM brep r JOIN ver v ON r.rid = v.bd),
+       |cls AS (
+       |  SELECT b1.*, (h IN (SELECT h FROM nearh)) AS is_near FROM b1)
+       |SELECT source, COUNT(*) AS n_batch,
+       |  CAST(SUM(CASE WHEN qfail THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quality_rejected,
+       |  CAST(SUM(CASE WHEN NOT qfail AND is_exact THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_exact_dup,
+       |  CAST(SUM(CASE WHEN NOT qfail AND NOT is_exact AND is_near
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       |  CAST(SUM(CASE WHEN NOT qfail AND NOT is_exact AND NOT is_near
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(SUM(CASE WHEN NOT qfail AND NOT is_exact AND NOT is_near
+       |    THEN n_tok ELSE 0 END) AS BIGINT) AS admitted_tokens
+       |FROM cls GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p08_refresh_admission" -> p08,
     "p07_dlq_gate" -> p07,
     "p06_mix_builder" -> p06,
     "p05_eval_builder" -> p05,
@@ -761,6 +914,7 @@ object Pipeline {
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p08_refresh_admission" -> p08Sql,
     "p07_dlq_gate" -> p07Sql,
     "p06_mix_builder" -> p06Sql,
     "p05_eval_builder" -> p05Sql,
