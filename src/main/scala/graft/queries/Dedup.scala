@@ -263,7 +263,7 @@ object Dedup {
 
   /** Exact jaccard between the pair's shingle sets (both dialects divide
     * |intersection| by |union| in doubles). */
-  private def jaccardCol = {
+  private[queries] def jaccardCol = {
     val inter = size(array_intersect(col("sh1"), col("sh2")))
     inter.cast("double") /
       (size(col("sh1")) + size(col("sh2")) - inter).cast("double")
@@ -1915,7 +1915,7 @@ object Dedup {
 
   /** Band-key column (band index fused into the key string) for the d27
     * bucketed store: one string column so the store can bucket on it. */
-  private def bandKeyCol(idCol: String, outId: String) = {
+  private[queries] def bandKeyCol(idCol: String, outId: String) = {
     val keys = (0 until 4).map { b =>
       concat_ws("_", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))
     }
@@ -1934,10 +1934,13 @@ object Dedup {
     * verify cost is candidate-proportional, never corpus². Per batch doc:
     * near_dup verdict, canonical (lowest-id) store match, match count.
     * PlanSpec pins the bucketed scan + exchange-free store side. */
-  private val d27: Q = (s, dir) => {
-    val isBatch = col("doc_id") % 10 === 3
-    val store = memoized(s"d27store:$dir") {
-      val sig = minhashSigOf(docsWithShingles(s, dir).filter(!isBatch))
+  /** The d27 near-dup band store, shared with p09's streaming admission:
+    * built ONCE per sf dir (bucketed + per-bucket-sorted on the band key)
+    * and probed exchange-free by every consumer. */
+  private[queries] def d27Store(s: SparkSession, dir: String): DataFrame =
+    memoized(s"d27store:$dir") {
+      val sig = minhashSigOf(
+        docsWithShingles(s, dir).filter(col("doc_id") % 10 =!= 3))
       val name = "d27_bands_" + java.lang.Integer.toHexString(dir.hashCode)
       s.sql(s"DROP TABLE IF EXISTS $name")
       val loc = java.nio.file.Files.createTempDirectory("graft_d27_store")
@@ -1946,6 +1949,10 @@ object Dedup {
         .option("path", loc.toString).mode("overwrite").saveAsTable(name)
       s.table(name)
     }
+
+  private val d27: Q = (s, dir) => {
+    val isBatch = col("doc_id") % 10 === 3
+    val store = d27Store(s, dir)
     val batchDocs = docsWithShingles(s, dir).filter(isBatch)
     val bbands = bandKeyCol("doc_id", "nid")(minhashSigOf(batchDocs))
     val cand = store.hint("merge").join(bbands, Seq("bkey"))

@@ -904,7 +904,116 @@ object Pipeline {
        |FROM cls GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- p09: streaming near-dup admission against the persisted store -----
+  /** p09: d27's admission gate moved to the ARRIVAL path — the shape a
+    * crawl ingests with when shards land continuously instead of daily:
+    * documents arrive through a real file-source stream in multiple
+    * micro-batches (maxFilesPerTrigger=2 over 4 staged files); each batch
+    * pins executor-side, re-binds to the engine session (p04's pattern),
+    * computes its minhash bands O(batch), probes the SAME persisted
+    * bucketed band store d27 serves (build-once, serve-many — zero
+    * store-side exchange), verifies candidates by exact jaccard >= 0.8,
+    * and appends its verdicts to the landing sink. Verdicts depend only on
+    * (content, store), so the output is micro-batch-partition independent
+    * and must equal the batch path's bit-for-bit — the oracle is d27's
+    * replay with the source column carried.
+    *
+    * Scale shape: per batch everything is O(batch) except the store probe
+    * (sort-merge against the bucketed table, exchange-free on the store
+    * side) and the candidate-proportional verify; no state store needed —
+    * the persisted index IS the state. */
+  private val p09: Q = (s, dir) => {
+    val store = Dedup.d27Store(s, dir)
+    val corpusSh = Dedup.docsWithShingles(s, dir)
+      .select(col("doc_id").as("oid"), col("sh").as("sh2"))
+    val arriving = t(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 3)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("source"), col("text"))
+    val stream = graft.streaming.StreamingOps
+      .stageAndStream(arriving, numFiles = 4, maxFilesPerTrigger = Some(2))
+    val landDir = java.nio.file.Files.createTempDirectory("graft_p09_land_")
+    graft.streaming.StreamingOps.trackTempDir(landDir, eager = true)
+    graft.streaming.StreamingOps.applyBatches(stream) { (batch, _) =>
+      val pinned = batch.localCheckpoint(true)
+      val bound = org.apache.spark.sql.GraftPlanBridge
+        .ofRows(s, pinned.queryExecution.analyzed)
+      val bd = bound.select(col("doc_id"), col("source"),
+          expr("graft_shingles(text)").as("sh"))
+        .select(col("doc_id"), col("source"), col("sh"),
+          expr("graft_md5i_array(sh)").as("hv"))
+        .persist()
+      try {
+        val sig = Dedup.minhashSigOf(
+          bd.select(col("doc_id"), col("sh"), col("hv")))
+        val bands = Dedup.bandKeyCol("doc_id", "nid")(sig)
+        val cand = store.hint("merge").join(bands, Seq("bkey"))
+          .select(col("nid"), col("oid")).distinct()
+        val matches = cand
+          .join(bd.select(col("doc_id").as("nid"), col("sh").as("sh1")),
+            Seq("nid"))
+          .join(corpusSh, Seq("oid"))
+          .filter(Dedup.jaccardCol >= 0.8)
+          .groupBy(col("nid"))
+          .agg(min(col("oid")).as("dup_of"), count(lit(1)).as("n_matches"))
+        bd.select(col("doc_id"), col("source"))
+          .join(matches.withColumnRenamed("nid", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            when(col("dup_of").isNotNull, "near_dup").otherwise("unique")
+              .as("verdict"),
+            col("dup_of"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+          .write.mode("append").parquet(landDir.toString)
+      } finally { bd.unpersist(); pinned.unpersist() }
+      ()
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, verdict STRING, " +
+        "dup_of BIGINT, n_matches BIGINT")
+    s.read.schema(schema).parquet(landDir.toString)
+      .psort(col("doc_id"))
+  }
+
+  private val p09Sql: String = {
+    val sigCols = (0 until 8).map(i => s"${Dedup.minhashSql(i)} AS m$i")
+      .mkString(",\n   ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b || '_' || m${2 * b} || '_' || m${2 * b + 1} AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS (${Dedup.docsShSql}),
+       |sig AS (SELECT doc_id, sh,
+       |   $sigCols
+       |  FROM docs),
+       |bands AS (
+       |  $bandRows),
+       |store AS (SELECT doc_id AS oid, bkey FROM bands WHERE doc_id % 10 <> 3),
+       |batch AS (SELECT doc_id AS nid, bkey FROM bands WHERE doc_id % 10 = 3),
+       |cand AS (SELECT DISTINCT b.nid, s.oid
+       |         FROM batch b JOIN store s USING (bkey)),
+       |j AS (
+       |  SELECT nid, oid,
+       |    ${Dedup.jaccardSql} AS jaccard
+       |  FROM cand
+       |  JOIN docs s1 ON nid = s1.doc_id
+       |  JOIN docs s2 ON oid = s2.doc_id),
+       |m AS (SELECT nid, MIN(oid) AS dup_of,
+       |        CAST(COUNT(*) AS BIGINT) AS n_matches
+       |      FROM j WHERE jaccard >= 0.8 GROUP BY nid)
+       |SELECT d.doc_id, d.source,
+       |  CASE WHEN m.nid IS NOT NULL THEN 'near_dup' ELSE 'unique' END
+       |    AS verdict,
+       |  m.dup_of,
+       |  COALESCE(m.n_matches, 0) AS n_matches
+       |FROM (SELECT doc_id, source FROM documents
+       |      WHERE doc_id % 10 = 3
+       |        AND LEN(STRING_SPLIT(text, ' ')) >= 3) d
+       |LEFT JOIN m ON d.doc_id = m.nid
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p09_stream_admission" -> p09,
     "p08_refresh_admission" -> p08,
     "p07_dlq_gate" -> p07,
     "p06_mix_builder" -> p06,
@@ -914,6 +1023,7 @@ object Pipeline {
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p09_stream_admission" -> p09Sql,
     "p08_refresh_admission" -> p08Sql,
     "p07_dlq_gate" -> p07Sql,
     "p06_mix_builder" -> p06Sql,

@@ -46,4 +46,27 @@ class NewOpsR9iSpec extends AnyFunSuite with Matchers {
     // the near gate genuinely fires on this corpus
     rows.map(num(_, "n_near_dup")).sum should be > 0L
   }
+
+  test("p09: the streaming arrival path produces bit-identical verdicts " +
+      "to d27's batch admission gate") {
+    val streamed = queries.Pipeline.queries("p09_stream_admission")(
+      spark, sfDir).collect()
+    streamed.length should be > 0
+    val batch = queries.Dedup.queries("d27_lsh_store")(spark, sfDir)
+      .collect()
+    // same universe, same verdict/dup_of/n_matches per doc — the stream
+    // only changes WHEN docs arrive, never what is decided about them
+    streamed.length shouldBe batch.length
+    val byId = batch.map(r => num(r, "doc_id") -> r).toMap
+    streamed.foreach { sr =>
+      val br = byId(num(sr, "doc_id"))
+      sr.getAs[String]("verdict") shouldBe br.getAs[String]("verdict")
+      Option(sr.getAs[Any]("dup_of")).map(_.toString) shouldBe
+        Option(br.getAs[Any]("dup_of")).map(_.toString)
+      num(sr, "n_matches") shouldBe num(br, "n_matches")
+    }
+    // both verdicts occur: the gate genuinely splits the stream
+    streamed.map(_.getAs[String]("verdict")).distinct.sorted shouldBe
+      Seq("near_dup", "unique")
+  }
 }
