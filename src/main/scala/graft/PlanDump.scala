@@ -127,7 +127,8 @@ object PlanDump {
     "m23_thumbnail" -> "thumbnail resize: one typed map-only decode+pool+re-encode pass per image; only the presentation sort shuffles",
     "x49_zipf_fit" -> "Zipf fit: one (source, term) count shuffle; the top-20 cut is a WindowGroupLimit (map-side partial top-k below the exchange); the fit aggregates 20 rows per source",
     "s35_index_compaction" -> "index compaction: bounded tombstone list broadcast-anti onto the persisted assignment; two group-by-cell aggs emitting k rows; 1-row total broadcast",
-    "p08_refresh_admission" -> "(composed admission funnel: map-only quality rules; distinct-hash exact join; rep-level band equi-join + candidate-proportional jaccard verify; one per-source agg)")
+    "p08_refresh_admission" -> "(composed admission funnel: map-only quality rules; distinct-hash exact join; rep-level band equi-join + candidate-proportional jaccard verify; one per-source agg)",
+    "p09_stream_admission" -> "(streaming arrival gate: per micro-batch O(batch) band compute, sort-merge probe of the persisted bucketed band store, candidate-proportional jaccard verify, parquet append; plan shown is the landed-verdict read-back)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
