@@ -1922,7 +1922,166 @@ object Multimodal {
       | TRUE AS roundtrip_ok
       |FROM dims ORDER BY doc_id""".stripMargin
 
+  // ---- m24: letterbox/pillarbox border detection + crop geometry ----------
+  /** Per-image border-detection row: detected border thicknesses, crop
+    * geometry, and the decoded interior pixel mass. */
+  case class Letterbox(doc_id: Long, format: String, width: Int, height: Int,
+                       top_px: Int, bottom_px: Int, left_px: Int,
+                       right_px: Int, crop_w: Int, crop_h: Int,
+                       border_permille: Long, interior_sum: Long)
+
+  /** Fixture contract for the bordered corpus (shared verbatim with the
+    * oracle): full dims from [[fixtureDims]]; planted border thicknesses
+    * top = id%4, bottom = (id*3)%4, left = (id*5)%3, right = (id*7)%3,
+    * all border pixels 0; interior pixel (y,x,c) of the (cw x ch) window
+    * = (((y*cw + x)*3 + c)*7 + id) % 251; even id encodes BMP, odd PNG. */
+  private def letterboxPayload(id: Long): Array[Byte] = {
+    val (w, h) = fixtureDims(id)
+    val (tb, bb) = ((id % 4).toInt, ((id * 3) % 4).toInt)
+    val (lb, rb) = (((id * 5) % 3).toInt, ((id * 7) % 3).toInt)
+    val (cw, ch) = (w - lb - rb, h - tb - bb)
+    val px = new Array[Byte](w * h * 3) // zero-initialized = border color
+    var y = 0
+    while (y < ch) {
+      var x = 0
+      while (x < cw) {
+        var c = 0
+        while (c < 3) {
+          px(((y + tb) * w + (x + lb)) * 3 + c) =
+            ((((y.toLong * cw + x) * 3 + c) * 7 + id) % 251).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (id % 2 == 0) ImageCodecs.encodeBmp(w, h, px)
+    else ImageCodecs.encodePng(w, h, px)
+  }
+
+  private val lbFixtures = scala.collection.concurrent.TrieMap[String, String]()
+  private def letterboxTable(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val path = lbFixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_media_letterbox").toString
+      t(s, dir, "documents").filter(col("doc_id") <= 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaPayload(id, letterboxPayload(id))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Generic border detection over decoded pixels — no knowledge of the
+    * plant: a border row/column is a maximal run of uniform lines from the
+    * edge matching the edge's corner color (rows first, then columns
+    * within the row-cropped window — the nesting a real letterbox has). */
+  private def detectBorders(r: MediaPayload): Letterbox = {
+    val fmt = if (r.data.length >= 2 && r.data(0) == 'B' && r.data(1) == 'M')
+      "bmp" else "png"
+    val img = ImageCodecs.decode(r.data)
+    val (w, h) = (img.width, img.height)
+    val px = img.rgb
+    def p(y: Int, x: Int, c: Int): Int = px((y * w + x) * 3 + c) & 0xff
+    def rowUniform(y: Int): Boolean = {
+      val (r0, g0, b0) = (p(y, 0, 0), p(y, 0, 1), p(y, 0, 2))
+      var x = 1
+      while (x < w) {
+        if (p(y, x, 0) != r0 || p(y, x, 1) != g0 || p(y, x, 2) != b0)
+          return false
+        x += 1
+      }
+      true
+    }
+    def sameColor(y1: Int, x1: Int, y2: Int, x2: Int): Boolean =
+      p(y1, x1, 0) == p(y2, x2, 0) && p(y1, x1, 1) == p(y2, x2, 1) &&
+        p(y1, x1, 2) == p(y2, x2, 2)
+    var top = 0
+    while (top < h - 1 && rowUniform(top) && sameColor(top, 0, 0, 0)) top += 1
+    var bottom = 0
+    while (bottom < h - 1 - top && rowUniform(h - 1 - bottom) &&
+      sameColor(h - 1 - bottom, 0, h - 1, 0)) bottom += 1
+    def colUniform(x: Int): Boolean = {
+      val (r0, g0, b0) = (p(top, x, 0), p(top, x, 1), p(top, x, 2))
+      var y = top + 1
+      while (y < h - bottom) {
+        if (p(y, x, 0) != r0 || p(y, x, 1) != g0 || p(y, x, 2) != b0)
+          return false
+        y += 1
+      }
+      true
+    }
+    var left = 0
+    while (left < w - 1 && colUniform(left) && sameColor(top, left, top, 0))
+      left += 1
+    var right = 0
+    while (right < w - 1 - left && colUniform(w - 1 - right) &&
+      sameColor(top, w - 1 - right, top, w - 1)) right += 1
+    val (cw, ch) = (w - left - right, h - top - bottom)
+    var isum = 0L
+    var y = top
+    while (y < h - bottom) {
+      var x = left
+      while (x < w - right) {
+        var c = 0
+        while (c < 3) { isum += p(y, x, c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    Letterbox(r.doc_id, fmt, w, h, top, bottom, left, right, cw, ch,
+      (w.toLong * h - cw.toLong * ch) * 1000L / (w.toLong * h), isum)
+  }
+
+  /** m24: the crop-geometry audit every image-curation pipeline runs before
+    * training-resolution resize — letterboxed/pillarboxed frames waste
+    * pixels and skew aspect-ratio statistics, so the pipeline detects
+    * uniform borders and records the content crop box. Borders are PLANTED
+    * through the real encoders at per-image thicknesses (including the
+    * zero-border case, id % 12 == 0) and detected GENERICALLY from decoded
+    * pixels (uniform-line runs anchored at the corners — the detector
+    * never sees the plant contract); the oracle replays the contract in
+    * closed form, including the interior pixel mass, so a stride, BGR,
+    * bottom-up, or off-by-one crop bug at either edge diverges.
+    *
+    * Scale shape: one typed map-only decode+scan pass per image; only the
+    * presentation sort shuffles. */
+  private val m24: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[Letterbox] = Encoders.product[Letterbox]
+    letterboxTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(detectBorders)).toDF()
+      .psort(col("doc_id"))
+  }
+
+  // geometry + interior mass replayed from the plant contract; the engine
+  // side DETECTED them from real decoded containers
+  private val m24Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 56 AS w, 8 + (doc_id*7) % 40 AS h,
+      |    doc_id % 4 AS t, (doc_id*3) % 4 AS b,
+      |    (doc_id*5) % 3 AS l, (doc_id*7) % 3 AS r
+      |  FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      | CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      | CAST(t AS INTEGER) AS top_px, CAST(b AS INTEGER) AS bottom_px,
+      | CAST(l AS INTEGER) AS left_px, CAST(r AS INTEGER) AS right_px,
+      | CAST(w - l - r AS INTEGER) AS crop_w,
+      | CAST(h - t - b AS INTEGER) AS crop_h,
+      | CAST((w*h - (w-l-r)*(h-t-b)) * 1000 // (w*h) AS BIGINT)
+      |   AS border_permille,
+      | CAST(LIST_SUM([(i*7 + doc_id) % 251
+      |   FOR i IN RANGE((w-l-r)*(h-t-b)*3)]) AS BIGINT) AS interior_sum
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m24_letterbox" -> m24,
     "m23_thumbnail" -> m23,
     "m22_png_metadata" -> m22,
     "m21_audio_clipping" -> m21,
@@ -1949,6 +2108,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m24_letterbox" -> m24Sql,
     "m23_thumbnail" -> m23Sql,
     "m22_png_metadata" -> m22Sql,
     "m21_audio_clipping" -> m21Sql,

@@ -2701,7 +2701,122 @@ object Similarity {
        |FROM before b LEFT JOIN after a ON b.cell = a.cell, tot t
        |ORDER BY b.cell""".stripMargin
 
+  // ---- s36: quantizer retrain migration audit ------------------------------
+  /** s36: the step AFTER s35's retrain trigger fires — retrain the coarse
+    * quantizer on the post-compaction corpus (same deterministic seeding,
+    * same fixed-point Lloyd loop, same k/iters) and audit the MIGRATION a
+    * serving rollover would execute: per old cell, how many survivors stay
+    * under the same cell id vs move, and the dominant destination cell.
+    * Routing tables, cell-local caches, and shard placement are keyed by
+    * cell id, so the stay/move split IS the rollover's invalidation cost;
+    * a migration heavily concentrated into one destination also confirms
+    * the drift s35 flagged. Both trainings are bit-reproducible
+    * (fixed-point integer Lloyd sums), so the full two-model audit is
+    * replayed exactly by the SQL oracle — a second unrolled training over
+    * the survivor corpus.
+    *
+    * Scale shape: tombstones broadcast-anti onto the persisted old
+    * assignment; the new training is the standard broadcast-assign /
+    * one-shuffle-mean Lloyd loop; old-vs-new is ONE vec_id equi-join
+    * (co-partitionable at 100 TB); everything after is k^2-bounded. */
+  private val s36: Q = (s, dir) => {
+    val (_, assignedOld) = trainedIvf(s, dir)
+    val survivors = t(s, dir, "embeddings").filter(col("vec_id") % 9 =!= 4)
+    val (_, assignedNew) = trainedOn(dir + "#s36retrain", survivors)
+    val mig = assignedOld.filter(col("vec_id") % 9 =!= 4)
+      .select(col("vec_id"), col("cell").as("old_cell"))
+      .join(assignedNew.select(col("vec_id"), col("cell").as("new_cell")),
+        Seq("vec_id"))
+    val per = mig.groupBy(col("old_cell"), col("new_cell"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("old_cell"))
+      .orderBy(col("n").desc, col("new_cell"))
+    val dest = per.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("old_cell"), col("new_cell").as("top_dest_cell"),
+        col("n").as("top_dest_n"))
+    mig.groupBy(col("old_cell")).agg(
+        count(lit(1)).as("n_surv"),
+        sum(when(col("old_cell") === col("new_cell"), 1L).otherwise(0L))
+          .as("n_stay"))
+      .join(dest, Seq("old_cell"))
+      .select(col("old_cell"), col("n_surv"), col("n_stay"),
+        (col("n_surv") - col("n_stay")).as("n_moved"),
+        expr("n_stay * 1000 div n_surv").as("stay_permille"),
+        col("top_dest_cell"), col("top_dest_n"))
+      .psort(col("old_cell"))
+  }
+
+  /** Suffixed replica of the trainer CTEs over an arbitrary survivor
+    * predicate (same seeding/Lloyd/tie-break blocks as [[ivfCtePrefix]] and
+    * [[shardCtes]]); ends with `assignF$tag` (cid, cell). */
+  private def retrainCtes(tag: String, pred: String): String = {
+    def iter(n: Int): String = {
+      val prev = s"cents${n - 1}$tag"
+      s"""assign$n$tag AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+         |    FROM e$tag e CROSS JOIN $prev c) WHERE rn = 1),
+         |upd$n$tag AS (
+         |  SELECT cell, i,
+         |    CAST(SUM(CAST(FLOOR(v[i]::DOUBLE * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / COUNT(*) / 1048576.0 AS comp
+         |  FROM assign$n$tag, range(1, ${ivfDim + 1}) r(i) GROUP BY cell, i),
+         |cents$n$tag AS (
+         |  SELECT p.cell, COALESCE(u.vec, p.vec) AS vec
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT cell, LIST(comp ORDER BY i) AS vec FROM upd$n$tag GROUP BY cell) u
+         |    ON p.cell = u.cell)""".stripMargin
+    }
+    val fin = s"cents$ivfIters$tag"
+    s"""e$tag AS (SELECT vec_id, embedding AS v FROM embeddings
+       |  WHERE $pred),
+       |cents0$tag AS (
+       |  SELECT cell, vec FROM (
+       |    SELECT CAST(ROW_NUMBER() OVER (
+       |        ORDER BY ${md5iSql("CAST(vec_id AS VARCHAR)")}, CAST(vec_id AS VARCHAR)
+       |      ) AS INTEGER) - 1 AS cell,
+       |      [x::DOUBLE FOR x IN embedding] AS vec
+       |    FROM embeddings WHERE $pred) WHERE cell < $ivfK),
+       |${(1 to ivfIters).map(iter).mkString(",\n")},
+       |assignF$tag AS (
+       |  SELECT vec_id AS cid, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+       |    FROM e$tag e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val s36Sql: String =
+    s"""$ivfCtePrefix,
+       |${retrainCtes("n", "vec_id % 9 <> 4")},
+       |mig AS (
+       |  SELECT o.cell AS old_cell, n.cell AS new_cell
+       |  FROM assignF o JOIN assignFn n ON o.cid = n.cid),
+       |per AS (
+       |  SELECT old_cell, new_cell, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM mig GROUP BY 1, 2),
+       |dest AS (
+       |  SELECT old_cell, new_cell AS top_dest_cell, n AS top_dest_n FROM (
+       |    SELECT old_cell, new_cell, n,
+       |      ROW_NUMBER() OVER (PARTITION BY old_cell
+       |        ORDER BY n DESC, new_cell) AS rn
+       |    FROM per) WHERE rn = 1),
+       |st AS (
+       |  SELECT old_cell, CAST(COUNT(*) AS BIGINT) AS n_surv,
+       |    CAST(SUM(CASE WHEN old_cell = new_cell THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_stay
+       |  FROM mig GROUP BY old_cell)
+       |SELECT s.old_cell, s.n_surv, s.n_stay,
+       |  s.n_surv - s.n_stay AS n_moved,
+       |  CAST(s.n_stay * 1000 // s.n_surv AS BIGINT) AS stay_permille,
+       |  d.top_dest_cell, d.top_dest_n
+       |FROM st s JOIN dest d USING (old_cell) ORDER BY s.old_cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s36_retrain_migration" -> s36,
     "s35_index_compaction" -> s35,
     "s34_sharded_serve" -> s34,
     "s33_embedding_audit" -> s33,
@@ -2739,6 +2854,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s36_retrain_migration" -> s36Sql,
     "s35_index_compaction" -> s35Sql,
     "s34_sharded_serve" -> s34Sql,
     "s33_embedding_audit" -> s33Sql,

@@ -2988,7 +2988,92 @@ object TextOps {
       |    / ((n_top*sxx - sx*sx) * (n_top*syy - sy*sy)), 6) AS fit_r2
       |FROM sums ORDER BY source""".stripMargin
 
+  // ---- x50: code-vs-prose detection (curation routing) --------------------
+  /** x50: the code-detection routing step a mixed crawl runs before
+    * tokenization — code and prose want different tokenizers, dedup
+    * granularity, and mixing weights (the StarCoder/RedPajama pipelines
+    * route on exactly this signal). The detector is the standard cheap
+    * heuristic pair: code-symbol density (`; = ( )` per 1000 chars) plus
+    * code-keyword token hits (`def`/`return`), combined conjunctively so
+    * neither a symbol-heavy table dump nor a prose sentence quoting
+    * "return" alone flips the verdict. The synthetic corpus is symbol-free
+    * word salad, so code docs are PLANTED (doc_id % 23 == 7) through a
+    * deterministic engine-identical rewrite — both engines compute the
+    * same features on the same rewritten text, and the spec pins that the
+    * verdict recovers the plant exactly. All counters exact integers;
+    * permille by integer division.
+    *
+    * Scale shape: one map-only feature pass per document (char/token
+    * counting, no regex backtracking), one per-source aggregation with
+    * map-side partials — the flattest curation shape. */
+  private val x50: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+    val text2 = when(col("doc_id") % 23 === 7,
+      concat(lit("def f"), col("doc_id").cast("string"), lit("(x): "),
+        regexp_replace(col("text"), lit(" "), lit("; x = ")),
+        lit(" return x"))).otherwise(col("text"))
+    val stripped = regexp_replace(col("t2"), "[;=()]", "")
+    val feats = base.select(col("doc_id"), col("source"), text2.as("t2"))
+      .select(col("doc_id"), col("source"),
+        length(col("t2")).as("n_chars2"),
+        (length(col("t2")) - length(stripped)).as("n_sym"),
+        size(filter(split(col("t2"), " "), x => x =!= "")).as("n_tok"),
+        size(filter(split(col("t2"), " "),
+          x => x === "def" || x === "return")).as("kw_hits"))
+      .select(col("source"), col("n_sym"), col("n_tok"),
+        expr("n_sym * 1000 div n_chars2").as("sym_permille"),
+        col("kw_hits"))
+      .withColumn("is_code",
+        col("sym_permille") >= 30 && col("kw_hits") >= 1)
+    feats.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+        sum(col("n_sym").cast("long")).as("total_sym"),
+        sum(when(col("is_code"), col("n_tok").cast("long")).otherwise(0L))
+          .as("code_tokens"),
+        sum(when(!col("is_code"), col("n_tok").cast("long")).otherwise(0L))
+          .as("prose_tokens"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        expr("n_code * 1000 div n_docs").as("code_permille"),
+        col("total_sym"), col("code_tokens"), col("prose_tokens"))
+      .psort(col("source"))
+  }
+
+  private val x50Sql =
+    """WITH t2 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 23 = 7
+      |      THEN 'def f' || CAST(doc_id AS VARCHAR) || '(x): '
+      |        || REPLACE(text, ' ', '; x = ') || ' return x'
+      |      ELSE text END AS t2
+      |  FROM documents),
+      |feat AS (
+      |  SELECT source,
+      |    LENGTH(t2) - LENGTH(REPLACE(REPLACE(REPLACE(REPLACE(t2,
+      |      ';', ''), '=', ''), '(', ''), ')', '')) AS n_sym,
+      |    LENGTH(t2) AS n_chars2,
+      |    LEN(LIST_FILTER(STRING_SPLIT(t2, ' '), x -> x <> '')) AS n_tok,
+      |    LEN(LIST_FILTER(STRING_SPLIT(t2, ' '),
+      |      x -> x = 'def' OR x = 'return')) AS kw_hits
+      |  FROM t2),
+      |cls AS (
+      |  SELECT source, n_sym, n_tok,
+      |    (n_sym * 1000 // n_chars2 >= 30 AND kw_hits >= 1) AS is_code
+      |  FROM feat)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+      |  CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+      |    AS BIGINT) AS code_permille,
+      |  CAST(SUM(n_sym) AS BIGINT) AS total_sym,
+      |  CAST(SUM(CASE WHEN is_code THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS code_tokens,
+      |  CAST(SUM(CASE WHEN NOT is_code THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS prose_tokens
+      |FROM cls GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x50_code_detect" -> x50,
     "x49_zipf_fit" -> x49,
     "x48_k_anonymity" -> x48,
     "x47_readability" -> x47,
@@ -3040,6 +3125,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x50_code_detect" -> x50Sql,
     "x49_zipf_fit" -> x49Sql,
     "x48_k_anonymity" -> x48Sql,
     "x47_readability" -> x47Sql,
