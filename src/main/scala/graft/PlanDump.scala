@@ -128,7 +128,10 @@ object PlanDump {
     "x49_zipf_fit" -> "Zipf fit: one (source, term) count shuffle; the top-20 cut is a WindowGroupLimit (map-side partial top-k below the exchange); the fit aggregates 20 rows per source",
     "s35_index_compaction" -> "index compaction: bounded tombstone list broadcast-anti onto the persisted assignment; two group-by-cell aggs emitting k rows; 1-row total broadcast",
     "p08_refresh_admission" -> "(composed admission funnel: map-only quality rules; distinct-hash exact join; rep-level band equi-join + candidate-proportional jaccard verify; one per-source agg)",
-    "p09_stream_admission" -> "(streaming arrival gate: per micro-batch O(batch) band compute, sort-merge probe of the persisted bucketed band store, candidate-proportional jaccard verify, parquet append; plan shown is the landed-verdict read-back)")
+    "p09_stream_admission" -> "(streaming arrival gate: per micro-batch O(batch) band compute, sort-merge probe of the persisted bucketed band store, candidate-proportional jaccard verify, parquet append; plan shown is the landed-verdict read-back)",
+    "x50_code_detect" -> "code-vs-prose routing: one map-only feature pass (char/token counting, no regex backtracking); one per-source agg with map-side partials",
+    "m24_letterbox" -> "letterbox detection: one typed map-only decode+scan pass per image; only the presentation sort shuffles",
+    "s36_retrain_migration" -> "retrain migration audit: broadcast-assign Lloyd retrain on survivors; ONE vec_id equi-join old-vs-new; k^2-bounded matrix aggs + per-old-cell WindowGroupLimit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
