@@ -2161,7 +2161,85 @@ object Dedup {
       |  n_docs * 1000 // total_docs AS permille_docs
       |FROM b, tot ORDER BY copies_bucket""".stripMargin
 
+  // ---- d32: band-store compaction report (takedown maintenance) -----------
+  /** d32: the maintenance path the d27 band store needs once takedowns
+    * arrive (DMCA/user-deletion: doc_id % 11 == 6): physically drop the
+    * tombstoned docs' band keys from the persisted store and emit the
+    * per-band maintenance report an operator pages on — keys before/after,
+    * deleted count, post-compaction distinct-bucket count, the hottest
+    * bucket, and the hot flag (max bucket > 4x the post-compaction mean —
+    * a band whose hash pair stopped discriminating). s35 is this exact job
+    * for the ANN index; the dedup store ages the same way.
+    *
+    * Scale shape: the takedown list joins the store as an oid equi
+    * anti-join (corpus-proportional list — NOT broadcast; co-partitionable
+    * on the store's bucket layout at 100 TB); both reports are per-band
+    * aggs over (band, bkey) partials — 4 output rows; no pairs anywhere. */
+  private val d32: Q = (s, dir) => {
+    val store = d27Store(s, dir)
+      .withColumn("band", split(col("bkey"), "_").getItem(0).cast("int"))
+    val tomb = t(s, dir, "documents").filter(col("doc_id") % 11 === 6)
+      .select(col("doc_id").as("del_id"))
+    val after = store.join(tomb, col("oid") === col("del_id"), "left_anti")
+    val before = store.groupBy(col("band"))
+      .agg(count(lit(1)).as("keys_before"))
+    val afterAgg = after.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band"))
+      .agg(sum(col("n")).as("keys_after"),
+        count(lit(1)).as("buckets_after"),
+        max(col("n")).as("max_bucket_after"))
+    before.join(afterAgg, Seq("band"), "left")
+      .select(col("band"), col("keys_before"),
+        coalesce(col("keys_after"), lit(0L)).as("keys_after"),
+        (col("keys_before") - coalesce(col("keys_after"), lit(0L)))
+          .as("n_deleted"),
+        coalesce(col("buckets_after"), lit(0L)).as("buckets_after"),
+        coalesce(col("max_bucket_after"), lit(0L)).as("max_bucket_after"))
+      .withColumn("hot",
+        col("max_bucket_after") * col("buckets_after") >
+          col("keys_after") * 4L)
+      .psort(col("band"))
+  }
+
+  private val d32Sql: String = {
+    val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i")
+      .mkString(",\n   ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b || '_' || m${2 * b} || '_' || m${2 * b + 1} AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS ($docsShSql),
+       |sig AS (SELECT doc_id, sh,
+       |   $sigCols
+       |  FROM docs),
+       |bands AS (
+       |  $bandRows),
+       |store AS (SELECT doc_id AS oid,
+       |    CAST(SPLIT_PART(bkey, '_', 1) AS INTEGER) AS band, bkey
+       |  FROM bands WHERE doc_id % 10 <> 3),
+       |aft AS (SELECT * FROM store WHERE oid % 11 <> 6),
+       |bef AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS keys_before
+       |        FROM store GROUP BY band),
+       |pk AS (SELECT band, bkey, COUNT(*) AS n FROM aft GROUP BY band, bkey),
+       |ag AS (SELECT band, CAST(SUM(n) AS BIGINT) AS keys_after,
+       |         CAST(COUNT(*) AS BIGINT) AS buckets_after,
+       |         CAST(MAX(n) AS BIGINT) AS max_bucket_after
+       |       FROM pk GROUP BY band)
+       |SELECT b.band, b.keys_before,
+       |  CAST(COALESCE(a.keys_after, 0) AS BIGINT) AS keys_after,
+       |  b.keys_before - CAST(COALESCE(a.keys_after, 0) AS BIGINT)
+       |    AS n_deleted,
+       |  CAST(COALESCE(a.buckets_after, 0) AS BIGINT) AS buckets_after,
+       |  CAST(COALESCE(a.max_bucket_after, 0) AS BIGINT) AS max_bucket_after,
+       |  CAST(COALESCE(a.max_bucket_after, 0) AS BIGINT)
+       |    * CAST(COALESCE(a.buckets_after, 0) AS BIGINT)
+       |    > CAST(COALESCE(a.keys_after, 0) AS BIGINT) * 4 AS hot
+       |FROM bef b LEFT JOIN ag a ON b.band = a.band
+       |ORDER BY b.band""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d32_store_compaction" -> d32,
     "d31_dup_spectrum" -> d31,
     "d29_source_matrix" -> d29,
     "d28_token_shards" -> d28,
@@ -2194,6 +2272,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d32_store_compaction" -> d32Sql,
     "d31_dup_spectrum" -> d31Sql,
     "d29_source_matrix" -> d29Sql,
     "d28_token_shards" -> d28Sql,

@@ -2080,7 +2080,78 @@ object Multimodal {
       |   FOR i IN RANGE((w-l-r)*(h-t-b)*3)]) AS BIGINT) AS interior_sum
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---- m25: ViT-style patch extraction (4x4 grid explode) -----------------
+  /** One 4x4-pixel patch of a decoded image: grid position, the exact
+    * pixel-byte sum over the 48-byte block, and its floored mean. */
+  case class ImgPatch(doc_id: Long, py: Int, px: Int, patch_sum: Long,
+                      patch_mean_q: Int)
+
+  /** m25: the patchify stage every vision-transformer pipeline runs —
+    * decode, cut the image into a non-overlapping 4x4 patch grid (partial
+    * edge patches dropped, the standard floor grid), and emit one row per
+    * patch with its exact pixel mass. This is the EXPLODE shape of media
+    * preprocessing (rows multiply per input, unlike m23's per-image
+    * reduce); downstream a linear projection turns each patch row into a
+    * token. The oracle replays every patch sum in closed form from the
+    * fixture pixel contract, so a stride/BGR/bottom-up mis-parse or an
+    * off-by-one in the grid arithmetic diverges on some patch.
+    *
+    * Scale shape: one typed map-only decode+flatMap pass; output rows are
+    * (w/4 x h/4) per image — the explode is bounded by pixel count, runs
+    * partition-parallel, and nothing shuffles but the presentation sort. */
+  private val m25: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[ImgPatch] = Encoders.product[ImgPatch]
+    mediaTable(s, dir).filter(col("doc_id") <= 20).as[MediaPayload]
+      .mapPartitions(_.flatMap { r =>
+        val img = ImageCodecs.decode(r.data)
+        val (w, h) = (img.width, img.height)
+        val px = img.rgb
+        for (py <- (0 until h / 4).iterator; qx <- (0 until w / 4).iterator)
+          yield {
+            var sum = 0L
+            var dy = 0
+            while (dy < 4) {
+              var dx = 0
+              while (dx < 4) {
+                var c = 0
+                while (c < 3) {
+                  sum += px(((4 * py + dy) * w + 4 * qx + dx) * 3 + c) & 0xff
+                  c += 1
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            ImgPatch(r.doc_id, py, qx, sum, (sum / 48).toInt)
+          }
+      }).toDF()
+      .psort(col("doc_id"), col("py"), col("px"))
+  }
+
+  // patch (py,px) sum = sum over the 48-byte block of the fixture pixel
+  // formula; j decomposes as dy=j//12, dx=(j//3)%4, c=j%3
+  private val m25Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id*7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 20),
+      |pi AS (
+      |  SELECT doc_id, w, h, UNNEST(RANGE((w//4)*(h//4))) AS i FROM g)
+      |SELECT doc_id,
+      | CAST(i // (w//4) AS INTEGER) AS py,
+      | CAST(i % (w//4) AS INTEGER) AS px,
+      | CAST(LIST_SUM([
+      |   ((((4*(i//(w//4)) + j//12) * w + 4*(i%(w//4)) + (j//3)%4)*3
+      |     + j%3)*7 + doc_id) % 251
+      |  FOR j IN RANGE(48)]) AS BIGINT) AS patch_sum,
+      | CAST(LIST_SUM([
+      |   ((((4*(i//(w//4)) + j//12) * w + 4*(i%(w//4)) + (j//3)%4)*3
+      |     + j%3)*7 + doc_id) % 251
+      |  FOR j IN RANGE(48)]) // 48 AS INTEGER) AS patch_mean_q
+      |FROM pi ORDER BY doc_id, py, px""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m25_patchify" -> m25,
     "m24_letterbox" -> m24,
     "m23_thumbnail" -> m23,
     "m22_png_metadata" -> m22,
@@ -2108,6 +2179,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m25_patchify" -> m25Sql,
     "m24_letterbox" -> m24Sql,
     "m23_thumbnail" -> m23Sql,
     "m22_png_metadata" -> m22Sql,

@@ -2815,7 +2815,71 @@ object Similarity {
        |  d.top_dest_cell, d.top_dest_n
        |FROM st s JOIN dest d USING (old_cell) ORDER BY s.old_cell""".stripMargin
 
+  // ---- s37: serving hot-cell load audit (workload-side skew) ---------------
+  /** s37: the SERVING-side twin of s20's index-side cell stats — given the
+    * live query workload, which cells does nprobe routing actually hit,
+    * and what scan cost does each cell absorb? Per cell: the probe count
+    * over the workload (vec_id < 50 at nprobe=3), the cell population,
+    * the estimated scan cost (probes x population — the rows a cell's
+    * serving shard reads for this workload), its permille share of total
+    * scan, and the hot flag (probe share > 2x uniform). A hot populous
+    * cell is the shard you replicate first; this audit is the input to
+    * that placement decision.
+    *
+    * Scale shape: probes are a tiny-centroid broadcast + posexplode over
+    * the workload (map-only); both aggregations emit k rows; the total is
+    * a 1-row broadcast. Nothing here grows faster than the workload. */
+  private val s37: Q = (s, dir) => {
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val qs = t(s, dir, "embeddings").filter(col("vec_id") < 50)
+    val probes = graft.operators.IvfIndex
+      .probeRanked(qs, "vec_id", "embedding", centroids, maxProbe = 3)
+    val perCell = probes.groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))
+    val pop = assigned.groupBy(col("cell")).agg(count(lit(1)).as("population"))
+    val j = pop.join(perCell, Seq("cell"), "left")
+      .select(col("cell"), col("population"),
+        coalesce(col("n_probes"), lit(0L)).as("n_probes"))
+      .withColumn("est_scan", col("n_probes") * col("population"))
+    j.crossJoin(broadcast(j.agg(
+        sum(col("est_scan")).as("total_scan"),
+        sum(col("n_probes")).as("total_probes"))))
+      .select(col("cell"), col("population"), col("n_probes"),
+        col("est_scan"),
+        expr("est_scan * 1000 div total_scan").as("load_permille"),
+        (col("n_probes") * ivfK > col("total_probes") * 2L).as("hot"))
+      .psort(col("cell"))
+  }
+
+  private lazy val s37Sql: String =
+    s"""$ivfCtePrefix,
+       |probe50 AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT e.vec_id AS qid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS cell_rank
+       |    FROM e CROSS JOIN $ivfFinalCentsCte c
+       |    WHERE e.vec_id < 50) WHERE cell_rank <= 3),
+       |pc AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_probes
+       |  FROM probe50 GROUP BY cell),
+       |pop AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS population
+       |  FROM assignF GROUP BY cell),
+       |j AS (
+       |  SELECT p.cell, p.population,
+       |    CAST(COALESCE(c.n_probes, 0) AS BIGINT) AS n_probes,
+       |    CAST(COALESCE(c.n_probes, 0) * p.population AS BIGINT) AS est_scan
+       |  FROM pop p LEFT JOIN pc c USING (cell)),
+       |tot AS (
+       |  SELECT CAST(SUM(est_scan) AS BIGINT) AS total_scan,
+       |    CAST(SUM(n_probes) AS BIGINT) AS total_probes FROM j)
+       |SELECT j.cell, j.population, j.n_probes, j.est_scan,
+       |  CAST(j.est_scan * 1000 // t.total_scan AS BIGINT) AS load_permille,
+       |  j.n_probes * $ivfK > t.total_probes * 2 AS hot
+       |FROM j, tot t ORDER BY j.cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s37_serving_load" -> s37,
     "s36_retrain_migration" -> s36,
     "s35_index_compaction" -> s35,
     "s34_sharded_serve" -> s34,
@@ -2854,6 +2918,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s37_serving_load" -> s37Sql,
     "s36_retrain_migration" -> s36Sql,
     "s35_index_compaction" -> s35Sql,
     "s34_sharded_serve" -> s34Sql,
