@@ -131,7 +131,10 @@ object PlanDump {
     "p09_stream_admission" -> "(streaming arrival gate: per micro-batch O(batch) band compute, sort-merge probe of the persisted bucketed band store, candidate-proportional jaccard verify, parquet append; plan shown is the landed-verdict read-back)",
     "x50_code_detect" -> "code-vs-prose routing: one map-only feature pass (char/token counting, no regex backtracking); one per-source agg with map-side partials",
     "m24_letterbox" -> "letterbox detection: one typed map-only decode+scan pass per image; only the presentation sort shuffles",
-    "s36_retrain_migration" -> "retrain migration audit: broadcast-assign Lloyd retrain on survivors; ONE vec_id equi-join old-vs-new; k^2-bounded matrix aggs + per-old-cell WindowGroupLimit")
+    "s36_retrain_migration" -> "retrain migration audit: broadcast-assign Lloyd retrain on survivors; ONE vec_id equi-join old-vs-new; k^2-bounded matrix aggs + per-old-cell WindowGroupLimit",
+    "s37_serving_load" -> "serving load audit: tiny-centroid broadcast + posexplode over the workload; two k-row aggs; 1-row total broadcast",
+    "d32_store_compaction" -> "band-store compaction: oid equi ANTI-join of the corpus-proportional takedown list (never broadcast); per-band aggs with map-side partials; 4 output rows",
+    "m25_patchify" -> "patchify: one typed map-only decode+flatMap pass exploding each image into its 4x4 patch grid; only the presentation sort shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
