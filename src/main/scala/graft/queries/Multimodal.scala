@@ -2150,7 +2150,65 @@ object Multimodal {
       |  FOR j IN RANGE(48)]) // 48 AS INTEGER) AS patch_mean_q
       |FROM pi ORDER BY doc_id, py, px""".stripMargin
 
+  // ---- m26: aspect-ratio bucketing for batched training --------------------
+  /** m26: the aspect-ratio bucketing step diffusion/vision training runs —
+    * variable-AR images can't batch together, so each image routes to the
+    * NEAREST bucket of a fixed ratio ladder (1:2, 3:4, 1:1, 4:3, 3:2, 2:1)
+    * and the planner reports per bucket the image count, pixel mass, how
+    * many full batches (size 4) it fills, and the fill permille (the
+    * remainder is padding waste). Nearness is decided in EXACT integer
+    * arithmetic: |w/h - p/q| ranks as |w*q - h*p| * (12/q) (12 = lcm of
+    * the ladder denominators), ties to the lexicographically first bucket
+    * — no float comparisons, so both engines rank identically. Dims come
+    * from the REAL decoded containers; the oracle replays the contract.
+    *
+    * Scale shape: one typed map-only decode pass, a 6-row broadcast ladder
+    * cross join, a per-image WindowGroupLimit argmin, one 6-row agg. */
+  private val m26: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[DecodedImage] = Encoders.product[DecodedImage]
+    import s.implicits._
+    val dims = mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(decodeOne)).toDF()
+      .select(col("doc_id"), col("width").as("w"), col("height").as("h"))
+    val ladder = Seq(("1:2", 1, 2, 6), ("3:4", 3, 4, 3), ("1:1", 1, 1, 12),
+      ("4:3", 4, 3, 4), ("3:2", 3, 2, 6), ("2:1", 2, 1, 12))
+      .toDF("bucket", "p", "q", "m")
+    val scored = dims.crossJoin(broadcast(ladder))
+      .withColumn("score",
+        abs(col("w") * col("q") - col("h") * col("p")) * col("m"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score"), col("bucket"))
+    scored.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_images"),
+        sum((col("w") * col("h") * 3L).cast("long")).as("total_px"),
+        expr("count(1) div 4").as("n_batches"),
+        expr("(count(1) div 4) * 4 * 1000 div count(1)").as("fill_permille"))
+      .psort(col("bucket"))
+  }
+
+  private val m26Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id*7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 100),
+      |l(bucket, p, q, m) AS (VALUES
+      |  ('1:2', 1, 2, 6), ('3:4', 3, 4, 3), ('1:1', 1, 1, 12),
+      |  ('4:3', 4, 3, 4), ('3:2', 3, 2, 6), ('2:1', 2, 1, 12)),
+      |sc AS (
+      |  SELECT doc_id, w, h, bucket,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY ABS(w*q - h*p) * m, bucket) AS rn
+      |  FROM g CROSS JOIN l)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+      |  CAST(SUM(w*h*3) AS BIGINT) AS total_px,
+      |  CAST(COUNT(*) // 4 AS BIGINT) AS n_batches,
+      |  CAST((COUNT(*) // 4) * 4 * 1000 // COUNT(*) AS BIGINT)
+      |    AS fill_permille
+      |FROM sc WHERE rn = 1 GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m26_aspect_buckets" -> m26,
     "m25_patchify" -> m25,
     "m24_letterbox" -> m24,
     "m23_thumbnail" -> m23,
@@ -2179,6 +2237,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m26_aspect_buckets" -> m26Sql,
     "m25_patchify" -> m25Sql,
     "m24_letterbox" -> m24Sql,
     "m23_thumbnail" -> m23Sql,

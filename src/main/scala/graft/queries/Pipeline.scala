@@ -1012,7 +1012,85 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- p10: corpus snapshot diff (dataset-versioning manifest) ------------
+  /** p10: the version-to-version diff every dataset release ships with —
+    * given snapshot v1 and snapshot v2 of the corpus, classify every doc
+    * by CONTENT DIGEST comparison (added / removed / changed / unchanged;
+    * the engine never reads the planted version predicates) and emit the
+    * per-source release manifest with the net token delta. This is the
+    * "what changed between corpus v3 and v4" answer a training run's data
+    * card records; d12's CDC is row-level merge, this is the release-level
+    * rollup.
+    *
+    * Scale shape: two map-only digest scans, ONE doc_id full-outer
+    * equi-join (co-partitionable at 100 TB), one per-source agg — no
+    * windows, no pairs. */
+  private val p10: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val v1 = d.filter(col("doc_id") % 10 =!= 6)
+      .select(col("doc_id"), col("source").as("source1"),
+        md5(col("text")).as("dg1"),
+        size(split(col("text"), " ")).cast("long").as("tok1"))
+    val t2 = when(col("doc_id") % 17 === 3,
+      concat(col("text"), lit(" v2 edited"))).otherwise(col("text"))
+    val v2 = d.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("source").as("source2"),
+        md5(t2).as("dg2"),
+        size(split(t2, " ")).cast("long").as("tok2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source1"), col("source2")).as("source"),
+        when(col("dg1").isNull, "added")
+          .when(col("dg2").isNull, "removed")
+          .when(col("dg1") =!= col("dg2"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("tok1"), lit(0L)).as("tok1"),
+        coalesce(col("tok2"), lit(0L)).as("tok2"))
+      .groupBy(col("source")).agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(col("tok2") - col("tok1")).as("net_token_delta"))
+      .psort(col("source"))
+  }
+
+  private val p10Sql =
+    """WITH v1 AS (
+      |  SELECT doc_id, source AS source1, MD5(text) AS dg1,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tok1
+      |  FROM documents WHERE doc_id % 10 <> 6),
+      |v2 AS (
+      |  SELECT doc_id, source AS source2, MD5(t2) AS dg2,
+      |    CAST(LEN(STRING_SPLIT(t2, ' ')) AS BIGINT) AS tok2
+      |  FROM (SELECT doc_id, source,
+      |          CASE WHEN doc_id % 17 = 3 THEN text || ' v2 edited'
+      |               ELSE text END AS t2
+      |        FROM documents WHERE doc_id % 13 <> 5)),
+      |j AS (
+      |  SELECT COALESCE(source1, source2) AS source,
+      |    CASE WHEN dg1 IS NULL THEN 'added'
+      |         WHEN dg2 IS NULL THEN 'removed'
+      |         WHEN dg1 <> dg2 THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    COALESCE(tok1, 0) AS tok1, COALESCE(tok2, 0) AS tok2
+      |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added,
+      |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unchanged,
+      |  CAST(SUM(tok2 - tok1) AS BIGINT) AS net_token_delta
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p10_snapshot_diff" -> p10,
     "p09_stream_admission" -> p09,
     "p08_refresh_admission" -> p08,
     "p07_dlq_gate" -> p07,
@@ -1023,6 +1101,7 @@ object Pipeline {
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p10_snapshot_diff" -> p10Sql,
     "p09_stream_admission" -> p09Sql,
     "p08_refresh_admission" -> p08Sql,
     "p07_dlq_gate" -> p07Sql,

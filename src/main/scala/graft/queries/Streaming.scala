@@ -684,7 +684,70 @@ object Streaming {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  // ---- q116: watermark-planning lateness audit -----------------------------
+  /** q116: the audit an operator runs BEFORE choosing a watermark delay —
+    * replay the stream's true drop semantics over the event log and report,
+    * per event type, what each candidate delay (10/30/60/120 s) WOULD have
+    * dropped. Arrival times are synthesized deterministically from
+    * event_id (0-120 s transport lag); an event is late under delay W iff
+    * the running max event-time of everything that arrived BEFORE it
+    * exceeds its own event-time by more than W — exactly Spark's
+    * per-partition watermark update rule (watermark advances on arrival,
+    * an event never drops itself).
+    *
+    * Scale shape: the running max is a per-event-type window (the
+    * per-partition watermark tracking Flink/Spark actually do — the global
+    * watermark is the MIN over partitions, a k-row reduce); one window
+    * pass + one per-type agg, exact integer lateness counters. */
+  private val q116: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ems"),
+        ((col("event_id") * 7919L) % 120000L).as("lag_ms"))
+      .withColumn("arr", col("ems") + col("lag_ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("arr"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val withWm = e.withColumn("wm", max(col("ems")).over(w))
+    def latePm(wMs: Long): org.apache.spark.sql.Column =
+      expr(s"sum(CASE WHEN wm - ems > $wMs THEN 1 ELSE 0 END) * 1000" +
+        " div count(1)")
+    withWm.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        max(col("lag_ms")).as("max_lag_ms"),
+        latePm(10000L).as("late10_permille"),
+        latePm(30000L).as("late30_permille"),
+        latePm(60000L).as("late60_permille"),
+        latePm(120000L).as("late120_permille"))
+      .psort(col("event_type"))
+  }
+
+  private val q116Sql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_ms(ts) AS ems,
+      |    (event_id * 7919) % 120000 AS lag_ms,
+      |    epoch_ms(ts) + (event_id * 7919) % 120000 AS arr
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, lag_ms, ems,
+      |    MAX(ems) OVER (PARTITION BY event_type ORDER BY arr, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      |  FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(lag_ms) AS BIGINT) AS max_lag_ms,
+      |  CAST(SUM(CASE WHEN wm - ems > 10000 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS late10_permille,
+      |  CAST(SUM(CASE WHEN wm - ems > 30000 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS late30_permille,
+      |  CAST(SUM(CASE WHEN wm - ems > 60000 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS late60_permille,
+      |  CAST(SUM(CASE WHEN wm - ems > 120000 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS late120_permille
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q116_watermark_audit" -> q116,
     "q108_stream_outer" -> q108,
     "q97_stream_file_sink" -> q97,
     "q95_transform_with_state" -> q95,
@@ -702,6 +765,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q116_watermark_audit" -> q116Sql,
     "q108_stream_outer" -> q108Sql,
     "q97_stream_file_sink" -> q97Sql,
     "q95_transform_with_state" -> q80Sql,
