@@ -134,7 +134,10 @@ object PlanDump {
     "s36_retrain_migration" -> "retrain migration audit: broadcast-assign Lloyd retrain on survivors; ONE vec_id equi-join old-vs-new; k^2-bounded matrix aggs + per-old-cell WindowGroupLimit",
     "s37_serving_load" -> "serving load audit: tiny-centroid broadcast + posexplode over the workload; two k-row aggs; 1-row total broadcast",
     "d32_store_compaction" -> "band-store compaction: oid equi ANTI-join of the corpus-proportional takedown list (never broadcast); per-band aggs with map-side partials; 4 output rows",
-    "m25_patchify" -> "patchify: one typed map-only decode+flatMap pass exploding each image into its 4x4 patch grid; only the presentation sort shuffles")
+    "m25_patchify" -> "patchify: one typed map-only decode+flatMap pass exploding each image into its 4x4 patch grid; only the presentation sort shuffles",
+    "q116_watermark_audit" -> "watermark audit: per-event-type running-max window (per-partition watermark tracking; no global single-task sort) + one per-type agg",
+    "p10_snapshot_diff" -> "snapshot diff: two map-only digest scans; ONE doc_id full-outer sort-merge join; one per-source agg",
+    "m26_aspect_buckets" -> "aspect bucketing: typed map-only decode; 6-row broadcast ladder cross join; per-image WindowGroupLimit argmin; 6-row agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
