@@ -2202,7 +2202,7 @@ object Dedup {
       .psort(col("band"))
   }
 
-  private val d32Sql: String = {
+  private[queries] val d32Sql: String = {
     val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i")
       .mkString(",\n   ")
     val bandRows = (0 until 4).map { b =>

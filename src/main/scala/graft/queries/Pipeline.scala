@@ -1089,7 +1089,69 @@ object Pipeline {
       |  CAST(SUM(tok2 - tok1) AS BIGINT) AS net_token_delta
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- p11: nightly maintenance run (composed manifest) --------------------
+  /** p11: the nightly maintenance job an index operator actually schedules,
+    * composed from the three standing maintenance paths: ANN index
+    * compaction (s35 — tombstones physically dropped, retrain triggers),
+    * quantizer retrain migration (s36 — the rollover's stay/move split),
+    * and dedup band-store compaction (d32 — takedown keys dropped, hot
+    * bands). The output is the one-page pager manifest: per job the entity
+    * count, removed rows, migrated rows, and fired flags. Each leg reuses
+    * the SAME gated query (and its persisted indexes), so the composition
+    * adds three k-row aggregations on top of build-once state.
+    *
+    * Scale shape: three bounded (k-row / 4-row) report aggregations over
+    * already-persisted frames; the union is 3 rows. */
+  private val p11: Q = (s, dir) => {
+    val idx = Similarity.queries("s35_index_compaction")(s, dir)
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("n_deleted")).as("n_removed"),
+        sum(when(col("retrain"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(lit("index_compaction").as("job"), col("n_entities"),
+        col("n_removed"), lit(0L).as("n_moved"), col("n_flagged"))
+    val mig = Similarity.queries("s36_retrain_migration")(s, dir)
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("n_moved")).as("n_moved"),
+        sum(when(col("stay_permille") < 500, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .select(lit("quantizer_retrain").as("job"), col("n_entities"),
+        lit(0L).as("n_removed"), col("n_moved"), col("n_flagged"))
+    val store = Dedup.queries("d32_store_compaction")(s, dir)
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("n_deleted")).as("n_removed"),
+        sum(when(col("hot"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(lit("band_store_compaction").as("job"), col("n_entities"),
+        col("n_removed"), lit(0L).as("n_moved"), col("n_flagged"))
+    store.unionAll(idx).unionAll(mig).psort(col("job"))
+  }
+
+  private lazy val p11Sql: String =
+    s"""SELECT 'band_store_compaction' AS job,
+       |  CAST(COUNT(*) AS BIGINT) AS n_entities,
+       |  CAST(SUM(n_deleted) AS BIGINT) AS n_removed,
+       |  CAST(0 AS BIGINT) AS n_moved,
+       |  CAST(SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+       |FROM (${Dedup.d32Sql}) t1
+       |UNION ALL
+       |SELECT 'index_compaction' AS job,
+       |  CAST(COUNT(*) AS BIGINT) AS n_entities,
+       |  CAST(SUM(n_deleted) AS BIGINT) AS n_removed,
+       |  CAST(0 AS BIGINT) AS n_moved,
+       |  CAST(SUM(CASE WHEN retrain THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged
+       |FROM (${Similarity.s35Sql}) t2
+       |UNION ALL
+       |SELECT 'quantizer_retrain' AS job,
+       |  CAST(COUNT(*) AS BIGINT) AS n_entities,
+       |  CAST(0 AS BIGINT) AS n_removed,
+       |  CAST(SUM(n_moved) AS BIGINT) AS n_moved,
+       |  CAST(SUM(CASE WHEN stay_permille < 500 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged
+       |FROM (${Similarity.s36Sql}) t3
+       |ORDER BY job""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p11_maintenance_run" -> p11,
     "p10_snapshot_diff" -> p10,
     "p09_stream_admission" -> p09,
     "p08_refresh_admission" -> p08,
@@ -1101,6 +1163,7 @@ object Pipeline {
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p11_maintenance_run" -> p11Sql,
     "p10_snapshot_diff" -> p10Sql,
     "p09_stream_admission" -> p09Sql,
     "p08_refresh_admission" -> p08Sql,

@@ -2681,7 +2681,7 @@ object Similarity {
       .psort(col("cell"))
   }
 
-  private lazy val s35Sql: String =
+  private[queries] lazy val s35Sql: String =
     s"""$ivfCtePrefix,
        |before AS (
        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_before
@@ -2789,7 +2789,7 @@ object Similarity {
        |    FROM e$tag e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
   }
 
-  private lazy val s36Sql: String =
+  private[queries] lazy val s36Sql: String =
     s"""$ivfCtePrefix,
        |${retrainCtes("n", "vec_id % 9 <> 4")},
        |mig AS (
@@ -2878,7 +2878,66 @@ object Similarity {
        |  j.n_probes * $ivfK > t.total_probes * 2 AS hot
        |FROM j, tot t ORDER BY j.cell""".stripMargin
 
+  // ---- s38: per-cell quantization distortion audit --------------------------
+  /** s38: the k-means quality metric that actually drives k selection and
+    * retraining — per cell the quantization distortion (squared L2 to the
+    * centroid): population, the worst resident (max d2, order-independent),
+    * the mean distortion, and each cell's permille share of total inertia
+    * with a concentration flag (share > 2x uniform = the cell whose radius
+    * makes nprobe recall collapse). The distortion SUM uses the trainer's
+    * own fixed-point discipline (floor(d2 * 2^20) summed as integers —
+    * associative, partition-invariant), so the aggregate is bit-identical
+    * on any cluster layout and the oracle replays it exactly; mean is one
+    * double division at the end.
+    *
+    * Scale shape: per-row d2 against a broadcast k-row centroid frame
+    * (map-only native graft_l2), one group-by-cell agg emitting k rows,
+    * 1-row total broadcast. */
+  private val s38: Q = (s, dir) => {
+    import s.implicits._
+    val (centroids, assigned) = trainedIvf(s, dir)
+    val cents = centroids.toSeq.map(c => (c.cell, c.vec.toSeq))
+      .toDF("cell", "cvec")
+    val d2 = assigned.join(broadcast(cents), Seq("cell"))
+      .withColumn("d2", call_function("graft_l2", col("embedding"),
+        col("cvec")))
+    val per = d2.groupBy(col("cell")).agg(
+      count(lit(1)).as("n_vectors"),
+      max(col("d2")).as("maxd"),
+      sum(floor(col("d2") * lit(1048576.0)).cast("long")).as("sum_fp"))
+    per.crossJoin(broadcast(per.agg(sum(col("sum_fp")).as("total_fp"))))
+      .select(col("cell"), col("n_vectors"),
+        round(col("maxd"), 6).as("max_d2"),
+        round(col("sum_fp").cast("double") / col("n_vectors") /
+          lit(1048576.0), 6).as("mean_d2"),
+        expr("sum_fp * 1000 div total_fp").as("distortion_permille"),
+        (col("sum_fp") * ivfK > col("total_fp") * 2L).as("hot"))
+      .psort(col("cell"))
+  }
+
+  private lazy val s38Sql: String =
+    s"""$ivfCtePrefix,
+       |d2 AS (
+       |  SELECT a.cell, ${dist2Sql("a.ce", "c.vec")} AS d2
+       |  FROM assignF a JOIN $ivfFinalCentsCte c ON a.cell = c.cell),
+       |per AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |    MAX(d2) AS maxd,
+       |    CAST(SUM(CAST(FLOOR(d2 * 1048576.0) AS BIGINT)) AS BIGINT)
+       |      AS sum_fp
+       |  FROM d2 GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(sum_fp) AS BIGINT) AS total_fp FROM per)
+       |SELECT p.cell, p.n_vectors,
+       |  ROUND(p.maxd, 6) AS max_d2,
+       |  ROUND(CAST(p.sum_fp AS DOUBLE) / p.n_vectors / 1048576.0, 6)
+       |    AS mean_d2,
+       |  CAST(p.sum_fp * 1000 // t.total_fp AS BIGINT)
+       |    AS distortion_permille,
+       |  p.sum_fp * $ivfK > t.total_fp * 2 AS hot
+       |FROM per p, tot t ORDER BY p.cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s38_cell_distortion" -> s38,
     "s37_serving_load" -> s37,
     "s36_retrain_migration" -> s36,
     "s35_index_compaction" -> s35,
@@ -2918,6 +2977,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s38_cell_distortion" -> s38Sql,
     "s37_serving_load" -> s37Sql,
     "s36_retrain_migration" -> s36Sql,
     "s35_index_compaction" -> s35Sql,

@@ -3072,7 +3072,58 @@ object TextOps {
       |    AS prose_tokens
       |FROM cls GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- x51: canary-string tracking (contamination propagation audit) ------
+  /** x51: the canary audit published eval suites rely on (BIG-bench-style
+    * canary GUIDs): unique marker strings planted in guarded documents let
+    * a later sweep prove whether guarded text leaked into the training
+    * corpus — and HOW FAR it propagated (the same canary in multiple docs
+    * or multiple sources = the text was copied around before ingestion).
+    * Canaries are planted deterministically (doc_id % 29 == 11, value
+    * keyed by doc_id % 5 so propagation genuinely occurs); the sweep is
+    * generic: tokenize, match the canary prefix, report per canary the
+    * doc count, source spread, first sighting, and the cross-source flag.
+    *
+    * Scale shape: one map-only tokenize+filter pass (the filter prunes to
+    * a vanishing row count before the shuffle), one tiny per-canary agg. */
+  private val x51: Q = (s, dir) => {
+    val planted = when(col("doc_id") % 29 === 11,
+      concat(col("text"), lit(" canary-"),
+        substring(md5((col("doc_id") % 5).cast("string")), 1, 8)))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), planted.as("t2"))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("t2"), " ")).as("tok"))
+      .filter(col("tok").startsWith("canary-"))
+      .groupBy(col("tok")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"))
+      .select(col("tok").as("canary"), col("n_docs"), col("n_sources"),
+        col("first_doc"), (col("n_sources") > 1).as("cross_source"))
+      .psort(col("canary"))
+  }
+
+  private val x51Sql =
+    """WITH t2 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 29 = 11
+      |      THEN text || ' canary-'
+      |        || SUBSTR(MD5(CAST(doc_id % 5 AS VARCHAR)), 1, 8)
+      |      ELSE text END AS t2
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, source, UNNEST(STRING_SPLIT(t2, ' ')) AS tok
+      |  FROM t2)
+      |SELECT tok AS canary, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  COUNT(DISTINCT source) > 1 AS cross_source
+      |FROM tok WHERE tok LIKE 'canary-%'
+      |GROUP BY tok ORDER BY tok""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x51_canary_tracking" -> x51,
     "x50_code_detect" -> x50,
     "x49_zipf_fit" -> x49,
     "x48_k_anonymity" -> x48,
@@ -3125,6 +3176,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x51_canary_tracking" -> x51Sql,
     "x50_code_detect" -> x50Sql,
     "x49_zipf_fit" -> x49Sql,
     "x48_k_anonymity" -> x48Sql,
