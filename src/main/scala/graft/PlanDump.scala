@@ -137,7 +137,10 @@ object PlanDump {
     "m25_patchify" -> "patchify: one typed map-only decode+flatMap pass exploding each image into its 4x4 patch grid; only the presentation sort shuffles",
     "q116_watermark_audit" -> "watermark audit: per-event-type running-max window (per-partition watermark tracking; no global single-task sort) + one per-type agg",
     "p10_snapshot_diff" -> "snapshot diff: two map-only digest scans; ONE doc_id full-outer sort-merge join; one per-source agg",
-    "m26_aspect_buckets" -> "aspect bucketing: typed map-only decode; 6-row broadcast ladder cross join; per-image WindowGroupLimit argmin; 6-row agg")
+    "m26_aspect_buckets" -> "aspect bucketing: typed map-only decode; 6-row broadcast ladder cross join; per-image WindowGroupLimit argmin; 6-row agg",
+    "s38_cell_distortion" -> "cell distortion: map-only graft_l2 vs a broadcast k-row centroid frame; fixed-point integer inertia sum (partition-invariant); k-row agg + 1-row total broadcast",
+    "x51_canary_tracking" -> "canary sweep: contains() scan prunes docs BEFORE the token explode (vanishing explode input); one tiny per-canary agg",
+    "p11_maintenance_run" -> "maintenance run: three k-row rollups over the persisted-index maintenance legs; 3-row union")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
