@@ -2207,7 +2207,105 @@ object Multimodal {
       |    AS fill_permille
       |FROM sc WHERE rn = 1 GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---- m27: fake-stereo detection (duplicated-mono audit) -----------------
+  /** Per-clip stereo-difference row: exact integer inter-channel stats. */
+  case class StereoAudit(doc_id: Long, n_frames: Int, sum_absdiff: Long,
+                         max_absdiff: Int, mono_dup: Boolean)
+
+  /** Fixture contract (shared verbatim with the oracle): stereo clips only
+    * (all ids <= 100 encode 2 channels here); rate 8/12/16 kHz by id%3,
+    * 500-749 frames; TRUE stereo interleaves sample i = (i*13+id)%2001-1000;
+    * planted FAKE stereo (id % 6 == 1) duplicates the mono frame signal
+    * f = (f*13+id)%2001-1000 into both channels. */
+  private def stereoPayload(id: Long): Array[Byte] = {
+    val rate = 8000 + (id % 3).toInt * 4000
+    val nFrames = 500 + (id % 250).toInt
+    val samples = new Array[Short](nFrames * 2)
+    var i = 0
+    if (id % 6 == 1) {
+      while (i < nFrames) {
+        val v = ((i.toLong * 13 + id) % 2001 - 1000).toShort
+        samples(2 * i) = v
+        samples(2 * i + 1) = v
+        i += 1
+      }
+    } else {
+      while (i < samples.length) {
+        samples(i) = ((i.toLong * 13 + id) % 2001 - 1000).toShort
+        i += 1
+      }
+    }
+    AudioCodecs.encodeWav(rate, 2, samples)
+  }
+
+  private val stereoFixtures = scala.collection.concurrent.TrieMap[String, String]()
+  private def stereoTable(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val path = stereoFixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_stereo_fixture").toString
+      t(s, dir, "documents").filter(col("doc_id") <= 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaPayload(id, stereoPayload(id))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** m27: the fake-stereo audit an audio-curation pipeline runs before
+    * dedup and storage tiering — a "stereo" clip whose channels are
+    * byte-identical is a mono recording wearing a stereo container (twice
+    * the storage, and a near-dup of its mono original that channel-naive
+    * hashing misses). Detection is GENERIC over real decoded WAV frames:
+    * the exact integer sum and max of |L-R| per clip; sum == 0 is the
+    * duplicated-mono verdict. The oracle replays both signal contracts in
+    * closed form, so an interleave/offset/endianness mis-parse diverges.
+    *
+    * Scale shape: one typed map-only decode pass per clip; only the
+    * presentation sort shuffles. */
+  private val m27: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[StereoAudit] = Encoders.product[StereoAudit]
+    stereoTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map { r =>
+        val a = AudioCodecs.decodeWav(r.data)
+        val n = a.samples.length / a.channels
+        var sum = 0L
+        var mx = 0
+        var f = 0
+        while (f < n) {
+          val d = math.abs(a.samples(2 * f) - a.samples(2 * f + 1))
+          sum += d
+          if (d > mx) mx = d
+          f += 1
+        }
+        StereoAudit(r.doc_id, n, sum, mx, sum == 0L)
+      }).toDF()
+      .psort(col("doc_id"))
+  }
+
+  // |L-R| of true stereo frame f = |s(2f) - s(2f+1)|, s(i)=(i*13+id)%2001-1000
+  private val m27Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 500 + doc_id % 250 AS nf
+      |  FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+      | CAST(CASE WHEN doc_id % 6 = 1 THEN 0
+      |   ELSE LIST_SUM([ABS(((2*f*13 + doc_id) % 2001 - 1000)
+      |     - (((2*f + 1)*13 + doc_id) % 2001 - 1000)) FOR f IN RANGE(nf)])
+      |   END AS BIGINT) AS sum_absdiff,
+      | CAST(CASE WHEN doc_id % 6 = 1 THEN 0
+      |   ELSE LIST_MAX([ABS(((2*f*13 + doc_id) % 2001 - 1000)
+      |     - (((2*f + 1)*13 + doc_id) % 2001 - 1000)) FOR f IN RANGE(nf)])
+      |   END AS INTEGER) AS max_absdiff,
+      | doc_id % 6 = 1 AS mono_dup
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m27_fake_stereo" -> m27,
     "m26_aspect_buckets" -> m26,
     "m25_patchify" -> m25,
     "m24_letterbox" -> m24,
@@ -2237,6 +2335,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m27_fake_stereo" -> m27Sql,
     "m26_aspect_buckets" -> m26Sql,
     "m25_patchify" -> m25Sql,
     "m24_letterbox" -> m24Sql,

@@ -746,7 +746,123 @@ object Streaming {
       |    // COUNT(*) AS BIGINT) AS late120_permille
       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q117: ordered conversion funnel --------------------------------------
+  /** q117: the classic ordered funnel over the event log — of all users,
+    * who VIEWED, then CLICKED at-or-after their first view, then PURCHASED
+    * at-or-after that click (each stage anchored on the earliest
+    * qualifying event, the standard strict-order funnel). Output is the
+    * 4-row stage report with per-stage conversion permille.
+    *
+    * Scale shape: three per-user min aggregations chained by user_id
+    * equi-joins (co-partitionable — one shuffle key end to end), four
+    * 1-row counts broadcast into the tiny stage union. */
+  private val q117: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") >= col("vts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") >= col("cts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+    val agg = e.agg(countDistinct(col("user_id")).as("n0"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n1"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n3"))))
+    agg.select(lit("0_all").as("stage"), col("n0").as("n_users"),
+        lit(1000L).as("permille_of_prev"))
+      .unionAll(agg.select(lit("1_view"), col("n1"),
+        expr("n1 * 1000 div n0")))
+      .unionAll(agg.select(lit("2_click"), col("n2"),
+        expr("n2 * 1000 div n1")))
+      .unionAll(agg.select(lit("3_purchase"), col("n3"),
+        expr("n3 * 1000 div n2")))
+      .psort(col("stage"))
+  }
+
+  private val q117Sql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS vts FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS cts FROM events e
+      |  JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts >= v.vts GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS pts FROM events e
+      |  JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.cts GROUP BY 1),
+      |n AS (SELECT
+      |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n0,
+      |  (SELECT COUNT(*) FROM v) AS n1,
+      |  (SELECT COUNT(*) FROM c) AS n2,
+      |  (SELECT COUNT(*) FROM p) AS n3)
+      |SELECT '0_all' AS stage, CAST(n0 AS BIGINT) AS n_users,
+      |  CAST(1000 AS BIGINT) AS permille_of_prev FROM n
+      |UNION ALL SELECT '1_view', CAST(n1 AS BIGINT),
+      |  CAST(n1 * 1000 // n0 AS BIGINT) FROM n
+      |UNION ALL SELECT '2_click', CAST(n2 AS BIGINT),
+      |  CAST(n2 * 1000 // n1 AS BIGINT) FROM n
+      |UNION ALL SELECT '3_purchase', CAST(n3 AS BIGINT),
+      |  CAST(n3 * 1000 // n2 AS BIGINT) FROM n
+      |ORDER BY stage""".stripMargin
+
+  // ---- q118: weekly retention cohorts ---------------------------------------
+  /** q118: the retention matrix every growth dashboard is built on — users
+    * cohorted by SIGNUP week, then for each later week-offset the count
+    * and permille still active (any event). Weeks are exact integer
+    * epoch-day arithmetic (no timezone/locale week functions — identical
+    * in both engines by construction).
+    *
+    * Scale shape: one per-user min (signup), one distinct (user, week)
+    * projection, ONE user_id equi-join, one (cohort, offset) agg — the
+    * cohort matrix is weeks^2-bounded. */
+  private val q118: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val week = (c: org.apache.spark.sql.Column) =>
+      floor(unix_millis(c) / lit(604800000L)).cast("long")
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(week(col("ts"))).as("cohort_week"))
+    val active = e.select(col("user_id"), week(col("ts")).as("aweek"))
+      .distinct()
+    val sized = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cohort.join(active, Seq("user_id"))
+      .filter(col("aweek") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (col("aweek") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sized, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000 div cohort_size").as("retained_permille"))
+      .psort(col("cohort_week"), col("week_offset"))
+  }
+
+  private val q118Sql =
+    """WITH cohort AS (
+      |  SELECT user_id, MIN(epoch_ms(ts) // 604800000) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS aweek
+      |  FROM events),
+      |sized AS (
+      |  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      |  FROM cohort GROUP BY 1)
+      |SELECT c.cohort_week, a.aweek - c.cohort_week AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active, s.cohort_size,
+      |  CAST(COUNT(*) * 1000 // s.cohort_size AS BIGINT)
+      |    AS retained_permille
+      |FROM cohort c JOIN active a USING (user_id)
+      |JOIN sized s ON c.cohort_week = s.cohort_week
+      |WHERE a.aweek >= c.cohort_week
+      |GROUP BY c.cohort_week, week_offset, s.cohort_size
+      |ORDER BY c.cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q117_funnel" -> q117,
+    "q118_retention" -> q118,
     "q116_watermark_audit" -> q116,
     "q108_stream_outer" -> q108,
     "q97_stream_file_sink" -> q97,
@@ -765,6 +881,8 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q117_funnel" -> q117Sql,
+    "q118_retention" -> q118Sql,
     "q116_watermark_audit" -> q116Sql,
     "q108_stream_outer" -> q108Sql,
     "q97_stream_file_sink" -> q97Sql,
