@@ -140,7 +140,10 @@ object PlanDump {
     "m26_aspect_buckets" -> "aspect bucketing: typed map-only decode; 6-row broadcast ladder cross join; per-image WindowGroupLimit argmin; 6-row agg",
     "s38_cell_distortion" -> "cell distortion: map-only graft_l2 vs a broadcast k-row centroid frame; fixed-point integer inertia sum (partition-invariant); k-row agg + 1-row total broadcast",
     "x51_canary_tracking" -> "canary sweep: contains() scan prunes docs BEFORE the token explode (vanishing explode input); one tiny per-canary agg",
-    "p11_maintenance_run" -> "maintenance run: three k-row rollups over the persisted-index maintenance legs; 3-row union")
+    "p11_maintenance_run" -> "maintenance run: three k-row rollups over the persisted-index maintenance legs; 3-row union",
+    "q117_funnel" -> "ordered funnel: three per-user min aggs chained on ONE join key (user_id); four 1-row broadcast counts into the 4-row stage union",
+    "q118_retention" -> "retention cohorts: per-user min + distinct (user, week) projection; ONE user_id equi-join; weeks^2-bounded matrix agg",
+    "m27_fake_stereo" -> "fake-stereo audit: one typed map-only WAV decode pass per clip; only the presentation sort shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
