@@ -2304,7 +2304,78 @@ object Multimodal {
       | doc_id % 6 = 1 AS mono_dup
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---- m28: dominant-color extraction (palette audit) ----------------------
+  /** Per-image palette row: exact distinct-color count, the dominant color
+    * (packed r<<16|g<<8|b, ties to the smallest id), and coverage. */
+  case class Palette(doc_id: Long, n_px: Int, n_colors: Int, top_color: Long,
+                     top_permille: Long, top4_permille: Long)
+
+  /** m28: the dominant-color/palette audit image curation runs (flat-color
+    * and low-palette images are synthetic/logo/screenshot signals, and the
+    * dominant color feeds cheap near-dup blocking): per image the exact
+    * distinct RGB count over the REAL decoded pixels, the most frequent
+    * color with permille coverage, and the top-4 coverage. Exact integer
+    * counting end to end; the oracle replays the pixel contract through a
+    * real per-color GROUP BY, so the engine's in-JVM histogram must agree
+    * with a full relational recount.
+    *
+    * Scale shape: one typed map-only decode+histogram pass per image (the
+    * histogram lives in the task, never exploded into rows); only the
+    * presentation sort shuffles. */
+  private val m28: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[Palette] = Encoders.product[Palette]
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map { r =>
+        val img = ImageCodecs.decode(r.data)
+        val n = img.rgb.length / 3
+        val hist = new java.util.HashMap[Long, Long]()
+        var p = 0
+        while (p < n) {
+          val cid = ((img.rgb(3 * p) & 0xffL) << 16) |
+            ((img.rgb(3 * p + 1) & 0xffL) << 8) | (img.rgb(3 * p + 2) & 0xffL)
+          hist.merge(cid, 1L, (a, b) => a + b)
+          p += 1
+        }
+        import scala.jdk.CollectionConverters._
+        val sorted = hist.asScala.toArray.sortBy { case (cid, c) => (-c, cid) }
+        val top4 = sorted.take(4).map(_._2).sum
+        Palette(r.doc_id, n, hist.size, sorted.head._1,
+          sorted.head._2 * 1000L / n, top4 * 1000L / n)
+      }).toDF()
+      .psort(col("doc_id"))
+  }
+
+  // pixel p's color = ((3p*7+id)%251, ((3p+1)*7+id)%251, ((3p+2)*7+id)%251)
+  private val m28Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id*7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 100),
+      |px AS (
+      |  SELECT doc_id, w*h AS npx, UNNEST([
+      |    ((3*p*7 + doc_id) % 251) * 65536
+      |      + (((3*p + 1)*7 + doc_id) % 251) * 256
+      |      + ((3*p + 2)*7 + doc_id) % 251
+      |    FOR p IN RANGE(w*h)]) AS cid
+      |  FROM g),
+      |cnt AS (
+      |  SELECT doc_id, npx, cid, COUNT(*) AS n FROM px GROUP BY 1, 2, 3),
+      |rk AS (
+      |  SELECT doc_id, npx, cid, n,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, cid) AS rn
+      |  FROM cnt)
+      |SELECT doc_id,
+      |  CAST(MAX(npx) AS INTEGER) AS n_px,
+      |  CAST(COUNT(*) AS INTEGER) AS n_colors,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN cid END) AS BIGINT) AS top_color,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN n END) * 1000 // MAX(npx) AS BIGINT)
+      |    AS top_permille,
+      |  CAST(SUM(CASE WHEN rn <= 4 THEN n ELSE 0 END) * 1000 // MAX(npx)
+      |    AS BIGINT) AS top4_permille
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m28_dominant_colors" -> m28,
     "m27_fake_stereo" -> m27,
     "m26_aspect_buckets" -> m26,
     "m25_patchify" -> m25,
@@ -2335,6 +2406,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m28_dominant_colors" -> m28Sql,
     "m27_fake_stereo" -> m27Sql,
     "m26_aspect_buckets" -> m26Sql,
     "m25_patchify" -> m25Sql,

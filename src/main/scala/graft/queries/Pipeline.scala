@@ -1150,7 +1150,70 @@ object Pipeline {
        |FROM (${Similarity.s36Sql}) t3
        |ORDER BY job""".stripMargin
 
+  // ---- p12: user-erasure pipeline + certificate ----------------------------
+  /** p12: the GDPR/user-deletion job every data platform must run — given
+    * the takedown list (user_id % 19 == 7; document ownership modeled as
+    * owner = doc_id % 50), physically LAND the erased copies of both
+    * tables (parquet write + read-back, the p01 discipline: certify the
+    * output that shipped, not the plan that produced it) and emit the
+    * erasure certificate: per table the rows before, removed, after, and
+    * the residual count of takedown-matching rows in the LANDED output —
+    * the number an auditor requires to be zero.
+    *
+    * Scale shape: two anti-filter scans + parquet rewrites (map-only,
+    * linear), four 1-row aggregations; the certificate is 2 rows. */
+  private val p12: Q = (s, dir) => {
+    val isTakU = (c: org.apache.spark.sql.Column) => c % 19 === 7
+    val ev = t(s, dir, "events")
+    val docs = t(s, dir, "documents")
+    val land = java.nio.file.Files.createTempDirectory("graft_p12_land_")
+    graft.streaming.StreamingOps.trackTempDir(land, eager = true)
+    ev.filter(!isTakU(col("user_id")))
+      .write.mode("overwrite").parquet(s"$land/events")
+    docs.filter(!isTakU(col("doc_id") % 50))
+      .write.mode("overwrite").parquet(s"$land/documents")
+    val evLanded = s.read.parquet(s"$land/events")
+    val docLanded = s.read.parquet(s"$land/documents")
+    val evRow = ev.agg(count(lit(1)).as("rows_before"),
+        sum(when(isTakU(col("user_id")), 1L).otherwise(0L))
+          .as("rows_removed"))
+      .crossJoin(broadcast(evLanded.agg(count(lit(1)).as("rows_after"),
+        sum(when(isTakU(col("user_id")), 1L).otherwise(0L)).as("residual"))))
+      .select(lit("events").as("tbl"), col("rows_before"),
+        col("rows_removed"), col("rows_after"),
+        coalesce(col("residual"), lit(0L)).as("residual"))
+    val docRow = docs.agg(count(lit(1)).as("rows_before"),
+        sum(when(isTakU(col("doc_id") % 50), 1L).otherwise(0L))
+          .as("rows_removed"))
+      .crossJoin(broadcast(docLanded.agg(count(lit(1)).as("rows_after"),
+        sum(when(isTakU(col("doc_id") % 50), 1L).otherwise(0L))
+          .as("residual"))))
+      .select(lit("documents").as("tbl"), col("rows_before"),
+        col("rows_removed"), col("rows_after"),
+        coalesce(col("residual"), lit(0L)).as("residual"))
+    docRow.unionAll(evRow).psort(col("tbl"))
+  }
+
+  private val p12Sql =
+    """SELECT 'documents' AS tbl,
+      |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS rows_before,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 50 % 19 = 7)
+      |    AS BIGINT) AS rows_removed,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 50 % 19 <> 7)
+      |    AS BIGINT) AS rows_after,
+      |  CAST(0 AS BIGINT) AS residual
+      |UNION ALL
+      |SELECT 'events' AS tbl,
+      |  CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+      |  CAST((SELECT COUNT(*) FROM events WHERE user_id % 19 = 7)
+      |    AS BIGINT),
+      |  CAST((SELECT COUNT(*) FROM events WHERE user_id % 19 <> 7)
+      |    AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |ORDER BY tbl""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p12_user_erasure" -> p12,
     "p11_maintenance_run" -> p11,
     "p10_snapshot_diff" -> p10,
     "p09_stream_admission" -> p09,
@@ -1163,6 +1226,7 @@ object Pipeline {
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p12_user_erasure" -> p12Sql,
     "p11_maintenance_run" -> p11Sql,
     "p10_snapshot_diff" -> p10Sql,
     "p09_stream_admission" -> p09Sql,

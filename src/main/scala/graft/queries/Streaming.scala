@@ -860,7 +860,63 @@ object Streaming {
       |GROUP BY c.cohort_week, week_offset, s.cohort_size
       |ORDER BY c.cohort_week, week_offset""".stripMargin
 
+  // ---- q119: session path transition matrix ---------------------------------
+  /** q119: the event-type transition matrix product analytics reads paths
+    * from — within each user's 5-minute-gap sessions (q38's session rule),
+    * count consecutive (from_type -> to_type) steps, with each transition's
+    * permille among steps leaving the same from_type (the per-state
+    * Markov row). Ties in ts order break on event_id so both engines walk
+    * identical paths.
+    *
+    * Scale shape: one per-user window pass (lag over the user's own
+    * timeline — partition-parallel across users, never a global sort),
+    * one (from, to) agg over at most |types|^2 groups, a |types|-row
+    * broadcast for the row totals. */
+  private val q119: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_type").isNotNull &&
+        unix_millis(col("ts")) - unix_millis(col("prev_ts")) < 300000L)
+      .select(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+    val m = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    val totals = m.groupBy(col("from_type"))
+      .agg(sum(col("n_steps")).as("row_total"))
+    m.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_steps"),
+        expr("n_steps * 1000 div row_total").as("row_permille"))
+      .psort(col("from_type"), col("to_type"))
+  }
+
+  private val q119Sql =
+    """WITH steps AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type FROM (
+      |    SELECT event_type, ts,
+      |      LAG(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS prev_type,
+      |      LAG(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS prev_ts
+      |    FROM events)
+      |  WHERE prev_type IS NOT NULL
+      |    AND epoch_ms(ts) - epoch_ms(prev_ts) < 300000),
+      |m AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_steps
+      |  FROM steps GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n_steps) AS BIGINT) AS row_total
+      |  FROM m GROUP BY 1)
+      |SELECT m.from_type, m.to_type, m.n_steps,
+      |  CAST(m.n_steps * 1000 // t.row_total AS BIGINT) AS row_permille
+      |FROM m JOIN tot t USING (from_type)
+      |ORDER BY m.from_type, m.to_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q119_transitions" -> q119,
     "q117_funnel" -> q117,
     "q118_retention" -> q118,
     "q116_watermark_audit" -> q116,
@@ -881,6 +937,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q119_transitions" -> q119Sql,
     "q117_funnel" -> q117Sql,
     "q118_retention" -> q118Sql,
     "q116_watermark_audit" -> q116Sql,
