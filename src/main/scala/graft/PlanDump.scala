@@ -143,7 +143,10 @@ object PlanDump {
     "p11_maintenance_run" -> "maintenance run: three k-row rollups over the persisted-index maintenance legs; 3-row union",
     "q117_funnel" -> "ordered funnel: three per-user min aggs chained on ONE join key (user_id); four 1-row broadcast counts into the 4-row stage union",
     "q118_retention" -> "retention cohorts: per-user min + distinct (user, week) projection; ONE user_id equi-join; weeks^2-bounded matrix agg",
-    "m27_fake_stereo" -> "fake-stereo audit: one typed map-only WAV decode pass per clip; only the presentation sort shuffles")
+    "m27_fake_stereo" -> "fake-stereo audit: one typed map-only WAV decode pass per clip; only the presentation sort shuffles",
+    "q119_transitions" -> "transition matrix: per-user lag window (partition-parallel); types^2-bounded agg; types-row broadcast totals",
+    "p12_user_erasure" -> "user erasure: two anti-filter scans + linear parquet rewrites; certificate from four 1-row aggs over source and LANDED output",
+    "m28_dominant_colors" -> "dominant colors: one typed map-only decode+in-task-histogram pass; only the presentation sort shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
