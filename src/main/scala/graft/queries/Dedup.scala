@@ -2238,7 +2238,53 @@ object Dedup {
        |ORDER BY b.band""".stripMargin
   }
 
+  // ---- d33: order-independent corpus checksum (replica verification) ------
+  /** d33: the replica-verification primitive dataset versioning needs —
+    * an ORDER-INDEPENDENT per-source checksum (bit-XOR and modular sum of
+    * per-doc content-digest integers, plus count and byte mass) that two
+    * replicas compute independently and compare without sorting, shipping,
+    * or row-aligning anything. XOR and wrapping sum are commutative and
+    * associative, so any partitioning/arrival order yields the same
+    * checksum — the property that makes this check O(k) to compare at
+    * 100 TB. The digest covers (doc_id, content), so a swapped text
+    * between two docs changes the checksum even though the multiset of
+    * texts is identical.
+    *
+    * Scale shape: one map-only digest pass, one per-source agg with
+    * map-side partials — the flattest shape; output is one row per
+    * source. */
+  private val d33: Q = (s, dir) => {
+    val dg = md5i(concat(col("doc_id").cast("string"), lit("|"), col("text")))
+    t(s, dir, "documents")
+      .select(col("source"), dg.as("dg"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("bit_xor(dg)").as("xor_digest"),
+        // wrapping modular sum: keeps the second independent accumulator
+        // inside BIGINT exactly (2^40 * 500k docs < 2^63 per partial is
+        // NOT guaranteed at corpus scale, so reduce mod 2^40 per term)
+        sum(col("dg") % 1099511627776L).as("sum_digest_raw"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("xor_digest"),
+        (col("sum_digest_raw") % 1099511627776L).as("sum_digest"))
+      .psort(col("source"))
+  }
+
+  private val d33Sql =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       |  CAST(BIT_XOR(dg) AS BIGINT) AS xor_digest,
+       |  CAST(SUM(dg % 1099511627776) % 1099511627776 AS BIGINT)
+       |    AS sum_digest
+       |FROM (SELECT source, text,
+       |    ${md5iSql("CAST(doc_id AS VARCHAR) || '|' || text")} AS dg
+       |  FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d33_corpus_checksum" -> d33,
     "d32_store_compaction" -> d32,
     "d31_dup_spectrum" -> d31,
     "d29_source_matrix" -> d29,
@@ -2272,6 +2318,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d33_corpus_checksum" -> d33Sql,
     "d32_store_compaction" -> d32Sql,
     "d31_dup_spectrum" -> d31Sql,
     "d29_source_matrix" -> d29Sql,

@@ -2936,7 +2936,65 @@ object Similarity {
        |  p.sum_fp * $ivfK > t.total_fp * 2 AS hot
        |FROM per p, tot t ORDER BY p.cell""".stripMargin
 
+  // ---- s39: embedding-coverage integrity audit ------------------------------
+  /** s39: the referential-integrity audit a text+embedding corpus needs
+    * before any retrieval index builds — which documents lack a vector
+    * (failed embedding jobs: vec_id % 41 == 13 modeled as lost), and
+    * which vectors are orphans (their document was culled: doc_id % 37 ==
+    * 2 modeled as removed)? Per source: doc count, embedded count,
+    * coverage permille, and orphan count. An index built over orphans
+    * serves deleted content; a corpus trained below full coverage
+    * under-weights whatever the embedding job dropped — both are numbers
+    * an operator gates on.
+    *
+    * Scale shape: ONE doc_id/vec_id full-outer equi-join
+    * (co-partitionable), one per-source agg; orphans without a source
+    * roll into the dedicated '(orphan)' row. */
+  private val s39: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 37 =!= 2)
+      .select(col("doc_id"), col("source"))
+    val vecs = t(s, dir, "embeddings").filter(col("vec_id") % 41 =!= 13)
+      .select(col("vec_id").as("doc_id"), lit(1).as("has_vec"))
+    docs.join(vecs, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), lit("(orphan)")).as("source"),
+        when(col("source").isNotNull, 1L).otherwise(0L).as("is_doc"),
+        coalesce(col("has_vec").cast("long"), lit(0L)).as("is_vec"))
+      .groupBy(col("source")).agg(
+        sum(col("is_doc")).as("n_docs"),
+        sum(when(col("is_doc") === 1L && col("is_vec") === 1L, 1L)
+          .otherwise(0L)).as("n_embedded"),
+        sum(when(col("is_doc") === 0L, 1L).otherwise(0L)).as("n_orphans"))
+      .select(col("source"), col("n_docs"), col("n_embedded"),
+        when(col("n_docs") > 0L, expr("n_embedded * 1000 div n_docs"))
+          .otherwise(lit(0L)).as("coverage_permille"),
+        col("n_orphans"))
+      .psort(col("source"))
+  }
+
+  private val s39Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source FROM documents WHERE doc_id % 37 <> 2),
+      |v AS (
+      |  SELECT vec_id AS doc_id, 1 AS has_vec FROM embeddings
+      |  WHERE vec_id % 41 <> 13),
+      |j AS (
+      |  SELECT COALESCE(d.source, '(orphan)') AS source,
+      |    CASE WHEN d.source IS NOT NULL THEN 1 ELSE 0 END AS is_doc,
+      |    COALESCE(v.has_vec, 0) AS is_vec
+      |  FROM d FULL OUTER JOIN v USING (doc_id))
+      |SELECT source, CAST(SUM(is_doc) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN is_doc = 1 AND is_vec = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_embedded,
+      |  CAST(CASE WHEN SUM(is_doc) > 0
+      |    THEN SUM(CASE WHEN is_doc = 1 AND is_vec = 1 THEN 1 ELSE 0 END)
+      |      * 1000 // SUM(is_doc) ELSE 0 END AS BIGINT)
+      |    AS coverage_permille,
+      |  CAST(SUM(CASE WHEN is_doc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_orphans
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s39_embedding_coverage" -> s39,
     "s38_cell_distortion" -> s38,
     "s37_serving_load" -> s37,
     "s36_retrain_migration" -> s36,
@@ -2977,6 +3035,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s39_embedding_coverage" -> s39Sql,
     "s38_cell_distortion" -> s38Sql,
     "s37_serving_load" -> s37Sql,
     "s36_retrain_migration" -> s36Sql,

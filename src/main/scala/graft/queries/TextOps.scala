@@ -3127,7 +3127,52 @@ object TextOps {
       |FROM tok WHERE tok LIKE 'canary-%'
       |GROUP BY tok ORDER BY tok""".stripMargin
 
+  // ---- x52: frequency-spectrum + Good-Turing unseen-mass estimate ----------
+  /** x52: the count-of-counts spectrum smoothing is built on — per source
+    * the vocabulary size, token mass, N1/N2 (types seen once/twice), and
+    * the Good-Turing estimate of unseen probability mass (N1/N, reported
+    * as exact integer permille). A source whose unseen mass is high is
+    * under-sampled relative to its vocabulary — more crawl budget moves
+    * the needle there; near zero means the source is exhausted. x38's
+    * hapax trend is the time-series cousin; this is the per-source
+    * smoothing input. All counters exact integers.
+    *
+    * Scale shape: one (source, term) count shuffle with map-side partials,
+    * one spectrum re-agg over type counts — vocabulary-bounded, never
+    * token-bounded after the first shuffle. */
+  private val x52: Q = (s, dir) => {
+    val cnt = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("source")).agg(
+        count(lit(1)).as("vocab"),
+        sum(col("c")).as("tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("vocab"), col("tokens"), col("n1"),
+        col("n2"),
+        expr("n1 * 1000 div tokens").as("unseen_mass_permille"))
+      .psort(col("source"))
+  }
+
+  private val x52Sql =
+    """WITH cnt AS (
+      |  SELECT source, term, COUNT(*) AS c FROM (
+      |    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY 1, 2)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+      |  CAST(SUM(c) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // SUM(c)
+      |    AS BIGINT) AS unseen_mass_permille
+      |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x52_freq_spectrum" -> x52,
     "x51_canary_tracking" -> x51,
     "x50_code_detect" -> x50,
     "x49_zipf_fit" -> x49,
@@ -3181,6 +3226,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x52_freq_spectrum" -> x52Sql,
     "x51_canary_tracking" -> x51Sql,
     "x50_code_detect" -> x50Sql,
     "x49_zipf_fit" -> x49Sql,
