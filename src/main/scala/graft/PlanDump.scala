@@ -146,7 +146,10 @@ object PlanDump {
     "m27_fake_stereo" -> "fake-stereo audit: one typed map-only WAV decode pass per clip; only the presentation sort shuffles",
     "q119_transitions" -> "transition matrix: per-user lag window (partition-parallel); types^2-bounded agg; types-row broadcast totals",
     "p12_user_erasure" -> "user erasure: two anti-filter scans + linear parquet rewrites; certificate from four 1-row aggs over source and LANDED output",
-    "m28_dominant_colors" -> "dominant colors: one typed map-only decode+in-task-histogram pass; only the presentation sort shuffles")
+    "m28_dominant_colors" -> "dominant colors: one typed map-only decode+in-task-histogram pass; only the presentation sort shuffles",
+    "s39_embedding_coverage" -> "coverage audit: ONE doc_id/vec_id full-outer sort-merge join; one per-source agg with map-side partials",
+    "x52_freq_spectrum" -> "frequency spectrum: one (source, term) count shuffle; vocabulary-bounded re-aggregation",
+    "d33_corpus_checksum" -> "corpus checksum: map-only digests; commutative XOR/sum accumulators with map-side partials; k-row output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
