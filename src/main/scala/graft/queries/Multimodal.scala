@@ -2374,7 +2374,86 @@ object Multimodal {
       |    AS BIGINT) AS top4_permille
       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- m29: sharpness audit (Laplacian response) ---------------------------
+  /** Per-image sharpness row: exact integer 4-neighbor Laplacian stats. */
+  case class Sharpness(doc_id: Long, n_interior: Int, lap_sse: Long,
+                       max_abs_lap: Int, sharp_permille: Long)
+
+  /** m29: the blur/sharpness gate image curation runs before training —
+    * blurry or flat images carry little signal, and the standard cheap
+    * detector is the variance/energy of the discrete Laplacian. Here the
+    * 4-neighbor Laplacian runs over the REAL decoded pixels in exact
+    * integer arithmetic: per image the interior count, the summed squared
+    * response, the max |L|, and the permille of interior pixels with a
+    * non-zero response. The fixture's pixel field is locally linear
+    * (steps of 7 per channel index), so the Laplacian is zero EXCEPT at
+    * mod-251 wrap seams — the oracle replays those seams exactly, so a
+    * neighbor-offset or stride bug changes the seam pattern and diverges.
+    *
+    * Scale shape: one typed map-only decode+convolution pass per image;
+    * only the presentation sort shuffles. */
+  private val m29: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[Sharpness] = Encoders.product[Sharpness]
+    mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map { r =>
+        val img = ImageCodecs.decode(r.data)
+        val (w, h) = (img.width, img.height)
+        def p(y: Int, x: Int, c: Int): Int = img.rgb((y * w + x) * 3 + c) & 0xff
+        var sse = 0L
+        var mx = 0
+        var nz = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            var c = 0
+            while (c < 3) {
+              val l = 4 * p(y, x, c) - p(y - 1, x, c) - p(y + 1, x, c) -
+                p(y, x - 1, c) - p(y, x + 1, c)
+              sse += l.toLong * l
+              val a = math.abs(l)
+              if (a > mx) mx = a
+              if (l != 0) nz += 1
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w - 2) * (h - 2) * 3
+        Sharpness(r.doc_id, n, sse, mx, nz * 1000L / n)
+      }).toDF()
+      .psort(col("doc_id"))
+  }
+
+  // interior index j: y = 1 + j//(3*(w-2)), x = 1 + (j//3)%(w-2), c = j%3;
+  // p(y,x) = (((y*w+x)*3 + j%3)*7 + doc_id) % 251
+  private val m29Sql: String = {
+    def p(y: String, x: String) =
+      s"(((($y)*w + ($x))*3 + j%3)*7 + doc_id) % 251"
+    val Y = "1 + j//(3*(w-2))"
+    val X = "1 + (j//3)%(w-2)"
+    val lap = s"(4*(${p(Y, X)}) - (${p(s"($Y) - 1", X)}) - " +
+      s"(${p(s"($Y) + 1", X)}) - (${p(Y, s"($X) - 1")}) - " +
+      s"(${p(Y, s"($X) + 1")}))"
+    s"""WITH g AS (
+       |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id*7) % 40 AS h
+       |  FROM documents WHERE doc_id <= 100)
+       |SELECT doc_id,
+       | CAST((w-2)*(h-2)*3 AS INTEGER) AS n_interior,
+       | CAST(LIST_SUM([$lap * $lap
+       |   FOR j IN RANGE((w-2)*(h-2)*3)]) AS BIGINT) AS lap_sse,
+       | CAST(LIST_MAX([ABS($lap)
+       |   FOR j IN RANGE((w-2)*(h-2)*3)]) AS INTEGER) AS max_abs_lap,
+       | CAST(LIST_SUM([CASE WHEN $lap <> 0 THEN 1 ELSE 0 END
+       |   FOR j IN RANGE((w-2)*(h-2)*3)]) * 1000 // ((w-2)*(h-2)*3)
+       |   AS BIGINT) AS sharp_permille
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m29_sharpness" -> m29,
     "m28_dominant_colors" -> m28,
     "m27_fake_stereo" -> m27,
     "m26_aspect_buckets" -> m26,
@@ -2406,6 +2485,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m29_sharpness" -> m29Sql,
     "m28_dominant_colors" -> m28Sql,
     "m27_fake_stereo" -> m27Sql,
     "m26_aspect_buckets" -> m26Sql,

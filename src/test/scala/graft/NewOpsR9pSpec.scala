@@ -61,6 +61,24 @@ class NewOpsR9pSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("m29: every Laplacian response is a mod-251 wrap seam (the fixture " +
+      "field is locally linear)") {
+    val rows = queries.Multimodal.queries("m29_sharpness")(spark, sfDir)
+      .collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      // linear field => L = 0 except where a neighbor term wrapped mod
+      // 251, and each wrap contributes exactly +-251 — so every response
+      // is a multiple of 251 and the SSE a multiple of 251^2
+      num(r, "max_abs_lap") % 251 shouldBe 0L
+      num(r, "lap_sse") % (251L * 251L) shouldBe 0L
+      // seams genuinely occur at these dims
+      num(r, "lap_sse") should be > 0L
+      num(r, "sharp_permille") should be > 0L
+      num(r, "sharp_permille") should be < 1000L
+    }
+  }
+
   test("d33: the checksum is partition-order independent and flips on a " +
       "single swapped text") {
     val rows = queries.Dedup.queries("d33_corpus_checksum")(spark, sfDir)
