@@ -149,7 +149,8 @@ object PlanDump {
     "m28_dominant_colors" -> "dominant colors: one typed map-only decode+in-task-histogram pass; only the presentation sort shuffles",
     "s39_embedding_coverage" -> "coverage audit: ONE doc_id/vec_id full-outer sort-merge join; one per-source agg with map-side partials",
     "x52_freq_spectrum" -> "frequency spectrum: one (source, term) count shuffle; vocabulary-bounded re-aggregation",
-    "d33_corpus_checksum" -> "corpus checksum: map-only digests; commutative XOR/sum accumulators with map-side partials; k-row output")
+    "d33_corpus_checksum" -> "corpus checksum: map-only digests; commutative XOR/sum accumulators with map-side partials; k-row output",
+    "m29_sharpness" -> "sharpness audit: one typed map-only decode+Laplacian pass per image; only the presentation sort shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
