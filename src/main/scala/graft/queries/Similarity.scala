@@ -2993,7 +2993,75 @@ object Similarity {
       |    AS n_orphans
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- s40: assignment-margin stability audit --------------------------------
+  /** s40: the churn predictor for s36's retrain migration — per vector the
+    * MARGIN between its best and second-best cell (floor((d2-d1)*1000/d2),
+    * one double expression evaluated identically in both engines before
+    * the floor); a low-margin vector sits on a cell boundary and flips
+    * assignment under any centroid drift. Per cell: population, the
+    * low-margin count (< 100 permille), its permille, and the tightest
+    * margin — the cells to watch before scheduling a retrain.
+    *
+    * Scale shape: the k-row centroid frame broadcasts; scoring is one
+    * k-multiplied map-side expansion (8 rows per vector, no shuffle until
+    * the per-vector rank), one vec_id window, one k-row agg. */
+  private val s40: Q = (s, dir) => {
+    import s.implicits._
+    val (centroids, _) = trainedIvf(s, dir)
+    val cents = centroids.toSeq.map(c => (c.cell, c.vec.toSeq))
+      .toDF("ccell", "cvec")
+    val scored = t(s, dir, "embeddings")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ccell"),
+        call_function("graft_l2", col("embedding"), col("cvec")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d"), col("ccell"))
+    val top2 = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id")).agg(
+        max(when(col("rn") === 1, col("ccell"))).as("cell"),
+        max(when(col("rn") === 1, col("d"))).as("d1"),
+        max(when(col("rn") === 2, col("d"))).as("d2"))
+      .withColumn("margin_permille",
+        floor((col("d2") - col("d1")) * 1000.0 / col("d2")).cast("long"))
+    top2.groupBy(col("cell")).agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("margin_permille") < 100L, 1L).otherwise(0L))
+          .as("n_unstable"),
+        min(col("margin_permille")).as("min_margin_permille"))
+      .select(col("cell"), col("n_vectors"), col("n_unstable"),
+        expr("n_unstable * 1000 div n_vectors").as("unstable_permille"),
+        col("min_margin_permille"))
+      .psort(col("cell"))
+  }
+
+  private lazy val s40Sql: String =
+    s"""$ivfCtePrefix,
+       |sc AS (
+       |  SELECT e.vec_id, c.cell, ${dist2Sql("e.v", "c.vec")} AS d,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dist2Sql("e.v", "c.vec")}, c.cell) AS rn
+       |  FROM e CROSS JOIN $ivfFinalCentsCte c),
+       |top2 AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN rn = 1 THEN cell END) AS cell,
+       |    MAX(CASE WHEN rn = 1 THEN d END) AS d1,
+       |    MAX(CASE WHEN rn = 2 THEN d END) AS d2
+       |  FROM sc WHERE rn <= 2 GROUP BY vec_id),
+       |m AS (
+       |  SELECT cell,
+       |    CAST(FLOOR((d2 - d1) * 1000.0 / d2) AS BIGINT) AS margin_permille
+       |  FROM top2)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN margin_permille < 100 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_unstable,
+       |  CAST(SUM(CASE WHEN margin_permille < 100 THEN 1 ELSE 0 END) * 1000
+       |    // COUNT(*) AS BIGINT) AS unstable_permille,
+       |  CAST(MIN(margin_permille) AS BIGINT) AS min_margin_permille
+       |FROM m GROUP BY cell ORDER BY cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s40_margin_audit" -> s40,
     "s39_embedding_coverage" -> s39,
     "s38_cell_distortion" -> s38,
     "s37_serving_load" -> s37,
@@ -3035,6 +3103,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s40_margin_audit" -> s40Sql,
     "s39_embedding_coverage" -> s39Sql,
     "s38_cell_distortion" -> s38Sql,
     "s37_serving_load" -> s37Sql,

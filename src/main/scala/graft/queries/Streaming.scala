@@ -915,7 +915,76 @@ object Streaming {
       |FROM m JOIN tot t USING (from_type)
       |ORDER BY m.from_type, m.to_type""".stripMargin
 
+  // ---- q120: multi-touch revenue attribution --------------------------------
+  /** q120: the attribution job marketing analytics runs — every purchase's
+    * value credited to the view/click touches that preceded it within 24h,
+    * under BOTH models: last-touch (full value to the latest touch) and
+    * linear (value split equally, remainder cents to the latest touch —
+    * the largest-remainder rule that keeps the books exact). Money stays
+    * in integer CENTS end to end, so both engines' totals are
+    * bit-identical and every purchase's cents are fully conserved across
+    * its touches (spec-pinned).
+    *
+    * Scale shape: one user_id equi-join with a time-range predicate (the
+    * q50 interval-join shape — state bounded by the window), one
+    * per-purchase ranking window, one channel-level agg. */
+  private val q120: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_millis(col("ts")).as("pts"),
+        (col("value").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+    val touch = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_millis(col("ts")).as("tts"), col("event_id").as("tid"))
+    val joined = purch.join(touch, Seq("user_id"))
+      .filter(col("tts") <= col("pts") &&
+        col("tts") > col("pts") - 86400000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("tts").desc, col("tid").desc)
+    val ranked = joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_touch", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))))
+    ranked.select(col("channel"),
+        when(col("rn") === 1, col("cents")).otherwise(0L).as("last_cents"),
+        (expr("cents div n_touch") +
+          when(col("rn") === 1, expr("cents % n_touch")).otherwise(0L))
+          .as("linear_cents"))
+      .groupBy(col("channel")).agg(
+        count(lit(1)).as("n_touches"),
+        sum(col("last_cents")).as("last_touch_cents"),
+        sum(col("linear_cents")).as("linear_cents"))
+      .psort(col("channel"))
+  }
+
+  private val q120Sql =
+    """WITH purch AS (
+      |  SELECT event_id AS pid, user_id, epoch_ms(ts) AS pts,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, event_type AS channel, epoch_ms(ts) AS tts,
+      |    event_id AS tid
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |ranked AS (
+      |  SELECT channel, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY pid
+      |      ORDER BY tts DESC, tid DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY pid) AS n_touch
+      |  FROM purch JOIN touch USING (user_id)
+      |  WHERE tts <= pts AND tts > pts - 86400000)
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT)
+      |    AS last_touch_cents,
+      |  CAST(SUM(cents // n_touch
+      |    + CASE WHEN rn = 1 THEN cents % n_touch ELSE 0 END) AS BIGINT)
+      |    AS linear_cents
+      |FROM ranked GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q120_attribution" -> q120,
     "q119_transitions" -> q119,
     "q117_funnel" -> q117,
     "q118_retention" -> q118,
@@ -937,6 +1006,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q120_attribution" -> q120Sql,
     "q119_transitions" -> q119Sql,
     "q117_funnel" -> q117Sql,
     "q118_retention" -> q118Sql,
