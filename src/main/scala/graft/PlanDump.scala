@@ -150,7 +150,9 @@ object PlanDump {
     "s39_embedding_coverage" -> "coverage audit: ONE doc_id/vec_id full-outer sort-merge join; one per-source agg with map-side partials",
     "x52_freq_spectrum" -> "frequency spectrum: one (source, term) count shuffle; vocabulary-bounded re-aggregation",
     "d33_corpus_checksum" -> "corpus checksum: map-only digests; commutative XOR/sum accumulators with map-side partials; k-row output",
-    "m29_sharpness" -> "sharpness audit: one typed map-only decode+Laplacian pass per image; only the presentation sort shuffles")
+    "m29_sharpness" -> "sharpness audit: one typed map-only decode+Laplacian pass per image; only the presentation sort shuffles",
+    "q120_attribution" -> "attribution: ONE user_id interval join (state bounded by the 24h window); per-purchase rank window; channel-level agg",
+    "s40_margin_audit" -> "margin audit: k-row centroid broadcast; k-multiplied map-side scoring; one vec_id rank window; k-row agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
