@@ -2262,13 +2262,16 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         expr("bit_xor(dg)").as("xor_digest"),
-        // wrapping modular sum: keeps the second independent accumulator
-        // inside BIGINT exactly (2^40 * 500k docs < 2^63 per partial is
-        // NOT guaranteed at corpus scale, so reduce mod 2^40 per term)
-        sum(col("dg") % 1099511627776L).as("sum_digest_raw"))
+        // second independent accumulator: a modular sum catches the
+        // multiset changes XOR cancels (a doc duplicated twice). Terms
+        // reduce mod 2^20 BEFORE summing so the BIGINT running sum stays
+        // exact (never wraps) up to 2^43 docs per source — Spark's long
+        // sum wraps silently at 2^63 while DuckDB promotes to HUGEINT, so
+        // the sum must provably never overflow on either engine
+        sum(col("dg") % 1048576L).as("sum_digest_raw"))
       .select(col("source"), col("n_docs"), col("total_chars"),
         col("xor_digest"),
-        (col("sum_digest_raw") % 1099511627776L).as("sum_digest"))
+        (col("sum_digest_raw") % 1048576L).as("sum_digest"))
       .psort(col("source"))
   }
 
@@ -2276,7 +2279,7 @@ object Dedup {
     s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
        |  CAST(BIT_XOR(dg) AS BIGINT) AS xor_digest,
-       |  CAST(SUM(dg % 1099511627776) % 1099511627776 AS BIGINT)
+       |  CAST(SUM(dg % 1048576) % 1048576 AS BIGINT)
        |    AS sum_digest
        |FROM (SELECT source, text,
        |    ${md5iSql("CAST(doc_id AS VARCHAR) || '|' || text")} AS dg
