@@ -1212,7 +1212,65 @@ object Pipeline {
       |  CAST(0 AS BIGINT)
       |ORDER BY tbl""".stripMargin
 
+  // ---- p13: data-order reproducibility certificate --------------------------
+  /** p13: the order certificate a reproducible training run ships — x43's
+    * seeded deterministic shuffle fixes WHAT order the docs stream in;
+    * this certifies per shard that two independently-built runs stream
+    * the IDENTICAL order, via an ORDER-DEPENDENT digest (d33's checksum
+    * is deliberately order-independent; this is its complement):
+    * sum over rank r of ((r mod M) * (digest(doc) mod M)) mod M, M the
+    * prime 1000003 — each term is bounded by M so the BIGINT running sum
+    * provably never wraps on either engine, and swapping ANY two docs'
+    * positions flips the digest (spec-proven). first/last doc ids anchor
+    * human debugging when digests diverge.
+    *
+    * Scale shape: map-only order keys, one per-shard rank window
+    * (partition-parallel across shards), one per-shard agg. */
+  private val p13: Q = (s, dir) => {
+    val M = 1000003L
+    val ok = md5i(concat(lit("p13:"), col("doc_id").cast("string")))
+    val dgm = md5i(concat(col("doc_id").cast("string"), lit("|"),
+      col("text"))) % M
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"), ok.as("ok"), dgm.as("dgm"))
+      .withColumn("shard", col("ok") % 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))
+    keyed.withColumn("r", row_number().over(w).cast("long"))
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr(s"(r % $M) * dgm % $M")).as("raw"),
+        expr("min_by(doc_id, r)").as("first_doc"),
+        expr("max_by(doc_id, r)").as("last_doc"))
+      .select(col("shard"), col("n_docs"),
+        (col("raw") % M).as("order_digest"),
+        col("first_doc"), col("last_doc"))
+      .psort(col("shard"))
+  }
+
+  private val p13Sql = {
+    val M = 1000003L
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    ${graft.queries.QueryHelpers.md5iSql(
+             "'p13:' || CAST(doc_id AS VARCHAR)")} AS ok,
+       |    ${graft.queries.QueryHelpers.md5iSql(
+             "CAST(doc_id AS VARCHAR) || '|' || text")} % $M AS dgm
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT ok % 4 AS shard, doc_id, dgm,
+       |    ROW_NUMBER() OVER (PARTITION BY ok % 4
+       |      ORDER BY ok, doc_id) AS r
+       |  FROM keyed)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM((r % $M) * dgm % $M) % $M AS BIGINT) AS order_digest,
+       |  CAST(ARG_MIN(doc_id, r) AS BIGINT) AS first_doc,
+       |  CAST(ARG_MAX(doc_id, r) AS BIGINT) AS last_doc
+       |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "p13_order_certificate" -> p13,
     "p12_user_erasure" -> p12,
     "p11_maintenance_run" -> p11,
     "p10_snapshot_diff" -> p10,
@@ -1226,6 +1284,7 @@ object Pipeline {
     "p02_pipeline_streaming" -> p02)
 
   val oracleSql: Map[String, String] = Map(
+    "p13_order_certificate" -> p13Sql,
     "p12_user_erasure" -> p12Sql,
     "p11_maintenance_run" -> p11Sql,
     "p10_snapshot_diff" -> p10Sql,

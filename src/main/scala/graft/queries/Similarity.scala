@@ -3060,7 +3060,51 @@ object Similarity {
        |  CAST(MIN(margin_permille) AS BIGINT) AS min_margin_permille
        |FROM m GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ---- s41: PQ codebook-utilization audit ------------------------------------
+  /** s41: the codebook-health metric for the PQ index (s10/s12/s19) — per
+    * sub-quantizer, how many of the k codes the corpus actually uses,
+    * how many are DEAD (trained capacity serving nothing — the quantizer
+    * wants retraining on the live distribution), and the hottest code's
+    * permille share (a code absorbing most of a subspace collapses ADC
+    * resolution there). Rides the SAME persisted code table the PQ
+    * serving queries scan; the oracle replays all m sub-trainings through
+    * the shared unrolled CTEs.
+    *
+    * Scale shape: one explode of the 8-byte code row into (subspace,
+    * code) pairs (map-only, x8), one (m x k)-bounded agg, m-row output. */
+  private val s41: Q = (s, dir) => {
+    val (_, codes) = trainedPq(s, dir)
+    val pairs = codes.select(explode(array((0 until pqM).map(j =>
+        struct(lit(j).as("sub"), col(s"c$j").as("code"))): _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("sc.code").as("code"))
+    pairs.groupBy(col("sub"), col("code")).agg(count(lit(1)).as("n"))
+      .groupBy(col("sub")).agg(
+        count(lit(1)).as("used_codes"),
+        (lit(pqK) - count(lit(1))).as("dead_codes"),
+        max(col("n")).as("max_code_n"),
+        expr("max(n) * 1000 div sum(n)").as("max_share_permille"))
+      .psort(col("sub"))
+  }
+
+  private lazy val s41Sql: String = {
+    val union = (0 until pqM)
+      .map(j => s"SELECT $j AS sub, cell AS code FROM code$j")
+      .mkString("\n  UNION ALL ")
+    s"""$pqCtes,
+       |allc AS (
+       |  $union),
+       |per AS (
+       |  SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM allc GROUP BY 1, 2)
+       |SELECT sub, CAST(COUNT(*) AS BIGINT) AS used_codes,
+       |  CAST($pqK - COUNT(*) AS BIGINT) AS dead_codes,
+       |  CAST(MAX(n) AS BIGINT) AS max_code_n,
+       |  CAST(MAX(n) * 1000 // SUM(n) AS BIGINT) AS max_share_permille
+       |FROM per GROUP BY sub ORDER BY sub""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s41_pq_utilization" -> s41,
     "s40_margin_audit" -> s40,
     "s39_embedding_coverage" -> s39,
     "s38_cell_distortion" -> s38,
@@ -3103,6 +3147,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s41_pq_utilization" -> s41Sql,
     "s40_margin_audit" -> s40Sql,
     "s39_embedding_coverage" -> s39Sql,
     "s38_cell_distortion" -> s38Sql,
