@@ -152,7 +152,9 @@ object PlanDump {
     "d33_corpus_checksum" -> "corpus checksum: map-only digests; commutative XOR/sum accumulators with map-side partials; k-row output",
     "m29_sharpness" -> "sharpness audit: one typed map-only decode+Laplacian pass per image; only the presentation sort shuffles",
     "q120_attribution" -> "attribution: ONE user_id interval join (state bounded by the 24h window); per-purchase rank window; channel-level agg",
-    "s40_margin_audit" -> "margin audit: k-row centroid broadcast; k-multiplied map-side scoring; one vec_id rank window; k-row agg")
+    "s40_margin_audit" -> "margin audit: k-row centroid broadcast; k-multiplied map-side scoring; one vec_id rank window; k-row agg",
+    "s41_pq_utilization" -> "PQ utilization: persisted code table; map-only explode to (subspace, code); (m x k)-bounded agg",
+    "p13_order_certificate" -> "order certificate: map-only keys; per-shard rank windows (partition-parallel); per-shard agg with bounded modular terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
