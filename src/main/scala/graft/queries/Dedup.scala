@@ -2286,7 +2286,101 @@ object Dedup {
        |  FROM documents)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- d34: shingle-width ablation (verdict-stability audit) ---------------
+  /** d34: the parameter-sensitivity audit before committing a dedup
+    * config — does the w=3 word-shingle the whole pipeline standardizes
+    * on agree with w=5 on THIS corpus? Over the shared df-capped 3-gram
+    * candidate pairs, both jaccards are compared at the 0.5 threshold in
+    * EXACT integer form (2*common >= union — no float compare anywhere)
+    * and the agreement matrix reported per class with mean floor-permille
+    * jaccards. A large only_w3 class means w=3 over-fires on short
+    * templates; only_w5 means it under-merges long near-dups — either
+    * reads as "re-tune before the full run".
+    *
+    * Scale shape: rides the ONE persisted candidate-pair frame (postings
+    * with df cap — never all-pairs); the w=5 shingle arrays join in by
+    * doc_id; output is <= 4 rows. */
+  private val d34: Q = (s, dir) => {
+    val cand = shinglePairCounts(s, dir)
+    val w5 = t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(0, size(split(text, ' ')) - 5)," +
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))"))
+          .as("sh5"))
+      .select(col("doc_id"), col("sh5"), size(col("sh5")).as("n5"))
+    val n3 = docsWithShingles(s, dir).select(col("doc_id"), col("n"))
+    val j = cand
+      .join(n3.as("a3"), col("d1") === col("a3.doc_id"))
+      .join(n3.as("b3"), col("d2") === col("b3.doc_id"))
+      .join(w5.as("a5"), col("d1") === col("a5.doc_id"))
+      .join(w5.as("b5"), col("d2") === col("b5.doc_id"))
+      .select(col("common"),
+        (col("a3.n") + col("b3.n") - col("common")).as("u3"),
+        size(array_intersect(col("a5.sh5"), col("b5.sh5"))).as("c5"),
+        col("a5.n5").as("n5a"), col("b5.n5").as("n5b"))
+      .select(
+        expr("common * 1000 div u3").as("j3p"),
+        expr("c5 * 1000 div (n5a + n5b - c5)").as("j5p"),
+        (col("common") * 2 >= col("u3")).as("v3"),
+        (col("c5") * 2 >= col("n5a") + col("n5b") - col("c5")).as("v5"))
+    j.select(
+        when(col("v3") && col("v5"), "both")
+          .when(col("v3"), "only_w3")
+          .when(col("v5"), "only_w5")
+          .otherwise("neither").as("verdict_class"),
+        col("j3p"), col("j5p"))
+      .groupBy(col("verdict_class")).agg(
+        count(lit(1)).as("n_pairs"),
+        expr("sum(j3p) div count(1)").as("mean_j3_permille"),
+        expr("sum(j5p) div count(1)").as("mean_j5_permille"))
+      .psort(col("verdict_class"))
+  }
+
+  private val d34Sql =
+    s"""WITH docs AS ($docsShSql),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 100),
+       |exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, LEN(sh) AS n FROM docs),
+       |w5 AS (
+       |  SELECT doc_id,
+       |    LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+       |      || w[i+3] || ' ' || w[i+4] FOR i IN RANGE(1, LEN(w) - 3)])
+       |      AS sh5
+       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+       |  WHERE LEN(w) >= 5),
+       |j AS (
+       |  SELECT c.common,
+       |    a3.n + b3.n - c.common AS u3,
+       |    LEN(LIST_INTERSECT(a5.sh5, b5.sh5)) AS c5,
+       |    LEN(a5.sh5) AS n5a, LEN(b5.sh5) AS n5b
+       |  FROM cand c
+       |  JOIN sizes a3 ON c.d1 = a3.doc_id
+       |  JOIN sizes b3 ON c.d2 = b3.doc_id
+       |  JOIN w5 a5 ON c.d1 = a5.doc_id
+       |  JOIN w5 b5 ON c.d2 = b5.doc_id),
+       |cls AS (
+       |  SELECT common * 1000 // u3 AS j3p,
+       |    c5 * 1000 // (n5a + n5b - c5) AS j5p,
+       |    CASE WHEN common * 2 >= u3 AND c5 * 2 >= n5a + n5b - c5
+       |           THEN 'both'
+       |         WHEN common * 2 >= u3 THEN 'only_w3'
+       |         WHEN c5 * 2 >= n5a + n5b - c5 THEN 'only_w5'
+       |         ELSE 'neither' END AS verdict_class
+       |  FROM j)
+       |SELECT verdict_class, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(j3p) // COUNT(*) AS BIGINT) AS mean_j3_permille,
+       |  CAST(SUM(j5p) // COUNT(*) AS BIGINT) AS mean_j5_permille
+       |FROM cls GROUP BY verdict_class ORDER BY verdict_class""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d34_shingle_ablation" -> d34,
     "d33_corpus_checksum" -> d33,
     "d32_store_compaction" -> d32,
     "d31_dup_spectrum" -> d31,
@@ -2321,6 +2415,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d34_shingle_ablation" -> d34Sql,
     "d33_corpus_checksum" -> d33Sql,
     "d32_store_compaction" -> d32Sql,
     "d31_dup_spectrum" -> d31Sql,

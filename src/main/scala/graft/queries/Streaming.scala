@@ -983,7 +983,57 @@ object Streaming {
       |    AS linear_cents
       |FROM ranked GROUP BY channel ORDER BY channel""".stripMargin
 
+  // ---- q121: join-key skew diagnostics ---------------------------------------
+  /** q121: the pre-flight diagnostic that justifies (or spares) a salting
+    * pass — for each join-key family the pipeline shuffles on, the row
+    * count, distinct keys, the heaviest key's row count, and the skew
+    * factor x1000 (heaviest-key rows / uniform share; 1000 = perfectly
+    * even). A factor in the thousands is the straggler-task signature at
+    * 100 TB, and the salting recommendation (q56's operator) keys off it.
+    *
+    * Scale shape: one count-per-key shuffle per audited family with
+    * map-side partials, then a key-count-bounded re-aggregation; 2-row
+    * output. */
+  private val q121: Q = (s, dir) => {
+    def audit(df: DataFrame, key: String, fam: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_key_n"))
+        .select(lit(fam).as("key_family"), col("n_rows"), col("n_keys"),
+          col("max_key_n"),
+          // divide by the integer average FIRST: max*keys*1000 overflows
+          // BIGINT at extreme key counts, max*1000 never does
+          expr("max_key_n * 1000 div (n_rows div n_keys)").as("skew_x1000"))
+        .withColumn("salting_recommended", col("skew_x1000") > 4000L)
+    audit(t(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+      .unionAll(audit(t(s, dir, "events"), "user_id", "events.user_id"))
+      .psort(col("key_family"))
+  }
+
+  private val q121Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |ev AS (
+      |  SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1)
+      |SELECT 'events.user_id' AS key_family,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(MAX(n) AS BIGINT) AS max_key_n,
+      |  CAST(MAX(n) * 1000 // (SUM(n) // COUNT(*)) AS BIGINT) AS skew_x1000,
+      |  MAX(n) * 1000 // (SUM(n) // COUNT(*)) > 4000 AS salting_recommended
+      |FROM ev
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey',
+      |  CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |  CAST(MAX(n) AS BIGINT),
+      |  CAST(MAX(n) * 1000 // (SUM(n) // COUNT(*)) AS BIGINT),
+      |  MAX(n) * 1000 // (SUM(n) // COUNT(*)) > 4000
+      |FROM li
+      |ORDER BY key_family""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q121_skew_diagnostics" -> q121,
     "q120_attribution" -> q120,
     "q119_transitions" -> q119,
     "q117_funnel" -> q117,
@@ -1006,6 +1056,7 @@ object Streaming {
     "q74_stream_e2e" -> q74)
 
   val oracleSql: Map[String, String] = Map(
+    "q121_skew_diagnostics" -> q121Sql,
     "q120_attribution" -> q120Sql,
     "q119_transitions" -> q119Sql,
     "q117_funnel" -> q117Sql,
