@@ -154,7 +154,9 @@ object PlanDump {
     "q120_attribution" -> "attribution: ONE user_id interval join (state bounded by the 24h window); per-purchase rank window; channel-level agg",
     "s40_margin_audit" -> "margin audit: k-row centroid broadcast; k-multiplied map-side scoring; one vec_id rank window; k-row agg",
     "s41_pq_utilization" -> "PQ utilization: persisted code table; map-only explode to (subspace, code); (m x k)-bounded agg",
-    "p13_order_certificate" -> "order certificate: map-only keys; per-shard rank windows (partition-parallel); per-shard agg with bounded modular terms")
+    "p13_order_certificate" -> "order certificate: map-only keys; per-shard rank windows (partition-parallel); per-shard agg with bounded modular terms",
+    "q121_skew_diagnostics" -> "skew diagnostics: count-per-key shuffles with map-side partials; key-count-bounded re-agg; 2-row output",
+    "d34_shingle_ablation" -> "shingle ablation: persisted content-collapsed candidates + per-digest w5 arrays; content-bounded intersect join; <=4-row agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
