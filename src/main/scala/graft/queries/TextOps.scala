@@ -3171,7 +3171,62 @@ object TextOps {
       |    AS BIGINT) AS unseen_mass_permille
       |FROM cnt GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- x53: language-ID confusion matrix ------------------------------------
+  /** x53: the evaluation rollup every classifier-gated pipeline publishes —
+    * x03's stopword language detector scored against the corpus labels as
+    * a confusion matrix: per (labelled, guessed) cell the count and its
+    * permille within the labelled row, plus the diagonal flag. The
+    * off-diagonal heavy cells tell curation WHICH language pairs the
+    * detector confuses (and therefore which routed buckets need a second
+    * pass); row permilles are per-class recall.
+    *
+    * Scale shape: one map-only scoring pass (the same argmax expression
+    * x03 gates), one |langs|^2-bounded agg, a |langs|-row broadcast for
+    * row totals. */
+  private val x53: Q = (s, dir) => {
+    val words = array_distinct(split(col("text"), " +"))
+    val scores = langStop.map { case (lang, sw) =>
+      struct(size(filter(words, w => w.isin(sw.map(lit(_)): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    val cells = t(s, dir, "documents")
+      .select(col("lang").as("labelled"),
+        best.getField("lang").as("guessed"))
+      .groupBy(col("labelled"), col("guessed"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("labelled"))
+      .agg(sum(col("n")).as("row_total"))
+    cells.join(broadcast(totals), Seq("labelled"))
+      .select(col("labelled"), col("guessed"), col("n"),
+        expr("n * 1000 div row_total").as("row_permille"),
+        (col("labelled") === col("guessed")).as("correct"))
+      .psort(col("labelled"), col("guessed"))
+  }
+
+  private val x53Sql = {
+    val structs = langStop.map { case (lang, sw) =>
+      val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
+      s"{'score': LEN(LIST_FILTER(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(text, ' +')), w -> LIST_CONTAINS($lst, w))), 'lang': '$lang'}"
+    }.mkString(",\n   ")
+    s"""WITH g AS (
+       |  SELECT lang AS labelled, LIST_MAX([$structs])['lang'] AS guessed
+       |  FROM documents),
+       |cells AS (
+       |  SELECT labelled, guessed, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM g GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT labelled, CAST(SUM(n) AS BIGINT) AS row_total
+       |  FROM cells GROUP BY 1)
+       |SELECT c.labelled, c.guessed, c.n,
+       |  CAST(c.n * 1000 // t.row_total AS BIGINT) AS row_permille,
+       |  c.labelled = c.guessed AS correct
+       |FROM cells c JOIN tot t USING (labelled)
+       |ORDER BY c.labelled, c.guessed""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "x53_lang_confusion" -> x53,
     "x52_freq_spectrum" -> x52,
     "x51_canary_tracking" -> x51,
     "x50_code_detect" -> x50,
@@ -3226,6 +3281,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x53_lang_confusion" -> x53Sql,
     "x52_freq_spectrum" -> x52Sql,
     "x51_canary_tracking" -> x51Sql,
     "x50_code_detect" -> x50Sql,

@@ -40,6 +40,30 @@ class NewOpsR9sSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("x53: the confusion matrix tiles the corpus and its rows agree " +
+      "with x03's per-doc verdicts") {
+    val rows = queries.TextOps.queries("x53_lang_confusion")(spark, sfDir)
+      .collect()
+    rows.length should be > 0
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    rows.map(num(_, "n")).sum shouldBe d.count()
+    // independent cell recompute straight from x03's gated per-doc output
+    val x03 = queries.TextOps.queries("x03_lang_id")(spark, sfDir).collect()
+    val cells = x03.groupBy(r =>
+        (r.getAs[String]("labelled"), r.getAs[String]("guessed")))
+      .map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("labelled"), r.getAs[String]("guessed"))
+      num(r, "n") shouldBe cells(k)
+      r.getAs[Boolean]("correct") shouldBe (k._1 == k._2)
+    }
+    rows.groupBy(_.getAs[String]("labelled")).foreach { case (_, rs) =>
+      val total = rs.map(num(_, "n")).sum
+      rs.foreach(r =>
+        num(r, "row_permille") shouldBe num(r, "n") * 1000 / total)
+    }
+  }
+
   test("d34: the ablation classes tile the candidate-pair universe and " +
       "agreeing dup pairs sit above the threshold in both widths") {
     val rows = queries.Dedup.queries("d34_shingle_ablation")(spark, sfDir)
