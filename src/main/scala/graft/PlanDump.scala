@@ -156,7 +156,8 @@ object PlanDump {
     "s41_pq_utilization" -> "PQ utilization: persisted code table; map-only explode to (subspace, code); (m x k)-bounded agg",
     "p13_order_certificate" -> "order certificate: map-only keys; per-shard rank windows (partition-parallel); per-shard agg with bounded modular terms",
     "q121_skew_diagnostics" -> "skew diagnostics: count-per-key shuffles with map-side partials; key-count-bounded re-agg; 2-row output",
-    "d34_shingle_ablation" -> "shingle ablation: persisted content-collapsed candidates + per-digest w5 arrays; content-bounded intersect join; <=4-row agg")
+    "d34_shingle_ablation" -> "shingle ablation: persisted content-collapsed candidates + per-digest w5 arrays; content-bounded intersect join; <=4-row agg",
+    "x53_lang_confusion" -> "confusion matrix: map-only argmax scoring; langs^2-bounded agg; langs-row broadcast totals")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
