@@ -45,6 +45,14 @@ object Multimodal {
   /** One media payload row as stored in the fixture table. */
   case class MediaPayload(doc_id: Long, data: Array[Byte])
 
+  /** Fixture temp dir with registered exit-time cleanup — an untracked
+    * per-JVM-run parquet copy accumulates on disk across runs. */
+  private def fixtureTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    graft.streaming.StreamingOps.trackTempDir(p)
+    p.toString
+  }
+
   // Memoized per testdata dir: the fixture is encoded once (map-only, on
   // executors), written as parquet, and every media query scans it back as
   // a binary column — the lakehouse shape for opaque media payloads.
@@ -55,8 +63,7 @@ object Multimodal {
     val path = fixtures.getOrElseUpdate(dir, {
       implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
       implicit val encL: Encoder[Long] = Encoders.scalaLong
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_media_fixture").toString
+      val out = fixtureTempDir("graft_media_fixture")
       t(s, dir, "documents").filter(col("doc_id") <= 100)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => MediaPayload(id, fixturePayload(id))))
@@ -435,8 +442,7 @@ object Multimodal {
     val path = audioFixtures.getOrElseUpdate(dir, {
       implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
       implicit val encL: Encoder[Long] = Encoders.scalaLong
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_audio_fixture").toString
+      val out = fixtureTempDir("graft_audio_fixture")
       t(s, dir, "documents").filter(col("doc_id") <= 100)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => MediaPayload(id, audioPayload(id))))
@@ -589,8 +595,7 @@ object Multimodal {
     val path = videoFixtures.getOrElseUpdate(dir, {
       implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
       implicit val encL: Encoder[Long] = Encoders.scalaLong
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_video_fixture").toString
+      val out = fixtureTempDir("graft_video_fixture")
       t(s, dir, "documents").filter(col("doc_id") <= 40)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => MediaPayload(id, videoFixture(id))))
@@ -754,8 +759,7 @@ object Multimodal {
     val path = degradedAudioFixtures.getOrElseUpdate(dir, {
       implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
       implicit val encL: Encoder[Long] = Encoders.scalaLong
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_audio_degraded").toString
+      val out = fixtureTempDir("graft_audio_degraded")
       t(s, dir, "documents").filter(col("doc_id") <= 100)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => MediaPayload(id, degradedAudioPayload(id))))
@@ -1450,8 +1454,7 @@ object Multimodal {
     val path = tamperedFixtures.getOrElseUpdate(dir, {
       implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
       implicit val encL: Encoder[Long] = Encoders.scalaLong
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_media_tampered").toString
+      val out = fixtureTempDir("graft_media_tampered")
       t(s, dir, "documents").filter(col("doc_id") <= 100)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
@@ -1965,8 +1968,7 @@ object Multimodal {
     val path = lbFixtures.getOrElseUpdate(dir, {
       implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
       implicit val encL: Encoder[Long] = Encoders.scalaLong
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_media_letterbox").toString
+      val out = fixtureTempDir("graft_media_letterbox")
       t(s, dir, "documents").filter(col("doc_id") <= 100)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => MediaPayload(id, letterboxPayload(id))))
@@ -2244,8 +2246,7 @@ object Multimodal {
     val path = stereoFixtures.getOrElseUpdate(dir, {
       implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
       implicit val encL: Encoder[Long] = Encoders.scalaLong
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_stereo_fixture").toString
+      val out = fixtureTempDir("graft_stereo_fixture")
       t(s, dir, "documents").filter(col("doc_id") <= 100)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => MediaPayload(id, stereoPayload(id))))

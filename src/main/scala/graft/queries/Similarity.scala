@@ -189,7 +189,7 @@ object Similarity {
       .psort(col("qid"), col("rank"))
   }
 
-  private val ivfK = 8
+  private[queries] val ivfK = 8
   private val ivfIters = 3
   private val ivfDim = 64
 

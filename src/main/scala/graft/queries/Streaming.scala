@@ -772,12 +772,16 @@ object Streaming {
       .crossJoin(broadcast(p.agg(count(lit(1)).as("n3"))))
     agg.select(lit("0_all").as("stage"), col("n0").as("n_users"),
         lit(1000L).as("permille_of_prev"))
+      // greatest(n, 1) guards the degenerate corpus with an empty previous
+      // stage: Spark `div` would return NULL where DuckDB `//` RAISES on
+      // division by zero — the engines must agree on empty stages too
+      // (same pattern as p06's util_pct).
       .unionAll(agg.select(lit("1_view"), col("n1"),
-        expr("n1 * 1000 div n0")))
+        expr("n1 * 1000 div greatest(n0, 1L)")))
       .unionAll(agg.select(lit("2_click"), col("n2"),
-        expr("n2 * 1000 div n1")))
+        expr("n2 * 1000 div greatest(n1, 1L)")))
       .unionAll(agg.select(lit("3_purchase"), col("n3"),
-        expr("n3 * 1000 div n2")))
+        expr("n3 * 1000 div greatest(n2, 1L)")))
       .psort(col("stage"))
   }
 
@@ -801,11 +805,11 @@ object Streaming {
       |SELECT '0_all' AS stage, CAST(n0 AS BIGINT) AS n_users,
       |  CAST(1000 AS BIGINT) AS permille_of_prev FROM n
       |UNION ALL SELECT '1_view', CAST(n1 AS BIGINT),
-      |  CAST(n1 * 1000 // n0 AS BIGINT) FROM n
+      |  CAST(n1 * 1000 // GREATEST(n0, 1) AS BIGINT) FROM n
       |UNION ALL SELECT '2_click', CAST(n2 AS BIGINT),
-      |  CAST(n2 * 1000 // n1 AS BIGINT) FROM n
+      |  CAST(n2 * 1000 // GREATEST(n1, 1) AS BIGINT) FROM n
       |UNION ALL SELECT '3_purchase', CAST(n3 AS BIGINT),
-      |  CAST(n3 * 1000 // n2 AS BIGINT) FROM n
+      |  CAST(n3 * 1000 // GREATEST(n2, 1) AS BIGINT) FROM n
       |ORDER BY stage""".stripMargin
 
   // ---- q118: weekly retention cohorts ---------------------------------------
@@ -933,8 +937,12 @@ object Streaming {
     val purch = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"),
         unix_millis(col("ts")).as("pts"),
-        (col("value").cast(DecimalType(12, 2)) * 100)
-          .cast("long").as("cents"))
+        // cents via ROUND(double) — NOT a double->DECIMAL cast, whose
+        // tie-rounding mode differs subtly between engines (Spark HALF_UP
+        // vs DuckDB away-from-zero). ROUND on a double is half-away-from-
+        // zero in BOTH engines (BigDecimal HALF_UP == away-from-zero for
+        // either sign), so the contract holds even for negative refunds.
+        round(col("value") * 100).cast("long").as("cents"))
     val touch = e.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("event_type").as("channel"),
         unix_millis(col("ts")).as("tts"), col("event_id").as("tid"))
@@ -962,7 +970,7 @@ object Streaming {
   private val q120Sql =
     """WITH purch AS (
       |  SELECT event_id AS pid, user_id, epoch_ms(ts) AS pts,
-      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
       |  FROM events WHERE event_type = 'purchase'),
       |touch AS (
       |  SELECT user_id, event_type AS channel, epoch_ms(ts) AS tts,

@@ -2638,7 +2638,11 @@ object TextOps {
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(dfreq), Seq("term"))
       .select(col("cell"), col("term"),
-        (col("tf").cast("double") * log(lit(8.0) / col("df").cast("double")))
+        // the IDF numerator is the CLUSTER COUNT — track Similarity.ivfK
+        // rather than hard-coding it, so a quantizer change can't silently
+        // skew the labels while both engines still agree
+        (col("tf").cast("double") *
+          log(lit(Similarity.ivfK.toDouble) / col("df").cast("double")))
           .as("tfidf"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
@@ -2666,7 +2670,7 @@ object TextOps {
        |  FROM docs2 GROUP BY cell),
        |tscored AS (
        |  SELECT tf.cell, tf.term,
-       |    CAST(tf.tf AS DOUBLE) * LN(8.0 / CAST(dfreq.df AS DOUBLE)) AS tfidf
+       |    CAST(tf.tf AS DOUBLE) * LN(${Similarity.ivfK}.0 / CAST(dfreq.df AS DOUBLE)) AS tfidf
        |  FROM tf JOIN dfreq USING (term)),
        |tranked AS (
        |  SELECT cell, term, tfidf,
@@ -2947,16 +2951,23 @@ object TextOps {
       count(lit(1)).as("n_top"),
       max(when(col("rnk") === 1, col("term"))).as("top_term"),
       max(when(col("rnk") === 1, col("cnt"))).as("top_count"),
+      min(col("cnt")).as("cmin"), max(col("cnt")).as("cmax"),
       sum(lx).as("sx"), sum(ly).as("sy"), sum(lx * ly).as("sxy"),
       sum(lx * lx).as("sxx"), sum(ly * ly).as("syy"))
     val n = col("n_top").cast("double")
     val cov = n * col("sxy") - col("sx") * col("sy")
     val varx = n * col("sxx") - col("sx") * col("sx")
     val vary = n * col("syy") - col("sy") * col("sy")
+    // degenerate-source guards, decided on exact INTEGERS so both engines
+    // agree bit-for-bit: a 1-term vocabulary has varx = 0 (no slope), and
+    // an all-equal-counts top list has vary = 0 (no r2) — emit NULL rather
+    // than a NaN/Inf whose hash rendering is engine-specific
+    val fit = col("n_top") >= 2
+    val spread = fit && col("cmin") =!= col("cmax")
     sums.select(col("source"), col("n_top"), col("top_term"),
         col("top_count"),
-        round(cov / varx, 6).as("zipf_slope"),
-        round(cov * cov / (varx * vary), 6).as("fit_r2"))
+        when(fit, round(cov / varx, 6)).as("zipf_slope"),
+        when(spread, round(cov * cov / (varx * vary), 6)).as("fit_r2"))
       .psort(col("source"))
   }
 
@@ -2976,6 +2987,7 @@ object TextOps {
       |  SELECT source, COUNT(*) AS n_top,
       |    MAX(CASE WHEN rnk = 1 THEN term END) AS top_term,
       |    MAX(CASE WHEN rnk = 1 THEN cnt END) AS top_count,
+      |    MIN(cnt) AS cmin, MAX(cnt) AS cmax,
       |    SUM(LN(CAST(rnk AS DOUBLE))) AS sx,
       |    SUM(LN(CAST(cnt AS DOUBLE))) AS sy,
       |    SUM(LN(CAST(rnk AS DOUBLE)) * LN(CAST(cnt AS DOUBLE))) AS sxy,
@@ -2983,9 +2995,11 @@ object TextOps {
       |    SUM(LN(CAST(cnt AS DOUBLE)) * LN(CAST(cnt AS DOUBLE))) AS syy
       |  FROM top GROUP BY source)
       |SELECT source, n_top, top_term, top_count,
-      |  ROUND((n_top*sxy - sx*sy) / (n_top*sxx - sx*sx), 6) AS zipf_slope,
-      |  ROUND((n_top*sxy - sx*sy) * (n_top*sxy - sx*sy)
-      |    / ((n_top*sxx - sx*sx) * (n_top*syy - sy*sy)), 6) AS fit_r2
+      |  CASE WHEN n_top >= 2 THEN
+      |    ROUND((n_top*sxy - sx*sy) / (n_top*sxx - sx*sx), 6) END AS zipf_slope,
+      |  CASE WHEN n_top >= 2 AND cmin <> cmax THEN
+      |    ROUND((n_top*sxy - sx*sy) * (n_top*sxy - sx*sy)
+      |      / ((n_top*sxx - sx*sx) * (n_top*syy - sy*sy)), 6) END AS fit_r2
       |FROM sums ORDER BY source""".stripMargin
 
   // ---- x50: code-vs-prose detection (curation routing) --------------------
