@@ -11,6 +11,29 @@ import org.apache.spark.sql.SparkSession
   * Spark's execution machinery, and materializes the persisted index frames
   * (shingle index, LSH signatures) that a serving deployment builds once;
   * the timed pass then measures steady-state query execution.
+  *
+  * Round-10 adjudication design (VERDICT r9 task 1): the r9 driver bench
+  * inflated a CONTIGUOUS alphabetical band (q12–q51) that the same HEAD ran
+  * sub-second in a quiet pairing. A band that is contiguous in EXECUTION
+  * ORDER is the signature of a windowed disturbance during the run (another
+  * process competing for the 32 cores), not of the queries themselves —
+  * back-to-back iterations share the window, so a per-query min cannot shed
+  * it. Two defenses, both in this file:
+  *
+  *  1. INTERLEAVED measurement passes: the timed phase runs the full query
+  *     sequence twice (plus a targeted third pass, below) and reports the
+  *     per-query min ACROSS passes. A disturbance window shorter than a
+  *     full pass lands on different queries in each pass, so the min sheds
+  *     it; only contention spanning the entire run (which inflates
+  *     everything, visibly) survives.
+  *  2. ON-RECORD diagnostics: every measurement samples wall, JVM process
+  *     CPU, whole-host busy CPU (/proc/stat), GC time, and the codegen
+  *     compile counter. `bench_detail.json` carries a per-query "diag"
+  *     for every entry whose passes disagree >2x or whose min exceeds 1 s:
+  *     `ext` is the CPU (in cores) consumed by OTHER processes during the
+  *     measurement — external contention shows up as ext >> 0 on the slow
+  *     pass, a recompile storm as cmp >> 0, heap pressure as gc >> 0. The
+  *     cause of an inflated number is thereby in the artifact itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,9 +50,11 @@ object Bench {
       // classes per query x 3 passes): evicted classes recompile (janino)
       // inside the TIMED pass, inflating RANDOM queries by seconds —
       // different ones each run, which mimics host noise. Entries are
-      // kilobyte-scale; 30000 is cheap insurance. Static conf — must be
-      // set before the session exists.
-      .config("spark.sql.codegen.cache.maxEntries", "30000")
+      // kilobyte-scale; at 290 queries the suite sits within ~10k unique
+      // entries (r10 measured: warmup compile count in the suite diag),
+      // but headroom is cheap insurance. Static conf — must be set before
+      // the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_OUTPUT_MERGED=false benches PRODUCTION output mode
@@ -45,18 +70,20 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    val warm0 = probe()
     // Untimed warmup iteration (JMH-style) on the target scale factor.
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     System.gc() // settle broadcast/shuffle cleanup before measuring
+    val warm1 = probe()
 
-    // Two measurement iterations per query (reference runs 2, JMH
-    // annotations at AvroBenchmark.java:67-68); report the minimum of the
-    // SUCCESSFUL iterations — a failed iteration's near-zero elapsed time
-    // must neither shrink the query's min nor flatter the total. A query
-    // with no successful iteration reports -1 and joins the errors array.
-    // Each iteration rebuilds the DataFrame and replays the FULL query —
+    // Measurement: two full interleaved passes over the alphabetical
+    // sequence plus a targeted third pass, per-query min of the SUCCESSFUL
+    // measurements — a failed measurement's near-zero elapsed time must
+    // neither shrink the query's min nor flatter the total. A query with
+    // no successful measurement reports -1 and joins the errors array.
+    // Each measurement rebuilds the DataFrame and replays the FULL query —
     // parse/analyze/optimize/plan/execute — exactly what the DuckDB
     // baseline loop does per execution, so the totals compare like for
     // like. (A build-once/execute-twice variant measures ~10% faster via
@@ -64,30 +91,48 @@ object Bench {
     // completed shuffle map stages between iterations — a result-cache
     // effect the baseline never gets, so it is not used here.)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+    val names = selected.toSeq.sortBy(_._1)
+    val meas = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ListBuffer[Meas]]()
+    names.foreach { case (n, _) =>
+      meas(n) = scala.collection.mutable.ListBuffer.empty[Meas]
+    }
+    def once(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      val p0 = probe()
+      val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable =>
           if (!failed.contains(name)) failed += name
-          None
+          false
         }
-      }
-      var times = (1 to 2).flatMap(_ => once())
-      // Floor-dominated shapes (sub-second totals are mostly fixed harness
-      // cost) are the ones a loaded host inflates 5-15x; a third iteration
-      // is nearly free for them and the min sheds one-off scheduling noise
-      // (round-5 adjudication: driver-run q05 read 2.66 s vs 0.17 s quiet).
-      if (times.nonEmpty && times.min < 0.75) times ++= once()
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      if (ok) meas(name) += Meas.of(p0, probe())
     }
+    (1 to 2).foreach { _ =>
+      names.foreach { case (n, fn) => once(n, fn) }
+      System.gc()
+    }
+    // Third targeted pass: floor-dominated shapes (sub-second totals are
+    // mostly fixed harness cost — a loaded host inflates them 5-15x; a
+    // third measurement is nearly free) and UNSTABLE entries (passes
+    // disagree >2x: whatever disturbed one pass gets a third vote).
+    names.foreach { case (n, fn) =>
+      val ws = meas(n).map(_.wall)
+      if (ws.nonEmpty && (ws.min < 0.75 || ws.max > 2 * ws.min)) once(n, fn)
+    }
+    val results = names.map { case (n, _) =>
+      val ws = meas(n).map(_.wall)
+      n -> (if (ws.nonEmpty) ws.min else -1.0)
+    }
+
     // Harnesses that keep only a bounded stdout tail must still see the
     // summary line's START (a truncated JSON line parses as nothing), so the
     // full-name 3-dp detail goes to a FILE and an earlier stdout line, and
     // the LAST stdout line is a compact (<2 KB, spec-enforced) summary with
     // prefix-shortened query keys. build.sbt also suppresses sbt's trailing
     // "[success]" line so the summary stays the LAST stdout line.
-    val (detailJson, summaryLine) = renderLines(results, failed.toList, sfDir)
+    val suiteDiag = renderSuiteDiag(warm0, warm1, meas)
+    val (detailJson, summaryLine) =
+      renderLines(results, failed.toList, sfDir, suiteDiag)
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     java.nio.file.Files.write(detailPath, detailJson.getBytes("UTF-8"))
     println(s"bench detail (full query names, 3 dp): $detailPath")
@@ -97,13 +142,94 @@ object Bench {
     spark.stop()
   }
 
+  /** One resource snapshot: wall clock, this JVM's cumulative CPU, the
+    * whole host's cumulative busy CPU (user+nice+sys+irq+softirq+steal
+    * jiffies from /proc/stat — idle and iowait excluded), cumulative GC
+    * time, cumulative codegen (janino) compilations. */
+  private[graft] case class Probe(ns: Long, jvmCpuNs: Long, hostBusyJiffies: Long,
+                                  gcMs: Long, compiles: Long)
+
+  private def probe(): Probe = {
+    val ns = System.nanoTime()
+    val jvm = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    val host = try {
+      val line = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal ...
+      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    } catch { case _: Exception => -1L }
+    val gc = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    val cmp = try
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    catch { case _: Throwable => -1L }
+    Probe(ns, jvm, host, gc, cmp)
+  }
+
+  /** One measurement's deltas: wall seconds, JVM CPU cores consumed (avg
+    * over the wall), EXTERNAL CPU cores consumed by other processes (host
+    * busy minus this JVM), GC ms, codegen compilations. */
+  private[graft] case class Meas(wall: Double, jvmCores: Double, extCores: Double,
+                                 gcMs: Long, compiles: Long)
+  private object Meas {
+    private val hz = 100.0 // USER_HZ jiffies per second (Linux default)
+    def of(a: Probe, b: Probe): Meas = {
+      val wall = math.max((b.ns - a.ns) / 1e9, 1e-9)
+      val jvmS = if (a.jvmCpuNs < 0) -1.0 else (b.jvmCpuNs - a.jvmCpuNs) / 1e9
+      val hostS = if (a.hostBusyJiffies < 0) -1.0
+        else (b.hostBusyJiffies - a.hostBusyJiffies) / hz
+      val ext = if (jvmS < 0 || hostS < 0) -1.0 else math.max(hostS - jvmS, 0)
+      Meas(wall, if (jvmS < 0) -1 else jvmS / wall,
+        if (ext < 0) -1 else ext / wall,
+        b.gcMs - a.gcMs, if (a.compiles < 0) -1 else b.compiles - a.compiles)
+    }
+  }
+
+  private def f1(v: Double): String =
+    s"%.1f".formatLocal(java.util.Locale.ROOT, v)
+  private def f3(v: Double): String =
+    s"%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Suite-level + per-suspect diagnostics JSON fragment (goes into the
+    * detail file, never the bounded summary line). Suspects: entries whose
+    * measurement passes disagree >2x, or whose min exceeds 1 s — for each,
+    * all passes' wall/ext/jvm/gc/cmp so the slow pass's cause is visible. */
+  private def renderSuiteDiag(
+      warm0: Probe, warm1: Probe,
+      meas: scala.collection.Map[String,
+        scala.collection.mutable.ListBuffer[Meas]]): String = {
+    val w = Meas.of(warm0, warm1)
+    val all = meas.values.flatten
+    val timedCmp = all.map(_.compiles).filter(_ >= 0).sum
+    val timedGc = all.map(_.gcMs).sum
+    val suspects = meas.collect {
+      case (n, ms) if ms.nonEmpty &&
+          (ms.map(_.wall).max > 2 * ms.map(_.wall).min ||
+            ms.map(_.wall).min > 1.0) =>
+        val arr = ms.map(m =>
+          s"""{"w":${f3(m.wall)},"jvm":${f1(m.jvmCores)},"ext":${f1(m.extCores)},"gc":${m.gcMs},"cmp":${m.compiles}}""")
+          .mkString("[", ",", "]")
+        s""""$n":$arr"""
+    }.mkString("{", ",", "}")
+    s""""diag":{"warmup":{"w":${f3(w.wall)},"jvm":${f1(w.jvmCores)},"ext":${f1(w.extCores)},"gc":${w.gcMs},"cmp":${w.compiles}},"timed":{"gc":$timedGc,"cmp":$timedCmp},"suspects":$suspects}"""
+  }
+
   /** Render (detailJson, summaryLine). The summary line is the machine
     * contract: `total` first, per-query seconds keyed by the unique
     * underscore-prefix of each query name (falls back to the full name on
     * prefix collision), guaranteed parseable from a bounded stdout tail. */
   private[graft] def renderLines(results: Seq[(String, Double)],
                                  failed: Seq[String],
-                                 sfDir: String): (String, String) = {
+                                 sfDir: String,
+                                 suiteDiag: String = ""): (String, String) = {
     def f(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -111,8 +237,9 @@ object Bench {
 
     val detailQs = results.map { case (k, v) => "\"" + k + "\":" + f(v, 3) }
       .mkString("{", ",", "}")
+    val diagPart = if (suiteDiag.nonEmpty) "," + suiteDiag else ""
     val detail =
-      s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$detailQs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total, 3)},"unit":"sec","queries":$detailQs,"errors":$errs$diagPart,"sf":"$sfDir"}"""
 
     val prefixes = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
     def shortKey(name: String): String = {

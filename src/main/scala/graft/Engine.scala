@@ -679,7 +679,15 @@ class Engine(val spark: SparkSession,
     sb.toString
   }
 
-  def sql(q: String): DataFrame = q match {
+  /** Dialect front door. Dollar-quoted literals (`$$…$$`, `$tag$…$tag$` —
+    * the Postgres form DuckDB accepts) are normalized to standard
+    * single-quoted literals ONCE here, before any statement dispatch, so
+    * every downstream scan and Spark's parser see ordinary SQL. The
+    * rewrite is quote/comment-aware and idempotent (safe across the
+    * EXECUTE/macro re-entries into this method). */
+  def sql(q0: String): DataFrame = sqlDispatch(SqlScan.rewriteDollarQuotes(q0))
+
+  private def sqlDispatch(q: String): DataFrame = q match {
     case prepareStmt(name, body) =>
       prepared.put(name.toLowerCase, body.trim)
       import spark.implicits._

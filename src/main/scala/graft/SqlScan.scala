@@ -9,9 +9,13 @@ package graft
   *    identifier is opaque — keywords and separators inside never match;
   *  - parenthesized regions are opaque to top-level scans — a WHERE in a
   *    subquery or a ',' in a call never splits an outer clause;
-  *  - `--` line comments and `/* */` block comments are opaque — a
-  *    keyword or separator inside a comment embedded in a statement
-  *    never splits a clause;
+  *  - `--` line comments and `/* */` block comments (which NEST, per the
+  *    Postgres grammar DuckDB follows) are opaque — a keyword or
+  *    separator inside a comment embedded in a statement never splits a
+  *    clause;
+  *  - dollar-quoted literals (`$$…$$`, `$tag$…$tag$`) are opaque, and
+  *    [[rewriteDollarQuotes]] normalizes them to standard literals at the
+  *    dialect front door (Spark's parser has no dollar-quoting);
   *  - keyword hits require identifier boundaries on both sides, so
   *    `WHERE_x` or `fooWHERE` never match.
   *
@@ -22,17 +26,85 @@ package graft
 private[graft] object SqlScan {
 
   /** If a comment starts at `i` (outside quotes), its EXCLUSIVE end index
-    * (`--` runs to end of line; an unterminated block comment runs to end
-    * of string, matching how the downstream parser would treat it);
-    * -1 if no comment starts here. */
+    * (`--` runs to end of line; block comments NEST per the Postgres
+    * grammar DuckDB follows — `/* /* */ */` is ONE comment; an
+    * unterminated block comment runs to end of string, matching how the
+    * downstream parser would treat it); -1 if no comment starts here. */
   private def commentEnd(s: String, i: Int): Int =
     if (i + 1 < s.length && s.charAt(i) == '-' && s.charAt(i + 1) == '-') {
       val nl = s.indexOf('\n', i + 2)
       if (nl < 0) s.length else nl + 1
     } else if (i + 1 < s.length && s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
-      val close = s.indexOf("*/", i + 2)
-      if (close < 0) s.length else close + 2
+      var depth = 1
+      var j = i + 2
+      while (j + 1 < s.length && depth > 0) {
+        if (s.charAt(j) == '/' && s.charAt(j + 1) == '*') { depth += 1; j += 2 }
+        else if (s.charAt(j) == '*' && s.charAt(j + 1) == '/') { depth -= 1; j += 2 }
+        else j += 1
+      }
+      if (depth > 0) s.length else j
     } else -1
+
+  /** If a dollar-quoted literal (`$$…$$` or `$tag$…$tag$`, the Postgres
+    * form DuckDB accepts) starts at `i` (outside quotes/comments), its
+    * EXCLUSIVE end index; an unterminated literal runs to end of string;
+    * -1 if none starts here. A tag never starts with a digit, so the
+    * `$N` positional-parameter syntax (bindParams) can't be mistaken for
+    * an opener. */
+  private def dollarQuoteEnd(s: String, i: Int): Int = {
+    if (i >= s.length || s.charAt(i) != '$') return -1
+    var j = i + 1
+    while (j < s.length &&
+        (Character.isLetterOrDigit(s.charAt(j)) || s.charAt(j) == '_')) j += 1
+    if (j >= s.length || s.charAt(j) != '$') return -1
+    if (j > i + 1 && Character.isDigit(s.charAt(i + 1))) return -1
+    val delim = s.substring(i, j + 1)
+    val close = s.indexOf(delim, j + 1)
+    if (close < 0) s.length else close + delim.length
+  }
+
+  /** Opaque region (comment or dollar-quoted literal) starting at `i` →
+    * exclusive end; -1 if none. Every top-level scan steps over these. */
+  private def opaqueEnd(s: String, i: Int): Int = {
+    val ce = commentEnd(s, i)
+    if (ce >= 0) ce else dollarQuoteEnd(s, i)
+  }
+
+  /** Rewrite dollar-quoted literals into standard single-quoted literals
+    * (embedded quotes doubled) — Spark's parser has no dollar-quoting, so
+    * the engine dialect normalizes them once at the `sql()` front door.
+    * Quote/comment-aware (a `$$` inside a string or comment is untouched)
+    * and idempotent (the output contains no dollar quotes outside
+    * ordinary literals). */
+  def rewriteDollarQuotes(s: String): String = {
+    if (s.indexOf('$') < 0) return s
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0; i += 1 }
+      else {
+        val ce = commentEnd(s, i)
+        if (ce >= 0) { sb.append(s.substring(i, ce)); i = ce }
+        else {
+          val de = dollarQuoteEnd(s, i)
+          if (de >= 0) {
+            val open = s.indexOf('$', i + 1) + 1 // end of the $tag$ opener
+            val closeLen = if (de == s.length && s.indexOf(s.substring(i, open), open) < 0) 0
+              else open - i
+            val inner = s.substring(open, de - closeLen)
+            sb.append('\'').append(inner.replace("'", "''")).append('\'')
+            i = de
+          } else {
+            if (c == '\'' || c == '"' || c == '`') quote = c
+            sb.append(c); i += 1
+          }
+        }
+      }
+    }
+    sb.toString
+  }
 
   /** First top-level occurrence of any of `kws` at or after `from`,
     * as (index, matchedKeyword). */
@@ -48,7 +120,7 @@ private[graft] object SqlScan {
         if (c == quote) quote = 0
         i += 1
       } else {
-        val ce = commentEnd(s, i)
+        val ce = opaqueEnd(s, i)
         if (ce >= 0) i = ce
         else {
           c match {
@@ -89,7 +161,7 @@ private[graft] object SqlScan {
         sb.append(c); if (c == quote) quote = 0
         i += 1
       } else {
-        val ce = commentEnd(s, i)
+        val ce = opaqueEnd(s, i)
         if (ce >= 0) { sb.append(s.substring(i, ce)); i = ce }
         else {
           c match {
@@ -126,7 +198,7 @@ private[graft] object SqlScan {
         val c = a.charAt(i)
         if (quote != 0) { if (c == quote) quote = 0; i += 1 }
         else {
-          val ce = commentEnd(a, i)
+          val ce = opaqueEnd(a, i)
           if (ce >= 0) i = ce
           else {
             c match {
@@ -162,8 +234,12 @@ private[graft] object SqlScan {
         val ce = commentEnd(s, i)
         if (ce >= 0) { sb.append(' '); i = ce }
         else {
-          if (c == '\'' || c == '"' || c == '`') quote = c
-          sb.append(c); i += 1
+          val de = dollarQuoteEnd(s, i)
+          if (de >= 0) { sb.append(s.substring(i, de)); i = de }
+          else {
+            if (c == '\'' || c == '"' || c == '`') quote = c
+            sb.append(c); i += 1
+          }
         }
       }
     }
@@ -179,7 +255,7 @@ private[graft] object SqlScan {
       val c = s.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0; i += 1 }
       else {
-        val ce = commentEnd(s, i)
+        val ce = opaqueEnd(s, i)
         if (ce >= 0) i = ce
         else {
           c match {

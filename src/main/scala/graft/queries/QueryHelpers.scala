@@ -27,18 +27,65 @@ object QueryHelpers {
     * the one persisted copy — re-persisting per invocation leaks storage
     * blocks until GC/eviction churn dominates the run. This is the
     * "build the index once, serve many queries" lifecycle of a production
-    * pipeline. */
+    * pipeline.
+    *
+    * Round-10 lifecycle (VERDICT r9 task 2): the registry carries an
+    * EXPLICIT storage budget instead of leaving block lifetime to Spark's
+    * implicit unified-memory eviction. After each new build, if the
+    * session's total materialized storage (`getRDDStorageInfo`, memory +
+    * disk) exceeds `spark.graft.memo.budget.bytes` (default: 25% of max
+    * heap), the least-recently-USED persisted frames are unpersisted AND
+    * dropped from the registry — a dropped frame rebuilds cleanly on next
+    * use instead of half-living as evicted blocks. Frames with no
+    * materialized storage (e.g. parquet-backed read-backs, the s28
+    * pattern) are never evicted: they cost no storage memory and dropping
+    * them would re-run their build side effects. */
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private val lastUse = scala.collection.concurrent.TrieMap[String, Long]()
+  private val useTick = new java.util.concurrent.atomic.AtomicLong()
   def memoized(key: String)(build: => DataFrame): DataFrame = {
     // a frame built by a stopped session must be rebuilt — its plan (and
     // persisted blocks) died with that session
     val cached = memo.get(key).filter(!_.sparkSession.sparkContext.isStopped)
-    cached.getOrElse {
-      val built = build
-      memo.put(key, built)
-      built
+    cached match {
+      case Some(df) =>
+        lastUse.put(key, useTick.incrementAndGet())
+        df
+      case None =>
+        val built = build
+        memo.put(key, built)
+        lastUse.put(key, useTick.incrementAndGet())
+        enforceMemoBudget(built.sparkSession, justBuilt = key)
+        built
     }
   }
+
+  private def enforceMemoBudget(spark: SparkSession, justBuilt: String): Unit =
+    memo.synchronized {
+      val sc = spark.sparkContext
+      def stored(): Long =
+        sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      val budget = spark.conf
+        .getOption("spark.graft.memo.budget.bytes").map(_.toLong)
+        .getOrElse(Runtime.getRuntime.maxMemory() / 4)
+      if (stored() <= budget) return
+      val lru = lastUse.toSeq.sortBy(_._2).map(_._1)
+      var total = stored()
+      lru.foreach { k =>
+        if (total > budget && k != justBuilt) {
+          memo.get(k).foreach { df =>
+            val lvl = df.storageLevel
+            if ((lvl.useMemory || lvl.useDisk) &&
+                !df.sparkSession.sparkContext.isStopped) {
+              df.unpersist(blocking = true)
+              memo.remove(k)
+              lastUse.remove(k)
+              total = stored()
+            }
+          }
+        }
+      }
+    }
 
   /** Presentation sort — the FINAL ordering of a query's bounded answer set
     * before emission (Verify's parquet dump, the CLI's JSON stream, the

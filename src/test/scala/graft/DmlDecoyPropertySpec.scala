@@ -161,6 +161,60 @@ class DmlDecoyPropertySpec extends AnyFunSuite with Matchers {
     engine.close()
   }
 
+  test("dollar-quoted literals and nested block comments (r10): decoy " +
+      "keywords inside never split; dollar literals evaluate as strings") {
+    import spark.implicits._
+    val engine = new Engine(spark)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("dq_src")
+    // $$…$$ literal whose body carries WHERE/SET/comma decoys: the UPDATE
+    // splits at the REAL WHERE, and the stored value is the raw body
+    engine.sql("CREATE OR REPLACE TABLE dq_t AS SELECT k, v FROM dq_src")
+    engine.sql("UPDATE dq_t SET v = $$x WHERE k = 2, v = 'no'$$ WHERE k = 1")
+      .collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM dq_t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("x WHERE k = 2, v = 'no'", "b")
+    // embedded single quote needs no escaping inside a dollar quote
+    engine.sql("UPDATE dq_t SET v = $$it's WHERE$$ WHERE k = 2")
+      .collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM dq_t WHERE k = 2").collect()(0)
+      .getString(0) shouldBe "it's WHERE"
+    // tagged form: $tag$…$tag$ may carry a bare $$ in its body
+    engine.sql("UPDATE dq_t SET v = $tag$has $$ inside$tag$ WHERE k = 1")
+      .collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM dq_t WHERE k = 1").collect()(0)
+      .getString(0) shouldBe "has $$ inside"
+    // a $$ inside an ORDINARY literal is untouched by the rewrite
+    engine.sql("UPDATE dq_t SET v = 'keep $$ raw' WHERE k = 1")
+      .collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM dq_t WHERE k = 1").collect()(0)
+      .getString(0) shouldBe "keep $$ raw"
+    // DELETE USING with the decoy riding a dollar quote in the predicate
+    engine.sql("CREATE OR REPLACE TABLE dq_t AS SELECT k, v FROM dq_src")
+    engine.sql("DELETE FROM dq_t USING dq_src s WHERE dq_t.k = s.k " +
+      "AND s.v <> $$a USING b WHERE c$$ AND s.v = 'a'")
+      .collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM dq_t").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("b")
+    // NESTED block comment: one comment to the scanner, so the inner
+    // close does not end it and its WHERE/comma decoys never split
+    engine.sql("CREATE OR REPLACE TABLE dq_t AS SELECT k, v FROM dq_src")
+    engine.sql("UPDATE dq_t SET v = /* outer /* WHERE k = 2, v='x' */ " +
+      "still comment */ 'n' WHERE k = 1").collect()(0).getLong(0) shouldBe 1L
+    engine.sql("SELECT v FROM dq_t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("n", "b")
+    // pass-through SELECT: dollar quote normalizes before Spark's parser
+    engine.sql("SELECT $$plain body$$ AS s").collect()(0)
+      .getString(0) shouldBe "plain body"
+    // PREPARE/EXECUTE: $1 binding coexists with dollar quotes ($1 is never
+    // a dollar-quote opener), and a $$ arg binds as a string
+    engine.sql("PREPARE dq_p AS SELECT concat($1, $$-suffix$$) AS s")
+    engine.sql("EXECUTE dq_p($$val WHERE$$)").collect()(0)
+      .getString(0) shouldBe "val WHERE-suffix"
+    engine.sql("DEALLOCATE dq_p")
+    engine.sql("DROP TABLE dq_t")
+    engine.close()
+  }
+
   test("UPDATE ... FROM: literals containing ' FROM ' / ' WHERE ' in SET " +
       "rhs never trigger the joined form or split the predicate") {
     import spark.implicits._

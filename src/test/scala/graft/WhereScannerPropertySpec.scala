@@ -26,12 +26,19 @@ class WhereScannerPropertySpec extends AnyFunSuite with Matchers {
         .mkString
     }
     // fragments that must NEVER trigger a split
-    def opaque(): String = math.floorMod(r.next(), 6) match {
+    def opaque(): String = math.floorMod(r.next(), 9) match {
       case 0 => word()
       case 1 => s"'${word()} WHERE ${word()}'" // single-quoted literal
       case 2 => s""""${word()} WHERE ${word()}"""" // double-quoted
       case 3 => s"`${word()} WHERE ${word()}`" // backquoted identifier
       case 4 => s"f(${word()}, ${word()} WHERE ${word()})" // parens
+      case 5 => // dollar-quoted literal (r10: Postgres form DuckDB accepts)
+        "$$" + word() + " WHERE " + word() + "$$"
+      case 6 => // tagged dollar quote
+        val tag = word()
+        "$" + tag + "$" + word() + " WHERE " + word() + "$" + tag + "$"
+      case 7 => // NESTED block comment (r10): one comment to the scanner
+        s"/* ${word()} /* WHERE ${word()} */ ${word()} WHERE */"
       case _ => s"WHERE_${word()}" // prefix is one identifier token
     }
     def frags(): String =
