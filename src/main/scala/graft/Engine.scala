@@ -848,7 +848,146 @@ class Engine(val spark: SparkSession,
       import spark.implicits._
       Seq(key).toDF("reset")
     case pragmaStmt(name, arg) => pragma(name.toLowerCase, Option(arg))
+    case createSeqStmt(orReplace, ifNotExists, name, opts) =>
+      createSequence(name, opts, orReplace != null, ifNotExists != null)
+    case dropSeqStmt(ifExists, name) =>
+      val removed = sequences.remove(name.toLowerCase).isDefined
+      require(removed || ifExists != null, s"no sequence '$name'")
+      statusDf("drop_sequence", name)
+    case sel if hasSeqCalls(sel) => sequenceStatement(sel)
     case _ => expandedSql(rewriteFromFirst(expandMacros(q)))
+  }
+
+  // ---- sequences (CREATE SEQUENCE / nextval / currval) ---------------------
+  // DuckDB sequence surface (docs.duckdb.org/sql/statements/create_sequence).
+  // DELTA, documented: DuckDB leaves the row<->value assignment of a bulk
+  // nextval unspecified under parallel execution; this engine pins it to
+  // the SELECT's OUTPUT ORDER (values follow the statement's ORDER BY, or
+  // an arbitrary-but-dense order without one) — the deterministic contract
+  // a distributed engine can actually honor, implemented with a
+  // partition-ordered zipWithIndex (no single-task funnel).
+  private val createSeqStmt =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?SEQUENCE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)" +
+      "((?:\\s+(?:START(?:\\s+WITH)?|INCREMENT(?:\\s+BY)?)\\s+-?\\d+)*)\\s*;?\\s*$").r
+  private val dropSeqStmt =
+    "(?is)^\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+
+  private final class SequenceState(var next: Long, val inc: Long) {
+    var drawn = false
+    var last = 0L
+    /** Reserve a dense block of n values; returns the block's first. */
+    def reserve(n: Long): Long = synchronized {
+      val start = next
+      if (n > 0) { next += n * inc; drawn = true; last = start + (n - 1) * inc }
+      start
+    }
+  }
+  private val sequences =
+    scala.collection.concurrent.TrieMap[String, SequenceState]()
+
+  private def createSequence(name: String, opts: String, orReplace: Boolean,
+      ifNotExists: Boolean): DataFrame = {
+    val key = name.toLowerCase
+    if (sequences.contains(key) && !orReplace) {
+      if (ifNotExists) return statusDf("create_sequence", name)
+      throw new IllegalArgumentException(s"sequence '$name' already exists " +
+        "(use CREATE OR REPLACE SEQUENCE)")
+    }
+    val start = "(?is)START(?:\\s+WITH)?\\s+(-?\\d+)".r
+      .findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
+    val inc = "(?is)INCREMENT(?:\\s+BY)?\\s+(-?\\d+)".r
+      .findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
+    require(inc != 0, s"CREATE SEQUENCE $name: INCREMENT must be non-zero")
+    sequences.put(key, new SequenceState(start, inc))
+    statusDf("create_sequence", name)
+  }
+
+  private def seqOf(name: String): SequenceState =
+    sequences.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
+      s"no sequence '$name'" + (if (sequences.isEmpty) ""
+      else s" (sequences: ${sequences.keys.toSeq.sorted.mkString(", ")})")))
+
+  /** (start, end, sequenceName) of each `fn('name')` call sitting OUTSIDE
+    * quoted/comment/dollar-quoted regions. The opaque mask blanks quoted
+    * CONTENT (including the name itself), so the call shape is located on
+    * the masked text and the name read back from the original slice. */
+  private def seqCalls(s: String, fn: String): Seq[(Int, Int, String)] = {
+    val masked = SqlScan.maskOpaque(s)
+    ("(?is)\\b" + fn + "\\s*\\(\\s*'[^']*'\\s*\\)").r
+      .findAllMatchIn(masked).flatMap { m =>
+        ("(?is)^" + fn + "\\s*\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*\\)$").r
+          .findFirstMatchIn(s.substring(m.start, m.end))
+          .map(mm => (m.start, m.end, mm.group(1)))
+      }.toSeq
+  }
+
+  private def hasSeqCalls(s: String): Boolean =
+    (s.toLowerCase.contains("nextval") || s.toLowerCase.contains("currval")) &&
+      (seqCalls(s, "nextval").nonEmpty || seqCalls(s, "currval").nonEmpty)
+
+  /** Statement carrying nextval/currval calls. currval is non-consuming
+    * and scalar: every reference (in any statement) is replaced by the
+    * sequence's last drawn value. nextval draws: it must be a whole
+    * top-level select item of a SELECT — `nextval('s') [AS alias]` — and
+    * the values follow the SELECT's output order (see the DELTA note). */
+  private def sequenceStatement(q0: String): DataFrame = {
+    var q = q0
+    // currval: splice literals from the END so earlier offsets stay valid
+    val cvs = seqCalls(q, "currval")
+    if (cvs.nonEmpty) {
+      val sb = new StringBuilder(q)
+      cvs.reverse.foreach { case (start, end, name) =>
+        val st = seqOf(name)
+        require(st.drawn,
+          s"currval('$name'): nextval has not been called yet")
+        sb.replace(start, end, s"CAST(${st.last} AS BIGINT)")
+      }
+      q = sb.toString
+    }
+    if (seqCalls(q, "nextval").isEmpty) return sql(q)
+    val selHead = "(?is)^\\s*SELECT\\s".r.findFirstMatchIn(q).getOrElse(
+      throw new IllegalArgumentException("nextval(...) is supported in the " +
+        "top-level select list of a SELECT (INSERT ... SELECT and CREATE " +
+        "TABLE AS route their source query through it)"))
+    val listStart = selHead.end - 1
+    val fromAt = SqlScan.findTopLevelKeyword(q, listStart, Seq("FROM"))
+    val listEnd = fromAt.map(_._1).getOrElse(q.length)
+    val listTxt = q.substring(listStart, listEnd).trim.stripSuffix(";")
+    val items = SqlScan.splitTopLevelCommas(listTxt)
+    val hits = items.zipWithIndex.filter { case (it, _) =>
+      seqCalls(it, "nextval").nonEmpty }
+    require(hits.size == 1 && seqCalls(hits.head._1, "nextval").size == 1,
+      "exactly ONE select item may draw nextval(...), exactly once")
+    val (item, idx) = hits.head
+    val itemRe = ("(?is)^\\s*nextval\\s*\\(\\s*'([A-Za-z_][A-Za-z0-9_]*)'\\s*\\)" +
+      "\\s*(?:AS\\s+([A-Za-z_][A-Za-z0-9_]*))?\\s*$").r
+    val m = itemRe.findFirstMatchIn(item).getOrElse(
+      throw new IllegalArgumentException("nextval must be a whole select " +
+        s"item — nextval('seq') [AS alias] — got: $item"))
+    val st = seqOf(m.group(1))
+    val alias = Option(m.group(2)).getOrElse("nextval")
+    def rebuild(newItem: String): String =
+      q.substring(0, listStart) + " " +
+        items.updated(idx, newItem).mkString(", ") + " " + q.substring(listEnd)
+    if (fromAt.isEmpty) { // scalar form: one row, one draw
+      val v = st.reserve(1)
+      return sql(rebuild(s"CAST($v AS BIGINT) AS `$alias`"))
+    }
+    val df = sql(rebuild("CAST(NULL AS BIGINT) AS __graft_seq"))
+    val n = df.count()
+    val offset = st.reserve(n)
+    val inc = st.inc
+    val schema2 = df.schema
+      .add("__graft_seq_val", org.apache.spark.sql.types.LongType, false)
+    val rdd = df.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (offset + i * inc)) }
+    val df2 = spark.createDataFrame(rdd, schema2)
+    val outCols = df.schema.fieldNames.map { f =>
+      if (f == "__graft_seq") col("`__graft_seq_val`").as(alias)
+      else col(s"`$f`")
+    }
+    df2.select(outCols.toSeq: _*)
   }
 
   // ---- CREATE TABLE AS / CREATE VIEW / INSERT INTO / DROP -----------------

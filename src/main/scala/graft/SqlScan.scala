@@ -106,6 +106,34 @@ private[graft] object SqlScan {
     sb.toString
   }
 
+  /** Length-preserving mask: characters INSIDE quoted strings, backquoted
+    * identifiers, comments, and dollar-quoted literals are replaced by
+    * spaces (the delimiters stay) so a regex scan can never match opaque
+    * content while match positions still align with the original text. */
+  def maskOpaque(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0 else a(i) = ' '
+        i += 1
+      } else {
+        val oe = opaqueEnd(s, i)
+        if (oe >= 0) {
+          var j = i
+          while (j < oe) { a(j) = ' '; j += 1 }
+          i = oe
+        } else {
+          if (c == '\'' || c == '"' || c == '`') quote = c
+          i += 1
+        }
+      }
+    }
+    new String(a)
+  }
+
   /** First top-level occurrence of any of `kws` at or after `from`,
     * as (index, matchedKeyword). */
   def findTopLevelKeyword(s: String, from: Int,

@@ -149,15 +149,92 @@ object ImageCodecs {
     out.toByteArray
   }
 
-  /** Parse an 8-bit truecolor PNG back to row-major RGB, validating the
-    * signature and every chunk CRC, inflating IDAT, and reconstructing all
-    * five scanline filter types. */
+  /** Encode palette indices as an 8-bit INDEXED-COLOR PNG (color type 3):
+    * a PLTE chunk carries the RGB palette, scanlines carry one index byte
+    * per pixel (bpp = 1), and the per-row filter type rotates through all
+    * five like [[encodePng]] — so a decoder must run the full filter
+    * reconstruction at the 1-byte pixel stride before the palette lookup. */
+  def encodePngPalette(width: Int, height: Int, indices: Array[Byte],
+                       palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height, "indices length must be w*h")
+    require(palette.length % 3 == 0 && palette.length >= 3 &&
+      palette.length <= 256 * 3, "palette must be 1..256 RGB triples")
+    val nColors = palette.length / 3
+    require(indices.forall(i => (i & 0xff) < nColors), "index out of palette")
+    val rowLen = width // 1 byte per pixel
+    val raw = new Array[Byte]((rowLen + 1) * height)
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      raw(y * (rowLen + 1)) = ft.toByte
+      var i = 0
+      while (i < rowLen) {
+        val cur = indices(y * rowLen + i) & 0xff
+        val left = if (i >= 1) indices(y * rowLen + i - 1) & 0xff else 0
+        val up = if (y > 0) indices((y - 1) * rowLen + i) & 0xff else 0
+        val upLeft =
+          if (y > 0 && i >= 1) indices((y - 1) * rowLen + i - 1) & 0xff else 0
+        val filtered = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, upLeft)
+        }
+        raw(y * (rowLen + 1) + 1 + i) = filtered.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val idat = deflate(raw)
+    val out = new ByteArrayOutputStream(idat.length + palette.length + 64)
+    out.write(PngSignature, 0, PngSignature.length)
+    val ihdr = new Array[Byte](13)
+    putIntBE(ihdr, 0, width)
+    putIntBE(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 3 // color type: indexed
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "PLTE", palette)
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Palette entry count of an indexed-color PNG (PLTE triples), walking
+    * the real chunk structure with CRC checks; -1 for a truecolor PNG. */
+  def pngPaletteSize(bytes: Array[Byte]): Int = {
+    require(bytes.length > 8 && PngSignature.indices.forall(i =>
+      bytes(i) == PngSignature(i)), "not a PNG payload")
+    var pos = 8
+    while (pos + 8 <= bytes.length) {
+      val len = getIntBE(bytes, pos)
+      val chunkType = new String(bytes, pos + 4, 4, StandardCharsets.US_ASCII)
+      require(pos + 12 + len <= bytes.length, s"truncated $chunkType chunk")
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == getIntBE(bytes, pos + 8 + len),
+        s"CRC mismatch in $chunkType chunk")
+      if (chunkType == "PLTE") return len / 3
+      if (chunkType == "IEND") return -1
+      pos += 12 + len
+    }
+    -1
+  }
+
+  /** Parse an 8-bit truecolor (type 2) or indexed-color (type 3) PNG back
+    * to row-major RGB, validating the signature and every chunk CRC,
+    * inflating IDAT, reconstructing all five scanline filter types (at the
+    * color type's pixel stride), and resolving indexed pixels through the
+    * PLTE palette. */
   def decodePng(bytes: Array[Byte]): Image = {
     require(bytes.length > 8 && PngSignature.indices.forall(i =>
       bytes(i) == PngSignature(i)), "not a PNG payload")
     var pos = 8
     var width = 0
     var height = 0
+    var colorType = -1
+    var palette: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd) {
@@ -173,10 +250,14 @@ object ImageCodecs {
         case "IHDR" =>
           width = getIntBE(bytes, pos + 8)
           height = getIntBE(bytes, pos + 12)
-          require(bytes(pos + 16) == 8 && bytes(pos + 17) == 2,
-            "unsupported PNG format (need 8-bit truecolor)")
+          colorType = bytes(pos + 17) & 0xff
+          require(bytes(pos + 16) == 8 && (colorType == 2 || colorType == 3),
+            "unsupported PNG format (need 8-bit truecolor or indexed)")
           require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0 &&
             bytes(pos + 20) == 0, "unsupported PNG compression/filter/interlace")
+        case "PLTE" =>
+          require(len % 3 == 0 && len >= 3, "malformed PLTE chunk")
+          palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => sawEnd = true
         case _ => // ancillary chunk: skip
@@ -184,20 +265,23 @@ object ImageCodecs {
       pos += 12 + len
     }
     require(width > 0 && height > 0, "PNG missing IHDR")
-    val bpp = 3
+    require(colorType != 3 || palette != null, "indexed PNG missing PLTE")
+    // filter reconstruction runs at the color type's pixel stride: 3 bytes
+    // per pixel for truecolor, 1 INDEX byte per pixel for indexed
+    val bpp = if (colorType == 3) 1 else 3
     val rowLen = width * bpp
     val raw = inflate(idat.toByteArray, (rowLen + 1) * height)
-    val rgb = new Array[Byte](rowLen * height)
+    val px = new Array[Byte](rowLen * height)
     var y = 0
     while (y < height) {
       val ft = raw(y * (rowLen + 1)) & 0xff
       var i = 0
       while (i < rowLen) {
         val filtered = raw(y * (rowLen + 1) + 1 + i) & 0xff
-        val left = if (i >= bpp) rgb(y * rowLen + i - bpp) & 0xff else 0
-        val up = if (y > 0) rgb((y - 1) * rowLen + i) & 0xff else 0
+        val left = if (i >= bpp) px(y * rowLen + i - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * rowLen + i) & 0xff else 0
         val upLeft =
-          if (y > 0 && i >= bpp) rgb((y - 1) * rowLen + i - bpp) & 0xff else 0
+          if (y > 0 && i >= bpp) px((y - 1) * rowLen + i - bpp) & 0xff else 0
         val cur = ft match {
           case 0 => filtered
           case 1 => filtered + left
@@ -207,12 +291,26 @@ object ImageCodecs {
           case other =>
             throw new IllegalArgumentException(s"bad PNG filter type $other")
         }
-        rgb(y * rowLen + i) = cur.toByte
+        px(y * rowLen + i) = cur.toByte
         i += 1
       }
       y += 1
     }
-    Image(width, height, rgb)
+    if (colorType == 2) Image(width, height, px)
+    else {
+      val nColors = palette.length / 3
+      val rgb = new Array[Byte](width * height * 3)
+      var p = 0
+      while (p < width * height) {
+        val idx = px(p) & 0xff
+        require(idx < nColors, s"palette index $idx out of range $nColors")
+        rgb(p * 3) = palette(idx * 3)
+        rgb(p * 3 + 1) = palette(idx * 3 + 1)
+        rgb(p * 3 + 2) = palette(idx * 3 + 2)
+        p += 1
+      }
+      Image(width, height, rgb)
+    }
   }
 
   /** Detect the container from its magic bytes and decode. */

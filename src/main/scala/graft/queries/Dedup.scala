@@ -861,18 +861,38 @@ object Dedup {
     * terms. Output: one row per DROPPED vector with its kept anchor. */
   private val d11: Q = (s, dir) => {
     val (_, assigned) = graft.queries.Similarity.trainedIvf(s, dir)
-    val a = assigned.select(col("cell"), col("vec_id").as("anchor"),
-      col("embedding").as("ae"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_id"),
-      col("embedding").as("be"))
+    // Round-10 duplicate collapse (the d34/x51 discipline, caught by the
+    // first full-suite sf10 run: the doc-level spelling was 111 s —
+    // quadratic in the copy count because a 100x-replicated corpus has
+    // 10000x within-cell pairs). Cosine is a CONTENT function, so the
+    // quadratic stage runs once per distinct (cell, embedding) pair and
+    // the per-vec answer reconstructs exactly from copy-id order
+    // statistics: for target copy v of content b and anchor content a,
+    // the anchors below v are `filter(ids(a), x -> x < v)` — count,
+    // min, and the pair's cosine are all content-level facts. Copy-id
+    // arrays are bounded by the max duplication of one content (the
+    // same boundedness d34's collapse rides).
+    val grp = assigned.groupBy(col("cell"), col("embedding"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+    val a = grp.select(col("cell"), col("embedding").as("ae"),
+      col("ids").as("aids"))
+    val b = grp.select(col("cell"), col("embedding").as("be"),
+      col("ids").as("bids"))
+    // no ordering constraint: anchors flow BOTH directions between
+    // content pairs, and the diagonal row (a == b) carries co-copy
+    // anchors; the identical-array cosine is the identical IEEE fold in
+    // both engines, so no special-casing
     a.join(b, Seq("cell"))
-      .filter(col("anchor") < col("vec_id"))
-      .select(col("cell"), col("anchor"), col("vec_id"),
+      .select(col("cell"), col("aids"), col("bids"),
         expr(cosineExpr("ae", "be")).as("cos"))
       .filter(col("cos") >= 0.35)
+      .select(col("cell"), col("cos"), col("aids"),
+        explode(col("bids")).as("vec_id"))
+      .withColumn("below", filter(col("aids"), x => x < col("vec_id")))
+      .filter(size(col("below")) > 0)
       .groupBy(col("cell"), col("vec_id"))
-      .agg(min(col("anchor")).as("kept_anchor"),
-        count(lit(1)).as("n_anchors"),
+      .agg(min(array_min(col("below"))).as("kept_anchor"),
+        sum(size(col("below")).cast("long")).as("n_anchors"),
         round(max(col("cos")), 6).as("max_cos"))
       .psort(col("vec_id"))
   }
@@ -2025,7 +2045,10 @@ object Dedup {
     * arithmetic is map-only on the rank, and the audit is one 8-group
     * aggregation. At 100 TB the canonical frame is the persisted dedup
     * output and sharding costs one rank pass + a map. */
-  private val d28: Q = (s, dir) => {
+  /** Per-document serpentine shard assignment of the exact-dedup
+    * survivors — d28's interior, shared with d35's cross-shard audit:
+    * (doc_id, n_tokens, shard) for each canonical doc. */
+  private def d28Shards(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val norm = regexp_replace(lower(col("text")), " +", " ")
     val canon = d
@@ -2039,6 +2062,10 @@ object Dedup {
     val pos = (col("rank") - 1) % 8
     ranked
       .withColumn("shard", when(pass % 2 === 0, pos).otherwise(lit(7) - pos))
+  }
+
+  private val d28: Q = (s, dir) => {
+    d28Shards(s, dir)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -2069,6 +2096,61 @@ object Dedup {
       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |  MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---- d35: cross-shard near-dup residual (dedup/sharding interaction) ----
+  /** d35: the residual a SHARD-LOCAL near-dedup pass would miss — after
+    * exact-dedup survivors are assigned to training shards (d28's
+    * serpentine token-balanced assignment), which verified near-dup pairs
+    * (d03's jaccard >= 0.8 edge set) CROSS a shard boundary? A pipeline
+    * that dedups within shards (the cheap parallel plan) silently keeps
+    * exactly the off-diagonal mass of this matrix; the diagonal is what
+    * shard-local dedup catches. This is the audit that justifies (or
+    * vetoes) shard-local dedup before a training run.
+    *
+    * Scale shape: reuses two build-once assets (the verified pair list,
+    * output-proportional; the shard map, one rank pass) and joins them on
+    * doc_id — two equi-joins, one 8x8-bounded aggregate. No new pairwise
+    * work. */
+  private val d35: Q = (s, dir) => {
+    val pairs = nearDupPairs(s, dir).select(col("d1"), col("d2"))
+    val sh = d28Shards(s, dir).select(col("doc_id"), col("shard"))
+    pairs
+      .join(sh.select(col("doc_id").as("d1"), col("shard").as("sa")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shard").as("sb")), Seq("d2"))
+      .select(least(col("sa"), col("sb")).as("shard_a"),
+        greatest(col("sa"), col("sb")).as("shard_b"))
+      .groupBy(col("shard_a"), col("shard_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .psort(col("shard_a"), col("shard_b"))
+  }
+
+  private val d35Sql =
+    s"""WITH $minhashCandCtes,
+       |$verifiedPairCtes,
+       |canon AS (
+       |  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens FROM (
+       |    SELECT doc_id,
+       |      MD5(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g')) AS h,
+       |      LEN([w FOR w IN
+       |        STRING_SPLIT(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'), ' ')
+       |        IF w <> '']) AS n_tokens
+       |    FROM documents) GROUP BY h),
+       |r AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+       |  FROM canon),
+       |shmap AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+       |         ELSE 7 - (rank - 1) % 8 END AS shard
+       |  FROM r)
+       |SELECT LEAST(s1.shard, s2.shard) AS shard_a,
+       |  GREATEST(s1.shard, s2.shard) AS shard_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM edges e
+       |JOIN shmap s1 ON e.d1 = s1.doc_id
+       |JOIN shmap s2 ON e.d2 = s2.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- d29: cross-source duplication matrix (mirror detection) ------------
   /** d29: which sources copy from which — for every pair of sources that
@@ -2404,6 +2486,7 @@ object Dedup {
        |FROM cls GROUP BY verdict_class ORDER BY verdict_class""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "d35_cross_shard_residual" -> d35,
     "d34_shingle_ablation" -> d34,
     "d33_corpus_checksum" -> d33,
     "d32_store_compaction" -> d32,
@@ -2439,6 +2522,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d35_cross_shard_residual" -> d35Sql,
     "d34_shingle_ablation" -> d34Sql,
     "d33_corpus_checksum" -> d33Sql,
     "d32_store_compaction" -> d32Sql,

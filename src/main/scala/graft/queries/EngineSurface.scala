@@ -591,11 +591,58 @@ object EngineSurface {
       |WHERE c_custkey <= 300 AND c_custkey % 10 <> 7
       |ORDER BY id""".stripMargin
 
+  /** q123: CREATE SEQUENCE / nextval / currval — DuckDB's sequence
+    * surface (SURVEY §2.2 session DDL) with the engine's pinned assignment
+    * order: nextval values follow the source SELECT's ORDER BY (Engine's
+    * documented DELTA — DuckDB leaves parallel assignment unspecified; a
+    * distributed engine pins it to output order via a partition-ordered
+    * zipWithIndex, no single-task funnel). Two ordered draws (CTAS then
+    * INSERT SELECT, INCREMENT 2) plus a currval read stamped on every row;
+    * the oracle replays the draws as ROW_NUMBER arithmetic. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql("CREATE OR REPLACE SEQUENCE ord_ids START 1000 INCREMENT 2")
+      engine.sql(s"CREATE OR REPLACE TABLE seq_t AS " +
+        s"SELECT nextval('ord_ids') AS id, o_orderkey, o_orderstatus " +
+        s"FROM '$dir/orders.parquet' WHERE o_orderkey <= 200 " +
+        s"ORDER BY o_orderkey")
+      engine.sql(s"INSERT INTO seq_t " +
+        s"SELECT nextval('ord_ids'), o_orderkey, o_orderstatus " +
+        s"FROM '$dir/orders.parquet' " +
+        s"WHERE o_orderkey BETWEEN 201 AND 400 ORDER BY o_orderkey")
+      val cur = engine.sql("SELECT currval('ord_ids') AS cv")
+        .head().getLong(0)
+      engine.sql("SELECT id, o_orderkey, o_orderstatus FROM seq_t")
+        .withColumn("last_id", org.apache.spark.sql.functions.lit(cur))
+        .psort(col("id"))
+    } finally engine.close()
+  }
+
+  private val q123Sql =
+    """WITH a AS (
+      |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 200),
+      |b AS (
+      |  SELECT o_orderkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey BETWEEN 201 AND 400),
+      |ai AS (
+      |  SELECT CAST(1000 + (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) * 2
+      |    AS BIGINT) AS id, o_orderkey, o_orderstatus FROM a),
+      |bi AS (
+      |  SELECT CAST(1000 + 2 * (SELECT COUNT(*) FROM a)
+      |    + (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) * 2
+      |    AS BIGINT) AS id, o_orderkey, o_orderstatus FROM b),
+      |u AS (SELECT * FROM ai UNION ALL SELECT * FROM bi)
+      |SELECT id, o_orderkey, o_orderstatus,
+      |  (SELECT MAX(id) FROM u) AS last_id
+      |FROM u ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q115_transactions" -> (q115 _),
     "q114_merge_returning" -> (q114 _),
     "q113_merge_into" -> (q113 _),
     "q112_delete_using" -> (q112 _),
+    "q123_sequences" -> (q123 _),
     "q110_update_from" -> (q110 _),
     "q111_upsert" -> (q111 _),
     "q107_named_window" -> (q107 _),
@@ -616,6 +663,7 @@ object EngineSurface {
     "q114_merge_returning" -> q114Sql,
     "q113_merge_into" -> q113Sql,
     "q112_delete_using" -> q112Sql,
+    "q123_sequences" -> q123Sql,
     "q110_update_from" -> q110Sql,
     "q111_upsert" -> q111Sql,
     "q107_named_window" -> q107Sql,

@@ -2453,7 +2453,114 @@ object Multimodal {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  // ---- m30: indexed-color (palette) PNG decode -----------------------------
+  /** m30: PALETTE PNG decode — the second PNG color type a crawl actually
+    * contains (icons, screenshots, charts land as type-3 indexed PNGs).
+    * The fixture encodes REAL indexed PNGs (PLTE chunk + 1-byte-per-pixel
+    * filtered scanlines, all five filters rotating); the op decodes them
+    * through the full chunk walk + filter reconstruction at the 1-byte
+    * stride + palette resolution, and emits exact-integer facts: header
+    * dims, PLTE entry count, decoded RGB byte mass, and the number of
+    * DISTINCT decoded colors. doc_id % 13 == 9 plants k = 13 palettes
+    * whose index formula (p*13+id) % 13 collapses to ONE used color — a
+    * decoder that shortcuts the palette lookup or the filter stride gets
+    * the mass and the distinct count wrong.
+    *
+    * Fixture contract (replayed in closed form by the oracle):
+    * w = 8 + id%40, h = 8 + (id*5)%32, k = 4 + id%13 palette entries,
+    * palette[j][c] = (j*37 + c*11 + id) % 256, index(p) = (p*13 + id) % k.
+    *
+    * Scale shape: one map-only decode pass over the fixture scan (typed
+    * Dataset, mapPartitions) — no shuffle before the presentation sort. */
+  private def paletteSpec(id: Long): (Int, Int, Int) =
+    ((8 + id % 40).toInt, (8 + (id * 5) % 32).toInt, (4 + id % 13).toInt)
+
+  private def palettePayload(id: Long): Array[Byte] = {
+    val (w, h, k) = paletteSpec(id)
+    val palette = new Array[Byte](k * 3)
+    var j = 0
+    while (j < k) {
+      var c = 0
+      while (c < 3) {
+        palette(j * 3 + c) = ((j * 37 + c * 11 + id) % 256).toByte
+        c += 1
+      }
+      j += 1
+    }
+    val idx = new Array[Byte](w * h)
+    var p = 0
+    while (p < w * h) {
+      idx(p) = ((p * 13 + id) % k).toByte
+      p += 1
+    }
+    ImageCodecs.encodePngPalette(w, h, idx, palette)
+  }
+
+  private val paletteFixtures = scala.collection.concurrent.TrieMap[String, String]()
+  private def paletteTable(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val path = paletteFixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = fixtureTempDir("graft_palette_fixture")
+      t(s, dir, "documents").filter(col("doc_id") <= 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaPayload(id, palettePayload(id))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  case class PalettePng(doc_id: Long, width: Int, height: Int,
+                        n_palette: Int, rgb_mass: Long, n_used: Int)
+
+  private def decodePaletteOne(r: MediaPayload): PalettePng = {
+    val img = ImageCodecs.decode(r.data)
+    val nPal = ImageCodecs.pngPaletteSize(r.data)
+    var mass = 0L
+    val seen = new java.util.HashSet[Integer]()
+    var p = 0
+    val n = img.width * img.height
+    while (p < n) {
+      val r0 = img.rgb(p * 3) & 0xff
+      val g = img.rgb(p * 3 + 1) & 0xff
+      val b = img.rgb(p * 3 + 2) & 0xff
+      mass += r0 + g + b
+      seen.add((r0 << 16) | (g << 8) | b)
+      p += 1
+    }
+    PalettePng(r.doc_id, img.width, img.height, nPal, mass, seen.size)
+  }
+
+  private val m30: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[PalettePng] = Encoders.product[PalettePng]
+    paletteTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(decodePaletteOne)).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m30Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 40 AS w, 8 + (doc_id * 5) % 32 AS h,
+      |    4 + doc_id % 13 AS k
+      |  FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id,
+      | CAST(w AS INTEGER) AS width,
+      | CAST(h AS INTEGER) AS height,
+      | CAST(k AS INTEGER) AS n_palette,
+      | CAST(LIST_SUM([
+      |     ((((p * 13 + doc_id) % k) * 37 + doc_id) % 256)
+      |   + ((((p * 13 + doc_id) % k) * 37 + 11 + doc_id) % 256)
+      |   + ((((p * 13 + doc_id) % k) * 37 + 22 + doc_id) % 256)
+      |   FOR p IN RANGE(w * h)]) AS BIGINT) AS rgb_mass,
+      | CAST(LEN(LIST_DISTINCT([(p * 13 + doc_id) % k
+      |   FOR p IN RANGE(w * h)])) AS INTEGER) AS n_used
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m30_palette_png" -> m30,
     "m29_sharpness" -> m29,
     "m28_dominant_colors" -> m28,
     "m27_fake_stereo" -> m27,
@@ -2486,6 +2593,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m30_palette_png" -> m30Sql,
     "m29_sharpness" -> m29Sql,
     "m28_dominant_colors" -> m28Sql,
     "m27_fake_stereo" -> m27Sql,

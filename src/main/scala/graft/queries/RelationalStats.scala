@@ -899,7 +899,84 @@ object RelationalStats {
       |FROM orders WHERE o_orderkey <= 300
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---- q122: skyline (Pareto frontier) --------------------------------------
+  /** q122: SKYLINE — the Pareto frontier minimizing (price, size) over
+    * `part`: a row is in the answer iff no other row is <= in both
+    * dimensions and strictly < in one. The multi-objective shortlist query
+    * every curation/serving stack runs ("no config dominated on both cost
+    * and quality"), and an operator DuckDB users spell with NOT EXISTS.
+    *
+    * Scale shape (the naive spelling is an O(n²) self-join): collapse to
+    * per-price group minima (one shuffle with map-side partials), then an
+    * exact DISTRIBUTED prefix-scan of the running minimum in price order —
+    * range-bucket the price domain, per-bucket windows (partitionBy bucket,
+    * so no global single-task window; PlanSpec ban), and a <=65-row
+    * per-bucket-minimum broadcast carrying the scan across buckets (the
+    * DistributedRank marginals pattern). A final equi-join back on price
+    * keeps ties: every undominated row appears, including duplicates of a
+    * frontier point (neither strictly beats the other). */
+  private val q122: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pts = t(s, dir, "part").select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("cents"),
+      col("p_size").cast("int").as("p_size"))
+    val mm = pts.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      .head() // 1-row scalar agg: bounded by construction
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / 64 + 1)
+    val gmins = pts
+      .withColumn("b", expr(s"(cents - ${lo}L) div ${width}L"))
+      .groupBy(col("b"), col("cents")).agg(min(col("p_size")).as("gmin"))
+    // cross-bucket leg of the prefix-scan: <=65 bucket minima to the
+    // driver, prefix-min'd, broadcast back (O(buckets) rows)
+    val bmins = gmins.groupBy(col("b")).agg(min(col("gmin")).as("bm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val prefix: Seq[(Long, Integer)] = {
+      var run: Integer = null
+      bmins.toSeq.map { case (b, bm) =>
+        val out = (b, run)
+        run = if (run == null) Int.box(bm) else Int.box(math.min(run, bm))
+        out
+      }
+    }
+    val prefDf = {
+      import s.implicits._
+      prefix.map { case (b, p) =>
+        (b, Option(p).map(_.intValue)) }.toDF("b", "bprev")
+        .select(col("b"), col("bprev").cast("int").as("bprev"))
+    }
+    val wb = Window.partitionBy(col("b")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fr = gmins.withColumn("inprev", min(col("gmin")).over(wb))
+      .join(broadcast(prefDf), Seq("b"))
+      // least() skips NULLs in Spark: the running strict-prefix minimum
+      .withColumn("prev", least(col("inprev"), col("bprev")))
+      .select(col("cents"), col("gmin"), col("prev"))
+    pts.join(fr, Seq("cents"))
+      .filter(col("p_size") === col("gmin") &&
+        (col("prev").isNull || col("prev") > col("p_size")))
+      .select(col("p_partkey"), col("cents"), col("p_size"))
+      .psort(col("cents"), col("p_partkey"))
+  }
+
+  private val q122Sql =
+    """WITH pts AS (
+      |  SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+      |    p_size
+      |  FROM part),
+      |g AS (SELECT cents, MIN(p_size) AS gmin FROM pts GROUP BY cents),
+      |f AS (
+      |  SELECT cents, gmin,
+      |    MIN(gmin) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      |  FROM g)
+      |SELECT p.p_partkey, p.cents, p.p_size
+      |FROM pts p JOIN f USING (cents)
+      |WHERE p.p_size = f.gmin AND (f.prev IS NULL OR f.prev > p.p_size)
+      |ORDER BY cents, p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q122_skyline" -> q122,
     "q109_string_agg" -> q109,
     "q106_time_weighted" -> q106,
     "q104_window_distinct" -> q104,
@@ -922,6 +999,7 @@ object RelationalStats {
     "q73_order_by_all" -> q73)
 
   val oracleSql: Map[String, String] = Map(
+    "q122_skyline" -> q122Sql,
     "q109_string_agg" -> q109Sql,
     "q106_time_weighted" -> q106Sql,
     "q104_window_distinct" -> q104Sql,

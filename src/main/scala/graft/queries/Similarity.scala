@@ -3103,7 +3103,86 @@ object Similarity {
        |FROM per GROUP BY sub ORDER BY sub""".stripMargin
   }
 
+  // ---- s42: index staleness audit ------------------------------------------
+  /** s42: INDEX STALENESS — the serve-path decay audit run before deciding
+    * a reindex cadence: the LSH index was built at T0 (only "old" vectors,
+    * vec_id % 10 <> 9 — 90% of the corpus); arrivals since then are
+    * queryable as probes but unreachable as neighbors. For the standard
+    * probe set (vec_id < 20, same as s05), compare the stale serve's top-3
+    * (sig-bucket candidates restricted to old vectors, exact cosine
+    * rerank) against the brute-force ground truth over the FULL corpus:
+    * per query the hit count, how many true neighbors are new arrivals
+    * (structurally unreachable), and recall permille. The gap between
+    * `3 - n_new_in_truth` and `hits` is the index's own (LSH) loss;
+    * `n_new_in_truth` is pure staleness — the two causes separate, which
+    * is exactly what the reindex decision needs.
+    *
+    * Scale shape: reuses the persisted s03 signature index (build-once);
+    * probes broadcast; candidates stream through the sig equi-join; the
+    * brute truth leg is the family's 20-query broadcast cross join. */
+  private val s42: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      q.hint("broadcast")
+        .crossJoin(e.select(col("vec_id").as("cid"), col("embedding").as("ce")))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("qid"), col("cid"))
+    }
+    val sig = memoized(s"s03sig:$dir") {
+      e.select(col("vec_id"), col("embedding"), expr(sigExprSpark("embedding")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val stale = sig.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("sqid"), col("embedding").as("qe"), col("sig"))
+      .join(sig.filter(col("vec_id") % 10 =!= 9) // index frozen at T0
+        .select(col("vec_id").as("scid"), col("embedding").as("ce"), col("sig")),
+        Seq("sig"))
+      .filter(col("sqid") =!= col("scid"))
+      .select(col("sqid"), col("scid"),
+        expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("sqid")).orderBy(col("cos").desc, col("scid"))))
+      .filter(col("rank") <= 3)
+      .select(col("sqid"), col("scid"))
+    truth
+      .join(stale, col("qid") === col("sqid") && col("cid") === col("scid"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(col("scid")).as("hits"),
+        sum(when(col("cid") % 10 === 9, 1L).otherwise(0L)).as("n_new_in_truth"),
+        expr("count(scid) * 1000 div 3").as("recall_pm"))
+      .psort(col("qid"))
+  }
+
+  private val s42Sql =
+    s"""WITH $bruteTruthCtes,
+       |sg AS (SELECT vec_id, embedding, ${sigExprSql("embedding")} AS sig
+       |  FROM embeddings),
+       |lshd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS cos
+       |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 20 AND b.vec_id % 10 <> 9),
+       |stale AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM lshd) WHERE rnk <= 3)
+       |SELECT t.qid,
+       |  CAST(COUNT(s.cid) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN t.cid % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_new_in_truth,
+       |  CAST(COUNT(s.cid) * 1000 // 3 AS BIGINT) AS recall_pm
+       |FROM brute t LEFT JOIN stale s ON t.qid = s.qid AND t.cid = s.cid
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s42_staleness_audit" -> s42,
     "s41_pq_utilization" -> s41,
     "s40_margin_audit" -> s40,
     "s39_embedding_coverage" -> s39,
@@ -3147,6 +3226,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s42_staleness_audit" -> s42Sql,
     "s41_pq_utilization" -> s41Sql,
     "s40_margin_audit" -> s40Sql,
     "s39_embedding_coverage" -> s39Sql,

@@ -32,6 +32,36 @@ class ImageCodecsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("palette PNG round-trips indices through PLTE + 1-byte-stride " +
+      "filters to the palette-resolved RGB") {
+    for ((w, h) <- shapes) {
+      val k = 2 + (w + h) % 15 // 2..16 palette entries
+      val palette = Array.tabulate(k * 3)(i => ((i * 53 + 7) % 256).toByte)
+      val idx = Array.tabulate(w * h)(p => ((p * 11 + w) % k).toByte)
+      val bytes = encodePngPalette(w, h, idx, palette)
+      pngPaletteSize(bytes) shouldBe k
+      val img = decodePng(bytes)
+      (img.width, img.height) shouldBe (w, h)
+      val expected = idx.flatMap { b =>
+        val j = b & 0xff
+        Seq(palette(j * 3), palette(j * 3 + 1), palette(j * 3 + 2))
+      }
+      img.rgb shouldBe expected
+    }
+    // a truecolor PNG reports no palette
+    pngPaletteSize(encodePng(4, 4, pixels(48, 3))) shouldBe -1
+  }
+
+  test("palette PNG rejects an out-of-range index and a corrupted PLTE CRC") {
+    val palette = Array.tabulate(9)(i => (i * 10).toByte) // 3 entries
+    an[IllegalArgumentException] should be thrownBy
+      encodePngPalette(2, 2, Array[Byte](0, 1, 3, 2), palette)
+    val ok = encodePngPalette(2, 2, Array[Byte](0, 1, 2, 1), palette)
+    // PLTE chunk starts after sig(8) + IHDR(12+13); flip a palette byte
+    ok(8 + 25 + 8 + 1) = (ok(8 + 25 + 8 + 1) ^ 0x01).toByte
+    an[IllegalArgumentException] should be thrownBy decodePng(ok)
+  }
+
   test("PNG rejects a corrupted chunk CRC") {
     val bytes = encodePng(5, 5, pixels(75, 9))
     // flip one bit inside the IDAT payload (after sig+IHDR chunk = 8+25)
