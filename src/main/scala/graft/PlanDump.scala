@@ -23,7 +23,6 @@ object PlanDump {
     "x11_decontaminate" -> "bounded benchmark gram set broadcasts; corpus side is one map-only explode + one doc_id shuffle",
     "s08_knn_filtered" -> "metadata predicate filters the candidate stream BELOW the cell join, before any cosine",
     "q65_stats_moments" -> "six decimal moments in one partial_sum aggregation",
-    "d11_semdedup" -> "pairs only within trained IVF cells: cell equi-join, no cartesian; aggregation keyed on (cell, vec_id)",
     "d12_cdc_dedup" -> "map-only native chunking; one shuffle on the chunk hash for df, hash-partitioned join back",
     "s09_knn_graph" -> "corpus-vs-corpus top-k as a cell equi-join over the trained assignment; WindowGroupLimit below the exchange",
     "x14_stratified_sample" -> "WindowGroupLimit pre-prunes each map task to its local per-stratum top-k before the stratum shuffle",
@@ -157,7 +156,13 @@ object PlanDump {
     "p13_order_certificate" -> "order certificate: map-only keys; per-shard rank windows (partition-parallel); per-shard agg with bounded modular terms",
     "q121_skew_diagnostics" -> "skew diagnostics: count-per-key shuffles with map-side partials; key-count-bounded re-agg; 2-row output",
     "d34_shingle_ablation" -> "shingle ablation: persisted content-collapsed candidates + per-digest w5 arrays; content-bounded intersect join; <=4-row agg",
-    "x53_lang_confusion" -> "confusion matrix: map-only argmax scoring; langs^2-bounded agg; langs-row broadcast totals")
+    "x53_lang_confusion" -> "confusion matrix: map-only argmax scoring; langs^2-bounded agg; langs-row broadcast totals",
+    "q122_skyline" -> "skyline: per-price group minima (map-side partials); distributed prefix-scan = bucket-partitioned windows + <=65-row bucket-min broadcast; one price equi-join back (ties kept); NO global window",
+    "m30_palette_png" -> "palette PNG decode: one typed map-only PLTE walk + 1-byte-stride filter reconstruction + palette resolve per image; only the presentation sort shuffles",
+    "d35_cross_shard_residual" -> "cross-shard residual: build-once pair list x build-once shard map; two doc_id equi-joins; 8x8-bounded agg",
+    "s42_staleness_audit" -> "staleness audit: persisted sig index equi-join (old side filtered in-scan); 20-probe broadcast brute truth leg; per-qid rank windows; left-join + per-qid agg",
+    "q123_sequences" -> "sequences: block reservation + partition-ordered zipWithIndex over the ORDER BY'd source (dense ids, no single-task funnel); ordinary append after",
+    "d11_semdedup" -> "semdedup (collapsed): distinct (cell, embedding) pair join — content-bounded quadratic; per-vec reconstruction via copy-id order statistics (output-proportional explode); one (cell, vec) agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
