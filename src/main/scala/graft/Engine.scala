@@ -1109,6 +1109,7 @@ class Engine(val spark: SparkSession,
     createdTables.get(name).foreach(releaseSnapshot)
     createdViews.remove(name)
     primaryKeys.remove(name) // CTAS declares no key; drop any stale one
+    checkConstraints.remove(name) // ...and no constraints
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
     statusDf("create_table", name)
@@ -1186,8 +1187,25 @@ class Engine(val spark: SparkSession,
     }
   }
 
+  private val checkConstraints =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
+
+  /** Enforce the table's CHECK constraints on candidate rows (SQL
+    * semantics: a NULL predicate passes, only FALSE violates); the
+    * statement fails loudly with the constraint text and row count. One
+    * distributed filter-count per constraint — no data moves. */
+  private def enforceChecks(name: String, rows: DataFrame,
+      verb: String): Unit =
+    checkConstraints.getOrElse(name, Nil).foreach { c =>
+      val bad = rows.filter(org.apache.spark.sql.functions.coalesce(
+        expr(c).cast("boolean"), lit(true)) === false).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"$verb $name: CHECK ($c) violated by $bad row(s)")
+    }
+
   private def appendAligned(name: String, target: DataFrame,
       aligned: DataFrame): DataFrame = {
+    enforceChecks(name, aligned, "INSERT INTO")
     val n = aligned.count()
     val merged = target.unionByName(aligned).localCheckpoint(true)
     releaseSnapshot(target)
@@ -1271,6 +1289,7 @@ class Engine(val spark: SparkSession,
           .otherwise(col(s"`${f.name}`")).as(f.name))
         .getOrElse(col(s"`${f.name}`"))
     }.toSeq: _*).localCheckpoint(true)
+    enforceChecks(name, updated, "UPDATE")
     // RETURNING: the affected rows, post-update values (DuckDB semantics)
     val retDf = ret.map { r =>
       returningDf(target.filter(cond).select(target.schema.fields.map { f =>
@@ -1336,6 +1355,7 @@ class Engine(val spark: SparkSession,
             expr(e).cast(f.dataType)).otherwise(old).as(f.name))
         .getOrElse(old.as(f.name))
     }.toSeq: _*).localCheckpoint(true)
+    enforceChecks(name, updated, "UPDATE")
     // RETURNING: matched rows only, post-update values
     val retDf = ret.map { r =>
       returningDf(picked.filter(col("__graft_m").isNotNull)
@@ -1832,9 +1852,13 @@ class Engine(val spark: SparkSession,
     // only the remainder. Constraint tokens are accepted like DuckDB's
     // grammar: PRIMARY KEY (column- or table-level) is RECORDED as the
     // table's conflict key (serving INSERT OR REPLACE/IGNORE and bare
-    // ON CONFLICT); NOT NULL / UNIQUE are stripped — snapshots have no
-    // enforcement layer, a documented relaxation.
+    // ON CONFLICT); CHECK constraints (column- or table-level) are
+    // RECORDED and ENFORCED on every INSERT/UPDATE (round 10 — SQL
+    // semantics: NULL passes, only FALSE violates, the statement fails
+    // loudly); NOT NULL / UNIQUE are stripped — snapshots have no
+    // uniqueness enforcement layer, a documented relaxation.
     val pk = scala.collection.mutable.ArrayBuffer.empty[String]
+    val checks = scala.collection.mutable.ArrayBuffer.empty[String]
     val pkTableRe = "(?is)^PRIMARY\\s+KEY\\s*\\(([^)]*)\\)$".r
     val defs = splitExecArgs(colDefs).flatMap { d =>
       val t = d.trim
@@ -1843,11 +1867,19 @@ class Engine(val spark: SparkSession,
           pk ++= cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty)
           None
-        case c if "(?is)^(UNIQUE|CHECK|FOREIGN\\s+KEY)\\b".r
+        case c if "(?is)^CHECK\\b".r.findFirstIn(c).isDefined =>
+          // table-level CHECK: record for enforcement
+          val open = c.indexOf('(')
+          require(open > 0, s"malformed CHECK constraint '$d'")
+          val close = SqlScan.matchingParen(c, open)
+          require(close > open, s"unterminated CHECK constraint '$d'")
+          checks += c.substring(open + 1, close).trim
+          None
+        case c if "(?is)^(UNIQUE|FOREIGN\\s+KEY)\\b".r
             .findFirstIn(c).isDefined =>
           // other table-level constraints parse and drop (advisory —
-          // snapshots have no enforcement layer, same relaxation as the
-          // column-level NOT NULL/UNIQUE)
+          // snapshots have no uniqueness enforcement layer, same
+          // relaxation as the column-level NOT NULL/UNIQUE)
           None
         case _ =>
           val nameEnd =
@@ -1868,6 +1900,15 @@ class Engine(val spark: SparkSession,
               .stripPrefix("`").stripSuffix("`")
             tpe = tpe.replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
           }
+          // column-level CHECK (expr): record and strip
+          "(?i)\\bCHECK\\b".r.findFirstMatchIn(tpe).foreach { cm =>
+            val open = tpe.indexOf('(', cm.end - 1)
+            require(open >= 0, s"malformed CHECK in '$d'")
+            val close = SqlScan.matchingParen(tpe, open)
+            require(close > open, s"unterminated CHECK in '$d'")
+            checks += tpe.substring(open + 1, close).trim
+            tpe = tpe.substring(0, cm.start) + tpe.substring(close + 1)
+          }
           tpe = tpe
             .replaceAll("(?i)\\bNOT\\s+NULL\\b", "")
             .replaceAll("(?i)\\bUNIQUE\\b", "")
@@ -1881,6 +1922,8 @@ class Engine(val spark: SparkSession,
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
     if (pk.nonEmpty) primaryKeys.put(name, pk.toSeq.distinct)
     else primaryKeys.remove(name)
+    if (checks.nonEmpty) checkConstraints.put(name, checks.toSeq)
+    else checkConstraints.remove(name)
     val snap = spark
       .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
@@ -2108,6 +2151,7 @@ class Engine(val spark: SparkSession,
     guardEngineName(name)
     val existed = if (kind == "TABLE") {
       primaryKeys.remove(name)
+      checkConstraints.remove(name)
       createdTables.remove(name).map { df => releaseSnapshot(df); () }.isDefined
     } else createdViews.remove(name).isDefined
     if (existed) spark.catalog.dropTempView(name)

@@ -637,11 +637,48 @@ object EngineSurface {
       |  (SELECT MAX(id) FROM u) AS last_id
       |FROM u ORDER BY id""".stripMargin
 
+  /** q124: CHECK constraints — DuckDB's column- and table-level CHECK
+    * grammar, ENFORCED (round 10; previously parse-and-drop): a violating
+    * INSERT or UPDATE fails loudly and atomically (the snapshot is
+    * untouched), NULL predicates pass per SQL semantics. The gate lands a
+    * clean batch, proves a negative-balance batch and a balance-breaking
+    * UPDATE both reject, and hashes the surviving state plus the reject
+    * count. Oracle replays the accepted rows. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql("CREATE OR REPLACE TABLE chk_t (k BIGINT PRIMARY KEY, " +
+        "bal DOUBLE CHECK (bal >= 0), status VARCHAR, CHECK (k < 1000000))")
+      engine.sql(s"INSERT INTO chk_t SELECT c_custkey, c_acctbal, 'ok' " +
+        s"FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey <= 300 AND c_acctbal >= 0")
+      def rejects(stmt: String): Long =
+        try { engine.sql(stmt); 0L }
+        catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("CHECK") => 1L }
+      val r1 = rejects(s"INSERT INTO chk_t SELECT c_custkey + 1000, " +
+        s"c_acctbal, 'neg' FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey <= 300 AND c_acctbal < 0")
+      val r2 = rejects("UPDATE chk_t SET bal = bal - 100000 WHERE k <= 10")
+      engine.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM chk_t")
+        .withColumn("rejected_batches",
+          org.apache.spark.sql.functions.lit(r1 + r2))
+        .psort(col("k"))
+    } finally engine.close()
+  }
+
+  private val q124Sql =
+    """SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |  'ok' AS status, CAST(2 AS BIGINT) AS rejected_batches
+      |FROM customer WHERE c_custkey <= 300 AND c_acctbal >= 0
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q115_transactions" -> (q115 _),
     "q114_merge_returning" -> (q114 _),
     "q113_merge_into" -> (q113 _),
     "q112_delete_using" -> (q112 _),
+    "q124_check_constraints" -> (q124 _),
     "q123_sequences" -> (q123 _),
     "q110_update_from" -> (q110 _),
     "q111_upsert" -> (q111 _),
@@ -663,6 +700,7 @@ object EngineSurface {
     "q114_merge_returning" -> q114Sql,
     "q113_merge_into" -> q113Sql,
     "q112_delete_using" -> q112Sql,
+    "q124_check_constraints" -> q124Sql,
     "q123_sequences" -> q123Sql,
     "q110_update_from" -> q110Sql,
     "q111_upsert" -> q111Sql,

@@ -59,6 +59,31 @@ class NewOpsR10bSpec extends AnyFunSuite with Matchers {
     rows.map(_.getLong(2)).sum should be > 0L
   }
 
+  test("q124 CHECK constraints: NULL passes, FALSE rejects atomically on " +
+      "INSERT and UPDATE, column- and table-level forms both enforce") {
+    val engine = new Engine(spark)
+    try {
+      engine.sql("CREATE OR REPLACE TABLE ck (a BIGINT CHECK (a > 0), " +
+        "b DOUBLE, CHECK (b IS NULL OR b < 100))")
+      engine.sql("INSERT INTO ck VALUES (1, 5.0)")
+      engine.sql("INSERT INTO ck VALUES (2, NULL)") // NULL b passes
+      // a violating row anywhere in the batch rejects the WHOLE batch
+      val ex = intercept[Exception](
+        engine.sql("INSERT INTO ck VALUES (3, 1.0), (-1, 2.0)"))
+      ex.getMessage should include("CHECK")
+      engine.sql("SELECT COUNT(*) AS n FROM ck").head()
+        .getLong(0) shouldBe 2L // the valid row (3, ...) did NOT land
+      // NULL in the checked column passes (SQL: NULL predicate = pass)
+      engine.sql("INSERT INTO ck VALUES (NULL, 1.0)")
+      // table-level CHECK enforces on UPDATE; rejected update leaves state
+      an[Exception] should be thrownBy
+        engine.sql("UPDATE ck SET b = 200.0 WHERE a = 1")
+      engine.sql("SELECT CAST(b AS DOUBLE) AS b FROM ck WHERE a = 1")
+        .head().getDouble(0) shouldBe 5.0
+      engine.sql("DROP TABLE ck")
+    } finally engine.close()
+  }
+
   test("q123 sequences: dense INCREMENT-2 ids follow the draw order, " +
       "currval stamps the last value, lifecycle statements enforce") {
     val out = SparkEntry.queries("q123_sequences")(spark, sf)
