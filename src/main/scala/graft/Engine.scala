@@ -1981,6 +1981,14 @@ class Engine(val spark: SparkSession,
         s"AS ${oneLine(body)}"
       entries += (("macro", name))
     }
+    // sequences round-trip their CONTINUATION point (DuckDB's own EXPORT
+    // writes CREATE SEQUENCE ... START <next value> the same way; drawn
+    // history and currval are session state and do not replay)
+    sequences.toSeq.sortBy(_._1).foreach { case (name, st) =>
+      val (next, inc) = st.synchronized((st.next, st.inc))
+      stmts += s"CREATE OR REPLACE SEQUENCE $name START $next INCREMENT $inc"
+      entries += (("sequence", name))
+    }
     createdTables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       val path = base.resolve(s"$name.parquet").toString
       df.write.mode("overwrite").parquet(path)

@@ -612,10 +612,13 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.sql("CREATE MACRO twice(x) AS x * 2")
     engine.sql("CREATE TABLE exp_t AS SELECT k, v FROM exp_src")
     engine.sql("CREATE VIEW exp_v AS SELECT SUM(v) sv FROM exp_t")
+    engine.sql("CREATE SEQUENCE exp_seq START 5 INCREMENT 3")
+    engine.sql("SELECT nextval('exp_seq') AS a").collect() // 5
+    engine.sql("SELECT nextval('exp_seq') AS a").collect() // 8; next = 11
     val exported = engine.sql(s"EXPORT DATABASE '$dir'").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     exported shouldBe Set(("macro", "twice"), ("table", "exp_t"),
-      ("view", "exp_v"))
+      ("view", "exp_v"), ("sequence", "exp_seq"))
     new java.io.File(s"$dir/schema.sql").exists() shouldBe true
     new java.io.File(s"$dir/exp_t.parquet").exists() shouldBe true
     // a FRESH session (no exp_t/exp_v/twice) replays the manifest
@@ -624,7 +627,10 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     engine.sql("DROP MACRO twice")
     val engine2 = new Engine(spark)
     engine2.sql(s"IMPORT DATABASE '$dir'").collect()(0)
-      .getLong(0) shouldBe 3
+      .getLong(0) shouldBe 4
+    // the sequence resumes at its exported CONTINUATION point
+    engine2.sql("SELECT nextval('exp_seq') AS a").collect()(0)
+      .getLong(0) shouldBe 11L
     engine2.sql("SELECT COUNT(*) c FROM exp_t").collect()(0)
       .getLong(0) shouldBe 3
     engine2.sql("SELECT sv FROM exp_v").collect()(0)
