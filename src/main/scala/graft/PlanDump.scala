@@ -162,7 +162,8 @@ object PlanDump {
     "d35_cross_shard_residual" -> "cross-shard residual: build-once pair list x build-once shard map; two doc_id equi-joins; 8x8-bounded agg",
     "s42_staleness_audit" -> "staleness audit: persisted sig index equi-join (old side filtered in-scan); 20-probe broadcast brute truth leg; per-qid rank windows; left-join + per-qid agg",
     "q123_sequences" -> "sequences: block reservation + partition-ordered zipWithIndex over the ORDER BY'd source (dense ids, no single-task funnel); ordinary append after",
-    "d11_semdedup" -> "semdedup (collapsed): distinct (cell, embedding) pair join — content-bounded quadratic; per-vec reconstruction via copy-id order statistics (output-proportional explode); one (cell, vec) agg")
+    "d11_semdedup" -> "semdedup (collapsed): distinct (cell, embedding) pair join — content-bounded quadratic; per-vec reconstruction via copy-id order statistics (output-proportional explode); one (cell, vec) agg",
+    "q124_check_constraints" -> "CHECK constraints: enforcement is one distributed filter-count per constraint at the alignment choke point (pushdown-bounded scans); plan shown is the surviving-state read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
