@@ -2485,7 +2485,82 @@ object Dedup {
        |  CAST(SUM(j5p) // COUNT(*) AS BIGINT) AS mean_j5_permille
        |FROM cls GROUP BY verdict_class ORDER BY verdict_class""".stripMargin
 
+  // ---- d36: KMV distinct-cardinality sketch audit ----------------------------
+  /** d36: K-MINIMUM-VALUES cardinality — the sketch every dedup planner
+    * consults BEFORE paying for the dedup itself: how many distinct
+    * documents does each source actually hold? KMV keeps the k smallest
+    * 48-bit content fingerprints per source; the k-th smallest value h_k
+    * estimates distinct-count as (k-1) * 2^48 / h_k (Bar-Yossef et al.
+    * 2002). The audit reports the estimate against the exact distinct
+    * count with an integer permille error — the number that decides
+    * whether the sketch's k is adequate for the corpus.
+    *
+    * Everything is exact integers end-to-end: the fingerprint universe is
+    * the first 12 hex chars of md5 (48 bits — identical in both engines;
+    * collision odds at 500k docs are ~4e-4), the estimator is one integer
+    * division, and a source with fewer than k distinct values reports its
+    * sketch size (the sketch IS exact below k).
+    *
+    * Scale shape: one distinct shuffle on (source, fingerprint) with
+    * map-side partials, then a per-source top-k window over k=32 rows —
+    * per-partition rank pruning keeps the window input tiny. A KMV sketch
+    * merges by union+truncate, so at 100 TB the per-shard sketches combine
+    * associatively without re-scanning (this query also computes the exact
+    * side only because it's the audit). */
+  private val d36: Q = (s, dir) => {
+    val k = 32
+    val dh = t(s, dir, "documents")
+      .select(col("source"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val sketch = dh.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("source"))
+      .agg(max(when(col("rnk") === k, col("h"))).as("hk"),
+        count(lit(1)).as("n_in_sketch"))
+    val exact = dh.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    sketch.join(exact, Seq("source"))
+      .withColumn("kmv_estimate",
+        when(col("n_in_sketch") < k, col("n_in_sketch"))
+          .otherwise(expr(s"(${k - 1} * 281474976710656) div hk")))
+      .withColumn("err_permille",
+        expr("abs(kmv_estimate - exact_distinct) * 1000 div exact_distinct"))
+      .select(col("source"), col("exact_distinct"), col("n_in_sketch"),
+        col("hk"), col("kmv_estimate"), col("err_permille"))
+      .psort(col("source"))
+  }
+
+  private val d36Sql =
+    """WITH dh AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, h,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
+      |  FROM dh),
+      |sk AS (
+      |  SELECT source, MAX(CASE WHEN rnk = 32 THEN h END) AS hk,
+      |    CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+      |  FROM r WHERE rnk <= 32 GROUP BY source),
+      |ex AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      |  FROM dh GROUP BY source),
+      |est AS (
+      |  SELECT sk.source, exact_distinct, n_in_sketch, hk,
+      |    CAST(CASE WHEN n_in_sketch < 32 THEN n_in_sketch
+      |      ELSE 31 * 281474976710656 // hk END AS BIGINT) AS kmv_estimate
+      |  FROM sk JOIN ex ON sk.source = ex.source)
+      |SELECT source, exact_distinct, n_in_sketch, hk, kmv_estimate,
+      |  CAST(ABS(kmv_estimate - exact_distinct) * 1000 // exact_distinct
+      |    AS BIGINT) AS err_permille
+      |FROM est ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d36_kmv_cardinality" -> d36,
     "d35_cross_shard_residual" -> d35,
     "d34_shingle_ablation" -> d34,
     "d33_corpus_checksum" -> d33,
@@ -2522,6 +2597,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d36_kmv_cardinality" -> d36Sql,
     "d35_cross_shard_residual" -> d35Sql,
     "d34_shingle_ablation" -> d34Sql,
     "d33_corpus_checksum" -> d33Sql,

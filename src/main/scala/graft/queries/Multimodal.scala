@@ -2559,7 +2559,139 @@ object Multimodal {
       |   FOR p IN RANGE(w * h)])) AS INTEGER) AS n_used
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---- m31: spectral peak detection (64-point integer DFT) ------------------
+  /** m31: SPECTRAL PEAK — the frequency-domain twin of m09's time-domain
+    * features: a 64-point DFT over the first 64 PCM samples of each clip,
+    * power at bins 1..16, report the peak bin (the detected tone). The
+    * fixture plants a square wave whose half-period (and thus fundamental
+    * bin 64/(2*half)) is doc-dependent, so the detector has a ground truth
+    * to land on and a header/PCM mis-parse moves real energy between bins.
+    *
+    * All arithmetic is exact integers: the twiddle tables are
+    * round(cos|sin(2*pi*m/64) * 2^14) inlined as the SAME literals into
+    * both dialects, power = re^2 + im^2 in 64-bit (max |re| is
+    * 64*800*16384 = 8.4e8, square 7.1e17 — no overflow), so the oracle
+    * replays the spectrum bit-for-bit from the closed-form samples while
+    * the engine computes it from the DECODED WAV bytes.
+    *
+    * Scale shape: map-only typed pass over the media table (decode + 2048
+    * multiply-adds per clip), one presentation sort. Bounded by the read
+    * at any corpus size. */
+  private val dftCos: IndexedSeq[Long] =
+    (0 until 64).map(m => Math.round(math.cos(2 * math.Pi * m / 64) * 16384))
+  private val dftSin: IndexedSeq[Long] =
+    (0 until 64).map(m => Math.round(math.sin(2 * math.Pi * m / 64) * 16384))
+
+  /** Tone fixture: mono 8 kHz, 128 frames; square wave sample
+    * i = +-amp with half-period `half` — amp = 500 + doc_id%300,
+    * half = 2 + doc_id%5. */
+  private def tonePayload(docId: Long): Array[Byte] = {
+    val half = 2 + (docId % 5).toInt
+    val amp = 500 + (docId % 300).toInt
+    val samples = new Array[Short](128)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = (if ((i / half) % 2 == 0) amp else -amp).toShort
+      i += 1
+    }
+    AudioCodecs.encodeWav(8000, 1, samples)
+  }
+
+  private val toneFixtures = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def toneTable(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val path = toneFixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = fixtureTempDir("graft_tone_fixture")
+      t(s, dir, "documents").filter(col("doc_id") <= 80)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaPayload(id, tonePayload(id))))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  case class ToneSpectrum(doc_id: Long, half: Int, amp: Int, dc_sum: Long,
+                          peak_bin: Int, peak_pow: Long)
+
+  private def analyzeToneOne(r: MediaPayload): ToneSpectrum = {
+    val a = AudioCodecs.decodeWav(r.data)
+    val x = new Array[Long](64)
+    var i = 0
+    while (i < 64) { x(i) = a.samples(i).toLong; i += 1 }
+    var dc = 0L
+    i = 0
+    while (i < 64) { dc += x(i); i += 1 }
+    var bestK = 0
+    var bestP = -1L
+    var k = 1
+    while (k <= 16) {
+      var re = 0L
+      var im = 0L
+      var n = 0
+      while (n < 64) {
+        val m = (k * n) % 64
+        re += x(n) * dftCos(m)
+        im += x(n) * dftSin(m)
+        n += 1
+      }
+      val p = re * re + im * im
+      if (p > bestP) { bestP = p; bestK = k } // strict > keeps smallest bin on tie
+      k += 1
+    }
+    // amp/half re-derived from the decoded signal itself (not the doc_id):
+    // amp = |first sample|, half = run length of the first plateau
+    val amp = math.abs(x(0)).toInt
+    var half = 1
+    while (half < 64 && x(half) == x(0)) half += 1
+    ToneSpectrum(r.doc_id, half, amp, dc, bestK, bestP)
+  }
+
+  private val m31: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[ToneSpectrum] = Encoders.product[ToneSpectrum]
+    toneTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map(analyzeToneOne)).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m31Sql = {
+    val ct = dftCos.mkString("[", ", ", "]")
+    val st = dftSin.mkString("[", ", ", "]")
+    s"""WITH g AS (
+       |  SELECT doc_id, 2 + CAST(doc_id % 5 AS INTEGER) AS half,
+       |    500 + CAST(doc_id % 300 AS INTEGER) AS amp
+       |  FROM documents WHERE doc_id <= 80),
+       |consts AS (SELECT $ct AS ct, $st AS st),
+       |terms AS (
+       |  SELECT doc_id, half, amp, k.range AS k, n.range AS n,
+       |    CASE WHEN ((n.range // half) % 2) = 0 THEN amp ELSE -amp END AS x
+       |  FROM g, RANGE(1, 17) k, RANGE(64) n),
+       |spec AS (
+       |  SELECT doc_id, half, amp, k,
+       |    CAST(SUM(x * ct[((k * n) % 64) + 1]) AS BIGINT) AS re,
+       |    CAST(SUM(x * st[((k * n) % 64) + 1]) AS BIGINT) AS im
+       |  FROM terms, consts GROUP BY 1, 2, 3, 4),
+       |ranked AS (
+       |  SELECT doc_id, half, amp, k, re * re + im * im AS pow,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY re * re + im * im DESC, k) AS rnk
+       |  FROM spec),
+       |dc AS (
+       |  SELECT doc_id, CAST(SUM(x) AS BIGINT) AS dc_sum
+       |  FROM terms WHERE k = 1 GROUP BY doc_id)
+       |SELECT r.doc_id, CAST(half AS INTEGER) AS half,
+       |  CAST(amp AS INTEGER) AS amp, dc_sum,
+       |  CAST(k AS INTEGER) AS peak_bin, CAST(pow AS BIGINT) AS peak_pow
+       |FROM ranked r JOIN dc USING (doc_id)
+       |WHERE rnk = 1 ORDER BY r.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m31_spectral_peak" -> m31,
     "m30_palette_png" -> m30,
     "m29_sharpness" -> m29,
     "m28_dominant_colors" -> m28,
@@ -2593,6 +2725,7 @@ object Multimodal {
     "m09_audio_frames" -> m09)
 
   val oracleSql: Map[String, String] = Map(
+    "m31_spectral_peak" -> m31Sql,
     "m30_palette_png" -> m30Sql,
     "m29_sharpness" -> m29Sql,
     "m28_dominant_colors" -> m28Sql,

@@ -3181,7 +3181,84 @@ object Similarity {
        |FROM brute t LEFT JOIN stale s ON t.qid = s.qid AND t.cid = s.cid
        |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
+  // ---- s43: multi-vector late-interaction (MaxSim) retrieval ----------------
+  /** s43: MAXSIM — ColBERT-style late-interaction retrieval: each stored
+    * vector is viewed as 8 contiguous 8-dim sub-vectors (the token/patch
+    * embeddings of a multi-vector document — m25's patch grid is the image
+    * twin), and a candidate's score against a query is
+    * `sum_i max_j cos(q_i, d_j)`: every query sub-vector finds its best
+    * match anywhere in the document, so a long document can't dilute a
+    * strong local match the way single-vector pooling does.
+    *
+    * Determinism: each per-sub best cosine is rounded to 1e-6 and scaled to
+    * an exact integer BEFORE the sum, so the 8-term sum is associative
+    * (long addition) and partition-order-proof; `max` over identical
+    * doubles is order-free on both engines. (Tie-at-exactly-.5e-6 after
+    * the 1e6 scaling would need the cosine double to be representable as
+    * k+0.5 — not reachable from these inputs; both engines round ties
+    * away from zero regardless.)
+    *
+    * Scale shape: stage 1 is the IVF serve — queries broadcast, candidates
+    * probed by coarse-cell equi-join (label), so the x8 sub-vector explode
+    * pays only on the SHORTLIST, never the corpus; stage 2 is one shuffle
+    * keyed (qid, cid, qsub) with map-side partial max, then an exact long
+    * sum. At 100 TB the corpus-side explode streams and nothing global
+    * materializes. */
+  private val s43: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    def subVecs(c: String) =
+      posexplode(expr(s"transform(sequence(0, 7), i -> slice($c, i*8+1, 8))"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label"), subVecs("embedding"))
+      .withColumnRenamed("pos", "qsub").withColumnRenamed("col", "qe")
+    val c = e
+      .select(col("vec_id").as("cid"), col("label"), subVecs("embedding"))
+      .withColumnRenamed("pos", "dsub").withColumnRenamed("col", "ce")
+    val best = q.hint("broadcast").join(c, Seq("label"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qsub"),
+        expr(cosineExpr("qe", "ce")).as("cos"))
+      .groupBy(col("qid"), col("cid"), col("qsub"))
+      .agg(max(col("cos")).as("bestcos"))
+    val scored = best.groupBy(col("qid"), col("cid"))
+      .agg(sum(round(col("bestcos") * lit(1000000L), 0).cast("long"))
+        .as("maxsim_e6"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("maxsim_e6").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("maxsim_e6"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private val s43Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, label, i AS qsub,
+       |    LIST_SLICE(embedding, i*8+1, i*8+8) AS qe
+       |  FROM embeddings, RANGE(8) t(i) WHERE vec_id < 5),
+       |c AS (
+       |  SELECT vec_id AS cid, label, j AS dsub,
+       |    LIST_SLICE(embedding, j*8+1, j*8+8) AS ce
+       |  FROM embeddings, RANGE(8) t(j)),
+       |best AS (
+       |  SELECT qid, cid, qsub, MAX(${cosineSql("qe", "ce")}) AS bestcos
+       |  FROM q JOIN c USING (label) WHERE qid <> cid
+       |  GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT qid, cid,
+       |    CAST(SUM(CAST(ROUND(bestcos * 1000000) AS BIGINT)) AS BIGINT)
+       |      AS maxsim_e6
+       |  FROM best GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, cid, maxsim_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY maxsim_e6 DESC, cid) AS rank
+       |  FROM sc)
+       |SELECT qid, rank, cid, maxsim_e6
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s43_maxsim_multivector" -> s43,
     "s42_staleness_audit" -> s42,
     "s41_pq_utilization" -> s41,
     "s40_margin_audit" -> s40,
@@ -3226,6 +3303,7 @@ object Similarity {
     "s06_ivf_recall_sweep" -> s06)
 
   val oracleSql: Map[String, String] = Map(
+    "s43_maxsim_multivector" -> s43Sql,
     "s42_staleness_audit" -> s42Sql,
     "s41_pq_utilization" -> s41Sql,
     "s40_margin_audit" -> s40Sql,

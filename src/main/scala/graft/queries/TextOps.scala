@@ -3239,7 +3239,80 @@ object TextOps {
        |ORDER BY c.labelled, c.guessed""".stripMargin
   }
 
+  // ---- x54: encoding-health (mojibake) audit ---------------------------------
+  /** x54: ENCODING HEALTH — the ingest audit every web-scale text pipeline
+    * runs before tokenization: per source, how many documents carry (a) the
+    * U+FFFD replacement character (a decoder already gave up upstream),
+    * (b) stray C0 control characters other than tab/newline/CR (binary
+    * bleed-through), (c) CP-1252 mojibake markers ("Ã©", "â€" — UTF-8
+    * bytes re-decoded as Latin-1), plus the corpus-wide non-ASCII permille
+    * per source. Because the synthetic corpus is clean ASCII, the
+    * corruption is PLANTED deterministically (the m19/s33 pattern): docs
+    * with doc_id%7=0 get mojibake + a replacement char, doc_id%11=0 a BEL
+    * control — so every detector branch actually fires and the oracle
+    * verifies the detection, not just zeros.
+    *
+    * Scale shape: map-only scan (regex + contains per row) into one
+    * per-source aggregation with map-side partials — the cheapest audit
+    * shape there is; at 100 TB it is bounded by the read. */
+  private val x54: Q = (s, dir) => {
+    val mojib = "Ã©" // "Ã©" — UTF-8 'é' re-read as Latin-1
+    val corrupted = t(s, dir, "documents")
+      .withColumn("ctext",
+        when(col("doc_id") % 7 === 0,
+          concat(regexp_replace(col("text"), "e", mojib), lit("�")))
+          .when(col("doc_id") % 11 === 0, concat(col("text"), lit("\u0007")))
+          .otherwise(col("text")))
+    corrupted.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ctext").contains("�"), 1L).otherwise(0L))
+          .as("n_replacement"),
+        sum(when(col("ctext").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1L)
+          .otherwise(0L)).as("n_control"),
+        sum(when(col("ctext").contains(mojib) ||
+          col("ctext").contains("â€"), 1L).otherwise(0L))
+          .as("n_mojibake"),
+        sum(length(col("ctext"))).as("n_chars"),
+        sum(length(col("ctext")) -
+          length(regexp_replace(col("ctext"), "[^\\x00-\\x7F]", "")))
+          .as("n_nonascii"))
+      .withColumn("nonascii_permille",
+        expr("n_nonascii * 1000 div n_chars"))
+      .select(col("source"), col("n_docs"), col("n_replacement"),
+        col("n_control"), col("n_mojibake"), col("nonascii_permille"))
+      .psort(col("source"))
+  }
+
+  private val x54Sql =
+    """WITH c AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 7 = 0
+      |           THEN replace(text, 'e', chr(195) || chr(169)) || chr(65533)
+      |         WHEN doc_id % 11 = 0 THEN text || chr(7)
+      |         ELSE text END AS ctext
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN contains(ctext, chr(65533)) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_replacement,
+      |    CAST(SUM(CASE WHEN regexp_matches(ctext,
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_control,
+      |    CAST(SUM(CASE WHEN contains(ctext, chr(195) || chr(169))
+      |      OR contains(ctext, chr(226) || chr(8364)) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_mojibake,
+      |    CAST(SUM(length(ctext)) AS BIGINT) AS n_chars,
+      |    CAST(SUM(length(ctext) -
+      |      length(regexp_replace(ctext, '[^\x00-\x7F]', '', 'g')))
+      |      AS BIGINT) AS n_nonascii
+      |  FROM c GROUP BY source)
+      |SELECT source, n_docs, n_replacement, n_control, n_mojibake,
+      |  CAST(n_nonascii * 1000 // n_chars AS BIGINT) AS nonascii_permille
+      |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x54_encoding_audit" -> x54,
     "x53_lang_confusion" -> x53,
     "x52_freq_spectrum" -> x52,
     "x51_canary_tracking" -> x51,
@@ -3295,6 +3368,7 @@ object TextOps {
     "x08_mixture_sample" -> x08)
 
   val oracleSql: Map[String, String] = Map(
+    "x54_encoding_audit" -> x54Sql,
     "x53_lang_confusion" -> x53Sql,
     "x52_freq_spectrum" -> x52Sql,
     "x51_canary_tracking" -> x51Sql,
