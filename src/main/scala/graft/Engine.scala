@@ -1033,7 +1033,9 @@ class Engine(val spark: SparkSession,
       views: Map[String, String], keys: Map[String, Seq[String]],
       macrosSnap: Map[String, (Seq[String], String)],
       preparedSnap: Map[String, String],
-      displaced: scala.collection.mutable.ArrayBuffer[DataFrame])
+      displaced: scala.collection.mutable.ArrayBuffer[DataFrame],
+      checksSnap: Map[String, Seq[String]],
+      fkSnap: Map[String, Seq[ForeignKey]])
   @volatile private var txn: Option[TxnState] = None
 
   /** Release a displaced engine-table snapshot: immediately outside a
@@ -1051,7 +1053,8 @@ class Engine(val spark: SparkSession,
     require(txn.isEmpty, "BEGIN: a transaction is already active")
     txn = Some(TxnState(createdTables.toMap, createdViews.toMap,
       primaryKeys.toMap, macros.toMap, prepared.toMap,
-      scala.collection.mutable.ArrayBuffer.empty))
+      scala.collection.mutable.ArrayBuffer.empty,
+      checkConstraints.toMap, foreignKeys.toMap))
     statusDf("begin", "transaction")
   }
 
@@ -1079,6 +1082,10 @@ class Engine(val spark: SparkSession,
     primaryKeys.clear(); primaryKeys ++= t.keys
     macros.clear(); macros ++= t.macrosSnap
     prepared.clear(); prepared ++= t.preparedSnap
+    // constraints are catalog state too: a rolled-back DROP/CREATE must
+    // restore CHECK and FOREIGN KEY enforcement with the table
+    checkConstraints.clear(); checkConstraints ++= t.checksSnap
+    foreignKeys.clear(); foreignKeys ++= t.fkSnap
     txn = None
     // re-register restored objects (DML swaps/renames re-pointed or
     // dropped their temp views during the txn)
@@ -1110,6 +1117,7 @@ class Engine(val spark: SparkSession,
     createdViews.remove(name)
     primaryKeys.remove(name) // CTAS declares no key; drop any stale one
     checkConstraints.remove(name) // ...and no constraints
+    foreignKeys.remove(name)
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
     statusDf("create_table", name)
@@ -1203,9 +1211,91 @@ class Engine(val spark: SparkSession,
         s"$verb $name: CHECK ($c) violated by $bad row(s)")
     }
 
+  /** A declared FOREIGN KEY: child columns on the declaring table,
+    * referenced parent table and its key columns (DuckDB's column-level
+    * `REFERENCES p(c)` and table-level `FOREIGN KEY (..) REFERENCES ..`,
+    * round 10 — previously parse-and-drop). */
+  private case class ForeignKey(cols: Seq[String], parent: String,
+      parentCols: Seq[String]) {
+    def label: String = s"FOREIGN KEY (${cols.mkString(", ")}) " +
+      s"REFERENCES $parent(${parentCols.mkString(", ")})"
+  }
+  private val foreignKeys =
+    scala.collection.concurrent.TrieMap[String, Seq[ForeignKey]]()
+
+  /** Enforce `name`'s outbound FOREIGN KEYs on candidate rows: every row
+    * whose key columns are all non-NULL must resolve in the parent
+    * snapshot (MATCH SIMPLE — any NULL component passes, SQL default).
+    * One distributed anti-join count per constraint; the parent side is a
+    * key projection, so at 100 TB it broadcasts when small and
+    * shuffle-joins otherwise — AQE's call. `parentOverride` lets callers
+    * point a self-referencing key at the post-statement snapshot (rows
+    * inserted in the same statement are visible targets, DuckDB
+    * semantics). */
+  private def enforceForeignKeys(name: String, rows: DataFrame,
+      verb: String, parentOverride: Map[String, DataFrame] = Map.empty): Unit =
+    foreignKeys.getOrElse(name, Nil).foreach { fk =>
+      val parentDf = parentOverride.getOrElse(fk.parent,
+        createdTables.getOrElse(fk.parent,
+          throw new IllegalArgumentException(
+            s"$verb $name: ${fk.label} references a missing table")))
+      val child = rows.select(fk.cols.zipWithIndex.map { case (c, i) =>
+        col(s"`$c`").as(s"__fk_c$i") }.toSeq: _*).na.drop("any")
+      val par = parentDf.select(fk.parentCols.zipWithIndex.map {
+        case (c, i) => col(s"`$c`").as(s"__fk_p$i") }.toSeq: _*)
+      val cond = fk.cols.indices.map(i =>
+        col(s"__fk_c$i") === col(s"__fk_p$i")).reduce(_ && _)
+      val orphans = child.join(par, cond, "left_anti").count()
+      if (orphans > 0) throw new IllegalArgumentException(
+        s"$verb $name: ${fk.label} violated by $orphans row(s)")
+    }
+
+  /** RESTRICT semantics on the parent side (DuckDB default): after a
+    * DELETE/UPDATE/MERGE computes `parent`'s would-be snapshot, every
+    * child table's keys must still resolve in it — otherwise the
+    * statement fails and the old snapshot stays. One anti-join count per
+    * inbound constraint. */
+  private def enforceReferencing(parent: String, newSnap: DataFrame,
+      verb: String): Unit =
+    foreignKeys.foreach { case (child, fks) =>
+      fks.filter(_.parent == parent).foreach { fk =>
+        val childDf =
+          if (child == parent) newSnap else createdTables.get(child).orNull
+        if (childDf != null) {
+          val keys = childDf.select(fk.cols.zipWithIndex.map {
+            case (c, i) => col(s"`$c`").as(s"__fk_c$i") }.toSeq: _*)
+            .na.drop("any")
+          val par = newSnap.select(fk.parentCols.zipWithIndex.map {
+            case (c, i) => col(s"`$c`").as(s"__fk_p$i") }.toSeq: _*)
+          val cond = fk.cols.indices.map(i =>
+            col(s"__fk_c$i") === col(s"__fk_p$i")).reduce(_ && _)
+          val broken = keys.join(par, cond, "left_anti").count()
+          if (broken > 0) throw new IllegalArgumentException(
+            s"$verb $parent: $broken row(s) of '$child' still reference " +
+              s"it via ${fk.label}")
+        }
+      }
+    }
+
+  /** Run the full constraint battery against a table's would-be snapshot
+    * and release its storage on rejection (the statement is atomic — the
+    * old snapshot never unpins, the rejected one never leaks). */
+  private def enforceAllOrRelease(name: String, snap: DataFrame,
+      verb: String): Unit =
+    try {
+      enforceChecks(name, snap, verb)
+      enforceForeignKeys(name, snap, verb, Map(name -> snap))
+      enforceReferencing(name, snap, verb)
+    } catch { case e: Throwable => snap.unpersist(); throw e }
+
   private def appendAligned(name: String, target: DataFrame,
       aligned: DataFrame): DataFrame = {
     enforceChecks(name, aligned, "INSERT INTO")
+    // outbound FKs check only the new rows; a self-referencing key sees
+    // the post-statement table (same-batch targets resolve, DuckDB
+    // semantics)
+    enforceForeignKeys(name, aligned, "INSERT INTO",
+      Map(name -> target.unionByName(aligned)))
     val n = aligned.count()
     val merged = target.unionByName(aligned).localCheckpoint(true)
     releaseSnapshot(target)
@@ -1289,7 +1379,7 @@ class Engine(val spark: SparkSession,
           .otherwise(col(s"`${f.name}`")).as(f.name))
         .getOrElse(col(s"`${f.name}`"))
     }.toSeq: _*).localCheckpoint(true)
-    enforceChecks(name, updated, "UPDATE")
+    enforceAllOrRelease(name, updated, "UPDATE")
     // RETURNING: the affected rows, post-update values (DuckDB semantics)
     val retDf = ret.map { r =>
       returningDf(target.filter(cond).select(target.schema.fields.map { f =>
@@ -1355,7 +1445,7 @@ class Engine(val spark: SparkSession,
             expr(e).cast(f.dataType)).otherwise(old).as(f.name))
         .getOrElse(old.as(f.name))
     }.toSeq: _*).localCheckpoint(true)
-    enforceChecks(name, updated, "UPDATE")
+    enforceAllOrRelease(name, updated, "UPDATE")
     // RETURNING: matched rows only, post-update values
     val retDf = ret.map { r =>
       returningDf(picked.filter(col("__graft_m").isNotNull)
@@ -1804,6 +1894,7 @@ class Engine(val spark: SparkSession,
     }
     val merged = insLegs.foldLeft(keptTargets)(_ unionByName _)
       .localCheckpoint(true)
+    enforceAllOrRelease(tgtName, merged, "MERGE INTO")
     releaseSnapshot(target)
     createdTables.put(tgtName, merged)
     merged.createOrReplaceTempView(tgtName)
@@ -1825,6 +1916,9 @@ class Engine(val spark: SparkSession,
     val retDf = ret.map(r => returningDf(target.filter(cond), r))
     val kept = target.filter(!coalesce(cond, lit(false)))
       .localCheckpoint(true)
+    // RESTRICT: a parent row still referenced by a child key cannot go
+    try enforceReferencing(name, kept, "DELETE FROM")
+    catch { case e: Throwable => kept.unpersist(); throw e }
     releaseSnapshot(target)
     createdTables.put(name, kept)
     kept.createOrReplaceTempView(name)
@@ -1855,11 +1949,21 @@ class Engine(val spark: SparkSession,
     // ON CONFLICT); CHECK constraints (column- or table-level) are
     // RECORDED and ENFORCED on every INSERT/UPDATE (round 10 — SQL
     // semantics: NULL passes, only FALSE violates, the statement fails
-    // loudly); NOT NULL / UNIQUE are stripped — snapshots have no
-    // uniqueness enforcement layer, a documented relaxation.
+    // loudly); FOREIGN KEY / column-level REFERENCES are RECORDED and
+    // ENFORCED (round 10: orphan inserts/updates reject, parent-side
+    // DELETE/UPDATE/MERGE is RESTRICT, MATCH SIMPLE NULL semantics);
+    // NOT NULL / UNIQUE are stripped — snapshots have no uniqueness
+    // enforcement layer, a documented relaxation.
     val pk = scala.collection.mutable.ArrayBuffer.empty[String]
     val checks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fks = scala.collection.mutable.ArrayBuffer.empty[ForeignKey]
+    def unq(s: String): String = s.trim.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("`").stripSuffix("`")
     val pkTableRe = "(?is)^PRIMARY\\s+KEY\\s*\\(([^)]*)\\)$".r
+    val fkTableRe = ("(?is)^FOREIGN\\s+KEY\\s*\\(([^)]*)\\)\\s*REFERENCES" +
+      "\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_]\\w*)\\s*(?:\\(([^)]*)\\))?\\s*$").r
+    val refColRe = ("(?i)\\bREFERENCES\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_]" +
+      "\\w*)\\s*(?:\\(([^)]*)\\))?").r
     val defs = splitExecArgs(colDefs).flatMap { d =>
       val t = d.trim
       t match {
@@ -1875,11 +1979,18 @@ class Engine(val spark: SparkSession,
           require(close > open, s"unterminated CHECK constraint '$d'")
           checks += c.substring(open + 1, close).trim
           None
-        case c if "(?is)^(UNIQUE|FOREIGN\\s+KEY)\\b".r
-            .findFirstIn(c).isDefined =>
-          // other table-level constraints parse and drop (advisory —
-          // snapshots have no uniqueness enforcement layer, same
-          // relaxation as the column-level NOT NULL/UNIQUE)
+        case fkTableRe(cols, parent, pcols) =>
+          // table-level FOREIGN KEY (a, b) REFERENCES parent [(x, y)]
+          fks += ForeignKey(
+            cols.split(",").map(unq).filter(_.nonEmpty).toSeq,
+            unq(parent),
+            Option(pcols).map(_.split(",").map(unq).filter(_.nonEmpty).toSeq)
+              .getOrElse(Nil))
+          None
+        case c if "(?is)^UNIQUE\\b".r.findFirstIn(c).isDefined =>
+          // table-level UNIQUE parses and drops (advisory — snapshots
+          // have no uniqueness enforcement layer, same relaxation as the
+          // column-level NOT NULL/UNIQUE)
           None
         case _ =>
           val nameEnd =
@@ -1909,6 +2020,14 @@ class Engine(val spark: SparkSession,
             checks += tpe.substring(open + 1, close).trim
             tpe = tpe.substring(0, cm.start) + tpe.substring(close + 1)
           }
+          // column-level REFERENCES parent[(col)]: record and strip
+          refColRe.findFirstMatchIn(tpe).foreach { rm =>
+            fks += ForeignKey(Seq(unq(colName)), unq(rm.group(1)),
+              Option(rm.group(2))
+                .map(_.split(",").map(unq).filter(_.nonEmpty).toSeq)
+                .getOrElse(Nil))
+            tpe = tpe.substring(0, rm.start) + tpe.substring(rm.end)
+          }
           tpe = tpe
             .replaceAll("(?i)\\bNOT\\s+NULL\\b", "")
             .replaceAll("(?i)\\bUNIQUE\\b", "")
@@ -1924,6 +2043,42 @@ class Engine(val spark: SparkSession,
     else primaryKeys.remove(name)
     if (checks.nonEmpty) checkConstraints.put(name, checks.toSeq)
     else checkConstraints.remove(name)
+    if (fks.nonEmpty) {
+      // resolve at declaration time (DuckDB does too): parent must be an
+      // engine-created table (or the table itself — self-reference),
+      // omitted parent columns default to its PRIMARY KEY, and both
+      // column lists canonicalize to their schema spellings
+      val resolved = fks.toSeq.map { fk =>
+        require(fk.cols.nonEmpty, s"FOREIGN KEY on '$name' names no columns")
+        val childCols = fk.cols.map { c =>
+          schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"FOREIGN KEY on '$name': no column '$c'"))
+        }
+        val selfRef = fk.parent.equalsIgnoreCase(name)
+        val parentFields =
+          if (selfRef) schema.fieldNames.toSeq
+          else createdTables.get(fk.parent).map(_.schema.fieldNames.toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              s"FOREIGN KEY on '$name' references unknown table " +
+                s"'${fk.parent}' (parents must be engine-created tables)"))
+        val pcols0 =
+          if (fk.parentCols.nonEmpty) fk.parentCols
+          else if (selfRef) pk.toSeq.distinct
+          else primaryKeys.getOrElse(fk.parent, Seq.empty)
+        require(pcols0.nonEmpty, s"FOREIGN KEY on '$name': referenced " +
+          s"table '${fk.parent}' has no PRIMARY KEY and no columns named")
+        require(pcols0.length == childCols.length,
+          s"FOREIGN KEY on '$name': column count mismatch vs '${fk.parent}'")
+        val pcols = pcols0.map { c =>
+          parentFields.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"FOREIGN KEY on '$name': no column '$c' in '${fk.parent}'"))
+        }
+        ForeignKey(childCols, if (selfRef) name else fk.parent, pcols)
+      }
+      foreignKeys.put(name, resolved)
+    } else foreignKeys.remove(name)
     val snap = spark
       .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
@@ -2067,6 +2222,16 @@ class Engine(val spark: SparkSession,
     createdTables.put(to, target)
     createdTables.remove(from)
     primaryKeys.remove(from).foreach(primaryKeys.put(to, _))
+    checkConstraints.remove(from).foreach(checkConstraints.put(to, _))
+    foreignKeys.remove(from).foreach(fks =>
+      foreignKeys.put(to, fks.map(fk =>
+        if (fk.parent == from) fk.copy(parent = to) else fk)))
+    // other tables' keys referencing the old name follow the rename
+    foreignKeys.foreach { case (child, fks) =>
+      if (fks.exists(_.parent == from))
+        foreignKeys.put(child, fks.map(fk =>
+          if (fk.parent == from) fk.copy(parent = to) else fk))
+    }
     spark.catalog.dropTempView(from)
     statusDf("renamed_to", to)
   }
@@ -2120,6 +2285,12 @@ class Engine(val spark: SparkSession,
       s"ALTER TABLE $name: cannot drop the only column")
     require(!primaryKeys.get(name).exists(_.contains(canonical)),
       s"ALTER TABLE $name: '$canonical' is part of the PRIMARY KEY")
+    require(!foreignKeys.get(name).exists(_.exists(_.cols.contains(canonical))),
+      s"ALTER TABLE $name: '$canonical' is part of a FOREIGN KEY")
+    require(!foreignKeys.exists { case (_, fks) =>
+        fks.exists(fk => fk.parent == name && fk.parentCols.contains(canonical))
+      },
+      s"ALTER TABLE $name: '$canonical' is referenced by a FOREIGN KEY")
     val snap = target.select(target.schema.fieldNames
         .filter(_ != canonical).map(f => col(s"`$f`")).toSeq: _*)
       .localCheckpoint(true)
@@ -2148,6 +2319,19 @@ class Engine(val spark: SparkSession,
     primaryKeys.get(name).foreach { pk =>
       primaryKeys.put(name, pk.map(c => if (c == canonical) to else c))
     }
+    // FOREIGN KEY members follow the rename on both sides
+    foreignKeys.get(name).foreach { fks =>
+      foreignKeys.put(name, fks.map(fk => fk.copy(
+        cols = fk.cols.map(c => if (c == canonical) to else c))))
+    }
+    foreignKeys.foreach { case (child, fks) =>
+      if (fks.exists(fk => fk.parent == name &&
+          fk.parentCols.contains(canonical)))
+        foreignKeys.put(child, fks.map(fk =>
+          if (fk.parent == name) fk.copy(parentCols =
+            fk.parentCols.map(c => if (c == canonical) to else c))
+          else fk))
+    }
     releaseSnapshot(target)
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
@@ -2158,8 +2342,18 @@ class Engine(val spark: SparkSession,
       ifExists: Boolean): DataFrame = {
     guardEngineName(name)
     val existed = if (kind == "TABLE") {
+      // DuckDB refuses to drop a table other tables' FOREIGN KEYs still
+      // reference (no CASCADE here either)
+      foreignKeys.collectFirst {
+        case (child, fks) if child != name && fks.exists(_.parent == name) =>
+          child
+      }.foreach { child =>
+        require(!createdTables.contains(name), s"cannot DROP TABLE " +
+          s"'$name': table '$child' has a FOREIGN KEY referencing it")
+      }
       primaryKeys.remove(name)
       checkConstraints.remove(name)
+      foreignKeys.remove(name)
       createdTables.remove(name).map { df => releaseSnapshot(df); () }.isDefined
     } else createdViews.remove(name).isDefined
     if (existed) spark.catalog.dropTempView(name)
@@ -2795,6 +2989,8 @@ class Engine(val spark: SparkSession,
     createdTables.clear()
     createdViews.clear()
     primaryKeys.clear()
+    checkConstraints.clear()
+    foreignKeys.clear()
     fileViews.values.foreach { case (v, _) =>
       try spark.catalog.dropTempView(v) catch { case _: Exception => }
     }

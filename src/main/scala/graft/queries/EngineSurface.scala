@@ -673,12 +673,78 @@ object EngineSurface {
       |FROM customer WHERE c_custkey <= 300 AND c_acctbal >= 0
       |ORDER BY k""".stripMargin
 
+  /** q125: FOREIGN KEY constraints — DuckDB's table- and column-level
+    * REFERENCES grammar, ENFORCED (round 10; previously parse-and-drop):
+    * an orphan INSERT rejects atomically, the parent side is RESTRICT
+    * (DELETE of a referenced row and UPDATE of a referenced key both
+    * fail loudly), NULL child keys pass (MATCH SIMPLE). The gate builds
+    * a parent from nation and a child from customer, lands a NULL-key
+    * row, proves three violating statements reject, deletes an
+    * unreferenced parent row, and hashes the surviving child⟕parent join
+    * plus the reject count. Enforcement cost is one distributed anti-join
+    * count per constraint at the existing alignment choke points — the
+    * parent key projection broadcasts at any realistic dimension size.
+    * Oracle replays the accepted state. Reference analog: kwack delegates
+    * this to DuckDB's constraint checker (kwack exposes DuckDB DDL
+    * verbatim); the engine enforces it on its own snapshots. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql("CREATE OR REPLACE TABLE fk_nation (" +
+        "nk BIGINT PRIMARY KEY, nname VARCHAR)")
+      engine.sql(s"INSERT INTO fk_nation SELECT n_nationkey, n_name " +
+        s"FROM '$dir/nation.parquet' WHERE n_nationkey < 20")
+      engine.sql("CREATE OR REPLACE TABLE fk_cust (ck BIGINT PRIMARY KEY, " +
+        "nk BIGINT REFERENCES fk_nation, bal DOUBLE)")
+      engine.sql(s"INSERT INTO fk_cust SELECT c_custkey, c_nationkey, " +
+        s"c_acctbal FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey <= 200 AND c_nationkey < 20")
+      // MATCH SIMPLE: a NULL key component passes
+      engine.sql("INSERT INTO fk_cust VALUES (999001, NULL, 0.0)")
+      def rejects(stmt: String): Long =
+        try { engine.sql(stmt); 0L }
+        catch { case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("FOREIGN KEY") => 1L }
+      // orphan batch rejects atomically (keys shifted past the parent)
+      val r1 = rejects(s"INSERT INTO fk_cust SELECT c_custkey + 500000, " +
+        s"c_nationkey + 100, c_acctbal FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey <= 50")
+      // a certainly-referenced parent key for the RESTRICT probes
+      val refNk = engine.sql(
+        "SELECT CAST(MIN(nk) AS BIGINT) AS m FROM fk_cust")
+        .collect()(0).getLong(0)
+      val r2 = rejects(s"DELETE FROM fk_nation WHERE nk = $refNk")
+      val r3 = rejects(s"UPDATE fk_nation SET nk = nk + 1000 " +
+        s"WHERE nk = $refNk")
+      // unreferenced parent rows delete fine
+      engine.sql("INSERT INTO fk_nation VALUES (99, 'SCRATCH')")
+      engine.sql("DELETE FROM fk_nation WHERE nk = 99")
+      engine.sql("SELECT c.ck, c.nk, n.nname " +
+        "FROM fk_cust c LEFT JOIN fk_nation n ON c.nk = n.nk")
+        .withColumn("rejected_batches",
+          org.apache.spark.sql.functions.lit(r1 + r2 + r3))
+        .psort(col("ck"))
+    } finally engine.close()
+  }
+
+  private val q125Sql =
+    """WITH par AS (SELECT n_nationkey AS nk, n_name AS nname
+      |  FROM nation WHERE n_nationkey < 20),
+      |ch AS (
+      |  SELECT c_custkey AS ck, c_nationkey AS nk
+      |  FROM customer WHERE c_custkey <= 200 AND c_nationkey < 20
+      |  UNION ALL SELECT 999001, NULL)
+      |SELECT c.ck, c.nk, p.nname, CAST(3 AS BIGINT) AS rejected_batches
+      |FROM ch c LEFT JOIN par p ON c.nk = p.nk
+      |ORDER BY ck""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q115_transactions" -> (q115 _),
     "q114_merge_returning" -> (q114 _),
     "q113_merge_into" -> (q113 _),
     "q112_delete_using" -> (q112 _),
     "q124_check_constraints" -> (q124 _),
+    "q125_foreign_keys" -> (q125 _),
     "q123_sequences" -> (q123 _),
     "q110_update_from" -> (q110 _),
     "q111_upsert" -> (q111 _),
@@ -701,6 +767,7 @@ object EngineSurface {
     "q113_merge_into" -> q113Sql,
     "q112_delete_using" -> q112Sql,
     "q124_check_constraints" -> q124Sql,
+    "q125_foreign_keys" -> q125Sql,
     "q123_sequences" -> q123Sql,
     "q110_update_from" -> q110Sql,
     "q111_upsert" -> q111Sql,

@@ -885,8 +885,10 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       "ON CONFLICT DO NOTHING").collect()(0).getLong(0) shouldBe 0L
     engine.sql("SELECT name FROM pk_t WHERE k = 1").collect()(0)
       .getString(0) shouldBe "a"
-    // table-level composite key form; other table-level constraints
-    // (UNIQUE/CHECK/FOREIGN KEY) parse and drop — DuckDB DDL pastes run
+    // table-level composite key form; UNIQUE parses and drops, CHECK and
+    // FOREIGN KEY are enforced (round 10) — the parent must exist
+    engine.sql("CREATE TABLE other_t (x INT PRIMARY KEY)")
+    engine.sql("INSERT INTO other_t VALUES (1), (2)")
     engine.sql("CREATE TABLE pk_c (a INT, b INT, n BIGINT, " +
       "PRIMARY KEY (a, b), UNIQUE (n), CHECK (n > 0), " +
       "FOREIGN KEY (a) REFERENCES other_t (x))")
