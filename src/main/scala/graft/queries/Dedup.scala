@@ -2559,8 +2559,91 @@ object Dedup {
       |    AS BIGINT) AS err_permille
       |FROM est ORDER BY source""".stripMargin
 
+  // ---- d37: b-bit minhash (Li & Koenig, CACM 2011) ----------------------
+  /** d37: 1-bit minhash — keep only the LOWEST BIT of each of the 8
+    * minhashes (a 32-64x sketch compression at production k) and estimate
+    * jaccard from the bit-agreement rate: for b=1, E[agree/k] = (1+J)/2,
+    * so J_hat = 2*agree/k - 1 — the exact integer spelling at k=8 is
+    * (agree-4)*250 permille, clamped at 0. Per LSH candidate pair at
+    * CONTENT diversity (the d03 representative collapse), the gate
+    * reports the agreement count, the 1-bit estimate, the EXACT jaccard
+    * permille, and the absolute estimator error — the sketch-quality
+    * audit a pipeline runs before swapping full signatures for packed
+    * bits.
+    *
+    * Scale shape: signatures and candidates are the d03 chain (inverted
+    * band postings, never O(n^2)); the 1-bit columns are a projection of
+    * the already-built signature frame; one join against the shingle
+    * frame for the exact-jaccard verify — all at content diversity
+    * (expansion back to doc pairs stays output-proportional; not taken
+    * here, d03's precedent). */
+  private val d37: Q = (s, dir) => {
+    val g = docGroups(s, dir)
+    val reps = docsWithShingles(s, dir).as("d")
+      .join(g.filter(col("doc_id") === col("rep"))
+        .select(col("rep").as("rid")), col("d.doc_id") === col("rid"))
+      .select(col("d.doc_id"), col("d.sh"), col("d.n"), col("d.hv"))
+    val sig = minhashSigOf(reps)
+    val bits = sig.select(
+      (col("doc_id") +: (0 until 8).map(i =>
+        (col(s"m$i") % 2).cast("int").as(s"b$i"))): _*)
+    val cand = minhashCandidates(sig)
+    val agreeExpr = (0 until 8)
+      .map(i => s"(CASE WHEN a$i = x$i THEN 1 ELSE 0 END)").mkString(" + ")
+    cand
+      .join(reps.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(reps.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .join(bits.toDF(("d1" +: (0 until 8).map(i => s"a$i")): _*), Seq("d1"))
+      .join(bits.toDF(("d2" +: (0 until 8).map(i => s"x$i")): _*), Seq("d2"))
+      .selectExpr("d1", "d2",
+        s"CAST($agreeExpr AS INT) AS agree_bits",
+        s"CAST(GREATEST(($agreeExpr - 4) * 250, 0) AS BIGINT) AS est_permille",
+        "CAST((1000 * size(array_intersect(sh1, sh2))) DIV " +
+          "(size(sh1) + size(sh2) - size(array_intersect(sh1, sh2))) " +
+          "AS BIGINT) AS jacc_permille")
+      .withColumn("err_permille",
+        abs(col("est_permille") - col("jacc_permille")))
+      .psort(col("d1"), col("d2"))
+  }
+
+  private val d37Sql = {
+    val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i")
+      .mkString(",\n   ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || '_' || m${2 * b + 1} AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until 8)
+      .map(i => s"(CASE WHEN s1.m$i % 2 = s2.m$i % 2 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs AS ($docsShSql),
+       |reps AS (SELECT MIN(doc_id) AS doc_id, sh FROM docs GROUP BY sh),
+       |sig AS (SELECT doc_id, sh,
+       |   $sigCols
+       |  FROM reps),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pair AS (
+       |  SELECT d1, d2, $agree AS agree,
+       |    LEN(LIST_INTERSECT(s1.sh, s2.sh)) AS inter,
+       |    LEN(s1.sh) + LEN(s2.sh) - LEN(LIST_INTERSECT(s1.sh, s2.sh)) AS uni
+       |  FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id
+       |  JOIN sig s2 ON d2 = s2.doc_id)
+       |SELECT d1, d2, CAST(agree AS INTEGER) AS agree_bits,
+       |  CAST(GREATEST((agree - 4) * 250, 0) AS BIGINT) AS est_permille,
+       |  CAST((1000 * inter) // uni AS BIGINT) AS jacc_permille,
+       |  CAST(ABS(GREATEST((agree - 4) * 250, 0) - (1000 * inter) // uni)
+       |    AS BIGINT) AS err_permille
+       |FROM pair ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d36_kmv_cardinality" -> d36,
+    "d37_bbit_minhash" -> d37,
     "d35_cross_shard_residual" -> d35,
     "d34_shingle_ablation" -> d34,
     "d33_corpus_checksum" -> d33,
@@ -2598,6 +2681,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "d36_kmv_cardinality" -> d36Sql,
+    "d37_bbit_minhash" -> d37Sql,
     "d35_cross_shard_residual" -> d35Sql,
     "d34_shingle_ablation" -> d34Sql,
     "d33_corpus_checksum" -> d33Sql,

@@ -2690,8 +2690,102 @@ object Multimodal {
        |WHERE rnk = 1 ORDER BY r.doc_id""".stripMargin
   }
 
+  // ---- m32: cross-modal caption alignment -------------------------------
+  /** Per-image dominant-channel color word from the REAL decoded pixels. */
+  case class ImgColor(doc_id: Long, img_color: String)
+
+  /** m32: image-caption alignment — the cross-modal gate a multimodal
+    * training pipeline runs before pairing images with text (CLIP-style
+    * corpora drop pairs whose caption contradicts cheap visual evidence).
+    * The visual side is REAL: decode the image, build the exact color
+    * histogram (the m28 contract), take the dominant color's argmax
+    * channel as a color word (ties r > g > b). The text side derives a
+    * deterministic caption color from doc_id (the x17/x30 planting
+    * convention — the corpus has no organic captions); `aligned` flags
+    * agreement. The oracle replays the dominant color analytically from
+    * the fixture's pixel formula, so a decode, histogram, or channel-order
+    * bug flips color words and diverges.
+    *
+    * Scale shape: one typed map-only decode+histogram pass per image,
+    * then ONE doc_id equi-join against the text table — both sides keyed
+    * by doc_id, so at 100 TB the join is co-partitioned (or broadcast,
+    * images being the curated small side); only the presentation sort
+    * shuffles beyond it. */
+  private val m32: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[ImgColor] = Encoders.product[ImgColor]
+    val imgs = mediaTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map { r =>
+        val img = ImageCodecs.decode(r.data)
+        val n = img.rgb.length / 3
+        val hist = new java.util.HashMap[Long, Long]()
+        var p = 0
+        while (p < n) {
+          val cid = ((img.rgb(3 * p) & 0xffL) << 16) |
+            ((img.rgb(3 * p + 1) & 0xffL) << 8) | (img.rgb(3 * p + 2) & 0xffL)
+          hist.merge(cid, 1L, (a, b) => a + b)
+          p += 1
+        }
+        import scala.jdk.CollectionConverters._
+        val top = hist.asScala.toArray
+          .sortBy { case (cid, c) => (-c, cid) }.head._1
+        val rr = (top >> 16) & 0xff
+        val gg = (top >> 8) & 0xff
+        val bb = top & 0xff
+        val word = if (rr >= gg && rr >= bb) "red"
+          else if (gg >= bb) "green" else "blue"
+        ImgColor(r.doc_id, word)
+      }).toDF()
+    val caps = t(s, dir, "documents").filter(col("doc_id") <= 100)
+      .select(col("doc_id"),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'red' WHEN 1 THEN 'green' " +
+          "ELSE 'blue' END").as("caption_color"),
+        expr("size(split(text, ' '))").as("n_tokens"))
+    imgs.join(caps, Seq("doc_id"))
+      .select(col("doc_id"), col("img_color"), col("caption_color"),
+        col("n_tokens"),
+        (col("img_color") === col("caption_color")).cast("int").as("aligned"))
+      .psort(col("doc_id"))
+  }
+
+  // dominant color replayed analytically from the fixture pixel formula
+  // (the m28 oracle contract); caption color from the planted arithmetic
+  private val m32Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id*7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 100),
+      |px AS (
+      |  SELECT doc_id, UNNEST([
+      |    ((3*p*7 + doc_id) % 251) * 65536
+      |      + (((3*p + 1)*7 + doc_id) % 251) * 256
+      |      + ((3*p + 2)*7 + doc_id) % 251
+      |    FOR p IN RANGE(w*h)]) AS cid
+      |  FROM g),
+      |cnt AS (SELECT doc_id, cid, COUNT(*) AS n FROM px GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT doc_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, cid) AS rn
+      |  FROM cnt),
+      |ic AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (cid // 65536) % 256 >= (cid // 256) % 256
+      |           AND (cid // 65536) % 256 >= cid % 256 THEN 'red'
+      |         WHEN (cid // 256) % 256 >= cid % 256 THEN 'green'
+      |         ELSE 'blue' END AS img_color
+      |  FROM rk WHERE rn = 1)
+      |SELECT d.doc_id, ic.img_color,
+      |  CASE d.doc_id % 3 WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+      |    ELSE 'blue' END AS caption_color,
+      |  CAST(LEN(STRING_SPLIT(d.text, ' ')) AS INTEGER) AS n_tokens,
+      |  CAST(CASE WHEN ic.img_color = (CASE d.doc_id % 3 WHEN 0 THEN 'red'
+      |    WHEN 1 THEN 'green' ELSE 'blue' END) THEN 1 ELSE 0 END
+      |    AS INTEGER) AS aligned
+      |FROM documents d JOIN ic ON d.doc_id = ic.doc_id
+      |WHERE d.doc_id <= 100 ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m31_spectral_peak" -> m31,
+    "m32_caption_align" -> m32,
     "m30_palette_png" -> m30,
     "m29_sharpness" -> m29,
     "m28_dominant_colors" -> m28,
@@ -2726,6 +2820,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "m31_spectral_peak" -> m31Sql,
+    "m32_caption_align" -> m32Sql,
     "m30_palette_png" -> m30Sql,
     "m29_sharpness" -> m29Sql,
     "m28_dominant_colors" -> m28Sql,

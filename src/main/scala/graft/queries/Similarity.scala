@@ -3257,8 +3257,75 @@ object Similarity {
        |SELECT qid, rank, cid, maxsim_e6
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---- s44: multi-probe LSH (Lv et al., VLDB 2007) ---------------------
+  /** s44: multi-probe LSH retrieval — instead of adding hash tables to
+    * recover near-misses, each query probes its own hyperplane bucket
+    * PLUS the 8 buckets at Hamming distance 1 (one signature bit
+    * flipped): a neighbor whose cosine puts it just across one
+    * hyperplane lands in exactly such a bucket. Same 8-bit signature
+    * contract (and the same persisted signature frame) as s03;
+    * candidates come from the 9-probe equi-join, exact cosine re-ranks,
+    * top-3 per query; `probe_ham` records whether the hit needed a
+    * flipped bucket — the recall s03's single probe would have missed.
+    *
+    * Scale shape: the probe fan-out lands on the QUERY side only (9 rows
+    * per query — it broadcasts); the corpus side stays one row per
+    * vector and the candidate join is an equi-join on the probe
+    * signature. No extra hash tables, no corpus blow-up — the paper's
+    * whole point. */
+  private val s44: Q = (s, dir) => {
+    val e = memoized(s"s03sig:$dir") {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(sigExprSpark("embedding")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val probes = (0 until nPlanes).map(i => expr(s"sig ^ ${1 << i}")) :+
+      col("sig")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("sig").as("qsig"), explode(array(probes: _*)).as("psig"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("sig").as("psig"))
+    val scored = q.join(c, Seq("psig"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"),
+        when(col("psig") === col("qsig"), 0).otherwise(1).as("probe_ham"),
+        col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("probe_ham"),
+        round(col("cos"), 6).as("cosine"))
+      .psort(col("qid"), col("rank"))
+  }
+
+  private val s44Sql = {
+    val probeList = (0 until nPlanes).map(i => s"xor(sig, ${1 << i})")
+      .mkString("[", ", ", ", sig]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sigExprSql("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qe, sig AS qsig,
+       |    UNNEST($probeList) AS psig
+       |  FROM e WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT qid, CASE WHEN psig = qsig THEN 0 ELSE 1 END AS probe_ham,
+       |    c.vec_id AS cid, ${cosineSql("qe", "c.embedding")} AS cos
+       |  FROM q JOIN e c ON q.psig = c.sig AND qid <> c.vec_id),
+       |ranked AS (
+       |  SELECT qid, probe_ham, cid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+       |      AS rank
+       |  FROM scored)
+       |SELECT qid, rank, cid, probe_ham, ROUND(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "s43_maxsim_multivector" -> s43,
+    "s44_multiprobe_lsh" -> s44,
     "s42_staleness_audit" -> s42,
     "s41_pq_utilization" -> s41,
     "s40_margin_audit" -> s40,
@@ -3304,6 +3371,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "s43_maxsim_multivector" -> s43Sql,
+    "s44_multiprobe_lsh" -> s44Sql,
     "s42_staleness_audit" -> s42Sql,
     "s41_pq_utilization" -> s41Sql,
     "s40_margin_audit" -> s40Sql,

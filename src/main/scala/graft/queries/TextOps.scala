@@ -3311,8 +3311,90 @@ object TextOps {
       |  CAST(n_nonascii * 1000 // n_chars AS BIGINT) AS nonascii_permille
       |FROM agg ORDER BY source""".stripMargin
 
+  // ---- x55: C4-style line rule filter (Raffel et al., 2020) -------------
+  /** x55: the C4 line-level rule battery — keep a line only if it ends in
+    * terminal punctuation, has >= 5 words, contains no '{' (code page
+    * signal), and does not contain the word 'javascript' (cookie/JS
+    * banner signal); a document survives only with >= 3 retained lines.
+    * Lines are the 10-token chunks of the d08/x30 segmentation (the
+    * corpus has no newlines); the corpus also has no punctuation, so the
+    * rule triggers are PLANTED with the x17/x30 deterministic-arithmetic
+    * convention, identical in both engines: a terminal '.' on every line
+    * with (doc_id + i) % 3 = 0, the token 'javascript' on every
+    * (doc_id + 31*i) % 11 = 0, a '{' on every (doc_id + 2*i) % 13 = 0.
+    * Output: the per-document drop taxonomy (each line lands in exactly
+    * one bucket, first matching rule wins — C4's published order) and
+    * the document verdict.
+    *
+    * Scale shape: map-only rule evaluation per line, ONE aggregation
+    * shuffle on doc_id; no joins, no corpus-size state. At 100 TB the
+    * explode is bounded by tokens/10 and the aggregate is map-side
+    * partial — the same per-line filter shape C4 ran over Common
+    * Crawl. */
+  private val x55: Q = (s, dir) => {
+    val lines = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, ((size(ws) + 9) div 10) - 1)")).as("i"))
+      .select(col("doc_id"),
+        expr("concat(array_join(slice(ws, i * 10 + 1, 10), ' '), " +
+          "CASE WHEN (doc_id + 31*i) % 11 = 0 THEN ' javascript' ELSE '' END, " +
+          "CASE WHEN (doc_id + 2*i) % 13 = 0 THEN ' {' ELSE '' END, " +
+          "CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)").as("line"))
+    lines
+      .select(col("doc_id"),
+        expr("CASE WHEN contains(line, 'javascript') THEN 'js' " +
+          "WHEN contains(line, '{') THEN 'brace' " +
+          "WHEN size(split(line, ' ')) < 5 THEN 'short' " +
+          "WHEN NOT endswith(line, '.') THEN 'nopunct' " +
+          "ELSE 'kept' END").as("verdict"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("kept_lines"),
+        sum(when(col("verdict") === "js", 1L).otherwise(0L)).as("drop_js"),
+        sum(when(col("verdict") === "brace", 1L).otherwise(0L)).as("drop_brace"),
+        sum(when(col("verdict") === "short", 1L).otherwise(0L)).as("drop_short"),
+        sum(when(col("verdict") === "nopunct", 1L).otherwise(0L))
+          .as("drop_nopunct"))
+      .withColumn("doc_kept", (col("kept_lines") >= 3).cast("int"))
+      .psort(col("doc_id"))
+  }
+
+  private val x55Sql =
+    """WITH lines AS (
+      |  SELECT doc_id,
+      |    ARRAY_TO_STRING(ws[i*10+1:i*10+10], ' ')
+      |      || CASE WHEN (doc_id + 31*i) % 11 = 0 THEN ' javascript' ELSE '' END
+      |      || CASE WHEN (doc_id + 2*i) % 13 = 0 THEN ' {' ELSE '' END
+      |      || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END AS line
+      |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+      |    UNNEST(RANGE((LEN(ws) + 9) // 10)) AS t(i)),
+      |v AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CONTAINS(line, 'javascript') THEN 'js'
+      |      WHEN CONTAINS(line, '{') THEN 'brace'
+      |      WHEN LEN(STRING_SPLIT(line, ' ')) < 5 THEN 'short'
+      |      WHEN NOT ENDS_WITH(line, '.') THEN 'nopunct'
+      |      ELSE 'kept' END AS verdict
+      |  FROM lines)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS kept_lines,
+      |  CAST(SUM(CASE WHEN verdict = 'js' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS drop_js,
+      |  CAST(SUM(CASE WHEN verdict = 'brace' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS drop_brace,
+      |  CAST(SUM(CASE WHEN verdict = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS drop_short,
+      |  CAST(SUM(CASE WHEN verdict = 'nopunct' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS drop_nopunct,
+      |  CAST(CASE WHEN SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) >= 3
+      |    THEN 1 ELSE 0 END AS INTEGER) AS doc_kept
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x54_encoding_audit" -> x54,
+    "x55_c4_line_rules" -> x55,
     "x53_lang_confusion" -> x53,
     "x52_freq_spectrum" -> x52,
     "x51_canary_tracking" -> x51,
@@ -3369,6 +3451,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "x54_encoding_audit" -> x54Sql,
+    "x55_c4_line_rules" -> x55Sql,
     "x53_lang_confusion" -> x53Sql,
     "x52_freq_spectrum" -> x52Sql,
     "x51_canary_tracking" -> x51Sql,
