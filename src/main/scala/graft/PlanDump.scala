@@ -163,7 +163,16 @@ object PlanDump {
     "s42_staleness_audit" -> "staleness audit: persisted sig index equi-join (old side filtered in-scan); 20-probe broadcast brute truth leg; per-qid rank windows; left-join + per-qid agg",
     "q123_sequences" -> "sequences: block reservation + partition-ordered zipWithIndex over the ORDER BY'd source (dense ids, no single-task funnel); ordinary append after",
     "d11_semdedup" -> "semdedup (collapsed): distinct (cell, embedding) pair join — content-bounded quadratic; per-vec reconstruction via copy-id order statistics (output-proportional explode); one (cell, vec) agg",
-    "q124_check_constraints" -> "CHECK constraints: enforcement is one distributed filter-count per constraint at the alignment choke point (pushdown-bounded scans); plan shown is the surviving-state read")
+    "q124_check_constraints" -> "CHECK constraints: enforcement is one distributed filter-count per constraint at the alignment choke point (pushdown-bounded scans); plan shown is the surviving-state read",
+    "s43_maxsim_multivector" -> "MaxSim late interaction: sub-vector explode on BOTH sides but the query side broadcasts (5 queries x 8 subs); per-(qid,cid,qsub) max + per-pair sum; per-qid rank window",
+    "d36_kmv_cardinality" -> "KMV sketch: per-source bottom-k via rank window with map-side WindowGroupLimit; k-row-per-source estimate",
+    "x54_encoding_audit" -> "encoding audit: map-only per-char classification folds; one source-level agg with map-side partials",
+    "m31_spectral_peak" -> "spectral peak: one typed map-only decode+Goertzel pass per tone; only the presentation sort shuffles",
+    "q125_foreign_keys" -> "FOREIGN KEY enforcement: one distributed anti-join count per constraint (parent key projection broadcasts); plan shown is the surviving child-parent join",
+    "s44_multiprobe_lsh" -> "multi-probe LSH: 9x probe fan-out on the broadcastable query side only; ONE equi-join on the probe signature against the persisted index; exact re-rank window",
+    "d37_bbit_minhash" -> "1-bit minhash: projection of the persisted signature frame; candidates from band postings (content diversity, no self-join); one shingle join for the exact verify",
+    "x55_c4_line_rules" -> "C4 line rules: map-only 10-token chunk explode + rule CASE; ONE doc_id aggregation with map-side partials",
+    "m32_caption_align" -> "caption alignment: typed map-only decode+histogram per image; ONE doc_id equi-join against the text side (broadcast — images are the curated small side)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
