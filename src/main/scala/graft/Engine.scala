@@ -368,7 +368,8 @@ class Engine(val spark: SparkSession,
   private val insertStmt =
     ("(?is)^\\s*INSERT\\s+(?:OR\\s+(REPLACE|IGNORE)\\s+)?INTO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*" +
-      "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
+      "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(?:(BY)\\s+NAME\\s+)?" +
+      "(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
   private val dropRelStmt =
     "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
   // SET/WHERE are split by the quote-aware top-level scanner, not the
@@ -723,9 +724,15 @@ class Engine(val spark: SparkSession,
       insertInto(name, Nil, s"SELECT * FROM '$path'")
     case createViewStmt(orReplace, ifNotExists, name, body) =>
       createView(name, body, orReplace != null, ifNotExists != null)
-    case insertStmt(orKw, name, colList, kw, rest) =>
+    case insertStmt(orKw, name, colList, byNameKw, kw, rest) =>
       val cols = Option(colList).map(_.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      // DuckDB's `INSERT INTO t BY NAME SELECT ...`: source columns bind
+      // to target columns by NAME (any order), unmentioned targets fill
+      // NULL — mutually exclusive with a positional column list
+      val byName = byNameKw != null
+      require(!byName || cols.isEmpty,
+        s"INSERT INTO $name: BY NAME cannot combine with a column list")
       val (body, iRet) = stripReturning(kw + rest)
       def noConflictReturning(): Unit = require(iRet.isEmpty,
         s"INSERT INTO $name: RETURNING is not supported together with " +
@@ -746,13 +753,13 @@ class Engine(val spark: SparkSession,
         }
       }
       (conflictAt, Option(orKw).map(_.toUpperCase)) match {
-        case (-1, None) => insertInto(name, cols, body, iRet)
+        case (-1, None) => insertInto(name, cols, body, iRet, byName)
         case (-1, Some(k)) =>
           noConflictReturning()
           // OR REPLACE/IGNORE shorthand with no clause: the declared
           // PRIMARY KEY (column-definition CREATE TABLE) is the target
           primaryKeys.get(name) match {
-            case Some(pk) => insertOnConflict(name, cols, body, pk,
+            case Some(pk) => insertOnConflict(name, cols, body, pk, byName,
               if (k == "IGNORE") "NOTHING" else "REPLACE")
             case None => throw new IllegalArgumentException(
               s"INSERT OR $k INTO $name: no PRIMARY KEY declared for " +
@@ -776,7 +783,7 @@ class Engine(val spark: SparkSession,
                   s"INSERT INTO $name ON CONFLICT: missing DO NOTHING " +
                     "or DO UPDATE SET (or use INSERT OR REPLACE/IGNORE)")
               })
-              insertOnConflict(name, cols, insertBody, keyCols, action)
+              insertOnConflict(name, cols, insertBody, keyCols, byName, action)
             case None => throw new IllegalArgumentException(
               s"INSERT INTO $name: malformed ON CONFLICT clause " +
                 s"'${body.substring(at)}'")
@@ -1146,12 +1153,13 @@ class Engine(val spark: SparkSession,
     * positionally; with one, listed columns bind by position within the
     * list and unlisted target columns fill with NULL. */
   private def insertInto(name: String, cols: Seq[String],
-      body: String, ret: Option[String] = None): DataFrame = {
+      body: String, ret: Option[String] = None,
+      byName: Boolean = false): DataFrame = {
     val target = createdTables.getOrElse(name,
       throw new IllegalArgumentException(
         s"'$name' is not an engine-created table (CREATE TABLE $name AS " +
           "...; ingested topic tables are append-only via sync())"))
-    val aligned0 = alignInsert(name, target, cols, sql(body))
+    val aligned0 = alignInsert(name, target, cols, sql(body), byName)
     // RETURNING: pin the inserted rows once so the appended snapshot and
     // the returned projection see the SAME evaluation of the source query
     val aligned =
@@ -1166,11 +1174,29 @@ class Engine(val spark: SparkSession,
 
   /** Align an INSERT source to the target schema: positional when no
     * column list is given, by-name with NULL fill otherwise; every column
-    * cast to the target's declared type. */
+    * cast to the target's declared type. `byName` is DuckDB's
+    * `INSERT INTO t BY NAME`: the SOURCE's own column names bind to the
+    * target (any order, case-insensitive), unmentioned targets fill
+    * NULL — each source column must name a target column exactly once. */
   private def alignInsert(name: String, target: DataFrame,
-      cols: Seq[String], add: DataFrame): DataFrame = {
+      cols: Seq[String], add: DataFrame, byName: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    if (cols.isEmpty) {
+    if (byName) {
+      val srcNames = add.schema.fieldNames
+      require(srcNames.map(_.toLowerCase).distinct.length == srcNames.length,
+        s"INSERT INTO $name BY NAME: duplicate column name in source " +
+          s"(${srcNames.mkString(", ")})")
+      srcNames.foreach { c =>
+        require(target.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"INSERT INTO $name BY NAME: no column '$c' in target " +
+            s"(${target.schema.fieldNames.mkString(", ")})")
+      }
+      add.select(target.schema.fields.map { f =>
+        srcNames.find(_.equalsIgnoreCase(f.name))
+          .map(from => col(s"`$from`").cast(f.dataType).as(f.name))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }.toSeq: _*)
+    } else if (cols.isEmpty) {
       require(add.schema.length == target.schema.length,
         s"INSERT INTO $name: ${add.schema.length} column(s) vs table's " +
           s"${target.schema.length}")
@@ -1476,10 +1502,10 @@ class Engine(val spark: SparkSession,
     * copy-on-write MERGE shape: one equi-join on the key, projection
     * swap, anti-join append. */
   private def insertOnConflict(name: String, cols: Seq[String], body: String,
-      keyColsRaw: Seq[String], action: String): DataFrame = {
+      keyColsRaw: Seq[String], byName: Boolean, action: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, when}
     val target = mutableTarget(name, "INSERT ON CONFLICT")
-    val aligned = alignInsert(name, target, cols, sql(body))
+    val aligned = alignInsert(name, target, cols, sql(body), byName)
     val canonical: Map[String, String] =
       target.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
     val keyCols = keyColsRaw.map { k =>

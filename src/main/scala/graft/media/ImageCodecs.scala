@@ -149,6 +149,79 @@ object ImageCodecs {
     out.toByteArray
   }
 
+  /** Encode an Adam7 INTERLACED 8-bit truecolor PNG (interlace method 1):
+    * pixels split into the 7 standard passes, each pass's scanlines
+    * filtered independently with the per-row filter rotating through all
+    * five — a decoder must honor BOTH the pass geometry and per-pass
+    * filter state to reconstruct. */
+  def encodePngInterlaced(width: Int, height: Int,
+      rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length must be w*h*3")
+    val bpp = 3
+    val rawOut = new ByteArrayOutputStream()
+    var pass = 0
+    while (pass < 7) {
+      val (pw, ph) = a7Dims(width, height, pass)
+      if (pw > 0 && ph > 0) {
+        val rowLen = pw * bpp
+        val sub = new Array[Byte](rowLen * ph)
+        var sy = 0
+        while (sy < ph) {
+          var sx = 0
+          while (sx < pw) {
+            val x = A7xs(pass) + sx * A7xd(pass)
+            val y = A7ys(pass) + sy * A7yd(pass)
+            var c = 0
+            while (c < 3) {
+              sub((sy * pw + sx) * 3 + c) = rgb((y * width + x) * 3 + c)
+              c += 1
+            }
+            sx += 1
+          }
+          sy += 1
+        }
+        var y = 0
+        while (y < ph) {
+          val ft = y % 5
+          rawOut.write(ft)
+          var i = 0
+          while (i < rowLen) {
+            val cur = sub(y * rowLen + i) & 0xff
+            val left = if (i >= bpp) sub(y * rowLen + i - bpp) & 0xff else 0
+            val up = if (y > 0) sub((y - 1) * rowLen + i) & 0xff else 0
+            val upLeft =
+              if (y > 0 && i >= bpp) sub((y - 1) * rowLen + i - bpp) & 0xff
+              else 0
+            val filtered = ft match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - up
+              case 3 => cur - (left + up) / 2
+              case 4 => cur - paeth(left, up, upLeft)
+            }
+            rawOut.write(filtered & 0xff)
+            i += 1
+          }
+          y += 1
+        }
+      }
+      pass += 1
+    }
+    val idat = deflate(rawOut.toByteArray)
+    val out = new ByteArrayOutputStream(idat.length + 64)
+    out.write(PngSignature, 0, PngSignature.length)
+    val ihdr = new Array[Byte](13)
+    putIntBE(ihdr, 0, width)
+    putIntBE(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor RGB
+    ihdr(12) = 1 // interlace: Adam7
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Encode palette indices as an 8-bit INDEXED-COLOR PNG (color type 3):
     * a PLTE chunk carries the RGB palette, scanlines carry one index byte
     * per pixel (bpp = 1), and the per-row filter type rotates through all
@@ -234,6 +307,7 @@ object ImageCodecs {
     var width = 0
     var height = 0
     var colorType = -1
+    var interlace = 0
     var palette: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     var sawEnd = false
@@ -253,8 +327,11 @@ object ImageCodecs {
           colorType = bytes(pos + 17) & 0xff
           require(bytes(pos + 16) == 8 && (colorType == 2 || colorType == 3),
             "unsupported PNG format (need 8-bit truecolor or indexed)")
-          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0 &&
-            bytes(pos + 20) == 0, "unsupported PNG compression/filter/interlace")
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0,
+            "unsupported PNG compression/filter method")
+          interlace = bytes(pos + 20) & 0xff
+          require(interlace == 0 || interlace == 1,
+            s"unsupported PNG interlace method $interlace")
         case "PLTE" =>
           require(len % 3 == 0 && len >= 3, "malformed PLTE chunk")
           palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
@@ -270,32 +347,50 @@ object ImageCodecs {
     // per pixel for truecolor, 1 INDEX byte per pixel for indexed
     val bpp = if (colorType == 3) 1 else 3
     val rowLen = width * bpp
-    val raw = inflate(idat.toByteArray, (rowLen + 1) * height)
-    val px = new Array[Byte](rowLen * height)
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (rowLen + 1)) & 0xff
-      var i = 0
-      while (i < rowLen) {
-        val filtered = raw(y * (rowLen + 1) + 1 + i) & 0xff
-        val left = if (i >= bpp) px(y * rowLen + i - bpp) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * rowLen + i) & 0xff else 0
-        val upLeft =
-          if (y > 0 && i >= bpp) px((y - 1) * rowLen + i - bpp) & 0xff else 0
-        val cur = ft match {
-          case 0 => filtered
-          case 1 => filtered + left
-          case 2 => filtered + up
-          case 3 => filtered + (left + up) / 2
-          case 4 => filtered + paeth(left, up, upLeft)
-          case other =>
-            throw new IllegalArgumentException(s"bad PNG filter type $other")
+    val px =
+      if (interlace == 0) {
+        val raw = inflate(idat.toByteArray, (rowLen + 1) * height)
+        unfilterInto(raw, 0, width, height, bpp)
+      } else {
+        // Adam7: 7 sub-images, each filtered INDEPENDENTLY (the previous
+        // scanline is the previous row of the SAME pass), scattered back
+        // to their final raster positions by the pass geometry
+        var expected = 0
+        var p = 0
+        while (p < 7) {
+          val (pw, ph) = a7Dims(width, height, p)
+          if (pw > 0 && ph > 0) expected += (pw * bpp + 1) * ph
+          p += 1
         }
-        px(y * rowLen + i) = cur.toByte
-        i += 1
+        val raw = inflate(idat.toByteArray, expected)
+        val out = new Array[Byte](rowLen * height)
+        var off = 0
+        p = 0
+        while (p < 7) {
+          val (pw, ph) = a7Dims(width, height, p)
+          if (pw > 0 && ph > 0) {
+            val sub = unfilterInto(raw, off, pw, ph, bpp)
+            off += (pw * bpp + 1) * ph
+            var sy = 0
+            while (sy < ph) {
+              var sx = 0
+              while (sx < pw) {
+                val x = A7xs(p) + sx * A7xd(p)
+                val y = A7ys(p) + sy * A7yd(p)
+                var c = 0
+                while (c < bpp) {
+                  out((y * width + x) * bpp + c) = sub((sy * pw + sx) * bpp + c)
+                  c += 1
+                }
+                sx += 1
+              }
+              sy += 1
+            }
+          }
+          p += 1
+        }
+        out
       }
-      y += 1
-    }
     if (colorType == 2) Image(width, height, px)
     else {
       val nColors = palette.length / 3
@@ -344,6 +439,53 @@ object ImageCodecs {
   // ------------------------------------------------------------ helpers ----
 
   /** PNG Paeth predictor (spec §9, Filtering). */
+  // Adam7 pass geometry (PNG spec 8.2): x/y start offsets and steps
+  private val A7xs = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7ys = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7xd = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7yd = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** Width/height of Adam7 pass `p` for a w x h image (0 when empty). */
+  private def a7Dims(w: Int, h: Int, p: Int): (Int, Int) = {
+    val pw = if (w > A7xs(p)) (w - A7xs(p) + A7xd(p) - 1) / A7xd(p) else 0
+    val ph = if (h > A7ys(p)) (h - A7ys(p) + A7yd(p) - 1) / A7yd(p) else 0
+    (pw, ph)
+  }
+
+  /** Reconstruct `h` filtered scanlines of a w x h sub-image (each row:
+    * 1 filter byte + w*bpp bytes) starting at `off` in `raw` — the five
+    * standard PNG filters at the given pixel stride. */
+  private def unfilterInto(raw: Array[Byte], off: Int, w: Int, h: Int,
+      bpp: Int): Array[Byte] = {
+    val rowLen = w * bpp
+    val px = new Array[Byte](rowLen * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(off + y * (rowLen + 1)) & 0xff
+      var i = 0
+      while (i < rowLen) {
+        val filtered = raw(off + y * (rowLen + 1) + 1 + i) & 0xff
+        val left = if (i >= bpp) px(y * rowLen + i - bpp) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * rowLen + i) & 0xff else 0
+        val upLeft =
+          if (y > 0 && i >= bpp) px((y - 1) * rowLen + i - bpp) & 0xff else 0
+        val cur = ft match {
+          case 0 => filtered
+          case 1 => filtered + left
+          case 2 => filtered + up
+          case 3 => filtered + (left + up) / 2
+          case 4 => filtered + paeth(left, up, upLeft)
+          case other =>
+            throw new IllegalArgumentException(s"bad PNG filter type $other")
+        }
+        px(y * rowLen + i) = cur.toByte
+        i += 1
+      }
+      y += 1
+    }
+    px
+  }
+
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)

@@ -2641,9 +2641,96 @@ object Dedup {
        |FROM pair ORDER BY d1, d2""".stripMargin
   }
 
+  // ---- d38: source-level minhash (mergeable overlap sketch) -------------
+  /** d38: SOURCE-level minhash — the signature of a source is the MIN of
+    * its documents' per-hash minhashes, which makes it MERGEABLE: shards
+    * compute partial mins map-side and the coordinator combines with
+    * another min, no shingle ever leaves its partition. The estimator
+    * agree/k over the 8-hash contract approximates the shingle-set
+    * jaccard between sources (est = agree*125 permille at k=8); the gate
+    * verifies it against the EXACT source-pair jaccard over distinct
+    * shingles and reports the error — the cheap cross-corpus overlap
+    * triage a pipeline runs before committing to a full d29-style matrix.
+    *
+    * Scale shape: the sketch side is ONE aggregation (min per source x 8
+    * hashes, map-side partials) over the persisted signature frame — the
+    * whole point at 100 TB. The exact side (verification only) is one
+    * (source, shingle) distinct and one shingle equi-join grouped to the
+    * sources^2-bounded pair matrix. */
+  private val d38: Q = (s, dir) => {
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val sig = minhashSig(s, dir).join(src, Seq("doc_id"))
+    val ssig = sig.groupBy(col("source"))
+      .agg(min(col("m0")).as("m0"), min(col("m1")).as("m1"),
+        min(col("m2")).as("m2"), min(col("m3")).as("m3"),
+        min(col("m4")).as("m4"), min(col("m5")).as("m5"),
+        min(col("m6")).as("m6"), min(col("m7")).as("m7"))
+    val sh = docsWithShingles(s, dir).join(src, Seq("doc_id"))
+      .select(col("source"), explode(col("sh")).as("sg")).distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sg") === col("b.sg") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("c"))
+    val agreeExpr = (0 until 8)
+      .map(i => s"(CASE WHEN am$i = bm$i THEN 1 ELSE 0 END)").mkString(" + ")
+    common
+      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), Seq("s1"))
+      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), Seq("s2"))
+      .join(broadcast(ssig.toDF(("s1" +: (0 until 8).map(i => s"am$i")): _*)),
+        Seq("s1"))
+      .join(broadcast(ssig.toDF(("s2" +: (0 until 8).map(i => s"bm$i")): _*)),
+        Seq("s2"))
+      .selectExpr("s1", "s2",
+        s"CAST($agreeExpr AS INT) AS agree_bits",
+        s"CAST(($agreeExpr) * 125 AS BIGINT) AS est_permille",
+        "CAST((1000 * c) DIV (n1 + n2 - c) AS BIGINT) AS jacc_permille")
+      .withColumn("err_permille",
+        abs(col("est_permille") - col("jacc_permille")))
+      .psort(col("s1"), col("s2"))
+  }
+
+  private val d38Sql = {
+    val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i")
+      .mkString(",\n   ")
+    val minCols = (0 until 8).map(i => s"MIN(m$i) AS m$i").mkString(", ")
+    val agree = (0 until 8)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS w
+       |        FROM documents)
+       |  WHERE LEN(w) >= 3),
+       |sig AS (SELECT doc_id, source, sh,
+       |   $sigCols
+       |  FROM docs),
+       |ssig AS (SELECT source, $minCols FROM sig GROUP BY source),
+       |sh AS (SELECT DISTINCT source, UNNEST(sh) AS sg FROM docs),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+       |common AS (
+       |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |pair AS (
+       |  SELECT s1, s2, $agree AS agree, c, n1.n + n2.n - c AS uni
+       |  FROM common
+       |  JOIN sizes n1 ON s1 = n1.source
+       |  JOIN sizes n2 ON s2 = n2.source
+       |  JOIN ssig a ON s1 = a.source
+       |  JOIN ssig b ON s2 = b.source)
+       |SELECT s1, s2, CAST(agree AS INTEGER) AS agree_bits,
+       |  CAST(agree * 125 AS BIGINT) AS est_permille,
+       |  CAST((1000 * c) // uni AS BIGINT) AS jacc_permille,
+       |  CAST(ABS(agree * 125 - (1000 * c) // uni) AS BIGINT)
+       |    AS err_permille
+       |FROM pair ORDER BY s1, s2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d36_kmv_cardinality" -> d36,
     "d37_bbit_minhash" -> d37,
+    "d38_source_minhash" -> d38,
     "d35_cross_shard_residual" -> d35,
     "d34_shingle_ablation" -> d34,
     "d33_corpus_checksum" -> d33,
@@ -2682,6 +2769,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "d36_kmv_cardinality" -> d36Sql,
     "d37_bbit_minhash" -> d37Sql,
+    "d38_source_minhash" -> d38Sql,
     "d35_cross_shard_residual" -> d35Sql,
     "d34_shingle_ablation" -> d34Sql,
     "d33_corpus_checksum" -> d33Sql,

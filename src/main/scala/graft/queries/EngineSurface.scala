@@ -710,8 +710,10 @@ object EngineSurface {
         s"c_nationkey + 100, c_acctbal FROM '$dir/customer.parquet' " +
         s"WHERE c_custkey <= 50")
       // a certainly-referenced parent key for the RESTRICT probes
+      // (COALESCE guards the degenerate corpus with no valid child rows —
+      // the probe then targets key 0, present whenever nation is)
       val refNk = engine.sql(
-        "SELECT CAST(MIN(nk) AS BIGINT) AS m FROM fk_cust")
+        "SELECT CAST(COALESCE(MIN(nk), 0) AS BIGINT) AS m FROM fk_cust")
         .collect()(0).getLong(0)
       val r2 = rejects(s"DELETE FROM fk_nation WHERE nk = $refNk")
       val r3 = rejects(s"UPDATE fk_nation SET nk = nk + 1000 " +
@@ -726,6 +728,38 @@ object EngineSurface {
         .psort(col("ck"))
     } finally engine.close()
   }
+
+  /** q126: `INSERT INTO t BY NAME` (DuckDB grammar): the source's own
+    * column names bind to the target in ANY order (case-insensitive);
+    * unmentioned target columns fill NULL; composes with OR REPLACE on
+    * the declared key. The gate creates a 4-column keyed table, loads a
+    * reordered 3-column SELECT BY NAME (note fills NULL), then upserts a
+    * differently-ordered BY NAME batch via OR REPLACE flipping 50
+    * balances, and hashes the final state. Oracle replays the aligned
+    * equivalent. Reference analog: kwack pastes DuckDB INSERT grammar
+    * verbatim to the engine (KwackEngine delegates all SQL). */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql("CREATE OR REPLACE TABLE bn_t (k BIGINT PRIMARY KEY, " +
+        "nm VARCHAR, bal DOUBLE, note VARCHAR)")
+      engine.sql(s"INSERT INTO bn_t BY NAME SELECT c_acctbal AS bal, " +
+        s"c_custkey AS k, c_name AS nm FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey <= 150")
+      engine.sql(s"INSERT OR REPLACE INTO bn_t BY NAME " +
+        s"SELECT c_custkey AS k, 'flipped' AS note, -c_acctbal AS bal, " +
+        s"c_name AS nm FROM '$dir/customer.parquet' WHERE c_custkey <= 50")
+      engine.sql("SELECT k, nm, CAST(bal AS DOUBLE) AS bal, note FROM bn_t")
+        .psort(col("k"))
+    } finally engine.close()
+  }
+
+  private val q126Sql =
+    """SELECT c_custkey AS k, c_name AS nm,
+      |  CAST(CASE WHEN c_custkey <= 50 THEN -c_acctbal ELSE c_acctbal END
+      |    AS DOUBLE) AS bal,
+      |  CASE WHEN c_custkey <= 50 THEN 'flipped' ELSE NULL END AS note
+      |FROM customer WHERE c_custkey <= 150 ORDER BY k""".stripMargin
 
   private val q125Sql =
     """WITH par AS (SELECT n_nationkey AS nk, n_name AS nname
@@ -745,6 +779,7 @@ object EngineSurface {
     "q112_delete_using" -> (q112 _),
     "q124_check_constraints" -> (q124 _),
     "q125_foreign_keys" -> (q125 _),
+    "q126_insert_by_name" -> (q126 _),
     "q123_sequences" -> (q123 _),
     "q110_update_from" -> (q110 _),
     "q111_upsert" -> (q111 _),
@@ -768,6 +803,7 @@ object EngineSurface {
     "q112_delete_using" -> q112Sql,
     "q124_check_constraints" -> q124Sql,
     "q125_foreign_keys" -> q125Sql,
+    "q126_insert_by_name" -> q126Sql,
     "q123_sequences" -> q123Sql,
     "q110_update_from" -> q110Sql,
     "q111_upsert" -> q111Sql,

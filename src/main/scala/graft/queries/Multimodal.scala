@@ -2783,8 +2783,92 @@ object Multimodal {
       |FROM documents d JOIN ic ON d.doc_id = ic.doc_id
       |WHERE d.doc_id <= 100 ORDER BY d.doc_id""".stripMargin
 
+  // ---- m33: Adam7 interlaced PNG decode ----------------------------------
+  private val ilFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Interlaced-PNG fixture: the SAME pixel formula as the main media
+    * fixture, containerized through the Adam7 encoder — so the oracle
+    * replays positions analytically while the engine must run the real
+    * 7-pass reconstruction. */
+  private def interlacedTable(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val path = ilFixtures.getOrElseUpdate(dir, {
+      implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+      implicit val encL: Encoder[Long] = Encoders.scalaLong
+      val out = fixtureTempDir("graft_media_interlaced")
+      t(s, dir, "documents").filter(col("doc_id") <= 80)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = fixtureDims(id)
+          MediaPayload(id,
+            ImageCodecs.encodePngInterlaced(w, h, fixturePixels(id, w * h * 3)))
+        })
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Position probes over the deinterlaced raster. A histogram would pass
+    * even with scrambled pixel POSITIONS (interlacing permutes placement,
+    * not the color multiset), so the gate is position-sensitive: three
+    * point probes plus a position-weighted checksum. */
+  case class InterlaceProbe(doc_id: Long, n_px: Int, c_first: Long,
+                            c_mid: Long, c_last: Long, pos_checksum: Long)
+
+  /** m33: Adam7 INTERLACED PNG decode — progressive-download PNGs are
+    * common in crawl corpora and decode WRONG (not failing, silently
+    * scrambled) if pass geometry or per-pass filter state is mishandled.
+    * The fixture encodes the standard pixel formula through a real Adam7
+    * encoder (7 passes, per-pass independent filtering, all five filter
+    * types); the engine runs the real 7-pass reconstruction; the oracle
+    * replays the EXPECTED raster analytically. Any pass-offset, stride,
+    * or filter-state bug moves pixels and breaks the position-weighted
+    * checksum even though the color histogram would still match.
+    *
+    * Scale shape: one typed map-only decode+probe pass per image; only
+    * the presentation sort shuffles. */
+  private val m33: Q = (s, dir) => {
+    implicit val encIn: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    implicit val encOut: Encoder[InterlaceProbe] =
+      Encoders.product[InterlaceProbe]
+    interlacedTable(s, dir).as[MediaPayload]
+      .mapPartitions(_.map { r =>
+        val img = ImageCodecs.decode(r.data)
+        val n = img.rgb.length / 3
+        def cidAt(p: Int): Long =
+          ((img.rgb(3 * p) & 0xffL) << 16) |
+            ((img.rgb(3 * p + 1) & 0xffL) << 8) | (img.rgb(3 * p + 2) & 0xffL)
+        var sum = 0L
+        var p = 0
+        while (p < n) { sum += (p + 1L) * cidAt(p); p += 1 }
+        InterlaceProbe(r.doc_id, n, cidAt(0), cidAt(n / 2), cidAt(n - 1),
+          sum % 1000000007L)
+      }).toDF()
+      .psort(col("doc_id"))
+  }
+
+  private val m33Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 56 AS w, 8 + (doc_id*7) % 40 AS h
+      |  FROM documents WHERE doc_id <= 80),
+      |px AS (
+      |  SELECT doc_id, w*h AS npx, p,
+      |    ((3*p*7 + doc_id) % 251) * 65536
+      |      + (((3*p + 1)*7 + doc_id) % 251) * 256
+      |      + ((3*p + 2)*7 + doc_id) % 251 AS cid
+      |  FROM g, UNNEST(RANGE(w*h)) AS t(p))
+      |SELECT doc_id, CAST(MAX(npx) AS INTEGER) AS n_px,
+      |  CAST(MAX(CASE WHEN p = 0 THEN cid END) AS BIGINT) AS c_first,
+      |  CAST(MAX(CASE WHEN p = npx // 2 THEN cid END) AS BIGINT) AS c_mid,
+      |  CAST(MAX(CASE WHEN p = npx - 1 THEN cid END) AS BIGINT) AS c_last,
+      |  CAST(SUM((p + 1) * cid) % 1000000007 AS BIGINT) AS pos_checksum
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m31_spectral_peak" -> m31,
+    "m33_interlaced_png" -> m33,
     "m32_caption_align" -> m32,
     "m30_palette_png" -> m30,
     "m29_sharpness" -> m29,
@@ -2820,6 +2904,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "m31_spectral_peak" -> m31Sql,
+    "m33_interlaced_png" -> m33Sql,
     "m32_caption_align" -> m32Sql,
     "m30_palette_png" -> m30Sql,
     "m29_sharpness" -> m29Sql,
