@@ -172,7 +172,10 @@ object PlanDump {
     "s44_multiprobe_lsh" -> "multi-probe LSH: 9x probe fan-out on the broadcastable query side only; ONE equi-join on the probe signature against the persisted index; exact re-rank window",
     "d37_bbit_minhash" -> "1-bit minhash: projection of the persisted signature frame; candidates from band postings (content diversity, no self-join); one shingle join for the exact verify",
     "x55_c4_line_rules" -> "C4 line rules: map-only 10-token chunk explode + rule CASE; ONE doc_id aggregation with map-side partials",
-    "m32_caption_align" -> "caption alignment: typed map-only decode+histogram per image; ONE doc_id equi-join against the text side (broadcast — images are the curated small side)")
+    "m32_caption_align" -> "caption alignment: typed map-only decode+histogram per image; ONE doc_id equi-join against the text side (broadcast — images are the curated small side)",
+    "q126_insert_by_name" -> "INSERT BY NAME: name-bound alignment is a pure projection over the source plan; plan shown is the final-state read",
+    "m33_interlaced_png" -> "Adam7 interlaced decode: one typed map-only 7-pass reconstruction + probe per image; only the presentation sort shuffles",
+    "d38_source_minhash" -> "source minhash: mergeable MIN aggregation (map-side partials) over the persisted signature frame; sources^2-bounded pair matrix; exact verify via one shingle equi-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
