@@ -2665,7 +2665,12 @@ object Dedup {
         min(col("m2")).as("m2"), min(col("m3")).as("m3"),
         min(col("m4")).as("m4"), min(col("m5")).as("m5"),
         min(col("m6")).as("m6"), min(col("m7")).as("m7"))
+    // duplicate-collapse invariant: distinct on the (source, ARRAY) pair
+    // BEFORE the explode — a replicated corpus (sf10 is 100x copies with
+    // the source preserved) collapses to content diversity ahead of the
+    // shingle shuffle instead of shuffling 100x pairs into the distinct
     val sh = docsWithShingles(s, dir).join(src, Seq("doc_id"))
+      .select(col("source"), col("sh")).distinct()
       .select(col("source"), explode(col("sh")).as("sg")).distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
