@@ -2170,23 +2170,51 @@ class Engine(val spark: SparkSession,
       stmts += s"CREATE OR REPLACE SEQUENCE $name START $next INCREMENT $inc"
       entries += (("sequence", name))
     }
-    createdTables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+    // FOREIGN KEY parents must exist AND hold their data before a child's
+    // INSERT replays (IMPORT runs through the full dialect, constraints
+    // enforced) — Kahn topological sort on child -> parent references,
+    // alphabetical tie-break; self-references drop out (CREATE precedes
+    // the table's own INSERT by construction)
+    val tableNames = createdTables.keySet.toSet
+    val tdeps: Map[String, Set[String]] = createdTables.keys.map { n =>
+      n -> (foreignKeys.getOrElse(n, Nil).map(_.parent).toSet
+        .intersect(tableNames) - n)
+    }.toMap
+    val tOrdered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tPlaced = scala.collection.mutable.Set.empty[String]
+    var tFrontier = tdeps.keys.toSeq.sorted
+    while (tFrontier.nonEmpty) {
+      val ready = tFrontier.filter(n => tdeps(n).forall(tPlaced))
+      val batch = if (ready.nonEmpty) ready else tFrontier // cycle fallback
+      batch.foreach { n => tOrdered += n; tPlaced += n }
+      tFrontier = tFrontier.filterNot(tPlaced)
+    }
+    tOrdered.foreach { name =>
+      val df = createdTables(name)
       val path = base.resolve(s"$name.parquet").toString
       df.write.mode("overwrite").parquet(path)
-      primaryKeys.get(name) match {
-        case Some(pk) =>
-          // a keyed table round-trips its PRIMARY KEY: typed
-          // column-definition CREATE (re-parsed by createEmptyTable on
-          // import, restoring the key) + a data INSERT from the export
-          // backtick-quote names so a column like `a b` re-parses on
-          // IMPORT, matching the CTAS path (which never spells names out)
-          val defs = df.schema.fields
-            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-          stmts += s"CREATE OR REPLACE TABLE $name ($defs, " +
-            s"PRIMARY KEY (${pk.map(k => s"`$k`").mkString(", ")}))"
-          stmts += s"INSERT INTO $name SELECT * FROM '$path'"
-        case None =>
-          stmts += s"CREATE OR REPLACE TABLE $name AS SELECT * FROM '$path'"
+      // constraints round-trip (PRIMARY KEY, CHECK, FOREIGN KEY — round
+      // 10): any constrained table exports as a typed column-definition
+      // CREATE (re-parsed by createEmptyTable on import, restoring the
+      // whole catalog entry) + a data INSERT; backtick-quote names so a
+      // column like `a b` re-parses on IMPORT, matching the CTAS path
+      val tail = scala.collection.mutable.ArrayBuffer.empty[String]
+      primaryKeys.get(name).foreach(pk =>
+        tail += s"PRIMARY KEY (${pk.map(k => s"`$k`").mkString(", ")})")
+      checkConstraints.getOrElse(name, Nil).foreach(c =>
+        tail += s"CHECK (${oneLine(c)})")
+      foreignKeys.getOrElse(name, Nil).foreach(fk =>
+        tail += s"FOREIGN KEY (${fk.cols.map(c => s"`$c`").mkString(", ")}) " +
+          s"REFERENCES ${fk.parent} " +
+          s"(${fk.parentCols.map(c => s"`$c`").mkString(", ")})")
+      if (tail.nonEmpty) {
+        val defs = df.schema.fields
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        stmts += s"CREATE OR REPLACE TABLE $name ($defs, " +
+          tail.mkString(", ") + ")"
+        stmts += s"INSERT INTO $name SELECT * FROM '$path'"
+      } else {
+        stmts += s"CREATE OR REPLACE TABLE $name AS SELECT * FROM '$path'"
       }
       entries += (("table", name))
     }

@@ -101,6 +101,40 @@ class NewOpsR10dSpec extends AnyFunSuite with Matchers {
     } finally e.close()
   }
 
+  test("EXPORT/IMPORT round-trips CHECK and FOREIGN KEY enforcement, " +
+      "with FK parents replayed before children") {
+    val e = freshEngine()
+    try {
+      e.sql("CREATE OR REPLACE TABLE achk (k BIGINT CHECK (k >= 0))")
+      e.sql("INSERT INTO achk VALUES (5)")
+      val dirPath = java.nio.file.Files
+        .createTempDirectory("graft_fk_export")
+      graft.streaming.StreamingOps.trackTempDir(dirPath)
+      val dir = dirPath.toString
+      e.sql(s"EXPORT DATABASE '$dir'")
+      val manifest = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "schema.sql"))
+      manifest should include("CHECK (k >= 0)")
+      manifest should include("FOREIGN KEY (`pk`) REFERENCES par (`pk`)")
+      // child `kid` must replay AFTER parent `par` despite k < p sorting
+      manifest.indexOf("CREATE OR REPLACE TABLE par ") should
+        be < manifest.indexOf("CREATE OR REPLACE TABLE kid ")
+      val e2 = new Engine(spark)
+      try {
+        e2.sql(s"IMPORT DATABASE '$dir'")
+        e2.sql("SELECT COUNT(*) AS n FROM kid").collect()(0)
+          .getLong(0) shouldBe 2
+        // enforcement survived the round-trip on both constraint classes
+        intercept[Exception](e2.sql("INSERT INTO kid VALUES (20, 99, 0.0)"))
+          .getMessage should include("FOREIGN KEY")
+        intercept[Exception](e2.sql("INSERT INTO achk VALUES (-2)"))
+          .getMessage should include("CHECK")
+        intercept[Exception](e2.sql("DELETE FROM par WHERE pk = 1"))
+          .getMessage should include("still reference")
+      } finally e2.close()
+    } finally e.close()
+  }
+
   test("self-referencing key: same-batch targets resolve, orphans reject") {
     val e = new Engine(spark)
     try {
