@@ -1269,8 +1269,66 @@ object Pipeline {
        |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // ---- p14: partition backfill with versioned atomic swap ----------------
+  /** p14: the partition-backfill pipeline a lake runs when late data lands
+    * for ONE partition: v1 of the dataset is written hive-partitioned by
+    * month missing the late slice (o_orderkey % 10 = 0); the backfill
+    * recomputes ONLY the stale month — the earliest month carrying late
+    * rows — writes it under a v2 root, and the swap is a manifest pointer
+    * flip (here: per-partition version routing in the read path). Every
+    * other partition's v1 files are untouched: O(1 partition) recompute +
+    * O(partitions) manifest, never a full rewrite — the only backfill
+    * shape that survives 100 TB. The certificate reads back THROUGH the
+    * routing and reports per-month row counts, exact decimal revenue, and
+    * which version served it; the oracle replays the expected final state
+    * from the raw table, so a routing bug (stale month served from v1, or
+    * a fresh month clobbered by v2) diverges. */
+  private val p14: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    val late = col("o_orderkey") % 10 === 0
+    val target = o.filter(late).agg(min(col("month")).as("m"))
+      .collect()(0).getString(0)
+    val base = java.nio.file.Files.createTempDirectory("graft_p14_")
+    graft.streaming.StreamingOps.trackTempDir(base, eager = true)
+    val v1 = base.resolve("v1").toString
+    val v2 = base.resolve("v2").toString
+    o.filter(!late).write.mode("overwrite").partitionBy("month").parquet(v1)
+    // the backfill job: recompute ONLY the stale partition, late rows in
+    o.filter(col("month") === target)
+      .write.mode("overwrite").partitionBy("month").parquet(v2)
+    // manifest-routed read: partition pruning plays the pointer table —
+    // the target month serves from v2, everything else from v1
+    val served = s.read.parquet(v1)
+      .filter(col("month") =!= target)
+      .withColumn("served_by", lit("v1"))
+      .unionByName(s.read.parquet(v2).withColumn("served_by", lit("v2")))
+    served.groupBy(col("month"), col("served_by"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsumr(dec2(col("o_totalprice"))).as("revenue"))
+      .psort(col("month"))
+  }
+
+  private val p14Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    STRFTIME(o_orderdate, '%Y-%m') AS month
+      |  FROM orders),
+      |tgt AS (SELECT MIN(month) AS m FROM o WHERE o_orderkey % 10 = 0)
+      |SELECT month,
+      |  CASE WHEN month = (SELECT m FROM tgt) THEN 'v2' ELSE 'v1' END
+      |    AS served_by,
+      |  COUNT(*) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+      |    AS revenue
+      |FROM o
+      |WHERE o_orderkey % 10 <> 0 OR month = (SELECT m FROM tgt)
+      |GROUP BY 1, 2 ORDER BY month""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p13_order_certificate" -> p13,
+    "p14_partition_backfill" -> p14,
     "p12_user_erasure" -> p12,
     "p11_maintenance_run" -> p11,
     "p10_snapshot_diff" -> p10,
@@ -1285,6 +1343,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "p13_order_certificate" -> p13Sql,
+    "p14_partition_backfill" -> p14Sql,
     "p12_user_erasure" -> p12Sql,
     "p11_maintenance_run" -> p11Sql,
     "p10_snapshot_diff" -> p10Sql,

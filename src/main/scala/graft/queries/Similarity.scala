@@ -3323,9 +3323,144 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- s45: serving funnel with per-stage recall attribution ------------
+  /** s45: the three-stage production serving chain — coarse cell routing
+    * (the s02 partitioner), int8 ADC shortlist within the cell (the s07
+    * quantizer, top-10), exact re-rank to the final top-3 — with recall
+    * LOSS ATTRIBUTED PER STAGE against the brute-force truth: per query,
+    * how many of the 3 true neighbors were even in the routed cell
+    * (routing ceiling), survived the quantized shortlist, and made the
+    * final answer. This is the audit a serving team runs to decide WHICH
+    * stage to spend on (more probes vs finer codes vs deeper re-rank) —
+    * aggregate recall alone cannot say.
+    *
+    * Scale shape: truth leg is the 20-query broadcast brute pass (audit
+    * cost, not serving cost); the serving legs are the s02 cell equi-join
+    * and the persisted int8 index; every accounting join is a per-(qid,
+    * cid) equi-join against 3-row/10-row-per-query frames. */
+  private val s45: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val qz = memoized(s"s07q:$dir") {
+      val mx = e.agg(
+        max(expr("array_max(transform(embedding, x -> abs(cast(x as double))))")).as("m"))
+      e.crossJoin(broadcast(mx))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) / m * 127.0) as bigint))")
+            .as("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val lab = e.select(col("vec_id"), col("label"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("embedding").as("qe"))
+    val all = e.select(col("vec_id").as("cid"), col("label").as("clab"),
+      col("embedding").as("ce"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    // truth: brute top-3 over the WHOLE corpus, no routing
+    val truth = q.hint("broadcast").join(all, col("qid") =!= col("cid"))
+      .select(col("qid"), col("qlab"), col("cid"), col("clab"),
+        expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("trank", row_number().over(wq)).filter(col("trank") <= 3)
+      .select(col("qid"), col("qlab"), col("cid"), col("clab"))
+    // stage 2: int8 ADC shortlist top-10 WITHIN the routed cell
+    val qq = qz.join(lab, Seq("vec_id")).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("qv").as("qa"))
+    val cz = qz.join(lab, Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("label").as("clab"),
+        col("qv").as("qb"))
+    val short = qq.hint("broadcast").join(cz,
+        col("qlab") === col("clab") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("cast(graft_dot(qa, qb) as bigint)").as("qdot"))
+      .withColumn("srank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("qdot").desc, col("cid"))))
+      .filter(col("srank") <= 10)
+      .select(col("qid"), col("cid"))
+    // stage 3: exact re-rank of the 10-candidate shortlist
+    val fin = short
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        Seq("cid"))
+      .join(q.select(col("qid"), col("qe")), Seq("qid"))
+      .select(col("qid"), col("cid"), expr(cosineExpr("qe", "ce")).as("cos"))
+      .withColumn("frank", row_number().over(wq)).filter(col("frank") <= 3)
+      .select(col("qid"), col("cid"))
+    // per-stage attribution: of the 3 true neighbors, how many survive
+    val inCell = truth.groupBy(col("qid")).agg(
+      sum(when(col("clab") === col("qlab"), 1L).otherwise(0L)).as("t_in_cell"))
+    val inShort = truth.select(col("qid"), col("cid"))
+      .join(short, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("t_in_shortlist"))
+    val inFinal = truth.select(col("qid"), col("cid"))
+      .join(fin, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("t_in_final"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+      .join(inCell, Seq("qid"), "left")
+      .join(inShort, Seq("qid"), "left")
+      .join(inFinal, Seq("qid"), "left")
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("t_in_cell"), lit(0L)).as("t_in_cell"),
+        coalesce(col("t_in_shortlist"), lit(0L)).as("t_in_shortlist"),
+        coalesce(col("t_in_final"), lit(0L)).as("t_in_final"))
+      .psort(col("qid"))
+  }
+
+  private val s45Sql =
+    s"""WITH mx AS (
+       |  SELECT MAX(LIST_MAX([ABS(x::DOUBLE) FOR x IN embedding])) AS m
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id, label,
+       |    [CAST(ROUND(x::DOUBLE / m * 127.0) AS BIGINT) FOR x IN embedding]
+       |      AS qv
+       |  FROM embeddings, mx),
+       |q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe
+       |      FROM embeddings WHERE vec_id < 20),
+       |truth AS (
+       |  SELECT qid, qlab, cid, clab FROM (
+       |    SELECT qid, qlab, c.vec_id AS cid, c.label AS clab,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY ${cosineSql("qe", "c.embedding")} DESC, c.vec_id)
+       |        AS trank
+       |    FROM q JOIN embeddings c ON qid <> c.vec_id)
+       |  WHERE trank <= 3),
+       |short AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+       |          [z[1] * z[2] FOR z IN LIST_ZIP(a.qv, b.qv)]),
+       |          (acc, v) -> acc + v) DESC, b.vec_id) AS srank
+       |    FROM qz a JOIN qz b
+       |      ON a.label = b.label AND a.vec_id < 20 AND a.vec_id <> b.vec_id)
+       |  WHERE srank <= 10),
+       |fin AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT s.qid, s.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.qid
+       |        ORDER BY ${cosineSql("q.qe", "c.embedding")} DESC, s.cid)
+       |        AS frank
+       |    FROM short s
+       |    JOIN embeddings c ON s.cid = c.vec_id
+       |    JOIN q ON s.qid = q.qid)
+       |  WHERE frank <= 3)
+       |SELECT t.qid, COUNT(*) AS n_truth,
+       |  CAST(SUM(CASE WHEN t.clab = t.qlab THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS t_in_cell,
+       |  CAST(SUM(CASE WHEN sh.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS t_in_shortlist,
+       |  CAST(SUM(CASE WHEN f.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS t_in_final
+       |FROM truth t
+       |LEFT JOIN short sh ON t.qid = sh.qid AND t.cid = sh.cid
+       |LEFT JOIN fin f ON t.qid = f.qid AND t.cid = f.cid
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s43_maxsim_multivector" -> s43,
     "s44_multiprobe_lsh" -> s44,
+    "s45_serving_funnel" -> s45,
     "s42_staleness_audit" -> s42,
     "s41_pq_utilization" -> s41,
     "s40_margin_audit" -> s40,
@@ -3372,6 +3507,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "s43_maxsim_multivector" -> s43Sql,
     "s44_multiprobe_lsh" -> s44Sql,
+    "s45_serving_funnel" -> s45Sql,
     "s42_staleness_audit" -> s42Sql,
     "s41_pq_utilization" -> s41Sql,
     "s40_margin_audit" -> s40Sql,
