@@ -175,7 +175,9 @@ object PlanDump {
     "m32_caption_align" -> "caption alignment: typed map-only decode+histogram per image; ONE doc_id equi-join against the text side (broadcast — images are the curated small side)",
     "q126_insert_by_name" -> "INSERT BY NAME: name-bound alignment is a pure projection over the source plan; plan shown is the final-state read",
     "m33_interlaced_png" -> "Adam7 interlaced decode: one typed map-only 7-pass reconstruction + probe per image; only the presentation sort shuffles",
-    "d38_source_minhash" -> "source minhash: mergeable MIN aggregation (map-side partials) over the persisted signature frame; sources^2-bounded pair matrix; exact verify via one shingle equi-join")
+    "d38_source_minhash" -> "source minhash: mergeable MIN aggregation (map-side partials) over the persisted signature frame; sources^2-bounded pair matrix; exact verify via one shingle equi-join",
+    "p14_partition_backfill" -> "partition backfill: v1/v2 roots with per-partition version routing (partition pruning = the manifest); only the stale month recomputes; decimal revenue agg",
+    "s45_serving_funnel" -> "serving funnel: broadcast truth leg (audit only); cell equi-join + persisted int8 index shortlist; per-(qid,cid) equi-joins for stage attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
