@@ -406,6 +406,11 @@ class Engine(val spark: SparkSession,
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+RENAME\\s+" +
       "(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+  private val alterTypeStmt =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ALTER\\s+" +
+      "(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)" +
+      "(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$").r
   private val copyFromStmt =
     ("(?is)^\\s*COPY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+FROM\\s+'([^']+)'" +
       "\\s*(?:\\([^)]*\\))?\\s*;?\\s*$").r
@@ -845,6 +850,8 @@ class Engine(val spark: SparkSession,
     case dropColStmt(name, ifExists, colName) =>
       alterDropColumn(name, colName, ifExists != null)
     case renameColStmt(name, from, to) => alterRenameColumn(name, from, to)
+    case alterTypeStmt(name, colName, tpe, usingExpr) =>
+      alterColumnType(name, colName, tpe, Option(usingExpr))
     case exportDbStmt(dir) => exportDatabase(dir)
     case importDbStmt(dir) => importDatabase(dir)
     case explainStmt(analyze, body) => explainSql(analyze != null, body)
@@ -2348,6 +2355,47 @@ class Engine(val spark: SparkSession,
     val snap = target.select(target.schema.fieldNames
         .filter(_ != canonical).map(f => col(s"`$f`")).toSeq: _*)
       .localCheckpoint(true)
+    releaseSnapshot(target)
+    createdTables.put(name, snap)
+    snap.createOrReplaceTempView(name)
+    statusDf("alter_table", name)
+  }
+
+  /** DuckDB's `ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE tpe
+    * [USING expr]`: a copy-on-write projection cast — the column is
+    * re-derived via the USING expression (default: a plain cast of the
+    * old value, DuckDB semantics) and cast to the declared type.
+    * Constraint guard: a FOREIGN KEY member (either side) refuses the
+    * retype — the parent/child key types must stay join-compatible — the
+    * same refusal class as DROP COLUMN of a key member. CHECK
+    * constraints re-verify against the rewritten snapshot (a retype that
+    * breaks a CHECK fails loudly, snapshot untouched). */
+  private def alterColumnType(name: String, colName: String, tpeRaw: String,
+      usingExpr: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val target = mutableTarget(name, "ALTER TABLE ALTER COLUMN")
+    val canonical = target.schema.fieldNames
+      .find(_.equalsIgnoreCase(colName)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE $name: no column '$colName' " +
+            s"(${target.schema.fieldNames.mkString(", ")})"))
+    require(!foreignKeys.get(name).exists(_.exists(_.cols.contains(canonical))),
+      s"ALTER TABLE $name: '$canonical' is part of a FOREIGN KEY")
+    require(!foreignKeys.exists { case (_, fks) =>
+        fks.exists(fk => fk.parent == name && fk.parentCols.contains(canonical))
+      },
+      s"ALTER TABLE $name: '$canonical' is referenced by a FOREIGN KEY")
+    val tpe = org.apache.spark.sql.types.DataType.fromDDL(tpeRaw.trim
+      .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+      .replaceAll("(?i)\\bTEXT\\b", "STRING"))
+    val value = usingExpr.map(expr).getOrElse(col(s"`$canonical`"))
+      .cast(tpe).as(canonical)
+    val snap = target.select(target.schema.fieldNames.map { f =>
+        if (f == canonical) value else col(s"`$f`")
+      }.toSeq: _*)
+      .localCheckpoint(true)
+    try enforceChecks(name, snap, "ALTER TABLE ALTER COLUMN")
+    catch { case e: Throwable => snap.unpersist(); throw e }
     releaseSnapshot(target)
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)

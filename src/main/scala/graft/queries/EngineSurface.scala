@@ -761,6 +761,34 @@ object EngineSurface {
       |  CASE WHEN c_custkey <= 50 THEN 'flipped' ELSE NULL END AS note
       |FROM customer WHERE c_custkey <= 150 ORDER BY k""".stripMargin
 
+  /** q127: `ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE tpe [USING
+    * expr]` (DuckDB grammar, both spellings): a copy-on-write projection
+    * cast with optional USING re-derivation; FK members refuse the
+    * retype, CHECKs re-verify. The gate retypes a DOUBLE balance to
+    * BIGINT through FLOOR (no rounding-tie hazard) and lowercases a
+    * VARCHAR segment via USING, then hashes the final state. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql(s"CREATE OR REPLACE TABLE at_t AS SELECT c_custkey, " +
+        s"c_acctbal, c_mktsegment FROM '$dir/customer.parquet' " +
+        s"WHERE c_custkey <= 200")
+      engine.sql("ALTER TABLE at_t ALTER COLUMN c_acctbal TYPE BIGINT " +
+        "USING CAST(FLOOR(c_acctbal) AS BIGINT)")
+      engine.sql("ALTER TABLE at_t ALTER c_mktsegment SET DATA TYPE " +
+        "VARCHAR USING lower(c_mktsegment)")
+      engine.sql("SELECT c_custkey, c_acctbal AS bal_floor, " +
+        "c_mktsegment AS seg FROM at_t")
+        .psort(col("c_custkey"))
+    } finally engine.close()
+  }
+
+  private val q127Sql =
+    """SELECT c_custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+      |  LOWER(c_mktsegment) AS seg
+      |FROM customer WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin
+
   private val q125Sql =
     """WITH par AS (SELECT n_nationkey AS nk, n_name AS nname
       |  FROM nation WHERE n_nationkey < 20),
@@ -780,6 +808,7 @@ object EngineSurface {
     "q124_check_constraints" -> (q124 _),
     "q125_foreign_keys" -> (q125 _),
     "q126_insert_by_name" -> (q126 _),
+    "q127_alter_column_type" -> (q127 _),
     "q123_sequences" -> (q123 _),
     "q110_update_from" -> (q110 _),
     "q111_upsert" -> (q111 _),
@@ -804,6 +833,7 @@ object EngineSurface {
     "q124_check_constraints" -> q124Sql,
     "q125_foreign_keys" -> q125Sql,
     "q126_insert_by_name" -> q126Sql,
+    "q127_alter_column_type" -> q127Sql,
     "q123_sequences" -> q123Sql,
     "q110_update_from" -> q110Sql,
     "q111_upsert" -> q111Sql,

@@ -3392,9 +3392,112 @@ object TextOps {
       |    THEN 1 ELSE 0 END AS INTEGER) AS doc_kept
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- x56: code-switching (intra-document language segmentation) -------
+  /** Per-language marker phrases, each word UNIQUE to its language's x03
+    * stopword list — a planted chunk scores >= 3 for its language, above
+    * any organic hit count the tech-word corpus can produce. */
+  private val switchMarkers: Seq[(String, String)] = Seq(
+    "de" -> "und der nicht", "en" -> "the and of", "es" -> "el los una",
+    "fr" -> "les pour dans", "zh" -> "shi wo ta")
+
+  /** x56: code-switching detection — mixed-language documents are a real
+    * curation hazard (they poison monolingual buckets and skew language
+    * quotas), and the standard cheap detector is chunk-level language ID
+    * plus transition counting. Chunks are the 10-token d08/x30 windows;
+    * each chunk is scored by the x03 stopword detector; the corpus is
+    * monolingual-ish, so switching is PLANTED with the deterministic
+    * convention: every (doc_id*7 + i) % 4 = 0 chunk gets the marker
+    * phrase of language (doc_id + i) % 5 (three words each unique to
+    * that language's list — decisive over organic hits). Output per doc:
+    * chunk count, transition count (lang(i) != lang(i-1)), dominant
+    * language (max (count, lang) struct — tie to the later name, the x03
+    * argmax convention), and its permille share.
+    *
+    * Scale shape: map-only chunk scoring; ONE doc_id shuffle shared by
+    * the lag window and the dominant-language aggregation; no joins. */
+  private val x56: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val markers = switchMarkers.map(_._2)
+    val markerArr = s"array(${markers.map(m => s"'$m'").mkString(", ")})"
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, ((size(ws) + 9) div 10) - 1)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("concat(array_join(slice(ws, i * 10 + 1, 10), ' '), " +
+          s"CASE WHEN (doc_id * 7 + i) % 4 = 0 THEN " +
+          s"concat(' ', element_at($markerArr, " +
+          "cast((doc_id + i) % 5 + 1 as int))) ELSE '' END)").as("chunk"))
+    val words = array_distinct(split(col("chunk"), " +"))
+    val scores = langStop.map { case (lang, sw) =>
+      struct(size(filter(words, w => w.isin(sw.map(lit(_)): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val scored = chunks.select(col("doc_id"), col("i"),
+      array_max(array(scores: _*)).getField("lang").as("clang"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val trans = scored
+      .withColumn("switch",
+        when(lag(col("clang"), 1).over(w).isNotNull &&
+          lag(col("clang"), 1).over(w) =!= col("clang"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("switch")).as("n_switches"))
+    val dom = scored.groupBy(col("doc_id"), col("clang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("cnt"), col("clang"))).as("d"))
+      .select(col("doc_id"), col("d.clang").as("dominant_lang"),
+        col("d.cnt").as("dcnt"))
+    trans.join(dom, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("n_switches"),
+        col("dominant_lang"),
+        expr("dcnt * 1000 div n_chunks").as("dom_permille"))
+      .psort(col("doc_id"))
+  }
+
+  private val x56Sql = {
+    val markerList = switchMarkers.map(m => s"'${m._2}'")
+      .mkString("[", ", ", "]")
+    val structs = langStop.map { case (lang, sw) =>
+      val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
+      s"{'score': LEN(LIST_FILTER(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(chunk, ' +')), w -> LIST_CONTAINS($lst, w))), 'lang': '$lang'}"
+    }.mkString(",\n   ")
+    s"""WITH chunks AS (
+       |  SELECT doc_id, i,
+       |    ARRAY_TO_STRING(ws[i*10+1:i*10+10], ' ')
+       |      || CASE WHEN (doc_id * 7 + i) % 4 = 0
+       |         THEN ' ' || $markerList[CAST((doc_id + i) % 5 AS INTEGER) + 1]
+       |         ELSE '' END AS chunk
+       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+       |    UNNEST(RANGE((LEN(ws) + 9) // 10)) AS t(i)),
+       |scored AS (
+       |  SELECT doc_id, i, LIST_MAX([$structs])['lang'] AS clang
+       |  FROM chunks),
+       |trans AS (
+       |  SELECT doc_id, COUNT(*) AS n_chunks,
+       |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> clang
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+       |  FROM (SELECT doc_id, clang,
+       |          LAG(clang) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+       |        FROM scored)
+       |  GROUP BY doc_id),
+       |dom AS (
+       |  SELECT doc_id,
+       |    MAX({'cnt': cnt, 'clang': clang}) AS d
+       |  FROM (SELECT doc_id, clang, COUNT(*) AS cnt
+       |        FROM scored GROUP BY 1, 2)
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_chunks, t.n_switches,
+       |  d.d['clang'] AS dominant_lang,
+       |  CAST(d.d['cnt'] * 1000 // t.n_chunks AS BIGINT) AS dom_permille
+       |FROM trans t JOIN dom d ON t.doc_id = d.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "x54_encoding_audit" -> x54,
     "x55_c4_line_rules" -> x55,
+    "x56_code_switching" -> x56,
     "x53_lang_confusion" -> x53,
     "x52_freq_spectrum" -> x52,
     "x51_canary_tracking" -> x51,
@@ -3452,6 +3555,7 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "x54_encoding_audit" -> x54Sql,
     "x55_c4_line_rules" -> x55Sql,
+    "x56_code_switching" -> x56Sql,
     "x53_lang_confusion" -> x53Sql,
     "x52_freq_spectrum" -> x52Sql,
     "x51_canary_tracking" -> x51Sql,
