@@ -2732,10 +2732,123 @@ object Dedup {
        |FROM pair ORDER BY s1, s2""".stripMargin
   }
 
+  // ---- d39: one-permutation hashing (Li, Owen & Zhang, 2012) ------------
+  /** d39: OPH sketch — the whole k-slot signature from ONE hash pass:
+    * each shingle hash h maps to bin h % k with value h / k, the sketch
+    * is the per-bin MIN, and empty bins densify by rotation (borrow the
+    * nearest non-empty bin to the right, + distance*C to break symmetry
+    * — Shrivastava & Li 2014). At 100 TB this is THE production sketch:
+    * d03's k affine minhashes cost k passes over every shingle, OPH
+    * costs one — same estimator contract (bin collision rate ~ jaccard).
+    * The gate computes, per LSH candidate pair at content diversity, the
+    * densified-slot agreement, the OPH estimate (agree*125 permille at
+    * k=8), the exact jaccard, and the error.
+    *
+    * Scale shape: one explode + ONE (doc, bin) MIN aggregation with
+    * map-side partials builds every sketch; densification is a per-row
+    * k-width coalesce (no shuffle); candidates ride the d03 chain. */
+  private val OphC = 1000000007L
+  private val d39: Q = (s, dir) => {
+    val g = docGroups(s, dir)
+    val reps = docsWithShingles(s, dir).as("d")
+      .join(g.filter(col("doc_id") === col("rep"))
+        .select(col("rep").as("rid")), col("d.doc_id") === col("rid"))
+      .select(col("d.doc_id"), col("d.sh"), col("d.hv"))
+    val (a, b) = hashAB.head
+    // one permutation: h = (a*(x % P) + b) % P; bin = h % 8, val = h / 8
+    val bins = reps.select(col("doc_id"),
+        explode(expr(s"transform(hv, x -> ($a * (x % $P) + $b) % $P)"))
+          .as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("h") % 8 === 0, expr("h div 8"))).as("b0"),
+        (1 until 8).map(j =>
+          min(when(col("h") % 8 === j, expr("h div 8"))).as(s"b$j")): _*)
+    // rotation densification: slot j = nearest non-empty bin rightward
+    // (circular), + distance * C
+    val dense = bins.select(
+      (col("doc_id") +: (0 until 8).map { j =>
+        coalesce((0 until 8).map(d =>
+          col(s"b${(j + d) % 8}") + lit(d.toLong * OphC)): _*).as(s"s$j")
+      }): _*)
+    val cand = minhashCandidates(minhashSigOf(reps))
+    val agreeExpr = (0 until 8)
+      .map(i => s"(CASE WHEN a$i = x$i THEN 1 ELSE 0 END)").mkString(" + ")
+    cand
+      .join(reps.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(reps.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .join(dense.toDF(("d1" +: (0 until 8).map(i => s"a$i")): _*), Seq("d1"))
+      .join(dense.toDF(("d2" +: (0 until 8).map(i => s"x$i")): _*), Seq("d2"))
+      .selectExpr("d1", "d2",
+        s"CAST($agreeExpr AS INT) AS agree_slots",
+        s"CAST(($agreeExpr) * 125 AS BIGINT) AS est_permille",
+        "CAST((1000 * size(array_intersect(sh1, sh2))) DIV " +
+          "(size(sh1) + size(sh2) - size(array_intersect(sh1, sh2))) " +
+          "AS BIGINT) AS jacc_permille")
+      .withColumn("err_permille",
+        abs(col("est_permille") - col("jacc_permille")))
+      .psort(col("d1"), col("d2"))
+  }
+
+  private val d39Sql = {
+    val (a, b) = hashAB.head
+    val sigCols = (0 until 8).map(i => s"${minhashSql(i)} AS m$i")
+      .mkString(",\n   ")
+    val bandRows = (0 until 4).map { bq =>
+      s"SELECT doc_id, $bq AS band, m${2 * bq} || '_' || m${2 * bq + 1} AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val binCols = (0 until 8).map(j =>
+      s"MIN(CASE WHEN h % 8 = $j THEN h // 8 END) AS b$j").mkString(", ")
+    val denseCols = (0 until 8).map { j =>
+      val chain = (0 until 8)
+        .map(d => s"b${(j + d) % 8} + ${d.toLong * OphC}")
+        .mkString("COALESCE(", ", ", ")")
+      s"$chain AS s$j"
+    }.mkString(",\n   ")
+    val agree = (0 until 8)
+      .map(i => s"(CASE WHEN p1.s$i = p2.s$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs AS ($docsShSql),
+       |reps AS (SELECT MIN(doc_id) AS doc_id, sh FROM docs GROUP BY sh),
+       |sig AS (SELECT doc_id, sh,
+       |   $sigCols
+       |  FROM reps),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    UNNEST([($a * (${md5iSql("s")} % $P) + $b) % $P FOR s IN sh])
+       |      AS h
+       |  FROM reps),
+       |bins AS (SELECT doc_id, $binCols FROM hashes GROUP BY doc_id),
+       |dense AS (SELECT doc_id,
+       |   $denseCols
+       |  FROM bins),
+       |pair AS (
+       |  SELECT d1, d2, $agree AS agree,
+       |    LEN(LIST_INTERSECT(s1.sh, s2.sh)) AS inter,
+       |    LEN(s1.sh) + LEN(s2.sh) - LEN(LIST_INTERSECT(s1.sh, s2.sh)) AS uni
+       |  FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id
+       |  JOIN sig s2 ON d2 = s2.doc_id
+       |  JOIN dense p1 ON d1 = p1.doc_id
+       |  JOIN dense p2 ON d2 = p2.doc_id)
+       |SELECT d1, d2, CAST(agree AS INTEGER) AS agree_slots,
+       |  CAST(agree * 125 AS BIGINT) AS est_permille,
+       |  CAST((1000 * inter) // uni AS BIGINT) AS jacc_permille,
+       |  CAST(ABS(agree * 125 - (1000 * inter) // uni) AS BIGINT)
+       |    AS err_permille
+       |FROM pair ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d36_kmv_cardinality" -> d36,
     "d37_bbit_minhash" -> d37,
     "d38_source_minhash" -> d38,
+    "d39_oph_sketch" -> d39,
     "d35_cross_shard_residual" -> d35,
     "d34_shingle_ablation" -> d34,
     "d33_corpus_checksum" -> d33,
@@ -2775,6 +2888,7 @@ object Dedup {
     "d36_kmv_cardinality" -> d36Sql,
     "d37_bbit_minhash" -> d37Sql,
     "d38_source_minhash" -> d38Sql,
+    "d39_oph_sketch" -> d39Sql,
     "d35_cross_shard_residual" -> d35Sql,
     "d34_shingle_ablation" -> d34Sql,
     "d33_corpus_checksum" -> d33Sql,
