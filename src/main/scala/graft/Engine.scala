@@ -424,6 +424,11 @@ class Engine(val spark: SparkSession,
 
   private val explainStmt =
     "(?is)^\\s*EXPLAIN(\\s+ANALYZE)?\\s+(.+?)\\s*;?\\s*$".r
+  private val setVarStmt =
+    ("(?is)^\\s*SET\\s+VARIABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" +
+      "(.+?)\\s*;?\\s*$").r
+  private val resetVarStmt =
+    "(?is)^\\s*RESET\\s+VARIABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
   private val setStmt =
     "(?is)^\\s*SET\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:=|\\s+TO\\s+)\\s*(.+?)\\s*;?\\s*$".r
   private val resetStmt =
@@ -691,7 +696,8 @@ class Engine(val spark: SparkSession,
     * every downstream scan and Spark's parser see ordinary SQL. The
     * rewrite is quote/comment-aware and idempotent (safe across the
     * EXECUTE/macro re-entries into this method). */
-  def sql(q0: String): DataFrame = sqlDispatch(SqlScan.rewriteDollarQuotes(q0))
+  def sql(q0: String): DataFrame =
+    sqlDispatch(spliceVariables(SqlScan.rewriteDollarQuotes(q0)))
 
   private def sqlDispatch(q: String): DataFrame = q match {
     case prepareStmt(name, body) =>
@@ -855,6 +861,10 @@ class Engine(val spark: SparkSession,
     case exportDbStmt(dir) => exportDatabase(dir)
     case importDbStmt(dir) => importDatabase(dir)
     case explainStmt(analyze, body) => explainSql(analyze != null, body)
+    case setVarStmt(name, valueExpr) => setVariable(name, valueExpr)
+    case resetVarStmt(name) =>
+      sessionVars.remove(name.toLowerCase)
+      statusDf("reset_variable", name)
     case setStmt(key, value) => setSetting(key, value.trim.stripPrefix("'")
       .stripSuffix("'"))
     case resetStmt(key) =>
@@ -870,6 +880,58 @@ class Engine(val spark: SparkSession,
       statusDf("drop_sequence", name)
     case sel if hasSeqCalls(sel) => sequenceStatement(sel)
     case _ => expandedSql(rewriteFromFirst(expandMacros(q)))
+  }
+
+  // ---- session variables (SET VARIABLE / getvariable) ----------------------
+  /** DuckDB's session-variable surface (SET VARIABLE, DuckDB 1.1):
+    * `SET VARIABLE v = <scalar expr>` evaluates EAGERLY through the full
+    * dialect; every `getvariable('v')` reference — in ANY statement —
+    * splices as a TYPED literal before parse, using the nextval/currval
+    * opaque-mask machinery so a string literal containing the call text
+    * never rewrites; an UNSET variable reads as NULL (DuckDB semantics);
+    * `RESET VARIABLE v` unsets. Values are scalars (the literal-splice
+    * contract); array/struct values reject loudly. */
+  private val sessionVars =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def literalOf(v: Any,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    if (v == null) "NULL" else dt match {
+      case StringType => "'" + v.toString.replace("'", "''") + "'"
+      case BooleanType => if (v.asInstanceOf[Boolean]) "TRUE" else "FALSE"
+      case ByteType | ShortType | IntegerType | LongType =>
+        s"CAST($v AS BIGINT)"
+      case FloatType | DoubleType => s"CAST($v AS DOUBLE)"
+      case d: DecimalType => s"CAST($v AS ${d.sql})"
+      case DateType => s"DATE '$v'"
+      case TimestampType => s"TIMESTAMP '$v'"
+      case other => throw new IllegalArgumentException(
+        s"SET VARIABLE: unsupported value type ${other.sql} (scalars only)")
+    }
+  }
+
+  private def setVariable(name: String, valueExpr: String): DataFrame = {
+    val df = sql(s"SELECT ($valueExpr) AS v")
+    val rows = df.collect()
+    require(rows.length == 1,
+      s"SET VARIABLE $name: the value expression must be scalar " +
+        s"(got ${rows.length} rows)")
+    sessionVars.put(name.toLowerCase,
+      literalOf(rows(0).get(0), df.schema.head.dataType))
+    statusDf("set_variable", name)
+  }
+
+  private def spliceVariables(q: String): String = {
+    if (!q.toLowerCase.contains("getvariable")) return q
+    val calls = seqCalls(q, "getvariable")
+    if (calls.isEmpty) return q
+    val sb = new StringBuilder(q)
+    calls.reverse.foreach { case (start, end, name) =>
+      sb.replace(start, end,
+        "(" + sessionVars.getOrElse(name.toLowerCase, "NULL") + ")")
+    }
+    sb.toString
   }
 
   // ---- sequences (CREATE SEQUENCE / nextval / currval) ---------------------
@@ -3093,6 +3155,7 @@ class Engine(val spark: SparkSession,
     primaryKeys.clear()
     checkConstraints.clear()
     foreignKeys.clear()
+    sessionVars.clear()
     fileViews.values.foreach { case (v, _) =>
       try spark.catalog.dropTempView(v) catch { case _: Exception => }
     }

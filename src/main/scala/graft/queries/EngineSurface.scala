@@ -789,6 +789,47 @@ object EngineSurface {
       |FROM customer WHERE c_custkey <= 200
       |ORDER BY c_custkey""".stripMargin
 
+  /** q128: SET VARIABLE / getvariable (DuckDB 1.1): variables evaluate
+    * eagerly (scalar subqueries allowed), getvariable references splice
+    * as typed literals in ANY statement (opaque-masked, so string
+    * literals never rewrite), RESET unsets, and an unset variable reads
+    * NULL (the probe count must come back 0 — NULL comparison selects
+    * nothing). Cutoff uses MAX/2 (exact) rather than AVG to avoid
+    * cross-engine double-summation ULP drift at the filter boundary. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql("SET VARIABLE seg = 'BUILDING'")
+      engine.sql(s"SET VARIABLE cutoff = (SELECT CAST(MAX(c_acctbal) " +
+        s"AS DOUBLE) / 2 FROM '$dir/customer.parquet')")
+      engine.sql(s"CREATE OR REPLACE TABLE sv_t AS SELECT c_custkey, " +
+        s"c_acctbal FROM '$dir/customer.parquet' " +
+        s"WHERE c_mktsegment = getvariable('seg') " +
+        s"AND c_acctbal > getvariable('cutoff')")
+      engine.sql("SET VARIABLE bonus = 100")
+      engine.sql("UPDATE sv_t SET c_acctbal = c_acctbal + " +
+        "getvariable('bonus') WHERE c_custkey % 2 = 0")
+      engine.sql("RESET VARIABLE bonus")
+      val nNull = engine.sql("SELECT COUNT(*) AS n FROM sv_t " +
+        "WHERE c_acctbal < getvariable('bonus')").collect()(0).getLong(0)
+      engine.sql("SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal " +
+        "FROM sv_t")
+        .withColumn("null_probe",
+          org.apache.spark.sql.functions.lit(nNull))
+        .psort(col("c_custkey"))
+    } finally engine.close()
+  }
+
+  private val q128Sql =
+    """WITH cutoff AS (SELECT MAX(c_acctbal) / 2 AS c FROM customer)
+      |SELECT c_custkey,
+      |  CAST(c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 100 ELSE 0 END
+      |    AS DOUBLE) AS bal,
+      |  CAST(0 AS BIGINT) AS null_probe
+      |FROM customer, cutoff
+      |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > c
+      |ORDER BY c_custkey""".stripMargin
+
   private val q125Sql =
     """WITH par AS (SELECT n_nationkey AS nk, n_name AS nname
       |  FROM nation WHERE n_nationkey < 20),
@@ -809,6 +850,7 @@ object EngineSurface {
     "q125_foreign_keys" -> (q125 _),
     "q126_insert_by_name" -> (q126 _),
     "q127_alter_column_type" -> (q127 _),
+    "q128_set_variable" -> (q128 _),
     "q123_sequences" -> (q123 _),
     "q110_update_from" -> (q110 _),
     "q111_upsert" -> (q111 _),
@@ -834,6 +876,7 @@ object EngineSurface {
     "q125_foreign_keys" -> q125Sql,
     "q126_insert_by_name" -> q126Sql,
     "q127_alter_column_type" -> q127Sql,
+    "q128_set_variable" -> q128Sql,
     "q123_sequences" -> q123Sql,
     "q110_update_from" -> q110Sql,
     "q111_upsert" -> q111Sql,
