@@ -166,6 +166,50 @@ class JdbcServeSpec extends AnyFunSuite with Matchers {
     } finally { st.close(); conn.close() }
   }
 
+  test("round-10 grammar serves over the attach: FOREIGN KEYs enforce, " +
+      "INSERT BY NAME binds, ALTER COLUMN TYPE retypes, SET VARIABLE " +
+      "splices") {
+    val conn = JdbcServe.connect(port)
+    val st = conn.createStatement()
+    try {
+      // FK DDL + RESTRICT over the wire
+      st.execute("CREATE OR REPLACE TABLE jpar (pk BIGINT PRIMARY KEY)")
+      st.execute("INSERT INTO jpar VALUES (1), (2)")
+      st.execute("CREATE OR REPLACE TABLE jkid (id BIGINT, " +
+        "pk BIGINT REFERENCES jpar)")
+      st.execute("INSERT INTO jkid VALUES (10, 1)")
+      val orphan = intercept[java.sql.SQLException](
+        st.execute("INSERT INTO jkid VALUES (11, 99)"))
+      orphan.getMessage should include("FOREIGN KEY")
+      intercept[java.sql.SQLException](
+        st.execute("DELETE FROM jpar WHERE pk = 1"))
+        .getMessage should include("still reference")
+      // INSERT BY NAME
+      st.execute("CREATE OR REPLACE TABLE jbn (a BIGINT, b VARCHAR)")
+      st.execute("INSERT INTO jbn BY NAME SELECT 'x' AS b, 7 AS a")
+      val rbn = st.executeQuery("SELECT a, b FROM jbn")
+      rbn.next() shouldBe true
+      rbn.getLong(1) shouldBe 7L
+      rbn.getString(2) shouldBe "x"
+      // ALTER COLUMN TYPE with USING
+      st.execute("ALTER TABLE jbn ALTER COLUMN b TYPE BIGINT USING 42")
+      val rat = st.executeQuery("SELECT b FROM jbn")
+      rat.next() shouldBe true
+      rat.getLong(1) shouldBe 42L
+      // SET VARIABLE / getvariable splice
+      st.execute("SET VARIABLE jv = 40 + 2")
+      val rv = st.executeQuery("SELECT getvariable('jv') AS v")
+      rv.next() shouldBe true
+      rv.getLong("v") shouldBe 42L
+      st.execute("RESET VARIABLE jv")
+      val rn = st.executeQuery("SELECT getvariable('jv') AS v")
+      rn.next() shouldBe true
+      Option(rn.getObject("v")) shouldBe None
+      st.execute("DROP TABLE jkid"); st.execute("DROP TABLE jpar")
+      st.execute("DROP TABLE jbn")
+    } finally { st.close(); conn.close() }
+  }
+
   test("REPL !connect attaches to the live endpoint and serves the " +
       "dialect remotely; !detach returns to the local engine") {
     val dir = "/root/testdata/sf0.001"
