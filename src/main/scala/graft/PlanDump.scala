@@ -177,7 +177,11 @@ object PlanDump {
     "m33_interlaced_png" -> "Adam7 interlaced decode: one typed map-only 7-pass reconstruction + probe per image; only the presentation sort shuffles",
     "d38_source_minhash" -> "source minhash: mergeable MIN aggregation (map-side partials) over the persisted signature frame; sources^2-bounded pair matrix; exact verify via one shingle equi-join",
     "p14_partition_backfill" -> "partition backfill: v1/v2 roots with per-partition version routing (partition pruning = the manifest); only the stale month recomputes; decimal revenue agg",
-    "s45_serving_funnel" -> "serving funnel: broadcast truth leg (audit only); cell equi-join + persisted int8 index shortlist; per-(qid,cid) equi-joins for stage attribution")
+    "s45_serving_funnel" -> "serving funnel: broadcast truth leg (audit only); cell equi-join + persisted int8 index shortlist; per-(qid,cid) equi-joins for stage attribution",
+    "x56_code_switching" -> "code-switching: map-only chunk scoring; ONE doc_id shuffle shared by the lag window and the dominant-language agg; no joins until the bounded doc-level merge",
+    "d39_oph_sketch" -> "OPH sketch: one explode + ONE (doc, bin) MIN agg with map-side partials builds every sketch; densification is a per-row coalesce (no shuffle); candidates ride the d03 postings",
+    "q127_alter_column_type" -> "ALTER COLUMN TYPE: copy-on-write projection cast (+USING re-derivation); constraint re-verify is one filter-count; plan shown is the final-state read",
+    "q128_set_variable" -> "SET VARIABLE: getvariable splices as typed literals BEFORE parse — the plan is literal-folded, zero runtime lookup; plan shown is the final-state read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
