@@ -879,7 +879,10 @@ class Engine(val spark: SparkSession,
       require(removed || ifExists != null, s"no sequence '$name'")
       statusDf("drop_sequence", name)
     case sel if hasSeqCalls(sel) => sequenceStatement(sel)
-    case _ => expandedSql(rewriteFromFirst(expandMacros(q)))
+    case _ =>
+      // macro expansion can surface getvariable calls that were inside a
+      // stored macro body — splice them with the CURRENT values
+      expandedSql(rewriteFromFirst(spliceVariables(expandMacros(q))))
   }
 
   // ---- session variables (SET VARIABLE / getvariable) ----------------------
@@ -898,11 +901,19 @@ class Engine(val spark: SparkSession,
       dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     if (v == null) "NULL" else dt match {
-      case StringType => "'" + v.toString.replace("'", "''") + "'"
+      case StringType =>
+        // backslashes escape too: Spark's single-quoted literals process
+        // escape sequences, so a verbatim path like 'C:\new' would
+        // corrupt on reparse
+        "'" + v.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
       case BooleanType => if (v.asInstanceOf[Boolean]) "TRUE" else "FALSE"
       case ByteType | ShortType | IntegerType | LongType =>
         s"CAST($v AS BIGINT)"
-      case FloatType | DoubleType => s"CAST($v AS DOUBLE)"
+      case FloatType | DoubleType =>
+        val d = v.toString
+        // NaN/Infinity are not numeric literals — splice via string cast
+        if (d == "NaN" || d.endsWith("Infinity")) s"CAST('$d' AS DOUBLE)"
+        else s"CAST($d AS DOUBLE)"
       case d: DecimalType => s"CAST($v AS ${d.sql})"
       case DateType => s"DATE '$v'"
       case TimestampType => s"TIMESTAMP '$v'"
@@ -924,6 +935,14 @@ class Engine(val spark: SparkSession,
 
   private def spliceVariables(q: String): String = {
     if (!q.toLowerCase.contains("getvariable")) return q
+    // statements that STORE a body must keep getvariable raw: PREPARE
+    // re-enters sql() at EXECUTE (splicing with the then-current value,
+    // DuckDB semantics) and macros expand at call time (the expansion
+    // re-splices in the dispatch default). Engine VIEWS register an eager
+    // plan, so a view body's variables freeze at creation — a documented
+    // delta, same class as currval-in-views.
+    if ("(?is)^\\s*(PREPARE|CREATE\\s+(OR\\s+REPLACE\\s+)?MACRO)\\b".r
+        .findFirstIn(q).isDefined) return q
     val calls = seqCalls(q, "getvariable")
     if (calls.isEmpty) return q
     val sb = new StringBuilder(q)
@@ -1188,6 +1207,16 @@ class Engine(val spark: SparkSession,
       require(orReplace, s"table or view '$name' already exists " +
         "(use CREATE OR REPLACE TABLE)")
     }
+    // a table other tables' FOREIGN KEYs reference cannot be silently
+    // replaced (same invariant as the DROP guard: orphans never exist)
+    if (createdTables.contains(name))
+      foreignKeys.collectFirst {
+        case (child, fks) if child != name && fks.exists(_.parent == name) =>
+          child
+      }.foreach { child =>
+        throw new IllegalArgumentException(s"cannot replace table '$name': " +
+          s"table '$child' has a FOREIGN KEY referencing it")
+      }
     val snap = sql(body).localCheckpoint(true)
     createdTables.get(name).foreach(releaseSnapshot)
     createdViews.remove(name)
@@ -1233,7 +1262,12 @@ class Engine(val spark: SparkSession,
     // the returned projection see the SAME evaluation of the source query
     val aligned =
       if (ret.isDefined) aligned0.localCheckpoint(true) else aligned0
-    val counts = appendAligned(name, target, aligned)
+    val counts =
+      try appendAligned(name, target, aligned)
+      catch { case e: Throwable =>
+        if (ret.isDefined) aligned.unpersist()
+        throw e
+      }
     ret.map { r =>
       val out = returningDf(aligned, r)
       aligned.unpersist()
@@ -1328,8 +1362,9 @@ class Engine(val spark: SparkSession,
     * inserted in the same statement are visible targets, DuckDB
     * semantics). */
   private def enforceForeignKeys(name: String, rows: DataFrame,
-      verb: String, parentOverride: Map[String, DataFrame] = Map.empty): Unit =
-    foreignKeys.getOrElse(name, Nil).foreach { fk =>
+      verb: String, parentOverride: Map[String, DataFrame] = Map.empty,
+      only: ForeignKey => Boolean = _ => true): Unit =
+    foreignKeys.getOrElse(name, Nil).filter(only).foreach { fk =>
       val parentDf = parentOverride.getOrElse(fk.parent,
         createdTables.getOrElse(fk.parent,
           throw new IllegalArgumentException(
@@ -1372,15 +1407,39 @@ class Engine(val spark: SparkSession,
       }
     }
 
+  /** Does `colName` appear as a standalone identifier in the constraint
+    * expression text? Word-boundary match, case-insensitive. */
+  private def mentionsColumn(exprText: String, colName: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(colName) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(exprText).isDefined
+
   /** Run the full constraint battery against a table's would-be snapshot
     * and release its storage on rejection (the statement is atomic — the
-    * old snapshot never unpins, the rejected one never leaks). */
+    * old snapshot never unpins, the rejected one never leaks). When
+    * `touched` names the columns a statement could have changed (UPDATE's
+    * SET targets), constraints that cannot have been affected are skipped:
+    * CHECKs that mention no touched column, outbound FKs whose key
+    * columns are untouched, and the inbound RESTRICT scan when no
+    * referenced parent key was touched — an UPDATE of a payload column on
+    * an FK-laden table costs zero extra jobs. */
   private def enforceAllOrRelease(name: String, snap: DataFrame,
-      verb: String): Unit =
+      verb: String, touched: Option[Set[String]] = None): Unit =
     try {
-      enforceChecks(name, snap, verb)
-      enforceForeignKeys(name, snap, verb, Map(name -> snap))
-      enforceReferencing(name, snap, verb)
+      def hitsCols(cols: Seq[String]): Boolean =
+        touched.forall(t => cols.exists(t.contains))
+      checkConstraints.getOrElse(name, Nil)
+        .filter(c => touched.forall(_.exists(tc => mentionsColumn(c, tc))))
+        .foreach { c =>
+          val bad = snap.filter(org.apache.spark.sql.functions.coalesce(
+            expr(c).cast("boolean"), lit(true)) === false).count()
+          if (bad > 0) throw new IllegalArgumentException(
+            s"$verb $name: CHECK ($c) violated by $bad row(s)")
+        }
+      enforceForeignKeys(name, snap, verb, Map(name -> snap),
+        only = fk => hitsCols(fk.cols))
+      if (foreignKeys.exists { case (_, fks) =>
+          fks.exists(fk => fk.parent == name && hitsCols(fk.parentCols)) })
+        enforceReferencing(name, snap, verb)
     } catch { case e: Throwable => snap.unpersist(); throw e }
 
   private def appendAligned(name: String, target: DataFrame,
@@ -1474,7 +1533,7 @@ class Engine(val spark: SparkSession,
           .otherwise(col(s"`${f.name}`")).as(f.name))
         .getOrElse(col(s"`${f.name}`"))
     }.toSeq: _*).localCheckpoint(true)
-    enforceAllOrRelease(name, updated, "UPDATE")
+    enforceAllOrRelease(name, updated, "UPDATE", Some(setMap.keySet))
     // RETURNING: the affected rows, post-update values (DuckDB semantics)
     val retDf = ret.map { r =>
       returningDf(target.filter(cond).select(target.schema.fields.map { f =>
@@ -1540,7 +1599,7 @@ class Engine(val spark: SparkSession,
             expr(e).cast(f.dataType)).otherwise(old).as(f.name))
         .getOrElse(old.as(f.name))
     }.toSeq: _*).localCheckpoint(true)
-    enforceAllOrRelease(name, updated, "UPDATE")
+    enforceAllOrRelease(name, updated, "UPDATE", Some(setMap.keySet))
     // RETURNING: matched rows only, post-update values
     val retDf = ret.map { r =>
       returningDf(picked.filter(col("__graft_m").isNotNull)
@@ -1658,6 +1717,7 @@ class Engine(val spark: SparkSession,
       }
     val nFresh = fresh.count()
     val snap = snapshot.localCheckpoint(true)
+    enforceAllOrRelease(name, snap, "INSERT INTO ... ON CONFLICT")
     releaseSnapshot(target)
     createdTables.put(name, snap)
     snap.createOrReplaceTempView(name)
@@ -1687,6 +1747,9 @@ class Engine(val spark: SparkSession,
     val n = t.join(src, cond, "left_semi").count()
     val retDf = ret.map(r => returningDf(t.join(src, cond, "left_semi"), r))
     val kept = t.join(src, cond, "left_anti").localCheckpoint(true)
+    // RESTRICT: a parent row still referenced by a child key cannot go
+    try enforceReferencing(name, kept, "DELETE FROM")
+    catch { case e: Throwable => kept.unpersist(); throw e }
     releaseSnapshot(target)
     createdTables.put(name, kept)
     kept.createOrReplaceTempView(name)
@@ -2034,6 +2097,16 @@ class Engine(val spark: SparkSession,
       require(orReplace, s"table or view '$name' already exists " +
         "(use CREATE OR REPLACE TABLE)")
     }
+    // a table other tables' FOREIGN KEYs reference cannot be silently
+    // replaced (same invariant as the DROP guard: orphans never exist)
+    if (createdTables.contains(name))
+      foreignKeys.collectFirst {
+        case (child, fks) if child != name && fks.exists(_.parent == name) =>
+          child
+      }.foreach { child =>
+        throw new IllegalArgumentException(s"cannot replace table '$name': " +
+          s"table '$child' has a FOREIGN KEY referencing it")
+      }
     // The VARCHAR/TEXT→STRING mapping must apply to the TYPE token only:
     // a column legitimately NAMED `text` (this repo's canonical corpus
     // column) would otherwise be silently renamed. Split the defs
@@ -2408,6 +2481,9 @@ class Engine(val spark: SparkSession,
       s"ALTER TABLE $name: cannot drop the only column")
     require(!primaryKeys.get(name).exists(_.contains(canonical)),
       s"ALTER TABLE $name: '$canonical' is part of the PRIMARY KEY")
+    require(!checkConstraints.get(name)
+        .exists(_.exists(c => mentionsColumn(c, canonical))),
+      s"ALTER TABLE $name: '$canonical' is referenced by a CHECK constraint")
     require(!foreignKeys.get(name).exists(_.exists(_.cols.contains(canonical))),
       s"ALTER TABLE $name: '$canonical' is part of a FOREIGN KEY")
     require(!foreignKeys.exists { case (_, fks) =>
@@ -2476,6 +2552,10 @@ class Engine(val spark: SparkSession,
           s"ALTER TABLE $name: no column '$from'"))
     require(!target.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"ALTER TABLE $name: column '$to' already exists")
+    require(!checkConstraints.get(name)
+        .exists(_.exists(c => mentionsColumn(c, canonical))),
+      s"ALTER TABLE $name: '$canonical' is referenced by a CHECK " +
+        "constraint (drop and re-create the constraint to rename)")
     val snap = target.select(target.schema.fieldNames.map { f =>
         if (f == canonical) col(s"`$f`").as(to) else col(s"`$f`")
       }.toSeq: _*)

@@ -135,6 +135,57 @@ class NewOpsR10dSpec extends AnyFunSuite with Matchers {
     } finally e.close()
   }
 
+  test("every sibling DML path enforces too: ON CONFLICT inserts, " +
+      "DELETE USING, CREATE OR REPLACE of a referenced parent") {
+    val e = freshEngine()
+    try {
+      // INSERT OR REPLACE (the insertOnConflict path) rejects orphans
+      val ex1 = intercept[Exception](
+        e.sql("INSERT OR REPLACE INTO kid VALUES (12, 99, 3.0)"))
+      ex1.getMessage should include("FOREIGN KEY")
+      e.sql("SELECT COUNT(*) AS n FROM kid").collect()(0).getLong(0) shouldBe 2
+      // ON CONFLICT DO UPDATE that breaks a CHECK rejects (battery runs)
+      e.sql("CREATE OR REPLACE TABLE chk2 (k BIGINT PRIMARY KEY, " +
+        "v DOUBLE CHECK (v >= 0))")
+      e.sql("INSERT INTO chk2 VALUES (1, 5.0)")
+      intercept[Exception](e.sql("INSERT INTO chk2 VALUES (1, 0.0) " +
+        "ON CONFLICT (k) DO UPDATE SET v = -9"))
+        .getMessage should include("CHECK")
+      // DELETE USING of a referenced parent row rejects (RESTRICT)
+      e.sql("CREATE OR REPLACE TABLE hits (k BIGINT)")
+      e.sql("INSERT INTO hits VALUES (1)")
+      intercept[Exception](e.sql(
+        "DELETE FROM par USING hits WHERE par.pk = hits.k"))
+        .getMessage should include("still reference")
+      // CREATE OR REPLACE of a referenced parent refuses like DROP
+      intercept[Exception](e.sql(
+        "CREATE OR REPLACE TABLE par AS SELECT 99 AS pk"))
+        .getMessage should include("FOREIGN KEY")
+      intercept[Exception](e.sql(
+        "CREATE OR REPLACE TABLE par (pk BIGINT)"))
+        .getMessage should include("FOREIGN KEY")
+      // an UPDATE touching only a payload column still succeeds
+      e.sql("UPDATE kid SET v = v + 1 WHERE id = 10")
+    } finally e.close()
+  }
+
+  test("CHECK-referenced columns refuse RENAME and DROP (no stale " +
+      "constraint text can brick the table)") {
+    val e = new Engine(spark)
+    try {
+      e.sql("CREATE OR REPLACE TABLE ck (a BIGINT CHECK (a > 0), b BIGINT)")
+      e.sql("INSERT INTO ck VALUES (1, 2)")
+      intercept[Exception](e.sql("ALTER TABLE ck RENAME a TO a2"))
+        .getMessage should include("CHECK")
+      intercept[Exception](e.sql("ALTER TABLE ck DROP COLUMN a"))
+        .getMessage should include("CHECK")
+      // non-constrained columns still rename/drop fine, and DML works
+      e.sql("ALTER TABLE ck RENAME b TO b2")
+      e.sql("INSERT INTO ck VALUES (2, 3)")
+      e.sql("SELECT COUNT(*) AS n FROM ck").collect()(0).getLong(0) shouldBe 2
+    } finally e.close()
+  }
+
   test("self-referencing key: same-batch targets resolve, orphans reject") {
     val e = new Engine(spark)
     try {

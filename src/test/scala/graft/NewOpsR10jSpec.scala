@@ -41,6 +41,22 @@ class NewOpsR10jSpec extends AnyFunSuite with Matchers {
       // scalar-only: a multi-row value expression rejects
       intercept[Exception](e.sql(
         "SET VARIABLE bad = (x) FROM (VALUES (1), (2)) t(x)"))
+      // PREPARE defers evaluation to EXECUTE (DuckDB semantics)
+      e.sql("SET VARIABLE pv = 1")
+      e.sql("PREPARE vp AS SELECT getvariable('pv') AS v")
+      e.sql("SET VARIABLE pv = 2")
+      e.sql("EXECUTE vp").collect()(0).getLong(0) shouldBe 2L
+      e.sql("DEALLOCATE vp")
+      // macro bodies resolve at CALL time, not definition time
+      e.sql("CREATE OR REPLACE MACRO vplus(x) AS x + getvariable('pv')")
+      e.sql("SET VARIABLE pv = 40")
+      e.sql("SELECT vplus(2) AS v").collect()(0).getLong(0) shouldBe 42L
+      // a stored backslash value round-trips verbatim through the splice
+      // (built via chr(92) — the engine's string literals are Spark's,
+      // which escape-process backslashes at input like any statement)
+      e.sql("SET VARIABLE path = concat('C:', chr(92), 'new', chr(92), 't')")
+      e.sql("SELECT getvariable('path') AS v").collect()(0)
+        .getString(0) shouldBe "C:\\new\\t"
       // variables work inside DML
       e.sql("CREATE OR REPLACE TABLE vt (k BIGINT)")
       e.sql("SET VARIABLE lim = 5")
