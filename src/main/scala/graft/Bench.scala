@@ -67,8 +67,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // Opt-OUT set for output-bound diagnostics at suite scale: d04's full
+    // pair enumeration is 3.11 B result rows at sf10 (~66% of a suite
+    // pass) and is certified by d40's bounded sig-level twin — large-sf
+    // suite runs skip the enumeration explicitly and say so in BASELINE.md.
+    // Default (driver runs at sf0.1): skip nothing.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val selected = SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
 
     val warm0 = probe()
     // Untimed warmup iteration (JMH-style) on the target scale factor.

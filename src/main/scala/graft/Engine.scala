@@ -368,8 +368,8 @@ class Engine(val spark: SparkSession,
   private val insertStmt =
     ("(?is)^\\s*INSERT\\s+(?:OR\\s+(REPLACE|IGNORE)\\s+)?INTO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*" +
-      "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(?:(BY)\\s+NAME\\s+)?" +
-      "(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
+      "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(?:(BY)\\s+NAME\\s*)?" +
+      "(\\()?\\s*(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
   private val dropRelStmt =
     "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
   // SET/WHERE are split by the quote-aware top-level scanner, not the
@@ -735,7 +735,7 @@ class Engine(val spark: SparkSession,
       insertInto(name, Nil, s"SELECT * FROM '$path'")
     case createViewStmt(orReplace, ifNotExists, name, body) =>
       createView(name, body, orReplace != null, ifNotExists != null)
-    case insertStmt(orKw, name, colList, byNameKw, kw, rest) =>
+    case insertStmt(orKw, name, colList, byNameKw, openParen, kw, rest) =>
       val cols = Option(colList).map(_.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       // DuckDB's `INSERT INTO t BY NAME SELECT ...`: source columns bind
@@ -744,7 +744,20 @@ class Engine(val spark: SparkSession,
       val byName = byNameKw != null
       require(!byName || cols.isEmpty,
         s"INSERT INTO $name: BY NAME cannot combine with a column list")
-      val (body, iRet) = stripReturning(kw + rest)
+      // DuckDB's canonical parenthesized source — `INSERT INTO t [BY NAME]
+      // (SELECT ...) [ON CONFLICT ...] [RETURNING ...]`: unwrap the balanced
+      // paren (quote/dollar-quote aware) and splice any tail clauses back so
+      // the ON CONFLICT / RETURNING scans below see them at top level
+      val rawBody =
+        if (openParen == null) kw + rest
+        else {
+          val full = "(" + kw + rest
+          val close = SqlScan.matchingParen(full, 0)
+          require(close >= 0,
+            s"INSERT INTO $name: unbalanced '(' before the source query")
+          full.substring(1, close) + " " + full.substring(close + 1)
+        }
+      val (body, iRet) = stripReturning(rawBody)
       def noConflictReturning(): Unit = require(iRet.isEmpty,
         s"INSERT INTO $name: RETURNING is not supported together with " +
           "ON CONFLICT / OR REPLACE / OR IGNORE")
@@ -911,9 +924,12 @@ class Engine(val spark: SparkSession,
         s"CAST($v AS BIGINT)"
       case FloatType | DoubleType =>
         val d = v.toString
+        // preserve the declared width: a FLOAT variable must read back as
+        // FLOAT, not silently widen (the typed-literal splice contract)
+        val ty = if (dt == FloatType) "FLOAT" else "DOUBLE"
         // NaN/Infinity are not numeric literals — splice via string cast
-        if (d == "NaN" || d.endsWith("Infinity")) s"CAST('$d' AS DOUBLE)"
-        else s"CAST($d AS DOUBLE)"
+        if (d == "NaN" || d.endsWith("Infinity")) s"CAST('$d' AS $ty)"
+        else s"CAST($d AS $ty)"
       case d: DecimalType => s"CAST($v AS ${d.sql})"
       case DateType => s"DATE '$v'"
       case TimestampType => s"TIMESTAMP '$v'"
@@ -3108,6 +3124,35 @@ class Engine(val spark: SparkSession,
 
   private val summarizeStmt = "(?is)^\\s*SUMMARIZE\\s+(.+?)\\s*;?\\s*$".r
 
+  // bare DESCRIBE <table|'file'> / DESCRIBE <query> (DuckDB's statement
+  // forms); Spark's own DESCRIBE EXTENDED/FORMATTED/FUNCTION/DATABASE
+  // spellings are excluded here and pass through to Spark's parser
+  private val describeStmt =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+|QUERY\\s+)?+" +
+      "(?!EXTENDED\\b|FORMATTED\\b|FUNCTION\\b|" +
+      "DATABASE\\b|SCHEMA\\b|NAMESPACE\\b|CATALOG\\b)" +
+      "(.+?)\\s*;?\\s*$").r
+
+  /** DuckDB's `DESCRIBE` statement (docs.duckdb.org/guides/meta/describe):
+    * one row per column in DuckDB's result shape (column_name, column_type,
+    * null, key, default, extra — the last three NULL: engine tables carry
+    * constraints in the session catalog, not the parquet schema). The body
+    * accepts the full engine dialect — bare refs, quoted `'file'` refs,
+    * FROM-first / SELECT / VALUES queries — because it resolves through
+    * [[sql]]. Schema-only: the plan is analyzed, never executed. */
+  private def describeRelation(ref: String): DataFrame = {
+    val trimmed = ref.trim
+    val df =
+      if ("(?is)^(SELECT|WITH|FROM|VALUES|TABLE)\\b".r
+          .findFirstIn(trimmed).isDefined) sql(trimmed)
+      else sql(s"SELECT * FROM $trimmed")
+    import spark.implicits._
+    df.schema.fields.toSeq.map { f =>
+      (f.name, f.dataType.sql, if (f.nullable) "YES" else "NO",
+        Option.empty[String], Option.empty[String], Option.empty[String])
+    }.toDF("column_name", "column_type", "null", "key", "default", "extra")
+  }
+
   /** DuckDB's `SUMMARIZE <table|'file'>` statement: one profiling row per
     * column (min/max/non-null/distinct/null counts; min/max stringified,
     * NULL for non-orderable types). Computed as one aggregation job over
@@ -3156,6 +3201,7 @@ class Engine(val spark: SparkSession,
 
   private def expandedSql(q: String): DataFrame = q match {
     case summarizeStmt(ref) => summarize(ref)
+    case describeStmt(ref) => describeRelation(ref)
     case pivotStmt(ref, onCol, inList, agg, groupBy) =>
       pivot(ref, onCol, Option(inList), agg, Option(groupBy))
     case unpivotStmt(ref, onCols, nameCol, valueCol) =>

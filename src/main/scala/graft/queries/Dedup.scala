@@ -2844,7 +2844,97 @@ object Dedup {
        |FROM pair ORDER BY d1, d2""".stripMargin
   }
 
+  // ---- d40: simhash pair-count certificate (d04's suite-mode twin) --------
+  /** d40: the bounded certificate of d04's answer — per-hamming-distance
+    * pair counts computed ENTIRELY at the signature level, never
+    * enumerating a single doc pair. d04's full enumeration is output-bound
+    * (3.11 B rows at the duplicate-heavy sf10 IS the answer — ~66% of a
+    * full suite pass), so suite-scale runs gate this certificate instead
+    * and keep the enumeration as an opt-in diagnostic
+    * (SPARK_GRAFT_BENCH_SKIP, BASELINE.md round-11 notes).
+    *
+    * Equivalence: with cnt(s) = docs per signature, d04's pair set
+    * partitions exactly into hamming-0 pairs (both docs share a signature:
+    * sum over s of C(cnt(s), 2)) and hamming-1 pairs (signatures differ in
+    * one bit; the 2 x 16-bit pigeonhole band join finds every such
+    * signature pair, and each contributes cnt(s1) x cnt(s2) doc pairs).
+    * The certificate row per distance carries n_pairs, the distinct docs
+    * involved, and the content-group count — so a corrupted enumeration
+    * cannot match it by accident.
+    *
+    * Scale shape: one shuffle to content diversity (the same memoized
+    * signature frame d04 persists), then every operator runs over
+    * |distinct signatures| rows. Output is 2 rows at any corpus size. */
+  private val d40: Q = (s, dir) => {
+    val d = memoized(s"d04sig:$dir") {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"graft_simhash(graft_md5i_array(array_distinct($W)))").as("sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val cnt = d.groupBy(col("sim")).agg(count(lit(1)).as("n"))
+    val h0 = cnt.agg(
+      coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("n_pairs"),
+      coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L)).as("n_docs"),
+      count(when(col("n") >= 2, lit(1))).as("n_groups"))
+      .select(lit(0L).as("hamming"), col("n_pairs").cast("long"),
+        col("n_docs").cast("long"), col("n_groups").cast("long"))
+    val sbands = cnt.select(col("sim"),
+      explode(array((0 until 2).map { k =>
+        struct(lit(k).as("k"),
+          shiftright(col("sim"), 16 * k).bitwiseAND(65535).as("byte"))
+      }: _*)).as("bk"))
+      .select(col("sim"), col("bk.k").as("k"), col("bk.byte").as("byte"))
+    val sigPairs = sbands.as("a").join(sbands.as("b"),
+        col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
+          && col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("s1"), col("b.sim").as("s2"))
+      .distinct()
+      .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) === 1)
+    val pairN = sigPairs
+      .join(cnt.as("c1"), col("s1") === col("c1.sim"))
+      .join(cnt.as("c2"), col("s2") === col("c2.sim"))
+      .agg(coalesce(sum(col("c1.n") * col("c2.n")), lit(0L)).as("n_pairs"),
+        count(lit(1)).as("n_groups"))
+    val docN = sigPairs.select(col("s1").as("sim"))
+      .union(sigPairs.select(col("s2").as("sim"))).distinct()
+      .join(cnt, "sim")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"))
+    val h1 = pairN.crossJoin(docN)
+      .select(lit(1L).as("hamming"), col("n_pairs").cast("long"),
+        col("n_docs").cast("long"), col("n_groups").cast("long"))
+    h0.unionAll(h1).psort(col("hamming"))
+  }
+
+  private val d40Sql =
+    s"""WITH d AS (SELECT doc_id, $simhashSql AS sim FROM documents),
+       |c AS (SELECT sim, COUNT(*) AS n FROM d GROUP BY 1),
+       |bands AS (
+       |  SELECT sim, k, (sim >> (16 * k)) & 65535 AS byte
+       |  FROM c, RANGE(0, 2) r(k)),
+       |sp AS (
+       |  SELECT DISTINCT a.sim AS s1, b.sim AS s2
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.byte = b.byte AND a.sim < b.sim
+       |  WHERE BIT_COUNT(XOR(a.sim, b.sim)) = 1),
+       |h0 AS (SELECT CAST(0 AS BIGINT) AS hamming,
+       |  CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT)
+       |    AS n_docs,
+       |  CAST(COUNT(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_groups
+       |  FROM c),
+       |h1 AS (SELECT CAST(1 AS BIGINT) AS hamming,
+       |  CAST(COALESCE((SELECT SUM(c1.n * c2.n) FROM sp
+       |    JOIN c c1 ON sp.s1 = c1.sim
+       |    JOIN c c2 ON sp.s2 = c2.sim), 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE((SELECT SUM(n) FROM c WHERE sim IN
+       |    (SELECT s1 FROM sp UNION SELECT s2 FROM sp)), 0) AS BIGINT)
+       |    AS n_docs,
+       |  CAST((SELECT COUNT(*) FROM sp) AS BIGINT) AS n_groups)
+       |SELECT * FROM h0 UNION ALL SELECT * FROM h1 ORDER BY hamming""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d40_simhash_cert" -> d40,
     "d36_kmv_cardinality" -> d36,
     "d37_bbit_minhash" -> d37,
     "d38_source_minhash" -> d38,
@@ -2885,6 +2975,7 @@ object Dedup {
     "d06_minhash_quality" -> d06)
 
   val oracleSql: Map[String, String] = Map(
+    "d40_simhash_cert" -> d40Sql,
     "d36_kmv_cardinality" -> d36Sql,
     "d37_bbit_minhash" -> d37Sql,
     "d38_source_minhash" -> d38Sql,

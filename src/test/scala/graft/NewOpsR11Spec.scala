@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-11 invariants: d40, the sig-level certificate twin of d04's
+  * simhash pair enumeration (VERDICT r10 task 2). */
+class NewOpsR11Spec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d40 certificate equals a brute-force per-distance recount over " +
+      "collected signatures AND aggregates d04's enumeration exactly") {
+    val sigs = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id",
+        "graft_simhash(graft_md5i_array(array_distinct(split(text, ' ')))) AS sim")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    sigs.length should be > 10
+    // brute force: every doc pair, exact hamming distance
+    val pairs = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 1
+    } yield (h, Set(sigs(i)._1, sigs(j)._1),
+        Set(sigs(i)._2, sigs(j)._2).toSeq.sorted)
+    def expect(h: Int) = {
+      val p = pairs.filter(_._1 == h)
+      (p.size.toLong, p.flatMap(_._2).distinct.size.toLong,
+        p.map(_._3).distinct.size.toLong)
+    }
+    val rows = SparkEntry.queries("d40_simhash_cert")(spark, sf).collect()
+    rows.length shouldBe 2 // both distance rows always present
+    val byH = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // hamming-0 groups are per-signature, hamming-1 groups per sig pair —
+    // both are what the distinct-signature sets of the brute pairs count
+    byH(0L) shouldBe expect(0)
+    byH(1L) shouldBe expect(1)
+    // the certificate must aggregate the full enumeration: d04's rows
+    // grouped by hamming give the same pair counts
+    val enum_ = SparkEntry.queries("d04_dedup_simhash")(spark, sf).collect()
+    val enumByH = enum_.groupBy(_.getInt(2)).map { case (h, rs) =>
+      h.toLong -> rs.length.toLong
+    }
+    byH(0L)._1 shouldBe enumByH.getOrElse(0L, 0L)
+    byH(1L)._1 shouldBe enumByH.getOrElse(1L, 0L)
+  }
+
+  test("d40's plan never touches doc-level rows past the signature " +
+      "aggregation (no join carries doc_id)") {
+    val df = SparkEntry.queries("d40_simhash_cert")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // doc_id may appear only below the first aggregate (the signature
+    // count); no join condition or join output may carry it
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      .foreach { j =>
+        j.output.map(_.name) should not contain "doc_id"
+      }
+    // and the result is bounded: 2 rows regardless of corpus size
+    df.count() shouldBe 2L
+  }
+
+  test("SPARK_GRAFT_BENCH_SKIP names are honored by Bench's selection " +
+      "filter semantics (set-difference, not substring)") {
+    // the env var itself cannot be set from inside the JVM; pin the
+    // filter contract Bench applies so a rename breaks loudly here
+    val names = SparkEntry.queries.keySet
+    names should contain("d04_dedup_simhash")
+    names should contain("d40_simhash_cert")
+    val skip = Set("d04_dedup_simhash")
+    val selected = names.filter(n => !skip.contains(n))
+    selected should contain("d40_simhash_cert")
+    selected should not contain "d04_dedup_simhash"
+  }
+}
