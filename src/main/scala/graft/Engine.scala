@@ -696,8 +696,29 @@ class Engine(val spark: SparkSession,
     * every downstream scan and Spark's parser see ordinary SQL. The
     * rewrite is quote/comment-aware and idempotent (safe across the
     * EXECUTE/macro re-entries into this method). */
-  def sql(q0: String): DataFrame =
-    sqlDispatch(spliceVariables(SqlScan.rewriteDollarQuotes(q0)))
+  /** Engine-wide writer lock. Every catalog mutation is a read-compute-swap
+    * over the current snapshot (read `createdTables`, build the new frame,
+    * publish) — two concurrent writers basing their swap on the same
+    * pre-state would lose one update and double-release the displaced
+    * snapshot. The thrift attach makes this reachable (the reference's
+    * `cache=shared` second connection can mutate the same DuckDB catalog,
+    * KwackConfig.java:448-454, which DuckDB serializes with a per-database
+    * write path). Single-writer-at-a-time, fail-never: writers queue.
+    * Reads never touch the lock — a SELECT always sees an atomically
+    * published snapshot (TrieMap get + temp-view swap). `synchronized` is
+    * reentrant, so a mutating statement that re-enters [[sql]] internally
+    * (EXECUTE of a prepared DML, IMPORT DATABASE replay) stays safe. */
+  private val mutationLock = new Object
+  private val mutatingKw =
+    ("(?is)^\\s*(INSERT|UPDATE|DELETE|MERGE|TRUNCATE|CREATE|DROP|ALTER|" +
+      "COPY|IMPORT|EXPORT|BEGIN|COMMIT|ROLLBACK|ABORT)\\b").r
+
+  def sql(q0: String): DataFrame = {
+    val q = spliceVariables(SqlScan.rewriteDollarQuotes(q0))
+    if (mutatingKw.findFirstIn(q).isDefined)
+      mutationLock.synchronized(sqlDispatch(q))
+    else sqlDispatch(q)
+  }
 
   private def sqlDispatch(q: String): DataFrame = q match {
     case prepareStmt(name, body) =>

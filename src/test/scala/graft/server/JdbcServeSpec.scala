@@ -289,6 +289,95 @@ class JdbcServeSpec extends AnyFunSuite with Matchers {
     s2.close(); s.close(); c.close()
   }
 
+  test("catalog concurrency property (VERDICT r10 task 3): N racing " +
+      "connections draw sequences densely, upsert one table losslessly, " +
+      "read variables atomically, and constraints survive the race") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val N = 4; val M = 8
+    // setup over one connection: a CHECK+PK table and a shared sequence
+    val setup = JdbcServe.connect(port)
+    val ss = setup.createStatement()
+    ss.execute("CREATE OR REPLACE TABLE conc " +
+      "(k BIGINT PRIMARY KEY, v BIGINT CHECK (v >= 0))")
+    ss.execute("CREATE OR REPLACE SEQUENCE cseq START 1")
+    ss.close(); setup.close()
+
+    val pool = Executors.newFixedThreadPool(N)
+    val draws = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ownDraws = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val varReads = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until N).foreach { tid =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          val c = JdbcServe.connect(port)
+          val s = c.createStatement()
+          try {
+            // racing DDL: each connection creates its OWN sequence too
+            s.execute(s"CREATE OR REPLACE SEQUENCE seq_t$tid START 100")
+            (0 until M).foreach { i =>
+              // shared-sequence draw (dense-allocation invariant)
+              val r1 = s.executeQuery("SELECT nextval('cseq') AS n")
+              r1.next() shouldBe true
+              draws.add(r1.getLong(1))
+              // private-sequence draw (no cross-clobber of catalog DDL)
+              val r2 = s.executeQuery(s"SELECT nextval('seq_t$tid') AS n")
+              r2.next() shouldBe true
+              ownDraws.add((tid, r2.getLong(1)))
+              // contended upsert: all threads fight over the SAME keys
+              s.execute(
+                s"INSERT INTO conc (SELECT $i AS k, ${tid * 1000 + i} AS v) " +
+                  "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+              // variable write+read: value is self-consistent (x, x)
+              // pair-encoded, so a torn or interleaved read is detectable
+              val x = tid.toLong * M + i
+              s.execute(s"SET VARIABLE cv = ${x * 1000003L + x}")
+              val r3 = s.executeQuery("SELECT getvariable('cv') AS v")
+              r3.next() shouldBe true
+              varReads.add(r3.getLong(1))
+            }
+          } finally { s.close(); c.close() }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(300, TimeUnit.SECONDS) shouldBe true
+    import scala.jdk.CollectionConverters._
+    errors.asScala.toList shouldBe Nil
+    // dense draws: N*M distinct values forming exactly [1, N*M]
+    val ds = draws.asScala.toList.sorted
+    ds shouldBe (1L to (N * M).toLong).toList
+    // per-thread sequences never cross-clobbered: each is dense from 100
+    ownDraws.asScala.toList.groupBy(_._1).values.foreach { g =>
+      g.map(_._2).sorted shouldBe (100L until (100L + M)).toList
+    }
+    // atomic variable reads: every observed value decodes to (x, x)
+    varReads.asScala.foreach { v =>
+      (v / 1000003L) shouldBe (v % 1000003L)
+    }
+    // lossless upserts: exactly M keys; each key's value was written by
+    // SOME thread for THAT key (v % 1000 == k) — no lost row, no torn swap
+    val check = JdbcServe.connect(port)
+    val cs = check.createStatement()
+    val rs = cs.executeQuery("SELECT k, v FROM conc ORDER BY k")
+    val fin = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getLong(1), r.getLong(2))).toList
+    fin.map(_._1) shouldBe (0L until M.toLong).toList
+    fin.foreach { case (k, v) => (v % 1000) shouldBe k }
+    // constraints survived the race: CHECK still enforces, PK still dedups
+    an[Exception] should be thrownBy
+      cs.execute("INSERT INTO conc (SELECT 999, -1)")
+    cs.execute("INSERT INTO conc (SELECT 0, 7) ON CONFLICT (k) DO NOTHING")
+    val rc = cs.executeQuery("SELECT count(*) AS n FROM conc")
+    rc.next() shouldBe true
+    rc.getLong(1) shouldBe M.toLong
+    // cleanup
+    cs.execute("DROP TABLE conc")
+    cs.execute("DROP SEQUENCE cseq")
+    (0 until N).foreach(t => cs.execute(s"DROP SEQUENCE seq_t$t"))
+    cs.close(); check.close()
+  }
+
   test("start() with a DIFFERENT explicit port fails loudly; same or " +
       "auto port returns the running endpoint") {
     JdbcServe.start(spark, port) shouldBe port // same explicit port: ok
