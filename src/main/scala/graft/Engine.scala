@@ -573,13 +573,76 @@ class Engine(val spark: SparkSession,
     *    PARTITION_BY maps to a hive-partitioned write — the layout a
     *    100 TB export needs for downstream partition pruning.
     */
-  private[graft] def rewriteSugar(q: String): String =
-    quotedTableRef.replaceAllIn(q, { m =>
+  // DuckDB's read_parquet / read_csv / read_json TABLE FUNCTIONS
+  // (docs.duckdb.org/data/multiple_files/overview): a single quoted path
+  // (glob patterns allowed — Spark's file index expands them natively) or
+  // a bracketed list of quoted paths
+  private val tableFnRef =
+    ("(?i)\\b(FROM|JOIN)\\s+read_(parquet|csv_auto|csv|json_auto|json|ndjson)\\s*" +
+      "\\(\\s*('[^']*'|\\[[^\\]]*\\])\\s*\\)").r
+
+  private[graft] def rewriteSugar(q: String): String = {
+    val q1 =
+      if (!q.toLowerCase.contains("read_")) q
+      else tableFnRef.replaceAllIn(q, { m =>
+        val fmt = m.group(2).toLowerCase match {
+          case "csv_auto" => "csv"
+          case "json_auto" | "ndjson" => "json"
+          case f => f
+        }
+        val arg = m.group(3).trim
+        val paths =
+          if (arg.startsWith("[")) arg.substring(1, arg.length - 1)
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+              require(p.length >= 2 && p.startsWith("'") && p.endsWith("'"),
+                s"read_$fmt: list elements must be quoted paths (got $p)")
+              p.substring(1, p.length - 1)
+            }
+          else Seq(arg.substring(1, arg.length - 1))
+        require(paths.nonEmpty, s"read_$fmt: empty path list")
+        scala.util.matching.Regex.quoteReplacement(
+          s"${m.group(1)} `${tableFnView(fmt, paths)}`")
+      })
+    quotedTableRef.replaceAllIn(q1, { m =>
       val ref = m.group(2)
       val fileView = fileRefView(ref)
       scala.util.matching.Regex.quoteReplacement(
         s"${m.group(1)} `${fileView.getOrElse(ref)}`")
     })
+  }
+
+  /** Register (or reuse) a view over an explicit-format multi-path scan —
+    * the table-function analog of [[fileRefView]]. Change detection
+    * fingerprints the deepest non-glob prefix of every path, so a part
+    * file added under a `*.parquet` glob re-registers the view (glob
+    * expansion itself happens in Spark's file index, executor-side at
+    * scale — the driver never lists the tree here). */
+  private def tableFnView(fmt: String, paths: Seq[String]): String = {
+    val key = s"fn:$fmt:${paths.mkString(" ")}"
+    def globBase(p: String): java.io.File = {
+      val cut = p.indexWhere(c => c == '*' || c == '?' || c == '[')
+      val base = if (cut < 0) p else p.substring(0, cut)
+      val f = new java.io.File(base)
+      if (cut < 0) f else Option(f.getParentFile).getOrElse(f)
+    }
+    val print = paths.map(p => fileFingerprint(globBase(p))).mkString(";")
+    fileViews.get(key) match {
+      case Some((view, p)) if p == print => view
+      case _ =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val view = "tfn_" + digest.take(16)
+        val df = fmt match {
+          case "parquet" => spark.read.parquet(paths: _*)
+          case "csv" => spark.read.option("header", "true")
+            .option("inferSchema", "true").csv(paths: _*)
+          case "json" => spark.read.json(paths: _*)
+        }
+        df.createOrReplaceTempView(view)
+        fileViews.put(key, (view, print))
+        view
+    }
+  }
 
   /** Registered file views by path with a content fingerprint taken at
     * registration — re-registration happens only when the file changes

@@ -841,7 +841,43 @@ object EngineSurface {
       |FROM ch c LEFT JOIN par p ON c.nk = p.nk
       |ORDER BY ck""".stripMargin
 
+  /** q129: DuckDB's read_parquet TABLE-FUNCTION scans
+    * (docs.duckdb.org/data/multiple_files/overview) through the engine
+    * dialect — single-path, glob-pattern, and bracketed-list forms, each
+    * aggregated so the oracle (the same relations via their table views)
+    * pins that the function scan reads exactly the table's rows. Glob
+    * expansion happens in Spark's distributed file index, not on the
+    * driver; the registered view is fingerprint-cached and re-registers
+    * when a part file lands under the glob (Engine.tableFnView). */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(
+      s"""SELECT * FROM (
+         |  SELECT 'li' AS src, count(*) AS n,
+         |    CAST(sum(l_orderkey) AS BIGINT) AS keysum
+         |  FROM read_parquet('$dir/lineitem.parquet')
+         |  UNION ALL
+         |  SELECT 'nat', count(*), CAST(sum(n_nationkey) AS BIGINT)
+         |  FROM read_parquet('$dir/nati*.parquet')
+         |  UNION ALL
+         |  SELECT 'ord', count(*), CAST(sum(o_custkey) AS BIGINT)
+         |  FROM read_parquet(['$dir/orders.parquet'])
+         |) ORDER BY src""".stripMargin)
+    finally engine.close()
+  }
+
+  private val q129Sql =
+    """SELECT * FROM (
+      |  SELECT 'li' AS src, count(*) AS n,
+      |    CAST(sum(l_orderkey) AS BIGINT) AS keysum FROM lineitem
+      |  UNION ALL
+      |  SELECT 'nat', count(*), CAST(sum(n_nationkey) AS BIGINT) FROM nation
+      |  UNION ALL
+      |  SELECT 'ord', count(*), CAST(sum(o_custkey) AS BIGINT) FROM orders
+      |) ORDER BY src""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q129_read_functions" -> (q129 _),
     "q115_transactions" -> (q115 _),
     "q114_merge_returning" -> (q114 _),
     "q113_merge_into" -> (q113 _),
@@ -868,6 +904,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q129_read_functions" -> q129Sql,
     "q115_transactions" -> q115Sql,
     "q114_merge_returning" -> q114Sql,
     "q113_merge_into" -> q113Sql,

@@ -25,7 +25,10 @@ object AssetCost {
     ("lsh-band-store", "d27_lsh_store", Seq("d27", "d32")),
     ("ivf-centroids", "s04_knn_ivf_trained",
       Seq("s04", "s06", "s13", "s19")),
-    ("simhash-sig-frame", "d04_dedup_simhash", Seq("d04", "d40")),
+    // owner is the CERTIFICATE twin: it builds the identical memoized
+    // signature frame without d04's output-bound pair enumeration (which
+    // at sf10 is a 635 s / 3.11 B-row diagnostic — not an asset build)
+    ("simhash-sig-frame", "d40_simhash_cert", Seq("d04", "d40")),
     ("bbit-minhash-sketch", "d37_bbit_minhash", Seq("d37")),
     ("source-minhash-sketch", "d38_source_minhash", Seq("d38")),
     ("oph-sketch", "d39_oph_sketch", Seq("d39")),
@@ -46,6 +49,12 @@ object AssetCost {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+
+    // absorb session bring-up + first-read codegen so the first asset's
+    // first_s is the asset build, not the JVM warmup
+    Seq("q01_agg_pricing", "x01_token_count", "s01_knn_brute").foreach { w =>
+      graft.SparkEntry.queries(w)(spark, sfDir).count()
+    }
 
     val only = if (args.nonEmpty) args.toSet else assets.map(_._1).toSet
     assets.filter(a => only.contains(a._1)).foreach {

@@ -62,6 +62,51 @@ class NewOpsR11Spec extends AnyFunSuite with Matchers {
     df.count() shouldBe 2L
   }
 
+  test("read_parquet/read_csv/read_json table functions: single path, " +
+      "glob, bracketed list, _auto aliases, joins, and glob freshness") {
+    import spark.implicits._
+    val e = new Engine(spark)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-tfn").toString
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+        .write.parquet(s"$root/a.parquet")
+      Seq((3L, "c")).toDF("id", "tag").write.parquet(s"$root/b.parquet")
+      Seq((1L, "x")).toDF("id", "lab").write.option("header", "true")
+        .csv(s"$root/t.csv")
+      Seq((2L, 9.5)).toDF("id", "w").write.json(s"$root/t.json")
+      // single path
+      e.sql(s"SELECT count(*) AS n FROM read_parquet('$root/a.parquet')")
+        .collect()(0).getLong(0) shouldBe 2L
+      // glob expands in Spark's file index
+      e.sql(s"SELECT count(*) AS n FROM read_parquet('$root/*.parquet')")
+        .collect()(0).getLong(0) shouldBe 3L
+      // bracketed list
+      e.sql(s"SELECT count(*) AS n FROM read_parquet(" +
+        s"['$root/a.parquet', '$root/b.parquet'])")
+        .collect()(0).getLong(0) shouldBe 3L
+      // csv (header) + _auto alias + json, composed in one join query
+      val j = e.sql(
+        s"SELECT p.id, c.lab, jj.w FROM read_parquet('$root/a.parquet') p " +
+          s"JOIN read_csv_auto('$root/t.csv') c ON p.id = c.id " +
+          s"JOIN read_json('$root/t.json') jj ON true ORDER BY p.id")
+        .collect()
+      j.length shouldBe 1
+      j(0).getString(1) shouldBe "x"
+      j(0).getDouble(2) shouldBe 9.5
+      // glob freshness: a part landing under the glob re-registers
+      Seq((4L, "d"), (5L, "e")).toDF("id", "tag")
+        .write.parquet(s"$root/c.parquet")
+      e.sql(s"SELECT count(*) AS n FROM read_parquet('$root/*.parquet')")
+        .collect()(0).getLong(0) shouldBe 5L
+      // FROM-first spelling composes with the rewrite
+      e.sql(s"FROM read_parquet('$root/a.parquet') SELECT max(id) AS m")
+        .collect()(0).getLong(0) shouldBe 2L
+      // decoy: the call text inside a string literal stays inert
+      e.sql(s"SELECT 'FROM read_parquet(''x'')' AS s").collect()(0)
+        .getString(0) shouldBe "FROM read_parquet('x')"
+    } finally e.close()
+  }
+
   test("SPARK_GRAFT_BENCH_SKIP names are honored by Bench's selection " +
       "filter semantics (set-difference, not substring)") {
     // the env var itself cannot be set from inside the JVM; pin the
