@@ -3317,8 +3317,11 @@ class Engine(val spark: SparkSession,
         import spark.implicits._
         Seq(n).toDF("rows_copied")
       } finally df.unpersist()
+    // bracket syntax first (list literals / comprehensions / ARRAY[..]
+    // normalize to array()/transform()/filter()), so every downstream
+    // text rewrite sees standard call syntax
     case _ => spark.sql(expandColumnsRegex(rewriteAsofJoin(
-      rewriteUsingSample(rewriteSugar(q)))))
+      rewriteUsingSample(SqlScan.rewriteBrackets(rewriteSugar(q))))))
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +

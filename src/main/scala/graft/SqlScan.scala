@@ -327,4 +327,214 @@ private[graft] object SqlScan {
       "(?is)^DO\\s+(UPDATE\\s+SET\\s+.+)$".r.findFirstMatchIn(rest)
         .map(m => ConflictClause(keys, Some(m.group(1).trim)))
   }
+
+  /** Matching ']' for the '[' at `open` (quote/comment/dollar-aware).
+    * Bracket depth only: brackets and parens nest properly in well-formed
+    * SQL, so every ']' seen at depth was opened at or below `open`. */
+  def matchingBracket(s: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else {
+        val ce = opaqueEnd(s, i)
+        if (ce >= 0) i = ce
+        else {
+          c match {
+            case '\'' | '"' | '`' => quote = c
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) return i
+            case _ =>
+          }
+          i += 1
+        }
+      }
+    }
+    -1
+  }
+
+  /** Quick paren-balance check for candidate clause splits (quote-aware,
+    * never negative, ends at zero). */
+  private def parenBalanced(s: String): Boolean = {
+    var i = 0; var depth = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else {
+        val ce = opaqueEnd(s, i)
+        if (ce >= 0) i = ce
+        else {
+          c match {
+            case '\'' | '"' | '`' => quote = c
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth < 0) return false
+            case _ =>
+          }
+          i += 1
+        }
+      }
+    }
+    depth == 0
+  }
+
+  private val forHead = "(?is)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s+(.+)$".r
+
+  /** DuckDB bracket syntax → Spark, at the engine dialect's front door:
+    *   `[a, b, c]` / `ARRAY[a, b, c]`  → `array(a, b, c)`
+    *   `[E FOR v IN L]`                → `transform(L, v -> E)`
+    *   `[E FOR v IN L IF P]`           → `transform(filter(L, v -> P), v -> E)`
+    * (docs.duckdb.org/sql/data_types/list + list comprehensions.)
+    * Subscripts stay untouched: a '[' directly after an identifier char,
+    * ')', ']', a closing quote, or '`' is indexing, the standard lexer
+    * disambiguation — except the `ARRAY[...]` constructor, whose keyword
+    * is consumed. Nested structures rewrite inside-out, so the FOR/IF
+    * clause scan only ever sees one comprehension level. The IF split
+    * scans candidates right-to-left and takes the first whose both sides
+    * are paren-balanced, so an `if(...)` FUNCTION inside the list
+    * expression never splits. Slicing (`l[1:3]`) is not rewritten — it
+    * reaches Spark's parser and fails loudly. */
+  def rewriteBrackets(s: String): String = {
+    if (!s.contains('[')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ce = opaqueEnd(s, i)
+      if (ce >= 0) { sb.append(s.substring(i, ce)); i = ce }
+      else if (c == '\'' || c == '"' || c == '`') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != c) j += 1
+        sb.append(s.substring(i, math.min(j + 1, s.length)))
+        i = j + 1
+      } else if (c == '[') {
+        val close = matchingBracket(s, i)
+        require(close > i, s"unbalanced '[' in: $s")
+        val inner = rewriteBrackets(s.substring(i + 1, close))
+        // ADJACENT previous char decides: `w[i]` is a subscript, but
+        // `SELECT [1]` (whitespace between) is a literal — the standard
+        // lexer disambiguation needs adjacency, not just the last token
+        val prev = if (i > 0) s.charAt(i - 1) else 0.toChar
+        val subscript = i > 0 &&
+          (Character.isLetterOrDigit(prev) || prev == '_' ||
+            prev == ')' || prev == ']' || prev == '`' ||
+            prev == '\'' || prev == '"')
+        // the ARRAY[...] constructor: consume the keyword, emit array(...)
+        val tail = sb.reverseIterator.takeWhile(ch =>
+          Character.isLetterOrDigit(ch) || ch == '_').mkString.reverse
+        if (subscript && tail.equalsIgnoreCase("array")) {
+          sb.setLength(sb.length - tail.length)
+          sb.append("array(").append(inner).append(")")
+        } else if (subscript) {
+          // DuckDB list slicing `base[a:b]` (1-based, INCLUSIVE ends; either
+          // end omissible) -> Spark slice(base, a, b - a + 1). The base is
+          // the postfix chain just emitted (identifier/.-path, trailing
+          // call/subscript groups); if the backward scan can't identify it
+          // safely (quotes inside a group), the slice is left as-is and
+          // Spark's parser rejects it loudly. Plain `base[i]` stays Spark
+          // subscript syntax untouched. Negative indices: not supported.
+          val colon = {
+            var k = 0; var d = 0; var found = -1
+            while (k < inner.length && found < 0) {
+              inner.charAt(k) match {
+                case '(' | '[' => d += 1
+                case ')' | ']' => d -= 1
+                case ':' if d == 0 => found = k
+                case '\'' | '"' | '`' =>
+                  val q = inner.charAt(k)
+                  k += 1
+                  while (k < inner.length && inner.charAt(k) != q) k += 1
+                case _ =>
+              }
+              k += 1
+            }
+            found
+          }
+          val baseLen = if (colon < 0) -1 else {
+            // backward scan over the emitted base chain, on a MASKED view
+            // (quoted content blanked) so parens inside string literals
+            // never skew the group matching
+            val masked = maskOpaque(sb.toString)
+            var k = masked.length - 1
+            var ok = true
+            var done = false
+            while (!done && ok && k >= 0) {
+              val ch = masked.charAt(k)
+              if (ch == ')' || ch == ']') {
+                val open = if (ch == ')') '(' else '['
+                var d = 0; var m = k
+                while (m >= 0 && { val c2 = masked.charAt(m)
+                  if (c2 == ch) d += 1 else if (c2 == open) d -= 1
+                  d != 0 }) m -= 1
+                if (m < 0) ok = false else k = m - 1
+              } else if (Character.isLetterOrDigit(ch) || ch == '_' ||
+                  ch == '.' || ch == '`' || ch == '\'' || ch == '"') {
+                // quote delimiters survive masking: step over the whole
+                // quoted token (its interior is blanked, ends at the twin)
+                if (ch == '\'' || ch == '"') {
+                  var m = k - 1
+                  while (m >= 0 && masked.charAt(m) != ch) m -= 1
+                  if (m < 0) ok = false else k = m - 1
+                } else k -= 1
+              } else done = true
+            }
+            if (!ok || k == masked.length - 1) -1 else masked.length - 1 - k
+          }
+          if (colon >= 0 && baseLen > 0) {
+            val base = sb.substring(sb.length - baseLen)
+            sb.setLength(sb.length - baseLen)
+            val a0 = inner.substring(0, colon).trim
+            val b0 = inner.substring(colon + 1).trim
+            val a = if (a0.isEmpty) "1" else s"($a0)"
+            val len =
+              if (b0.isEmpty) s"greatest(0, size($base) - $a + 1)"
+              else s"greatest(0, ($b0) - $a + 1)"
+            sb.append(s"slice($base, $a, $len)")
+          } else sb.append('[').append(inner).append(']')
+        } else {
+          findTopLevelKeyword(inner, 0, Seq("FOR")) match {
+            case None =>
+              sb.append("array(").append(inner).append(")")
+            case Some((at, _)) =>
+              val body = inner.substring(0, at).trim
+              require(body.nonEmpty, s"list comprehension with empty body: [$inner]")
+              forHead.findFirstMatchIn(inner.substring(at + 3)) match {
+                case None => throw new IllegalArgumentException(
+                  s"malformed list comprehension (expected FOR v IN ...): [$inner]")
+                case Some(m) =>
+                  val v = m.group(1)
+                  val rest = m.group(2).trim
+                  // candidate IF splits, right-to-left, first balanced one
+                  var ifs = List.empty[Int]
+                  var from = 0
+                  var scanning = true
+                  while (scanning) findTopLevelKeyword(rest, from, Seq("IF")) match {
+                    case Some((p, _)) => ifs ::= p; from = p + 2
+                    case None => scanning = false
+                  }
+                  val split = ifs.find { p =>
+                    val l = rest.substring(0, p).trim
+                    val r = rest.substring(p + 2).trim
+                    l.nonEmpty && r.nonEmpty && parenBalanced(l) && parenBalanced(r)
+                  }
+                  split match {
+                    case Some(p) =>
+                      val lst = rest.substring(0, p).trim
+                      val pred = rest.substring(p + 2).trim
+                      sb.append(s"transform(filter($lst, $v -> $pred), $v -> $body)")
+                    case None =>
+                      sb.append(s"transform($rest, $v -> $body)")
+                  }
+              }
+          }
+        }
+        i = close + 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
 }

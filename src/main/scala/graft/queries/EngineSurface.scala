@@ -876,7 +876,39 @@ object EngineSurface {
       |  SELECT 'ord', count(*), CAST(sum(o_custkey) AS BIGINT) FROM orders
       |) ORDER BY src""".stripMargin
 
+  /** q130: DuckDB list comprehensions and list literals
+    * (docs.duckdb.org/sql/data_types/list): `[expr FOR v IN list IF pred]`
+    * lowers to `transform(filter(list, v -> pred), v -> expr)` and
+    * `[a, b]` to `array(a, b)` at the dialect front door
+    * (SqlScan.rewriteBrackets — quote-aware, inside-out for nesting,
+    * subscripts preserved by the lexer rule). The oracle runs the SAME
+    * comprehension natively in DuckDB, pinning element order (both are
+    * order-preserving maps over a filtered list) and empty-match shape. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(
+      s"""SELECT doc_id,
+         |  [upper(w) FOR w IN split(text, ' ') IF length(w) >= 7]
+         |    AS big_words,
+         |  CAST(size([w FOR w IN split(text, ' ') IF length(w) >= 7])
+         |    AS BIGINT) AS n_big,
+         |  ['one', source] AS lit_pair
+         |FROM '$dir/documents.parquet'
+         |ORDER BY doc_id""".stripMargin)
+    finally engine.close()
+  }
+
+  private val q130Sql =
+    """SELECT doc_id,
+      |  [UPPER(w) FOR w IN STRING_SPLIT(text, ' ') IF LENGTH(w) >= 7]
+      |    AS big_words,
+      |  CAST(LEN([w FOR w IN STRING_SPLIT(text, ' ') IF LENGTH(w) >= 7])
+      |    AS BIGINT) AS n_big,
+      |  ['one', source] AS lit_pair
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q130_list_comprehension" -> (q130 _),
     "q129_read_functions" -> (q129 _),
     "q115_transactions" -> (q115 _),
     "q114_merge_returning" -> (q114 _),
@@ -904,6 +936,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q130_list_comprehension" -> q130Sql,
     "q129_read_functions" -> q129Sql,
     "q115_transactions" -> q115Sql,
     "q114_merge_returning" -> q114Sql,

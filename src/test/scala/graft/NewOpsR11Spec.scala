@@ -107,6 +107,102 @@ class NewOpsR11Spec extends AnyFunSuite with Matchers {
     } finally e.close()
   }
 
+  test("rewriteBrackets: list literals, ARRAY[..], comprehensions with " +
+      "IF (including if() decoys), nesting, subscripts, quote inertness") {
+    import SqlScan.rewriteBrackets
+    // literals
+    rewriteBrackets("SELECT [1, 2, 3] AS l") shouldBe
+      "SELECT array(1, 2, 3) AS l"
+    rewriteBrackets("SELECT ARRAY[1, 2] AS l") shouldBe
+      "SELECT array(1, 2) AS l"
+    // comprehension, no predicate
+    rewriteBrackets("[x + 1 FOR x IN l]") shouldBe
+      "transform(l, x -> x + 1)"
+    // comprehension with IF
+    rewriteBrackets("[upper(w) FOR w IN ws IF length(w) > 3]") shouldBe
+      "transform(filter(ws, w -> length(w) > 3), w -> upper(w))"
+    // an if() FUNCTION in the list expression must not split
+    rewriteBrackets("[x FOR x IN if(c, a, b)]") shouldBe
+      "transform(if(c, a, b), x -> x)"
+    rewriteBrackets("[x FOR x IN if(c, a, b) IF x > 2]") shouldBe
+      "transform(filter(if(c, a, b), x -> x > 2), x -> x)"
+    // nesting rewrites inside-out
+    rewriteBrackets("[[y FOR y IN x] FOR x IN l]") shouldBe
+      "transform(l, x -> transform(x, y -> y))"
+    rewriteBrackets("[size([w FOR w IN d IF w > 0]) FOR d IN ds]") shouldBe
+      "transform(ds, d -> size(transform(filter(d, w -> w > 0), w -> w)))"
+    // subscripts preserved (identifier, ')', ']', string-literal bases)
+    rewriteBrackets("SELECT w[i], f(x)[0], m['k'], 'ab'[1]") shouldBe
+      "SELECT w[i], f(x)[0], m['k'], 'ab'[1]"
+    rewriteBrackets("a[0][1]") shouldBe "a[0][1]"
+    // a literal as a function ARGUMENT is a literal, not a subscript
+    rewriteBrackets("array_contains([1,2], x)") shouldBe
+      "array_contains(array(1,2), x)"
+    // quoted text is inert (globs in paths, FOR/IF inside strings)
+    rewriteBrackets("SELECT '[1,2]', \"c[0]\" FROM read_parquet('d/[ab].parquet')") shouldBe
+      "SELECT '[1,2]', \"c[0]\" FROM read_parquet('d/[ab].parquet')"
+    rewriteBrackets("['FOR', 'IF']") shouldBe "array('FOR', 'IF')"
+    // unbalanced fails loudly
+    an[Exception] should be thrownBy rewriteBrackets("SELECT [1, 2")
+    // DuckDB list slicing (1-based inclusive; open ends) -> Spark slice()
+    rewriteBrackets("l[2:4]") shouldBe
+      "slice(l, (2), greatest(0, (4) - (2) + 1))"
+    rewriteBrackets("l[:2]") shouldBe
+      "slice(l, 1, greatest(0, (2) - 1 + 1))"
+    rewriteBrackets("l[2:]") shouldBe
+      "slice(l, (2), greatest(0, size(l) - (2) + 1))"
+    // function-call base, string literal inside its parens
+    rewriteBrackets("split(t, ' ')[2:3]") shouldBe
+      "slice(split(t, ' '), (2), greatest(0, (3) - (2) + 1))"
+    // parenthesized and chained bases
+    rewriteBrackets("(a)[1:2]") shouldBe
+      "slice((a), (1), greatest(0, (2) - (1) + 1))"
+    rewriteBrackets("m.arr[2:]") shouldBe
+      "slice(m.arr, (2), greatest(0, size(m.arr) - (2) + 1))"
+    // plain subscripts still untouched next to slices
+    rewriteBrackets("l[2:3][0]") shouldBe
+      "slice(l, (2), greatest(0, (3) - (2) + 1))[0]"
+  }
+
+  test("list slicing runs end-to-end and matches DuckDB's 1-based " +
+      "inclusive semantics") {
+    import spark.implicits._
+    val e = new Engine(spark)
+    try {
+      Seq((1L, "a b c d e")).toDF("id", "txt")
+        .createOrReplaceTempView("sl_t")
+      val r = e.sql(
+        "SELECT split(txt, ' ')[2:4] AS mid, split(txt, ' ')[:2] AS head, " +
+          "split(txt, ' ')[4:] AS tail FROM sl_t").collect()(0)
+      r.getSeq[String](0) shouldBe Seq("b", "c", "d")
+      r.getSeq[String](1) shouldBe Seq("a", "b")
+      r.getSeq[String](2) shouldBe Seq("d", "e")
+      // out-of-range end clamps like DuckDB (greatest(0,..) + slice clamp)
+      e.sql("SELECT split(txt, ' ')[4:99] AS t FROM sl_t").collect()(0)
+        .getSeq[String](0) shouldBe Seq("d", "e")
+      e.sql("SELECT split(txt, ' ')[9:] AS t FROM sl_t").collect()(0)
+        .getSeq[String](0) shouldBe Seq.empty
+    } finally e.close()
+  }
+
+  test("list comprehensions run end-to-end through the engine dialect") {
+    import spark.implicits._
+    val e = new Engine(spark)
+    try {
+      Seq((1L, "alpha beta gg"), (2L, "x longerword y"))
+        .toDF("id", "txt").createOrReplaceTempView("lc_t")
+      val r = e.sql(
+        "SELECT id, [upper(w) FOR w IN split(txt, ' ') IF length(w) >= 4] " +
+          "AS ws, [id, id * 2] AS pair FROM lc_t ORDER BY id").collect()
+      r(0).getSeq[String](1) shouldBe Seq("ALPHA", "BETA")
+      r(1).getSeq[String](1) shouldBe Seq("LONGERWORD")
+      r(0).getSeq[Long](2) shouldBe Seq(1L, 2L)
+      // subscript still works through the same front door (0-based Spark)
+      e.sql("SELECT split(txt, ' ')[0] AS w0 FROM lc_t WHERE id = 1")
+        .collect()(0).getString(0) shouldBe "alpha"
+    } finally e.close()
+  }
+
   test("SPARK_GRAFT_BENCH_SKIP names are honored by Bench's selection " +
       "filter semantics (set-difference, not substring)") {
     // the env var itself cannot be set from inside the JVM; pin the
