@@ -3321,7 +3321,8 @@ class Engine(val spark: SparkSession,
     // normalize to array()/transform()/filter()), so every downstream
     // text rewrite sees standard call syntax
     case _ => spark.sql(expandColumnsRegex(rewriteAsofJoin(
-      rewriteUsingSample(SqlScan.rewriteBrackets(rewriteSugar(q))))))
+      rewriteUsingSample(SqlScan.rewriteBraces(
+        SqlScan.rewriteBrackets(rewriteSugar(q)))))))
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +

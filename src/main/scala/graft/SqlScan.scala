@@ -416,9 +416,11 @@ private[graft] object SqlScan {
         // `SELECT [1]` (whitespace between) is a literal — the standard
         // lexer disambiguation needs adjacency, not just the last token
         val prev = if (i > 0) s.charAt(i - 1) else 0.toChar
+        // '}' counts: a subscript directly after a struct/map literal
+        // (MAP {'k': v}['k']) indexes the literal rewriteBraces lowers next
         val subscript = i > 0 &&
           (Character.isLetterOrDigit(prev) || prev == '_' ||
-            prev == ')' || prev == ']' || prev == '`' ||
+            prev == ')' || prev == ']' || prev == '}' || prev == '`' ||
             prev == '\'' || prev == '"')
         // the ARRAY[...] constructor: consume the keyword, emit array(...)
         val tail = sb.reverseIterator.takeWhile(ch =>
@@ -529,6 +531,120 @@ private[graft] object SqlScan {
               }
           }
         }
+        i = close + 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Matching '}' for the '{' at `open` (quote/comment/dollar-aware). */
+  def matchingBrace(s: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else {
+        val ce = opaqueEnd(s, i)
+        if (ce >= 0) i = ce
+        else {
+          c match {
+            case '\'' | '"' | '`' => quote = c
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) return i
+            case _ =>
+          }
+          i += 1
+        }
+      }
+    }
+    -1
+  }
+
+  /** Split on commas at zero paren/bracket/brace depth (struct-literal
+    * fields, where values may carry calls, subscripts, or nested
+    * literals). Quote/comment-aware like every scan here. */
+  private def splitStructFields(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0; i += 1 }
+      else {
+        val ce = opaqueEnd(s, i)
+        if (ce >= 0) { sb.append(s.substring(i, ce)); i = ce }
+        else {
+          c match {
+            case '\'' | '"' | '`' => quote = c; sb.append(c)
+            case '(' | '[' | '{' => depth += 1; sb.append(c)
+            case ')' | ']' | '}' => depth -= 1; sb.append(c)
+            case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+            case _ => sb.append(c)
+          }
+          i += 1
+        }
+      }
+    }
+    if (sb.nonEmpty || out.nonEmpty) out += sb.toString.trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+
+  private val structField =
+    "(?s)^\\s*(?:'((?:[^']|'')*)'|([A-Za-z_][A-Za-z0-9_]*))\\s*:\\s*(.+)$".r
+
+  /** DuckDB brace syntax → Spark, at the engine dialect's front door:
+    *   `{'k': v, ...}`      → `named_struct('k', v, ...)`   (struct literal)
+    *   `MAP {'k': v, ...}`  → `map('k', v, ...)`            (map literal)
+    * (docs.duckdb.org/sql/data_types/struct + /map.) Keys may be quoted
+    * or bare identifiers (normalized to string literals). Values rewrite
+    * recursively (a nested struct/map inside a value lowers too). Braces
+    * inside quoted strings, comments, and dollar quotes are untouched.
+    * Empty braces reject loudly (DuckDB has no empty struct literal). */
+  def rewriteBraces(s: String): String = {
+    if (!s.contains('{')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ce = opaqueEnd(s, i)
+      if (ce >= 0) { sb.append(s.substring(i, ce)); i = ce }
+      else if (c == '\'' || c == '"' || c == '`') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != c) j += 1
+        sb.append(s.substring(i, math.min(j + 1, s.length)))
+        i = j + 1
+      } else if (c == '{') {
+        val close = matchingBrace(s, i)
+        require(close > i, s"unbalanced '{' in: $s")
+        val inner = rewriteBraces(s.substring(i + 1, close))
+        val fields = splitStructFields(inner)
+        require(fields.nonEmpty, "empty struct literal {} is not supported")
+        val kvs = fields.map {
+          case structField(quoted, bare, v) =>
+            val key = if (quoted != null) quoted.replace("''", "'") else bare
+            s"'${key.replace("'", "\\'")}', ${v.trim}"
+          case other => throw new IllegalArgumentException(
+            s"malformed struct field (expected 'key': value): $other")
+        }
+        // MAP {'k': v} map-literal form: consume the keyword (and the
+        // whitespace between it and the brace)
+        var ws = 0
+        while (ws < sb.length && sb.charAt(sb.length - 1 - ws).isWhitespace) ws += 1
+        val tail = sb.view.slice(0, sb.length - ws).reverseIterator
+          .takeWhile(ch => Character.isLetterOrDigit(ch) || ch == '_')
+          .mkString.reverse
+        val fn = if (tail.equalsIgnoreCase("map")) {
+          sb.setLength(sb.length - ws - tail.length)
+          "map"
+        } else "named_struct"
+        sb.append(fn).append('(').append(kvs.mkString(", ")).append(')')
         i = close + 1
       } else {
         sb.append(c)

@@ -907,7 +907,33 @@ object EngineSurface {
       |  ['one', source] AS lit_pair
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q131: DuckDB struct literals (docs.duckdb.org/sql/data_types/struct)
+    * — `{'k': v, ...}` lowers to `named_struct('k', v, ...)`, `MAP {...}`
+    * to `map(...)` (SqlScan.rewriteBraces). The oracle runs the same
+    * literal natively; the gate hashes the struct column itself (field
+    * names + values) and a projected field, so key order and nesting are
+    * pinned cross-engine. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(
+      s"""SELECT doc_id,
+         |  {'src': source, 'len': CAST(length(text) AS BIGINT),
+         |   'inner': {'half': CAST(length(text) / 2 AS BIGINT)}} AS meta,
+         |  {'s': source, 'l': CAST(length(text) AS BIGINT)}.l AS meta_len
+         |FROM '$dir/documents.parquet'
+         |ORDER BY doc_id""".stripMargin)
+    finally engine.close()
+  }
+
+  private val q131Sql =
+    """SELECT doc_id,
+      |  {'src': source, 'len': CAST(LENGTH(text) AS BIGINT),
+      |   'inner': {'half': CAST(LENGTH(text) // 2 AS BIGINT)}} AS meta,
+      |  CAST({'s': source, 'l': LENGTH(text)}.l AS BIGINT) AS meta_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q131_struct_literal" -> (q131 _),
     "q130_list_comprehension" -> (q130 _),
     "q129_read_functions" -> (q129 _),
     "q115_transactions" -> (q115 _),
@@ -936,6 +962,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q131_struct_literal" -> q131Sql,
     "q130_list_comprehension" -> q130Sql,
     "q129_read_functions" -> q129Sql,
     "q115_transactions" -> q115Sql,

@@ -164,6 +164,49 @@ class NewOpsR11Spec extends AnyFunSuite with Matchers {
       "slice(l, (2), greatest(0, (3) - (2) + 1))[0]"
   }
 
+  test("rewriteBraces: struct literals, MAP literals, nesting, bare and " +
+      "quoted keys, quote inertness, loud rejects") {
+    import SqlScan.rewriteBraces
+    rewriteBraces("SELECT {'a': 1, 'b': x} AS s") shouldBe
+      "SELECT named_struct('a', 1, 'b', x) AS s"
+    // bare identifier keys normalize to string keys
+    rewriteBraces("{a: 1, b_2: f(x, y)}") shouldBe
+      "named_struct('a', 1, 'b_2', f(x, y))"
+    // MAP literal form consumes the keyword
+    rewriteBraces("SELECT MAP {'k': v, 'k2': 2}") shouldBe
+      "SELECT map('k', v, 'k2', 2)"
+    // nesting rewrites inside-out
+    rewriteBraces("{'o': {'i': 1}}") shouldBe
+      "named_struct('o', named_struct('i', 1))"
+    // values with commas inside calls/subscripts don't split fields
+    rewriteBraces("{'a': f(x, y), 'b': l[g(1, 2)]}") shouldBe
+      "named_struct('a', f(x, y), 'b', l[g(1, 2)])"
+    // escaped-quote keys
+    rewriteBraces("{'it''s': 1}") shouldBe "named_struct('it\\'s', 1)"
+    // braces in strings/comments stay inert
+    rewriteBraces("SELECT '{not: struct}' AS s") shouldBe
+      "SELECT '{not: struct}' AS s"
+    // loud rejects
+    an[Exception] should be thrownBy rewriteBraces("SELECT {}")
+    an[Exception] should be thrownBy rewriteBraces("SELECT {1, 2}")
+    an[Exception] should be thrownBy rewriteBraces("SELECT {'a': 1")
+  }
+
+  test("struct and MAP literals run end-to-end through the engine") {
+    import spark.implicits._
+    val e = new Engine(spark)
+    try {
+      Seq((1L, "src-a")).toDF("id", "src").createOrReplaceTempView("st_t")
+      val r = e.sql(
+        "SELECT {'s': src, 'n': id * 2}.n AS n2, " +
+          "MAP {'x': 1, 'y': 2}['y'] AS my, " +
+          "{'outer': {'inner': id}} AS o FROM st_t").collect()(0)
+      r.getLong(0) shouldBe 2L
+      r.getInt(1) shouldBe 2
+      r.getStruct(2).getStruct(0).getLong(0) shouldBe 1L
+    } finally e.close()
+  }
+
   test("list slicing runs end-to-end and matches DuckDB's 1-based " +
       "inclusive semantics") {
     import spark.implicits._
