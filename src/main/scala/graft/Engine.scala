@@ -436,6 +436,51 @@ class Engine(val spark: SparkSession,
   private val pragmaStmt =
     "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(\\s*'?([^')]*?)'?\\s*\\))?\\s*;?\\s*$".r
 
+  // ---- maintenance statements (CHECKPOINT / VACUUM / ANALYZE) -------------
+  // DuckDB's interactive maintenance surface. CHECKPOINT flushes DuckDB's
+  // WAL; the engine analog is a no-op BY CONSTRUCTION (every snapshot swap
+  // already localCheckpoints), reported honestly with the table count.
+  // VACUUM is a DuckDB no-op too (docs: reclaim is automatic); the ANALYZE
+  // variants recompute per-table statistics — here one count job per table
+  // (exactly what the statement asks for), returned as rows.
+  private val checkpointStmt =
+    "(?is)^\\s*(?:FORCE\\s+)?CHECKPOINT\\s*;?\\s*$".r
+  private val vacuumStmt =
+    "(?is)^\\s*VACUUM(\\s+ANALYZE)?(?:\\s+([A-Za-z_][A-Za-z0-9_]*))?\\s*;?\\s*$".r
+  private val analyzeStmt =
+    "(?is)^\\s*ANALYZE(?:\\s+([A-Za-z_][A-Za-z0-9_]*))?\\s*;?\\s*$".r
+  // COMMENT ON TABLE/VIEW/COLUMN ... IS '...' | NULL (DuckDB 0.10 surface);
+  // column comments surface in DESCRIBE's `extra` column
+  private val commentStmt =
+    ("(?is)^\\s*COMMENT\\s+ON\\s+(TABLE|VIEW|COLUMN)\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)?)\\s+IS\\s+" +
+      "('(?:[^']|'')*'|NULL)\\s*;?\\s*$").r
+
+  private val comments =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def analyzeTables(name: Option[String]): DataFrame = {
+    import spark.implicits._
+    val names = name.map(Seq(_)).getOrElse(
+      (createdTables.keySet ++ createdViews.keySet).toSeq.sorted)
+    names.map { t =>
+      val df = spark.table(t)
+      (t, df.count(),
+        df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong)
+    }.toDF("table_name", "n_rows", "est_bytes")
+  }
+
+  private def commentOn(kind: String, target: String, value: String): DataFrame = {
+    val key = target.toLowerCase
+    require(kind.equalsIgnoreCase("COLUMN") == key.contains("."),
+      s"COMMENT ON $kind $target: COLUMN targets are table.column, " +
+        "TABLE/VIEW targets are bare names")
+    if (value.equalsIgnoreCase("NULL")) comments.remove(key)
+    else comments.put(key,
+      value.substring(1, value.length - 1).replace("''", "'"))
+    statusDf("comment", target)
+  }
+
   /** SQL macros by lowercase name -> (parameter names, body text). DuckDB's
     * `CREATE MACRO` scalar-macro surface (SURVEY §2.2 "UDF surface" — the
     * reference's embedded DuckDB accepts macros through the verbatim query
@@ -969,6 +1014,13 @@ class Engine(val spark: SparkSession,
       import spark.implicits._
       Seq(key).toDF("reset")
     case pragmaStmt(name, arg) => pragma(name.toLowerCase, Option(arg))
+    case checkpointStmt() =>
+      statusDf("checkpoint", s"${createdTables.size} tables materialized")
+    case vacuumStmt(analyzeKw, name) =>
+      if (analyzeKw != null) analyzeTables(Option(name))
+      else statusDf("vacuum", "ok (reclaim is automatic)")
+    case analyzeStmt(name) => analyzeTables(Option(name))
+    case commentStmt(kind, target, value) => commentOn(kind, target, value)
     case createSeqStmt(orReplace, ifNotExists, name, opts) =>
       createSequence(name, opts, orReplace != null, ifNotExists != null)
     case dropSeqStmt(ifExists, name) =>
@@ -3230,10 +3282,18 @@ class Engine(val spark: SparkSession,
       if ("(?is)^(SELECT|WITH|FROM|VALUES|TABLE)\\b".r
           .findFirstIn(trimmed).isDefined) sql(trimmed)
       else sql(s"SELECT * FROM $trimmed")
+    // COMMENT ON COLUMN text surfaces in `extra` when describing a bare
+    // table/view name (an engine choice — DuckDB keeps comments in
+    // duckdb_columns(); DESCRIBE has no comment slot of its own)
+    val bareName =
+      if ("^[A-Za-z_][A-Za-z0-9_]*$".r.matches(trimmed))
+        Some(trimmed.toLowerCase)
+      else None
     import spark.implicits._
     df.schema.fields.toSeq.map { f =>
       (f.name, f.dataType.sql, if (f.nullable) "YES" else "NO",
-        Option.empty[String], Option.empty[String], Option.empty[String])
+        Option.empty[String], Option.empty[String],
+        bareName.flatMap(t => comments.get(s"$t.${f.name.toLowerCase}")))
     }.toDF("column_name", "column_type", "null", "key", "default", "extra")
   }
 

@@ -246,6 +246,39 @@ class NewOpsR11Spec extends AnyFunSuite with Matchers {
     } finally e.close()
   }
 
+  test("maintenance statements (CHECKPOINT / VACUUM / ANALYZE) and " +
+      "COMMENT ON run through the dialect; comments surface in DESCRIBE") {
+    val e = new Engine(spark)
+    try {
+      e.sql("CREATE OR REPLACE TABLE mt (k BIGINT, v VARCHAR)")
+      e.sql("INSERT INTO mt SELECT 1, 'a'")
+      e.sql("INSERT INTO mt SELECT 2, 'b'")
+      e.sql("CHECKPOINT").collect().length shouldBe 1
+      e.sql("FORCE CHECKPOINT").collect().length shouldBe 1
+      e.sql("VACUUM").collect().length shouldBe 1
+      val anRows = e.sql("ANALYZE mt").collect()
+      anRows.length shouldBe 1
+      anRows(0).getString(0) shouldBe "mt"
+      anRows(0).getLong(1) shouldBe 2L
+      e.sql("ANALYZE").collect().map(_.getString(0)) should contain("mt")
+      e.sql("VACUUM ANALYZE mt").collect()(0).getLong(1) shouldBe 2L
+      // column comments surface in DESCRIBE's extra; NULL unsets
+      e.sql("COMMENT ON COLUMN mt.v IS 'the payload'")
+      def extraOf(c: String) = e.sql("DESCRIBE mt").collect()
+        .find(_.getString(0) == c).get
+      extraOf("v").getString(5) shouldBe "the payload"
+      extraOf("k").isNullAt(5) shouldBe true
+      e.sql("COMMENT ON TABLE mt IS 'a table'").collect().length shouldBe 1
+      e.sql("COMMENT ON COLUMN mt.v IS NULL")
+      extraOf("v").isNullAt(5) shouldBe true
+      // target-shape mismatches reject loudly
+      an[Exception] should be thrownBy e.sql("COMMENT ON COLUMN mt IS 'x'")
+      an[Exception] should be thrownBy
+        e.sql("COMMENT ON TABLE mt.v IS 'x'")
+      e.sql("DROP TABLE mt")
+    } finally e.close()
+  }
+
   test("SPARK_GRAFT_BENCH_SKIP names are honored by Bench's selection " +
       "filter semantics (set-difference, not substring)") {
     // the env var itself cannot be set from inside the JVM; pin the
