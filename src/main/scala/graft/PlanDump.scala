@@ -181,7 +181,11 @@ object PlanDump {
     "x56_code_switching" -> "code-switching: map-only chunk scoring; ONE doc_id shuffle shared by the lag window and the dominant-language agg; no joins until the bounded doc-level merge",
     "d39_oph_sketch" -> "OPH sketch: one explode + ONE (doc, bin) MIN agg with map-side partials builds every sketch; densification is a per-row coalesce (no shuffle); candidates ride the d03 postings",
     "q127_alter_column_type" -> "ALTER COLUMN TYPE: copy-on-write projection cast (+USING re-derivation); constraint re-verify is one filter-count; plan shown is the final-state read",
-    "q128_set_variable" -> "SET VARIABLE: getvariable splices as typed literals BEFORE parse — the plan is literal-folded, zero runtime lookup; plan shown is the final-state read")
+    "q128_set_variable" -> "SET VARIABLE: getvariable splices as typed literals BEFORE parse — the plan is literal-folded, zero runtime lookup; plan shown is the final-state read",
+    "d40_simhash_cert" -> "d04's certificate twin: every operator past the signature count runs at |distinct sigs| rows — no join output carries doc_id, output is 2 rows at any sf",
+    "q129_read_functions" -> "read_parquet table-function scans: glob expands in the distributed file index; aggregates keep map-side partials over the file scan",
+    "q130_list_comprehension" -> "comprehensions lower to transform/filter lambdas inside whole-stage codegen — one map-only projection, only the presentation sort shuffles",
+    "q131_struct_literal" -> "struct literals lower to named_struct, constant keys fold; map-only projection, only the presentation sort shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
