@@ -71,6 +71,12 @@ class Engine(val spark: SparkSession,
              val registry: SchemaRegistry = new InMemorySchemaRegistry) {
   import Engine._
 
+  // the dialect front door must always resolve its own name surface
+  // (graft_* natives + the DuckDB alias table) even on sessions built
+  // WITHOUT GraftExtensions; registration is idempotent temp-function
+  // replacement, so extension-built sessions are unaffected
+  graft.functions.GraftFunctions.register(spark)
+
   private var tables: Map[String, DataFrame] = Map.empty
   private var specs: Seq[TopicSpec] = Nil
 
@@ -370,6 +376,9 @@ class Engine(val spark: SparkSession,
       "([A-Za-z_][A-Za-z0-9_]*)\\s*" +
       "(?:\\(([A-Za-z0-9_,\\s]*)\\))?\\s*(?:(BY)\\s+NAME\\s*)?" +
       "(\\()?\\s*(SELECT|VALUES|WITH|FROM|TABLE)(.+?)\\s*;?\\s*$").r
+  private val insertDefaultsStmt =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "DEFAULT\\s+VALUES\\s*;?\\s*$").r
   private val dropRelStmt =
     "(?is)^\\s*DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
   // SET/WHERE are split by the quote-aware top-level scanner, not the
@@ -820,11 +829,38 @@ class Engine(val spark: SparkSession,
   private val mutatingKw =
     ("(?is)^\\s*(INSERT|UPDATE|DELETE|MERGE|TRUNCATE|CREATE|DROP|ALTER|" +
       "COPY|IMPORT|EXPORT|BEGIN|COMMIT|ROLLBACK|ABORT)\\b").r
+  private val txnCtlKw = "(?is)^\\s*(BEGIN|COMMIT|ROLLBACK|ABORT)\\b".r
+
+  /** Transaction-scope isolation (fix for the shared-engine attach race):
+    * txn state is one engine-global slot, so a foreign caller's
+    * autocommitted DML arriving during an open BEGIN would be captured in
+    * the owner's undo scope and silently reverted by its ROLLBACK — where
+    * the reference's `cache=shared` DuckDB keeps per-connection
+    * transactions (KwackConfig.java:448-454). There is no per-connection
+    * identity here (thrift attach is singleSession), so mutations from any
+    * thread OTHER than the transaction opener are REJECTED loudly until
+    * COMMIT/ROLLBACK — never silently captured. Documented deviations:
+    * (a) a pooled thrift owner whose follow-up DML lands on a different
+    * pool thread is also rejected (fail-loud beats silent capture — use
+    * autocommit statements or the API/REPL path for transactional writes
+    * over the attach); (b) COMMIT/ROLLBACK stay engine-global so a wedged
+    * transaction is always recoverable from any session. */
+  private def assertTxnOwnership(q: String): Unit = txn.foreach { _ =>
+    if (txnOwner != null && (txnOwner ne Thread.currentThread()) &&
+        txnCtlKw.findFirstIn(q).isEmpty)
+      throw new IllegalStateException(
+        "a transaction opened by another session is active; this " +
+          "statement would be captured in its undo scope — retry after " +
+          "its COMMIT/ROLLBACK (engine transactions are single-writer)")
+  }
 
   def sql(q0: String): DataFrame = {
     val q = spliceVariables(SqlScan.rewriteDollarQuotes(q0))
     if (mutatingKw.findFirstIn(q).isDefined)
-      mutationLock.synchronized(sqlDispatch(q))
+      mutationLock.synchronized {
+        assertTxnOwnership(q)
+        sqlDispatch(q)
+      }
     else sqlDispatch(q)
   }
 
@@ -864,6 +900,7 @@ class Engine(val spark: SparkSession,
       insertInto(name, Nil, s"SELECT * FROM '$path'")
     case createViewStmt(orReplace, ifNotExists, name, body) =>
       createView(name, body, orReplace != null, ifNotExists != null)
+    case insertDefaultsStmt(name) => insertDefaults(name)
     case insertStmt(orKw, name, colList, byNameKw, openParen, kw, rest) =>
       val cols = Option(colList).map(_.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -960,11 +997,11 @@ class Engine(val spark: SparkSession,
           // the rel tail is an alias position: a trailing comment's last
           // word must not be mistaken for the alias (comments are
           // semantically neutral, stripping is quote-aware)
-          updateFromTable(name, sets, SqlScan.stripComments(rel).trim,
-            where, ret)
+          updateFromTable(name, expandRowFormSet(sets),
+            SqlScan.stripComments(rel).trim, where, ret)
         case _ =>
           val (sets, where) = splitAtTopLevelWhere(setsAndWhere)
-          updateTable(name, sets, where, ret)
+          updateTable(name, expandRowFormSet(sets), where, ret)
       }
     case deleteStmt(name, restRet) =>
       val (rest, ret) = stripReturning(restRet)
@@ -1284,6 +1321,13 @@ class Engine(val spark: SparkSession,
       checksSnap: Map[String, Seq[String]],
       fkSnap: Map[String, Seq[ForeignKey]])
   @volatile private var txn: Option[TxnState] = None
+  /** Best-available identity for the transaction owner. The thrift attach
+    * is singleSession (one shared session state), so there is no
+    * per-connection identity at the engine; the opening THREAD is the
+    * proxy — exact for the REPL/API paths (statements run on the caller's
+    * thread), conservative for pooled thrift execution. See
+    * [[assertTxnOwnership]]. */
+  @volatile private var txnOwner: Thread = null
 
   /** Release a displaced engine-table snapshot: immediately outside a
     * transaction, deferred to COMMIT inside one (ROLLBACK needs the
@@ -1302,6 +1346,7 @@ class Engine(val spark: SparkSession,
       primaryKeys.toMap, macros.toMap, prepared.toMap,
       scala.collection.mutable.ArrayBuffer.empty,
       checkConstraints.toMap, foreignKeys.toMap))
+    txnOwner = Thread.currentThread()
     statusDf("begin", "transaction")
   }
 
@@ -1309,6 +1354,7 @@ class Engine(val spark: SparkSession,
     val t = txn.getOrElse(throw new IllegalArgumentException(
       "COMMIT: no open transaction"))
     txn = None
+    txnOwner = null
     t.displaced.foreach(_.unpersist())
     statusDf("commit", "ok")
   }
@@ -1334,6 +1380,7 @@ class Engine(val spark: SparkSession,
     checkConstraints.clear(); checkConstraints ++= t.checksSnap
     foreignKeys.clear(); foreignKeys ++= t.fkSnap
     txn = None
+    txnOwner = null
     // re-register restored objects (DML swaps/renames re-pointed or
     // dropped their temp views during the txn)
     t.tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
@@ -1659,6 +1706,48 @@ class Engine(val spark: SparkSession,
     * assignment's rhs boundary in DuckDB's grammar). */
   private def parseAssignments(ctx: String, setsRaw: String): Seq[(String, String)] =
     SqlScan.parseAssignments(ctx, setsRaw)
+
+  /** DuckDB `INSERT INTO t DEFAULT VALUES` — one row of column defaults.
+    * Engine CTAS tables declare no per-column DEFAULT expressions, so
+    * every column's default is NULL; routing back through the normal
+    * INSERT path keeps schema casts and constraint enforcement. */
+  private def insertDefaults(name: String): DataFrame = {
+    val target = mutableTarget(name, "INSERT")
+    val nulls = target.schema.fields
+      .map(f => s"CAST(NULL AS ${f.dataType.sql})").mkString(", ")
+    sql(s"INSERT INTO $name VALUES ($nulls)")
+  }
+
+  /** DuckDB row-form `UPDATE t SET (a, b) = (e1, e2)` → `a = e1, b = e2`.
+    * Only a single LEADING row-form expands; plain SET lists pass through
+    * untouched. A row-subquery right side `(SELECT ...)` rejects loudly
+    * (unsupported), as does a column/value arity mismatch. */
+  private def expandRowFormSet(sets: String): String = {
+    val t = sets.trim
+    if (!t.startsWith("(")) return sets
+    val lc = SqlScan.matchingParen(t, 0)
+    if (lc < 0) return sets
+    var i = lc + 1
+    while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    if (i >= t.length || t.charAt(i) != '=') return sets
+    i += 1
+    while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    require(i < t.length && t.charAt(i) == '(',
+      s"row-form UPDATE SET expects (cols) = (exprs), got '$sets'")
+    val rc = SqlScan.matchingParen(t, i)
+    require(rc == t.length - 1,
+      s"row-form UPDATE SET must end at the value row: '$sets'")
+    val inner = t.substring(i + 1, rc)
+    require(!inner.trim.toUpperCase.startsWith("SELECT"),
+      "row-form UPDATE SET with a row subquery is not supported " +
+        "(spell per-column scalar subqueries instead)")
+    val cols = t.substring(1, lc).split(",").map(_.trim)
+    val exprs = SqlScan.splitTopLevelCommas(inner).map(_.trim)
+    require(cols.length == exprs.length,
+      s"row-form UPDATE SET: ${cols.length} columns vs " +
+        s"${exprs.length} values")
+    cols.zip(exprs).map { case (c, e) => s"$c = $e" }.mkString(", ")
+  }
 
   private def updateTable(name: String, setsRaw: String,
       whereOpt: Option[String], ret: Option[String] = None): DataFrame = {
@@ -3379,10 +3468,13 @@ class Engine(val spark: SparkSession,
       } finally df.unpersist()
     // bracket syntax first (list literals / comprehensions / ARRAY[..]
     // normalize to array()/transform()/filter()), so every downstream
-    // text rewrite sees standard call syntax
+    // text rewrite sees standard call syntax; arrows after braces so the
+    // json `->`/`->>` scan never sees a raw struct literal, and after
+    // brackets so generated comprehension lambdas sit inside transform/
+    // filter calls (the HOF-context skip)
     case _ => spark.sql(expandColumnsRegex(rewriteAsofJoin(
-      rewriteUsingSample(SqlScan.rewriteBraces(
-        SqlScan.rewriteBrackets(rewriteSugar(q)))))))
+      rewriteUsingSample(SqlScan.rewriteArrows(SqlScan.rewriteStructPack(
+        SqlScan.rewriteBraces(SqlScan.rewriteBrackets(rewriteSugar(q)))))))))
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +

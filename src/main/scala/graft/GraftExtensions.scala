@@ -16,7 +16,8 @@ import graft.functions.GraftFunctions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftFunctions.builders.foreach { case (name, builder) =>
+    (GraftFunctions.builders ++ graft.functions.DuckAliases.builders)
+      .foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         (exprs: Seq[Expression]) => builder(exprs)))

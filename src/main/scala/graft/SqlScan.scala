@@ -393,8 +393,14 @@ private[graft] object SqlScan {
     * clause scan only ever sees one comprehension level. The IF split
     * scans candidates right-to-left and takes the first whose both sides
     * are paren-balanced, so an `if(...)` FUNCTION inside the list
-    * expression never splits. Slicing (`l[1:3]`) is not rewritten — it
-    * reaches Spark's parser and fails loudly. */
+    * expression never splits. Slicing `base[a:b]` IS rewritten — 1-based
+    * INCLUSIVE ends, either end omissible, lowered to
+    * `slice(base, a, b - a + 1)` (negative indices unsupported; an
+    * unidentifiable base is left as-is for Spark's parser to reject
+    * loudly). A qualified path ending in `array` (`t.array[1]`) is a
+    * subscript on a field named array, NOT the ARRAY constructor; and
+    * `ARRAY [1,2]` with whitespace before '[' is the constructor, same
+    * as the MAP-brace rule. */
   def rewriteBrackets(s: String): String = {
     if (!s.contains('[')) return s
     val sb = new StringBuilder
@@ -423,11 +429,34 @@ private[graft] object SqlScan {
             prev == ')' || prev == ']' || prev == '}' || prev == '`' ||
             prev == '\'' || prev == '"')
         // the ARRAY[...] constructor: consume the keyword, emit array(...)
+        // — but a qualified path (`t.array[1]`) is a subscript on a field
+        // NAMED array, and `ARRAY [1,2]` (whitespace, valid DuckDB) is the
+        // constructor too, mirroring the MAP-brace rule
         val tail = sb.reverseIterator.takeWhile(ch =>
           Character.isLetterOrDigit(ch) || ch == '_').mkString.reverse
-        if (subscript && tail.equalsIgnoreCase("array")) {
+        def charBefore(tokenLen: Int, extra: Int = 0): Char = {
+          val at = sb.length - tokenLen - extra - 1
+          if (at >= 0) sb.charAt(at) else 0.toChar
+        }
+        val wsLen = sb.reverseIterator.takeWhile(ch =>
+          ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r').length
+        val wsTail = if (wsLen == 0) "" else
+          sb.toString.dropRight(wsLen).reverseIterator.takeWhile(ch =>
+            Character.isLetterOrDigit(ch) || ch == '_').mkString.reverse
+        if (subscript && tail.equalsIgnoreCase("array") &&
+            charBefore(tail.length) != '.') {
           sb.setLength(sb.length - tail.length)
           sb.append("array(").append(inner).append(")")
+        } else if (!subscript && wsTail.equalsIgnoreCase("array")) {
+          if (charBefore(wsTail.length, wsLen) != '.') {
+            sb.setLength(sb.length - wsTail.length - wsLen)
+            sb.append("array(").append(inner).append(")")
+          } else {
+            // qualified `t.array [1]`: a subscript on a field named
+            // array with insignificant whitespace (DuckDB parses the
+            // postfix index regardless of spacing) — keep the index
+            sb.append('[').append(inner).append(']')
+          }
         } else if (subscript) {
           // DuckDB list slicing `base[a:b]` (1-based, INCLUSIVE ends; either
           // end omissible) -> Spark slice(base, a, b - a + 1). The base is
@@ -457,31 +486,8 @@ private[graft] object SqlScan {
             // backward scan over the emitted base chain, on a MASKED view
             // (quoted content blanked) so parens inside string literals
             // never skew the group matching
-            val masked = maskOpaque(sb.toString)
-            var k = masked.length - 1
-            var ok = true
-            var done = false
-            while (!done && ok && k >= 0) {
-              val ch = masked.charAt(k)
-              if (ch == ')' || ch == ']') {
-                val open = if (ch == ')') '(' else '['
-                var d = 0; var m = k
-                while (m >= 0 && { val c2 = masked.charAt(m)
-                  if (c2 == ch) d += 1 else if (c2 == open) d -= 1
-                  d != 0 }) m -= 1
-                if (m < 0) ok = false else k = m - 1
-              } else if (Character.isLetterOrDigit(ch) || ch == '_' ||
-                  ch == '.' || ch == '`' || ch == '\'' || ch == '"') {
-                // quote delimiters survive masking: step over the whole
-                // quoted token (its interior is blanked, ends at the twin)
-                if (ch == '\'' || ch == '"') {
-                  var m = k - 1
-                  while (m >= 0 && masked.charAt(m) != ch) m -= 1
-                  if (m < 0) ok = false else k = m - 1
-                } else k -= 1
-              } else done = true
-            }
-            if (!ok || k == masked.length - 1) -1 else masked.length - 1 - k
+            val l = trailingOperandLen(maskOpaque(sb.toString))
+            if (l == 0) -1 else l
           }
           if (colon >= 0 && baseLen > 0) {
             val base = sb.substring(sb.length - baseLen)
@@ -646,6 +652,169 @@ private[graft] object SqlScan {
         } else "named_struct"
         sb.append(fn).append('(').append(kvs.mkString(", ")).append(')')
         i = close + 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Length of the trailing operand at the END of `masked` — an
+    * identifier/.-path with any trailing call/subscript groups and quoted
+    * tokens, scanned backward; 0 if none can be identified safely.
+    * `masked` must be maskOpaque'd so parens inside string literals never
+    * skew the group matching. Shared by the slice-base scan
+    * (rewriteBrackets) and the arrow-operand scan (rewriteArrows). */
+  private def trailingOperandLen(masked: String): Int = {
+    var k = masked.length - 1
+    var ok = true
+    var done = false
+    while (!done && ok && k >= 0) {
+      val ch = masked.charAt(k)
+      if (ch == ')' || ch == ']') {
+        val open = if (ch == ')') '(' else '['
+        var d = 0; var m = k
+        while (m >= 0 && { val c2 = masked.charAt(m)
+          if (c2 == ch) d += 1 else if (c2 == open) d -= 1
+          d != 0 }) m -= 1
+        if (m < 0) ok = false else k = m - 1
+      } else if (Character.isLetterOrDigit(ch) || ch == '_' ||
+          ch == '.' || ch == '`' || ch == '\'' || ch == '"') {
+        // quote delimiters survive masking: step over the whole
+        // quoted token (its interior is blanked, ends at the twin)
+        if (ch == '\'' || ch == '"') {
+          var m = k - 1
+          while (m >= 0 && masked.charAt(m) != ch) m -= 1
+          if (m < 0) ok = false else k = m - 1
+        } else k -= 1
+      } else done = true
+    }
+    if (!ok || k == masked.length - 1) 0 else masked.length - 1 - k
+  }
+
+  /** DuckDB `struct_pack(k := v, ...)` → `named_struct('k', v, ...)`.
+    * The `:=` named-argument syntax never reaches a function-registry
+    * builder (Spark's parser rejects it), so it lowers here at the
+    * dialect front door. Quote/comment-aware; nested struct_pack in
+    * values lowers recursively; a qualified `x.struct_pack(` is left
+    * alone (member call on a struct field, not the constructor). */
+  def rewriteStructPack(s: String): String = {
+    val masked = maskOpaque(s)
+    val at = {
+      val re = "(?i)\\bstruct_pack\\s*\\(".r
+      re.findAllMatchIn(masked)
+        .find(m => m.start == 0 || masked.charAt(m.start - 1) != '.')
+    }
+    at match {
+      case None => s
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchingParen(s, open)
+        require(close > open, s"unbalanced struct_pack( in: $s")
+        val inner = rewriteStructPack(s.substring(open + 1, close))
+        val innerMasked = maskOpaque(inner)
+        val kvs = splitTopLevelCommas(inner).zip(
+          splitTopLevelCommas(innerMasked)).map { case (arg, argMasked) =>
+          val idx = argMasked.indexOf(":=")
+          require(idx >= 0,
+            s"struct_pack argument must be name := expr (got '${arg.trim}')")
+          val key = arg.substring(0, idx).trim
+          require(key.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"struct_pack key must be a bare identifier (got '$key')")
+          s"'$key', ${arg.substring(idx + 2).trim}"
+        }
+        require(kvs.nonEmpty, "struct_pack() needs at least one field")
+        s.substring(0, m.start) +
+          "named_struct(" + kvs.mkString(", ") + ")" +
+          rewriteStructPack(s.substring(close + 1))
+    }
+  }
+
+  /** Higher-order functions whose direct arguments are lambdas: a `->` at
+    * the immediate argument level of one of these calls is a LAMBDA and
+    * must not be read as the DuckDB JSON arrow. (A json arrow inside a
+    * lambda body can be forced by parenthesizing: `x -> (x ->> 'k')`.) */
+  private val hofNames = Set(
+    "transform", "filter", "aggregate", "reduce", "exists", "forall",
+    "zip_with", "map_zip_with", "map_filter", "transform_keys",
+    "transform_values", "array_sort",
+    "list_transform", "array_transform", "list_filter", "array_filter")
+
+  /** DuckDB JSON arrow operators → function calls, at the dialect front
+    * door (docs.duckdb.org/data/json/json_functions):
+    *   `j -> 'path'`  → `json_extract(j, 'path')`         (JSON text out)
+    *   `j ->> 'path'` → `json_extract_string(j, 'path')`  (VARCHAR out)
+    *   `j -> 0`       → `json_extract(j, 0)`              (array index)
+    * Chains associate left (`j->'a'->>'b'` nests). Disambiguation from
+    * Spark lambda arrows is by FUNCTION CONTEXT (like DuckDB itself, whose
+    * binder resolves `->` per surrounding function): an arrow whose
+    * innermost enclosing call is a higher-order function is a lambda and
+    * passes through. The arrow's right side must be a string or integer
+    * literal; anything else passes through untouched (fails at parse, not
+    * silently misread). Runs AFTER rewriteBrackets/rewriteBraces, so
+    * generated comprehension lambdas are already inside transform/filter
+    * calls and skip naturally. */
+  def rewriteArrows(s: String): String = {
+    if (!s.contains("->")) return s
+    val sb = new StringBuilder
+    var callStack = List.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ce = opaqueEnd(s, i)
+      if (ce >= 0) { sb.append(s.substring(i, ce)); i = ce }
+      else if (c == '\'' || c == '"' || c == '`') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != c) j += 1
+        sb.append(s.substring(i, math.min(j + 1, s.length)))
+        i = j + 1
+      } else if (c == '(') {
+        val callee = sb.reverseIterator.takeWhile(ch =>
+          Character.isLetterOrDigit(ch) || ch == '_').mkString.reverse
+        callStack = callee.toLowerCase :: callStack
+        sb.append(c); i += 1
+      } else if (c == ')') {
+        if (callStack.nonEmpty) callStack = callStack.tail
+        sb.append(c); i += 1
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '>' &&
+          !callStack.headOption.exists(hofNames.contains)) {
+        val asText = i + 2 < s.length && s.charAt(i + 2) == '>'
+        var j = i + (if (asText) 3 else 2)
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        // right side: string literal (with '' doubling) or integer run
+        val rhsEnd =
+          if (j < s.length && s.charAt(j) == '\'') {
+            var k = j + 1
+            var closed = -1
+            while (closed < 0 && k < s.length) {
+              if (s.charAt(k) == '\'') {
+                if (k + 1 < s.length && s.charAt(k + 1) == '\'') k += 2
+                else closed = k + 1
+              } else k += 1
+            }
+            closed
+          } else if (j < s.length && s.charAt(j).isDigit) {
+            var k = j
+            while (k < s.length && s.charAt(k).isDigit) k += 1
+            k
+          } else -1
+        // left side: the operand chain just emitted (minus trailing ws)
+        var ws = 0
+        while (ws < sb.length && sb.charAt(sb.length - 1 - ws).isWhitespace)
+          ws += 1
+        val opLen =
+          if (rhsEnd < 0) 0
+          else trailingOperandLen(maskOpaque(sb.substring(0, sb.length - ws)))
+        if (opLen > 0) {
+          val start = sb.length - ws - opLen
+          val operand = sb.substring(start, sb.length - ws)
+          sb.setLength(start)
+          sb.append(if (asText) "json_extract_string(" else "json_extract(")
+            .append(operand).append(", ")
+            .append(s.substring(j, rhsEnd)).append(")")
+          i = rhsEnd
+        } else { sb.append(c); i += 1 } // not a json arrow — pass through
       } else {
         sb.append(c)
         i += 1

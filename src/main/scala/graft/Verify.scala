@@ -1,9 +1,30 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Gated-output lint: the driver's comparator sorts result frames
+    * through pandas, which dies (`unhashable type`) on top-level
+    * ARRAY/MAP/STRUCT columns BEFORE comparing anything — the query then
+    * reads `err` in CORRECTNESS no matter how right its answer is
+    * (r11 q130/q131). Every gated query must project scalar columns
+    * (array_join/element/field projections); this check makes a nested
+    * output fail fast at the local gate instead of shipping red. */
+  def assertScalarOutput(name: String, df: DataFrame): Unit = {
+    val nested = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    if (nested.nonEmpty) throw new IllegalStateException(
+      s"[verify-lint] $name emits top-level nested column(s) " +
+        s"${nested.mkString("[", ", ", "]")} — the driver's pandas " +
+        "comparator cannot hash these; project scalars " +
+        "(array_join / struct-field / element_at) instead")
+  }
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -26,9 +47,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        assertScalarOutput(name, df)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

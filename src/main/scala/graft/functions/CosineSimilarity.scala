@@ -128,10 +128,11 @@ object GraftFunctions {
     "union_extract" -> (exprs => org.apache.spark.sql.catalyst.analysis
       .UnresolvedExtractValue(exprs(0), exprs(1))))
 
-  /** Idempotent registration of the engine's native functions on a session. */
+  /** Idempotent registration of the engine's native functions on a
+    * session, plus the DuckDB-name alias surface (DuckAliases). */
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
+    (builders ++ DuckAliases.builders).foreach { case (name, b) =>
       r.createOrReplaceTempFunction(name, b, "built-in")
     }
   }

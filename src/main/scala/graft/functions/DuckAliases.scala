@@ -1,0 +1,241 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DuckDB scalar-function NAME surface at the dialect front door.
+  *
+  * The reference's query contract is "DuckDB SQL, unrestricted" — the
+  * statement text goes to DuckDB verbatim (kwack KwackEngine.java:232), so
+  * a user pasting DuckDB-spelled SQL expects `list_contains`, `len`,
+  * `string_split`, `strftime`, `epoch_ms`, `json_extract`, … to resolve.
+  * The engine already covers the SEMANTICS with Spark spellings; this
+  * table maps the DuckDB names onto the same (codegen'd, Catalyst-native)
+  * expressions at analysis time — an alias is a zero-cost rename, never a
+  * UDF, so plans stay inside whole-stage codegen.
+  *
+  * Aliases that need more than a rename:
+  *  - polymorphic `len`/`length` (DuckDB: strings AND lists) dispatch on
+  *    the resolved child type via [[RuntimeReplaceable]];
+  *  - `string_split` is a LITERAL separator in DuckDB but a regex in
+  *    Spark — the separator is regex-quoted;
+  *  - `strftime`/`strptime` translate C-style % tokens to a Java pattern;
+  *  - `json_extract`/`->`/`->>` are a dedicated expression
+  *    ([[JsonPathExtract]]) because Spark's get_json_object unquotes
+  *    strings where DuckDB's json_extract keeps JSON text;
+  *  - `struct_pack(k := v)` named-arg syntax can't reach a registry
+  *    builder — SqlScan.rewriteStructPack lowers it to named_struct.
+  */
+object DuckAliases {
+
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(name, args.toIndexedSeq, isDistinct = false)
+
+  private def litStr(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case Literal(v: String, StringType) => Some(v)
+    case _ => None
+  }
+
+  private def requireLitStr(e: Expression, what: String): String =
+    litStr(e).getOrElse(throw new IllegalArgumentException(
+      s"$what must be a string literal"))
+
+  /** DuckDB len()/length() work on strings AND lists/maps; Spark's length
+    * is string-only. Dispatch on the resolved child type. */
+  case class PolyLen(child: Expression) extends RuntimeReplaceable
+      with UnaryLike[Expression] {
+    override lazy val replacement: Expression = child.dataType match {
+      case _: ArrayType | _: MapType => Size(child, legacySizeOfNull = false)
+      case _ => Length(child)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** DuckDB epoch_ms is overloaded: BIGINT millis -> TIMESTAMP and
+    * TIMESTAMP -> BIGINT millis. */
+  case class PolyEpochMs(child: Expression) extends RuntimeReplaceable
+      with UnaryLike[Expression] {
+    override lazy val replacement: Expression = child.dataType match {
+      case _: TimestampType | _: TimestampNTZType | _: DateType =>
+        UnixMillis(Cast(child, TimestampType))
+      case _ => MillisToTimestamp(child)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** DuckDB epoch(): TIMESTAMP -> BIGINT seconds, BIGINT -> TIMESTAMP. */
+  case class PolyEpoch(child: Expression) extends RuntimeReplaceable
+      with UnaryLike[Expression] {
+    override lazy val replacement: Expression = child.dataType match {
+      case _: TimestampType | _: TimestampNTZType | _: DateType =>
+        UnixSeconds(Cast(child, TimestampType))
+      case _ => SecondsToTimestamp(child)
+    }
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** C-style strftime/strptime format -> Java DateTimeFormatter pattern.
+    * Literal runs containing pattern-reserved letters are single-quoted
+    * (quotes doubled), so "Week %W of %Y" style formats stay literal. */
+  private[graft] def cFormatToJava(fmt: String): String = {
+    val tok = Map(
+      'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
+      'd' -> "dd", 'f' -> "SSSSSS", 'g' -> "SSS", 'H' -> "HH",
+      'I' -> "hh", 'j' -> "DDD", 'm' -> "MM", 'M' -> "mm",
+      'p' -> "a", 'S' -> "ss", 'y' -> "yy", 'Y' -> "yyyy",
+      'Z' -> "zzz", 'z' -> "XXX")
+    val noPad = Map(
+      'd' -> "d", 'H' -> "H", 'I' -> "h", 'j' -> "D", 'm' -> "M",
+      'M' -> "m", 'S' -> "s", 'y' -> "y")
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(c => Character.isLetter(c) || c == '\''))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val n = fmt.charAt(i + 1)
+        if (n == '%') { lit.append('%'); i += 2 }
+        else if (n == '-' && i + 2 < fmt.length &&
+            noPad.contains(fmt.charAt(i + 2))) {
+          flushLit(); out.append(noPad(fmt.charAt(i + 2))); i += 3
+        } else tok.get(n) match {
+          case Some(j) => flushLit(); out.append(j); i += 2
+          case None => throw new IllegalArgumentException(
+            s"unsupported strftime token %$n in '$fmt'")
+        }
+      } else { lit.append(c); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
+
+  private def quotedSplit(str: Expression, sep: Expression): Expression =
+    litStr(sep) match {
+      case Some(s) =>
+        fn("split", str, Literal(java.util.regex.Pattern.quote(s)))
+      case None => // non-literal separator: regex-quote at runtime
+        fn("split", str,
+          fn("concat", Literal("\\Q"), sep, Literal("\\E")))
+    }
+
+  /** DuckDB array_to_string returns NULL for an empty list (it is
+    * list_aggregate string_agg); Spark's array_join returns ''. */
+  private def arrayToString(l: Expression, sep: Expression): Expression =
+    If(EqualTo(Size(l, legacySizeOfNull = false), Literal(0)),
+      Literal.create(null, StringType), ArrayJoin(l, sep, None))
+
+  private def listAggregate(a: Seq[Expression]): Expression =
+    requireLitStr(a(1), "list_aggregate function name").toLowerCase match {
+      case "string_agg" =>
+        arrayToString(a(0), if (a.length > 2) a(2) else Literal(","))
+      case "min" => fn("array_min", a(0))
+      case "max" => fn("array_max", a(0))
+      case "count" => // non-NULL elements, like the aggregate count(x)
+        Size(ArrayCompact(a(0)), legacySizeOfNull = false)
+      case other => throw new IllegalArgumentException(
+        s"list_aggregate('$other') is not supported " +
+          "(supported: string_agg, min, max, count)")
+    }
+
+  /** DuckDB list_slice/array_slice: 1-based INCLUSIVE ends (the bracket
+    * slice l[a:b] lowered by SqlScan uses the same arithmetic). */
+  private def listSlice(a: Seq[Expression]): Expression =
+    fn("slice", a(0), a(1),
+      fn("greatest", Literal(0), Add(Subtract(a(2), a(1)), Literal(1))))
+
+  /** name -> builder for every DuckDB-spelled alias; registered alongside
+    * GraftFunctions.builders on the engine session and via
+    * GraftExtensions, so the REPL, API, thrift attach, and tests all see
+    * the same name surface. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // --- list functions (docs.duckdb.org/sql/functions/list) ----------
+    "list_contains" -> (a => fn("array_contains", a(0), a(1))),
+    "list_has" -> (a => fn("array_contains", a(0), a(1))),
+    "array_has" -> (a => fn("array_contains", a(0), a(1))),
+    // concrete HOF classes: a lambda child must sit DIRECTLY under a
+    // higher-order expression (the analyzer rejects it under an alias
+    // UnresolvedFunction before ever resolving the rename)
+    "list_transform" -> (a => ArrayTransform(a(0), a(1))),
+    "array_transform" -> (a => ArrayTransform(a(0), a(1))),
+    "list_filter" -> (a => ArrayFilter(a(0), a(1))),
+    "array_filter" -> (a => ArrayFilter(a(0), a(1))),
+    "list_aggregate" -> listAggregate,
+    "list_aggr" -> listAggregate,
+    "array_aggregate" -> listAggregate,
+    "array_aggr" -> listAggregate,
+    "list_value" -> (a => CreateArray(a)),
+    "list_pack" -> (a => CreateArray(a)),
+    "list_append" -> (a => fn("array_append", a(0), a(1))),
+    "list_prepend" -> (a => fn("array_prepend", a(1), a(0))),
+    "array_push_back" -> (a => fn("array_append", a(0), a(1))),
+    "array_push_front" -> (a => fn("array_prepend", a(0), a(1))),
+    // 1-based, 0 when absent — identical contracts (DuckDB 1.x; newer
+    // DuckDB returns NULL there, a versioned divergence we pin to the
+    // oracle's 1.0 behavior)
+    "list_position" -> (a => ArrayPosition(a(0), a(1))),
+    "list_indexof" -> (a => ArrayPosition(a(0), a(1))),
+    // DuckDB list_distinct also drops NULL elements
+    "list_distinct" -> (a => ArrayDistinct(ArrayCompact(a(0)))),
+    "list_unique" -> (a =>
+      Size(ArrayDistinct(ArrayCompact(a(0))), legacySizeOfNull = false)),
+    "list_sort" -> (a => fn("sort_array", a(0))), // ASC NULLS FIRST, both
+    "list_concat" -> (a => fn("concat", a: _*)),
+    "list_cat" -> (a => fn("concat", a: _*)),
+    "array_cat" -> (a => fn("concat", a: _*)),
+    "list_slice" -> listSlice,
+    "array_slice" -> listSlice,
+    // 1-based extract, like Spark element_at
+    "list_extract" -> (a => fn("element_at", a(0), a(1))),
+    "list_element" -> (a => fn("element_at", a(0), a(1))),
+    "array_extract" -> (a => fn("element_at", a(0), a(1))),
+    "list_reverse" -> (a => fn("reverse", a(0))),
+    "array_to_string" -> (a => arrayToString(a(0), a(1))),
+    // --- polymorphic length/epoch --------------------------------------
+    "len" -> (a => PolyLen(a(0))),
+    "length" -> (a => PolyLen(a(0))), // extends builtin to lists/maps
+    "array_length" -> (a => Size(a(0), legacySizeOfNull = false)),
+    "list_length" -> (a => Size(a(0), legacySizeOfNull = false)),
+    "epoch_ms" -> (a => PolyEpochMs(a(0))),
+    "epoch" -> (a => PolyEpoch(a(0))),
+    // --- string functions ----------------------------------------------
+    "string_split" -> (a => quotedSplit(a(0), a(1))),
+    "str_split" -> (a => quotedSplit(a(0), a(1))),
+    "string_to_array" -> (a => quotedSplit(a(0), a(1))),
+    "string_split_regex" -> (a => fn("split", a(0), a(1))),
+    "str_split_regex" -> (a => fn("split", a(0), a(1))),
+    "regexp_split_to_array" -> (a => fn("split", a(0), a(1))),
+    "regexp_matches" -> (a => RLike(a(0), a(1))), // partial match, both
+    "strpos" -> (a => StringInstr(a(0), a(1))),
+    "strlen" -> (a => OctetLength(a(0))), // DuckDB strlen = BYTES
+    "ucase" -> (a => fn("upper", a(0))),
+    "lcase" -> (a => fn("lower", a(0))),
+    "group_concat" -> (a => fn("string_agg", a: _*)),
+    // --- temporal --------------------------------------------------------
+    "strftime" -> (a => fn("date_format", a(0),
+      Literal(cFormatToJava(requireLitStr(a(1), "strftime format"))))),
+    "strptime" -> (a => fn("to_timestamp", a(0),
+      Literal(cFormatToJava(requireLitStr(a(1), "strptime format"))))),
+    // --- struct / json ---------------------------------------------------
+    "struct_extract" -> (a => UnresolvedExtractValue(a(0), a(1))),
+    "json_extract" -> (a => JsonPathExtract(a(0), a(1), asText = false)),
+    "json_extract_path" ->
+      (a => JsonPathExtract(a(0), a(1), asText = false)),
+    "json_extract_string" ->
+      (a => JsonPathExtract(a(0), a(1), asText = true)),
+    "json_extract_path_text" ->
+      (a => JsonPathExtract(a(0), a(1), asText = true)))
+}

@@ -883,16 +883,22 @@ object EngineSurface {
     * (SqlScan.rewriteBrackets — quote-aware, inside-out for nesting,
     * subscripts preserved by the lexer rule). The oracle runs the SAME
     * comprehension natively in DuckDB, pinning element order (both are
-    * order-preserving maps over a filtered list) and empty-match shape. */
+    * order-preserving maps over a filtered list) and empty-match shape.
+    * Gated outputs are SCALAR by repo convention (the driver's pandas
+    * comparator cannot sort nested columns — CORRECTNESS_r11 q130 err):
+    * the lists are built by the rewrites, then flattened with a '|' join
+    * so every element and its order still lands in the hash. The nested-
+    * output originals stay covered by NewOpsR11Spec. */
   private def q130(s: SparkSession, dir: String): DataFrame = {
     val engine = new Engine(s)
     try engine.sql(
       s"""SELECT doc_id,
-         |  [upper(w) FOR w IN split(text, ' ') IF length(w) >= 7]
+         |  array_join(
+         |    [upper(w) FOR w IN split(text, ' ') IF length(w) >= 7], '|')
          |    AS big_words,
          |  CAST(size([w FOR w IN split(text, ' ') IF length(w) >= 7])
          |    AS BIGINT) AS n_big,
-         |  ['one', source] AS lit_pair
+         |  array_join(['one', source], '|') AS lit_pair
          |FROM '$dir/documents.parquet'
          |ORDER BY doc_id""".stripMargin)
     finally engine.close()
@@ -900,39 +906,88 @@ object EngineSurface {
 
   private val q130Sql =
     """SELECT doc_id,
-      |  [UPPER(w) FOR w IN STRING_SPLIT(text, ' ') IF LENGTH(w) >= 7]
-      |    AS big_words,
+      |  COALESCE(ARRAY_TO_STRING(
+      |    [UPPER(w) FOR w IN STRING_SPLIT(text, ' ') IF LENGTH(w) >= 7], '|'),
+      |    '') AS big_words,
       |  CAST(LEN([w FOR w IN STRING_SPLIT(text, ' ') IF LENGTH(w) >= 7])
       |    AS BIGINT) AS n_big,
-      |  ['one', source] AS lit_pair
+      |  ARRAY_TO_STRING(['one', source], '|') AS lit_pair
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q131: DuckDB struct literals (docs.duckdb.org/sql/data_types/struct)
     * — `{'k': v, ...}` lowers to `named_struct('k', v, ...)`, `MAP {...}`
     * to `map(...)` (SqlScan.rewriteBraces). The oracle runs the same
-    * literal natively; the gate hashes the struct column itself (field
-    * names + values) and a projected field, so key order and nesting are
-    * pinned cross-engine. */
+    * literal natively. Gated outputs are SCALAR by repo convention (the
+    * driver's pandas comparator cannot sort nested columns —
+    * CORRECTNESS_r11 q131 err): the nested struct is built by the brace
+    * rewrite inside a subquery, then every field — including the doubly-
+    * nested one — is projected out, so key resolution and nesting are
+    * still pinned cross-engine. The nested-output originals stay covered
+    * by NewOpsR11Spec. */
   private def q131(s: SparkSession, dir: String): DataFrame = {
     val engine = new Engine(s)
     try engine.sql(
-      s"""SELECT doc_id,
-         |  {'src': source, 'len': CAST(length(text) AS BIGINT),
-         |   'inner': {'half': CAST(length(text) / 2 AS BIGINT)}} AS meta,
-         |  {'s': source, 'l': CAST(length(text) AS BIGINT)}.l AS meta_len
-         |FROM '$dir/documents.parquet'
+      s"""SELECT doc_id, meta.src AS meta_src,
+         |  CAST(meta.len AS BIGINT) AS meta_len,
+         |  CAST(meta.sub.half AS BIGINT) AS meta_half,
+         |  {'s': source, 'l': CAST(length(text) AS BIGINT)}.l AS lit_len
+         |FROM (
+         |  SELECT doc_id, source, text,
+         |    {'src': source, 'len': CAST(length(text) AS BIGINT),
+         |     'sub': {'half': CAST(length(text) / 2 AS BIGINT)}} AS meta
+         |  FROM '$dir/documents.parquet') t
          |ORDER BY doc_id""".stripMargin)
     finally engine.close()
   }
 
   private val q131Sql =
+    """SELECT doc_id, meta.src AS meta_src,
+      |  CAST(meta.len AS BIGINT) AS meta_len,
+      |  CAST(meta.sub.half AS BIGINT) AS meta_half,
+      |  CAST({'s': source, 'l': LENGTH(text)}.l AS BIGINT) AS lit_len
+      |FROM (
+      |  SELECT doc_id, source, text,
+      |    {'src': source, 'len': CAST(LENGTH(text) AS BIGINT),
+      |     'sub': {'half': CAST(LENGTH(text) // 2 AS BIGINT)}} AS meta
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** q132: the DuckDB scalar-function NAME surface (VERDICT r11 task 3) —
+    * the reference's contract is "DuckDB SQL, unrestricted"
+    * (KwackEngine.java:232), so DuckDB-spelled text must run VERBATIM:
+    * the engine and the oracle execute the IDENTICAL string. Exercises
+    * the alias table (functions/DuckAliases: len, string_split,
+    * list_contains/transform/filter/unique/position, array_to_string,
+    * strftime %-token translation, epoch_ms), the struct_pack `:=`
+    * rewrite, and the `->>` json arrow (SqlScan.rewriteStructPack /
+    * rewriteArrows + functions/JsonPathExtract). */
+  private val q132Text =
     """SELECT doc_id,
-      |  {'src': source, 'len': CAST(LENGTH(text) AS BIGINT),
-      |   'inner': {'half': CAST(LENGTH(text) // 2 AS BIGINT)}} AS meta,
-      |  CAST({'s': source, 'l': LENGTH(text)}.l AS BIGINT) AS meta_len
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(text) AS BIGINT) AS n_chars2,
+      |  list_contains(string_split(text, ' '), 'table') AS has_table,
+      |  COALESCE(array_to_string(
+      |    list_transform(list_filter(string_split(text, ' '), w -> length(w) >= 7),
+      |      w -> upper(w)), '|'), '') AS big,
+      |  strftime(TIMESTAMP '2024-03-05 07:09:11', '%Y-%m-%d %H:%M:%S') AS fmt,
+      |  CAST(epoch_ms(TIMESTAMP '2024-03-05 07:09:11') AS BIGINT) AS ems,
+      |  json_extract_string(to_json(struct_pack(s := source, n := doc_id)),
+      |    '$.s') AS js,
+      |  '{"a": {"b": [10, 20]}}' ->> '$.a.b[1]' AS jb,
+      |  CAST(list_unique([1, 2, 2, NULL]) AS BIGINT) AS uniq,
+      |  CAST(list_position(string_split(text, ' '), 'scan') AS BIGINT)
+      |    AS pos_scan
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(q132Text.replace("FROM documents",
+      s"FROM '$dir/documents.parquet'"))
+    finally engine.close()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q132_duckdb_names" -> (q132 _),
     "q131_struct_literal" -> (q131 _),
     "q130_list_comprehension" -> (q130 _),
     "q129_read_functions" -> (q129 _),
@@ -962,6 +1017,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q132_duckdb_names" -> q132Text,
     "q131_struct_literal" -> q131Sql,
     "q130_list_comprehension" -> q130Sql,
     "q129_read_functions" -> q129Sql,

@@ -69,10 +69,14 @@ object AssetCost {
             }
             val first = once()
             val steady = math.min(once(), once())
-            val f = "%.3f"
+            // Locale.ROOT: default-locale %.3f prints "0,123" on
+            // comma-decimal locales — invalid JSON lines
+            def fmt(v: Double): String =
+              String.format(java.util.Locale.ROOT, "%.3f",
+                java.lang.Double.valueOf(v))
             println(s"""{"asset":"$asset","owner":"$owner","sf":"$sfDir",""" +
-              s""""first_s":${f.format(first)},"steady_s":${f.format(steady)},""" +
-              s""""build_est_s":${f.format(math.max(0.0, first - steady))},""" +
+              s""""first_s":${fmt(first)},"steady_s":${fmt(steady)},""" +
+              s""""build_est_s":${fmt(math.max(0.0, first - steady))},""" +
               s""""serves":[${serves.map("\"" + _ + "\"").mkString(",")}]}""")
         }
     }

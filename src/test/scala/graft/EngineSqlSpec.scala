@@ -963,4 +963,150 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       engine.sql("PRAGMA nope_setting")
     engine.close()
   }
+
+  // --- DuckDB function-name alias surface (r12; functions/DuckAliases) ---
+
+  private def one(engine: Engine, expr: String): Any = {
+    val r = engine.sql(s"SELECT $expr AS v").collect().head
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  test("DuckDB list/string/temporal function names resolve to the Spark " +
+      "natives with DuckDB semantics") {
+    val engine = new Engine(spark)
+    try {
+      one(engine, "list_contains([1, 2, 3], 2)") shouldBe true
+      one(engine, "list_transform([1, 2], x -> x * 10)") shouldBe Seq(10, 20)
+      one(engine, "list_filter([1, 2, 3], x -> x > 1)") shouldBe Seq(2, 3)
+      one(engine, "list_aggregate(['a', 'b'], 'string_agg', '|')") shouldBe "a|b"
+      one(engine, "list_aggregate([3, 1, 2], 'min')") shouldBe 1
+      one(engine, "list_aggregate([3, 1, 2], 'max')") shouldBe 3
+      one(engine, "list_aggregate([3, NULL, 2], 'count')") shouldBe 2
+      the[Exception] thrownBy
+        one(engine, "list_aggregate([1], 'median')") should have message
+        "list_aggregate('median') is not supported " +
+          "(supported: string_agg, min, max, count)"
+      // polymorphic len/length: strings AND lists (DuckDB contract)
+      one(engine, "len('abcd')") shouldBe 4
+      one(engine, "len([10, 20, 30])") shouldBe 3
+      one(engine, "length([10, 20])") shouldBe 2
+      one(engine, "length('ab')") shouldBe 2
+      // string_split quotes its LITERAL separator (DuckDB is not regex)
+      one(engine, "string_split('a.b.c', '.')") shouldBe Seq("a", "b", "c")
+      one(engine, "string_split_regex('a1b22c', '[0-9]+')") shouldBe
+        Seq("a", "b", "c")
+      // 1-based extract / slice / position
+      one(engine, "list_extract([10, 20, 30], 2)") shouldBe 20
+      one(engine, "list_slice([1, 2, 3, 4], 2, 3)") shouldBe Seq(2, 3)
+      one(engine, "list_position([10, 20], 20)") shouldBe 2L
+      one(engine, "list_position([10, 20], 99)") shouldBe 0L
+      // list_distinct drops NULLs (DuckDB); list_unique counts them out
+      one(engine, "list_sort(list_distinct([2, 2, NULL, 1]))") shouldBe
+        Seq(1, 2)
+      one(engine, "list_unique([2, 2, NULL, 1])") shouldBe 2
+      // array_to_string is NULL on an empty list (list_aggregate
+      // string_agg semantics), where Spark's array_join returns ''
+      one(engine, "array_to_string(['x', 'y'], '-')") shouldBe "x-y"
+      one(engine, "array_to_string(list_filter([1], x -> x > 9), '-')")
+        .asInstanceOf[AnyRef] shouldBe null
+      // strftime %-token translation + epoch_ms both directions
+      one(engine,
+        "strftime(TIMESTAMP '2024-02-29 13:05:09', '%Y-%m-%d %H:%M:%S')"
+      ) shouldBe "2024-02-29 13:05:09"
+      one(engine, "strftime(TIMESTAMP '2024-02-29 13:05:09', 'T=%-H')"
+      ) shouldBe "T=13"
+      one(engine, "epoch_ms(TIMESTAMP '1970-01-01 00:00:01')") shouldBe 1000L
+      one(engine,
+        "strftime(epoch_ms(1000), '%Y-%m-%d %H:%M:%S')"
+      ) shouldBe "1970-01-01 00:00:01"
+      one(engine, "epoch(TIMESTAMP '1970-01-02 00:00:00')") shouldBe 86400L
+      one(engine, "strlen('héllo')") shouldBe 6 // BYTES, not chars
+      one(engine, "strpos('hello', 'll')") shouldBe 3
+    } finally engine.close()
+  }
+
+  test("struct_pack := syntax and the json arrow operators run through " +
+      "the dialect front door") {
+    val engine = new Engine(spark)
+    try {
+      one(engine, "struct_pack(a := 1, b := 'x').b") shouldBe "x"
+      one(engine, "struct_pack(o := struct_pack(i := 7)).o.i") shouldBe 7
+      // -> keeps JSON text (strings stay quoted), ->> unquotes
+      one(engine, """'{"k": "v"}' -> 'k'""") shouldBe "\"v\""
+      one(engine, """'{"k": "v"}' ->> 'k'""") shouldBe "v"
+      one(engine, """'{"a": {"b": [1, 2, 3]}}' -> 'a' ->> '$.b[2]'""") shouldBe "3"
+      one(engine, """'[10, 20]' ->> 1""") shouldBe "20"
+      one(engine, """'{"a": 1}' ->> 'missing'""")
+        .asInstanceOf[AnyRef] shouldBe null
+      one(engine, """json_extract('{"n": 1.5}', '$.n')""") shouldBe "1.5"
+      one(engine, """json_extract_string('{"o": {"x": 1}}', 'o')""") shouldBe
+        """{"x":1}"""
+      // lambda arrows inside higher-order calls are NOT json arrows
+      one(engine, "transform(array(1, 2), x -> x + 1)") shouldBe Seq(2, 3)
+      // DuckDB-spelled lambdas in the aliased HOF names too
+      one(engine, "list_transform(['a'], w -> upper(w))") shouldBe Seq("A")
+    } finally engine.close()
+  }
+
+  test("rewriteArrows/rewriteStructPack text forms: chains, literals, " +
+      "non-literal right sides pass through") {
+    import SqlScan.{rewriteArrows, rewriteStructPack}
+    rewriteArrows("SELECT j -> 'a' FROM t") shouldBe
+      "SELECT json_extract(j, 'a') FROM t"
+    rewriteArrows("SELECT j ->> '$.a[0]' FROM t") shouldBe
+      "SELECT json_extract_string(j, '$.a[0]') FROM t"
+    rewriteArrows("j -> 'a' ->> 'b'") shouldBe
+      "json_extract_string(json_extract(j, 'a'), 'b')"
+    rewriteArrows("f(x) -> 0") shouldBe "json_extract(f(x), 0)"
+    // lambda context: arrows at the direct argument level of a HOF stay
+    rewriteArrows("transform(l, x -> x + 1)") shouldBe
+      "transform(l, x -> x + 1)"
+    rewriteArrows("zip_with(a, b, (x, y) -> x + y)") shouldBe
+      "zip_with(a, b, (x, y) -> x + y)"
+    // a json arrow in a lambda body is forced by parenthesizing
+    rewriteArrows("transform(l, x -> (x ->> 'k'))") shouldBe
+      "transform(l, x -> (json_extract_string(x, 'k')))"
+    // non-literal right side: untouched (fails at parse, never misread)
+    rewriteArrows("a -> b") shouldBe "a -> b"
+    // quoted content is inert
+    rewriteArrows("SELECT '->' AS lit") shouldBe "SELECT '->' AS lit"
+    rewriteStructPack("struct_pack(a := 1, b := f(x))") shouldBe
+      "named_struct('a', 1, 'b', f(x))"
+    rewriteStructPack("struct_pack(o := struct_pack(i := 1))") shouldBe
+      "named_struct('o', named_struct('i', 1))"
+    rewriteStructPack("SELECT 'struct_pack(a := 1)' AS lit") shouldBe
+      "SELECT 'struct_pack(a := 1)' AS lit"
+    an[IllegalArgumentException] should be thrownBy
+      rewriteStructPack("struct_pack(1, 2)")
+  }
+
+  test("dialect tail: INSERT DEFAULT VALUES, row-form UPDATE SET, " +
+      "FROM-first CTAS (r12)") {
+    val engine = new Engine(spark)
+    try {
+      engine.sql("CREATE OR REPLACE TABLE tail_t AS SELECT 1 AS a, 'x' AS b")
+      // FROM-first CTAS spelling
+      engine.sql("CREATE OR REPLACE TABLE tail_c AS FROM tail_t")
+      engine.sql("SELECT * FROM tail_c").collect().length shouldBe 1
+      // DEFAULT VALUES: engine tables declare no DEFAULTs -> all NULL
+      engine.sql("INSERT INTO tail_t DEFAULT VALUES")
+        .collect().head.getLong(0) shouldBe 1L
+      engine.sql("SELECT count(*) AS n FROM tail_t WHERE a IS NULL " +
+        "AND b IS NULL").collect().head.getLong(0) shouldBe 1L
+      // row-form SET expands positionally; WHERE still applies
+      engine.sql("UPDATE tail_t SET (a, b) = (a + 10, 'y') WHERE a = 1")
+      engine.sql("SELECT a, b FROM tail_t WHERE a = 11")
+        .collect().head.getString(1) shouldBe "y"
+      // loud rejects: arity mismatch and row subquery
+      an[IllegalArgumentException] should be thrownBy
+        engine.sql("UPDATE tail_t SET (a, b) = (1) WHERE a = 11")
+      an[IllegalArgumentException] should be thrownBy
+        engine.sql(
+          "UPDATE tail_t SET (a, b) = (SELECT 1, 'z') WHERE a = 11")
+    } finally {
+      engine.sql("DROP TABLE tail_t")
+      engine.sql("DROP TABLE tail_c")
+      engine.close()
+    }
+  }
 }

@@ -56,6 +56,18 @@ def main(sf_dir, out_dir):
             if exotic:
                 print(f"FAIL {name}: oracle emits driver-unsafe types {exotic} "
                       f"- add explicit CASTs"); n_fail += 1; continue
+            # nested lint: the DRIVER's comparator sorts frames through
+            # pandas, which dies (unhashable ndarray/dict) on top-level
+            # LIST/STRUCT/MAP columns (r11 q130/q131) — this local gate
+            # normalizes nested values, so reproduce the driver's limit
+            # as an explicit failure instead of passing what it can't.
+            nested = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                      if str(t).endswith("[]")
+                      or str(t).startswith(("STRUCT", "MAP", "UNION"))]
+            if nested:
+                print(f"FAIL {name}: oracle emits nested output {nested} "
+                      f"- driver's pandas hasher cannot sort these; "
+                      f"project scalars"); n_fail += 1; continue
             exp = con.execute(sql)
             ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
         except Exception as e:
