@@ -128,9 +128,18 @@ object GraftFunctions {
     "union_extract" -> (exprs => org.apache.spark.sql.catalyst.analysis
       .UnresolvedExtractValue(exprs(0), exprs(1))))
 
+  // once-per-session guard: Engine's constructor registers on every
+  // construction (hundreds per suite run) and each replace logs a WARN —
+  // weak keys so a stopped session never pins
+  private val registeredSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotent registration of the engine's native functions on a
     * session, plus the DuckDB-name alias surface (DuckAliases). */
   def register(spark: SparkSession): Unit = {
+    if (registeredSessions.putIfAbsent(spark,
+        java.lang.Boolean.TRUE) != null) return
     val r = spark.sessionState.functionRegistry
     (builders ++ DuckAliases.builders).foreach { case (name, b) =>
       r.createOrReplaceTempFunction(name, b, "built-in")
