@@ -3473,8 +3473,9 @@ class Engine(val spark: SparkSession,
     // brackets so generated comprehension lambdas sit inside transform/
     // filter calls (the HOF-context skip)
     case _ => spark.sql(expandColumnsRegex(rewriteAsofJoin(
-      rewriteUsingSample(SqlScan.rewriteArrows(SqlScan.rewriteStructPack(
-        SqlScan.rewriteBraces(SqlScan.rewriteBrackets(rewriteSugar(q)))))))))
+      rewriteUsingSample(SqlScan.rewriteDateDiff(SqlScan.rewriteArrows(
+        SqlScan.rewriteStructPack(SqlScan.rewriteBraces(
+          SqlScan.rewriteBrackets(rewriteSugar(q))))))))))
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +

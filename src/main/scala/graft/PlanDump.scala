@@ -185,7 +185,8 @@ object PlanDump {
     "d40_simhash_cert" -> "d04's certificate twin: every operator past the signature count runs at |distinct sigs| rows — no join output carries doc_id, output is 2 rows at any sf",
     "q129_read_functions" -> "read_parquet table-function scans: glob expands in the distributed file index; aggregates keep map-side partials over the file scan",
     "q130_list_comprehension" -> "comprehensions lower to transform/filter lambdas inside whole-stage codegen — one map-only projection, only the presentation sort shuffles",
-    "q131_struct_literal" -> "struct literals lower to named_struct, constant keys fold; map-only projection, only the presentation sort shuffles")
+    "q131_struct_literal" -> "struct literals lower to named_struct, constant keys fold; map-only projection, only the presentation sort shuffles",
+    "q132_duckdb_names" -> "DuckDB-spelled names resolve to the SAME codegen'd natives (zero UDFs, zero BatchEvalPython): one map-only projection inside WholeStageCodegen, only the presentation sort shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

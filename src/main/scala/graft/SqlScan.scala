@@ -731,6 +731,36 @@ private[graft] object SqlScan {
     }
   }
 
+  /** DuckDB `date_diff('part', a, b)` / `datediff('part', a, b)`: Spark's
+    * PARSER special-cases these names (timestampdiff family — the unit
+    * must be an UNQUOTED identifier) before function resolution, so the
+    * alias builder never sees the quoted-part spelling. Rename exactly
+    * the quoted-first-arg form to graft_date_diff (registered in
+    * DuckAliases with DuckDB boundary semantics); the unquoted Spark
+    * forms pass through to the parser untouched. Quote/comment-aware via
+    * the masked view. */
+  def rewriteDateDiff(s: String): String = {
+    val lower = s.toLowerCase
+    if (!lower.contains("date_diff") && !lower.contains("datediff")) return s
+    val masked = maskOpaque(s)
+    val re = "(?i)\\b(date_diff|datediff)\\s*\\(\\s*'".r
+    val out = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(masked)) {
+      if (m.start == 0 || (masked.charAt(m.start - 1) != '.' &&
+          masked.charAt(m.start - 1) != '_')) {
+        out.append(s.substring(last, m.start)).append("graft_date_diff")
+        // keep everything from the '(' on (the match consumed up to the
+        // opening quote; re-emit from the paren)
+        val paren = s.indexOf('(', m.start)
+        out.append(s.substring(paren, m.end))
+        last = m.end
+      }
+    }
+    out.append(s.substring(last))
+    out.toString
+  }
+
   /** Higher-order functions whose direct arguments are lambdas: a `->` at
     * the immediate argument level of one of these calls is a LAMBDA and
     * must not be read as the DuckDB JSON arrow. (A json arrow inside a

@@ -157,6 +157,87 @@ object DuckAliases {
     fn("slice", a(0), a(1),
       fn("greatest", Literal(0), Add(Subtract(a(2), a(1)), Literal(1))))
 
+  /** DuckDB date_diff/datediff('part', start, end): the SIGNED number of
+    * PART BOUNDARIES crossed from start to end (date_diff('year',
+    * Dec 31, Jan 1) = 1 — boundary semantics, NOT Spark timestampdiff's
+    * full-elapsed-units), pinned against DuckDB 1.0. Calendar parts use
+    * field arithmetic; fixed-width parts count truncated-epoch steps.
+    * Millisecond/microsecond use truncating integer division (exact for
+    * post-1970 instants; pre-1970 sub-unit edges would round toward zero
+    * — documented). */
+  private def dateDiff(a: Seq[Expression]): Expression = {
+    val part = requireLitStr(a(0), "date_diff part").toLowerCase
+    val (s, e) = (a(1), a(2))
+    def years = Subtract(fn("year", e), fn("year", s))
+    def secsAt(width: Long, x: Expression) =
+      IntegralDivide(fn("unix_seconds", Cast(x, TimestampType)),
+        Literal(width))
+    val out: Expression = part match {
+      case "year" => years
+      case "quarter" =>
+        Add(Multiply(years, Literal(4)),
+          Subtract(fn("quarter", e), fn("quarter", s)))
+      case "month" =>
+        Add(Multiply(years, Literal(12)),
+          Subtract(fn("month", e), fn("month", s)))
+      case "week" => // ISO weeks start Monday in both engines
+        Subtract(secsAt(604800L, fn("date_trunc", Literal("week"), e)),
+          secsAt(604800L, fn("date_trunc", Literal("week"), s)))
+      case "day" => fn("datediff", Cast(e, DateType), Cast(s, DateType))
+      case "hour" => Subtract(secsAt(3600L, e), secsAt(3600L, s))
+      case "minute" => Subtract(secsAt(60L, e), secsAt(60L, s))
+      case "second" => Subtract(secsAt(1L, e), secsAt(1L, s))
+      case "millisecond" =>
+        Subtract(
+          IntegralDivide(fn("unix_micros", Cast(e, TimestampType)),
+            Literal(1000L)),
+          IntegralDivide(fn("unix_micros", Cast(s, TimestampType)),
+            Literal(1000L)))
+      case "microsecond" =>
+        Subtract(fn("unix_micros", Cast(e, TimestampType)),
+          fn("unix_micros", Cast(s, TimestampType)))
+      case other => throw new IllegalArgumentException(
+        s"date_diff('$other') is not supported (supported: year, quarter, " +
+          "month, week, day, hour, minute, second, millisecond, microsecond)")
+    }
+    Cast(out, LongType) // DuckDB returns BIGINT for every part
+  }
+
+  /** DuckDB time_bucket(INTERVAL, ts): floor-align ts to the bucket
+    * width. Supported for positive sub-day widths that divide a day —
+    * there DuckDB's 2000-01-01 origin and the Unix epoch align on every
+    * midnight, so epoch-floor arithmetic is exact. Wider/calendar
+    * buckets (weeks, months) reject loudly. */
+  private def timeBucket(a: Seq[Expression]): Expression = {
+    val micros = a(0) match {
+      case Literal(v: Long, _: DayTimeIntervalType) => v
+      // `INTERVAL '15 minutes'` parses as a CalendarInterval in Spark
+      case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval,
+          CalendarIntervalType) if ci.months == 0 && ci.days == 0 =>
+        ci.microseconds
+      case _ => throw new IllegalArgumentException(
+        "time_bucket expects a literal sub-day INTERVAL width")
+    }
+    require(micros > 0 && 86400000000L % micros == 0,
+      s"time_bucket width must be a positive divisor of one day " +
+        s"(got ${micros}us) — calendar-width buckets are not supported")
+    val l = Literal(micros)
+    fn("timestamp_micros",
+      Multiply(IntegralDivide(
+        fn("unix_micros", Cast(a(1), TimestampType)), l), l))
+  }
+
+  private def jsonOptions: Expression =
+    CreateMap(Seq(Literal("ignoreNullFields"), Literal("false")))
+
+  /** DuckDB json_object('k', v, ...) — field names must be foldable
+    * (named_struct's requirement); null values render as JSON null. */
+  private def jsonObject(a: Seq[Expression]): Expression = {
+    require(a.nonEmpty && a.length % 2 == 0,
+      "json_object expects key/value pairs")
+    fn("to_json", fn("named_struct", a: _*), jsonOptions)
+  }
+
   /** name -> builder for every DuckDB-spelled alias; registered alongside
     * GraftFunctions.builders on the engine session and via
     * GraftExtensions, so the REPL, API, thrift attach, and tests all see
@@ -229,8 +310,28 @@ object DuckAliases {
       Literal(cFormatToJava(requireLitStr(a(1), "strftime format"))))),
     "strptime" -> (a => fn("to_timestamp", a(0),
       Literal(cFormatToJava(requireLitStr(a(1), "strptime format"))))),
+    // the quoted-part DuckDB forms are renamed to this by
+    // SqlScan.rewriteDateDiff (Spark's parser owns the bare names)
+    "graft_date_diff" -> dateDiff,
+    "dayname" -> (a => fn("date_format", a(0), Literal("EEEE"))),
+    "monthname" -> (a => fn("date_format", a(0), Literal("MMMM"))),
+    "time_bucket" -> timeBucket,
+    // --- string extras ---------------------------------------------------
+    "printf" -> (a => fn("format_string", a: _*)), // both are C printf
+    "starts_with" -> (a => fn("startswith", a(0), a(1))),
+    "ends_with" -> (a => fn("endswith", a(0), a(1))),
+    "prefix" -> (a => fn("startswith", a(0), a(1))),
+    "suffix" -> (a => fn("endswith", a(0), a(1))),
     // --- struct / json ---------------------------------------------------
     "struct_extract" -> (a => UnresolvedExtractValue(a(0), a(1))),
+    "json_object" -> jsonObject,
+    // homogeneous element types only (Spark arrays are typed; a mixed
+    // DuckDB json_array coerces to strings here — documented divergence)
+    "json_array" -> (a => fn("to_json", CreateArray(a), jsonOptions)),
+    "json_valid" -> (a => JsonValid(a(0))),
+    "json_type" -> (a =>
+      JsonTypeOf(a(0), if (a.length > 1) a(1) else Literal("$"))),
+    "json_keys" -> (a => JsonKeys(a(0))),
     "json_extract" -> (a => JsonPathExtract(a(0), a(1), asText = false)),
     "json_extract_path" ->
       (a => JsonPathExtract(a(0), a(1), asText = false)),

@@ -46,7 +46,7 @@ case class JsonPathExtract(left: Expression, right: Expression,
       try mapper.readTree(json.toString)
       catch { case _: Exception => null }
     if (root == null) return null
-    val node = navigate(root, path.toString)
+    val node = navigateNode(root, path.toString)
     if (node == null || node.isMissingNode) return null
     if (asText) {
       if (node.isNull) null
@@ -55,7 +55,7 @@ case class JsonPathExtract(left: Expression, right: Expression,
     } else UTF8String.fromString(mapper.writeValueAsString(node))
   }
 
-  private def navigate(root: JsonNode, path: String): JsonNode = {
+  private[functions] def navigateNode(root: JsonNode, path: String): JsonNode = {
     require(!path.contains("*"),
       s"json path wildcards are not supported (got '$path' — DuckDB " +
         "returns a LIST there; extract a concrete index instead)")
@@ -100,4 +100,80 @@ case class JsonPathExtract(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** DuckDB `json_valid(j)` — true iff the text parses as JSON. NULL in,
+  * NULL out (pinned against DuckDB 1.0). */
+case class JsonValid(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_valid"
+  @transient private lazy val mapper = new ObjectMapper()
+  override protected def nullSafeEval(json: Any): Any =
+    try { mapper.readTree(json.toString); true }
+    catch { case _: Exception => false }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** DuckDB `json_type(j [, path])` — the JSON type NAME of the (navigated)
+  * node, DuckDB spellings pinned against 1.0: OBJECT, ARRAY, VARCHAR,
+  * BOOLEAN, DOUBLE, NULL, and integers split UBIGINT (>= 0) / BIGINT
+  * (negative). Missing path or unparsable input → SQL NULL (lenient,
+  * like the sibling extraction expressions). */
+case class JsonTypeOf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_type"
+  @transient private lazy val helper = JsonPathExtract(left, right, asText = true)
+  @transient private lazy val mapper = new ObjectMapper()
+  override protected def nullSafeEval(json: Any, path: Any): Any = {
+    val root = try mapper.readTree(json.toString)
+      catch { case _: Exception => null }
+    if (root == null) return null
+    val p = path.toString
+    val node = if (p == "$") root else helper.navigateNode(root, p)
+    if (node == null || node.isMissingNode) return null
+    UTF8String.fromString {
+      if (node.isObject) "OBJECT"
+      else if (node.isArray) "ARRAY"
+      else if (node.isTextual) "VARCHAR"
+      else if (node.isBoolean) "BOOLEAN"
+      else if (node.isIntegralNumber)
+        if (node.asLong() >= 0 || node.bigIntegerValue.signum >= 0) "UBIGINT"
+        else "BIGINT"
+      else if (node.isNumber) "DOUBLE"
+      else "NULL"
+    }
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DuckDB `json_keys(j)` — the object's key list in document order
+  * (Jackson preserves insertion order, matching DuckDB). Non-objects and
+  * unparsable input → SQL NULL. */
+case class JsonKeys(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_keys"
+  @transient private lazy val mapper = new ObjectMapper()
+  override protected def nullSafeEval(json: Any): Any = {
+    val root = try mapper.readTree(json.toString)
+      catch { case _: Exception => null }
+    if (root == null || !root.isObject) return null
+    val it = root.fieldNames()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    while (it.hasNext) buf += UTF8String.fromString(it.next())
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
 }

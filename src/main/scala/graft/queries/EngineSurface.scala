@@ -986,7 +986,47 @@ object EngineSurface {
     finally engine.close()
   }
 
+  /** q133: the DuckDB temporal + json function-name surface, second
+    * alias wave (round 12) — again the IDENTICAL text runs through both
+    * engines. Exercises date_diff/datediff boundary semantics (year/
+    * month/week/day/hour parts over real event timestamps), dayname/
+    * monthname, time_bucket floor alignment, printf, the `->>`
+    * arrow + CAST, json_type (bare and pathed), json_valid,
+    * json_object, and starts_with — all mapped onto codegen'd Spark
+    * natives or the Jackson-exact Json* expressions
+    * (functions/DuckAliases, functions/JsonPathExtract). */
+  private val q133Text =
+    """SELECT user_id,
+      |  CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS span_days,
+      |  CAST(date_diff('hour', min(ts), max(ts)) AS BIGINT) AS span_hours,
+      |  CAST(date_diff('month', min(ts), max(ts)) AS BIGINT) AS span_months,
+      |  CAST(datediff('week', min(ts), max(ts)) AS BIGINT) AS span_weeks,
+      |  dayname(min(ts)) AS first_day,
+      |  monthname(max(ts)) AS last_month,
+      |  CAST(count(DISTINCT time_bucket(INTERVAL '15 minutes', ts))
+      |    AS BIGINT) AS buckets_15m,
+      |  printf('%s:%d', 'u', user_id) AS tag,
+      |  CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k,
+      |  json_type(max(props)) AS ptype,
+      |  json_type(max(props), 'k') AS ktype,
+      |  CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_valid,
+      |  max(json_object('u', user_id)) AS jobj,
+      |  CAST(sum(CASE WHEN starts_with(event_type, 'cl') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_cl
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(q133Text.replace("FROM events",
+      s"FROM '$dir/events.parquet'"))
+    finally engine.close()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_duckdb_temporal" -> (q133 _),
     "q132_duckdb_names" -> (q132 _),
     "q131_struct_literal" -> (q131 _),
     "q130_list_comprehension" -> (q130 _),
@@ -1017,6 +1057,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q133_duckdb_temporal" -> q133Text,
     "q132_duckdb_names" -> q132Text,
     "q131_struct_literal" -> q131Sql,
     "q130_list_comprehension" -> q130Sql,

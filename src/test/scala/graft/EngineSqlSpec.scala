@@ -1080,6 +1080,75 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       rewriteStructPack("struct_pack(1, 2)")
   }
 
+  test("DuckDB temporal + json names: date_diff boundary semantics, " +
+      "time_bucket, dayname, printf, json_object/type/valid/keys") {
+    val engine = new Engine(spark)
+    try {
+      // BOUNDARY semantics (DuckDB): every pair below crosses exactly one
+      // part boundary although the elapsed time is under one unit
+      one(engine,
+        "date_diff('year', DATE '2024-12-31', DATE '2025-01-01')") shouldBe 1L
+      one(engine,
+        "date_diff('month', DATE '2024-01-31', DATE '2024-02-01')") shouldBe 1L
+      one(engine, // 2024-01-07 is a Sunday, 01-08 the next ISO Monday
+        "date_diff('week', DATE '2024-01-07', DATE '2024-01-08')") shouldBe 1L
+      one(engine, "date_diff('day', TIMESTAMP '2024-01-01 23:59:59', " +
+        "TIMESTAMP '2024-01-02 00:00:01')") shouldBe 1L
+      one(engine, "datediff('hour', TIMESTAMP '2024-01-01 00:59:59', " +
+        "TIMESTAMP '2024-01-01 01:00:01')") shouldBe 1L
+      one(engine, "date_diff('second', TIMESTAMP '2024-01-01 00:00:00.9'," +
+        " TIMESTAMP '2024-01-01 00:00:01.1')") shouldBe 1L
+      // signed: reversed order is negative (calendar arithmetic)
+      one(engine, "date_diff('month', DATE '2025-03-01', " +
+        "DATE '2024-01-15')") shouldBe -14L
+      // Spark's own 2-arg datediff stays intact (parser-owned)
+      one(engine,
+        "datediff(DATE '2024-01-03', DATE '2024-01-01')") shouldBe 2
+      // quarter part + unsupported part rejects loudly
+      one(engine, "date_diff('quarter', DATE '2024-01-15', " +
+        "DATE '2024-10-01')") shouldBe 3L
+      an[Exception] should be thrownBy
+        one(engine, "date_diff('decade', DATE '2000-01-01', DATE '2024-01-01')")
+      one(engine, "dayname(DATE '2024-01-01')") shouldBe "Monday"
+      one(engine, "monthname(DATE '2024-02-10')") shouldBe "February"
+      one(engine, "CAST(time_bucket(INTERVAL '15 minutes', " +
+        "TIMESTAMP '2024-01-01 00:37:11') AS STRING)") shouldBe
+        "2024-01-01 00:30:00"
+      an[Exception] should be thrownBy // calendar widths reject
+        one(engine, "time_bucket(INTERVAL '2 days', TIMESTAMP '2024-01-01 00:00:00')")
+      one(engine, "printf('%s=%d', 'x', 42)") shouldBe "x=42"
+      one(engine, "starts_with('hello', 'he')") shouldBe true
+      one(engine, "ends_with('hello', 'lo')") shouldBe true
+      one(engine, """json_object('a', 1, 'b', 'two')""") shouldBe
+        """{"a":1,"b":"two"}"""
+      one(engine, "json_array(1, 2)") shouldBe "[1,2]"
+      one(engine, """json_valid('{"a":1}')""") shouldBe true
+      one(engine, "json_valid('nope')") shouldBe false
+      one(engine, """json_type('{"a":1}')""") shouldBe "OBJECT"
+      one(engine, """json_type('{"a":1}', 'a')""") shouldBe "UBIGINT"
+      one(engine, """json_type('{"a":-1}', 'a')""") shouldBe "BIGINT"
+      one(engine, "json_type('[1]')") shouldBe "ARRAY"
+      one(engine, "json_type('1.5')") shouldBe "DOUBLE"
+      one(engine, """json_keys('{"b":1,"a":2}')""") shouldBe Seq("b", "a")
+    } finally engine.close()
+  }
+
+  test("rewriteDateDiff renames only the quoted-part form") {
+    import SqlScan.rewriteDateDiff
+    rewriteDateDiff("SELECT date_diff('day', a, b)") shouldBe
+      "SELECT graft_date_diff('day', a, b)"
+    rewriteDateDiff("SELECT datediff('hour', a, b)") shouldBe
+      "SELECT graft_date_diff('hour', a, b)"
+    // unquoted Spark unit form stays parser-owned
+    rewriteDateDiff("SELECT date_diff(DAY, a, b)") shouldBe
+      "SELECT date_diff(DAY, a, b)"
+    rewriteDateDiff("SELECT datediff(a, b)") shouldBe
+      "SELECT datediff(a, b)"
+    // quoted occurrences inside string literals are inert
+    rewriteDateDiff("SELECT 'date_diff(''day'', x, y)'") shouldBe
+      "SELECT 'date_diff(''day'', x, y)'"
+  }
+
   test("dialect tail: INSERT DEFAULT VALUES, row-form UPDATE SET, " +
       "FROM-first CTAS (r12)") {
     val engine = new Engine(spark)
