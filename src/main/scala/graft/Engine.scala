@@ -77,6 +77,15 @@ class Engine(val spark: SparkSession,
   // replacement, so extension-built sessions are unaffected
   graft.functions.GraftFunctions.register(spark)
 
+  // NOTE on string literals: DuckDB (and the SQL standard) treat
+  // single-quoted literals as RAW — '\d' is backslash-d — where Spark's
+  // default parser processes C escapes ('\d' -> 'd'). The dialect aligns
+  // by DOUBLING backslashes inside single-quoted literals right before
+  // the final parse (SqlScan.rewriteRawBackslashes in the default query
+  // chain) rather than via spark.sql.parser.escapedStringLiterals, which
+  // would break standard '' quote doubling (it switches the lexer to
+  // Hive-style \' escaping — rejected r12).
+
   private var tables: Map[String, DataFrame] = Map.empty
   private var specs: Seq[TopicSpec] = Nil
 
@@ -1088,10 +1097,15 @@ class Engine(val spark: SparkSession,
     import org.apache.spark.sql.types._
     if (v == null) "NULL" else dt match {
       case StringType =>
-        // backslashes escape too: Spark's single-quoted literals process
-        // escape sequences, so a verbatim path like 'C:\new' would
-        // corrupt on reparse
-        "'" + v.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        // standard '' quote doubling (every SqlScan scanner and Spark's
+        // default lexer understand it); backslashes splice RAW — the
+        // dialect's raw-literal rule (SqlScan.rewriteRawBackslashes at
+        // the default chain's parse leaf) doubles them exactly once, so
+        // a verbatim path like 'C:\new' round-trips. (A backslash-
+        // bearing variable spliced into a DML source text — a path
+        // without the leaf rewrite — would still see Spark's escape
+        // processing; edge documented.)
+        "'" + v.toString.replace("'", "''") + "'"
       case BooleanType => if (v.asInstanceOf[Boolean]) "TRUE" else "FALSE"
       case ByteType | ShortType | IntegerType | LongType =>
         s"CAST($v AS BIGINT)"
@@ -3472,10 +3486,16 @@ class Engine(val spark: SparkSession,
     // json `->`/`->>` scan never sees a raw struct literal, and after
     // brackets so generated comprehension lambdas sit inside transform/
     // filter calls (the HOF-context skip)
-    case _ => spark.sql(expandColumnsRegex(rewriteAsofJoin(
-      rewriteUsingSample(SqlScan.rewriteDateDiff(SqlScan.rewriteArrows(
-        SqlScan.rewriteStructPack(SqlScan.rewriteBraces(
-          SqlScan.rewriteBrackets(rewriteSugar(q))))))))))
+    // raw-backslash doubling is OUTERMOST (last text transform before the
+    // parse) — the other rewriters' quote scanners carry literal content
+    // through verbatim, so doubling once at the leaf is safe and never
+    // re-applied to stored statement bodies
+    case _ => spark.sql(SqlScan.rewriteRawBackslashes(
+      expandColumnsRegex(rewriteAsofJoin(
+        rewriteUsingSample(SqlScan.rewriteRegexpReplace(
+          SqlScan.rewriteDateDiff(SqlScan.rewriteArrows(
+            SqlScan.rewriteStructPack(SqlScan.rewriteBraces(
+              SqlScan.rewriteBrackets(rewriteSugar(q))))))))))))
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +

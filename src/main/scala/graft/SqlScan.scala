@@ -731,6 +731,43 @@ private[graft] object SqlScan {
     }
   }
 
+  /** DuckDB/standard-SQL single-quoted literals are RAW ('\d' is
+    * backslash-d); Spark's default parser processes C escapes and would
+    * silently turn the regex '\d' into 'd'. Double every backslash
+    * inside single-quoted literals so Spark's escape processing undoes
+    * the doubling — raw semantics with standard '' quote doubling fully
+    * intact (the escapedStringLiterals conf would break '' — it switches
+    * the lexer to Hive \' escaping). Applied ONCE at the final parse
+    * leaf of the default query chain (never on stored statement bodies,
+    * so EXECUTE/macro/view re-entries cannot double-double). Backquoted
+    * identifiers, comments, and dollar quotes are untouched; NOT
+    * idempotent by design — call sites must parse the result, not feed
+    * it back through. */
+  def rewriteRawBackslashes(s: String): String = {
+    if (!s.contains('\\')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ce = opaqueEnd(s, i)
+      if (ce >= 0) { sb.append(s.substring(i, ce)); i = ce }
+      else if (c == '\'') {
+        sb.append(c); i += 1
+        while (i < s.length && s.charAt(i) != '\'') {
+          if (s.charAt(i) == '\\') sb.append("\\\\") else sb.append(s.charAt(i))
+          i += 1
+        }
+        if (i < s.length) { sb.append('\''); i += 1 }
+      } else if (c == '"' || c == '`') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != c) j += 1
+        sb.append(s.substring(i, math.min(j + 1, s.length)))
+        i = j + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** DuckDB `date_diff('part', a, b)` / `datediff('part', a, b)`: Spark's
     * PARSER special-cases these names (timestampdiff family — the unit
     * must be an UNQUOTED identifier) before function resolution, so the
@@ -752,6 +789,33 @@ private[graft] object SqlScan {
         out.append(s.substring(last, m.start)).append("graft_date_diff")
         // keep everything from the '(' on (the match consumed up to the
         // opening quote; re-emit from the paren)
+        val paren = s.indexOf('(', m.start)
+        out.append(s.substring(paren, m.end))
+        last = m.end
+      }
+    }
+    out.append(s.substring(last))
+    out.toString
+  }
+
+  /** DuckDB `regexp_replace` (FIRST-match default, 'g' option, `\N`
+    * backrefs) differs from Spark's always-all/$N builtin. The SQL-text
+    * name is renamed to graft_regexp_replace (DuckAliases registers the
+    * DuckDB-exact expression there); overriding the builtin name in the
+    * registry is NOT an option — Spark 4's DataFrame-API
+    * functions.regexp_replace resolves through the registry by name and
+    * would be hijacked too. Quote/comment-aware; qualified names left
+    * alone. */
+  def rewriteRegexpReplace(s: String): String = {
+    if (!s.toLowerCase.contains("regexp_replace")) return s
+    val masked = maskOpaque(s)
+    val re = "(?i)\\bregexp_replace\\s*\\(".r
+    val out = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(masked)) {
+      if (m.start == 0 || (masked.charAt(m.start - 1) != '.' &&
+          masked.charAt(m.start - 1) != '_')) {
+        out.append(s.substring(last, m.start)).append("graft_regexp_replace")
         val paren = s.indexOf('(', m.start)
         out.append(s.substring(paren, m.end))
         last = m.end

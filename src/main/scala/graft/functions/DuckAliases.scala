@@ -227,6 +227,42 @@ object DuckAliases {
         fn("unix_micros", Cast(a(1), TimestampType)), l), l))
   }
 
+  /** DuckDB list_sort(l [, 'ASC'|'DESC' [, 'NULLS FIRST'|'NULLS LAST']]).
+    * Defaults ASC + NULLS LAST (DuckDB default null_order). The four
+    * combinations map onto array_sort / sort_array / reverse. */
+  private def listSort(a: Seq[Expression]): Expression = {
+    val dir = if (a.length > 1)
+      requireLitStr(a(1), "list_sort direction").trim.toUpperCase else "ASC"
+    val nulls = if (a.length > 2)
+      requireLitStr(a(2), "list_sort null order").trim.toUpperCase
+      else if (dir == "DESC") "NULLS LAST" else "NULLS LAST"
+    (dir, nulls) match {
+      case ("ASC", "NULLS LAST") => fn("array_sort", a(0))
+      case ("ASC", "NULLS FIRST") => SortArray(a(0), Literal(true))
+      case ("DESC", "NULLS LAST") => SortArray(a(0), Literal(false))
+      case ("DESC", "NULLS FIRST") =>
+        fn("reverse", fn("array_sort", a(0)))
+      case other => throw new IllegalArgumentException(
+        s"list_sort: unsupported order $other (ASC|DESC, NULLS FIRST|LAST)")
+    }
+  }
+
+  /** DuckDB list_reduce(l, (acc, x) -> ...): no initial value — the first
+    * element seeds the fold over the rest. An EMPTY list yields NULL here
+    * (element_at semantics) where DuckDB raises — documented lenience. */
+  private def listReduce(a: Seq[Expression]): Expression = {
+    val l = a(0)
+    val id = org.apache.spark.sql.catalyst.expressions
+      .UnresolvedNamedLambdaVariable(Seq("graft_reduce_acc"))
+    ArrayAggregate(
+      fn("slice", l, Literal(2),
+        fn("greatest", Literal(0),
+          Subtract(Size(l, legacySizeOfNull = false), Literal(1)))),
+      fn("element_at", l, Literal(1)),
+      a(1),
+      LambdaFunction(id, Seq(id)))
+  }
+
   private def jsonOptions: Expression =
     CreateMap(Seq(Literal("ignoreNullFields"), Literal("false")))
 
@@ -273,12 +309,20 @@ object DuckAliases {
     "list_distinct" -> (a => ArrayDistinct(ArrayCompact(a(0)))),
     "list_unique" -> (a =>
       Size(ArrayDistinct(ArrayCompact(a(0))), legacySizeOfNull = false)),
-    "list_sort" -> (a => fn("sort_array", a(0))), // ASC NULLS FIRST, both
+    // DuckDB default null_order is NULLS LAST (pinned vs 1.0:
+    // list_sort([3,1,NULL,2]) = [1,2,3,NULL]) — Spark array_sort matches;
+    // sort_array would put NULLs first
+    "list_sort" -> listSort,
+    "list_reverse_sort" -> (a => SortArray(a(0), Literal(false))),
     "list_concat" -> (a => fn("concat", a: _*)),
     "list_cat" -> (a => fn("concat", a: _*)),
     "array_cat" -> (a => fn("concat", a: _*)),
     "list_slice" -> listSlice,
     "array_slice" -> listSlice,
+    "list_reduce" -> listReduce,
+    "array_reduce" -> listReduce,
+    "unnest" -> (a => fn("explode", a(0))), // select-list flatten, 1 level
+    "array_agg" -> (a => fn("collect_list", a(0))),
     // 1-based extract, like Spark element_at
     "list_extract" -> (a => fn("element_at", a(0), a(1))),
     "list_element" -> (a => fn("element_at", a(0), a(1))),
@@ -300,6 +344,15 @@ object DuckAliases {
     "str_split_regex" -> (a => fn("split", a(0), a(1))),
     "regexp_split_to_array" -> (a => fn("split", a(0), a(1))),
     "regexp_matches" -> (a => RLike(a(0), a(1))), // partial match, both
+    // DuckDB replaces the FIRST match by default ('g' = all) and uses
+    // \N backrefs — a dedicated expression. Registered under a graft_
+    // name and renamed from SQL text by SqlScan.rewriteRegexpReplace:
+    // overriding the BUILTIN name would hijack the DataFrame API too
+    // (Spark 4's functions.regexp_replace resolves through the registry
+    // by name — observed breaking x17/x50/x54 before this split)
+    "graft_regexp_replace" -> (a => RegexpReplaceDuck(a(0), a(1), a(2),
+      if (a.length > 3) requireLitStr(a(3), "regexp_replace options")
+      else "")),
     "strpos" -> (a => StringInstr(a(0), a(1))),
     "strlen" -> (a => OctetLength(a(0))), // DuckDB strlen = BYTES
     "ucase" -> (a => fn("upper", a(0))),

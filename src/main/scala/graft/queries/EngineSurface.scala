@@ -1025,7 +1025,36 @@ object EngineSurface {
     finally engine.close()
   }
 
+  /** q134: third DuckDB-name wave — regexp_replace FIRST-match default +
+    * 'g'/'i' options (\N backrefs via functions/RegexpReplaceDuck),
+    * list_sort's NULLS-LAST default, list_reduce seeded folds, unnest in
+    * a select list, array_agg — identical text through both engines. */
+  private val q134Text =
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  array_to_string(list_sort(list_distinct(array_agg(source))), '|')
+      |    AS sources,
+      |  min(regexp_replace(text, '[aeiou]', '*')) AS first_star,
+      |  min(regexp_replace(text, '[aeiou]', '*', 'g')) AS all_star,
+      |  min(regexp_replace(source, 'SRC', '#', 'i')) AS ci_star,
+      |  min(regexp_replace(source, '\d+', '#')) AS digit_star,
+      |  min(regexp_replace(source, '([a-z])(\d)', '\2\1')) AS backref,
+      |  min(list_reduce(string_split(substr(text, 1, 40), ' '),
+      |    (a, b) -> a || '>' || b)) AS folded,
+      |  (SELECT CAST(sum(u) AS BIGINT)
+      |   FROM (SELECT unnest([1, 2, 3, 4]) AS u) t) AS unnest_sum
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(q134Text.replace("FROM documents",
+      s"FROM '$dir/documents.parquet'"))
+    finally engine.close()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_duckdb_regex" -> (q134 _),
     "q133_duckdb_temporal" -> (q133 _),
     "q132_duckdb_names" -> (q132 _),
     "q131_struct_literal" -> (q131 _),
@@ -1057,6 +1086,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q134_duckdb_regex" -> q134Text,
     "q133_duckdb_temporal" -> q133Text,
     "q132_duckdb_names" -> q132Text,
     "q131_struct_literal" -> q131Sql,

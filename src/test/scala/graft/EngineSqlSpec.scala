@@ -1133,6 +1133,68 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     } finally engine.close()
   }
 
+  test("DuckDB regexp_replace first-match default, list_sort NULLS LAST " +
+      "default, list_reduce, unnest, array_agg (wave 3)") {
+    val engine = new Engine(spark)
+    try {
+      // FIRST match by default; 'g' = all; 'i' case-insensitive; \N refs
+      one(engine, "regexp_replace('aaa', 'a', 'b')") shouldBe "baa"
+      one(engine, "regexp_replace('aaa', 'a', 'b', 'g')") shouldBe "bbb"
+      one(engine, "regexp_replace('srcX', 'SRC', '#', 'i')") shouldBe "#X"
+      one(engine,
+        """regexp_replace('ab12cd', '([a-z])(\d)', '\2\1')""") shouldBe
+        "a1b2cd"
+      one(engine, "regexp_replace('a$b', 'x', 'y')") shouldBe "a$b"
+      one(engine, "regexp_replace('ab', 'b', 'c$')") shouldBe "ac$"
+      an[Exception] should be thrownBy
+        one(engine, "regexp_replace('a', 'a', 'b', 'z')")
+      // NULLS LAST default (DuckDB 1.0 null_order), explicit variants
+      one(engine, "list_sort([3, 1, NULL, 2])") shouldBe Seq(1, 2, 3, null)
+      one(engine, "list_sort([3, 1, NULL, 2], 'DESC')") shouldBe
+        Seq(3, 2, 1, null)
+      one(engine,
+        "list_sort([3, 1, NULL, 2], 'ASC', 'NULLS FIRST')") shouldBe
+        Seq(null, 1, 2, 3)
+      one(engine,
+        "list_sort([3, 1, NULL, 2], 'DESC', 'NULLS FIRST')") shouldBe
+        Seq(null, 3, 2, 1)
+      one(engine, "list_reverse_sort([3, 1, NULL, 2])") shouldBe
+        Seq(3, 2, 1, null)
+      // seeded fold: first element is the init, empty -> NULL (lenient)
+      one(engine,
+        "list_reduce(['x', 'y', 'z'], (a, b) -> a || '>' || b)") shouldBe
+        "x>y>z"
+      one(engine, "list_reduce([7], (a, b) -> a + b)") shouldBe 7
+      one(engine, "list_reduce([1, 2, 3, 4], (a, b) -> a + b)") shouldBe 10
+      // unnest flattens one level in a select list (explode)
+      engine.sql("SELECT unnest([10, 20, 30]) AS u").collect()
+        .map(_.getInt(0)).toSeq shouldBe Seq(10, 20, 30)
+      // array_agg == collect_list
+      engine.sql("SELECT array_to_string(list_sort(array_agg(c)), ',') " +
+        "AS s FROM (SELECT 'b' AS c UNION ALL SELECT 'a') t")
+        .collect().head.getString(0) shouldBe "a,b"
+    } finally engine.close()
+  }
+
+  test("rewriteRawBackslashes: raw literal semantics with '' doubling " +
+      "intact; identifiers/comments untouched") {
+    import SqlScan.rewriteRawBackslashes
+    rewriteRawBackslashes("""SELECT '\d+'""") shouldBe """SELECT '\\d+'"""
+    rewriteRawBackslashes("""SELECT '\\d'""") shouldBe """SELECT '\\\\d'"""
+    // '' doubling passes through (each segment scanned independently)
+    rewriteRawBackslashes("""SELECT 'it''s \a'""") shouldBe
+      """SELECT 'it''s \\a'"""
+    rewriteRawBackslashes("SELECT `a\\b`") shouldBe "SELECT `a\\b`"
+    rewriteRawBackslashes("SELECT 1 -- \\d comment") shouldBe
+      "SELECT 1 -- \\d comment"
+    // engine e2e: a DuckDB-pasted regex with \d means backslash-d
+    val engine = new Engine(spark)
+    try {
+      one(engine, """regexp_replace('src10', '\d+', '#')""") shouldBe "src#"
+      one(engine, """'a1b' LIKE '%1%' AND 'a1b' RLIKE '\d'""") shouldBe true
+    } finally engine.close()
+  }
+
   test("rewriteDateDiff renames only the quoted-part form") {
     import SqlScan.rewriteDateDiff
     rewriteDateDiff("SELECT date_diff('day', a, b)") shouldBe
