@@ -186,7 +186,9 @@ object PlanDump {
     "q129_read_functions" -> "read_parquet table-function scans: glob expands in the distributed file index; aggregates keep map-side partials over the file scan",
     "q130_list_comprehension" -> "comprehensions lower to transform/filter lambdas inside whole-stage codegen — one map-only projection, only the presentation sort shuffles",
     "q131_struct_literal" -> "struct literals lower to named_struct, constant keys fold; map-only projection, only the presentation sort shuffles",
-    "q132_duckdb_names" -> "DuckDB-spelled names resolve to the SAME codegen'd natives (zero UDFs, zero BatchEvalPython): one map-only projection inside WholeStageCodegen, only the presentation sort shuffles")
+    "q132_duckdb_names" -> "DuckDB-spelled names resolve to the SAME codegen'd natives (zero UDFs, zero BatchEvalPython): one map-only projection inside WholeStageCodegen, only the presentation sort shuffles",
+    "q133_duckdb_temporal" -> "date_diff boundary arithmetic + time_bucket fold to codegen'd date/epoch natives; strftime/epoch_ms over literals CONSTANT-FOLD at analysis; one hash aggregation with map-side partials over the events scan",
+    "q134_duckdb_regex" -> "DuckDB-exact regexp_replace (CodegenFallback leaf) rides a plain projection under the lang aggregation; the constant unnest subquery collapses to a literal; only the 5-group aggregate shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
