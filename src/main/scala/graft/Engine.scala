@@ -681,7 +681,7 @@ class Engine(val spark: SparkSession,
     * expansion itself happens in Spark's file index, executor-side at
     * scale — the driver never lists the tree here). */
   private def tableFnView(fmt: String, paths: Seq[String]): String = {
-    val key = s"fn:$fmt:${paths.mkString(" ")}"
+    val key = s"fn:$fmt:${paths.mkString("\u0001")}"
     def globBase(p: String): java.io.File = {
       val cut = p.indexWhere(c => c == '*' || c == '?' || c == '[')
       val base = if (cut < 0) p else p.substring(0, cut)

@@ -833,7 +833,8 @@ private[graft] object SqlScan {
     "transform", "filter", "aggregate", "reduce", "exists", "forall",
     "zip_with", "map_zip_with", "map_filter", "transform_keys",
     "transform_values", "array_sort",
-    "list_transform", "array_transform", "list_filter", "array_filter")
+    "list_transform", "array_transform", "list_filter", "array_filter",
+    "list_reduce", "array_reduce")
 
   /** DuckDB JSON arrow operators → function calls, at the dialect front
     * door (docs.duckdb.org/data/json/json_functions):

@@ -157,21 +157,27 @@ object DuckAliases {
     fn("slice", a(0), a(1),
       fn("greatest", Literal(0), Add(Subtract(a(2), a(1)), Literal(1))))
 
+  /** Exact integer FLOOR division by a positive literal width:
+    * `(x - pmod(x, w)) div w`. IntegralDivide alone truncates toward
+    * zero, which mis-buckets negative (pre-1970) epoch values; pmod is
+    * always non-negative so the numerator is the floored multiple. */
+  private def floorDiv(x: Expression, w: Long): Expression =
+    IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
+
   /** DuckDB date_diff/datediff('part', start, end): the SIGNED number of
     * PART BOUNDARIES crossed from start to end (date_diff('year',
     * Dec 31, Jan 1) = 1 — boundary semantics, NOT Spark timestampdiff's
     * full-elapsed-units), pinned against DuckDB 1.0. Calendar parts use
-    * field arithmetic; fixed-width parts count truncated-epoch steps.
-    * Millisecond/microsecond use truncating integer division (exact for
-    * post-1970 instants; pre-1970 sub-unit edges would round toward zero
-    * — documented). */
+    * field arithmetic; fixed-width parts count FLOORED-epoch steps
+    * (floor division, not truncation, so pre-1970 instants land in the
+    * right boundary bucket — epoch seconds are negative there and
+    * round-toward-zero would over-count by one). */
   private def dateDiff(a: Seq[Expression]): Expression = {
     val part = requireLitStr(a(0), "date_diff part").toLowerCase
     val (s, e) = (a(1), a(2))
     def years = Subtract(fn("year", e), fn("year", s))
     def secsAt(width: Long, x: Expression) =
-      IntegralDivide(fn("unix_seconds", Cast(x, TimestampType)),
-        Literal(width))
+      floorDiv(fn("unix_seconds", Cast(x, TimestampType)), width)
     val out: Expression = part match {
       case "year" => years
       case "quarter" =>
@@ -189,10 +195,8 @@ object DuckAliases {
       case "second" => Subtract(secsAt(1L, e), secsAt(1L, s))
       case "millisecond" =>
         Subtract(
-          IntegralDivide(fn("unix_micros", Cast(e, TimestampType)),
-            Literal(1000L)),
-          IntegralDivide(fn("unix_micros", Cast(s, TimestampType)),
-            Literal(1000L)))
+          floorDiv(fn("unix_micros", Cast(e, TimestampType)), 1000L),
+          floorDiv(fn("unix_micros", Cast(s, TimestampType)), 1000L))
       case "microsecond" =>
         Subtract(fn("unix_micros", Cast(e, TimestampType)),
           fn("unix_micros", Cast(s, TimestampType)))
@@ -221,10 +225,9 @@ object DuckAliases {
     require(micros > 0 && 86400000000L % micros == 0,
       s"time_bucket width must be a positive divisor of one day " +
         s"(got ${micros}us) — calendar-width buckets are not supported")
-    val l = Literal(micros)
     fn("timestamp_micros",
-      Multiply(IntegralDivide(
-        fn("unix_micros", Cast(a(1), TimestampType)), l), l))
+      Multiply(floorDiv(fn("unix_micros", Cast(a(1), TimestampType)),
+        micros), Literal(micros)))
   }
 
   /** DuckDB list_sort(l [, 'ASC'|'DESC' [, 'NULLS FIRST'|'NULLS LAST']]).
@@ -261,6 +264,47 @@ object DuckAliases {
       fn("element_at", l, Literal(1)),
       a(1),
       LambdaFunction(id, Seq(id)))
+  }
+
+  /** DuckDB array_agg/list keep NULL input elements where Spark's
+    * collect_list silently drops them: collect `struct(v)` (non-NULL for
+    * every input row) and transform-unwrap, so a NULL element comes back
+    * as a NULL list slot exactly like the oracle. */
+  private def nullSafeArrayAgg(a: Seq[Expression]): Expression = {
+    val v = UnresolvedNamedLambdaVariable(Seq("graft_aa"))
+    ArrayTransform(
+      fn("collect_list", CreateNamedStruct(Seq(Literal("v"), a(0)))),
+      LambdaFunction(UnresolvedExtractValue(v, Literal("v")), Seq(v)))
+  }
+
+  /** DuckDB regexp_matches(s, pattern [, options]): options translate to
+    * Java inline flags prefixed onto the pattern — 'i' case-insensitive,
+    * 's' dot-matches-newline (DuckDB's default; RE2 option name), 'm'/'n'
+    * newline-sensitive multiline, 'c' case-sensitive (the default, a
+    * no-op), 'l' literal (regex-quote the pattern). Unknown option chars
+    * fail loudly rather than silently ignoring the flag. */
+  private def regexpMatches(a: Seq[Expression]): Expression = {
+    if (a.length <= 2) RLike(a(0), a(1))
+    else {
+      val opts = requireLitStr(a(2), "regexp_matches options")
+      var literalMode = false
+      val flags = opts.distinct.flatMap {
+        case 'i' => "i"
+        case 's' => "s"
+        case 'm' | 'n' | 'p' => "m"
+        case 'c' => ""
+        case 'l' => literalMode = true; ""
+        case 'g' => "" // 'g' is meaningful for replace, a no-op for match
+        case other => throw new IllegalArgumentException(
+          s"regexp_matches option '$other' is not supported " +
+            "(supported: i, c, s, m, n, p, l, g)")
+      }
+      val pat0 = if (literalMode)
+        fn("concat", Literal("\\Q"), a(1), Literal("\\E")) else a(1)
+      val pat = if (flags.isEmpty) pat0
+        else fn("concat", Literal(s"(?$flags)"), pat0)
+      RLike(a(0), pat)
+    }
   }
 
   private def jsonOptions: Expression =
@@ -322,7 +366,11 @@ object DuckAliases {
     "list_reduce" -> listReduce,
     "array_reduce" -> listReduce,
     "unnest" -> (a => fn("explode", a(0))), // select-list flatten, 1 level
-    "array_agg" -> (a => fn("collect_list", a(0))),
+    // DuckDB array_agg/list KEEP NULL input elements; Spark collect_list
+    // drops them — wrap each value in a struct (never NULL at the top)
+    // and unwrap after collection so NULLs survive the aggregation
+    "array_agg" -> nullSafeArrayAgg,
+    "list" -> nullSafeArrayAgg,
     // 1-based extract, like Spark element_at
     "list_extract" -> (a => fn("element_at", a(0), a(1))),
     "list_element" -> (a => fn("element_at", a(0), a(1))),
@@ -343,7 +391,7 @@ object DuckAliases {
     "string_split_regex" -> (a => fn("split", a(0), a(1))),
     "str_split_regex" -> (a => fn("split", a(0), a(1))),
     "regexp_split_to_array" -> (a => fn("split", a(0), a(1))),
-    "regexp_matches" -> (a => RLike(a(0), a(1))), // partial match, both
+    "regexp_matches" -> regexpMatches, // partial match, both engines
     // DuckDB replaces the FIRST match by default ('g' = all) and uses
     // \N backrefs — a dedicated expression. Registered under a graft_
     // name and renamed from SQL text by SqlScan.rewriteRegexpReplace:
@@ -357,7 +405,10 @@ object DuckAliases {
     "strlen" -> (a => OctetLength(a(0))), // DuckDB strlen = BYTES
     "ucase" -> (a => fn("upper", a(0))),
     "lcase" -> (a => fn("lower", a(0))),
-    "group_concat" -> (a => fn("string_agg", a: _*)),
+    // 1-arg DuckDB group_concat/string_agg defaults the separator to ','
+    // (Spark's string_agg default is '' — must be passed explicitly)
+    "group_concat" -> (a => fn("string_agg", a(0),
+      if (a.length > 1) a(1) else Literal(","))),
     // --- temporal --------------------------------------------------------
     "strftime" -> (a => fn("date_format", a(0),
       Literal(cFormatToJava(requireLitStr(a(1), "strftime format"))))),

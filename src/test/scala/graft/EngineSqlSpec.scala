@@ -1211,6 +1211,47 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       "SELECT 'date_diff(''day'', x, y)'"
   }
 
+  test("r12 advice fixes: regexp_matches options, group_concat default " +
+      "separator, NULL-preserving array_agg/list, pre-1970 floor " +
+      "boundaries, lambda-taking reduce aliases in hofNames") {
+    val engine = new Engine(spark)
+    try {
+      // regexp_matches options argument (was silently dropped)
+      one(engine, "regexp_matches('ABC', 'abc')") shouldBe false
+      one(engine, "regexp_matches('ABC', 'abc', 'i')") shouldBe true
+      one(engine, "regexp_matches('abc', 'a.c', 'l')") shouldBe false
+      one(engine, "regexp_matches('a.c', 'a.c', 'l')") shouldBe true
+      an[Exception] should be thrownBy
+        one(engine, "regexp_matches('a', 'a', 'z')")
+      // 1-arg group_concat defaults the separator to ',' like DuckDB
+      engine.sql("SELECT group_concat(c) AS v FROM " +
+        "(SELECT 'a' AS c UNION ALL SELECT 'a') t")
+        .collect().head.getString(0) shouldBe "a,a"
+      // array_agg / list keep NULL input elements (DuckDB semantics)
+      engine.sql("SELECT len(array_agg(c)) AS v FROM " +
+        "(SELECT 1 AS c UNION ALL SELECT NULL) t")
+        .collect().head.getInt(0) shouldBe 2
+      engine.sql("SELECT list_sort(list(c)) AS v FROM " +
+        "(SELECT 2 AS c UNION ALL SELECT NULL UNION ALL SELECT 1) t")
+        .collect().head.getSeq[Any](0) shouldBe Seq(1, 2, null)
+      // pre-1970: floor division lands negative epochs in the right
+      // boundary bucket (truncation toward zero would say 0 here)
+      one(engine, "date_diff('hour', TIMESTAMP '1969-12-31 23:30:00', " +
+        "TIMESTAMP '1970-01-01 00:30:00')") shouldBe 1L
+      one(engine, "date_diff('minute', TIMESTAMP '1969-12-31 23:59:30', " +
+        "TIMESTAMP '1970-01-01 00:00:30')") shouldBe 1L
+      one(engine, "date_diff('week', DATE '1969-12-28', " +
+        "DATE '1969-12-29')") shouldBe 1L // Sunday -> Monday
+      one(engine, "CAST(time_bucket(INTERVAL '1 hour', " +
+        "TIMESTAMP '1969-12-31 23:30:00') AS STRING)") shouldBe
+        "1969-12-31 23:00:00"
+      // a lambda body starting with a string literal inside the reduce
+      // aliases must not be misread as a JSON arrow (hofNames fix)
+      one(engine, "list_reduce(['a', 'b'], (a, b) -> '>' || b)") shouldBe
+        ">b"
+    } finally engine.close()
+  }
+
   test("dialect tail: INSERT DEFAULT VALUES, row-form UPDATE SET, " +
       "FROM-first CTAS (r12)") {
     val engine = new Engine(spark)
