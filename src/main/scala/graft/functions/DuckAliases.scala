@@ -307,6 +307,39 @@ object DuckAliases {
     }
   }
 
+  /** DuckDB list_zip(l1, ..., lN [, truncate]): element-wise zip into a
+    * list of structs with fields list_1..list_N. Pads to the LONGEST list
+    * with NULLs by default; a literal boolean last argument truncates to
+    * the shortest instead. Built as a left fold of ZipWith (which itself
+    * pads with NULLs, so the default shape is free); truncate mode slices
+    * every input to the common min length first. */
+  private def listZip(a: Seq[Expression]): Expression = {
+    val (lists, trunc) = a.last match {
+      case Literal(b: Boolean, BooleanType) if a.length > 1 =>
+        (a.dropRight(1), b)
+      case _ => (a, false)
+    }
+    require(lists.nonEmpty, "list_zip expects at least one list argument")
+    val inputs = if (!trunc) lists else {
+      val minLen = lists.map(l => Size(l, legacySizeOfNull = false))
+        .reduceLeft[Expression]((x, y) => fn("least", x, y))
+      lists.map(l => fn("slice", l, Literal(1),
+        fn("greatest", Literal(0), minLen)))
+    }
+    val x1 = UnresolvedNamedLambdaVariable(Seq("graft_z1"))
+    val first: Expression = ArrayTransform(inputs.head,
+      LambdaFunction(CreateNamedStruct(Seq(Literal("list_1"), x1)), Seq(x1)))
+    inputs.tail.zipWithIndex.foldLeft(first) { case (acc, (l, idx)) =>
+      val k = idx + 2
+      val s = UnresolvedNamedLambdaVariable(Seq(s"graft_zs$k"))
+      val z = UnresolvedNamedLambdaVariable(Seq(s"graft_zz$k"))
+      val fields = (1 until k).flatMap(j => Seq(Literal(s"list_$j"),
+        UnresolvedExtractValue(s, Literal(s"list_$j")): Expression)) ++
+        Seq(Literal(s"list_$k"), z)
+      ZipWith(acc, l, LambdaFunction(CreateNamedStruct(fields), Seq(s, z)))
+    }
+  }
+
   private def jsonOptions: Expression =
     CreateMap(Seq(Literal("ignoreNullFields"), Literal("false")))
 
@@ -442,5 +475,33 @@ object DuckAliases {
     "json_extract_string" ->
       (a => JsonPathExtract(a(0), a(1), asText = true)),
     "json_extract_path_text" ->
-      (a => JsonPathExtract(a(0), a(1), asText = true)))
+      (a => JsonPathExtract(a(0), a(1), asText = true)),
+    // --- string similarity (wave 4; byte semantics pinned vs oracle) ----
+    "jaccard" -> (a => JaccardSim(a(0), a(1))),
+    "hamming" -> (a => HammingDist(a(0), a(1))),
+    "mismatches" -> (a => HammingDist(a(0), a(1))),
+    "damerau_levenshtein" -> (a => DamerauLevenshtein(a(0), a(1))),
+    "jaro_similarity" -> (a => JaroSim(a(0), a(1))),
+    "jaro_winkler_similarity" -> (a => JaroWinklerSim(a(0), a(1))),
+    "editdist3" -> (a => fn("levenshtein", a(0), a(1))),
+    // --- list zip / vector distance (wave 4) ----------------------------
+    "list_zip" -> listZip,
+    // the fixed-size ARRAY and LIST spellings share one engine type; the
+    // s-suite's codegen'd expressions are the exact semantics (index-order
+    // double accumulation). DuckDB's *_distance is the ROOTED L2 —
+    // L2Distance is squared, so wrap in sqrt.
+    "array_cosine_similarity" -> (a => CosineSimilarity(dArr(a(0)), dArr(a(1)))),
+    "list_cosine_similarity" -> (a => CosineSimilarity(dArr(a(0)), dArr(a(1)))),
+    "array_inner_product" -> (a => DotProduct(dArr(a(0)), dArr(a(1)))),
+    "list_inner_product" -> (a => DotProduct(dArr(a(0)), dArr(a(1)))),
+    "array_distance" -> (a => fn("sqrt", L2Distance(dArr(a(0)), dArr(a(1))))),
+    "list_distance" -> (a => fn("sqrt", L2Distance(dArr(a(0)), dArr(a(1))))))
+
+  /** DOUBLE-array coercion for the vector-distance aliases: a literal like
+    * `[0.0, 3.0]` parses as array<decimal>, which the codegen'd s-suite
+    * expressions reject; the cast is a no-op (optimizer-eliminated) when
+    * the input is already array<double>. DuckDB computes these in double
+    * for LIST inputs — pinned by q135. */
+  private def dArr(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
 }

@@ -1053,7 +1053,56 @@ object EngineSurface {
     finally engine.close()
   }
 
+  /** q135: fourth DuckDB-name wave — the string-similarity surface
+    * (jaccard / hamming / mismatches / damerau_levenshtein / editdist3 /
+    * jaro[_winkler]_similarity, byte semantics pinned in
+    * functions/StringSimilarity), list_zip pad + truncate forms,
+    * map_from_entries + cardinality, and the LIST/ARRAY vector-distance
+    * names riding the s-suite's codegen'd expressions — identical text
+    * through both engines. Doubles round(4): the metric FORMULAS are
+    * pinned but ULP-level association inside sqrt/divide may differ. */
+  private val q135Text =
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(min(jaccard(rpad(substr(text, 1, 12), 12, 'x'), source)), 4)
+      |    AS jac_min,
+      |  round(max(jaccard(source, lang)), 4) AS jac_max,
+      |  CAST(min(hamming(rpad(source, 6, '_'), rpad(lang, 6, '_')))
+      |    AS BIGINT) AS ham_min,
+      |  CAST(max(mismatches(rpad(source, 8, '.'), rpad(lang, 8, '.')))
+      |    AS BIGINT) AS mis_max,
+      |  CAST(max(damerau_levenshtein(substr(text, 1, 10), source))
+      |    AS BIGINT) AS dl_max,
+      |  CAST(min(editdist3(source, lang)) AS BIGINT) AS ed_min,
+      |  round(max(jaro_similarity(substr(text, 1, 10), source)), 4)
+      |    AS jaro_max,
+      |  round(max(jaro_winkler_similarity(substr(text, 1, 10), source)), 4)
+      |    AS jw_max,
+      |  CAST(sum(len(list_zip(string_split(substr(text, 1, 30), ' '),
+      |    [lang, source]))) AS BIGINT) AS zip_len,
+      |  CAST(min(len(list_zip(string_split(substr(text, 1, 30), ' '),
+      |    string_split(substr(text, 1, 18), ' '), true))) AS BIGINT)
+      |    AS zip_trunc,
+      |  CAST(max(cardinality(map_from_entries(
+      |    list_zip([lang, source], [1, 2])))) AS BIGINT) AS map_card,
+      |  round(min(list_cosine_similarity([CAST(n_chars AS DOUBLE), 1.0],
+      |    [1.0, CAST(n_chars AS DOUBLE)])), 4) AS cos_min,
+      |  round(max(list_inner_product([CAST(n_chars AS DOUBLE), 2.0],
+      |    [0.5, CAST(n_chars AS DOUBLE)])), 4) AS dot_max,
+      |  round(max(list_distance([CAST(n_chars AS DOUBLE), 0.0],
+      |    [0.0, 3.0])), 4) AS dist_max
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(q135Text.replace("FROM documents",
+      s"FROM '$dir/documents.parquet'"))
+    finally engine.close()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q135_duckdb_similarity" -> (q135 _),
     "q134_duckdb_regex" -> (q134 _),
     "q133_duckdb_temporal" -> (q133 _),
     "q132_duckdb_names" -> (q132 _),
@@ -1086,6 +1135,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q135_duckdb_similarity" -> q135Text,
     "q134_duckdb_regex" -> q134Text,
     "q133_duckdb_temporal" -> q133Text,
     "q132_duckdb_names" -> q132Text,

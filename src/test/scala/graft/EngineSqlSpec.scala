@@ -1252,6 +1252,61 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     } finally engine.close()
   }
 
+  test("wave 4: string similarity names (byte semantics), list_zip, " +
+      "map_from_entries/cardinality, vector-distance names — values " +
+      "pinned against the oracle DuckDB") {
+    val engine = new Engine(spark)
+    try {
+      one(engine, "jaccard('duck', 'luck')") shouldBe 0.6
+      one(engine, "jaccard('aaa', 'a')") shouldBe 1.0 // set-based
+      one(engine, "jaccard('ab', 'AB')") shouldBe 0.0 // case-sensitive
+      an[Exception] should be thrownBy one(engine, "jaccard('', 'a')")
+      one(engine, "hamming('duck', 'luck')") shouldBe 1L
+      one(engine, "mismatches('abcd', 'abdd')") shouldBe 1L
+      an[Exception] should be thrownBy one(engine, "hamming('ab', 'abc')")
+      // FULL Damerau-Levenshtein (CA->ABC=2; OSA would say 3); bytes
+      // (two 3-byte chars transposed = 4 byte edits, oracle-pinned)
+      one(engine, "damerau_levenshtein('CA', 'ABC')") shouldBe 2L
+      one(engine, "damerau_levenshtein('ab', 'ba')") shouldBe 1L
+      one(engine, "damerau_levenshtein('', 'abc')") shouldBe 3L
+      one(engine, "damerau_levenshtein('a cat', 'an abct')") shouldBe 3L
+      one(engine, "damerau_levenshtein('日本', '本日')") shouldBe 4L
+      one(engine, "editdist3('kitten', 'sitting')") shouldBe 3
+      // jaro: DuckDB returns 0.0 for ANY empty input (incl. both)
+      one(engine, "round(jaro_similarity('MARTHA', 'MARHTA'), 6)"
+        ) shouldBe 0.944444
+      one(engine, "round(jaro_similarity('DIXON', 'DICKSONX'), 6)"
+        ) shouldBe 0.766667
+      one(engine, "jaro_similarity('', '')") shouldBe 0.0
+      one(engine, "jaro_similarity('a', 'a')") shouldBe 1.0
+      one(engine, "round(jaro_winkler_similarity('MARTHA', 'MARHTA'), 6)"
+        ) shouldBe 0.961111
+      one(engine, "jaro_winkler_similarity('aaaaaaaaaa', 'aaaaaaaaab')"
+        ) shouldBe 0.96 // prefix cap 4
+      // boost only above the 0.7 threshold (oracle-pinned)
+      one(engine, "round(jaro_winkler_similarity('abqqqqqqqq', " +
+        "'abzzzzzzzz'), 6)") shouldBe 0.466667
+      // list_zip: pads to longest with NULLs; literal true truncates
+      engine.sql("SELECT list_zip([1, 2], ['a']) AS v").collect().head
+        .getSeq[org.apache.spark.sql.Row](0).map(r =>
+          (r.get(0), r.get(1))) shouldBe Seq((1, "a"), (2, null))
+      engine.sql("SELECT list_zip([1, 2], ['a'], true) AS v").collect()
+        .head.getSeq[org.apache.spark.sql.Row](0).length shouldBe 1
+      one(engine, "len(list_zip([1, 2, 3]))") shouldBe 3
+      one(engine, "len(list_zip([1, 2], ['a', 'b'], [true]))") shouldBe 2
+      // map_from_entries over zipped structs; cardinality
+      one(engine, "cardinality(map_from_entries(" +
+        "list_zip(['a', 'b'], [1, 2])))") shouldBe 2
+      // vector-distance names ride the s-suite codegen'd expressions
+      one(engine, "round(array_cosine_similarity([1.0, 2.0], " +
+        "[2.0, 4.0]), 6)") shouldBe 1.0
+      one(engine, "list_inner_product([1.0, 2.0], [3.0, 4.0])"
+        ) shouldBe 11.0
+      one(engine, "array_distance([1.0, 2.0], [4.0, 6.0])") shouldBe 5.0
+      one(engine, "list_distance([1, 2], [4, 6])") shouldBe 5.0
+    } finally engine.close()
+  }
+
   test("dialect tail: INSERT DEFAULT VALUES, row-form UPDATE SET, " +
       "FROM-first CTAS (r12)") {
     val engine = new Engine(spark)
