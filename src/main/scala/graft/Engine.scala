@@ -454,6 +454,18 @@ class Engine(val spark: SparkSession,
   private val pragmaStmt =
     "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(\\s*'?([^')]*?)'?\\s*\\))?\\s*;?\\s*$".r
 
+  // ---- ATTACH / DETACH / USE statement forms -------------------------------
+  private val attachStmt =
+    ("(?is)^\\s*ATTACH\\s+(?:DATABASE\\s+)?(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "'([^']+)'(?:\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*))?" +
+      "(?:\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+  private val detachStmt =
+    ("(?is)^\\s*DETACH\\s+(?:DATABASE\\s+)?(IF\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+  private val useStmt =
+    ("(?is)^\\s*USE\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\.[A-Za-z_][A-Za-z0-9_]*)?\\s*;?\\s*$").r
+
   // ---- maintenance statements (CHECKPOINT / VACUUM / ANALYZE) -------------
   // DuckDB's interactive maintenance surface. CHECKPOINT flushes DuckDB's
   // WAL; the engine analog is a no-op BY CONSTRUCTION (every snapshot swap
@@ -666,12 +678,123 @@ class Engine(val spark: SparkSession,
         scala.util.matching.Regex.quoteReplacement(
           s"${m.group(1)} `${tableFnView(fmt, paths)}`")
       })
-    quotedTableRef.replaceAllIn(q1, { m =>
+    val q2 = quotedTableRef.replaceAllIn(q1, { m =>
       val ref = m.group(2)
       val fileView = fileRefView(ref)
       scala.util.matching.Regex.quoteReplacement(
         s"${m.group(1)} `${fileView.getOrElse(ref)}`")
     })
+    rewriteAttachedRefs(q2)
+  }
+
+  // ---- ATTACH / DETACH / USE (multi-database surface) ----------------------
+  /** The reference's multi-connection file-database story (`-d` persisted
+    * db + `cache=shared` second connection, KwackMain.java:127-129,
+    * KwackConfig.java:448-454) as DuckDB's statement surface: `ATTACH
+    * '<dir>' AS name` registers a DIRECTORY in the `-d` persisted-db
+    * layout (one `<table>.parquet` per table) as a read-only database,
+    * `name.table` references resolve through the same fingerprint-cached
+    * file views as `FROM 'file'` scans, and `USE name` makes unqualified
+    * table refs fall back to the attached directory when no session
+    * table/view shadows them (`USE memory` restores the default).
+    * Attached databases are READ-ONLY — a mutation targeting `name.table`
+    * never resolves to an engine table and fails loudly. Like the other
+    * FROM/JOIN sugar rewrites, resolution applies at FROM/JOIN position
+    * (a comma-separated second table ref needs qualification via JOIN
+    * spelling — same documented bound as quoted file refs). */
+  private val attachedDbs =
+    scala.collection.concurrent.TrieMap[String, String]()
+  @volatile private var currentDb: String = "memory"
+
+  private val attachedRef =
+    ("(?i)\\b(FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)\\." +
+      "([A-Za-z_][A-Za-z0-9_]*)").r
+  private val bareTableRef =
+    "(?i)\\b(FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)\\b(?![\\s]*[(.])".r
+
+  private def rewriteAttachedRefs(q: String): String = {
+    if (attachedDbs.isEmpty) return q
+    val q1 = attachedRef.replaceAllIn(q, { m =>
+      attachedDbs.get(m.group(2).toLowerCase) match {
+        case Some(dir) =>
+          val view = fileRefView(s"$dir/${m.group(3)}.parquet").getOrElse(
+            throw new IllegalArgumentException(
+              s"attached database '${m.group(2)}' has no table " +
+                s"'${m.group(3)}' (expected $dir/${m.group(3)}.parquet)"))
+          scala.util.matching.Regex.quoteReplacement(
+            s"${m.group(1)} `$view`")
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
+    if (currentDb == "memory") q1
+    else bareTableRef.replaceAllIn(q1, { m =>
+      val t = m.group(2)
+      // session tables/views (topics, CTAS, CTEs via parser) shadow the
+      // attached default — only an unresolvable bare name falls through
+      val shadowed =
+        try spark.catalog.tableExists(t) catch { case _: Exception => false }
+      val resolved =
+        if (shadowed) None
+        else attachedDbs.get(currentDb)
+          .flatMap(dir => fileRefView(s"$dir/$t.parquet"))
+      scala.util.matching.Regex.quoteReplacement(
+        resolved.map(v => s"${m.group(1)} `$v`").getOrElse(m.matched))
+    })
+  }
+
+  private def attachDb(path: String, name: Option[String],
+      ifNotExists: Boolean, opts: Option[String]): DataFrame = {
+    val n = name.getOrElse {
+      val base = new java.io.File(path).getName
+      val dot = base.indexOf('.')
+      if (dot > 0) base.substring(0, dot) else base
+    }.toLowerCase
+    opts.map(_.trim).filter(_.nonEmpty).foreach { o =>
+      o.split(",").map(_.trim).filter(_.nonEmpty).foreach { opt =>
+        require(opt.matches("(?i)read_?only"),
+          s"ATTACH option '$opt' is not supported (supported: READ_ONLY — " +
+            "attached directory databases are always read-only)")
+      }
+    }
+    if (attachedDbs.contains(n)) {
+      require(ifNotExists, s"database '$n' is already attached")
+      return statusDf("attach", n)
+    }
+    val f = new java.io.File(path)
+    require(f.isDirectory,
+      s"ATTACH '$path': expected a directory of <table>.parquet files " +
+        "(the -d persisted-db layout); single-file native databases are " +
+        "not supported")
+    attachedDbs.put(n, f.getAbsolutePath)
+    statusDf("attach", n)
+  }
+
+  private def detachDb(name: String, ifExists: Boolean): DataFrame = {
+    val n = name.toLowerCase
+    require(n != currentDb,
+      s"cannot DETACH '$name': it is the current default database " +
+        "(USE memory first)")
+    val removed = attachedDbs.remove(n).isDefined
+    require(removed || ifExists, s"no attached database '$name'")
+    statusDf("detach", n)
+  }
+
+  private def useDb(name: String): DataFrame = {
+    val n = name.toLowerCase
+    if (n == "memory" || n == "main") {
+      // DuckDB's in-memory catalog/schema names restore the default
+      currentDb = "memory"
+      statusDf("use", n)
+    } else if (attachedDbs.contains(n)) {
+      currentDb = n
+      statusDf("use", n)
+    } else {
+      // not an attached db: this is a SPARK database (the thrift session
+      // layer opens with `USE default`) — reset the attached default and
+      // delegate, so an unknown name still fails loudly via Spark
+      currentDb = "memory"
+      spark.sql(s"USE $name")
+    }
   }
 
   /** Register (or reuse) a view over an explicit-format multi-path scan —
@@ -1060,6 +1183,10 @@ class Engine(val spark: SparkSession,
       import spark.implicits._
       Seq(key).toDF("reset")
     case pragmaStmt(name, arg) => pragma(name.toLowerCase, Option(arg))
+    case attachStmt(ifNotExists, path, name, opts) =>
+      attachDb(path, Option(name), ifNotExists != null, Option(opts))
+    case detachStmt(ifExists, name) => detachDb(name, ifExists != null)
+    case useStmt(name) => useDb(name)
     case checkpointStmt() =>
       statusDf("checkpoint", s"${createdTables.size} tables materialized")
     case vacuumStmt(analyzeKw, name) =>

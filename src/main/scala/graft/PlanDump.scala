@@ -188,7 +188,9 @@ object PlanDump {
     "q131_struct_literal" -> "struct literals lower to named_struct, constant keys fold; map-only projection, only the presentation sort shuffles",
     "q132_duckdb_names" -> "DuckDB-spelled names resolve to the SAME codegen'd natives (zero UDFs, zero BatchEvalPython): one map-only projection inside WholeStageCodegen, only the presentation sort shuffles",
     "q133_duckdb_temporal" -> "date_diff boundary arithmetic + time_bucket fold to codegen'd date/epoch natives; strftime/epoch_ms over literals CONSTANT-FOLD at analysis; one hash aggregation with map-side partials over the events scan",
-    "q134_duckdb_regex" -> "DuckDB-exact regexp_replace (CodegenFallback leaf) rides a plain projection under the lang aggregation; the constant unnest subquery collapses to a literal; only the 5-group aggregate shuffles")
+    "q134_duckdb_regex" -> "DuckDB-exact regexp_replace (CodegenFallback leaf) rides a plain projection under the lang aggregation; the constant unnest subquery collapses to a literal; only the 5-group aggregate shuffles",
+    "q135_duckdb_similarity" -> "byte-level string metrics (jaccard/hamming/damerau/jaro) are codegen'd static calls inside the ONE hash aggregation over the documents scan; list_zip lowers to zip_with lambdas; vector names ride the s-suite codegen'd expressions — no UDF, one group-by shuffle",
+    "q136_attach_use" -> "ATTACH resolves name.table to the same fingerprint-cached parquet views as FROM 'file' scans — the attached-dim join broadcasts nation under AQE; one customer aggregation shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1101,7 +1101,43 @@ object EngineSurface {
     finally engine.close()
   }
 
+  /** q136: the ATTACH/DETACH/USE multi-database statement surface — the
+    * reference's `-d` persisted-db + `cache=shared` second-connection
+    * story (KwackMain.java:127-129, KwackConfig.java:448-454) as DuckDB
+    * statements. ATTACH registers the sf directory (the persisted-db
+    * layout: one parquet per table) read-only, the query mixes a
+    * QUALIFIED `ext.nation` ref with an UNQUALIFIED `customer` resolved
+    * through `USE ext`, and the round trip detaches cleanly. The oracle
+    * runs the equivalent plain join — DuckDB's own ATTACH wants a native
+    * .duckdb file, so the statement spellings differ by design here
+    * (like q75's COPY). */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try {
+      engine.sql(s"ATTACH '$dir' AS ext (READ_ONLY)")
+      engine.sql("USE ext")
+      val out = engine.sql(
+        """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+          |  CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2)
+          |    AS DOUBLE) AS bal
+          |FROM customer c JOIN ext.nation n
+          |  ON c.c_nationkey = n.n_nationkey
+          |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+      engine.sql("USE memory")
+      engine.sql("DETACH ext")
+      out
+    } finally engine.close()
+  }
+
+  private val q136Sql =
+    """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS bal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q136_attach_use" -> (q136 _),
     "q135_duckdb_similarity" -> (q135 _),
     "q134_duckdb_regex" -> (q134 _),
     "q133_duckdb_temporal" -> (q133 _),
@@ -1135,6 +1171,7 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q136_attach_use" -> q136Sql,
     "q135_duckdb_similarity" -> q135Text,
     "q134_duckdb_regex" -> q134Text,
     "q133_duckdb_temporal" -> q133Text,

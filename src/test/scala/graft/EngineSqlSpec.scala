@@ -1307,6 +1307,55 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
     } finally engine.close()
   }
 
+  test("ATTACH/DETACH/USE: directory-of-parquet databases — qualified " +
+      "refs, default-db fallback, session shadowing, loud errors (r13)") {
+    val engine = new Engine(spark)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      engine.sql(s"ATTACH '$dir' AS extdb (READ_ONLY)")
+      // qualified refs rewrite before Spark ever sees the name
+      engine.sql("SELECT count(*) AS n FROM extdb.region")
+        .collect().head.getLong(0) shouldBe 5L
+      engine.sql("SELECT count(*) AS n FROM extdb.nation n " +
+        "JOIN extdb.region r ON n.n_regionkey = r.r_regionkey")
+        .collect().head.getLong(0) shouldBe 25L
+      // duplicate attach: IF NOT EXISTS tolerated, plain form throws
+      engine.sql(s"ATTACH IF NOT EXISTS '$dir' AS extdb")
+      an[Exception] should be thrownBy engine.sql(s"ATTACH '$dir' AS extdb")
+      // unknown table in an attached db fails loudly with the path
+      an[Exception] should be thrownBy
+        engine.sql("SELECT * FROM extdb.no_such_table")
+      // non-directory path rejected (native .duckdb files unsupported)
+      an[Exception] should be thrownBy
+        engine.sql(s"ATTACH '$dir/region.parquet' AS bad")
+      // USE: unqualified fallback (probe table name can't be shadowed)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-attach-db")
+      spark.range(7).toDF("v").write
+        .parquet(s"$tmp/attach_probe_t.parquet")
+      engine.sql(s"ATTACH '$tmp' AS extdb2")
+      engine.sql("USE extdb2")
+      engine.sql("SELECT count(*) AS n FROM attach_probe_t")
+        .collect().head.getLong(0) shouldBe 7L
+      // a session table SHADOWS the attached default db
+      engine.sql(
+        "CREATE OR REPLACE TABLE attach_probe_t AS SELECT 1 AS v")
+      engine.sql("SELECT count(*) AS n FROM attach_probe_t")
+        .collect().head.getLong(0) shouldBe 1L
+      engine.sql("DROP TABLE attach_probe_t")
+      // the current default cannot detach; unknown USE is loud
+      an[Exception] should be thrownBy engine.sql("DETACH extdb2")
+      an[Exception] should be thrownBy engine.sql("USE ghost_db")
+      engine.sql("USE memory")
+      engine.sql("DETACH extdb2")
+      engine.sql("DETACH extdb")
+      engine.sql("DETACH IF EXISTS extdb") // idempotent with IF EXISTS
+      an[Exception] should be thrownBy engine.sql("DETACH extdb")
+      // after detach the qualified name no longer resolves
+      an[Exception] should be thrownBy
+        engine.sql("SELECT count(*) AS n FROM extdb.region").collect()
+    } finally engine.close()
+  }
+
   test("dialect tail: INSERT DEFAULT VALUES, row-form UPDATE SET, " +
       "FROM-first CTAS (r12)") {
     val engine = new Engine(spark)

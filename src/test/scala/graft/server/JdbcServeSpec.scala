@@ -378,6 +378,31 @@ class JdbcServeSpec extends AnyFunSuite with Matchers {
     cs.close(); check.close()
   }
 
+  test("ATTACH/USE/DETACH serve over the thrift attach (r13): the " +
+      "reference's multi-connection file-db story end-to-end") {
+    val conn = JdbcServe.connect(port)
+    val st = conn.createStatement()
+    try {
+      val dir = "/root/testdata/sf0.001"
+      st.executeQuery(s"ATTACH '$dir' AS jext (READ_ONLY)")
+        .next() shouldBe true
+      val r = st.executeQuery("SELECT count(*) AS n FROM jext.region")
+      r.next() shouldBe true
+      r.getLong("n") shouldBe 5L
+      st.execute("USE jext")
+      // unqualified name resolves through the attached default db
+      val r2 = st.executeQuery("SELECT count(*) AS n FROM nation")
+      r2.next() shouldBe true
+      r2.getLong("n") shouldBe 25L
+      st.execute("USE memory")
+      st.execute("DETACH jext")
+      an[Exception] should be thrownBy {
+        val rs = st.executeQuery("SELECT count(*) AS n FROM jext.region")
+        rs.next()
+      }
+    } finally { st.close(); conn.close() }
+  }
+
   test("start() with a DIFFERENT explicit port fails loudly; same or " +
       "auto port returns the running endpoint") {
     JdbcServe.start(spark, port) shouldBe port // same explicit port: ok
