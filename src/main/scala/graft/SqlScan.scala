@@ -714,12 +714,38 @@ private[graft] object SqlScan {
         require(close > open, s"unbalanced struct_pack( in: $s")
         val inner = rewriteStructPack(s.substring(open + 1, close))
         val innerMasked = maskOpaque(inner)
-        val kvs = splitTopLevelCommas(inner).zip(
-          splitTopLevelCommas(innerMasked)).map { case (arg, argMasked) =>
+        // split POSITIONS come from the masked text, and the raw text is
+        // sliced at the SAME offsets — two independent (trimmed) splits
+        // misalign as soon as a comment precedes an argument, which made
+        // the value substring index land inside the comment (silent
+        // corruption, caught by SqlRewritePropertySpec)
+        val spans = {
+          var depth = 0
+          var last = 0
+          val out = Seq.newBuilder[(Int, Int)]
+          var i = 0
+          while (i < innerMasked.length) {
+            innerMasked.charAt(i) match {
+              case '(' | '[' => depth += 1
+              case ')' | ']' => depth -= 1
+              case ',' if depth == 0 => out += ((last, i)); last = i + 1
+              case _ => ()
+            }
+            i += 1
+          }
+          out += ((last, innerMasked.length))
+          out.result()
+        }
+        val kvs = spans.map { case (a, b) =>
+          val arg = inner.substring(a, b)
+          val argMasked = innerMasked.substring(a, b)
           val idx = argMasked.indexOf(":=")
           require(idx >= 0,
             s"struct_pack argument must be name := expr (got '${arg.trim}')")
-          val key = arg.substring(0, idx).trim
+          // read the key from the MASKED text: comments around a legal
+          // key collapse to spaces (a comment SPLITTING the identifier
+          // still fails loudly below)
+          val key = argMasked.substring(0, idx).trim
           require(key.matches("[A-Za-z_][A-Za-z0-9_]*"),
             s"struct_pack key must be a bare identifier (got '$key')")
           s"'$key', ${arg.substring(idx + 2).trim}"
