@@ -3733,10 +3733,11 @@ class Engine(val spark: SparkSession,
     // re-applied to stored statement bodies
     case _ => spark.sql(SqlScan.rewriteRawBackslashes(
       expandColumnsRegex(rewriteAsofJoin(
-        rewriteUsingSample(SqlScan.rewriteRegexpReplace(
-          SqlScan.rewriteDateDiff(SqlScan.rewriteArrows(
-            SqlScan.rewriteStructPack(SqlScan.rewriteBraces(
-              SqlScan.rewriteBrackets(rewriteSugar(q))))))))))))
+        rewriteUsingSample(SqlScan.rewriteBuiltinRenames(
+          SqlScan.rewriteRegexpReplace(
+            SqlScan.rewriteDateDiff(SqlScan.rewriteArrows(
+              SqlScan.rewriteStructPack(SqlScan.rewriteBraces(
+                SqlScan.rewriteBrackets(rewriteSugar(q)))))))))))))
   }
 
   /** One-shot query -> JSON lines (reference: KwackEngine.java:226-263 +

@@ -16,7 +16,10 @@ import graft.functions.GraftFunctions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    (GraftFunctions.builders ++ graft.functions.DuckAliases.builders)
+    (GraftFunctions.builders ++ graft.functions.DuckAliases.builders ++
+        graft.functions.DuckScalars.builders ++
+        graft.functions.DuckListFns.builders ++
+        graft.functions.DuckAggs.builders)
       .foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),

@@ -190,7 +190,10 @@ object PlanDump {
     "q133_duckdb_temporal" -> "date_diff boundary arithmetic + time_bucket fold to codegen'd date/epoch natives; strftime/epoch_ms over literals CONSTANT-FOLD at analysis; one hash aggregation with map-side partials over the events scan",
     "q134_duckdb_regex" -> "DuckDB-exact regexp_replace (CodegenFallback leaf) rides a plain projection under the lang aggregation; the constant unnest subquery collapses to a literal; only the 5-group aggregate shuffles",
     "q135_duckdb_similarity" -> "byte-level string metrics (jaccard/hamming/damerau/jaro) are codegen'd static calls inside the ONE hash aggregation over the documents scan; list_zip lowers to zip_with lambdas; vector names ride the s-suite codegen'd expressions — no UDF, one group-by shuffle",
-    "q136_attach_use" -> "ATTACH resolves name.table to the same fingerprint-cached parquet views as FROM 'file' scans — the attached-dim join broadcasts nation under AQE; one customer aggregation shuffle")
+    "q136_attach_use" -> "ATTACH resolves name.table to the same fingerprint-cached parquet views as FROM 'file' scans — the attached-dim join broadcasts nation under AQE; one customer aggregation shuffle",
+    "q137_duckdb_scalars" -> "wave-5 scalar names (to_hex/format_bytes/bar/parse_*/gamma/gcd/fdiv/julian/make_timestamp/interval constructors) are codegen'd static calls or folded Catalyst composites inside the ONE hash aggregation over the documents scan — no UDF, map-side partials, one 5-group shuffle",
+    "q138_duckdb_lists" -> "wave-5 list names lower to zip_with/transform/filter/array_sort lambda composites and the graft_regexp_extract defaults ride codegen'd RegExpExtract(All) — per-row loops inside WholeStageCodegen, one group-by shuffle",
+    "q139_duckdb_aggs" -> "product is a 1-double DeclarativeAggregate; entropy/mad/quantile_disc carry value->count maps (O(distinct) state, map-side partial merge by key — the same state DuckDB holds); quantile_cont rides Spark percentile; one aggregation shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

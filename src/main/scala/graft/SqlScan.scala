@@ -851,6 +851,40 @@ private[graft] object SqlScan {
     out.toString
   }
 
+  /** Builtin names whose DuckDB semantics DIFFER from the Spark builtin
+    * of the same spelling, renamed at the dialect front door to graft_
+    * spellings that DuckScalars registers with the DuckDB contract:
+    *  - regexp_extract / regexp_extract_all default to GROUP 0 (the whole
+    *    match) in DuckDB where Spark defaults to group 1 — a silently
+    *    wrong answer on verbatim DuckDB SQL, and DuckDB additionally has
+    *    an options argument and a capture-NAME-list form;
+    *  - dayofweek is Sunday=0..Saturday=6 in DuckDB, Sunday=1..7 in
+    *    Spark.
+    * Same mask-and-rename mechanics as [[rewriteRegexpReplace]]
+    * (overriding the builtin registry name would hijack the DataFrame
+    * API, which resolves functions.regexp_extract by NAME in Spark 4). */
+  def rewriteBuiltinRenames(s: String): String = {
+    val lower = s.toLowerCase
+    if (!lower.contains("regexp_extract") && !lower.contains("dayofweek"))
+      return s
+    val masked = maskOpaque(s)
+    val re = "(?i)\\b(regexp_extract_all|regexp_extract|dayofweek)\\s*\\(".r
+    val out = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(masked)) {
+      if (m.start == 0 || (masked.charAt(m.start - 1) != '.' &&
+          masked.charAt(m.start - 1) != '_')) {
+        out.append(s.substring(last, m.start))
+          .append("graft_").append(m.group(1).toLowerCase)
+        val paren = s.indexOf('(', m.start)
+        out.append(s.substring(paren, m.end))
+        last = m.end
+      }
+    }
+    out.append(s.substring(last))
+    out.toString
+  }
+
   /** Higher-order functions whose direct arguments are lambdas: a `->` at
     * the immediate argument level of one of these calls is a LAMBDA and
     * must not be read as the DuckDB JSON arrow. (A json arrow inside a

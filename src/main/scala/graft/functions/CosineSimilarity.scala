@@ -141,7 +141,8 @@ object GraftFunctions {
     if (registeredSessions.putIfAbsent(spark,
         java.lang.Boolean.TRUE) != null) return
     val r = spark.sessionState.functionRegistry
-    (builders ++ DuckAliases.builders).foreach { case (name, b) =>
+    (builders ++ DuckAliases.builders ++ DuckScalars.builders ++
+        DuckListFns.builders ++ DuckAggs.builders).foreach { case (name, b) =>
       r.createOrReplaceTempFunction(name, b, "built-in")
     }
   }

@@ -1136,7 +1136,158 @@ object EngineSurface {
       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 
+
+  /** q137: fifth DuckDB-name wave, scalar tier — encoding (to_hex /
+    * to_base / format_bytes / bar byte-padded blocks), unicode (ord /
+    * strip_accents), path parsing (parse_dirname / dirpath / filename),
+    * the numeric long tail (even / signbit / gamma / lgamma / gcd / lcm /
+    * xor / fdiv / fmod floored, nextafter, isfinite / isinf), the
+    * temporal long tail (isodow, DuckDB's 0-based dayofweek via
+    * SqlScan.rewriteBuiltinRenames, julian, make_timestamp micros
+    * overload, to_days / to_milliseconds interval constructors), and
+    * regexp_full_match / regexp_escape — IDENTICAL text through both
+    * engines, every semantic pinned by oracle probes first
+    * (functions/DuckScalars). */
+  private val q137Text =
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(to_hex(n_chars)) AS hex_min,
+      |  max(to_base(n_chars, 7, 8)) AS base7,
+      |  min(format_bytes(n_chars * 1024)) AS fb,
+      |  max(bar(n_chars % 50, 0, 50, 10)) AS bar10,
+      |  CAST(max(ord(substr(text, 3))) AS BIGINT) AS ord_max,
+      |  min(strip_accents(source || 'é')) AS sa,
+      |  min(parse_dirname(source || '/' || lang || '/x.txt')) AS dn,
+      |  max(parse_dirpath(source || '/' || lang || '/x.txt')) AS dp,
+      |  max(parse_filename(source || '/f.' || lang, true)) AS pf,
+      |  round(sum(even(n_chars / 7.0)), 1) AS ev,
+      |  CAST(sum(CASE WHEN signbit(n_chars - 300.0) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS sb,
+      |  round(sum(lgamma(1.0 + n_chars % 13)), 6) AS lg,
+      |  round(max(gamma((n_chars % 5) + 0.5)), 6) AS gm,
+      |  CAST(sum(gcd(n_chars, 36)) AS BIGINT) AS g36,
+      |  CAST(max(lcm((n_chars % 7) + 1, 6)) AS BIGINT) AS l6,
+      |  CAST(sum(xor(n_chars, 255)) AS BIGINT) AS xr,
+      |  round(sum(fdiv(n_chars, 7.0)) + sum(fmod(n_chars, 7.0)), 1) AS fdm,
+      |  round(min(nextafter(n_chars + 0.0, 0.0)), 6) AS na,
+      |  CAST(sum(CASE WHEN isfinite(log(n_chars)) AND NOT isinf(log(n_chars))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS fin,
+      |  CAST(max(isodow(make_timestamp(n_chars * 86400000000))) AS BIGINT)
+      |    AS idw,
+      |  CAST(max(dayofweek(make_timestamp(n_chars * 86400000000))) AS BIGINT)
+      |    AS dow,
+      |  round(max(julian(make_timestamp(n_chars * 43200000000))), 6) AS jul,
+      |  CAST(max(epoch_ms(make_timestamp(n_chars * 86400000000)
+      |    + to_days(CAST(n_chars % 3 AS INTEGER)))) AS BIGINT) AS ed,
+      |  CAST(min(epoch_ms(make_timestamp(n_chars * 3600000000)
+      |    + to_milliseconds(CAST(n_chars AS INTEGER)))) AS BIGINT) AS em,
+      |  CAST(sum(CASE WHEN regexp_full_match(lang, '[a-z]+') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS rfm,
+      |  min(regexp_escape(source || '.x')) AS resc
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(q137Text.replace("FROM documents",
+      s"FROM '$dir/documents.parquet'"))
+    finally engine.close()
+  }
+
+  /** q138: fifth wave, list + regexp-default tier — the DuckDB GROUP-0
+    * defaults of regexp_extract / regexp_extract_all (Spark's builtins
+    * default to group 1: a silently wrong answer on verbatim DuckDB SQL,
+    * renamed at the front door), the options and capture-name-list
+    * forms, and the list long tail (list_has_any / has_all NULL
+    * handling, list_intersect, list_resize, list_select, list_where,
+    * list_grade_up, list_apply, scalar range / generate_series with
+    * DuckDB's exclusive/inclusive end and direction guards) — identical
+    * text through both engines (functions/DuckListFns). The pad form of
+    * list_resize is spec-pinned with constants only: the ORACLE DuckDB
+    * 1.0.0 crashes (std::bad_array_new_length) on a column-input
+    * 3-argument list_resize, so the gate carries the 2-arg form. */
+  private val q138Text =
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(regexp_extract(text, '[a-z]+ [a-z]+')) AS rx0,
+      |  max(regexp_extract(text, '([a-z]+) ([a-z]+)', 2)) AS rx2,
+      |  min(regexp_extract(source, 'src(\d+)', 1)) AS rxg,
+      |  max(struct_extract(regexp_extract(source, '(src)(\d+)', ['w', 'd']),
+      |    'd')) AS rxn,
+      |  max(regexp_extract(upper(source), 'SRC(\d)', 1, 'i')) AS rxi,
+      |  CAST(sum(len(regexp_extract_all(text, '[aeiou]+'))) AS BIGINT) AS rall,
+      |  CAST(sum(len(regexp_extract_all(text, '([a-z])([a-z])', 2)))
+      |    AS BIGINT) AS rall2,
+      |  CAST(sum(len(range(n_chars % 10))) AS BIGINT) AS rng,
+      |  CAST(sum(len(range(2, n_chars % 13, 3))) AS BIGINT) AS rng3,
+      |  CAST(sum(len(generate_series(0, n_chars % 10, 3))) AS BIGINT) AS gs,
+      |  CAST(sum(CASE WHEN list_has_any(string_split(substr(text, 1, 40), ' '),
+      |    ['the', 'la', 'el', 'le', 'der']) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hay,
+      |  CAST(sum(CASE WHEN list_has_all(string_split(substr(text, 1, 60), ' '),
+      |    ['the', 'a']) THEN 1 ELSE 0 END) AS BIGINT) AS hall,
+      |  array_to_string(list_sort(list_intersect(list_distinct(array_agg(source)),
+      |    ['src1', 'src2', 'src777'])), '|') AS isec,
+      |  min(array_to_string(list_resize(string_split(substr(text, 1, 20), ' '),
+      |    4), '|')) AS rsz,
+      |  min(array_to_string(list_select(string_split(substr(text, 1, 30), ' '),
+      |    [2, 1, 9]), '|')) AS sel,
+      |  min(array_to_string(list_where(string_split(substr(text, 1, 30), ' '),
+      |    [true, false, true, true]), '|')) AS whr,
+      |  min(array_to_string(list_grade_up(string_split(substr(text, 1, 25),
+      |    ' ')), '|')) AS gup,
+      |  CAST(sum(len(list_apply(string_split(substr(text, 1, 30), ' '),
+      |    x -> upper(x)))) AS BIGINT) AS app
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(q138Text.replace("FROM documents",
+      s"FROM '$dir/documents.parquet'"))
+    finally engine.close()
+  }
+
+  /** q139: fifth wave, aggregate tier — product (DeclarativeAggregate,
+    * DISTINCT + FILTER forms), entropy (base-2, counts-map state, empty
+    * group = 0.0), mad (continuous median both passes), quantile_cont
+    * (lowers to Spark percentile — same (n-1)*q interpolation) and
+    * quantile_disc / quantile (generic orderable counts-map aggregate;
+    * Spark's PercentileDisc is numeric-only but DuckDB medians strings)
+    * — identical text through both engines (functions/DuckAggs).
+    * DOUBLE casts are explicit on both sides: bare `x + 0.0` is
+    * DECIMAL(·,1) arithmetic in DuckDB and double in Spark, which
+    * diverges at quantile interpolation (found drafting this gate). */
+  private val q139Text =
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(product(DISTINCT (n_chars % 5) + 1.0), 6) AS prod_d,
+      |  round(product(CASE WHEN doc_id % 50 = 3 THEN 1.5 ELSE 1.0 END), 6)
+      |    AS prod_f,
+      |  round(entropy(source), 6) AS ent_src,
+      |  round(entropy(n_chars % 10), 6) AS ent_mod,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS qc,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS qc9,
+      |  CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS qd25,
+      |  CAST(quantile(n_chars, 0.75) AS BIGINT) AS q75,
+      |  quantile_disc(source, 0.5) AS qsrc,
+      |  round(mad(CAST(n_chars AS DOUBLE)), 6) AS md,
+      |  round(mad(CAST(n_chars AS DOUBLE)) + quantile_cont(CAST(n_chars AS DOUBLE), 0.25),
+      |    6) AS md_qc
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val engine = new Engine(s)
+    try engine.sql(q139Text.replace("FROM documents",
+      s"FROM '$dir/documents.parquet'"))
+    finally engine.close()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_duckdb_aggs" -> (q139 _),
+    "q138_duckdb_lists" -> (q138 _),
+    "q137_duckdb_scalars" -> (q137 _),
     "q136_attach_use" -> (q136 _),
     "q135_duckdb_similarity" -> (q135 _),
     "q134_duckdb_regex" -> (q134 _),
@@ -1171,6 +1322,9 @@ object EngineSurface {
     "q84_unpivot_stmt" -> (q84 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q139_duckdb_aggs" -> q139Text,
+    "q138_duckdb_lists" -> q138Text,
+    "q137_duckdb_scalars" -> q137Text,
     "q136_attach_use" -> q136Sql,
     "q135_duckdb_similarity" -> q135Text,
     "q134_duckdb_regex" -> q134Text,

@@ -1385,4 +1385,220 @@ class EngineSqlSpec extends AnyFunSuite with Matchers {
       engine.close()
     }
   }
+
+  // --- wave-5 DuckDB names (r13; functions/DuckScalars, DuckListFns,
+  // DuckAggs) — every value below was probed on the oracle DuckDB first
+
+  test("wave 5: encoding/path/unicode scalar names — oracle-pinned") {
+    val engine = new Engine(spark)
+    try {
+      one(engine, "to_hex(255)") shouldBe "FF"
+      one(engine, "to_hex(-1)") shouldBe "FFFFFFFFFFFFFFFF"
+      one(engine, "to_hex(from_hex('616263'))") shouldBe "616263"
+      one(engine, "to_base(255, 2)") shouldBe "11111111"
+      one(engine, "to_base(255, 16, 10)") shouldBe "00000000FF"
+      an[Exception] should be thrownBy one(engine, "to_base(-1, 16)")
+      one(engine, "format_bytes(1023)") shouldBe "1023 bytes"
+      one(engine, "format_bytes(1024)") shouldBe "1.0 KiB"
+      one(engine, "format_bytes(1234567)") shouldBe "1.1 MiB"
+      one(engine, "format_bytes(2096128)") shouldBe "1.9 MiB" // truncates
+      one(engine, "format_bytes(-1024)") shouldBe "-1.0 KiB"
+      one(engine, "format_bytes(0)") shouldBe "0 bytes"
+      one(engine, "format_bytes(1125899906842624)") shouldBe "1.0 PiB"
+      // bar: eighth-block partials, space padding to WIDTH BYTES
+      one(engine, "bar(5, 0, 10, 10)") shouldBe "\u2588" * 5
+      one(engine, "bar(0, 0, 10, 10)") shouldBe " " * 10
+      one(engine, "bar(2.5, 0, 10, 4)") shouldBe "\u2588 "
+      one(engine, "bar(3.99, 0, 8, 4)") shouldBe "\u2588\u2589"
+      one(engine, "bar(1, 0, 7, 3)") shouldBe "\u258d"
+      one(engine, "bar(11, 0, 10, 10)") shouldBe "\u2588" * 10 // clamped
+      one(engine, "ord('\u03bbx')") shouldBe 955
+      one(engine, "unicode('')") shouldBe -1
+      one(engine, "unicode('\u65e5\u672c')") shouldBe 26085
+      one(engine, "strip_accents('m\u00fchleisen \u00e2\u00e9')"
+        ) shouldBe "muhleisen ae"
+      one(engine, "strip_accents('\u00df\u00f1\u00e7')") shouldBe "\u00dfnc"
+      one(engine, "nfc_normalize('e\u0301')") shouldBe "\u00e9"
+      // parse_* family: default separator splits BOTH slashes
+      one(engine, "parse_path('/a//b/')") shouldBe Seq("/", "a", "b")
+      one(engine, "parse_path('C:\\\\win\\\\x.txt')"
+        ) shouldBe Seq("C:", "win", "x.txt")
+      one(engine, "parse_dirname('/a/b/c.txt')") shouldBe "/"
+      one(engine, "parse_dirname('rel/x.txt')") shouldBe "rel"
+      one(engine, "parse_dirpath('/a/b/c.txt')") shouldBe "/a/b"
+      one(engine, "parse_dirpath('/abs.txt')") shouldBe ""
+      one(engine, "parse_filename('/a/b.tar.gz')") shouldBe "b.tar.gz"
+      one(engine, "parse_filename('/a/b.tar.gz', true)") shouldBe "b.tar"
+      one(engine, "parse_filename('/a/.hidden', true)") shouldBe ""
+      one(engine, "parse_filename('noslash')") shouldBe "noslash"
+    } finally engine.close()
+  }
+
+  test("wave 5: numeric/temporal scalar names — oracle-pinned") {
+    val engine = new Engine(spark)
+    try {
+      one(engine, "even(2.5)") shouldBe 4.0
+      one(engine, "even(-2.5)") shouldBe -4.0
+      one(engine, "even(2)") shouldBe 2.0
+      one(engine, "even(0.5)") shouldBe 2.0
+      one(engine, "even(-3)") shouldBe -4.0
+      one(engine, "signbit(-3.0)") shouldBe true
+      one(engine, "signbit(4)") shouldBe false
+      one(engine, "signbit(-exp(1000))") shouldBe true // -inf
+      one(engine, "round(gamma(5), 6)") shouldBe 24.0
+      one(engine, "round(gamma(0.5), 6)") shouldBe 1.772454
+      one(engine, "round(gamma(-0.5), 6)") shouldBe -3.544908
+      an[Exception] should be thrownBy one(engine, "gamma(0)")
+      one(engine, "round(lgamma(5), 6)") shouldBe 3.178054
+      one(engine, "round(lgamma(-0.5), 6)") shouldBe 1.265512
+      one(engine, "nextafter(1.0, 2.0)") shouldBe 1.0000000000000002
+      one(engine, "nextafter(0.0, 1.0)") shouldBe java.lang.Double.MIN_VALUE
+      // fdiv/fmod: FLOORED division/modulo, NULL on zero divisor
+      one(engine, "fdiv(7, 2)") shouldBe 3.0
+      one(engine, "fdiv(-7, -2)") shouldBe 3.0
+      one(engine, "fdiv(7, -2)") shouldBe -4.0
+      one(engine, "fmod(-7.5, 2)") shouldBe 0.5
+      one(engine, "fmod(7, -2)") shouldBe -1.0
+      assert(one(engine, "fmod(7, 0)") == null)
+      assert(one(engine, "fdiv(7, 0)") == null)
+      one(engine, "gcd(12, 18)") shouldBe 6L
+      one(engine, "gcd(-4, 6)") shouldBe 2L
+      one(engine, "gcd(0, 0)") shouldBe 0L
+      one(engine, "greatest_common_divisor(12, 18)") shouldBe 6L
+      one(engine, "lcm(4, 6)") shouldBe 12L
+      one(engine, "lcm(0, 5)") shouldBe 0L
+      one(engine, "isfinite(1.0)") shouldBe true
+      one(engine, "isfinite(exp(1000))") shouldBe false
+      one(engine, "isfinite(DATE '2020-01-01')") shouldBe true
+      one(engine, "isinf(exp(1000))") shouldBe true
+      one(engine, "isinf(1.0)") shouldBe false
+      one(engine, "xor(5, 3)") shouldBe 6
+      // isodow Monday=1..Sunday=7; DuckDB dayofweek Sunday=0 (the Spark
+      // builtin of the same name is Sunday=1 — renamed at the front door)
+      one(engine, "isodow(DATE '2026-08-16')") shouldBe 7L // a Sunday
+      one(engine, "dayofweek(DATE '2026-08-16')") shouldBe 0L
+      one(engine, "dayofweek(DATE '2026-08-17')") shouldBe 1L
+      one(engine, "julian(DATE '2000-01-01')") shouldBe 2451545.0
+      one(engine, "julian(TIMESTAMP '2000-01-01 12:00:00')") shouldBe 2451545.5
+      one(engine, "make_timestamp(1700000000000000)").toString should
+        startWith("2023-11-14 22:13:20")
+      one(engine, "make_timestamp(2023, 11, 14, 22, 13, 20.5)").toString should
+        startWith("2023-11-14 22:13:20.5")
+      one(engine, "(TIMESTAMP '2020-01-01 00:00:00' + to_days(3))").toString should
+        startWith("2020-01-04")
+      one(engine, "(TIMESTAMP '2020-01-01 00:00:00' + to_milliseconds(1500))"
+        ).toString should startWith("2020-01-01 00:00:01.5")
+      one(engine, "(TIMESTAMP '2020-01-01 00:00:00' + to_microseconds(250))"
+        ).toString should include("00:00:00.00025")
+      one(engine, "(DATE '2020-01-01' + to_months(3))").toString should
+        startWith("2020-04-01")
+    } finally engine.close()
+  }
+
+  test("wave 5: regexp tail — DuckDB default GROUP 0 for " +
+      "regexp_extract(_all), options, name-list struct form, " +
+      "full_match, escape") {
+    val engine = new Engine(spark)
+    try {
+      // DuckDB default group is 0 = whole match (Spark builtin is 1)
+      one(engine, "regexp_extract('abc123', '([a-z]+)(\\d+)')") shouldBe "abc123"
+      one(engine, "regexp_extract('abc123', '([a-z]+)(\\d+)', 1)") shouldBe "abc"
+      one(engine, "regexp_extract('abc123', '([a-z]+)(\\d+)', 2)") shouldBe "123"
+      one(engine, "regexp_extract('abc', '(\\d)')") shouldBe "" // no match
+      one(engine, "regexp_extract('A1', '[a-z]', 0, 'i')") shouldBe "A"
+      // name-list form -> STRUCT
+      engine.sql("SELECT regexp_extract('2023-08-15', '(\\d+)-(\\d+)', " +
+        "['y', 'm']) AS v").collect().head.getStruct(0).toSeq shouldBe
+        Seq("2023", "08")
+      one(engine, "regexp_extract_all('a1b2', '([a-z])(\\d)')"
+        ) shouldBe Seq("a1", "b2")
+      one(engine, "regexp_extract_all('a1b2', '([a-z])(\\d)', 1)"
+        ) shouldBe Seq("a", "b")
+      one(engine, "regexp_extract_all('A1b2', '([a-z])', 1, 'i')"
+        ) shouldBe Seq("A", "b")
+      one(engine, "regexp_full_match('abc', '[a-c]+')") shouldBe true
+      one(engine, "regexp_full_match('abcd', '[a-c]+')") shouldBe false
+      one(engine, "regexp_full_match('ab', 'a.', 's')") shouldBe true
+      one(engine, "regexp_escape('a.b*c')") shouldBe "a\\.b\\*c"
+    } finally engine.close()
+  }
+
+  test("wave 5: list names — has_any/has_all NULL handling, intersect, " +
+      "resize, select, where, grade_up, apply, range/generate_series") {
+    val engine = new Engine(spark)
+    try {
+      one(engine, "list_has_any([1, 2], [2, 3])") shouldBe true
+      one(engine, "list_has_any([1, NULL], [NULL])") shouldBe false
+      one(engine, "list_has_any([], [])") shouldBe false
+      one(engine, "list_has_all([1, 2, 3], [2, 3])") shouldBe true
+      one(engine, "list_has_all([1], [1, NULL])") shouldBe true // NULLs skip
+      one(engine, "list_has_all([1, 2], [])") shouldBe true
+      one(engine, "list_sort(list_intersect([1, 2, 2, 3], [2, 3, 4]))"
+        ) shouldBe Seq(2, 3)
+      one(engine, "list_intersect([1, NULL, 2], [2, NULL, 3])") shouldBe Seq(2)
+      one(engine, "list_resize([1, 2], 4)") shouldBe Seq(1, 2, null, null)
+      one(engine, "list_resize([1, 2], 4, 0)") shouldBe Seq(1, 2, 0, 0)
+      one(engine, "list_resize([1, 2, 3], 2)") shouldBe Seq(1, 2)
+      one(engine, "list_resize([1, 2, 3], 0)") shouldBe Seq()
+      one(engine, "list_select([10, 20, 30], [3, 1])") shouldBe Seq(30, 10)
+      one(engine, "list_select([10, 20, 30], [4])") shouldBe Seq(null)
+      one(engine, "list_select([10, 20, 30], [0])") shouldBe Seq(null)
+      one(engine, "list_where([10, 20, 30], [true, false, true])"
+        ) shouldBe Seq(10, 30)
+      one(engine, "list_grade_up([3, 1, 3, NULL, 2])") shouldBe Seq(2, 5, 1, 3, 4)
+      one(engine, "list_grade_up(['b', 'a'])") shouldBe Seq(2, 1)
+      one(engine, "list_apply([1, 2], x -> x * 2)") shouldBe Seq(2, 4)
+      one(engine, "apply([1, 2], x -> x + 1)") shouldBe Seq(2, 3)
+      // range end-EXCLUSIVE, generate_series INCLUSIVE; direction guards
+      one(engine, "range(5)") shouldBe Seq(0, 1, 2, 3, 4)
+      one(engine, "range(2, 5)") shouldBe Seq(2, 3, 4)
+      one(engine, "range(0, 10, 3)") shouldBe Seq(0, 3, 6, 9)
+      one(engine, "range(5, 2, -1)") shouldBe Seq(5, 4, 3)
+      one(engine, "range(5, 2)") shouldBe Seq()
+      one(engine, "range(2, 2)") shouldBe Seq()
+      one(engine, "range(0, 10, -1)") shouldBe Seq()
+      one(engine, "range(0, 5, 0)") shouldBe Seq() // DuckDB 1.0 behavior
+      assert(one(engine, "range(NULL, 5)") == null)
+      one(engine, "generate_series(5)") shouldBe Seq(0, 1, 2, 3, 4, 5)
+      one(engine, "generate_series(2, 5)") shouldBe Seq(2, 3, 4, 5)
+      one(engine, "generate_series(0, 10, 3)") shouldBe Seq(0, 3, 6, 9)
+      one(engine, "generate_series(5, 2, -1)") shouldBe Seq(5, 4, 3, 2)
+      one(engine, "generate_series(5, 2)") shouldBe Seq()
+    } finally engine.close()
+  }
+
+  test("wave 5: aggregate names — product, entropy, mad, quantile_cont/" +
+      "disc/quantile — oracle-pinned incl. empty-group contracts") {
+    val engine = new Engine(spark)
+    try {
+      val t = "(VALUES (1, 1.0, 'a'), (1, 2.0, 'a'), (1, 3.0, 'b'), " +
+        "(1, 10.0, 'c'), (2, 2.0, 'x'), (2, NULL, 'x'), (2, 4.0, NULL)) " +
+        "t(g, x, y)"
+      val r = engine.sql(s"SELECT g, round(product(x), 6) AS p, " +
+        s"round(entropy(y), 6) AS e, round(quantile_cont(x, 0.5), 6) AS qc, " +
+        s"quantile_disc(x, 0.26) AS qd, quantile(x, 0.75) AS q3, " +
+        s"round(mad(x), 6) AS md, quantile_disc(y, 0.5) AS qs " +
+        s"FROM $t GROUP BY g ORDER BY g").collect()
+      r(0).toSeq.drop(1) shouldBe Seq(60.0, 1.5, 2.5,
+        java.math.BigDecimal.valueOf(2.0).setScale(1),
+        java.math.BigDecimal.valueOf(3.0).setScale(1), 1.0, "a")
+      r(1).toSeq.drop(1) shouldBe Seq(8.0, 0.0, 3.0,
+        java.math.BigDecimal.valueOf(2.0).setScale(1),
+        java.math.BigDecimal.valueOf(4.0).setScale(1), 1.0, "x")
+      // empty-group contracts: product/mad/quantiles NULL, entropy 0.0
+      val e = engine.sql("SELECT product(x) AS p, entropy(x) AS e, " +
+        "mad(x) AS m, quantile_disc(x, 0.5) AS q FROM " +
+        "(VALUES (1.0)) t(x) WHERE x < 0").collect().head
+      e.isNullAt(0) shouldBe true
+      e.getDouble(1) shouldBe 0.0
+      e.isNullAt(2) shouldBe true
+      e.isNullAt(3) shouldBe true
+      // string median via quantile_disc
+      one(engine, "(SELECT quantile_disc(s, 0.5) FROM (VALUES ('b'), " +
+        "('a'), ('c')) t(s))") shouldBe "b"
+      // quantile_cont array form rides Spark percentile
+      one(engine, "(SELECT quantile_cont(v, [0.25, 0.5]) FROM (VALUES " +
+        "(1.0), (2.0), (3.0)) t(v))") shouldBe Seq(1.5, 2.0)
+    } finally engine.close()
+  }
 }

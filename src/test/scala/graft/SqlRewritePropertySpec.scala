@@ -33,9 +33,10 @@ class SqlRewritePropertySpec extends AnyFunSuite with Matchers {
     * exactly as `Engine.sqlDispatch` composes it (raw-backslash leaf
     * excluded — see the class doc). */
   private def chain(s: String): String =
-    SqlScan.rewriteRegexpReplace(SqlScan.rewriteDateDiff(
-      SqlScan.rewriteArrows(SqlScan.rewriteStructPack(
-        SqlScan.rewriteBraces(SqlScan.rewriteBrackets(s))))))
+    SqlScan.rewriteBuiltinRenames(SqlScan.rewriteRegexpReplace(
+      SqlScan.rewriteDateDiff(SqlScan.rewriteArrows(
+        SqlScan.rewriteStructPack(SqlScan.rewriteBraces(
+          SqlScan.rewriteBrackets(s)))))))
 
   private val rewrites: Seq[(String, String => String)] = Seq(
     "rewriteDollarQuotes" -> SqlScan.rewriteDollarQuotes,
@@ -45,6 +46,7 @@ class SqlRewritePropertySpec extends AnyFunSuite with Matchers {
     "rewriteArrows" -> SqlScan.rewriteArrows,
     "rewriteDateDiff" -> SqlScan.rewriteDateDiff,
     "rewriteRegexpReplace" -> SqlScan.rewriteRegexpReplace,
+    "rewriteBuiltinRenames" -> SqlScan.rewriteBuiltinRenames,
     "rewriteRawBackslashes" -> SqlScan.rewriteRawBackslashes)
 
   // ---- (a) no-op outside triggers ------------------------------------------
@@ -88,7 +90,8 @@ class SqlRewritePropertySpec extends AnyFunSuite with Matchers {
       "struct_pack(k := 1)", "j -> 'a'", "j ->> 'b'",
       "date_diff('day', a, b)", "datediff('hour', a, b)",
       "regexp_replace(s, p, q)", "x -> x + 1",
-      "[u for u in l]", "back\\slash \\d")
+      "regexp_extract(s, p)", "regexp_extract_all(s, p)",
+      "dayofweek(d)", "[u for u in l]", "back\\slash \\d")
     def payload(): String =
       payloads(math.floorMod(r.next(), payloads.length).toInt)
     def word(): String = {
