@@ -138,7 +138,12 @@ object Bench {
     // the LAST stdout line is a compact (<2 KB, spec-enforced) summary with
     // prefix-shortened query keys. build.sbt also suppresses sbt's trailing
     // "[success]" line so the summary stays the LAST stdout line.
-    val suiteDiag = renderSuiteDiag(warm0, warm1, meas)
+    // persisted build-once assets at suite end (memory + disk bytes):
+    // the number the memo budget (QueryHelpers.memoized) is sized against —
+    // on record so a budget/thrash regression is visible in the artifact
+    val stored = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    val suiteDiag = renderSuiteDiag(warm0, warm1, meas, stored)
     val (detailJson, summaryLine) =
       renderLines(results, failed.toList, sfDir, suiteDiag)
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
@@ -213,7 +218,8 @@ object Bench {
   private def renderSuiteDiag(
       warm0: Probe, warm1: Probe,
       meas: scala.collection.Map[String,
-        scala.collection.mutable.ListBuffer[Meas]]): String = {
+        scala.collection.mutable.ListBuffer[Meas]],
+      storedBytes: Long = -1L): String = {
     val w = Meas.of(warm0, warm1)
     val all = meas.values.flatten
     val timedCmp = all.map(_.compiles).filter(_ >= 0).sum
@@ -227,7 +233,7 @@ object Bench {
           .mkString("[", ",", "]")
         s""""$n":$arr"""
     }.mkString("{", ",", "}")
-    s""""diag":{"warmup":{"w":${f3(w.wall)},"jvm":${f1(w.jvmCores)},"ext":${f1(w.extCores)},"gc":${w.gcMs},"cmp":${w.compiles}},"timed":{"gc":$timedGc,"cmp":$timedCmp},"suspects":$suspects}"""
+    s""""diag":{"warmup":{"w":${f3(w.wall)},"jvm":${f1(w.jvmCores)},"ext":${f1(w.extCores)},"gc":${w.gcMs},"cmp":${w.compiles}},"timed":{"gc":$timedGc,"cmp":$timedCmp},"storedBytes":$storedBytes,"suspects":$suspects}"""
   }
 
   /** Render (detailJson, summaryLine). The summary line is the machine

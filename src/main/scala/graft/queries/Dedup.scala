@@ -2660,22 +2660,42 @@ object Dedup {
   private val d38: Q = (s, dir) => {
     val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
     val sig = minhashSig(s, dir).join(src, Seq("doc_id"))
+    // r13: pin the sources-bounded sketch once — it feeds TWO broadcast
+    // joins below (a-side + b-side), and an unpinned plan re-runs the
+    // full corpus minhash fold per consumer (guide §2.4: don't compute
+    // things twice). O(sources) rows, eager localCheckpoint.
     val ssig = sig.groupBy(col("source"))
       .agg(min(col("m0")).as("m0"), min(col("m1")).as("m1"),
         min(col("m2")).as("m2"), min(col("m3")).as("m3"),
         min(col("m4")).as("m4"), min(col("m5")).as("m5"),
         min(col("m6")).as("m6"), min(col("m7")).as("m7"))
+      .localCheckpoint(true)
     // duplicate-collapse invariant: distinct on the (source, ARRAY) pair
     // BEFORE the explode — a replicated corpus (sf10 is 100x copies with
     // the source preserved) collapses to content diversity ahead of the
     // shingle shuffle instead of shuffling 100x pairs into the distinct
-    val sh = docsWithShingles(s, dir).join(src, Seq("doc_id"))
+    //
+    // r13 exact-verify rewrite (guide §2.3/§2.4 — the d29 mirror-matrix
+    // shape): the former (source, shingle) DISTINCT + shingle self-join
+    // shuffled the exploded gram frame three times (both join sides plus
+    // the sizes aggregation) and materialized |shared grams| x pairs join
+    // output. One gram-keyed aggregation to the per-gram SOURCE SET
+    // (collect_set dedups, fan-out <= |sources| per gram) replaces all of
+    // it: sizes = explode of the sets, pair counts = sources^2-bounded
+    // in-row pair expansion — the gram frame is shuffled ONCE and pinned.
+    val bySg = docsWithShingles(s, dir).join(src, Seq("doc_id"))
       .select(col("source"), col("sh")).distinct()
-      .select(col("source"), explode(col("sh")).as("sg")).distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.sg") === col("b.sg") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .select(col("source"), explode(col("sh")).as("sg"))
+      .groupBy(col("sg"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .localCheckpoint(true)
+    val sizes = bySg.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = bySg.filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, a -> transform(filter(ss, b -> b > a), " +
+          "b -> named_struct('s1', a, 's2', b))))")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("c"))
     val agreeExpr = (0 until 8)
       .map(i => s"(CASE WHEN am$i = bm$i THEN 1 ELSE 0 END)").mkString(" + ")

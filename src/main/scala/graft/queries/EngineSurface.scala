@@ -145,7 +145,8 @@ object EngineSurface {
       .createOrReplaceTempView("q81_events")
     val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
       .orderBy(col("o_orderkey").desc)
-    Tables.load(s, dir, "orders")
+    // r13: cluster on the asof key once — window + asof share the exchange
+    Tables.load(s, dir, "orders").repartition(col("o_custkey"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("o_custkey").as("user_id"), col("o_orderdate"),
         col("o_orderkey"), round(col("o_totalprice"), 2).as("o_price"))
@@ -186,9 +187,11 @@ object EngineSurface {
       .createOrReplaceTempView("q99_events")
     val w = Window.partitionBy(col("user_id"), col("next_ts"))
       .orderBy(col("next_event").desc)
+    // r13: cluster on the asof key once — window + asof share the exchange
     Tables.load(s, dir, "events")
       .select(col("user_id"), col("ts").as("next_ts"),
         col("event_id").as("next_event"), col("event_type").as("next_type"))
+      .repartition(col("user_id"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
       .createOrReplaceTempView("q99_next")

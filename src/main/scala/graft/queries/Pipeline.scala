@@ -1294,8 +1294,21 @@ object Pipeline {
     graft.streaming.StreamingOps.trackTempDir(base, eager = true)
     val v1 = base.resolve("v1").toString
     val v2 = base.resolve("v2").toString
-    o.filter(!late).write.mode("overwrite").partitionBy("month").parquet(v1)
-    // the backfill job: recompute ONLY the stale partition, late rows in
+    // r13: cluster by the partition column BEFORE the hive-partitioned
+    // write (guide §6 — the Iceberg hash distribution-mode shape): the
+    // orders scan is one input split, so the unclustered dynamic-partition
+    // write ran as ONE task sorting and emitting all ~82 month files
+    // sequentially (measured 2.1 s of the query's 3.2 s); hash-clustering
+    // on month across defaultParallelism tasks writes the months in
+    // parallel and still lands O(months) files. The partition count is
+    // EXPLICIT (cores-adaptive, not hard-coded) because a keyed
+    // repartition with no count is AQE-coalescible — at this input size
+    // AQE folds it back to one task and the win vanishes (measured).
+    o.filter(!late)
+      .repartition(s.sparkContext.defaultParallelism, col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(v1)
+    // the backfill job: recompute ONLY the stale partition (one month —
+    // nothing to parallelize by key), late rows in
     o.filter(col("month") === target)
       .write.mode("overwrite").partitionBy("month").parquet(v2)
     // manifest-routed read: partition pruning plays the pointer table —

@@ -65,9 +65,23 @@ object QueryHelpers {
       val sc = spark.sparkContext
       def stored(): Long =
         sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      // Default budget = the unified-memory region Spark itself manages
+      // (heap × spark.memory.fraction): persisted blocks beyond what fits
+      // in memory spill to local disk under MEMORY_AND_DISK — cheap and
+      // self-managed — so the memo-level guard (unpersist + REBUILD, the
+      // expensive path) should only fire past the point Spark's own
+      // storage management is exhausted. The former maxMemory/4 default
+      // was measured THRASHING at the 326-query registry (total suite
+      // assets exceed heap/4, so LRU eviction forced full rebuilds of
+      // d34's content-collapsed candidates on every bench pass: 23.5 s vs
+      // 1.2 s — OPTIMIZATION_r13.md "memo budget").
       val budget = spark.conf
         .getOption("spark.graft.memo.budget.bytes").map(_.toLong)
-        .getOrElse(Runtime.getRuntime.maxMemory() / 4)
+        .getOrElse {
+          val fraction = spark.conf
+            .getOption("spark.memory.fraction").map(_.toDouble).getOrElse(0.6)
+          (Runtime.getRuntime.maxMemory() * fraction).toLong
+        }
       if (stored() <= budget) return
       val lru = lastUse.toSeq.sortBy(_._2).map(_._1)
       var total = stored()
@@ -77,6 +91,11 @@ object QueryHelpers {
             val lvl = df.storageLevel
             if ((lvl.useMemory || lvl.useDisk) &&
                 !df.sparkSession.sparkContext.isStopped) {
+              // loud: a forced unpersist means the NEXT use pays a full
+              // rebuild — if this fires mid-suite the budget is mis-sized
+              // (the r13 thrash signature, OPTIMIZATION_r13.md)
+              System.err.println(s"[graft-memo] budget $budget exceeded " +
+                s"(stored $total): evicting '$k' (built for '$justBuilt')")
               df.unpersist(blocking = true)
               memo.remove(k)
               lastUse.remove(k)

@@ -489,7 +489,14 @@ object RelationalExt {
   private val q51: Q = (s, dir) => {
     val e = t(s, dir, "events").filter(col("event_id") <= 300)
       .select(col("event_id"), col("user_id"), col("ts"))
-    val o = t(s, dir, "orders")
+    // r13 (guide §2.4 — share one exchange): hash-cluster orders on the
+    // JOIN key before the dedup window. HashPartitioning(o_custkey)
+    // satisfies both the window's ClusteredDistribution(o_custkey,
+    // o_orderdate) and the asof exec's ClusteredDistribution(user_id), and
+    // the window's (custkey, orderdate, orderkey desc) sort is a prefix-
+    // satisfier of the asof's (user_id, o_orderdate) requirement — so the
+    // right side pays ONE exchange + ONE sort instead of two of each.
+    val o = t(s, dir, "orders").repartition(col("o_custkey"))
     val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
       .orderBy(col("o_orderkey").desc)
     val dedup = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -516,9 +523,12 @@ object RelationalExt {
       .select(col("event_id"), col("user_id"), col("ts"))
     val w = Window.partitionBy(col("user_id"), col("next_ts"))
       .orderBy(col("next_event").desc)
+    // r13: same one-exchange discipline as q51 — cluster on user_id once,
+    // the dedup window and the forward asof both ride it
     val r = t(s, dir, "events")
       .select(col("user_id"), col("ts").as("next_ts"),
         col("event_id").as("next_event"), col("event_type").as("next_type"))
+      .repartition(col("user_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     graft.operators.AsofJoinNative

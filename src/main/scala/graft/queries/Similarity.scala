@@ -1228,22 +1228,39 @@ object Similarity {
     * nothing. */
   private val s18: Q = (s, dir) => {
     val (_, assigned) = trainedIvf(s, dir)
-    val edges = memoized(s"s18edges:$dir") {
-      knnTop3(s, dir)
+    // r13 (guide §2.4 — establish the partitioning once): the 5 chained
+    // iterations each join the edge list on src and the node list on id;
+    // persisting BOTH assets already hash-clustered on their join keys
+    // (and folding the degree join into the build) means every iteration's
+    // joins find co-partitioned inputs — the only per-iteration exchange
+    // left is the contribution aggregation on dst, the irreducible
+    // distributed-PageRank shuffle. (Formerly: edges persisted unkeyed +
+    // per-iteration deg re-join = up to 3 exchanges per iteration.)
+    val eDeg = memoized(s"s18edeg:$dir") {
+      val edges = knnTop3(s, dir)
         .select(col("qid").as("src"), col("cid").as("dst"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      edges.join(deg, Seq("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val nodes = assigned.select(col("vec_id").as("id"))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val eDeg = edges.join(deg, Seq("src"))
+    val nodes = memoized(s"s18nodes:$dir") {
+      assigned.select(col("vec_id").as("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     var pr = nodes.withColumn("pr", lit(1000000L))
     (1 to 5).foreach { _ =>
       val contrib = eDeg.join(pr, col("src") === col("id"))
         .select(col("dst"), expr("pr div d").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("cs"))
+      // truncate the plan tower per iteration (the d22 Pregel discipline):
+      // without it, iteration k's analyze/optimize pass re-walks k nested
+      // join-aggregate layers plus the whole index lineage — by iteration
+      // 5 the DRIVER planning time dominates the tiny per-iteration jobs.
+      // At 100 TB the same checkpoint breaks lineage for fault tolerance.
       pr = nodes.join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           expr("150000L + (850L * coalesce(cs, 0L)) div 1000L").as("pr"))
+        .localCheckpoint(true)
     }
     pr.orderBy(col("pr").desc, col("id")).limit(20)
       .select(col("id").as("vec_id"), col("pr").as("pr_micro"))

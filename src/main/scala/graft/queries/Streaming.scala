@@ -157,7 +157,8 @@ object Streaming {
     val agged = StreamingOps.tumblingAgg(stream, "ts", "event_type", "v", "1 hour")
     val sink = "q74_sink_" + q74Counter.incrementAndGet()
     val result = StreamingOps
-      .snapshotToTable(agged, sink, "complete", statePartitions = 4)
+      .snapshotToTable(agged, sink, "complete", statePartitions = 4,
+        extraConfs = StreamingOps.noIdleBatches)
       .select(col("window_start"), col("event_type"), col("n"),
         col("total").cast("double").as("total"))
     // detach pins the snapshot executor-side, then drops the sink so
@@ -264,7 +265,8 @@ object Streaming {
       stream, "ts", Seq("user_id", "event_type"), watermark = "365 days")
     val sink = "q79_sink_" + q79Counter.incrementAndGet()
     val first = graft.streaming.StreamingOps
-      .snapshotToTable(deduped, sink, "append", statePartitions = 4)
+      .snapshotToTable(deduped, sink, "append", statePartitions = 4,
+        extraConfs = StreamingOps.noIdleBatches)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
     StreamingOps.detach(first, sink).psort(col("event_type"))
@@ -314,7 +316,8 @@ object Streaming {
       }
     val sink = "q80_sink_" + q80Counter.incrementAndGet()
     val snap = graft.streaming.StreamingOps
-      .snapshotToTable(updated.toDF(), sink, "update", statePartitions = 4)
+      .snapshotToTable(updated.toDF(), sink, "update", statePartitions = 4,
+        extraConfs = StreamingOps.noIdleBatches)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
     val fin = snap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -367,7 +370,8 @@ object Streaming {
         col("view_ts"), col("click_ts"))
     val sink = "q85_sink_" + q85Counter.incrementAndGet()
     val result = graft.streaming.StreamingOps
-      .snapshotToTable(joined, sink, "append", statePartitions = 4)
+      .snapshotToTable(joined, sink, "append", statePartitions = 4,
+        extraConfs = StreamingOps.noIdleBatches)
     StreamingOps.detach(result, sink).psort(col("user_id"), col("view_id"), col("click_id"))
   }
 
@@ -414,7 +418,8 @@ object Streaming {
         col("c_mktsegment"), col("value"))
     val sink = "q88_sink_" + q88Counter.incrementAndGet()
     val result = graft.streaming.StreamingOps
-      .snapshotToTable(joined, sink, "append", statePartitions = 4)
+      .snapshotToTable(joined, sink, "append", statePartitions = 4,
+        extraConfs = StreamingOps.noIdleBatches)
     StreamingOps.detach(result, sink).psort(col("event_id"))
   }
 
@@ -471,7 +476,8 @@ object Streaming {
     // whether eviction runs on read or at end-of-batch — the result is
     // identical under both.
     val emitted = graft.streaming.StreamingOps
-      .snapshotToTableStaged(deduped, sink, "append", statePartitions = 4)(Seq(
+      .snapshotToTableStaged(deduped, sink, "append", statePartitions = 4,
+        extraConfs = StreamingOps.noIdleBatches)(Seq(
         () => ms.addData(b1.toSeq),
         () => ms.addData(Seq((base, 999999L))),
         () => ms.addData(b2.toSeq)))
@@ -665,7 +671,8 @@ object Streaming {
     // full micro-batch of cost without exercising any extra semantics —
     // the outer-flush machinery under test lives in the sentinel waves)
     val result = graft.streaming.StreamingOps
-      .snapshotToTableStaged(joined, sink, "append", statePartitions = 2)(Seq(
+      .snapshotToTableStaged(joined, sink, "append", statePartitions = 2,
+        extraConfs = StreamingOps.noIdleBatches)(Seq(
         () => { msV.addData(viewRows); msC.addData(clickRows) },
         () => { msV.addData(Seq(sentinels(0))); msC.addData(Seq(sentinels(0))) },
         () => { msV.addData(Seq(sentinels(1))); msC.addData(Seq(sentinels(1))) }))

@@ -1455,11 +1455,19 @@ object TextOps {
     val ranked = memoized(s"x26ranked:$dir")(
       tiered.withColumn("pos", row_number().over(wrr).cast("long"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val (interleaved, _) = withGlobalRank(ranked,
-      col("tier") * lit(1L << 44) + col("pos"),
-      Seq(col("tier"), col("pos"), col("source"), col("doc_id")), "rank")
-    interleaved
-      .filter(col("rank") <= 200)
+    // r13: only ranks <= 200 survive, so the former third DistributedRank
+    // (quantile pass + count pass + bucket windows over the whole frame)
+    // is overkill — a global top-k on the SAME total order is one
+    // TakeOrderedAndProject (per-partition partial top-k, no full sort at
+    // any scale), and the exact global rank of those 200 rows is their
+    // row number within the bounded result (constant-size presentation
+    // frame, the repo's bounded-window category). Identical output.
+    val top = ranked
+      .orderBy(col("tier"), col("pos"), col("source"), col("doc_id"))
+      .limit(200)
+    val wTop = Window.orderBy(
+      col("tier"), col("pos"), col("source"), col("doc_id"))
+    top.withColumn("rank", row_number().over(wTop).cast("long"))
       .select(col("rank"), col("doc_id"), col("tier"), col("source"), col("pos"))
       .psort(col("rank"))
   }

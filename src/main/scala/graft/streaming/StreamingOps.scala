@@ -21,6 +21,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** r13 (guide §1/§2 — don't run work the result can't observe): after
+    * every data micro-batch whose watermark advanced, the runtime by
+    * default schedules an EXTRA no-data micro-batch purely to let
+    * event-time state evict/emit early — for the gates each one costs a
+    * full batch round (plan + state commit + WAL, ~0.5-1 s measured at
+    * the local floor) and DOUBLES the batch count. Pass this at call
+    * sites whose final snapshot provably cannot depend on mid-stream
+    * eviction timing:
+    *  - complete-mode aggregations (the last data batch re-emits the
+    *    whole state);
+    *  - append-mode dedup / inner joins / stateless enrichment (rows
+    *    emit when DATA arrives; eviction never emits);
+    *  - the staged outer-join gates, whose SECOND sentinel wave exists
+    *    precisely so the flush happens in a DATA batch.
+    * NOT safe for event-time-timeout operators that EMIT on timer fire
+    * (sessionizeOnClose / transformWithState timers) unless a sentinel
+    * wave drives the clock — those keep the default. */
+  val noIdleBatches: Map[String, String] =
+    Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+
   /** Tumbling-window aggregate with watermark-bounded state. */
   def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
                   valueCol: String, windowLen: String,
