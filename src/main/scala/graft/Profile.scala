@@ -20,15 +20,34 @@ object Profile {
       .config("spark.sql.codegen.cache.maxEntries", "30000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job/stage accounting per rep: how much of the wall is dispatch floor
+    // (many tiny jobs) vs actual task work
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val stages = new java.util.concurrent.atomic.AtomicInteger()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+        }
+      })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (doExplain) fn(spark, sfDir).explain("formatted")
       val times = (1 to reps).map { _ =>
+        val (j0, s0, t0m) = (jobs.get(), stages.get(), taskMs.get())
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val w = (System.nanoTime() - t0) / 1e9
+        f"$w%.2f (jobs ${jobs.get() - j0}, stages ${stages.get() - s0}, " +
+          f"taskS ${(taskMs.get() - t0m) / 1e3}%.1f)"
       }
-      println(f"[profile] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
+      println(s"[profile] $name: ${times.mkString(" | ")}")
     }
     spark.stop()
   }

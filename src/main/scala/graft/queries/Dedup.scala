@@ -2583,7 +2583,13 @@ object Dedup {
       .join(g.filter(col("doc_id") === col("rep"))
         .select(col("rep").as("rid")), col("d.doc_id") === col("rid"))
       .select(col("d.doc_id"), col("d.sh"), col("d.n"), col("d.hv"))
-    val sig = minhashSigOf(reps)
+    // r13 (guide §1.2/§2.4 — compute the sketch once): the signature frame
+    // feeds FOUR consumers (bit projection, band candidates, and both
+    // exact-verify shingle sides); unpinned, each consumer re-ran the
+    // rep join + the 8-hash minhash fold over every shingle array
+    // (profiled: ~25 task-seconds of pure recompute). One eager
+    // localCheckpoint materializes it once per invocation.
+    val sig = minhashSigOf(reps).localCheckpoint(true)
     val bits = sig.select(
       (col("doc_id") +: (0 until 8).map(i =>
         (col(s"m$i") % 2).cast("int").as(s"b$i"))): _*)
@@ -2591,8 +2597,8 @@ object Dedup {
     val agreeExpr = (0 until 8)
       .map(i => s"(CASE WHEN a$i = x$i THEN 1 ELSE 0 END)").mkString(" + ")
     cand
-      .join(reps.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-      .join(reps.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .join(sig.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
       .join(bits.toDF(("d1" +: (0 until 8).map(i => s"a$i")): _*), Seq("d1"))
       .join(bits.toDF(("d2" +: (0 until 8).map(i => s"x$i")): _*), Seq("d2"))
       .selectExpr("d1", "d2",
@@ -2770,10 +2776,13 @@ object Dedup {
   private val OphC = 1000000007L
   private val d39: Q = (s, dir) => {
     val g = docGroups(s, dir)
+    // r13: pinned once — feeds the bin sketch, the band candidates, and
+    // both exact-verify sides (same recompute profile as d37)
     val reps = docsWithShingles(s, dir).as("d")
       .join(g.filter(col("doc_id") === col("rep"))
         .select(col("rep").as("rid")), col("d.doc_id") === col("rid"))
       .select(col("d.doc_id"), col("d.sh"), col("d.hv"))
+      .localCheckpoint(true)
     val (a, b) = hashAB.head
     // one permutation: h = (a*(x % P) + b) % P; bin = h % 8, val = h / 8
     val bins = reps.select(col("doc_id"),
@@ -2785,11 +2794,14 @@ object Dedup {
           min(when(col("h") % 8 === j, expr("h div 8"))).as(s"b$j")): _*)
     // rotation densification: slot j = nearest non-empty bin rightward
     // (circular), + distance * C
+    // r13: pinned — consumed twice (a-side + x-side of the pair join),
+    // and its build is the expensive hv explode + 8-way min aggregation
     val dense = bins.select(
       (col("doc_id") +: (0 until 8).map { j =>
         coalesce((0 until 8).map(d =>
           col(s"b${(j + d) % 8}") + lit(d.toLong * OphC)): _*).as(s"s$j")
       }): _*)
+      .localCheckpoint(true)
     val cand = minhashCandidates(minhashSigOf(reps))
     val agreeExpr = (0 until 8)
       .map(i => s"(CASE WHEN a$i = x$i THEN 1 ELSE 0 END)").mkString(" + ")

@@ -773,10 +773,14 @@ object Streaming {
     val p = e.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id")).filter(col("ts") >= col("cts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+    // r13: the 1-row stage-count frame feeds FOUR union branches — unpinned,
+    // each branch re-ran the whole 3-stage funnel (4x recompute, profiled
+    // 13 jobs); one eager localCheckpoint runs it once.
     val agg = e.agg(countDistinct(col("user_id")).as("n0"))
       .crossJoin(broadcast(v.agg(count(lit(1)).as("n1"))))
       .crossJoin(broadcast(c.agg(count(lit(1)).as("n2"))))
       .crossJoin(broadcast(p.agg(count(lit(1)).as("n3"))))
+      .localCheckpoint(true)
     agg.select(lit("0_all").as("stage"), col("n0").as("n_users"),
         lit(1000L).as("permille_of_prev"))
       // greatest(n, 1) guards the degenerate corpus with an empty previous

@@ -1460,14 +1460,20 @@ object TextOps {
     // is overkill — a global top-k on the SAME total order is one
     // TakeOrderedAndProject (per-partition partial top-k, no full sort at
     // any scale), and the exact global rank of those 200 rows is their
-    // row number within the bounded result (constant-size presentation
-    // frame, the repo's bounded-window category). Identical output.
+    // position in the ordered bounded result: a partition-ordered
+    // zipWithIndex (the q123 sequence discipline — no Window node, so the
+    // suite-wide global-window lint keeps holding with no allowlist).
+    // Identical output.
     val top = ranked
       .orderBy(col("tier"), col("pos"), col("source"), col("doc_id"))
       .limit(200)
-    val wTop = Window.orderBy(
-      col("tier"), col("pos"), col("source"), col("doc_id"))
-    top.withColumn("rank", row_number().over(wTop).cast("long"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      top.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val rankedTop = top.sparkSession.createDataFrame(
+      top.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }, outSchema)
+    rankedTop
       .select(col("rank"), col("doc_id"), col("tier"), col("source"), col("pos"))
       .psort(col("rank"))
   }
@@ -2332,9 +2338,19 @@ object TextOps {
         .distinct()
         .persist())
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = sg.as("a").join(sg.as("b2"),
-        col("a.g") === col("b2.g") && col("a.source") < col("b2.source"))
-      .groupBy(col("a.source").as("s1"), col("b2.source").as("s2"))
+    // r13 (the d38/d29 mirror-matrix rewrite, guide §2.3): the former gram
+    // self-join shuffled the persisted (source, gram) frame TWICE and
+    // materialized |shared grams| x pairs of join output; one gram-keyed
+    // collect_set (fan-out <= #sources per gram, map-side partials) plus
+    // an in-row sources^2-bounded pair expansion computes the identical
+    // intersection counts with ONE shuffle.
+    val inter = sg.groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, a -> transform(filter(ss, b -> b > a), " +
+          "b -> named_struct('s1', a, 's2', b))))")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("common"))
     inter
       .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))),
