@@ -121,11 +121,18 @@ object Bench {
     }
     // Third targeted pass: floor-dominated shapes (sub-second totals are
     // mostly fixed harness cost — a loaded host inflates them 5-15x; a
-    // third measurement is nearly free) and UNSTABLE entries (passes
-    // disagree >2x: whatever disturbed one pass gets a third vote).
+    // third measurement is nearly free), UNSTABLE entries (passes
+    // disagree >2x: whatever disturbed one pass gets a third vote), and
+    // HEAVY entries (min > 2 s): r13 measured the heaviest intersect
+    // query still riding a post-warmup execution transient through BOTH
+    // timed passes at low core counts (8.8/10.2 s vs a 4.3 s steady
+    // state, under the 2x disagreement trigger) — a heavy entry always
+    // earns one more vote. Extra measurements only: the reported min is
+    // still a full replay, never a cached result.
     names.foreach { case (n, fn) =>
       val ws = meas(n).map(_.wall)
-      if (ws.nonEmpty && (ws.min < 0.75 || ws.max > 2 * ws.min)) once(n, fn)
+      if (ws.nonEmpty &&
+        (ws.min < 0.75 || ws.max > 2 * ws.min || ws.min > 2.0)) once(n, fn)
     }
     val results = names.map { case (n, _) =>
       val ws = meas(n).map(_.wall)
