@@ -43,6 +43,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GB, so size the single local[32] JVM like the executor fleet it
   // stands in for.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // The 326-query suite JIT-compiles ~3.4k generated (janino) classes per
+  // run; at the JVM's default 240 MB reserved code cache the sweeper's
+  // cold-method FLUSHING silently evicts compiled loops that sit idle
+  // while the other ~300 queries run, so a heavy query's timed pass can
+  // re-enter interpreted/C1 code 10-20x slower than its steady state
+  // (r13 measured d34's ~30 core-second intersect pass ballooning to
+  // ~650 core-seconds on exactly the runs where flushing hit it — same
+  // bytes, zero new codegen compiles, all cores busy). Size the cache so
+  // the whole suite's compiled code stays resident.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ (if (sys.env.contains("SPARK_GRAFT_GCLOG"))
   Seq("-Xlog:gc*:file=/tmp/graft_gc.log:time,uptime") else Seq.empty) ++
   // ad-hoc conf experiments: SPARK_GRAFT_XOPTS="-Dspark.foo=bar -Dspark.baz=qux"
