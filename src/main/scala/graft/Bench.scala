@@ -127,12 +127,16 @@ object Bench {
     // query still riding a post-warmup execution transient through BOTH
     // timed passes at low core counts (8.8/10.2 s vs a 4.3 s steady
     // state, under the 2x disagreement trigger) — a heavy entry always
-    // earns one more vote. Extra measurements only: the reported min is
-    // still a full replay, never a cached result.
+    // earns one more vote. r14 (VERDICT r13 item 2, the d14 bimodality):
+    // entries above 1 s whose passes disagree >1.5x also get the extra
+    // vote — d14 rode a 0.8-vs-1.3 s transient that sat under both the
+    // 2x-disagreement and the min>2s triggers. Extra measurements only:
+    // the reported min is still a full replay, never a cached result.
     names.foreach { case (n, fn) =>
       val ws = meas(n).map(_.wall)
       if (ws.nonEmpty &&
-        (ws.min < 0.75 || ws.max > 2 * ws.min || ws.min > 2.0)) once(n, fn)
+        (ws.min < 0.75 || ws.max > 2 * ws.min || ws.min > 2.0 ||
+          (ws.min > 1.0 && ws.max > 1.5 * ws.min))) once(n, fn)
     }
     val results = names.map { case (n, _) =>
       val ws = meas(n).map(_.wall)
@@ -165,9 +169,15 @@ object Bench {
   /** One resource snapshot: wall clock, this JVM's cumulative CPU, the
     * whole host's cumulative busy CPU (user+nice+sys+irq+softirq+steal
     * jiffies from /proc/stat — idle and iowait excluded), cumulative GC
-    * time, cumulative codegen (janino) compilations. */
+    * time, cumulative codegen (janino) compilations, cumulative HotSpot
+    * JIT compilation ms (r14: attributes code-cache-flush re-JIT storms —
+    * the d14/d34 bimodality class — per measurement, not per suite), and
+    * current CodeHeap occupancy MB (r14: a slow pass with flat jit and a
+    * code heap at its cap is sweeper flushing; far below the cap it is
+    * deoptimized/interpreted execution from another cause). */
   private[graft] case class Probe(ns: Long, jvmCpuNs: Long, hostBusyJiffies: Long,
-                                  gcMs: Long, compiles: Long)
+                                  gcMs: Long, compiles: Long, jitMs: Long,
+                                  codeMB: Long)
 
   private def probe(): Probe = {
     val ns = System.nanoTime()
@@ -191,14 +201,26 @@ object Bench {
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getCount
     catch { case _: Throwable => -1L }
-    Probe(ns, jvm, host, gc, cmp)
+    val jit = try {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else -1L
+    } catch { case _: Throwable => -1L }
+    val codeMB = try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum >> 20
+    } catch { case _: Throwable => -1L }
+    Probe(ns, jvm, host, gc, cmp, jit, codeMB)
   }
 
   /** One measurement's deltas: wall seconds, JVM CPU cores consumed (avg
     * over the wall), EXTERNAL CPU cores consumed by other processes (host
-    * busy minus this JVM), GC ms, codegen compilations. */
+    * busy minus this JVM), GC ms, codegen compilations, HotSpot JIT ms. */
   private[graft] case class Meas(wall: Double, jvmCores: Double, extCores: Double,
-                                 gcMs: Long, compiles: Long)
+                                 gcMs: Long, compiles: Long, jitMs: Long,
+                                 codeMB: Long)
   private object Meas {
     private val hz = 100.0 // USER_HZ jiffies per second (Linux default)
     def of(a: Probe, b: Probe): Meas = {
@@ -209,7 +231,9 @@ object Bench {
       val ext = if (jvmS < 0 || hostS < 0) -1.0 else math.max(hostS - jvmS, 0)
       Meas(wall, if (jvmS < 0) -1 else jvmS / wall,
         if (ext < 0) -1 else ext / wall,
-        b.gcMs - a.gcMs, if (a.compiles < 0) -1 else b.compiles - a.compiles)
+        b.gcMs - a.gcMs, if (a.compiles < 0) -1 else b.compiles - a.compiles,
+        if (a.jitMs < 0) -1 else b.jitMs - a.jitMs,
+        b.codeMB) // occupancy AT measurement end, not a delta
     }
   }
 
@@ -231,12 +255,17 @@ object Bench {
     val all = meas.values.flatten
     val timedCmp = all.map(_.compiles).filter(_ >= 0).sum
     val timedGc = all.map(_.gcMs).sum
+    // r14: widened to catch d14-class flips (passes disagree >1.5x above
+    // a 0.3 s floor) and extended with per-measurement HotSpot JIT ms —
+    // the detail file is unbounded, only the stdout summary is capped
     val suspects = meas.collect {
       case (n, ms) if ms.nonEmpty &&
           (ms.map(_.wall).max > 2 * ms.map(_.wall).min ||
-            ms.map(_.wall).min > 1.0) =>
+            ms.map(_.wall).min > 1.0 ||
+            (ms.map(_.wall).min > 0.3 &&
+              ms.map(_.wall).max > 1.5 * ms.map(_.wall).min)) =>
         val arr = ms.map(m =>
-          s"""{"w":${f3(m.wall)},"jvm":${f1(m.jvmCores)},"ext":${f1(m.extCores)},"gc":${m.gcMs},"cmp":${m.compiles}}""")
+          s"""{"w":${f3(m.wall)},"jvm":${f1(m.jvmCores)},"ext":${f1(m.extCores)},"gc":${m.gcMs},"cmp":${m.compiles},"jit":${m.jitMs},"codeMB":${m.codeMB}}""")
           .mkString("[", ",", "]")
         s""""$n":$arr"""
     }.mkString("{", ",", "}")

@@ -33,17 +33,33 @@ object Profile {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
-          taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+          // failed/zombie stages can carry null metrics
+          Option(sc.stageInfo.taskMetrics)
+            .foreach(m => taskMs.addAndGet(m.executorRunTime))
         }
       })
+    // listener events are delivered asynchronously on the bus: drain it
+    // before sampling the counters so a rep's late stage completions are
+    // not misattributed to the next rep (ADVICE r13). listenerBus is
+    // private[spark] — reflective call, sleep fallback.
+    def drainListenerBus(): Unit =
+      try {
+        val m = spark.sparkContext.getClass.getMethod("listenerBus")
+        val bus = m.invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(x => x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
+          .fold(Thread.sleep(150L))(w => { w.invoke(bus); () })
+      } catch { case _: Throwable => Thread.sleep(150L) }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (doExplain) fn(spark, sfDir).explain("formatted")
       val times = (1 to reps).map { _ =>
+        drainListenerBus()
         val (j0, s0, t0m) = (jobs.get(), stages.get(), taskMs.get())
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val w = (System.nanoTime() - t0) / 1e9
+        drainListenerBus()
         f"$w%.2f (jobs ${jobs.get() - j0}, stages ${stages.get() - s0}, " +
           f"taskS ${(taskMs.get() - t0m) / 1e3}%.1f)"
       }

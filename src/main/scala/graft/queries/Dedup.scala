@@ -2709,12 +2709,10 @@ object Dedup {
       .localCheckpoint(true)
     val sizes = bySg.select(explode(col("ss")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val common = bySg.filter(size(col("ss")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ss, a -> transform(filter(ss, b -> b > a), " +
-          "b -> named_struct('s1', a, 's2', b))))")).as("p"))
-      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-      .agg(count(lit(1)).as("c"))
+    // r14 (§2.5, VERDICT item 4): pair expansion via PairExpand — streams
+    // the |sources|^2 pairs out across |sources| rows instead of building
+    // them all inside ONE row (hot-gram skew safety); identical pair set.
+    val common = graft.operators.PairExpand.pairCounts(bySg, "ss", "c")
     val agreeExpr = (0 until 8)
       .map(i => s"(CASE WHEN am$i = bm$i THEN 1 ELSE 0 END)").mkString(" + ")
     common
@@ -2788,13 +2786,16 @@ object Dedup {
   private val OphC = 1000000007L
   private val d39: Q = (s, dir) => {
     val g = docGroups(s, dir)
-    // r13: pinned once — feeds the bin sketch, the band candidates, and
-    // both exact-verify sides (same recompute profile as d37)
+    // r13 pinned this frame (localCheckpoint) for its four consumers; the
+    // driver measured it 0.65x (1.3 -> 2.0 s): checkpoint-serializing the
+    // full shingle+hash ARRAYS costs more than re-running the map-only
+    // join over the two persisted memo frames — the exact d06 negative
+    // result (Dedup.scala d06). r14: UNPINNED; only the fixed-width
+    // `dense` sketch (8 longs/row) stays checkpointed below.
     val reps = docsWithShingles(s, dir).as("d")
       .join(g.filter(col("doc_id") === col("rep"))
         .select(col("rep").as("rid")), col("d.doc_id") === col("rid"))
       .select(col("d.doc_id"), col("d.sh"), col("d.hv"))
-      .localCheckpoint(true)
     val (a, b) = hashAB.head
     // one permutation: h = (a*(x % P) + b) % P; bin = h % 8, val = h / 8
     val bins = reps.select(col("doc_id"),

@@ -242,7 +242,14 @@ object Pipeline {
          |        split(text, ' +')) AS double) < 2.0)""".stripMargin))
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " +")).cast("long").as("tok"))
-    graft.streaming.StreamingOps.snapshotToFiles(kept)
+    // r14 (guide §2.4/§5, VERDICT r13 item 5): the dedup state is one small
+    // row per distinct canonical hash, but the stream ran at the session
+    // default 32 shuffle partitions — 32 state-store opens/commits AND 32
+    // sink files per micro-batch for a bounded gate slice. Cap to 8 via the
+    // session-clone isolation (the q85/q95 statePartitions discipline);
+    // production ingest keeps the default, where partition count should
+    // match key cardinality and throughput.
+    graft.streaming.StreamingOps.snapshotToFiles(kept, statePartitions = 8)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("tok")).as("kept_tokens"),

@@ -63,8 +63,12 @@ object QueryHelpers {
   private def enforceMemoBudget(spark: SparkSession, justBuilt: String): Unit =
     memo.synchronized {
       val sc = spark.sparkContext
-      def stored(): Long =
-        sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      // r14 (ADVICE r13): only MEMORY-resident bytes count against the
+      // memory-region budget — blocks Spark has already spilled to local
+      // disk under MEMORY_AND_DISK cost no storage memory, so counting
+      // diskSize re-enabled exactly the unpersist+rebuild thrash the
+      // budget rationale says disk spill should absorb.
+      def stored(): Long = sc.getRDDStorageInfo.map(_.memSize).sum
       // Default budget = the unified-memory region Spark itself manages
       // (heap × spark.memory.fraction): persisted blocks beyond what fits
       // in memory spill to local disk under MEMORY_AND_DISK — cheap and

@@ -1467,6 +1467,14 @@ object TextOps {
     val top = ranked
       .orderBy(col("tier"), col("pos"), col("source"), col("doc_id"))
       .limit(200)
+      // ADVICE r13: the zipWithIndex rank relied on TakeOrderedAndProject
+      // emitting one sorted partition — true today but an implicit
+      // physical-plan contract. Make it explicit on the BOUNDED 200-row
+      // result: one partition, re-sorted in place (no Window node, lint
+      // holds; cost is a single 200-row task).
+      .coalesce(1)
+      .sortWithinPartitions(
+        col("tier"), col("pos"), col("source"), col("doc_id"))
     val outSchema = org.apache.spark.sql.types.StructType(
       top.schema.fields :+ org.apache.spark.sql.types.StructField(
         "rank", org.apache.spark.sql.types.LongType, nullable = false))
@@ -2344,14 +2352,13 @@ object TextOps {
     // collect_set (fan-out <= #sources per gram, map-side partials) plus
     // an in-row sources^2-bounded pair expansion computes the identical
     // intersection counts with ONE shuffle.
-    val inter = sg.groupBy(col("g"))
-      .agg(sort_array(collect_set(col("source"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ss, a -> transform(filter(ss, b -> b > a), " +
-          "b -> named_struct('s1', a, 's2', b))))")).as("p"))
-      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-      .agg(count(lit(1)).as("common"))
+    // r14 (§2.5, VERDICT item 4): PairExpand streams the per-gram pair
+    // fan-out across rows instead of materializing |sources|^2 structs in
+    // one row — hot-gram skew safety, same single shuffle, same counts.
+    val inter = graft.operators.PairExpand.pairCounts(
+      sg.groupBy(col("g"))
+        .agg(sort_array(collect_set(col("source"))).as("ss")),
+      "ss", "common")
     inter
       .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))),
         Seq("s1"))

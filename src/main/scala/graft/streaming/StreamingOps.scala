@@ -321,9 +321,29 @@ object StreamingOps {
     * through that log — a half-written or orphaned file from a failed
     * batch is invisible to readers. Throwaway offset/commit logs go to
     * tmpfs (the [[snapshotToTable]] amortization); the DATA directory is a
-    * real temp dir on disk — it IS the output. */
-  def snapshotToFiles(stream: DataFrame): DataFrame = {
-    val sess = stream.sparkSession
+    * real temp dir on disk — it IS the output.
+    *
+    * r14: same `statePartitions`/`extraConfs` session-clone isolation as
+    * [[snapshotToTable]] — a stateful gate streaming into a FILE sink
+    * (p02) was the one gate still opening/committing a state store AND a
+    * sink file per session-default shuffle partition each micro-batch;
+    * production streams keep the default (partition count should match
+    * key cardinality and throughput). */
+  def snapshotToFiles(stream: DataFrame,
+                      statePartitions: Int = 0,
+                      extraConfs: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    val parent = stream.sparkSession
+    val sess = if (statePartitions > 0 || extraConfs.nonEmpty) {
+      val s2 = parent.newSession()
+      if (statePartitions > 0)
+        s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      extraConfs.foreach { case (k, v) => s2.conf.set(k, v) }
+      s2
+    } else parent
+    val bound =
+      if (sess eq parent) stream
+      else GraftPlanBridge.ofRows(sess, stream.queryExecution.analyzed)
     val shm = new java.io.File("/dev/shm")
     val ckBase = if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Path.of(System.getProperty("java.io.tmpdir"))
@@ -331,7 +351,7 @@ object StreamingOps {
     trackTempDir(ck)
     val out = java.nio.file.Files.createTempDirectory("graft_filesink_")
     trackTempDir(out)
-    val q = stream.writeStream
+    val q = bound.writeStream
       .format("parquet")
       .option("path", out.toString)
       .option("checkpointLocation", ck.toString)
@@ -339,7 +359,8 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    sess.read.parquet(out.toString)
+    // read back on the CALLER's session (the clone only scoped the conf)
+    parent.read.parquet(out.toString)
   }
 
   /** [[snapshotToTable]] with EXPLICIT batch boundaries: Trigger.AvailableNow
