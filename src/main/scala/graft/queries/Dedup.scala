@@ -2675,6 +2675,21 @@ object Dedup {
     * whole point at 100 TB. The exact side (verification only) is one
     * (source, shingle) distinct and one shingle equi-join grouped to the
     * sources^2-bounded pair matrix. */
+  /** Distinct (source, 3-gram) inventory over the shingled corpus — the
+    * shared index of the cross-source overlap family: d38's exact-verify
+    * leg and x40's overlap matrix both reduce to aggregations over exactly
+    * this frame (r14 — they used to build it independently; same
+    * tokenize-once lifecycle as [[docsWithShingles]]). The map-side
+    * partial distinct collapses replicated docs before the exchange. */
+  private[queries] def sourceGrams(s: SparkSession, dir: String): DataFrame =
+    memoized(s"srcgrams:$dir")(
+      docsWithShingles(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"), explode(col("sh")).as("g"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
   private val d38: Q = (s, dir) => {
     val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
     val sig = minhashSig(s, dir).join(src, Seq("doc_id"))
@@ -2688,36 +2703,34 @@ object Dedup {
         min(col("m4")).as("m4"), min(col("m5")).as("m5"),
         min(col("m6")).as("m6"), min(col("m7")).as("m7"))
       .localCheckpoint(true)
-    // duplicate-collapse invariant: distinct on the (source, ARRAY) pair
-    // BEFORE the explode — a replicated corpus (sf10 is 100x copies with
-    // the source preserved) collapses to content diversity ahead of the
-    // shingle shuffle instead of shuffling 100x pairs into the distinct
-    //
-    // r13 exact-verify rewrite (guide §2.3/§2.4 — the d29 mirror-matrix
-    // shape): the former (source, shingle) DISTINCT + shingle self-join
-    // shuffled the exploded gram frame three times (both join sides plus
-    // the sizes aggregation) and materialized |shared grams| x pairs join
-    // output. One gram-keyed aggregation to the per-gram SOURCE SET
-    // (collect_set dedups, fan-out <= |sources| per gram) replaces all of
-    // it: sizes = explode of the sets, pair counts = sources^2-bounded
-    // in-row pair expansion — the gram frame is shuffled ONCE and pinned.
-    val bySg = docsWithShingles(s, dir).join(src, Seq("doc_id"))
-      .select(col("source"), col("sh")).distinct()
-      .select(col("source"), explode(col("sh")).as("sg"))
-      .groupBy(col("sg"))
-      .agg(sort_array(collect_set(col("source"))).as("ss"))
-      .localCheckpoint(true)
-    val sizes = bySg.select(explode(col("ss")).as("source"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // r14 exact-verify restructure (guide §1.2/§2.3, VERDICT r13 item 3):
+    // the r13 shape rebuilt a private (source, sh-ARRAY) distinct — a full
+    // shuffle of the shingle arrays — exploded it, re-aggregated it to
+    // per-gram source sets, and checkpoint-pinned that frame for its two
+    // consumers. The distinct (source, gram) inventory it derives is
+    // byte-identical to the one x40 already maintains ([[sourceGrams]]):
+    // read the shared persisted index instead. `sizes` becomes one
+    // map-side-partial count over it, and the gram->source-set aggregation
+    // feeds its now-SINGLE consumer directly, so the array-serializing
+    // localCheckpoint pin goes away with it (the d39/d06 lesson).
+    val sg = sourceGrams(s, dir)
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
     // r14 (§2.5, VERDICT item 4): pair expansion via PairExpand — streams
     // the |sources|^2 pairs out across |sources| rows instead of building
     // them all inside ONE row (hot-gram skew safety); identical pair set.
-    val common = graft.operators.PairExpand.pairCounts(bySg, "ss", "c")
+    val common = graft.operators.PairExpand.pairCounts(
+      sg.groupBy(col("g"))
+        .agg(sort_array(collect_set(col("source"))).as("ss")),
+      "ss", "c")
     val agreeExpr = (0 until 8)
       .map(i => s"(CASE WHEN am$i = bm$i THEN 1 ELSE 0 END)").mkString(" + ")
     common
-      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), Seq("s1"))
-      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), Seq("s2"))
+      // r14: |sources|-row frame — broadcast explicitly (x40 precedent);
+      // size ESTIMATES over the memo scan otherwise plan these as SMJs
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))),
+        Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))),
+        Seq("s2"))
       .join(broadcast(ssig.toDF(("s1" +: (0 until 8).map(i => s"am$i")): _*)),
         Seq("s1"))
       .join(broadcast(ssig.toDF(("s2" +: (0 until 8).map(i => s"bm$i")): _*)),

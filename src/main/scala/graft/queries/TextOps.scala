@@ -2334,17 +2334,10 @@ object TextOps {
     * rows, so the per-gram pair expansion is bounded by sources^2 — never
     * corpus^2 — and the matrix aggregation is O(sources^2) rows. */
   private val x40: Q = (s, dir) => {
-    // rides the SAME persisted shingle index the dedup family builds —
-    // tokenize once, serve many (Dedup.docsWithShingles); the derived
-    // (source, gram) frame is memoized so repeated invocations (warmup +
-    // timed passes) reuse ONE persisted copy instead of leaking blocks
-    val sg = memoized(s"x40sg:$dir")(
-      Dedup.docsWithShingles(s, dir)
-        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
-          Seq("doc_id"))
-        .select(col("source"), explode(col("sh")).as("g"))
-        .distinct()
-        .persist())
+    // rides the SAME persisted (source, gram) inventory as d38's exact
+    // overlap leg (Dedup.sourceGrams, r14 — formerly a private x40 memo):
+    // tokenize once, serve many
+    val sg = Dedup.sourceGrams(s, dir)
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
     // r13 (the d38/d29 mirror-matrix rewrite, guide §2.3): the former gram
     // self-join shuffled the persisted (source, gram) frame TWICE and
