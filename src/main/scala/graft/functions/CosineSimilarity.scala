@@ -110,6 +110,7 @@ object GraftFunctions {
       lit(exprs(3)).asInstanceOf[Number].longValue())),
     "graft_md5i_array" -> (exprs => Md5IntArray(exprs(0))),
     "graft_pairs" -> (exprs => PostingPairs(exprs(0))),
+    "graft_icount" -> (exprs => IntersectCountStr(exprs(0), exprs(1))),
     "graft_simhash" -> (exprs => SimHash32(exprs(0))),
     "graft_minhash" -> (exprs => MinHashAffine(exprs(0),
       lit(exprs(1)).asInstanceOf[Number].longValue(),

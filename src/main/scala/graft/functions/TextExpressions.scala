@@ -105,6 +105,41 @@ object NativeHelpers {
     new GenericArrayData(out)
   }
 
+  /** Count of DISTINCT elements of `a` that also appear in `b` —
+    * value-identical to size(array_intersect(a, b)) for string arrays
+    * (incl. the null-element rule: null counts once iff both sides carry
+    * one) WITHOUT materializing the intersection array. The dedup verify
+    * legs only consume the SIZE of the intersection; ArrayIntersect
+    * builds the full distinct-element array (per-element string copies
+    * into an UnsafeArrayData) just for size() to discard it — per
+    * candidate pair, at corpus scale. */
+  def icountStr(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0
+    val bs = new java.util.HashSet[UTF8String](Math.max(8, nb * 2))
+    var bNull = false
+    var i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bNull = true else bs.add(b.getUTF8String(i))
+      i += 1
+    }
+    val seen = new java.util.HashSet[UTF8String](Math.max(8, na))
+    var c = 0
+    var aNullCounted = false
+    var j = 0
+    while (j < na) {
+      if (a.isNullAt(j)) {
+        if (bNull && !aNullCounted) { c += 1; aNullCounted = true }
+      } else {
+        val v = a.getUTF8String(j)
+        if (bs.contains(v) && seen.add(v)) c += 1
+      }
+      j += 1
+    }
+    c
+  }
+
   private val singleSpace = Pattern.compile(" ")
 
   /** Distinct word 3-grams, identical to
@@ -503,6 +538,35 @@ case class PostingPairs(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** graft_icount(a, b) -> int: size(array_intersect(a, b)) for string
+  * arrays without materializing the intersection array (the verify legs
+  * need only the count) — value-identical, asserted in
+  * NativeTextExprSpec. */
+case class IntersectCountStr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires string arrays, got ${left.dataType} / ${right.dataType}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeHelpers.icountStr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NativeHelpers$$.MODULE$$.icountStr($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** graft_dot(a, b) -> double: in-index-order dot product (no normalization);

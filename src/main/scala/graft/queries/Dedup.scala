@@ -262,9 +262,12 @@ object Dedup {
   }
 
   /** Exact jaccard between the pair's shingle sets (both dialects divide
-    * |intersection| by |union| in doubles). */
+    * |intersection| by |union| in doubles). r14: the intersection SIZE
+    * comes from the count-only native (graft_icount) — value-identical to
+    * size(array_intersect(...)) but never materializes the intersection
+    * array per candidate pair (guide §1.2 step 2: per-task work). */
   private[queries] def jaccardCol = {
-    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    val inter = expr("graft_icount(sh1, sh2)")
     inter.cast("double") /
       (size(col("sh1")) + size(col("sh2")) - inter).cast("double")
   }
@@ -2436,7 +2439,7 @@ object Dedup {
       .join(w5.as("a5"), col("dg1") === col("a5.dg"))
       .join(w5.as("b5"), col("dg2") === col("b5.dg"))
       .select(col("mult"), col("common"), col("u3"),
-        size(array_intersect(col("a5.sh5"), col("b5.sh5"))).as("c5"),
+        expr("graft_icount(a5.sh5, b5.sh5)").as("c5"), // count-only intersect (r14)
         col("a5.n5").as("n5a"), col("b5.n5").as("n5b"))
       .select(col("mult"),
         expr("common * 1000 div u3").as("j3p"),
@@ -2616,8 +2619,8 @@ object Dedup {
       .selectExpr("d1", "d2",
         s"CAST($agreeExpr AS INT) AS agree_bits",
         s"CAST(GREATEST(($agreeExpr - 4) * 250, 0) AS BIGINT) AS est_permille",
-        "CAST((1000 * size(array_intersect(sh1, sh2))) DIV " +
-          "(size(sh1) + size(sh2) - size(array_intersect(sh1, sh2))) " +
+        "CAST((1000 * graft_icount(sh1, sh2)) DIV " + // count-only intersect (r14)
+          "(size(sh1) + size(sh2) - graft_icount(sh1, sh2)) " +
           "AS BIGINT) AS jacc_permille")
       .withColumn("err_permille",
         abs(col("est_permille") - col("jacc_permille")))
@@ -2839,8 +2842,8 @@ object Dedup {
       .selectExpr("d1", "d2",
         s"CAST($agreeExpr AS INT) AS agree_slots",
         s"CAST(($agreeExpr) * 125 AS BIGINT) AS est_permille",
-        "CAST((1000 * size(array_intersect(sh1, sh2))) DIV " +
-          "(size(sh1) + size(sh2) - size(array_intersect(sh1, sh2))) " +
+        "CAST((1000 * graft_icount(sh1, sh2)) DIV " + // count-only intersect (r14)
+          "(size(sh1) + size(sh2) - graft_icount(sh1, sh2)) " +
           "AS BIGINT) AS jacc_permille")
       .withColumn("err_permille",
         abs(col("est_permille") - col("jacc_permille")))

@@ -818,7 +818,7 @@ object Pipeline {
     val cand = bands(sig(brep), "bd").join(bands(sig(srep), "sd"),
         Seq("band", "key"))
       .select(col("bd"), col("sd")).distinct()
-    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    val inter = expr("graft_icount(sh1, sh2)") // count-only intersect (r14)
     val ver = cand
       .join(sh.select(col("doc_id").as("bd"), col("sh").as("sh1")), Seq("bd"))
       .join(sh.select(col("doc_id").as("sd"), col("sh").as("sh2")), Seq("sd"))

@@ -116,6 +116,38 @@ class NativeTextExprSpec extends AnyFunSuite with Matchers {
     diff.count() shouldBe 0L
   }
 
+  test("graft_icount equals size(array_intersect) on real shingle pairs") {
+    GraftFunctions.register(spark)
+    // cross-join a bounded slice of real shingle arrays so empty,
+    // disjoint, partial and identical overlaps all occur
+    val sh = docs.filter(expr("size(split(text, ' ')) >= 3")).limit(30)
+      .select(expr("graft_shingles(text)").as("sh"))
+    val pairs = sh.select(col("sh").as("sh1"))
+      .crossJoin(sh.select(col("sh").as("sh2")))
+    val diff = pairs.select(
+        expr("graft_icount(sh1, sh2)").as("a"),
+        expr("size(array_intersect(sh1, sh2))").as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+  }
+
+  test("graft_icount matches array_intersect null/dup semantics") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq[String]("a", "b", "a", null), Seq[String]("a", null, "c")),
+      (Seq[String]("a", "b"), Seq[String]("c")),
+      (Seq[String](), Seq[String]("a")),
+      (Seq[String](null, null), Seq[String](null)),
+      (Seq[String]("x", "y", "y"), Seq[String]("y", "y", "x"))
+    ).toDF("sh1", "sh2")
+    val diff = df.select(
+        expr("graft_icount(sh1, sh2)").as("a"),
+        expr("size(array_intersect(sh1, sh2))").as("b"))
+      .filter(expr("a != b"))
+    diff.count() shouldBe 0L
+  }
+
   test("graft_simhash equals the 32 per-bit aggregate folds") {
     val composed = (0 until 32).map { j =>
       s"(CASE WHEN aggregate(wv, 0, (a, h) -> a + (CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END)"
