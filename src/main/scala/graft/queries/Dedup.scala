@@ -227,6 +227,24 @@ object Dedup {
     * jaccard(rep(a), rep(b)) — the doc-level pair set reconstructs
     * exactly from these winners plus the always-candidate same-content
     * pairs (identical sigs share every band; jaccard exactly 1.0). */
+  /** Rep-level LSH candidate pairs — ONE candidate-generation pass for the
+    * whole content-collapsed minhash chain. The verified-edge asset
+    * ([[nearDupRepPairs]]) and the two sketch audits (d37 b-bit, d39 OPH)
+    * all enumerate exactly the same band-keyed postings over the same rep
+    * signatures; r14 memoizes the shared pass (the d02 shinglePairCounts
+    * precedent — candidate generation is the expensive stage, policies
+    * score from it). */
+  private def repCandidates(s: SparkSession, dir: String): DataFrame =
+    memoized(s"repcands:$dir") {
+      val g = docGroups(s, dir)
+      val reps = docsWithShingles(s, dir).as("d")
+        .join(g.filter(col("doc_id") === col("rep"))
+          .select(col("rep").as("rid")), col("d.doc_id") === col("rid"))
+        .select(col("d.doc_id"), col("d.sh"), col("d.n"), col("d.hv"))
+      minhashCandidates(minhashSigOf(reps))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   private def nearDupRepPairs(s: SparkSession, dir: String): DataFrame =
     memoized(s"ndreppairs:$dir") {
       val g = docGroups(s, dir)
@@ -234,7 +252,7 @@ object Dedup {
         .join(g.filter(col("doc_id") === col("rep"))
           .select(col("rep").as("rid")), col("d.doc_id") === col("rid"))
         .select(col("d.doc_id"), col("d.sh"), col("d.n"), col("d.hv"))
-      val cand = minhashCandidates(minhashSigOf(reps))
+      val cand = repCandidates(s, dir)
       cand
         .join(reps.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
         .join(reps.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
@@ -2608,7 +2626,7 @@ object Dedup {
     val bits = sig.select(
       (col("doc_id") +: (0 until 8).map(i =>
         (col(s"m$i") % 2).cast("int").as(s"b$i"))): _*)
-    val cand = minhashCandidates(sig)
+    val cand = repCandidates(s, dir) // shared candidate pass (r14)
     val agreeExpr = (0 until 8)
       .map(i => s"(CASE WHEN a$i = x$i THEN 1 ELSE 0 END)").mkString(" + ")
     cand
@@ -2831,7 +2849,9 @@ object Dedup {
           col(s"b${(j + d) % 8}") + lit(d.toLong * OphC)): _*).as(s"s$j")
       }): _*)
       .localCheckpoint(true)
-    val cand = minhashCandidates(minhashSigOf(reps))
+    // r14: shared candidate pass — the same rep-level band postings the
+    // d03 chain and d37 enumerate; was a per-pass 8-hash fold + 2 shuffles
+    val cand = repCandidates(s, dir)
     val agreeExpr = (0 until 8)
       .map(i => s"(CASE WHEN a$i = x$i THEN 1 ELSE 0 END)").mkString(" + ")
     cand
